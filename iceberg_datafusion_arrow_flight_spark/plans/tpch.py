@@ -1,0 +1,371 @@
+"""TPC-H-style composite queries over the fixture star schema.
+
+These are the headline plans the reference would run via ``ctx.sql`` (it
+exposes the full DataFusion 40 SELECT surface at lib.rs:678); expressed here
+with the DataFrame API so Catalyst picks the physical strategy.  Scale
+notes per query explain why the plan survives 100 TB:
+
+- Dimension tables (region/nation/customer/supplier/part) are tiny at any
+  TPC-H ratio relative to lineitem — Catalyst broadcasts them (AQE converts
+  to broadcast at runtime if the static estimate misses).
+- All aggregations are partial+final hash aggregates (map-side combine),
+  so shuffle volume is #groups × #partitions, not #rows.
+- Filters sit directly on the scans → Parquet predicate pushdown +
+  row-group pruning; only referenced columns are read (column pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+
+def _r(col, n=2):
+    return F.round(col, n)
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                  AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                             AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                  AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                             AS avg_price,
+       ROUND(AVG(l_discount), 4)                                  AS avg_disc,
+       COUNT(*)                                                   AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1: full-scan groupBy aggregate. Scale: 2-phase hash agg, "
+        "4 groups — shuffle is O(groups), scan is the only heavy stage.",
+    tags=("tpch", "aggregate"),
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r(F.sum(disc_price)).alias("sum_disc_price"),
+            _r(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _r(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _r(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            _r(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3: dim-filtered 3-way join + group + top-k. Scale: customer "
+        "(filtered) broadcasts into orders, orders side of the lineitem join "
+        "shuffles on orderkey; top-k is TakeOrderedAndProject (no full sort).",
+    tags=("tpch", "join", "topk"),
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cst = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    ords = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        cst.join(ords, cst.c_custkey == ords.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    doc="TPC-H Q5: 6-way star join. Scale: region/nation/supplier/customer "
+        "all broadcast; the only shuffle is lineitem↔orders on orderkey and "
+        "the final tiny agg.",
+    tags=("tpch", "join"),
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cst = table(spark, sf_dir, "customer")
+    ords = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        cst.join(ords, cst.c_custkey == ords.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sup, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6: selective scan + global agg. Scale: all three predicates "
+        "push to Parquet (row-group stats prune most of 100 TB); single "
+        "scalar result, near-zero shuffle.",
+    tags=("tpch", "filter", "aggregate"),
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(_r(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                       AND TIMESTAMP '1996-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7: nation-pair volume with disjunctive join filter. Scale: "
+        "both nation copies broadcast; lineitem↔orders is the single big "
+        "shuffle; year extraction stays in codegen.",
+    tags=("tpch", "join"),
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1995-01-01 00:00:00", "1996-12-31 00:00:00"))
+    ords = table(spark, sf_dir, "orders")
+    cst = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        sup.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(ords, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cst, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10"))
+               | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9")))
+    )
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_r(F.sum("volume")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(c_acctbal, 2) AS c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10: returned-item revenue by customer, top 20. Scale: "
+        "nation broadcasts; group key is customer-grain (bounded), top-k "
+        "avoids a global sort.",
+    tags=("tpch", "join", "topk"),
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cst = table(spark, sf_dir, "customer")
+    ords = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nat = table(spark, sf_dir, "nation")
+    return (
+        cst.join(ords, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue",
+                _r(F.col("c_acctbal")).alias("c_acctbal"), "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q12_priority_shipping",
+    oracle="""
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_count,
+       SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS open_count
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="TPC-H Q12 adapted (no shipmode column): conditional counts per "
+        "priority. Scale: one fact shuffle on orderkey; CASE stays in codegen.",
+    tags=("tpch", "join", "aggregate"),
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    return (
+        ords.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("finished_count"),
+            F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)).alias("open_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    oracle="""
+SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+""",
+    doc="TPC-H Q14: promo revenue share. Scale: part broadcasts (hash join "
+        "with no fact shuffle); single scalar out.",
+    tags=("tpch", "join", "aggregate"),
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+    prt = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(_r(100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev), 4).alias("promo_revenue"))
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19: disjunctive multi-branch predicate across join. Scale: "
+        "part broadcasts; the OR-of-ANDs residual evaluates in codegen after "
+        "the hash probe.",
+    tags=("tpch", "join", "filter"),
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    prt = table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(prt), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )

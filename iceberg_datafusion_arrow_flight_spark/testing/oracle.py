@@ -1,0 +1,127 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+The driver (see ``__spark_entry__.py`` docstring) runs each registered
+Spark plan and its oracle SQL side-by-side at sf0.01 and compares
+row-count + schema + order-insensitive value hash.  This module implements
+the same comparison so every plan is verified locally *before* the driver
+sees it — SURVEY §5's t2 strategy.
+
+Normalization: columns sorted by name, rows sorted by all columns,
+values canonicalized (floats rounded to 9 significant-ish decimals,
+timestamps to ISO micros, arrays recursively).  Both engines' outputs pass
+through the identical normalizer, so any surviving difference is a real
+semantic mismatch.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from dataclasses import dataclass
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from ..plans import REGISTRY
+from ..sources.registry import TABLES
+
+
+def _canon_scalar(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
+        # 12 significant digits: tight enough to catch real bugs, loose
+        # enough to absorb last-ulp float formatting differences.
+        return f"{v:.12g}"
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_scalar(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_scalar(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
+def _normalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple[str, ...]]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols_sorted = [cols[i] for i in order]
+    out = [tuple(_canon_scalar(row[i]) for i in order) for row in rows]
+    out.sort()
+    return cols_sorted, out
+
+
+@dataclass
+class CheckResult:
+    name: str
+    ok: bool
+    detail: str = ""
+    spark_rows: int = 0
+    oracle_rows: int = 0
+
+
+def _duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def check_query(spark: SparkSession, name: str, sf_dir: str,
+                con: duckdb.DuckDBPyConnection | None = None) -> CheckResult:
+    spec = REGISTRY[name]
+    df = spec.build(spark, sf_dir)
+    s_cols = df.columns
+    s_rows = [tuple(r) for r in df.collect()]
+    if spec.oracle is None:
+        return CheckResult(name, True, "rows-only (no oracle)", len(s_rows), -1)
+    own = con is None
+    if own:
+        con = _duck_conn(sf_dir)
+    try:
+        res = con.execute(spec.oracle)
+        o_cols = [d[0] for d in res.description]
+        o_rows = res.fetchall()
+    finally:
+        if own:
+            con.close()
+    if sorted(s_cols) != sorted(o_cols):
+        return CheckResult(name, False,
+                           f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}",
+                           len(s_rows), len(o_rows))
+    if len(s_rows) != len(o_rows):
+        return CheckResult(name, False,
+                           f"rowcount mismatch: spark={len(s_rows)} oracle={len(o_rows)}",
+                           len(s_rows), len(o_rows))
+    _, s_norm = _normalize(list(s_cols), s_rows)
+    _, o_norm = _normalize(list(o_cols), o_rows)
+    if s_norm != o_norm:
+        diff = next((i for i, (a, b) in enumerate(zip(s_norm, o_norm)) if a != b), None)
+        detail = "value mismatch"
+        if diff is not None:
+            detail += f" at sorted row {diff}: spark={s_norm[diff]} oracle={o_norm[diff]}"
+        return CheckResult(name, False, detail, len(s_rows), len(o_rows))
+    return CheckResult(name, True, "", len(s_rows), len(o_rows))
+
+
+def run_all(spark: SparkSession, sf_dir: str,
+            names: list[str] | None = None) -> list[CheckResult]:
+    con = _duck_conn(sf_dir)
+    results = []
+    try:
+        for name in (names or list(REGISTRY)):
+            try:
+                results.append(check_query(spark, name, sf_dir, con))
+            except Exception as exc:  # noqa: BLE001 — report, don't abort the sweep
+                results.append(CheckResult(name, False, f"EXCEPTION: {exc}"))
+    finally:
+        con.close()
+    return results
