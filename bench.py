@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline plans at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The driver records this per-round as BENCH_r{N}.json (see BASELINE.md:
+target is within 2x of the recorded per-query baseline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_datafusion_arrow_flight_spark import get_spark
+from iceberg_datafusion_arrow_flight_spark.plans import REGISTRY
+
+# Headline set: every TPC-H-style composite plus the heaviest extension
+# operators (added as they are implemented).  Names missing from the
+# registry are skipped so bench never breaks mid-build.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_effect",
+    "tpch_q19_discounted_revenue",
+    "window_sales_running",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "text_quality_score",
+    "events_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    # Warm the JVM/scheduler so the first measured query isn't charged
+    # for session start-up (the reference's engine warm-up is its process
+    # start, outside its per-query path too).
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    times: dict[str, float] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.build(spark, sf_dir)
+        # collect() mirrors the reference's execution model — it collects
+        # every result server-side before streaming to the client
+        # (lib.rs:333-344); headline outputs are aggregates/top-k, so the
+        # collected sets are small.
+        df.collect()
+        times[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(times.values()), 4)
+    print(json.dumps({
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
