@@ -1,1 +1,325 @@
-"""aggregates plans (filled in incrementally)."""
+"""Aggregate plans: GROUP BY, GROUPING SETS/CUBE/ROLLUP, DISTINCT and
+FILTER modifiers, the full DataFusion-40 aggregate function inventory
+(SURVEY §2.4), plus tolerance-checked approximate aggregates.
+
+Scale notes: every plan here is a partial+final hash aggregate (map-side
+combine), so shuffle traffic is proportional to group count, not row
+count.  CUBE/ROLLUP expand rows *after* partial aggregation in Spark
+(Expand over grouping-set ids), which is the right side of the tradeoff
+at 100 TB.
+
+Approximate aggregates (HLL distinct, quantile sketches) return
+engine-specific values, so they cannot hash-match a DuckDB oracle
+directly; instead the plan asserts the approximation is within tolerance
+of the exact value and emits the *boolean* — both engines then agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+
+@register(
+    "agg_global_stats",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price
+FROM lineitem
+""",
+    doc="Global (no GROUP BY) multi-aggregate: count/count-distinct/sum/"
+        "avg/min/max. DuckDB SUM(int)→HUGEINT, hence the BIGINT cast.",
+    tags=("aggregate",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum("l_linenumber").cast("bigint").alias("sum_line"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"))
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    doc="GROUPING SETS with grouping() indicators (SURVEY §2.4).",
+    tags=("aggregate", "grouping"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE: all 2^k grouping combinations.",
+    tags=("aggregate", "grouping"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (table(spark, sf_dir, "lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n")))
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP: hierarchical prefixes of the grouping keys.",
+    tags=("aggregate", "grouping"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (table(spark, sf_dir, "lineitem")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+@register(
+    "agg_having_filter_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+       ROUND(SUM(l_extendedprice) FILTER (WHERE l_quantity > 25), 2) AS sum_heavy
+FROM lineitem
+GROUP BY l_returnflag
+HAVING COUNT(*) > 10
+""",
+    doc="DISTINCT aggregate + FILTER (WHERE ...) clause + HAVING "
+        "(SURVEY §2.4 modifiers).",
+    tags=("aggregate",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+               ROUND(SUM(l_extendedprice) FILTER (WHERE l_quantity > 25), 2) AS sum_heavy
+        FROM lineitem
+        GROUP BY l_returnflag
+        HAVING COUNT(*) > 10""")
+
+
+@register(
+    "agg_variance_stddev",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_samp,
+       ROUND(STDDEV_POP(l_quantity), 6) AS sd_pop,
+       ROUND(VAR_SAMP(l_quantity), 6) AS var_samp,
+       ROUND(VAR_POP(l_quantity), 6) AS var_pop
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="stddev/variance, sample and population forms.",
+    tags=("aggregate", "stats"),
+)
+def agg_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (table(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.stddev_samp("l_quantity"), 6).alias("sd_samp"),
+                 F.round(F.stddev_pop("l_quantity"), 6).alias("sd_pop"),
+                 F.round(F.var_samp("l_quantity"), 6).alias("var_samp"),
+                 F.round(F.var_pop("l_quantity"), 6).alias("var_pop")))
+
+
+@register(
+    "agg_corr_covar_regr",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_pq,
+       ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS covs,
+       ROUND(COVAR_POP(l_extendedprice, l_quantity), 4) AS covp,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+       ROUND(REGR_AVGX(l_extendedprice, l_quantity), 6) AS avgx,
+       ROUND(REGR_AVGY(l_extendedprice, l_quantity), 4) AS avgy,
+       CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Bivariate stats: corr, covar_samp/pop, regr_* family "
+        "(SURVEY §2.4 — DF40 datafusion-functions-aggregate).",
+    tags=("aggregate", "stats"),
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (table(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.corr(y, x), 6).alias("corr_pq"),
+                 F.round(F.covar_samp(y, x), 4).alias("covs"),
+                 F.round(F.covar_pop(y, x), 4).alias("covp"),
+                 F.round(F.regr_slope(y, x), 6).alias("slope"),
+                 F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+                 F.round(F.regr_r2(y, x), 6).alias("r2"),
+                 F.round(F.regr_avgx(y, x), 6).alias("avgx"),
+                 F.round(F.regr_avgy(y, x), 4).alias("avgy"),
+                 F.regr_count(y, x).cast("bigint").alias("n")))
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+SELECT l_returnflag,
+       (MIN(struct_pack(a := l_shipdate, b := l_orderkey))).b AS first_order,
+       (MAX(struct_pack(a := l_shipdate, b := l_orderkey))).b AS last_order
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="min_by/max_by ≡ DF40 first_value/last_value aggregate forms with "
+        "ORDER BY (deterministic arg-min/arg-max).",
+    tags=("aggregate",),
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ties on l_shipdate are possible; make arg-min/max deterministic by
+    # composing a unique ordering key (shipdate, orderkey) into a struct —
+    # struct comparison is lexicographic in both engines.
+    li = table(spark, sf_dir, "lineitem")
+    key = F.struct(F.col("l_shipdate"), F.col("l_orderkey"))
+    return (li.groupBy("l_returnflag")
+            .agg(F.min_by("l_orderkey", key).alias("first_order"),
+                 F.max_by("l_orderkey", key).alias("last_order")))
+
+
+@register(
+    "agg_array_collect",
+    oracle="""
+SELECT o_orderstatus,
+       LIST_SORT(LIST(o_orderpriority))          AS priorities,
+       LIST_SORT(LIST(DISTINCT o_orderpriority)) AS distinct_priorities
+FROM orders
+WHERE o_custkey % 100 = 0
+GROUP BY o_orderstatus
+""",
+    doc="array_agg / array_agg DISTINCT (DF40) ≡ collect_list/collect_set; "
+        "sorted on both sides because collection order is engine-defined.",
+    tags=("aggregate", "array"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (table(spark, sf_dir, "orders")
+            .where(F.col("o_custkey") % 100 == 0)
+            .groupBy("o_orderstatus")
+            .agg(F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
+                 F.sort_array(F.collect_set("o_orderpriority")).alias("distinct_priorities")))
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey
+""",
+    doc="string_agg with ORDER BY (DF40) ≡ ordered listagg / "
+        "array_join(sort_array(collect_list)).",
+    tags=("aggregate",),
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (table(spark, sf_dir, "nation")
+            .groupBy("n_regionkey")
+            .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",")
+                 .alias("nations")))
+
+
+@register(
+    "agg_bool_bit",
+    oracle="""
+SELECT o_orderstatus,
+       BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+       BOOL_OR(o_totalprice > 500000) AS any_over_500k,
+       CAST(BIT_AND(o_custkey) AS BIGINT) AS band,
+       CAST(BIT_OR(o_custkey)  AS BIGINT) AS bor,
+       CAST(BIT_XOR(o_custkey) AS BIGINT) AS bxor,
+       COUNT_IF(o_orderpriority = '1-URGENT') AS n_urgent
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="bool_and/bool_or, bit_and/or/xor, count_if (SURVEY §2.4 table).",
+    tags=("aggregate",),
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (table(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+                 F.bool_or(F.col("o_totalprice") > 500000).alias("any_over_500k"),
+                 F.bit_and("o_custkey").cast("bigint").alias("band"),
+                 F.bit_or("o_custkey").cast("bigint").alias("bor"),
+                 F.bit_xor("o_custkey").cast("bigint").alias("bxor"),
+                 F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent")))
+
+
+@register(
+    "agg_median_percentile",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(MEDIAN(l_extendedprice), 4) AS med_price,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.90), 4) AS p90,
+       ROUND(QUANTILE_DISC(l_extendedprice, 0.50), 4) AS p50_disc
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="median + exact continuous/discrete percentiles (DF40 "
+        "approx_percentile_cont has an exact Spark analogue: percentile()).",
+    tags=("aggregate", "stats"),
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.col("l_extendedprice")
+    return (table(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.median(p), 4).alias("med_price"),
+                 F.round(F.percentile(p, 0.25), 4).alias("p25"),
+                 F.round(F.percentile(p, 0.90), 4).alias("p90"),
+                 F.round(F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)"), 4)
+                 .alias("p50_disc")))
+
+
+@register(
+    "agg_approx_within_tolerance",
+    oracle="""
+SELECT (ABS(APPROX_COUNT_DISTINCT(l_partkey) - COUNT(DISTINCT l_partkey))
+          <= 0.05 * COUNT(DISTINCT l_partkey)) AS hll_ok,
+       (ABS(APPROX_QUANTILE(l_extendedprice, 0.5)
+            - QUANTILE_CONT(l_extendedprice, 0.5))
+          <= 0.05 * QUANTILE_CONT(l_extendedprice, 0.5)) AS quantile_ok
+FROM lineitem
+""",
+    doc="approx_distinct (HLL) + approx_percentile: sketch values are "
+        "engine-specific, so the oracle-checkable contract is |approx - "
+        "exact| <= 5% — both engines emit the same booleans.",
+    tags=("aggregate", "approx"),
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        (F.abs(F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey"))
+         <= 0.05 * F.countDistinct("l_partkey")).alias("hll_ok"),
+        (F.abs(F.percentile_approx("l_extendedprice", 0.5, 10000)
+               - F.percentile("l_extendedprice", F.lit(0.5)))
+         <= 0.05 * F.percentile("l_extendedprice", F.lit(0.5))).alias("quantile_ok"))

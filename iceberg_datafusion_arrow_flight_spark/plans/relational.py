@@ -1,1 +1,539 @@
-"""relational plans (filled in incrementally)."""
+"""Relational operator plans: joins (all types), set operations,
+subqueries, CTEs (incl. recursive), sorts/limits, DISTINCT [ON].
+
+Covers SURVEY §2.3 (joins), §2.6 (sorts/limits/top-k), §2.7 (set ops),
+§2.8 (subqueries/CTEs).  Every operator here is reachable in the reference
+only as DataFusion-40 SQL through ``ctx.sql`` (lib.rs:678); the Spark
+expression is the idiomatic DataFrame/SQL equivalent, with physical
+strategy (broadcast vs shuffle vs nested-loop) left to Catalyst + AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+
+# ---------------------------------------------------------------- joins
+
+@register(
+    "join_inner_equi",
+    oracle="""
+SELECT o_orderkey, c_name, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000
+""",
+    doc="Inner equi-join orders↔customer. Scale: customer broadcasts; "
+        "selective fact filter pushed to the Parquet scan.",
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    cst = table(spark, sf_dir, "customer")
+    return (ords.join(cst, F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "c_name",
+                    F.round("o_totalprice", 2).alias("o_totalprice")))
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, o_orderkey
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) big
+  ON c_custkey = o_custkey
+""",
+    doc="Left outer join with null-extended right side (unmatched "
+        "customers surface NULL orderkeys).",
+    tags=("join",),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cst = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return (cst.join(big, F.col("c_custkey") == F.col("o_custkey"), "left")
+            .select("c_custkey", "o_orderkey"))
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+SELECT o_orderkey, c_custkey
+FROM (SELECT * FROM orders WHERE o_totalprice > 450000) big
+RIGHT JOIN customer ON c_custkey = o_custkey
+""",
+    doc="Right outer join (mirror of left; Catalyst flips build side).",
+    tags=("join",),
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    cst = table(spark, sf_dir, "customer")
+    return (big.join(cst, F.col("c_custkey") == F.col("o_custkey"), "right")
+            .select("o_orderkey", "c_custkey"))
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer
+      WHERE c_nationkey % 3 = 0 GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier
+      WHERE s_nationkey % 2 = 0 GROUP BY s_nationkey) s
+  ON c.nk = s.nk
+""",
+    doc="Full outer join of two asymmetric aggregates (mod filters "
+        "guarantee unmatched rows on both sides).",
+    tags=("join",),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (table(spark, sf_dir, "customer")
+         .where(F.col("c_nationkey") % 3 == 0)
+         .groupBy(F.col("c_nationkey").alias("nk"))
+         .agg(F.count("*").alias("n_cust")))
+    s = (table(spark, sf_dir, "supplier")
+         .where(F.col("s_nationkey") % 2 == 0)
+         .groupBy(F.col("s_nationkey").alias("nk"))
+         .agg(F.count("*").alias("n_supp")))
+    return (c.join(s, c.nk == s.nk, "full")
+            .select(F.coalesce(c.nk, s.nk).alias("nationkey"),
+                    "n_cust", "n_supp"))
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    doc="Cross join of two broadcast-size dims (125 rows). Scale: only "
+        "ever sane on small×small or small×big — here both are small.",
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (table(spark, sf_dir, "region").select("r_name")
+            .crossJoin(table(spark, sf_dir, "nation").select("n_name")))
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+    doc="Left semi join (EXISTS decorrelation — Catalyst "
+        "RewritePredicateSubquery, = DataFusion decorrelate_predicate_subquery).",
+    tags=("join", "subquery"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cst = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (cst.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    doc="Left anti join (NOT EXISTS): customers who never ordered.",
+    tags=("join", "subquery"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cst = table(spark, sf_dir, "customer")
+    ords = table(spark, sf_dir, "orders")
+    return (cst.join(ords, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "join_non_equi_range",
+    oracle="""
+SELECT s_suppkey, COUNT(*) AS n_gt
+FROM supplier JOIN nation ON s_nationkey < n_nationkey
+GROUP BY s_suppkey ORDER BY s_suppkey
+""",
+    doc="Theta (range-predicate) join → BroadcastNestedLoopJoin on the "
+        "broadcast-size side (DF40: nested-loop fallback, SURVEY §2.3).",
+    tags=("join",),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    return (sup.join(nat, F.col("s_nationkey") < F.col("n_nationkey"))
+            .groupBy("s_suppkey").agg(F.count("*").alias("n_gt"))
+            .orderBy("s_suppkey"))
+
+
+# ------------------------------------------------------------ subqueries
+
+@register(
+    "subquery_scalar_uncorrelated",
+    oracle="""
+SELECT COUNT(*) AS n_above
+FROM lineitem
+WHERE l_extendedprice > (SELECT AVG(l_extendedprice) FROM lineitem)
+""",
+    doc="Uncorrelated scalar subquery in WHERE (DF40 scalar_subquery_to_join; "
+        "Spark plans a ScalarSubquery reused as a literal after first eval).",
+    tags=("subquery",),
+)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT COUNT(*) AS n_above
+        FROM lineitem
+        WHERE l_extendedprice > (SELECT AVG(l_extendedprice) FROM lineitem)""")
+
+
+@register(
+    "subquery_scalar_correlated",
+    oracle="""
+SELECT o_orderkey FROM orders o
+WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+""",
+    doc="Correlated scalar subquery (decorrelated to an aggregate+join — "
+        "Catalyst RewriteCorrelatedScalarSubquery ≡ DF40 decorrelation).",
+    tags=("subquery",),
+)
+def subq_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderkey FROM orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)""")
+
+
+@register(
+    "subquery_in",
+    oracle="""
+SELECT o_orderkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+""",
+    doc="IN subquery → left semi join.",
+    tags=("subquery", "join"),
+)
+def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""")
+
+
+@register(
+    "subquery_not_in",
+    oracle="""
+SELECT c_custkey FROM customer
+WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+""",
+    doc="NOT IN subquery (null-safe anti join; keys are non-null here so "
+        "semantics match the anti join exactly).",
+    tags=("subquery", "join"),
+)
+def subq_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql("""
+        SELECT c_custkey FROM customer
+        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)""")
+
+
+# ----------------------------------------------------------------- CTEs
+
+@register(
+    "cte_multi",
+    oracle="""
+WITH big_orders AS (
+  SELECT o_custkey, COUNT(*) AS n_big FROM orders
+  WHERE o_totalprice > 300000 GROUP BY o_custkey
+), rich AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+)
+SELECT rich.c_custkey, rich.c_name, big_orders.n_big
+FROM rich JOIN big_orders ON rich.c_custkey = big_orders.o_custkey
+""",
+    doc="Multi-CTE WITH clause joined downstream.",
+    tags=("cte",),
+)
+def cte_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        WITH big_orders AS (
+          SELECT o_custkey, COUNT(*) AS n_big FROM orders
+          WHERE o_totalprice > 300000 GROUP BY o_custkey
+        ), rich AS (
+          SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+        )
+        SELECT rich.c_custkey, rich.c_name, big_orders.n_big
+        FROM rich JOIN big_orders ON rich.c_custkey = big_orders.o_custkey""")
+
+
+@register(
+    "cte_recursive",
+    oracle="""
+WITH RECURSIVE series(n, total) AS (
+  SELECT 1, 1
+  UNION ALL
+  SELECT n + 1, total + n + 1 FROM series WHERE n < 20
+)
+SELECT n, total FROM series
+""",
+    doc="Recursive CTE (DF40 has it; Spark 4 executes WITH RECURSIVE "
+        "natively — the <4.0 driver-loop fallback lives in "
+        "operators.recursive for older clusters).",
+    tags=("cte", "recursive"),
+)
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql("""
+        WITH RECURSIVE series(n, total) AS (
+          SELECT 1, 1
+          UNION ALL
+          SELECT n + 1, total + n + 1 FROM series WHERE n < 20
+        )
+        SELECT n, total FROM series""")
+
+
+# --------------------------------------------------------------- set ops
+
+def _status_proj(spark, sf_dir, status):
+    return (table(spark, sf_dir, "orders")
+            .where(F.col("o_orderstatus") == status)
+            .select("o_custkey", "o_orderpriority"))
+
+
+@register(
+    "setop_union_all",
+    oracle="""
+SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+""",
+    doc="UNION ALL (bag union, no shuffle).",
+    tags=("setop",),
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _status_proj(spark, sf_dir, "F").unionAll(_status_proj(spark, sf_dir, "O"))
+
+
+@register(
+    "setop_union_distinct",
+    oracle="""
+SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+UNION
+SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+""",
+    doc="UNION (set union → hash-distinct after append).",
+    tags=("setop",),
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_status_proj(spark, sf_dir, "F")
+            .union(_status_proj(spark, sf_dir, "O")).distinct())
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    doc="INTERSECT (set semantics → left semi + distinct).",
+    tags=("setop",),
+)
+def intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = table(spark, sf_dir, "orders").where("o_orderstatus = 'F'").select("o_custkey")
+    b = table(spark, sf_dir, "orders").where("o_orderstatus = 'O'").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+""",
+    doc="INTERSECT ALL (bag semantics, multiplicity = min of the sides).",
+    tags=("setop",),
+)
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = table(spark, sf_dir, "orders").where("o_orderstatus = 'F'").select("o_orderpriority")
+    b = table(spark, sf_dir, "orders").where("o_orderstatus = 'O'").select("o_orderpriority")
+    return a.intersectAll(b)
+
+
+@register(
+    "setop_except",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+""",
+    doc="EXCEPT (set difference → left anti + distinct).",
+    tags=("setop",),
+)
+def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = table(spark, sf_dir, "orders").where("o_orderstatus = 'F'").select("o_custkey")
+    b = table(spark, sf_dir, "orders").where("o_orderstatus = 'P'").select("o_custkey")
+    return a.subtract(b)
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+""",
+    doc="EXCEPT ALL (bag difference, multiplicity-preserving).",
+    tags=("setop",),
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = table(spark, sf_dir, "orders").where("o_orderstatus = 'F'").select("o_orderpriority")
+    b = table(spark, sf_dir, "orders").where("o_orderstatus = 'P'").select("o_orderpriority")
+    return a.exceptAll(b)
+
+
+# ------------------------------------------------ sort / limit / distinct
+
+@register(
+    "sort_limit_offset",
+    oracle="""
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50 OFFSET 10
+""",
+    doc="Total-order sort + LIMIT/OFFSET (DF40 SortExec+GlobalLimit; Spark "
+        "TakeOrderedAndProject handles limit+offset in one pass).",
+    tags=("sort", "topk"),
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (table(spark, sf_dir, "orders")
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            # DataFrame API: offset() must precede limit() to get SQL
+            # "LIMIT 50 OFFSET 10" semantics (skip 10, then take 50).
+            .offset(10).limit(50))
+
+
+@register(
+    "sort_nulls_ordering",
+    oracle="""
+SELECT o_orderkey, disc FROM (
+  SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS disc FROM orders
+) t ORDER BY disc ASC NULLS FIRST, o_orderkey
+LIMIT 100
+""",
+    doc="Explicit NULLS FIRST ordering (DF default is Postgres-style nulls "
+        "last on ASC, Spark default nulls first — always emitted explicitly, "
+        "SURVEY §2.6).",
+    tags=("sort",),
+)
+def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (table(spark, sf_dir, "orders")
+            .select("o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("disc"))
+            .orderBy(F.col("disc").asc_nulls_first(), F.col("o_orderkey"))
+            .limit(100))
+
+
+@register(
+    "distinct_simple",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="DISTINCT → hash aggregate on all columns.",
+    tags=("distinct",),
+)
+def distinct_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "distinct_on",
+    oracle="""
+SELECT DISTINCT ON (l_returnflag)
+       l_returnflag, l_orderkey, l_linenumber
+FROM lineitem
+ORDER BY l_returnflag, l_shipdate DESC, l_orderkey, l_linenumber
+""",
+    doc="Postgres DISTINCT ON (DF40 supports it; Spark lacks it) → "
+        "row_number() rewrite, the §7.1-step-5 shim. Latest-shipped line "
+        "per returnflag with unique tie-breaks.",
+    tags=("distinct", "window"),
+)
+def distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("l_returnflag")
+         .orderBy(F.col("l_shipdate").desc(), F.col("l_orderkey"), F.col("l_linenumber")))
+    return (table(spark, sf_dir, "lineitem")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("l_returnflag", "l_orderkey", "l_linenumber"))
+
+
+@register(
+    "values_inline",
+    oracle="""
+SELECT t.code, t.label, n_name
+FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two')) t(code, label)
+JOIN nation ON n_nationkey = t.code
+""",
+    doc="VALUES literal relation (the reference builds one for its fake "
+        "ROLLBACK result, lib.rs:683-696) joined to a table.",
+    tags=("values",),
+)
+def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql("""
+        SELECT t.code, t.label, n_name
+        FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two')) t(code, label)
+        JOIN nation ON n_nationkey = t.code""")
+
+
+@register(
+    "filter_predicates",
+    oracle="""
+SELECT o_orderkey FROM orders
+WHERE o_orderstatus IN ('F', 'P')
+  AND o_totalprice BETWEEN 100000 AND 200000
+  AND o_orderpriority LIKE '_-%'
+  AND o_orderpriority NOT LIKE '%URGENT%'
+  AND (o_custkey % 10) IS NOT NULL
+  AND o_orderdate IS NOT NULL
+""",
+    doc="WHERE algebra: IN list, BETWEEN, LIKE/NOT LIKE with _ wildcard, "
+        "IS [NOT] NULL (SURVEY §2.2). All push to the scan.",
+    tags=("filter",),
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (table(spark, sf_dir, "orders")
+            .where(F.col("o_orderstatus").isin("F", "P")
+                   & F.col("o_totalprice").between(100000, 200000)
+                   & F.col("o_orderpriority").like("_-%")
+                   & ~F.col("o_orderpriority").like("%URGENT%")
+                   & (F.col("o_custkey") % 10).isNotNull()
+                   & F.col("o_orderdate").isNotNull())
+            .select("o_orderkey"))
+
+
+@register(
+    "filter_ilike_null_safe",
+    oracle="""
+SELECT c_custkey,
+       (NULLIF(c_mktsegment, 'MACHINERY') IS NOT DISTINCT FROM 'BUILDING') AS is_building
+FROM customer
+WHERE c_mktsegment ILIKE 'b%' OR c_mktsegment ILIKE '%machine%'
+""",
+    doc="ILIKE and IS [NOT] DISTINCT FROM (null-safe equality <=>).",
+    tags=("filter",),
+)
+def filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (c.where(F.col("c_mktsegment").ilike("b%")
+                    | F.col("c_mktsegment").ilike("%machine%"))
+            .select("c_custkey",
+                    F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+                    .eqNullSafe(F.lit("BUILDING")).alias("is_building")))
