@@ -1,1 +1,185 @@
-"""windows plans (filled in incrementally)."""
+"""Window-function plans (SURVEY §2.5).
+
+DF40 window surface: row_number, rank, dense_rank, percent_rank,
+cume_dist, ntile, lag/lead, first/last/nth_value, any aggregate as a
+window, ROWS/RANGE frames, named WINDOW clauses.  All are same-name Spark
+built-ins via ``Window.partitionBy().orderBy().rowsBetween()/
+rangeBetween()``.  The one DF40 feature Spark lacks — the GROUPS frame —
+is emulated with a dense_rank banding self-join in
+:mod:`..operators.groups_frame` (documented gap, SURVEY §7.1 step 5).
+
+Determinism: every ORDER BY ends in a unique key (orderkey, linenumber)
+so ranking/offset functions are stable across engines.
+
+Scale: a window over PARTITION BY k is one shuffle on k + a per-partition
+sort; skewed partition keys are the hazard (here the partition keys are
+low-cardinality but the fixture is small; at 100 TB you'd partition
+windows by a higher-cardinality key or pre-bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import register, table
+
+
+@register(
+    "window_ranking",
+    oracle="""
+SELECT o_orderkey,
+       ROW_NUMBER()   OVER w AS rn,
+       RANK()         OVER w AS rnk,
+       DENSE_RANK()   OVER w AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST()    OVER w, 6) AS cd,
+       NTILE(4)       OVER w AS quartile
+FROM orders
+WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    doc="All six ranking functions over one named window (DF40 named "
+        "WINDOW clause, SURVEY §2.5).",
+    tags=("window",),
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderkey,
+               ROW_NUMBER()   OVER w AS rn,
+               RANK()         OVER w AS rnk,
+               DENSE_RANK()   OVER w AS drnk,
+               ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+               ROUND(CUME_DIST()    OVER w, 6) AS cd,
+               NTILE(4)       OVER w AS quartile
+        FROM orders
+        WHERE o_custkey % 50 = 0
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""")
+
+
+@register(
+    "window_offset_lag_lead",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       LAG(l_quantity)           OVER w AS prev_qty,
+       LAG(l_quantity, 2, -1.0)  OVER w AS prev2_qty,
+       LEAD(l_quantity)          OVER w AS next_qty,
+       LEAD(l_quantity, 1, 0.0)  OVER w AS next_qty_dflt
+FROM lineitem
+WHERE l_orderkey <= 400
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+""",
+    doc="lag/lead with offsets and defaults.",
+    tags=("window",),
+)
+def window_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 400)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.lag("l_quantity", 2, -1.0).over(w).alias("prev2_qty"),
+        F.lead("l_quantity").over(w).alias("next_qty"),
+        F.lead("l_quantity", 1, 0.0).over(w).alias("next_qty_dflt"))
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       FIRST_VALUE(l_partkey) OVER w AS first_part,
+       LAST_VALUE(l_partkey)  OVER w AS last_part,
+       NTH_VALUE(l_partkey, 2) OVER w AS second_part
+FROM lineitem
+WHERE l_orderkey <= 400
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    doc="first/last/nth_value with an explicit full-partition frame (the "
+        "default frame would make last_value degenerate).",
+    tags=("window",),
+)
+def window_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 400)
+    w = (Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.first("l_partkey").over(w).alias("first_part"),
+        F.last("l_partkey").over(w).alias("last_part"),
+        F.nth_value("l_partkey", 2).over(w).alias("second_part"))
+
+
+@register(
+    "window_sales_running",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       ROUND(AVG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+FROM orders
+""",
+    doc="Aggregate-as-window: running total + 3-row moving average per "
+        "customer (bench headline).",
+    tags=("window", "bench"),
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return ords.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        .alias("running_total"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)), 4)
+        .alias("moving_avg3"))
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_totalprice_r,
+       COUNT(*) OVER (ORDER BY o_totalprice_r
+                      RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_within_1k
+FROM (SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice_r
+      FROM orders WHERE o_custkey % 100 = 0) t
+""",
+    doc="RANGE frame with numeric offsets (value-based window bounds).",
+    tags=("window",),
+)
+def window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = (table(spark, sf_dir, "orders")
+            .where(F.col("o_custkey") % 100 == 0)
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice_r")))
+    w = Window.orderBy("o_totalprice_r").rangeBetween(-1000, 1000)
+    return ords.select("o_orderkey", "o_totalprice_r",
+                       F.count("*").over(w).alias("n_within_1k"))
+
+
+@register(
+    "window_agg_mixed_with_groupby",
+    oracle="""
+SELECT l_returnflag, l_shipyear, yr_qty,
+       ROUND(yr_qty / SUM(yr_qty) OVER (PARTITION BY l_returnflag), 6) AS share
+FROM (
+  SELECT l_returnflag, CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_shipyear,
+         ROUND(SUM(l_quantity), 2) AS yr_qty
+  FROM lineitem GROUP BY l_returnflag, EXTRACT(year FROM l_shipdate)
+) t
+""",
+    doc="Window over an aggregate (share-of-total pattern): groupBy then "
+        "windowed normalization.",
+    tags=("window", "aggregate"),
+)
+def window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    agg = (li.groupBy("l_returnflag", F.year("l_shipdate").alias("l_shipyear"))
+           .agg(F.round(F.sum("l_quantity"), 2).alias("yr_qty")))
+    w = Window.partitionBy("l_returnflag")
+    return agg.select("l_returnflag", "l_shipyear", "yr_qty",
+                      F.round(F.col("yr_qty") / F.sum("yr_qty").over(w), 6).alias("share"))

@@ -41,6 +41,8 @@ def _canon_scalar(v):
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, _dt.date):
         return v.isoformat()
+    if hasattr(v, "asDict"):  # pyspark Row (struct value) → dict like DuckDB
+        return _canon_scalar(v.asDict(recursive=True))
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_scalar(x) for x in v) + "]"
     if isinstance(v, dict):
