@@ -1,1 +1,151 @@
-"""events plans (filled in incrementally)."""
+"""Event-time window plans over the ``events`` table.
+
+The reference has **zero** streaming operators (SURVEY §2.10 — verified
+against 100% of its source); these are north-star extensions expressed
+with Spark's event-time primitives.  Each plan here is the *batch* form
+(``F.window`` / ``session_window`` work identically in batch and
+streaming); the true streaming pipeline (readStream + watermark +
+append/update sinks) lives in :mod:`..streaming` and is pytest-verified,
+since a streaming query cannot be returned through the driver contract.
+
+Scale: tumbling/sliding windows are hash aggregates keyed by (window,
+key) — partial aggregation applies, so shuffle is O(windows × keys).
+Session windows require a per-key sort (gaps-and-islands); Spark's
+session_window does it in one pass after a shuffle on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+""",
+    doc="Tumbling 1-hour event-time window per event type (streaming "
+        "window() in batch mode ≡ DuckDB time_bucket). Bench headline.",
+    tags=("events", "window", "bench"),
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL 10 MINUTE, ts - (k * INTERVAL 10 MINUTE)) AS TIMESTAMP)
+         AS window_start,
+       COUNT(*) AS n_events
+FROM events, UNNEST([0, 1, 2]) t(k)
+GROUP BY 1
+""",
+    doc="Sliding window: 30-min length, 10-min slide — every event lands "
+        "in 3 windows (Spark window() with slideDuration; oracle expands "
+        "the 3 memberships explicitly).",
+    tags=("events", "window"),
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                    "n_events"))
+
+
+@register(
+    "events_session_window",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    doc="Session window (30-min gap) per user: Spark session_window() in "
+        "one pass ≡ the classic gaps-and-islands rewrite the oracle uses. "
+        "Session END differs by design (Spark pads gap onto the close), so "
+        "the comparable columns are start + count.",
+    tags=("events", "window", "session"),
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+                    "n_events"))
+
+
+@register(
+    "events_dedup_within_time",
+    oracle="""
+SELECT user_id, event_type,
+       CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute_bucket,
+       COUNT(*) AS n_collapsed
+FROM events GROUP BY 1, 2, 3
+""",
+    doc="Batch analogue of dropDuplicatesWithinWatermark: collapse events "
+        "to one row per (user, type, minute), reporting how many collapsed. "
+        "The true watermark form is in streaming/ (pytest).",
+    tags=("events", "dedup"),
+)
+def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (e.groupBy("user_id", "event_type",
+                      F.date_trunc("minute", "ts").cast("timestamp_ntz")
+                      .alias("minute_bucket"))
+            .agg(F.count("*").alias("n_collapsed")))
+
+
+@register(
+    "events_funnel_rates",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+FROM events GROUP BY event_type
+""",
+    doc="Event funnel: per-type counts, distinct users, share-of-total "
+        "(aggregate + window over aggregate).",
+    tags=("events", "aggregate"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    agg = (e.groupBy("event_type")
+           .agg(F.count("*").alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.avg("value"), 6).alias("avg_value")))
+    return agg.select("event_type", "n", "n_users", "avg_value",
+                      F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6)
+                      .alias("share"))
