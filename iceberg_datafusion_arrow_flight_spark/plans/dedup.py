@@ -1,1 +1,140 @@
-"""dedup plans (filled in incrementally)."""
+"""Deduplication plans over ``documents`` (north-star training-data ops;
+implementations in :mod:`..operators.dedup`).
+
+Oracles: the approximate families (MinHash-LSH, SimHash) use md5-derived
+portable hashes and provably-complete candidate generation, so their
+verified outputs equal exhaustive-exact computations that DuckDB can run
+— the oracle for MinHash-LSH is the *exact* Jaccard pair join (what LSH
+approximates), and for SimHash the full signature computation replicated
+in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .base import register, table
+from ..operators import dedup as D
+
+_TOKS = r"""
+  SELECT doc_id,
+         list_sort(list_distinct(string_split_regex(text, '\s+'))) AS ts
+  FROM documents
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS representative_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+    doc="Exact dedup on normalized text (lowercase, punctuation stripped, "
+        "whitespace collapsed) → md5 fingerprint groupBy. "
+        "operators/dedup.py:exact_dedup.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_exact_token_set",
+    oracle=f"""
+WITH toks AS ({_TOKS})
+SELECT md5(array_to_string(ts, ' ')) AS fingerprint,
+       MIN(doc_id) AS representative_id,
+       COUNT(*) AS n_dups
+FROM toks GROUP BY 1
+""",
+    doc="Bag-of-words dedup: fingerprint = sorted distinct token set — "
+        "collapses word-order shuffles (the fixture's actual duplicate "
+        "structure: ~500 docs share far fewer token sets).",
+    tags=("dedup",),
+)
+def dedup_exact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text",
+                         canon="token_set")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH toks AS ({_TOKS})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.ts, b.ts)) * 1.0 /
+             len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE 10 * len(list_intersect(a.ts, b.ts))
+      >= 9 * len(list_distinct(list_concat(a.ts, b.ts)))
+""",
+    doc="MinHash(64) + LSH(32 bands × 2 rows) near-dup pairs at token-set "
+        "Jaccard >= 0.9, exact-verified. P[miss] ≈ 1e-23 per qualifying "
+        "pair, so the output equals the oracle's exhaustive pair join. "
+        "operators/dedup.py:minhash_lsh_pairs. Bench headline.",
+    tags=("dedup", "bench"),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(table(spark, sf_dir, "documents"),
+                               "doc_id", "text")
+
+
+@register(
+    "dedup_simhash",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_sort(list_distinct(string_split_regex(text, '\s+'))) AS ts
+  FROM documents
+), sigs AS (
+  SELECT doc_id,
+         (SELECT CAST(SUM(CASE WHEN 2 * len(list_filter(ts, t ->
+                   (CAST(concat('0x', substr(md5('s999|' || t), 1, 15)) AS BIGINT)
+                    & (CAST(1 AS BIGINT) << b)) != 0)) >= len(ts)
+                 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
+          FROM range(32) r(b)) AS simhash
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+""",
+    doc="SimHash(32-bit) near-dup pairs at Hamming distance <= 2; chunk-"
+        "bucketed candidate generation (pigeonhole-complete for "
+        "n_chunks > max_hamming) + exact verify. The oracle recomputes the "
+        "identical md5-derived signature in SQL. operators/dedup.py:simhash_pairs.",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           range(1, len(string_split_regex(text, '\s+')) - 1),
+           i -> array_to_string(string_split_regex(text, '\s+')[i:i+2], ' ')))) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+             len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE 10 * len(list_intersect(a.s, b.s))
+      >= 8 * len(list_distinct(list_concat(a.s, b.s)))
+""",
+    doc="Exact 3-gram shingle Jaccard pairs >= 0.8 — the quadratic "
+        "validation-scale operator (and the semantic MinHash approximates). "
+        "operators/dedup.py:ngram_jaccard_pairs.",
+    tags=("dedup",),
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"),
+                                 "doc_id", "text", n=3,
+                                 threshold_num=8, threshold_den=10)
