@@ -1,1 +1,54 @@
-"""multimodal plans (filled in incrementally)."""
+"""Multimodal plumbing plans (implementations in
+:mod:`..operators.multimodal`).  The Pandas-UDF outputs are fully
+deterministic (stub decode = length + md5 + metadata), so DuckDB can
+oracle-check the whole mapInPandas pipeline in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .base import register, table
+from ..operators import multimodal as M
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
+       CAST(32 + (doc_id % 8) * 16 AS INT) AS width,
+       CAST(32 + (doc_id % 5) * 16 AS INT) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+""",
+    doc="Binary payload + metadata struct → mapInPandas decode (stubbed "
+        "deterministically; real decode gated behind import-try → "
+        "NotImplementedError). operators/multimodal.py:decode_payloads.",
+    tags=("multimodal",),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return M.decode_payloads(M.attach_payload(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST(UNNEST(CASE WHEN doc_id % 4 IN (0, 1) THEN [0]
+                        ELSE [0, 2] END) AS INT) AS frame_idx
+FROM documents
+""",
+    doc="Frame sampling (every 2nd of n_frames=1+id%4) — the 1→N "
+        "mapInPandas expansion; oracle checks the sampled index set "
+        "(checksums verified separately in pytest). "
+        "operators/multimodal.py:sample_frames.",
+    tags=("multimodal",),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (M.sample_frames(M.attach_payload(docs))
+            .select("doc_id", "frame_idx"))

@@ -1,1 +1,129 @@
-"""similarity plans (filled in incrementally)."""
+"""Similarity-search plans over ``embeddings`` (implementations in
+:mod:`..operators.similarity`).
+
+The DuckDB oracles replicate the identical left-fold float arithmetic
+(list_reduce over list_zip, zero-prepended) so doubles agree bit-for-bit
+before the shared ROUND(…, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import register, table
+from ..operators import similarity as S
+
+# Shared SQL fragments: embeddings as double lists, explicit fold cosine.
+_EMB = """
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+"""
+
+_COS = """
+  list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), p -> p[1] * p[2])),
+              (acc, x) -> acc + x)
+  / (sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)),
+                      (acc, x) -> acc + x))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform({b}, x -> x * x)),
+                        (acc, x) -> acc + x)))
+"""
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=f"""
+WITH emb AS ({_EMB}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+sims AS (
+  SELECT query_id, e.vec_id AS corpus_id,
+         ROUND({_COS.format(a='qv', b='e.v')}, 6) AS sim
+  FROM q JOIN emb e ON e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, corpus_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, corpus_id) AS INT) AS rank
+  FROM sims
+)
+SELECT query_id, corpus_id, sim, rank FROM ranked WHERE rank <= 10
+""",
+    doc="Brute-force exact top-10 cosine neighbors for each query vector "
+        "(vec_id % 100 = 0): broadcast queries × corpus, JVM-only "
+        "expression math, per-query row_number. "
+        "operators/similarity.py:topk_cosine. Bench headline.",
+    tags=("similarity", "bench"),
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.topk_cosine(queries, emb, k=10)
+
+
+@register(
+    "sim_embedding_near_dup",
+    oracle=f"""
+WITH emb AS ({_EMB})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_COS.format(a='a.v', b='b.v')}, 6) AS sim
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE ROUND({_COS.format(a='a.v', b='b.v')}, 6) >= 0.35
+""",
+    doc="Embedding-cosine near-duplicate pairs (sim >= 0.35 — calibrated "
+        "to the fixture's cosine distribution, max ~0.5). "
+        "operators/similarity.py:near_dup_pairs.",
+    tags=("similarity", "dedup"),
+)
+def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@register(
+    "sim_ann_lsh_topk",
+    oracle=None,  # approximate: recall vs. brute force asserted in tests
+    doc="Hyperplane-LSH ANN top-10 (8 planes × 4 tables, md5-derived "
+        "deterministic hyperplanes) + exact cosine rerank of candidates. "
+        "The scale path when queries are too many to broadcast. "
+        "operators/similarity.py:ann_lsh_topk.",
+    tags=("similarity", "approx"),
+)
+def sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.ann_lsh_topk(queries, emb, k=10)
+
+
+@register(
+    "sim_label_centroid_distance",
+    oracle=f"""
+WITH emb AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+ex AS (SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM emb),
+per_dim AS (SELECT label, dim, ROUND(AVG(val), 8) AS m FROM ex GROUP BY label, dim),
+cents AS (SELECT label, list(m ORDER BY dim) AS centroid_r FROM per_dim GROUP BY label)
+SELECT label, CAST(len(centroid_r) AS INT) AS dims,
+       ROUND(list_reduce(list_prepend(0.0, list_transform(centroid_r, x -> x * x)),
+                         (acc, x) -> acc + x), 6) AS centroid_sq_norm
+FROM cents
+""",
+    doc="Per-label centroid of the embedding column (array-wise AVG via "
+        "per-dimension aggregation) — the building block for IVF "
+        "partitioning: at scale, assign vectors to nearest centroid and "
+        "search only that cell.",
+    tags=("similarity", "aggregate"),
+)
+def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (table(spark, sf_dir, "embeddings")
+           .select("label", S._as_double(F.col("embedding")).alias("v")))
+    # Per-dimension mean: explode → groupBy(label, dim) → re-collect in
+    # dim order.  At 100 TB: dims is bounded (64), groups = labels×dims.
+    ex = emb.select("label", F.posexplode("v").alias("dim", "val"))
+    per_dim = (ex.groupBy("label", "dim")
+               .agg(F.round(F.avg("val"), 8).alias("m")))
+    cent = (per_dim.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm")))
+    centroid = F.transform(F.col("dm"), lambda s: s.getField("m"))
+    sq = F.aggregate(F.transform(centroid, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return cent.select("label",
+                       F.size("dm").alias("dims"),
+                       F.round(sq, 6).alias("centroid_sq_norm"))
