@@ -86,10 +86,14 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     inside codegen with zero shuffle and zero explode."""
     toks = tokens(F.col(text_col))
 
+    # xxhash64 (JVM intrinsic) — ~2 orders cheaper than the md5-derived
+    # portable hash; legitimate here because the LSH oracle is the exact
+    # Jaccard join, independent of the hash family (candidate completeness
+    # P[miss]≈1e-23 holds for any uniform family).
     # NB: factory closure, not a default-arg lambda — pyspark dispatches on
     # lambda arity, so `lambda t, i=i` would receive (element, index).
     def _h(i):
-        return lambda t: hash_expr(t, i)
+        return lambda t: F.xxhash64(F.lit(i), t)
 
     sig = F.array(*[F.array_min(F.transform(toks, _h(i)))
                     for i in range(n_hashes)])
