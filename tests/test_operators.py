@@ -1,0 +1,81 @@
+"""Unit tests for the pipeline operators (dedup / similarity / text /
+multimodal) — behaviors the SQL-oracle gate can't see directly:
+determinism, invariants, stub gating, session isolation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_datafusion_arrow_flight_spark import new_session
+from iceberg_datafusion_arrow_flight_spark.operators import (
+    dedup, multimodal, similarity)
+from iceberg_datafusion_arrow_flight_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").limit(64).cache()
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    a = dedup.minhash_signature(docs, "doc_id", "text", n_hashes=8)
+    b = dedup.minhash_signature(docs, "doc_id", "text", n_hashes=8)
+    assert a.collect() == b.collect()
+
+
+def test_minhash_identical_texts_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, "something else entirely")], "doc_id long, text string")
+    rows = {r["__id"]: r["__sig"] for r in
+            dedup.minhash_signature(df, "doc_id", "text", n_hashes=16)
+            .collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_simhash_bits_bounded(docs):
+    rows = dedup.simhash(docs, "doc_id", "text", bits=32).collect()
+    assert rows and all(0 <= r.simhash < (1 << 32) for r in rows)
+
+
+def test_lsh_pairs_symmetric_ids(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                    n_hashes=16, bands=4).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+
+
+def test_cosine_self_similarity_is_one(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])],
+                               "vec_id long, emb array<double>")
+    v = df.select(similarity.cosine(F.col("emb"), F.col("emb"))
+                  .alias("c")).head().c
+    assert abs(v - 1.0) < 1e-12
+
+
+def test_topk_cosine_k_bound(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(32).cache()
+    out = similarity.topk_cosine(emb.limit(4), emb, k=5)
+    counts = (out.groupBy("query_id").count().collect())
+    assert counts and all(r["count"] <= 5 for r in counts)
+
+
+def test_multimodal_stub_decode_runs_without_libs(docs):
+    payloads = multimodal.attach_payload(docs)
+    out = multimodal.decode_payloads(payloads).collect()
+    assert out and all(r.n_bytes > 0 and len(r.checksum) == 32 for r in out)
+
+
+def test_multimodal_real_decode_gated(docs):
+    payloads = multimodal.attach_payload(docs).limit(1)
+    with pytest.raises(Exception):  # NotImplementedError inside the executor
+        multimodal.decode_payloads(payloads, decode_mode="real").collect()
+
+
+def test_new_session_isolates_temp_views(spark):
+    s2 = new_session(spark)
+    spark.range(1).createOrReplaceTempView("only_in_root")
+    assert spark.catalog.tableExists("only_in_root")
+    assert not s2.catalog.tableExists("only_in_root")
