@@ -1,0 +1,106 @@
+"""DataFusion-40 function names as Spark SQL scalar UDFs.
+
+Spark 4's ``CREATE TEMPORARY FUNCTION ... RETURN <expr>`` defines a pure
+Catalyst expression inlined at analysis time (whole-stage codegen applies
+— verified: a SQL-UDF-only projection folds to LocalTableScan).  This is
+the right vehicle for DF names whose Spark twin differs in arg order or
+needs a small expression: no Python, no serialization, no perf cliff.
+
+Names that are pure renames are handled cheaper, in
+``dialect.rewrite.NAME_ALIASES``.  Names Spark already has (``random``,
+``current_database``, ``levenshtein``, ``split_part``, …) need nothing —
+registration of an existing builtin name raises
+``CANNOT_REPLACE_NON_SQL_UDF_WITH_SQL_UDF`` and is skipped, so this
+module stays correct across Spark versions that absorb more names.
+
+Documented gaps (SURVEY §7.2 "document, not build"): numeric ``trunc(x,s)``
+(Spark's ``trunc`` is date-only and builtins can't be shadowed — spell
+``round``/``floor``), ``gcd``/``lcm`` (no loop in SQL UDFs),
+``encode``/``decode`` hex|base64 dispatch (name collides with Spark's
+charset ``encode``), ``to_timestamp_nanos`` (µs engine precision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.utils import AnalysisException
+
+# DDL per function.  DF semantics cited per entry (SURVEY §2.9).
+SQL_UDFS: dict[str, str] = {
+    # DF strpos(string, substring) — arg order is the reverse of Spark's
+    # locate(substr, str).
+    "df_strpos": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION df_strpos(s STRING, sub STRING) "
+        "RETURNS INT RETURN locate(sub, s)"),
+    # DF iszero(x) → boolean.
+    "df_iszero": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION df_iszero(x DOUBLE) "
+        "RETURNS BOOLEAN RETURN x = 0.0d"),
+    # DF string_to_array splits on a LITERAL delimiter; Spark split() takes
+    # a Java regex — quote it (\Q...\E) so '.', '|', etc. split literally.
+    "df_string_to_array": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION df_string_to_array"
+        "(s STRING, d STRING) RETURNS ARRAY<STRING> "
+        r"RETURN split(s, concat('\\Q', d, '\\E'))"),
+    # DF digest(expr, algorithm) — dispatch over the algorithm name.
+    "digest": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION digest(s STRING, algo STRING) "
+        "RETURNS STRING RETURN CASE lower(algo) "
+        "WHEN 'md5' THEN md5(s) "
+        "WHEN 'sha1' THEN sha1(s) "
+        "WHEN 'sha224' THEN sha2(s, 224) "
+        "WHEN 'sha256' THEN sha2(s, 256) "
+        "WHEN 'sha384' THEN sha2(s, 384) "
+        "WHEN 'sha512' THEN sha2(s, 512) END"),
+    # DF sha224/256/384/512(x) single-arg forms.
+    "sha224": ("CREATE OR REPLACE TEMPORARY FUNCTION sha224(s STRING) "
+               "RETURNS STRING RETURN sha2(s, 224)"),
+    "sha256": ("CREATE OR REPLACE TEMPORARY FUNCTION sha256(s STRING) "
+               "RETURNS STRING RETURN sha2(s, 256)"),
+    "sha384": ("CREATE OR REPLACE TEMPORARY FUNCTION sha384(s STRING) "
+               "RETURNS STRING RETURN sha2(s, 384)"),
+    "sha512": ("CREATE OR REPLACE TEMPORARY FUNCTION sha512(s STRING) "
+               "RETURNS STRING RETURN sha2(s, 512)"),
+    # DF date_bin(stride, source, origin): floor source into stride-wide
+    # bins anchored at origin.  Pure µs arithmetic on day-time intervals.
+    "date_bin": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION date_bin"
+        "(stride INTERVAL DAY TO SECOND, ts TIMESTAMP, origin TIMESTAMP) "
+        "RETURNS TIMESTAMP RETURN timestamp_micros(unix_micros(origin) + "
+        "CAST(floor((unix_micros(ts) - unix_micros(origin)) / "
+        "(extract(DAY FROM stride) * 86400000000.0 + "
+        "extract(HOUR FROM stride) * 3600000000.0 + "
+        "extract(MINUTE FROM stride) * 60000000.0 + "
+        "extract(SECOND FROM stride) * 1000000.0)) * "
+        "(extract(DAY FROM stride) * 86400000000.0 + "
+        "extract(HOUR FROM stride) * 3600000000.0 + "
+        "extract(MINUTE FROM stride) * 60000000.0 + "
+        "extract(SECOND FROM stride) * 1000000.0) AS BIGINT))"),
+    # DF nvl2(x, y, z) — Spark has it; kept for older Sparks, skipped when
+    # builtin (same for the rest below).
+    "ends_with": ("CREATE OR REPLACE TEMPORARY FUNCTION ends_with"
+                  "(s STRING, suffix STRING) RETURNS BOOLEAN "
+                  "RETURN endswith(s, suffix)"),
+    "starts_with": ("CREATE OR REPLACE TEMPORARY FUNCTION starts_with"
+                    "(s STRING, prefix STRING) RETURNS BOOLEAN "
+                    "RETURN startswith(s, prefix)"),
+    # DF list/array helpers without a one-word Spark spelling.
+    "array_has_all": ("CREATE OR REPLACE TEMPORARY FUNCTION array_has_all"
+                      "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN "
+                      "RETURN size(array_except(b, a)) = 0"),
+}
+
+
+def register_dialect_functions(spark: SparkSession) -> list[str]:
+    """Register every shim on the session; returns the names actually
+    created (names already covered by a Spark builtin are skipped)."""
+    created: list[str] = []
+    for name, ddl in SQL_UDFS.items():
+        try:
+            spark.sql(ddl)
+            created.append(name)
+        except AnalysisException as exc:
+            if "CANNOT_REPLACE_NON_SQL_UDF" in str(exc):
+                continue  # Spark builtin already provides the name
+            raise
+    return created

@@ -26,5 +26,6 @@ from . import similarity      # noqa: E402,F401
 from . import text            # noqa: E402,F401
 from . import multimodal      # noqa: E402,F401
 from . import events          # noqa: E402,F401
+from . import dialect_queries # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "table"]

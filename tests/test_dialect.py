@@ -1,0 +1,88 @@
+"""Unit tests for the DataFusion→Spark dialect layer (rewrites + SQL UDFs)."""
+
+from __future__ import annotations
+
+from iceberg_datafusion_arrow_flight_spark.dialect import rewrite_sql, split_params
+from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+    rewrite_distinct_on, rewrite_params, rewrite_pg_casts,
+    rewrite_regexp_flags, rewrite_similar_to, rewrite_to_char)
+from iceberg_datafusion_arrow_flight_spark.functions import (
+    register_dialect_functions)
+
+
+def test_pg_cast_simple():
+    assert rewrite_pg_casts("SELECT a::bigint FROM t") == \
+        "SELECT CAST(a AS bigint) FROM t"
+
+
+def test_pg_cast_parenthesized_and_call():
+    out = rewrite_pg_casts("SELECT (x + y)::decimal(10,2), f(z)::string")
+    assert out == "SELECT CAST((x + y) AS decimal(10,2)), CAST(f(z) AS string)"
+
+
+def test_pg_cast_literal():
+    assert rewrite_pg_casts("SELECT '1995-01-01'::date") == \
+        "SELECT CAST('1995-01-01' AS date)"
+
+
+def test_params_named_and_repeated():
+    out = rewrite_params("WHERE a = $1 AND b > $2 AND a <> $1")
+    assert out == "WHERE a = :p1 AND b > :p2 AND a <> :p1"
+    assert split_params([1, "x"]) == {"p1": 1, "p2": "x"}
+
+
+def test_similar_to():
+    assert rewrite_similar_to("x SIMILAR TO 'ab%'") == "x RLIKE '^(?:ab.*)$'"
+    assert rewrite_similar_to("x NOT SIMILAR TO 'a_b'") == \
+        "x NOT RLIKE '^(?:a.b)$'"
+
+
+def test_regexp_flag_stripped():
+    assert rewrite_regexp_flags("regexp_replace(s, 'a+', 'b', 'g')") == \
+        "regexp_replace(s, 'a+', 'b')"
+    # only the 'g' flag form is touched
+    assert rewrite_regexp_flags("regexp_replace(s, 'a', 'b')") == \
+        "regexp_replace(s, 'a', 'b')"
+
+
+def test_to_char_token_translation():
+    assert rewrite_to_char("to_char(ts, '%Y-%m-%d %H:%M:%S')") == \
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss')"
+
+
+def test_distinct_on_rewrite_shape():
+    out = rewrite_distinct_on(
+        "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC")
+    assert "row_number() OVER (PARTITION BY k ORDER BY k, v DESC" in out
+    assert out.endswith("WHERE __rn = 1")
+
+
+def test_rename_only_at_call_sites():
+    # a column named strpos_x must not be rewritten
+    out = rewrite_sql("SELECT strpos_x, strpos(a, b) FROM t")
+    assert out == "SELECT strpos_x, df_strpos(a, b) FROM t"
+
+
+def test_sql_udfs_register_and_run(spark):
+    register_dialect_functions(spark)
+    row = spark.sql(
+        "SELECT df_strpos('hello world', 'world') AS p, "
+        "       df_string_to_array('a.b.c', '.') AS arr, "
+        "       digest('x', 'sha256') = sha256('x') AS same, "
+        "       date_bin(INTERVAL '15' MINUTE, "
+        "                TIMESTAMP '2024-01-01 10:37:22', "
+        "                TIMESTAMP '2024-01-01 00:00:00') AS b").head()
+    assert row.p == 7
+    assert row.arr == ["a", "b", "c"]
+    assert row.same is True
+    assert row.b.minute == 30 and row.b.hour == 10
+
+
+def test_full_pipeline_runs_on_spark(spark, sf_dir):
+    from iceberg_datafusion_arrow_flight_spark.sources.registry import load_table
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    register_dialect_functions(spark)
+    df = spark.sql(rewrite_sql(
+        "SELECT DISTINCT ON (c_nationkey) c_nationkey, c_acctbal::bigint "
+        "FROM customer ORDER BY c_nationkey, c_acctbal DESC"))
+    assert df.count() > 0
