@@ -1,0 +1,189 @@
+"""Protocol-agnostic engine service: sessions, prepared statements,
+result cache — the reference's own state machine re-expressed over Spark.
+
+Reference parity map (iceberg-datafusion-arrow-flight/src/lib.rs):
+
+- handshake: Basic creds vs env ``FLIGHT_USER``/``FLIGHT_PASSWORD``
+  (lib.rs:223-226, README.md:9-10) → UUIDv4 bearer token (lib.rs:88),
+  one isolated engine session per token (``create_ctx`` lib.rs:87-132 →
+  ``spark.newSession()``: shared catalog/cache, isolated temp views,
+  UDFs and conf).
+- prepare: SQL → handle (lib.rs:667-716).  The literal query
+  ``"rollback"`` never reaches the planner; it becomes a constant
+  single-row result ``rollback='ROLLBACK'`` (lib.rs:677, 683-696 —
+  transactions don't exist; JDBC clients issuing ROLLBACK get a fake
+  success).  Otherwise the statement is analyzed eagerly (Catalyst
+  analysis ≡ DF ``into_optimized_plan``) and the result schema is
+  available immediately (lib.rs:702-708), except when ``$n`` parameters
+  are present — then analysis defers to bind time.
+- bind: positional ``$n`` values (lib.rs:601-643, ``with_param_values``
+  lib.rs:630-633) → Spark named-parameter binding via the dialect pass.
+- execute: run + materialize the FULL result server-side keyed by handle
+  (lib.rs:332-344) — here as a pyarrow Table (Arrow end-to-end like the
+  reference).  Unlike the reference's unbounded cache (lib.rs:82 — OOM
+  by design at scale), the cache is LRU-bounded and evicts oldest
+  results; SURVEY §7.1 step 7 calls out exactly this fix.
+- execute_update: DDL/DML path; returns -1 like the reference
+  (lib.rs:645-654).
+- close: evict statement + result (lib.rs:718-730).
+
+Everything DataFusion-dialect entering this layer passes through
+:func:`..dialect.rewrite_sql`, and each session gets the SQL-UDF shims —
+so a reference client's SQL works unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections import OrderedDict
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+from ..dialect import rewrite_sql, split_params
+from ..functions import register_dialect_functions
+
+ROLLBACK_LITERAL = "rollback"  # exact match, like lib.rs:677
+
+
+class AuthError(Exception):
+    pass
+
+
+@dataclass
+class PreparedStatement:
+    token: str
+    raw_sql: str
+    translated_sql: str
+    is_rollback: bool = False
+    has_params: bool = False
+    args: dict | None = None
+    schema: object | None = None  # pyspark StructType once analyzed
+
+
+@dataclass
+class EngineService:
+    """One instance fronts one root SparkSession (≈ the server process)."""
+
+    root: SparkSession
+    max_cached_results: int = 64
+    sessions: dict[str, SparkSession] = field(default_factory=dict)
+    statements: dict[str, PreparedStatement] = field(default_factory=dict)
+    results: OrderedDict = field(default_factory=OrderedDict)
+
+    # ------------------------------------------------------------ auth
+    def handshake(self, username: str, password: str) -> str:
+        """Basic-auth check against env, exactly like lib.rs:223-242;
+        returns the bearer token for all subsequent calls."""
+        exp_user = os.environ.get("FLIGHT_USER")
+        exp_pass = os.environ.get("FLIGHT_PASSWORD")
+        if exp_user is None or exp_pass is None:
+            raise AuthError("FLIGHT_USER/FLIGHT_PASSWORD not set")
+        if username != exp_user or password != exp_pass:
+            raise AuthError("invalid credentials")
+        token = str(uuid.uuid4())
+        session = self.root.newSession()
+        register_dialect_functions(session)
+        self.sessions[token] = session
+        return token
+
+    def _session(self, token: str) -> SparkSession:
+        try:
+            return self.sessions[token]
+        except KeyError:
+            raise AuthError(f"unknown token: {token}") from None
+
+    # ------------------------------------------------- current db/schema
+    # The reference's two custom UDFs read env at call time with defaults
+    # 'datafusion' / 'public' (lib.rs:106-128, udf.rs:23-104,
+    # README.md:12).  Spark's builtin current_database() answers from the
+    # catalog, so the service substitutes the env-driven values textually.
+    @staticmethod
+    def _env_identity_pass(sql: str) -> str:
+        db = os.environ.get("CURRENT_DATABASE", "datafusion")
+        schema = os.environ.get("CURRENT_SCHEMA", "public")
+        return (sql.replace("current_database()", f"'{db}'")
+                   .replace("current_schema()", f"'{schema}'"))
+
+    # ------------------------------------------------------------ prepare
+    def create_prepared_statement(self, token: str, sql: str) -> str:
+        session = self._session(token)
+        handle = str(uuid.uuid4())
+        if sql == ROLLBACK_LITERAL:
+            self.statements[handle] = PreparedStatement(
+                token, sql, sql, is_rollback=True)
+            return handle
+        translated = rewrite_sql(self._env_identity_pass(sql))
+        has_params = ":p" in translated and "$" in sql
+        st = PreparedStatement(token, sql, translated, has_params=has_params)
+        if not has_params:
+            # eager analysis: schema available at prepare time, like the
+            # reference shipping the plan schema (lib.rs:702-708);
+            # spark.sql is lazy — .schema runs Catalyst analysis only.
+            df = session.sql(translated)
+            st.schema = df.schema
+        self.statements[handle] = st
+        return handle
+
+    def statement_schema(self, handle: str):
+        return self.statements[handle].schema
+
+    # ------------------------------------------------------------ bind
+    def bind_parameters(self, token: str, handle: str, values: list) -> None:
+        st = self.statements[handle]
+        if st.token != token:
+            raise AuthError("statement belongs to another session")
+        st.args = split_params(values)
+
+    # ------------------------------------------------------------ execute
+    def _dataframe(self, st: PreparedStatement,
+                   session: SparkSession) -> DataFrame:
+        if st.args is not None:
+            return session.sql(st.translated_sql, args=st.args)
+        return session.sql(st.translated_sql)
+
+    def execute(self, token: str, handle: str) -> str:
+        """Run the statement, cache the FULL result (Arrow), return the
+        fetch ticket (the handle itself, like FetchResults{handle} at
+        lib.rs:351-361)."""
+        st = self.statements[handle]
+        session = self._session(token)
+        if st.is_rollback:
+            table = pa.table({"rollback": pa.array(["ROLLBACK"], pa.string())})
+        else:
+            df = self._dataframe(st, session)
+            st.schema = df.schema
+            table = df.toArrow()
+        self.results[handle] = table
+        self.results.move_to_end(handle)
+        while len(self.results) > self.max_cached_results:
+            self.results.popitem(last=False)
+        return handle
+
+    def execute_update(self, token: str, handle: str) -> int:
+        """DDL / SET / DML path — executes the side effect, returns -1
+        like do_put_prepared_statement_update (lib.rs:645-654)."""
+        st = self.statements[handle]
+        session = self._session(token)
+        if not st.is_rollback:
+            self._dataframe(st, session).collect()
+        return -1
+
+    # ------------------------------------------------------------ fetch
+    def fetch(self, handle: str) -> pa.Table:
+        try:
+            return self.results[handle]
+        except KeyError:
+            raise KeyError(f"no cached result for handle {handle}") from None
+
+    # ------------------------------------------------------------ close
+    def close_prepared_statement(self, token: str, handle: str) -> None:
+        self.statements.pop(handle, None)
+        self.results.pop(handle, None)
+
+    def close_session(self, token: str) -> None:
+        self.sessions.pop(token, None)
+        for h in [h for h, s in self.statements.items() if s.token == token]:
+            self.close_prepared_statement(token, h)

@@ -1,0 +1,186 @@
+"""Service-layer tests: the reference's session / prepared-statement /
+result-cache state machine (lib.rs:80-82, 198-259, 601-730) over Spark,
+plus the Arrow Flight front door end-to-end on localhost.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from iceberg_datafusion_arrow_flight_spark.service import AuthError, EngineService
+from iceberg_datafusion_arrow_flight_spark.sources.registry import register_tables
+
+
+@pytest.fixture()
+def creds(monkeypatch):
+    monkeypatch.setenv("FLIGHT_USER", "admin")
+    monkeypatch.setenv("FLIGHT_PASSWORD", "secret")
+
+
+@pytest.fixture()
+def service(spark, sf_dir, creds):
+    register_tables(spark, sf_dir)
+    return EngineService(spark, max_cached_results=4)
+
+
+def test_handshake_good_and_bad(service):
+    token = service.handshake("admin", "secret")
+    assert token in service.sessions
+    with pytest.raises(AuthError):
+        service.handshake("admin", "wrong")
+
+
+def test_handshake_requires_env(spark, monkeypatch):
+    monkeypatch.delenv("FLIGHT_USER", raising=False)
+    monkeypatch.delenv("FLIGHT_PASSWORD", raising=False)
+    with pytest.raises(AuthError):
+        EngineService(spark).handshake("x", "y")
+
+
+def test_prepare_execute_fetch_close(service, spark):
+    token = service.handshake("admin", "secret")
+    # temp views live on the root session; child sessions don't see them —
+    # use a standalone query (the reference's sessions share only catalog
+    # tables, identically).
+    handle = service.create_prepared_statement(
+        token, "SELECT 1 AS a UNION ALL SELECT 2")
+    assert service.statement_schema(handle) is not None
+    ticket = service.execute(token, handle)
+    table = service.fetch(ticket)
+    assert isinstance(table, pa.Table)
+    assert sorted(table.column("a").to_pylist()) == [1, 2]
+    service.close_prepared_statement(token, handle)
+    with pytest.raises(KeyError):
+        service.fetch(ticket)
+
+
+def test_rollback_special_case(service):
+    """lib.rs:677,683-696: literal 'rollback' → constant single-row
+    result, never touches the planner."""
+    token = service.handshake("admin", "secret")
+    handle = service.create_prepared_statement(token, "rollback")
+    service.execute(token, handle)
+    table = service.fetch(handle)
+    assert table.column_names == ["rollback"]
+    assert table.column("rollback").to_pylist() == ["ROLLBACK"]
+
+
+def test_datafusion_dialect_accepted(service):
+    token = service.handshake("admin", "secret")
+    handle = service.create_prepared_statement(
+        token, "SELECT 42::bigint AS x, strpos('hello', 'll') AS p")
+    service.execute(token, handle)
+    t = service.fetch(handle)
+    assert t.column("x").to_pylist() == [42]
+    assert t.column("p").to_pylist() == [3]
+
+
+def test_bind_parameters(service):
+    token = service.handshake("admin", "secret")
+    handle = service.create_prepared_statement(
+        token, "SELECT $1 + $2 AS s, $1 AS again")
+    service.bind_parameters(token, handle, [40, 2])
+    service.execute(token, handle)
+    t = service.fetch(handle)
+    assert t.column("s").to_pylist() == [42]
+    assert t.column("again").to_pylist() == [40]
+
+
+def test_execute_update_returns_minus_one(service):
+    token = service.handshake("admin", "secret")
+    handle = service.create_prepared_statement(
+        token, "CREATE OR REPLACE TEMPORARY VIEW svc_v AS SELECT 7 AS x")
+    assert service.execute_update(token, handle) == -1
+    h2 = service.create_prepared_statement(token, "SELECT x FROM svc_v")
+    service.execute(token, h2)
+    assert service.fetch(h2).column("x").to_pylist() == [7]
+
+
+def test_session_isolation_between_tokens(service):
+    t1 = service.handshake("admin", "secret")
+    t2 = service.handshake("admin", "secret")
+    h = service.create_prepared_statement(
+        t1, "CREATE OR REPLACE TEMPORARY VIEW iso_v AS SELECT 1 AS x")
+    service.execute_update(t1, h)
+    h_bad = service.create_prepared_statement
+    with pytest.raises(Exception):
+        h_bad(t2, "SELECT * FROM iso_v")  # analysis fails: not visible
+
+
+def test_result_cache_lru_bound(service):
+    token = service.handshake("admin", "secret")
+    handles = []
+    for i in range(6):
+        h = service.create_prepared_statement(token, f"SELECT {i} AS x")
+        service.execute(token, h)
+        handles.append(h)
+    assert len(service.results) == 4  # max_cached_results
+    with pytest.raises(KeyError):
+        service.fetch(handles[0])  # evicted
+    assert service.fetch(handles[-1]).column("x").to_pylist() == [5]
+
+
+def test_current_database_env_override(service, monkeypatch):
+    """lib.rs:106-128: env-driven current_database/current_schema with
+    defaults 'datafusion'/'public'."""
+    monkeypatch.delenv("CURRENT_DATABASE", raising=False)
+    token = service.handshake("admin", "secret")
+    h = service.create_prepared_statement(
+        token, "SELECT current_database() AS d, current_schema() AS s")
+    service.execute(token, h)
+    t = service.fetch(h)
+    assert t.column("d").to_pylist() == ["datafusion"]
+    assert t.column("s").to_pylist() == ["public"]
+    monkeypatch.setenv("CURRENT_DATABASE", "mydb")
+    h2 = service.create_prepared_statement(
+        token, "SELECT current_database() AS d")
+    service.execute(token, h2)
+    assert service.fetch(h2).column("d").to_pylist() == ["mydb"]
+
+
+# ----------------------------------------------------------------- flight
+def test_flight_server_end_to_end(spark, creds):
+    fl = pytest.importorskip("pyarrow.flight")
+    from iceberg_datafusion_arrow_flight_spark.service.flight_server import (
+        SparkFlightServer)
+
+    service = EngineService(spark)
+    server = SparkFlightServer(service, "grpc://127.0.0.1:0")
+    try:
+        client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+        client.authenticate(_BasicClientAuth("admin", "secret"))
+        import json
+        res = list(client.do_action(
+            fl.Action("create_prepared_statement",
+                      b"SELECT 1::bigint AS one")))
+        payload = json.loads(res[0].body.to_pybytes())
+        handle = payload["handle"]
+        assert payload["schema"] is not None
+        info = client.get_flight_info(
+            fl.FlightDescriptor.for_command(handle.encode()))
+        table = client.do_get(info.endpoints[0].ticket).read_all()
+        assert table.column("one").to_pylist() == [1]
+        list(client.do_action(fl.Action("close_prepared_statement",
+                                        handle.encode())))
+    finally:
+        server.shutdown()
+
+
+try:
+    import pyarrow.flight as _fl
+
+    class _BasicClientAuth(_fl.ClientAuthHandler):
+        def __init__(self, username, password):
+            super().__init__()
+            self.basic = _fl.BasicAuth(username, password)
+            self.token = b""
+
+        def authenticate(self, outgoing, incoming):
+            outgoing.write(self.basic.serialize())
+            self.token = incoming.read()
+
+        def get_token(self):
+            return self.token
+except ImportError:  # pragma: no cover
+    pass
