@@ -27,7 +27,7 @@ build.  Threshold comparisons use integer cross-multiplication
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -102,21 +102,29 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      n_hashes: int = 64, bands: int = 32,
+                      n_hashes: int = 64, bands: int = 16,
                       threshold_num: int = 9, threshold_den: int = 10,
-                      ) -> DataFrame:
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) with token-set Jaccard
     >= threshold_num/threshold_den, found via banded MinHash LSH and
     exact-verified.
 
-    With bands=32 of rows=2 (n_hashes=64), P[miss | J=0.9] = (1-0.81)^32
-    ≈ 1e-23 — the verified output equals the exact pair set with
-    near-certainty, which is what makes this oracle-checkable.
+    Band geometry: bands=16 of rows=4 (n_hashes=64).  P[miss | J=0.9]
+    = (1-0.9^4)^16 ≈ 4e-8 — the verified output equals the exact pair
+    set with near-certainty, which is what makes this oracle-checkable.
+    rows=4 (not 2) matters for CANDIDATE volume, not correctness: corpora
+    sharing template vocabulary have baseline Jaccard j≈0.4 between
+    non-duplicates, and a pair collides in a band with prob j^rows —
+    j^2 put 77% of a measured fixture corpus into one bucket (169M
+    candidate pairs from 5k docs); j^4 cuts that ~16×.
 
     Scale: candidate generation shuffles on (band, band_hash) buckets —
-    never the quadratic doc×doc space; the exact verify join touches only
-    candidates.  For 100 TB set a cap on bucket size (skew guard) before
-    the self-join."""
+    never the quadratic doc×doc space; candidates are deduped BEFORE the
+    exact-verify join so each surviving pair pays the token-array cost
+    once.  ``max_bucket_size`` is the 100 TB skew guard: buckets larger
+    than it are dropped (a bucket of size m is m(m-1)/2 candidate pairs —
+    one pathological bucket can dominate the job).  Leave None for
+    exact-oracle parity; set it when approximate recall is acceptable."""
     rows_per_band = max(1, len(range(n_hashes)) // bands)
     sigs = minhash_signature(df, id_col, text_col, n_hashes).cache()
     band_entries = sigs.select(
@@ -127,6 +135,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                               for r in range(rows_per_band)]).alias("bh"))
             for b in range(bands)])).alias("e")
     ).select("__id", "e.band", "e.bh")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bh")
+        band_entries = (band_entries
+                        .withColumn("__bsz", F.count("*").over(w))
+                        .where(F.col("__bsz") <= max_bucket_size)
+                        .drop("__bsz"))
     left = band_entries.alias("l")
     right = band_entries.alias("r")
     cand = (left.join(right, (F.col("l.band") == F.col("r.band"))

@@ -71,9 +71,11 @@ FROM toks a JOIN toks b ON a.doc_id < b.doc_id
 WHERE 10 * len(list_intersect(a.ts, b.ts))
       >= 9 * len(list_distinct(list_concat(a.ts, b.ts)))
 """,
-    doc="MinHash(64) + LSH(32 bands × 2 rows) near-dup pairs at token-set "
-        "Jaccard >= 0.9, exact-verified. P[miss] ≈ 1e-23 per qualifying "
-        "pair, so the output equals the oracle's exhaustive pair join. "
+    doc="MinHash(64) + LSH(16 bands × 4 rows) near-dup pairs at token-set "
+        "Jaccard >= 0.9, exact-verified. P[miss] ≈ 4e-8 per qualifying "
+        "pair, so the output equals the oracle's exhaustive pair join; "
+        "4-row bands keep template-vocabulary corpora (baseline J≈0.4) "
+        "from flooding the candidate buckets. "
         "operators/dedup.py:minhash_lsh_pairs. Bench headline.",
     tags=("dedup", "bench"),
 )

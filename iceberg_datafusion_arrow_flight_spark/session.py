@@ -48,6 +48,13 @@ _DEFAULT_CONF: dict[str, str] = {
     # convert at registration time (sources.registry) — the µs truncation is
     # the documented Iceberg-Spark TIME/ns caveat (SURVEY §1.4).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Driver heap for local mode: in local[N] the "driver" JVM hosts every
+    # executor thread, and Spark's 1g default is sized for a cluster
+    # driver that only coordinates.  Effective only when the JVM starts
+    # with this session (i.e. normal script/bench usage); ignored on an
+    # already-running gateway or a real cluster (where executors get their
+    # own spark.executor.memory).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     # local[32] ≈ 32 cores: one shuffle partition per core.  On a real
     # cluster this is overridden (env below) to ~2-3× total cores, and AQE
     # coalesces down after the map stage.
