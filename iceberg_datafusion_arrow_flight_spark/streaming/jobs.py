@@ -1,0 +1,168 @@
+"""Streaming jobs over ``events``: watermarks, event-time windows,
+in-stream dedup, custom state.
+
+Design notes (100 TB posture):
+
+- The file source here stands in for Kafka/Kinesis; every transformation
+  below is source-agnostic (swap ``readStream.format``).
+- Watermarks bound state: every stateful operator (windowed agg, dedup,
+  custom state) declares how late data may arrive, so state is evicted
+  continuously instead of accumulating unboundedly.
+- ``availableNow`` trigger = incremental batch over the backlog with
+  streaming semantics — the idiom for backfill jobs sharing code with
+  the live pipeline.
+- The custom stateful operator uses ``applyInPandasWithState`` (Arrow
+  batches per key group, timeout-driven eviction) — the Spark-native
+  shape for operators the built-ins can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+# events fixture schema (FIXTURES.md); ts read as int64 nanos under
+# spark.sql.legacy.parquet.nanosAsLong (see sources.registry), converted
+# to µs timestamps in the stream projection.
+_RAW_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """Unbounded DataFrame over the events Parquet (file streaming
+    source).  On a cluster this is one line away from Kafka."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (spark.readStream.schema(_RAW_SCHEMA)
+              .format("parquet")
+              # the file source takes a DIRECTORY (new files appear over
+              # time); the fixture dir holds every table, so filter
+              .option("pathGlobFilter", "events.parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame,
+                    watermark: str = "2 hours") -> DataFrame:
+    """1-hour tumbling windows per event type; late rows beyond the
+    watermark are dropped and window state is evicted as the watermark
+    passes window end.  Streaming twin of plans.events_tumbling_window."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def sliding_counts(events: DataFrame,
+                   watermark: str = "2 hours") -> DataFrame:
+    """30-min windows sliding every 10 min (each event in 3 windows)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events"))
+
+
+def session_aggregates(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Session windows: per-user activity bursts separated by >gap.
+    State per open session, closed (and emitted) once the watermark
+    passes session end + gap."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
+def dedup_within_watermark(events: DataFrame,
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Drop events whose (user_id, event_type) repeats within the
+    watermark horizon — streaming twin of the batch
+    events_dedup_within_time plan.  State = one entry per key seen,
+    evicted as the watermark advances (bounded, unlike a global
+    dropDuplicates)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"]))
+
+
+_STATE_SCHEMA = StructType([
+    StructField("total", DoubleType()),
+    StructField("n", LongType()),
+])
+_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+
+def _running_totals(key, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    """Custom stateful op: cumulative per-user totals, one updated row
+    per key per micro-batch (update mode).  Arrow-batched per key-group;
+    state lives in the state store (checkpointable, rescalable).  No
+    timers: a production variant would add an event-time timeout to
+    evict idle users — timers force extra timer-service micro-batches,
+    which an availableNow backfill must not wait on."""
+    (user_id,) = key
+    total, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        total += float(pdf["value"].fillna(0.0).sum())
+        n += len(pdf)
+    state.update((total, n))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                        "total_value": [round(total, 4)]})
+
+
+def user_running_totals_stateful(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState: per-user running (count, sum(value)) —
+    the custom-stateful-operator pattern (SURVEY §7.1 step 7)."""
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _running_totals,
+                outputStructType=_OUT_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_to_memory_sink(df: DataFrame, name: str,
+                       output_mode: str = "append",
+                       timeout: int = 120) -> None:
+    """Execute a streaming DataFrame over the full backlog
+    (availableNow) into an in-memory table ``name``; blocks until done."""
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .option("checkpointLocation",
+                 f"/tmp/spark_graft_ckpt/{name}")
+         .start())
+    q.awaitTermination(timeout)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not finish")
+    if q.exception() is not None:
+        raise q.exception()

