@@ -27,5 +27,6 @@ from . import text            # noqa: E402,F401
 from . import multimodal      # noqa: E402,F401
 from . import events          # noqa: E402,F401
 from . import dialect_queries # noqa: E402,F401
+from . import ddl_io         # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "table"]

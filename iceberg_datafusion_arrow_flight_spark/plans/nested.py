@@ -246,3 +246,20 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_keys(m).alias("ks"),
         F.map_values(m).alias("vs"),
         F.element_at(m, "k").alias("k_val"))
+
+
+@register(
+    "table_func_generate_series",
+    oracle="""
+SELECT s.generate_series AS n, s.generate_series * s.generate_series AS sq
+FROM generate_series(1, 1000, 7) s
+""",
+    doc="generate_series table factor (DF40 table function, SURVEY §2.8) "
+        "-> explode(sequence()); DuckDB runs its native generate_series.",
+    tags=("table_function",),
+)
+def generate_series_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (spark.range(1)
+            .select(F.explode(F.sequence(F.lit(1), F.lit(1000), F.lit(7)))
+                    .alias("n"))
+            .select("n", (F.col("n") * F.col("n")).alias("sq")))

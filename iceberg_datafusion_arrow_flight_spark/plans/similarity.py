@@ -127,3 +127,18 @@ def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.select("label",
                        F.size("dm").alias("dims"),
                        F.round(sq, 6).alias("centroid_sq_norm"))
+
+
+@register(
+    "sim_ann_ivf_topk",
+    oracle=None,  # approximate: recall vs. brute force asserted in tests
+    doc="IVF ANN top-10: deterministic coarse quantizer (32 cells), "
+        "nprobe=4 probed cells per query, exact cosine rerank within "
+        "cells. The bucket-join scale path with a trainable quantizer "
+        "slot. operators/similarity.py:ann_ivf_topk.",
+    tags=("similarity", "approx"),
+)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.ann_ivf_topk(queries, emb, k=10)

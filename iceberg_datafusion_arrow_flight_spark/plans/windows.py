@@ -183,3 +183,37 @@ def window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_returnflag")
     return agg.select("l_returnflag", "l_shipyear", "yr_qty",
                       F.round(F.col("yr_qty") / F.sum("yr_qty").over(w), 6).alias("share"))
+
+
+@register(
+    "window_groups_frame",
+    oracle="""
+WITH r AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_orderdate) AS dr
+  FROM orders WHERE o_orderkey <= 5000
+)
+SELECT o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_orderpriority ORDER BY dr
+           RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS grp_sum
+FROM r
+""",
+    doc="GROUPS window frame (DF40 supports it; Spark and DuckDB do not "
+        "— SURVEY §2.5 gap) emulated EXACTLY: dense_rank() collapses "
+        "peer groups to consecutive integers, so a RANGE frame of ±k "
+        "over the rank ≡ a GROUPS frame of ±k over the original key. "
+        "Both engines compute the identity independently.",
+    tags=("window", "dialect"),
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 5000)
+    by_date = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    dr = F.dense_rank().over(by_date)
+    grp = (Window.partitionBy("o_orderpriority").orderBy("__dr")
+           .rangeBetween(-1, 1))
+    return (o.withColumn("__dr", dr)
+            .select("o_orderkey",
+                    F.round(F.sum("o_totalprice").over(grp), 2)
+                     .alias("grp_sum")))

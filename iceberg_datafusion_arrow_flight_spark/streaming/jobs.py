@@ -158,7 +158,7 @@ def run_to_memory_sink(df: DataFrame, name: str,
          .outputMode(output_mode)
          .trigger(availableNow=True)
          .option("checkpointLocation",
-                 f"/tmp/spark_graft_ckpt/{name}")
+                 f"/root/repo/.scratch/ckpt/{name}")
          .start())
     q.awaitTermination(timeout)
     if q.isActive:

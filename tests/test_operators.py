@@ -79,3 +79,20 @@ def test_new_session_isolates_temp_views(spark):
     spark.range(1).createOrReplaceTempView("only_in_root")
     assert spark.catalog.tableExists("only_in_root")
     assert not s2.catalog.tableExists("only_in_root")
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from iceberg_datafusion_arrow_flight_spark.operators import similarity
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = similarity.topk_cosine(queries, emb, k=10)
+    approx = similarity.ann_ivf_topk(queries, emb, k=10, nprobe=8)
+    e = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    a = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+    # determinism
+    again = {(r.query_id, r.corpus_id)
+             for r in similarity.ann_ivf_topk(queries, emb, k=10,
+                                              nprobe=8).collect()}
+    assert a == again

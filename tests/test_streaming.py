@@ -17,7 +17,7 @@ from iceberg_datafusion_arrow_flight_spark.sources.registry import load_table
 
 @pytest.fixture()
 def events_stream(spark, sf_dir):
-    shutil.rmtree("/tmp/spark_graft_ckpt", ignore_errors=True)
+    shutil.rmtree("/root/repo/.scratch/ckpt", ignore_errors=True)
     return S.read_events_stream(spark, sf_dir)
 
 
