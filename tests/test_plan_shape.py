@@ -1,0 +1,88 @@
+"""Physical-plan shape assertions (SURVEY §4 scale posture).
+
+Correctness says the answer is right; these tests pin that the PLAN is
+right — the properties that decide whether a query survives a 100×
+scale-up:
+
+- predicate pushdown reaches the Parquet scan (``PushedFilters``)
+- column pruning reaches the scan (``ReadSchema`` excludes unused cols)
+- dimension joins broadcast (no shuffle of the fact table for dims)
+- whole-stage codegen covers the hot path (no Python in the pipeline)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_datafusion_arrow_flight_spark.plans import REGISTRY
+
+
+def _explain(df, mode="formatted") -> str:
+    jvm = df.sparkSession._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(em)
+
+
+def test_q6_filters_and_pruning_pushed(spark, sf_dir):
+    """tpch_q6 filters on shipdate/discount/quantity and reads 4 columns
+    — every filter and the pruned schema must reach the scan."""
+    df = REGISTRY["tpch_q6_forecast_revenue"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema  # unused column stays unread
+
+
+def test_q5_dimension_joins_broadcast(spark, sf_dir):
+    """region/nation/supplier/customer are dimension tables at every
+    scale factor — the fact-side join must be broadcast, not a shuffle
+    of lineitem."""
+    df = REGISTRY["tpch_q5_local_supplier_volume"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
+    # lineitem (the fact table) must not be exchanged for the dim joins:
+    # at most one shuffle (the final groupBy aggregation)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"too many shuffles for a star join:\n{plan}"
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Partial (map-side) aggregation before the shuffle — the property
+    that makes groupBy O(groups), not O(rows), on the wire."""
+    df = REGISTRY["tpch_q1_pricing_summary"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_topk_cosine_broadcasts_queries(spark, sf_dir):
+    """The small query set is broadcast against the corpus — the corpus
+    is never shuffled for the similarity join."""
+    df = REGISTRY["sim_topk_cosine"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "Broadcast" in plan
+
+
+def test_hot_paths_are_jvm_only(spark, sf_dir):
+    """No Python evaluation node in any oracle-checked relational plan —
+    UDFs are the slow path and these plans must not contain any."""
+    for name in ("tpch_q3_shipping_priority", "window_sales_running",
+                 "dedup_minhash_lsh", "text_quality_score",
+                 "func_string_basic", "agg_grouping_sets"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        plan = _explain(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
+            f"{name} contains Python evaluation:\n{plan}"
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    """AQE finalizes the plan at execution; the executed plan must show
+    whole-stage-codegen stages covering the scan→aggregate pipeline."""
+    df = REGISTRY["tpch_q1_pricing_summary"].build(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan  # codegen stage markers, e.g. *(1) HashAggregate
+    assert "AQEShuffleRead coalesced" in plan  # AQE re-planning active
