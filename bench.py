@@ -35,8 +35,13 @@ HEADLINE = [
     "window_sales_running",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
+    "sim_ann_ivf_topk",
     "text_quality_score",
     "events_tumbling_window",
+    "events_session_window",
+    "agg_grouping_sets",
+    "join_non_equi_range",
+    "dialect_distinct_on",
 ]
 
 

@@ -109,3 +109,29 @@ def info_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = sorted(t.name for t in spark.catalog.listTables()
                    if t.name in TABLES)
     return spark.createDataFrame([Row(table_name=n) for n in names])
+
+
+@register(
+    "catalog_information_schema_columns",
+    oracle="""
+SELECT table_name, column_name, ordinal_position
+FROM information_schema.columns
+WHERE table_name IN ('region','nation','customer','supplier','part',
+                     'orders','lineitem','events','documents','embeddings')
+ORDER BY table_name, ordinal_position
+""",
+    doc="information_schema.columns emulation: spark.catalog column "
+        "listing vs DuckDB's native information_schema (reference "
+        "enables information_schema at lib.rs:92; SHOW COLUMNS is the "
+        "same surface).",
+    tags=("catalog",),
+)
+def info_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.registry import TABLES, register_tables
+    register_tables(spark, sf_dir)
+    rows = []
+    for t in sorted(TABLES):
+        for i, c in enumerate(spark.catalog.listColumns(t), start=1):
+            rows.append(Row(table_name=t, column_name=c.name,
+                            ordinal_position=i))
+    return spark.createDataFrame(rows)
