@@ -96,3 +96,34 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
              for r in similarity.ann_ivf_topk(queries, emb, k=10,
                                               nprobe=8).collect()}
     assert a == again
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from iceberg_datafusion_arrow_flight_spark.operators.skew import salted_join
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name")
+    plain = orders.join(cust, "o_custkey").select(
+        "o_orderkey", "c_name").collect()
+    salted = salted_join(orders, cust, "o_custkey", salt=4).select(
+        "o_orderkey", "c_name").collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_salted_aggregate_equals_plain(spark, sf_dir):
+    from iceberg_datafusion_arrow_flight_spark.operators.skew import (
+        salted_aggregate)
+    orders = load_table(spark, sf_dir, "orders")
+    plain = (orders.groupBy("o_orderstatus")
+             .agg(F.count("o_orderkey").alias("count_o_orderkey"),
+                  F.max("o_totalprice").alias("max_o_totalprice"),
+                  F.min("o_custkey").alias("min_o_custkey")))
+    salted = salted_aggregate(orders, ["o_orderstatus"],
+                              {"o_orderkey": "count",
+                               "o_totalprice": "max",
+                               "o_custkey": "min"}, salt=8)
+    cols = ["o_orderstatus", "count_o_orderkey", "max_o_totalprice",
+            "min_o_custkey"]
+    assert sorted(map(tuple, plain.select(cols).collect())) == \
+        sorted(map(tuple, salted.select(cols).collect()))
