@@ -135,3 +135,42 @@ def info_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append(Row(table_name=t, column_name=c.name,
                             ordinal_position=i))
     return spark.createDataFrame(rows)
+
+
+@register(
+    "ddl_external_table",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus
+""",
+    doc="CREATE EXTERNAL TABLE ... STORED AS PARQUET LOCATION (DF40 DDL, "
+        "SURVEY §2.1) -> CREATE TABLE USING parquet OPTIONS(path): an "
+        "unmanaged table over existing files, queried through the "
+        "catalog like any Iceberg/managed table.",
+    tags=("ddl",),
+)
+def external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql("DROP TABLE IF EXISTS ext_orders")
+    spark.sql("CREATE TABLE ext_orders USING parquet "
+              f"OPTIONS (path '{sf_dir}/orders.parquet')")
+    return spark.sql("SELECT o_orderstatus, COUNT(*) AS n FROM ext_orders "
+                     "GROUP BY o_orderstatus")
+
+
+@register(
+    "io_copy_to_json_roundtrip",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority
+""",
+    doc="COPY ... FORMAT JSON (DF40 COPY supports parquet/csv/json) -> "
+        "df.write.json + schema-preserving read-back.",
+    tags=("io",),
+)
+def copy_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (table(spark, sf_dir, "orders")
+           .groupBy("o_orderpriority").agg(F.count("*").alias("n")))
+    path = os.path.join(_SCRATCH, f"copyj_{uuid.uuid4().hex[:8]}")
+    out.write.mode("overwrite").json(path)
+    result = spark.read.schema(out.schema).json(path)
+    rows = result.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

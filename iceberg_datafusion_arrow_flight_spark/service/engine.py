@@ -35,6 +35,7 @@ so a reference client's SQL works unchanged.
 from __future__ import annotations
 
 import os
+import re
 import uuid
 from collections import OrderedDict
 from dataclasses import dataclass, field
@@ -46,6 +47,25 @@ from ..dialect import rewrite_sql, split_params
 from ..functions import register_dialect_functions
 
 ROLLBACK_LITERAL = "rollback"  # exact match, like lib.rs:677
+
+# SET datafusion.* → Spark conf mapping (SURVEY §3.3: the reference
+# accepts DataFusion config via SQL SET and DATAFUSION_* env,
+# lib.rs:89).  Unknown keys are accepted and ignored — compat behavior:
+# clients tuning a DataFusion knob must not break against this engine.
+DATAFUSION_CONF_MAP: dict[str, str] = {
+    "datafusion.execution.batch_size":
+        "spark.sql.parquet.columnarReaderBatchSize",
+    "datafusion.execution.target_partitions":
+        "spark.sql.shuffle.partitions",
+    "datafusion.optimizer.repartition_joins":
+        "spark.sql.adaptive.enabled",
+    "datafusion.execution.parquet.pushdown_filters":
+        "spark.sql.parquet.filterPushdown",
+}
+
+_SET_RE = re.compile(
+    r"^\s*SET\s+([\w.]+)\s*(?:=|\s+TO\s+)\s*'?([^';]*)'?\s*;?\s*$",
+    re.IGNORECASE)
 
 
 class AuthError(Exception):
@@ -164,11 +184,22 @@ class EngineService:
 
     def execute_update(self, token: str, handle: str) -> int:
         """DDL / SET / DML path — executes the side effect, returns -1
-        like do_put_prepared_statement_update (lib.rs:645-654)."""
+        like do_put_prepared_statement_update (lib.rs:645-654).
+
+        ``SET datafusion.x = v`` maps through DATAFUSION_CONF_MAP onto
+        the session conf; unmapped DataFusion keys are accepted and
+        ignored (compat)."""
         st = self.statements[handle]
         session = self._session(token)
-        if not st.is_rollback:
-            self._dataframe(st, session).collect()
+        if st.is_rollback:
+            return -1
+        m = _SET_RE.match(st.raw_sql)
+        if m and m.group(1).lower().startswith("datafusion."):
+            spark_key = DATAFUSION_CONF_MAP.get(m.group(1).lower())
+            if spark_key is not None:
+                session.conf.set(spark_key, m.group(2))
+            return -1
+        self._dataframe(st, session).collect()
         return -1
 
     # ------------------------------------------------------------ fetch

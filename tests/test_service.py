@@ -184,3 +184,17 @@ try:
             return self.token
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_set_statement_maps_datafusion_conf(service):
+    """SURVEY §3.3: SET datafusion.* maps onto the session conf; unknown
+    DataFusion keys are accepted and ignored (compat)."""
+    token = service.handshake("admin", "secret")
+    h = service.create_prepared_statement(
+        token, "SET datafusion.execution.target_partitions = 7")
+    assert service.execute_update(token, h) == -1
+    sess = service.sessions[token]
+    assert sess.conf.get("spark.sql.shuffle.partitions") == "7"
+    h2 = service.create_prepared_statement(
+        token, "SET datafusion.some.unknown.knob = true")
+    assert service.execute_update(token, h2) == -1  # ignored, no error
