@@ -104,3 +104,61 @@ def sample_frames(df: DataFrame, every_nth: int = 2) -> DataFrame:
                                 "frame_checksum": sums})
 
     return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = ("doc_id BIGINT, fmt STRING, out_width INT, out_height INT, "
+                  "scale_x DOUBLE, scale_y DOUBLE, resized_checksum STRING")
+
+FEATURE_SCHEMA = "doc_id BIGINT, feature ARRAY<DOUBLE>"
+
+
+def resize_payloads(df: DataFrame, out_width: int = 64,
+                    out_height: int = 64) -> DataFrame:
+    """'Resize' each payload to (out_width, out_height) via mapInPandas.
+
+    STUB geometry path (no image libs in this container): computes the
+    real scale factors from metadata and a deterministic checksum of
+    (payload, target size) standing in for resized bytes.  A cluster
+    with Pillow swaps the checksum line for `img.resize(...)` — the
+    Spark-side shape (schema, batching, partition parallelism, column
+    pruning of untouched payloads) is identical and tested."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "fmt": [m["fmt"] for m in pdf["meta"]],
+                "out_width": out_width,
+                "out_height": out_height,
+                "scale_x": [out_width / m["width"] for m in pdf["meta"]],
+                "scale_y": [out_height / m["height"] for m in pdf["meta"]],
+                "resized_checksum": [
+                    hashlib.md5(bytes(p) + f"{out_width}x{out_height}"
+                                .encode()).hexdigest()
+                    for p in pdf["payload"]],
+            })
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction: payload → fixed-dim float vector via
+    mapInPandas.  STUB featurizer = byte-histogram folded to ``dim``
+    buckets, L1-normalized — deterministic, library-free, and shaped
+    exactly like a real embedding UDF (binary in, ARRAY<DOUBLE> out,
+    Arrow-batched).  Swap the body for an ONNX/torch call on a GPU
+    cluster; the plan does not change."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                buf = bytes(p)
+                hist = [0.0] * dim
+                for b in buf:
+                    hist[b % dim] += 1.0
+                total = sum(hist) or 1.0
+                feats.append([v / total for v in hist])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return df.mapInPandas(featurize, schema=FEATURE_SCHEMA)

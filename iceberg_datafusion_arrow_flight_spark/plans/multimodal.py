@@ -52,3 +52,31 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return (M.sample_frames(M.attach_payload(docs))
             .select("doc_id", "frame_idx"))
+
+
+@register(
+    "multimodal_resize",
+    oracle=None,  # mapInPandas plumbing; shape/determinism pinned in tests
+    doc="Resize stage: payload + metadata -> target geometry + scale "
+        "factors via mapInPandas (stub checksum in place of pixel "
+        "resample; the Spark plumbing is real). "
+        "operators/multimodal.py:resize_payloads.",
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return M.resize_payloads(M.attach_payload(docs))
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=None,
+    doc="Feature extraction: payload -> ARRAY<DOUBLE> embedding via "
+        "mapInPandas (stub byte-histogram featurizer; swap for an "
+        "ONNX/torch body on a GPU cluster). "
+        "operators/multimodal.py:extract_features.",
+    tags=("multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_payload(docs))

@@ -369,3 +369,108 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cond)
         .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
     )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 120)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    doc="TPC-H Q18 (large-volume customer): agg-HAVING semi-filter into a "
+        "3-way join + group + deterministic top-100. Scale: the HAVING "
+        "subquery is one lineitem aggregate reused as a semi-join — "
+        "Catalyst plans it as an aggregated build side, no double scan "
+        "of the probe; threshold tuned to fixture line counts.",
+    tags=("tpch", "join", "subquery", "topk"),
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("__q"))
+           .where(F.col("__q") > 120)
+           .select("l_orderkey"))
+    ords = table(spark, sf_dir, "orders")
+    cst = table(spark, sf_dir, "customer")
+    return (
+        cst.join(ords, cst.c_custkey == ords.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(big, li.l_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(_r(F.sum("l_quantity")).alias("total_qty"))
+        .select("c_custkey", "c_name", "o_orderkey",
+                F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+                _r(F.col("o_totalprice")).alias("o_totalprice"), "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q8_national_market_share",
+    oracle="""
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type LIKE 'PROMO%'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+    doc="TPC-H Q8 (national market share): 8-way star join (two roles for "
+        "nation) + conditional share aggregate. Scale: every dimension "
+        "broadcasts; lineitem shuffles once for the orders join; the "
+        "aliased double-use of nation costs nothing extra (both sides "
+        "broadcast).",
+    tags=("tpch", "join", "aggregate"),
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").where(F.col("p_type").like("PROMO%"))
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    ords = table(spark, sf_dir, "orders")
+    cst = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").alias("n1")
+    n2 = table(spark, sf_dir, "nation").alias("n2")
+    reg = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    all_nations = (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cst, ords.o_custkey == cst.c_custkey)
+        .join(n1, cst.c_nationkey == F.col("n1.n_nationkey"))
+        .join(reg, F.col("n1.n_regionkey") == reg.r_regionkey)
+        .join(n2, sup.s_nationkey == F.col("n2.n_nationkey"))
+        .select(F.year("o_orderdate").alias("o_year"),
+                vol.alias("volume"),
+                F.col("n2.n_name").alias("nation")))
+    share = (F.sum(F.when(F.col("nation") == "NATION_7",
+                          F.col("volume")).otherwise(0.0))
+             / F.sum("volume"))
+    return (all_nations.groupBy("o_year")
+            .agg(F.round(share, 6).alias("mkt_share"))
+            .orderBy("o_year"))

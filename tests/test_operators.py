@@ -127,3 +127,14 @@ def test_salted_aggregate_equals_plain(spark, sf_dir):
             "min_o_custkey"]
     assert sorted(map(tuple, plain.select(cols).collect())) == \
         sorted(map(tuple, salted.select(cols).collect()))
+
+
+def test_multimodal_resize_and_features(docs):
+    resized = multimodal.resize_payloads(
+        multimodal.attach_payload(docs), 64, 64).collect()
+    assert resized and all(r.out_width == 64 and r.scale_x > 0
+                           for r in resized)
+    feats = multimodal.extract_features(
+        multimodal.attach_payload(docs), dim=16).collect()
+    assert feats and all(len(r.feature) == 16 and
+                         abs(sum(r.feature) - 1.0) < 1e-9 for r in feats)
