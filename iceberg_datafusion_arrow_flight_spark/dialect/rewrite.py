@@ -196,6 +196,19 @@ def rewrite_distinct_on(sql: str) -> str:
         f"ORDER BY {order_by}) AS __rn FROM {rest}) WHERE __rn = 1")
 
 
+# --------------------------------------------------------------- AT TIME ZONE
+# DF40 `ts AT TIME ZONE 'Zone'` reinterprets a (UTC-stored) timestamp in
+# the target zone → Spark's from_utc_timestamp.  Operand: identifier or
+# call/paren expression immediately before the keyword.
+_AT_TZ_RE = re.compile(
+    r"([A-Za-z_][\w.]*(?:\([^()]*\))?)\s+AT\s+TIME\s+ZONE\s+'([^']+)'",
+    re.IGNORECASE)
+
+
+def rewrite_at_time_zone(sql: str) -> str:
+    return _AT_TZ_RE.sub(r"from_utc_timestamp(\1, '\2')", sql)
+
+
 # --------------------------------------------------------------- pipeline
 PASSES = [
     rewrite_distinct_on,   # before casts (keys may contain ::)
@@ -204,6 +217,7 @@ PASSES = [
     rewrite_similar_to,
     rewrite_regexp_flags,
     rewrite_to_char,
+    rewrite_at_time_zone,
     rename_functions,
 ]
 

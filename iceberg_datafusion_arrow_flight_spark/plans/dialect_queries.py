@@ -173,3 +173,30 @@ WHERE o_orderkey <= 500
 )
 def regexp_flag_to_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_dialect(spark, sf_dir, _REGEX_TOCHAR, ("orders",))
+
+
+_AT_TZ = """
+SELECT o_orderkey,
+       o_orderdate AT TIME ZONE 'America/New_York' AS local_ts
+FROM orders
+WHERE o_orderkey <= 300
+"""
+
+
+@register(
+    "dialect_at_time_zone",
+    oracle="""
+SELECT o_orderkey,
+       timezone('America/New_York',
+                CAST(o_orderdate AS TIMESTAMPTZ)) AS local_ts
+FROM orders
+WHERE o_orderkey <= 300
+""",
+    doc="AT TIME ZONE (DF40/Postgres) -> from_utc_timestamp rewrite "
+        "(UTC-stored instant rendered as zone wall-clock); DuckDB oracle "
+        "casts to TIMESTAMPTZ (UTC session) then converts with "
+        "timezone().",
+    tags=("dialect",),
+)
+def at_time_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_dialect(spark, sf_dir, _AT_TZ, ("orders",))

@@ -86,3 +86,13 @@ def test_full_pipeline_runs_on_spark(spark, sf_dir):
         "SELECT DISTINCT ON (c_nationkey) c_nationkey, c_acctbal::bigint "
         "FROM customer ORDER BY c_nationkey, c_acctbal DESC"))
     assert df.count() > 0
+
+
+def test_at_time_zone_rewrite():
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+        rewrite_at_time_zone)
+    assert rewrite_at_time_zone("SELECT ts AT TIME ZONE 'UTC' FROM t") == \
+        "SELECT from_utc_timestamp(ts, 'UTC') FROM t"
+    assert rewrite_at_time_zone(
+        "SELECT date_trunc('day', ts) AT TIME ZONE 'Asia/Tokyo'") == \
+        "SELECT from_utc_timestamp(date_trunc('day', ts), 'Asia/Tokyo')"
