@@ -138,3 +138,37 @@ def test_multimodal_resize_and_features(docs):
         multimodal.attach_payload(docs), dim=16).collect()
     assert feats and all(len(r.feature) == 16 and
                          abs(sum(r.feature) - 1.0) < 1e-9 for r in feats)
+
+
+def test_iterate_fixpoint_matches_native_recursive_cte(spark):
+    from iceberg_datafusion_arrow_flight_spark.operators.recursive import (
+        iterate_fixpoint)
+    native = spark.sql("""
+        WITH RECURSIVE series(n, total) AS (
+          SELECT 1, 1
+          UNION ALL
+          SELECT n + 1, total + n + 1 FROM series WHERE n < 20
+        ) SELECT n, total FROM series""").collect()
+    seed = spark.sql("SELECT 1 AS n, 1 AS total")
+    loop = iterate_fixpoint(
+        seed, lambda d: d.where("n < 20")
+                         .selectExpr("n + 1 AS n", "total + n + 1 AS total"))
+    assert sorted(map(tuple, native)) == sorted(map(tuple, loop.collect()))
+
+
+def test_iterate_fixpoint_transitive_closure(spark):
+    from iceberg_datafusion_arrow_flight_spark.operators.recursive import (
+        iterate_fixpoint)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src int, dst int").cache()
+    seed = edges.selectExpr("src", "dst AS reach")
+
+    def step(frontier):
+        f, e = frontier.alias("f"), edges.alias("e")
+        return (f.join(e, F.col("f.reach") == F.col("e.src"))
+                .select(F.col("f.src").alias("src"),
+                        F.col("e.dst").alias("reach")))
+
+    closure = iterate_fixpoint(seed, step, distinct_frontier=True)
+    got = {(r.src, r.reach) for r in closure.collect()}
+    assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6)}

@@ -86,3 +86,30 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "*(" in plan  # codegen stage markers, e.g. *(1) HashAggregate
     assert "AQEShuffleRead coalesced" in plan  # AQE re-planning active
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Co-located (bucketed) fact-fact join: zero shuffles on either
+    side — the 100 TB pattern for repeated joins on one key."""
+    from iceberg_datafusion_arrow_flight_spark.sources.bucketing import (
+        bucketed_join, write_bucketed)
+    from iceberg_datafusion_arrow_flight_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem") \
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    write_bucketed(orders, "b_orders", "o_orderkey", buckets=4)
+    write_bucketed(li.select("o_orderkey", "l_quantity"),
+                   "b_lineitem", "o_orderkey", buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
