@@ -20,6 +20,9 @@ top-k oracle-checkable.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -192,3 +195,25 @@ def ann_ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .where(F.col("rank") <= k)
             .select("query_id", "corpus_id", "sim",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def cosine_pandas_udf():
+    """Arrow-batched vectorized cosine — the Pandas-UDF alternative to
+    the JVM fold (SURVEY §7.1 step 7 names both).  Preferable only for
+    WIDE embeddings (≥~1k dims), where numpy's contiguous dot beats the
+    per-element Catalyst fold; at fixture widths the JVM path wins by
+    avoiding Arrow transfer entirely.  Kept as the measured, tested
+    swap-in — same column contract as :func:`cosine`."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a))
+        for i, (x, y) in enumerate(zip(a.values, b.values)):
+            xv = np.asarray(x, dtype=np.float64)
+            yv = np.asarray(y, dtype=np.float64)
+            denom = np.linalg.norm(xv) * np.linalg.norm(yv)
+            out[i] = float(xv @ yv) / denom if denom else 0.0
+        return pd.Series(out)
+
+    return _cos

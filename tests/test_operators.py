@@ -172,3 +172,20 @@ def test_iterate_fixpoint_transitive_closure(spark):
     closure = iterate_fixpoint(seed, step, distinct_frontier=True)
     got = {(r.src, r.reach) for r in closure.collect()}
     assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6)}
+
+
+def test_pandas_cosine_matches_jvm_cosine(spark, sf_dir):
+    from iceberg_datafusion_arrow_flight_spark.operators import similarity
+    emb = load_table(spark, sf_dir, "embeddings").limit(40).cache()
+    a = emb.selectExpr("vec_id AS id_a",
+                       "transform(embedding, x -> cast(x as double)) AS va")
+    b = emb.selectExpr("vec_id AS id_b",
+                       "transform(embedding, x -> cast(x as double)) AS vb")
+    pairs = a.crossJoin(b).where("id_a < id_b")
+    cos_pd = similarity.cosine_pandas_udf()
+    both = pairs.select(
+        "id_a", "id_b",
+        similarity.cosine(F.col("va"), F.col("vb")).alias("jvm"),
+        cos_pd("va", "vb").alias("py"))
+    bad = both.where(F.abs(F.col("jvm") - F.col("py")) > 1e-9).count()
+    assert bad == 0
