@@ -537,3 +537,29 @@ def filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey",
                     F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
                     .eqNullSafe(F.lit("BUILDING")).alias("is_building")))
+
+
+@register(
+    "filter_is_true_unknown",
+    oracle="""
+SELECT o_orderkey,
+       (o_totalprice > 200000) IS TRUE      AS is_big,
+       (o_totalprice > 200000) IS NOT FALSE AS not_small,
+       (NULL > 1) IS NULL                   AS is_unknown
+FROM orders
+WHERE o_orderkey <= 1000
+""",
+    doc="IS [NOT] TRUE/FALSE/UNKNOWN boolean tests (DF40 predicate "
+        "surface, SURVEY §2.2; UNKNOWN spelled IS NULL on the DuckDB "
+        "side — same three-valued semantics).",
+    tags=("filter",),
+)
+def filter_is_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderkey,
+               (o_totalprice > 200000) IS TRUE      AS is_big,
+               (o_totalprice > 200000) IS NOT FALSE AS not_small,
+               (NULL > 1) IS UNKNOWN                AS is_unknown
+        FROM orders
+        WHERE o_orderkey <= 1000""")

@@ -5,8 +5,8 @@ cume_dist, ntile, lag/lead, first/last/nth_value, any aggregate as a
 window, ROWS/RANGE frames, named WINDOW clauses.  All are same-name Spark
 built-ins via ``Window.partitionBy().orderBy().rowsBetween()/
 rangeBetween()``.  The one DF40 feature Spark lacks — the GROUPS frame —
-is emulated with a dense_rank banding self-join in
-:mod:`..operators.groups_frame` (documented gap, SURVEY §7.1 step 5).
+is emulated exactly via the dense_rank→RANGE identity
+(``window_groups_frame`` below; documented gap, SURVEY §7.1 step 5).
 
 Determinism: every ORDER BY ends in a unique key (orderkey, linenumber)
 so ranking/offset functions are stable across engines.
@@ -217,3 +217,33 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey",
                     F.round(F.sum("o_totalprice").over(grp), 2)
                      .alias("grp_sum")))
+
+
+@register(
+    "window_named_clause",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(SUM(l_extendedprice) OVER w, 2) AS run_price,
+       RANK() OVER w AS rnk
+FROM lineitem
+WHERE l_orderkey <= 2000
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    doc="Named WINDOW clause (DF40 SQL + Spark SQL both support it, "
+        "SURVEY §2.5) — one definition shared by multiple window "
+        "functions; identical text runs on the DuckDB oracle.",
+    tags=("window", "dialect"),
+)
+def window_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(SUM(l_extendedprice) OVER w, 2) AS run_price,
+               RANK() OVER w AS rnk
+        FROM lineitem
+        WHERE l_orderkey <= 2000
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")

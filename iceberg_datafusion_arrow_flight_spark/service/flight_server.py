@@ -74,8 +74,18 @@ class SparkFlightServer(flight.FlightServerBase):
         if action.type == "create_prepared_statement":
             handle = self.service.create_prepared_statement(token, body)
             schema = self.service.statement_schema(handle)
+            # dataset schema shipped as Arrow IPC bytes, like the
+            # reference (SchemaAsIpc at lib.rs:704-708), plus the JSON
+            # form for non-Arrow clients
+            ipc_b64 = None
+            if schema is not None:
+                from pyspark.sql.pandas.types import to_arrow_schema
+                import base64
+                ipc_b64 = base64.b64encode(
+                    to_arrow_schema(schema).serialize().to_pybytes()).decode()
             payload = {"handle": handle,
-                       "schema": schema.json() if schema is not None else None}
+                       "schema": schema.json() if schema is not None else None,
+                       "dataset_schema_ipc": ipc_b64}
             return [json.dumps(payload).encode()]
         if action.type == "close_prepared_statement":
             self.service.close_prepared_statement(token, body)

@@ -36,3 +36,7 @@ __all__ = [
     "user_running_totals_stateful",
     "run_to_memory_sink",
 ]
+
+from .jobs import enriched_events, purchase_after_signup  # noqa: E402
+
+__all__ += ["enriched_events", "purchase_after_signup"]

@@ -166,3 +166,37 @@ def run_to_memory_sink(df: DataFrame, name: str,
         raise TimeoutError(f"streaming query {name} did not finish")
     if q.exception() is not None:
         raise q.exception()
+
+
+def enriched_events(events: DataFrame, users_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension
+    table.  The static side re-resolves per micro-batch (picks up dim
+    updates); broadcast applies exactly as in batch — no stream state."""
+    return (events.join(F.broadcast(users_dim), "user_id", "left")
+            .select("event_id", "ts", "user_id", "event_type", "value",
+                    "user_bucket"))
+
+
+def purchase_after_signup(events: DataFrame,
+                          horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream self-join: purchases within ``horizon`` after a
+    signup by the same user.  Both sides watermarked; the time-range
+    predicate bounds join state (rows age out once the watermark passes
+    signup_ts + horizon)."""
+    signups = (events.where(F.col("event_type") == "signup")
+               .select(F.col("user_id"),
+                       F.col("ts").alias("signup_ts"))
+               .withWatermark("signup_ts", "2 hours"))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    return (signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(
+            f"INTERVAL {horizon}")),
+        "inner")
+        .select("user_id", "signup_ts", "purchase_ts", "purchase_value"))

@@ -157,6 +157,12 @@ def test_flight_server_end_to_end(spark, creds):
         payload = json.loads(res[0].body.to_pybytes())
         handle = payload["handle"]
         assert payload["schema"] is not None
+        # schema round-trips through Arrow IPC like the reference
+        import base64 as _b64
+        import pyarrow.ipc  # noqa: F401
+        ipc_schema = pa.ipc.read_schema(
+            pa.BufferReader(_b64.b64decode(payload["dataset_schema_ipc"])))
+        assert ipc_schema.names == ["one"]
         info = client.get_flight_info(
             fl.FlightDescriptor.for_command(handle.encode()))
         table = client.do_get(info.endpoints[0].ticket).read_all()

@@ -120,3 +120,35 @@ def test_append_mode_emits_only_finalized_windows(spark, events_stream,
                    "event_type", "n_events", "sum_value"))
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, exp.collect()))
+
+
+def test_stream_static_join_equals_batch(spark, events_stream, events_batch):
+    users = (events_batch.select("user_id").distinct()
+             .withColumn("user_bucket",
+                         (F.col("user_id") % 10).cast("int")).cache())
+    got = _run(spark, S.enriched_events(events_stream, users))
+    exp = (events_batch.join(users, "user_id", "left")
+           .select("event_id", "ts", "user_id", "event_type", "value",
+                   "user_bucket"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+
+def test_stream_stream_join_equals_batch(spark, events_stream, events_batch):
+    got = _run(spark, S.purchase_after_signup(events_stream))
+    s = (events_batch.where("event_type = 'signup'")
+         .selectExpr("user_id", "ts AS signup_ts"))
+    p = (events_batch.where("event_type = 'purchase'")
+         .selectExpr("user_id AS p_user_id", "ts AS purchase_ts",
+                     "value AS purchase_value"))
+    exp = (s.join(p, (F.col("user_id") == F.col("p_user_id"))
+                  & (F.col("purchase_ts") > F.col("signup_ts"))
+                  & (F.col("purchase_ts") <= F.col("signup_ts")
+                     + F.expr("INTERVAL 1 hour")))
+           .select("user_id", "signup_ts", "purchase_ts", "purchase_value"))
+    # append-mode stream-stream join emits a pair once both watermarks
+    # pass; over one availableNow pass the emitted set equals the batch
+    # join restricted to pairs the final watermark finalized — with a
+    # single batch the engine finalizes everything before termination
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
