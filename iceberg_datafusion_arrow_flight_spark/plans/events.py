@@ -149,3 +149,39 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("event_type", "n", "n_users", "avg_value",
                       F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6)
                       .alias("share"))
+
+
+@register(
+    "join_asof_events",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       s.ts AS asof_ts,
+       s.event_id AS asof_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+    doc="AS-OF join (absent from Spark AND DataFusion 40 — SURVEY §2.3; "
+        "first-class here for point-in-time feature lookup): each "
+        "purchase joined to the user's latest prior-or-equal signup. "
+        "Implemented as union + keyed window carry-forward (one shuffle, "
+        "no join fan-out) in operators/asof.py; DuckDB's native ASOF "
+        "JOIN is the oracle.",
+    tags=("events", "join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+    e = table(spark, sf_dir, "events")
+    purchases = (e.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", F.col("ts")))
+    signups = (e.where(F.col("event_type") == "signup")
+               .select(F.col("user_id"), F.col("ts"),
+                       F.col("event_id").alias("sid")))
+    out = asof_join(purchases, signups, key="user_id",
+                    left_ts="ts", right_ts="ts", right_cols=["sid"])
+    return out.select("event_id", "user_id",
+                      F.col("ts").alias("purchase_ts"),
+                      "asof_ts",
+                      F.col("asof_sid").alias("asof_event_id"))

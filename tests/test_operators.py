@@ -189,3 +189,21 @@ def test_pandas_cosine_matches_jvm_cosine(spark, sf_dir):
         cos_pd("va", "vb").alias("py"))
     bad = both.where(F.abs(F.col("jvm") - F.col("py")) > 1e-9).count()
     assert bad == 0
+
+
+def test_asof_join_strict_vs_inclusive(spark):
+    from iceberg_datafusion_arrow_flight_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:00:00")],
+        "k int, lts string").selectExpr("k", "CAST(lts AS TIMESTAMP) AS lts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 10:30:00", "b")],
+        "k int, rts string, v string") \
+        .selectExpr("k", "CAST(rts AS TIMESTAMP) AS rts", "v")
+    inclusive = {(r.lts.hour, r.asof_v) for r in
+                 asof_join(left, right, "k", "lts", "rts").collect()}
+    strict = {(r.lts.hour, r.asof_v) for r in
+              asof_join(left, right, "k", "lts", "rts",
+                        strict=True).collect()}
+    assert inclusive == {(10, "a"), (11, "b")}   # 10:00 sees equal-ts row
+    assert strict == {(10, None), (11, "b")}     # strict < excludes it
