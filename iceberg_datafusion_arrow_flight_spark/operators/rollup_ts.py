@@ -1,0 +1,65 @@
+"""Hypertable-style continuous aggregates: hierarchical time-bucket
+rollups where each coarser level aggregates the NEXT FINER level, not
+the raw stream.
+
+The TimescaleDB/Druid pattern re-expressed on Spark: at 100 TB the raw
+events are touched ONCE (finest bucket); every coarser granularity is a
+re-aggregation of the already-tiny finer aggregate — minutes → hours is
+a 60× smaller input than raw, hours → days 24× smaller again.  All
+chosen aggregates must be combinable (sum/count/min/max; avg = sum÷count
+at read time).
+
+Correctness identity pinned by the oracle query (plans/events.py):
+rolling up the finer level must equal aggregating raw data directly at
+the coarse granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_aggregate(df: DataFrame, ts_col: str, granularity: str,
+                     keys: list[str] | None = None) -> DataFrame:
+    """Finest rollup level, from raw rows: (bucket, keys) →
+    (n, sum_value, min_value, max_value)."""
+    keys = keys or []
+    return (df.groupBy(F.window(ts_col, granularity).alias("w"), *keys)
+            .agg(F.count("*").alias("n"),
+                 F.sum("value").alias("sum_value"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value"))
+            .select(F.col("w.start").alias("bucket"), *keys,
+                    "n", "sum_value", "min_value", "max_value"))
+
+
+def rollup_level(finer: DataFrame, granularity: str,
+                 keys: list[str] | None = None) -> DataFrame:
+    """Coarser level FROM a finer level: combinable re-aggregation
+    (count→sum, sum→sum, min→min, max→max).  Input is the finer
+    aggregate, never the raw stream."""
+    keys = keys or []
+    return (finer.groupBy(F.window("bucket", granularity).alias("w"), *keys)
+            .agg(F.sum("n").alias("n"),
+                 F.sum("sum_value").alias("sum_value"),
+                 F.min("min_value").alias("min_value"),
+                 F.max("max_value").alias("max_value"))
+            .select(F.col("w.start").alias("bucket"), *keys,
+                    "n", "sum_value", "min_value", "max_value"))
+
+
+def rollup_hierarchy(df: DataFrame, ts_col: str,
+                     granularities: list[str],
+                     keys: list[str] | None = None) -> dict[str, DataFrame]:
+    """Build the whole hierarchy finest→coarsest; returns one DataFrame
+    per granularity.  ``granularities`` ordered fine → coarse and each
+    coarser interval must be a multiple of the previous (bucket
+    alignment — same rule hypertables impose)."""
+    levels: dict[str, DataFrame] = {}
+    current = bucket_aggregate(df, ts_col, granularities[0], keys)
+    levels[granularities[0]] = current
+    for g in granularities[1:]:
+        current = rollup_level(current, g, keys)
+        levels[g] = current
+    return levels

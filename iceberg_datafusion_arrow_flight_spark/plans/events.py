@@ -185,3 +185,63 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("ts").alias("purchase_ts"),
                       "asof_ts",
                       F.col("asof_sid").alias("asof_event_id"))
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL 1 DAY, ts) AS TIMESTAMP) AS bucket,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Hypertable continuous-aggregate rollup: day level computed by "
+        "re-aggregating the hour level (raw rows touched once), which "
+        "must equal aggregating raw directly at day granularity — the "
+        "oracle checks exactly that identity. "
+        "operators/rollup_ts.py:rollup_hierarchy.",
+    tags=("events", "rollup"),
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup_ts import rollup_hierarchy
+    e = table(spark, sf_dir, "events")
+    levels = rollup_hierarchy(e, "ts", ["1 hour", "1 day"], ["event_type"])
+    day = levels["1 day"]
+    return day.select(
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        "event_type", "n",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"))
+
+
+@register(
+    "events_hll_sketch_merge",
+    oracle=None,  # estimates are sketch-impl-specific; identity tested in pytest
+    doc="Mergeable HLL sketches (Datasketches, Spark 3.5+ builtins): "
+        "per-event-type user sketches unioned into a global estimate — "
+        "the re-aggregatable distinct-count pattern (store sketches per "
+        "partition/day, merge at query time; never re-scan raw data). "
+        "Estimates are implementation-specific -> rows-only check; the "
+        "merge identity (union of group sketches == whole-table sketch) "
+        "is pinned in tests.",
+    tags=("events", "sketch", "approx"),
+)
+def events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per_type = (e.groupBy("event_type")
+                .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                     F.count("*").alias("n_events")))
+    return (per_type.select(
+        "event_type", "n_events",
+        F.hll_sketch_estimate("sk").alias("approx_users"))
+        .unionAll(per_type.groupBy()
+                  .agg(F.hll_union_agg("sk").alias("g"),
+                       F.sum("n_events").alias("n_events"))
+                  .select(F.lit("__ALL__").alias("event_type"),
+                          "n_events",
+                          F.hll_sketch_estimate("g").alias("approx_users"))))

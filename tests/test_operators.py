@@ -207,3 +207,17 @@ def test_asof_join_strict_vs_inclusive(spark):
                         strict=True).collect()}
     assert inclusive == {(10, "a"), (11, "b")}   # 10:00 sees equal-ts row
     assert strict == {(10, None), (11, "b")}     # strict < excludes it
+
+
+def test_hll_sketch_merge_identity(spark, sf_dir):
+    """Union of per-group sketches must estimate the same as one
+    whole-table sketch, and land within 5% of the exact count."""
+    e = load_table(spark, sf_dir, "events")
+    merged = (e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+              .groupBy().agg(F.hll_union_agg("sk").alias("g"))
+              .select(F.hll_sketch_estimate("g").alias("est")).head().est)
+    whole = (e.groupBy().agg(F.hll_sketch_agg("user_id").alias("sk"))
+             .select(F.hll_sketch_estimate("sk").alias("est")).head().est)
+    exact = e.select("user_id").distinct().count()
+    assert merged == whole
+    assert abs(merged - exact) / exact < 0.05
