@@ -563,3 +563,36 @@ def filter_is_true(spark: SparkSession, sf_dir: str) -> DataFrame:
                (NULL > 1) IS UNKNOWN                AS is_unknown
         FROM orders
         WHERE o_orderkey <= 1000""")
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+SELECT band_id, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+JOIN (VALUES (1, 0.0, 50000.0),
+             (2, 40000.0, 120000.0),
+             (3, 100000.0, 400000.0)) AS b(band_id, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice <= hi
+GROUP BY band_id
+ORDER BY band_id
+""",
+    doc="Interval (band) join executed as a binned EQUI-join + residual "
+        "filter (operators/range_join.py) — the scale path when neither "
+        "side broadcasts; value-identical to the naive range join the "
+        "oracle runs.",
+    tags=("join", "range"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import point_interval_range_join
+    orders = (table(spark, sf_dir, "orders")
+              .select("o_orderkey", F.col("o_totalprice")))
+    bands = spark.createDataFrame(
+        [(1, 0.0, 50000.0), (2, 40000.0, 120000.0), (3, 100000.0, 400000.0)],
+        "band_id int, lo double, hi double")
+    joined = point_interval_range_join(
+        orders, bands, "o_totalprice", "lo", "hi", bin_width=25000.0)
+    return (joined.groupBy("band_id")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("band_id"))

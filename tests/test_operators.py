@@ -221,3 +221,26 @@ def test_hll_sketch_merge_identity(spark, sf_dir):
     exact = e.select("user_id").distinct().count()
     assert merged == whole
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_binned_range_join_equals_naive(spark, sf_dir):
+    from iceberg_datafusion_arrow_flight_spark.operators.range_join import (
+        point_interval_range_join)
+    orders = (load_table(spark, sf_dir, "orders")
+              .selectExpr("o_orderkey", "o_totalprice AS pt"))
+    bands = spark.createDataFrame(
+        [(1, 0.0, 50000.0), (2, 40000.0, 120000.0), (3, 100000.0, 400000.0)],
+        "band_id int, lo double, hi double")
+    naive = (orders.crossJoin(bands)
+             .where("pt >= lo AND pt <= hi")
+             .select("o_orderkey", "band_id"))
+    binned = point_interval_range_join(
+        orders, bands, "pt", "lo", "hi", bin_width=25000.0) \
+        .select("o_orderkey", "band_id")
+    assert sorted(map(tuple, naive.collect())) == \
+        sorted(map(tuple, binned.collect()))
+    # and the plan is a hash join on the bin, not a nested loop
+    plan = binned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    assert "NestedLoop" not in plan
