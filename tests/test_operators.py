@@ -244,3 +244,16 @@ def test_binned_range_join_equals_naive(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("simple"))
     assert "NestedLoop" not in plan
+
+
+def test_embedding_near_dup_lsh_recall(spark, sf_dir):
+    from iceberg_datafusion_arrow_flight_spark.operators import similarity
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    exact = {(r.id_a, r.id_b) for r in
+             similarity.near_dup_pairs(emb, threshold=0.35).collect()}
+    approx = {(r.id_a, r.id_b) for r in
+              similarity.near_dup_pairs_lsh(emb, threshold=0.35).collect()}
+    assert approx <= exact  # verify step guarantees no false positives
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.6, f"LSH near-dup recall too low: {recall:.2f}"
