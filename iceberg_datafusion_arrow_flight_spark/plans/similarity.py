@@ -142,3 +142,17 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return S.ann_ivf_topk(queries, emb, k=10)
+
+
+@register(
+    "sim_embedding_near_dup_lsh",
+    oracle=None,  # approximate: recall + no-false-positive pytest
+    doc="Embedding near-dup at scale: hyperplane-LSH buckets (4 planes "
+        "x 12 tables) + exact cosine verify — bucketed twin of "
+        "sim_embedding_near_dup; no false positives by construction. "
+        "operators/similarity.py:near_dup_pairs_lsh.",
+    tags=("similarity", "dedup", "approx"),
+)
+def sim_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.near_dup_pairs_lsh(table(spark, sf_dir, "embeddings"),
+                                threshold=0.35)

@@ -41,6 +41,8 @@ from collections import OrderedDict
 from dataclasses import dataclass, field
 
 import pyarrow as pa
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..dialect import rewrite_sql, split_params
@@ -89,6 +91,12 @@ class EngineService:
 
     root: SparkSession
     max_cached_results: int = 64
+    # per-session init — the analogue of the reference injecting its
+    # catalog list into every new SessionContext (lib.rs:94-103).  On an
+    # Iceberg deployment the catalog is session-global and this is None;
+    # for temp-view-backed tables pass e.g.
+    # ``lambda s: register_tables(s, sf_dir)``.
+    session_init: Callable[[SparkSession], None] | None = None
     sessions: dict[str, SparkSession] = field(default_factory=dict)
     statements: dict[str, PreparedStatement] = field(default_factory=dict)
     results: OrderedDict = field(default_factory=OrderedDict)
@@ -106,6 +114,8 @@ class EngineService:
         token = str(uuid.uuid4())
         session = self.root.newSession()
         register_dialect_functions(session)
+        if self.session_init is not None:
+            self.session_init(session)
         self.sessions[token] = session
         return token
 
