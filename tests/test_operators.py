@@ -257,3 +257,25 @@ def test_embedding_near_dup_lsh_recall(spark, sf_dir):
     if exact:
         recall = len(approx) / len(exact)
         assert recall >= 0.6, f"LSH near-dup recall too low: {recall:.2f}"
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir):
+    import shutil
+    from iceberg_datafusion_arrow_flight_spark.operators.compaction import (
+        compact_parquet, dataset_bytes)
+    src = "/root/repo/.scratch/compact_src"
+    dst = "/root/repo/.scratch/compact_dst"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(32).write.mode("overwrite").parquet(src)
+    n_in = sum(1 for f in __import__("os").listdir(src)
+               if f.endswith(".parquet"))
+    assert n_in == 32
+    n_out = compact_parquet(spark, src, dst,
+                            target_file_bytes=dataset_bytes(src),
+                            sort_by=["o_orderkey"])
+    assert n_out <= 2  # ~one target-sized file
+    assert spark.read.parquet(dst).count() == orders.count()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
