@@ -204,3 +204,15 @@ def test_set_statement_maps_datafusion_conf(service):
     h2 = service.create_prepared_statement(
         token, "SET datafusion.some.unknown.knob = true")
     assert service.execute_update(token, h2) == -1  # ignored, no error
+
+
+def test_empty_result_keeps_schema(service):
+    """lib.rs:282-286/339-342: an empty result still carries its schema
+    through the cache and fetch path."""
+    token = service.handshake("admin", "secret")
+    h = service.create_prepared_statement(
+        token, "SELECT 1 AS a, 'x' AS b WHERE 1 = 0")
+    service.execute(token, h)
+    t = service.fetch(h)
+    assert t.num_rows == 0
+    assert t.column_names == ["a", "b"]
