@@ -596,3 +596,26 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("o_totalprice"), 2).alias("total"))
             .orderBy("band_id"))
+
+
+@register(
+    "project_star_except",
+    oracle="""
+SELECT * EXCLUDE (n_comment_placeholder) FROM (
+  SELECT n_nationkey, n_name, n_regionkey,
+         'x' AS n_comment_placeholder
+  FROM nation) t
+ORDER BY n_nationkey
+""",
+    doc="SELECT * EXCEPT(col) projection modifier (DF40 select "
+        "modifiers, SURVEY §2.2; DuckDB spells it EXCLUDE).",
+    tags=("projection",),
+)
+def star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql("""
+        SELECT * EXCEPT (n_comment_placeholder) FROM (
+          SELECT n_nationkey, n_name, n_regionkey,
+                 'x' AS n_comment_placeholder
+          FROM nation) t
+        ORDER BY n_nationkey""")

@@ -113,3 +113,19 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_join_strategy_hints_honored(spark, sf_dir):
+    """SURVEY §2.3: DF40 offers sort-merge as an opt-in physical
+    alternative (prefer_hash_join=false); Spark exposes the same control
+    per-join via hints — all three strategies must be reachable."""
+    from iceberg_datafusion_arrow_flight_spark.sources.registry import load_table
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer") \
+        .withColumnRenamed("c_custkey", "o_custkey")
+    for hint, marker in [("merge", "SortMergeJoin"),
+                         ("shuffle_hash", "ShuffledHashJoin"),
+                         ("broadcast", "BroadcastHashJoin")]:
+        j = orders.join(cust.hint(hint), "o_custkey")
+        plan = _explain(j, "simple")
+        assert marker in plan, f"hint {hint} not honored:\n{plan}"
