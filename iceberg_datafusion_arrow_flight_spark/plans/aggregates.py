@@ -12,6 +12,10 @@ Approximate aggregates (HLL distinct, quantile sketches) return
 engine-specific values, so they cannot hash-match a DuckDB oracle
 directly; instead the plan asserts the approximation is within tolerance
 of the exact value and emits the *boolean* — both engines then agree.
+
+All aggregate semantics here are [P] behavior of the pinned
+datafusion-functions-aggregate 40.0.0 (Cargo.lock:1187), reachable only
+through ctx.sql at iceberg-datafusion-arrow-flight/src/lib.rs:678 (SURVEY §2.4).
 """
 
 from __future__ import annotations

@@ -13,6 +13,10 @@ Contract (mirrors the driver's correctness gate, see ``__spark_entry__.py``):
   total order, unique tie-breaks in every window ORDER BY, and
   floating-point aggregates rounded on both sides (cross-engine float
   summation order differs in the last ulp; rounding makes the hash stable).
+
+Every [P] operator row in SURVEY §2 is reachable in the reference only
+via ctx.sql (iceberg-datafusion-arrow-flight/src/lib.rs:678); this registry is the
+Spark-side enumeration of that surface.
 """
 
 from __future__ import annotations

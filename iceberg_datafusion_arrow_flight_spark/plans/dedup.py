@@ -7,6 +7,9 @@ verified outputs equal exhaustive-exact computations that DuckDB can run
 — the oracle for MinHash-LSH is the *exact* Jaccard pair join (what LSH
 approximates), and for SimHash the full signature computation replicated
 in SQL.
+
+North-star extension (SURVEY §7.1 step 7) — no counterpart in the
+reference; operators live in operators/dedup.py.
 """
 
 from __future__ import annotations

@@ -12,6 +12,10 @@ Scale: tumbling/sliding windows are hash aggregates keyed by (window,
 key) — partial aggregation applies, so shuffle is O(windows × keys).
 Session windows require a per-key sort (gaps-and-islands); Spark's
 session_window does it in one pass after a shuffle on user_id.
+
+The reference has no event-time operators (SURVEY §2.10 — its streams
+are transport-level only, lib.rs:288-295); these are north-star
+extensions on Spark event-time primitives.
 """
 
 from __future__ import annotations

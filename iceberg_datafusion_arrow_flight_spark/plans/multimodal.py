@@ -2,6 +2,9 @@
 :mod:`..operators.multimodal`).  The Pandas-UDF outputs are fully
 deterministic (stub decode = length + md5 + metadata), so DuckDB can
 oracle-check the whole mapInPandas pipeline in SQL.
+
+North-star extension (SURVEY §7.1 step 7) — no counterpart in the
+reference; operators live in operators/multimodal.py.
 """
 
 from __future__ import annotations

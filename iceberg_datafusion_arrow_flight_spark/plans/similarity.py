@@ -4,6 +4,9 @@
 The DuckDB oracles replicate the identical left-fold float arithmetic
 (list_reduce over list_zip, zero-prepended) so doubles agree bit-for-bit
 before the shared ROUND(…, 6).
+
+North-star extension (SURVEY §7.1 step 7) — no counterpart in the
+reference; operators live in operators/similarity.py.
 """
 
 from __future__ import annotations

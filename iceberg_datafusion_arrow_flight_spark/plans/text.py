@@ -1,5 +1,8 @@
 """Text-analysis plans over ``documents`` (implementations in
-:mod:`..operators.text`)."""
+:mod:`..operators.text`).
+North-star extension (SURVEY §7.1 step 7) — no counterpart in the
+reference; operators live in operators/text.py.
+"""
 
 from __future__ import annotations
 

@@ -15,6 +15,9 @@ Scale: a window over PARTITION BY k is one shuffle on k + a per-partition
 sort; skewed partition keys are the hazard (here the partition keys are
 low-cardinality but the fixture is small; at 100 TB you'd partition
 windows by a higher-cardinality key or pre-bucket).
+
+Window semantics are [P] datafusion 40.0.0 (Cargo.toml:20) reachable
+through ctx.sql at iceberg-datafusion-arrow-flight/src/lib.rs:678 (SURVEY §2.5).
 """
 
 from __future__ import annotations
