@@ -49,10 +49,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
-    # Warm the JVM/scheduler so the first measured query isn't charged
-    # for session start-up (the reference's engine warm-up is its process
-    # start, outside its per-query path too).
+    # Warm the JVM/scheduler AND the vectorized parquet-read + codegen
+    # paths so the first measured query isn't charged for session
+    # start-up (the reference's engine warm-up is its process start,
+    # outside its per-query path too).
     spark.range(1000).selectExpr("sum(id)").collect()
+    from iceberg_datafusion_arrow_flight_spark.sources.registry import load_table
+    load_table(spark, sf_dir, "region").groupBy("r_name").count().collect()
 
     names = [n for n in HEADLINE if n in REGISTRY]
     times: dict[str, float] = {}

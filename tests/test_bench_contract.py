@@ -1,0 +1,24 @@
+"""bench.py driver contract: ONE JSON line with the required keys."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def test_bench_emits_single_json_line():
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True, text=True, timeout=900,
+        env={"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+             "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "HOME": "/root", "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")},
+        cwd="/root/repo")
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    payload = json.loads(lines[-1])
+    assert payload["unit"] == "sec"
+    assert isinstance(payload["value"], (int, float))
+    assert payload["queries"] and all(
+        isinstance(v, (int, float)) for v in payload["queries"].values())
+    assert payload["sf"] == 0.001
