@@ -87,10 +87,17 @@ def near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
 
 def _plane_component(plane: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
-    md5-derived 24-bit value scaled.  Engine-portable."""
-    h = F.conv(F.substring(F.md5(F.lit(f"plane{plane}|d{dim}").cast("binary")), 1, 6),
-               16, 10).cast("double")
-    return h / F.lit(float(1 << 23)) - 1.0
+    md5-derived 24-bit value scaled.
+
+    Computed DRIVER-side (hashlib) and embedded as a literal — the
+    original in-plan ``F.md5`` spelling was semantically identical but
+    put planes×dims×tables md5 expressions into the logical plan
+    (3,072 for the near-dup defaults); Catalyst analysis+codegen over
+    that expression forest cost ~30 s per query before the first row.
+    Same value either way; constants belong in the plan as constants."""
+    import hashlib
+    h = int(hashlib.md5(f"plane{plane}|d{dim}".encode()).hexdigest()[:6], 16)
+    return F.lit(h / float(1 << 23) - 1.0)
 
 
 def lsh_bucket(vec: Column, n_planes: int, dims: int, table_seed: int = 0) -> Column:
