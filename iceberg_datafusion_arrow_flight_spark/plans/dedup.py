@@ -143,3 +143,27 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"),
                                  "doc_id", "text", n=3,
                                  threshold_num=8, threshold_den=10)
+
+
+@register(
+    "dedup_token_jaccard_ppjoin",
+    oracle=f"""
+WITH toks AS ({_TOKS})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.ts, b.ts)) * 1.0 /
+             len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE 10 * len(list_intersect(a.ts, b.ts))
+      >= 9 * len(list_distinct(list_concat(a.ts, b.ts)))
+""",
+    doc="Prefix-filtered exact set-similarity join (PPJoin family) at "
+        "token Jaccard >= 0.9 — the SAME result set as dedup_minhash_lsh "
+        "computed by a second, independent exact algorithm (equi-join on "
+        "pigeonhole prefixes instead of banded MinHash). "
+        "operators/dedup.py:ngram_jaccard_pairs(n=1).",
+    tags=("dedup",),
+)
+def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"),
+                                 "doc_id", "text", n=1,
+                                 threshold_num=9, threshold_den=10)
