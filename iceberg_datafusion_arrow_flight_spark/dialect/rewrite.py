@@ -57,6 +57,13 @@ NAME_ALIASES: dict[str, str] = {
     "arrow_typeof": "typeof",
     "strpos": "df_strpos",               # SQL UDF (arg order)
     "iszero": "df_iszero",               # SQL UDF
+    # DF numeric trunc / codec encode-decode collide with Spark builtins
+    # of the same name but different semantics (date trunc, charset
+    # encode); in the DF dialect these spellings are numeric/codec-only,
+    # so the rename is unconditional and faithful.
+    "trunc": "df_trunc",                 # SQL UDF (s DEFAULT 0)
+    "encode": "df_encode",               # SQL UDF (hex|base64)
+    "decode": "df_decode",               # SQL UDF (hex|base64)
     "datepart": "date_part",
     "list_append": "array_append",
     "list_prepend": "array_prepend",

@@ -13,11 +13,14 @@ registration of an existing builtin name raises
 ``CANNOT_REPLACE_NON_SQL_UDF_WITH_SQL_UDF`` and is skipped, so this
 module stays correct across Spark versions that absorb more names.
 
-Documented gaps (SURVEY §7.2 "document, not build"): numeric ``trunc(x,s)``
-(Spark's ``trunc`` is date-only and builtins can't be shadowed — spell
-``round``/``floor``), ``gcd``/``lcm`` (no loop in SQL UDFs),
-``encode``/``decode`` hex|base64 dispatch (name collides with Spark's
-charset ``encode``), ``to_timestamp_nanos`` (µs engine precision).
+Former "documented gaps" now closed here, still expression-only:
+numeric ``trunc(x,s)`` (→ ``df_trunc`` + dialect rename; builtins can't
+be shadowed directly), ``gcd``/``lcm`` (bounded-Euclid ``aggregate``
+fold — 96 iterations covers every 64-bit pair, worst case is the
+Fibonacci pair fib(92),fib(91)), ``encode``/``decode`` hex|base64
+dispatch (→ ``df_encode``/``df_decode`` + dialect rename around the
+Spark charset-``encode`` collision), ``to_timestamp_nanos``
+(ns → µs truncation, the Iceberg-Spark precision limit).
 """
 
 from __future__ import annotations
@@ -88,6 +91,46 @@ SQL_UDFS: dict[str, str] = {
     "array_has_all": ("CREATE OR REPLACE TEMPORARY FUNCTION array_has_all"
                       "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN "
                       "RETURN size(array_except(b, a)) = 0"),
+    # DF numeric trunc(x[, s]): truncate toward zero at scale s (Spark's
+    # `trunc` builtin is date-only; dialect renames trunc → df_trunc).
+    "df_trunc": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION df_trunc"
+        "(x DOUBLE, s INT DEFAULT 0) RETURNS DOUBLE "
+        "RETURN sign(x) * floor(abs(x) * power(10, s)) / power(10, s)"),
+    # DF gcd(a, b): SQL has no loop, but `aggregate` over a constant
+    # sequence IS a bounded fold — Euclid needs ≤ 92 steps for any two
+    # 64-bit ints (worst case: consecutive Fibonacci numbers), so 96
+    # iterations make the fold exact, whole-stage-codegen'd, no Python.
+    "gcd": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION gcd(a BIGINT, b BIGINT) "
+        "RETURNS BIGINT RETURN aggregate(sequence(1, 96), "
+        "struct(abs(a) AS x, abs(b) AS y), "
+        "(acc, i) -> CASE WHEN acc.y = 0 THEN acc "
+        "ELSE struct(acc.y AS x, acc.x % acc.y AS y) END, "
+        "acc -> acc.x)"),
+    # DF lcm(a, b) = |a / gcd(a,b) * b| (divide first to avoid overflow).
+    "lcm": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION lcm(a BIGINT, b BIGINT) "
+        "RETURNS BIGINT RETURN CASE WHEN a = 0 OR b = 0 THEN 0 "
+        "ELSE abs((a DIV gcd(a, b)) * b) END"),
+    # DF encode/decode(x, 'hex'|'base64') codec dispatch.  Spark's
+    # builtin encode/decode are charset converters — the dialect layer
+    # renames DF's spelling to these (DF40 hex output is lowercase).
+    "df_encode": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION df_encode"
+        "(s STRING, fmt STRING) RETURNS STRING RETURN CASE lower(fmt) "
+        "WHEN 'hex' THEN lower(hex(s)) "
+        "WHEN 'base64' THEN base64(s) END"),
+    "df_decode": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION df_decode"
+        "(s STRING, fmt STRING) RETURNS BINARY RETURN CASE lower(fmt) "
+        "WHEN 'hex' THEN unhex(s) "
+        "WHEN 'base64' THEN unbase64(s) END"),
+    # DF to_timestamp_nanos(ns): engine precision is µs (Iceberg-Spark
+    # limit, GAPS.md) — sub-µs digits truncate, by design.
+    "to_timestamp_nanos": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_nanos"
+        "(n BIGINT) RETURNS TIMESTAMP RETURN timestamp_micros(n DIV 1000)"),
 }
 
 

@@ -327,3 +327,38 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.percentile_approx("l_extendedprice", 0.5, 10000)
                - F.percentile("l_extendedprice", F.lit(0.5)))
          <= 0.05 * F.percentile("l_extendedprice", F.lit(0.5))).alias("quantile_ok"))
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag,
+         l_extendedprice AS v,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+             PARTITION BY l_returnflag ORDER BY l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+             PARTITION BY l_returnflag) AS tot
+  FROM lineitem)
+SELECT l_returnflag,
+       MIN(CASE WHEN cw >= 0.25 * tot THEN v END) AS p25,
+       MIN(CASE WHEN cw >= 0.5 * tot THEN v END) AS p50,
+       MIN(CASE WHEN cw >= 0.9 * tot THEN v END) AS p90
+FROM c GROUP BY l_returnflag
+""",
+    doc="Weighted percentile — exact form of DF40's "
+        "approx_percentile_cont_with_weight(v, w, q) (former GAPS.md "
+        "row): price quantiles weighted by quantity per returnflag, "
+        "inverse-weighted-CDF lower rule, all quantiles in one window "
+        "pass.  Integer-cast weights make the running sum exact, so the "
+        "result is deterministic under value ties and hash-matches the "
+        "oracle.  operators/percentile.py:weighted_percentile.",
+    tags=("aggregate",),
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentile import weighted_percentile
+    li = table(spark, sf_dir, "lineitem")
+    return weighted_percentile(
+        li, "l_extendedprice", F.col("l_quantity").cast("bigint"),
+        {"p25": 0.25, "p50": 0.5, "p90": 0.9}, by=("l_returnflag",))

@@ -200,3 +200,74 @@ WHERE o_orderkey <= 300
 )
 def at_time_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_dialect(spark, sf_dir, _AT_TZ, ("orders",))
+
+
+# DF numeric trunc (1- and 2-arg), gcd/lcm (expression-only bounded
+# Euclid fold), ns-timestamp construction — the former GAPS.md rows.
+_TRUNC_GCD = """
+SELECT o_orderkey,
+       trunc(o_totalprice / 7, 2) AS p_trunc2,
+       trunc(o_totalprice / 7) AS p_trunc0,
+       gcd(o_orderkey, o_custkey) AS g,
+       lcm(o_orderkey % 120, o_custkey % 84) AS l,
+       to_timestamp_nanos(1704067200000000000 + o_orderkey * 1000000123) AS ts
+FROM orders
+WHERE o_orderkey <= 5000
+"""
+
+
+@register(
+    "dialect_trunc_gcd_lcm_nanos",
+    oracle="""
+SELECT o_orderkey,
+       sign(o_totalprice / 7) * floor(abs(o_totalprice / 7) * 100) / 100
+           AS p_trunc2,
+       trunc(o_totalprice / 7) AS p_trunc0,
+       CAST(gcd(o_orderkey, o_custkey) AS BIGINT) AS g,
+       CAST(lcm(o_orderkey % 120, o_custkey % 84) AS BIGINT) AS l,
+       make_timestamp((1704067200000000000 + o_orderkey * 1000000123) // 1000)
+           AS ts
+FROM orders
+WHERE o_orderkey <= 5000
+""",
+    doc="Numeric trunc(x[,s]) (truncate toward zero at scale), gcd/lcm "
+        "(bounded-Euclid `aggregate` fold, 96 iterations ≥ the 64-bit "
+        "worst case — no Python, whole-stage codegen), and "
+        "to_timestamp_nanos (ns→µs truncation).  DuckDB oracle uses its "
+        "NATIVE trunc/gcd/lcm, so the fold is independently verified.",
+    tags=("dialect",),
+)
+def trunc_gcd_lcm_nanos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_dialect(spark, sf_dir, _TRUNC_GCD, ("orders",))
+
+
+_ENCODE_DECODE = """
+SELECT p_partkey,
+       encode(p_name, 'hex') AS name_hex,
+       encode(p_name, 'base64') AS name_b64,
+       decode(encode(p_name, 'hex'), 'hex')::string AS roundtrip_hex,
+       decode(encode(p_name, 'base64'), 'base64')::string AS roundtrip_b64
+FROM part
+WHERE p_partkey <= 400
+"""
+
+
+@register(
+    "dialect_encode_decode",
+    oracle="""
+SELECT p_partkey,
+       lower(hex(p_name)) AS name_hex,
+       to_base64(encode(p_name)) AS name_b64,
+       decode(from_hex(lower(hex(p_name)))) AS roundtrip_hex,
+       decode(from_base64(to_base64(encode(p_name)))) AS roundtrip_b64
+FROM part
+WHERE p_partkey <= 400
+""",
+    doc="DF encode/decode(x, 'hex'|'base64') codec dispatch around the "
+        "Spark charset-encode name collision (dialect rename → "
+        "df_encode/df_decode SQL UDFs); hex + base64 round-trips, "
+        "DuckDB-native codec oracle.",
+    tags=("dialect",),
+)
+def encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_dialect(spark, sf_dir, _ENCODE_DECODE, ("part",))

@@ -96,3 +96,66 @@ def test_at_time_zone_rewrite():
     assert rewrite_at_time_zone(
         "SELECT date_trunc('day', ts) AT TIME ZONE 'Asia/Tokyo'") == \
         "SELECT from_utc_timestamp(date_trunc('day', ts), 'Asia/Tokyo')"
+
+
+def test_trunc_encode_decode_renames():
+    out = rewrite_sql("SELECT trunc(x, 2), encode(s, 'hex'), decode(s, 'hex')")
+    assert out == ("SELECT df_trunc(x, 2), df_encode(s, 'hex'), "
+                   "df_decode(s, 'hex')")
+    # date_trunc must NOT be touched by the numeric-trunc rename
+    assert rewrite_sql("SELECT date_trunc('day', ts)") == \
+        "SELECT date_trunc('day', ts)"
+
+
+def test_gcd_lcm_fold_matches_python(spark):
+    import math
+    register_dialect_functions(spark)
+    rows = spark.sql(
+        "SELECT id AS a, (id * 7919) % 997 AS b, "
+        "       gcd(id, (id * 7919) % 997) AS g, "
+        "       lcm(id, (id * 7919) % 997) AS l "
+        "FROM range(0, 500)").collect()
+    for r in rows:
+        assert r.g == math.gcd(r.a, r.b), (r.a, r.b)
+        assert r.l == math.lcm(r.a, r.b), (r.a, r.b)
+    # worst case for the 96-iteration bound: consecutive Fibonacci numbers
+    fib = spark.sql(
+        "SELECT gcd(7540113804746346429, 4660046610375530309) AS g").head()
+    assert fib.g == 1
+
+
+def test_trunc_toward_zero_and_nanos(spark):
+    register_dialect_functions(spark)
+    row = spark.sql(
+        "SELECT df_trunc(3.567, 2) AS a, df_trunc(-3.567, 2) AS b, "
+        "       df_trunc(3.9) AS c, df_trunc(1234.5, -2) AS d, "
+        "       to_timestamp_nanos(1704067200123456789) AS ts").head()
+    assert (row.a, row.b, row.c, row.d) == (3.56, -3.56, 3.0, 1200.0)
+    assert row.ts.microsecond == 123456  # ns digits truncate to µs
+
+
+def test_weighted_percentile_matches_bruteforce(spark):
+    from iceberg_datafusion_arrow_flight_spark.operators.percentile import (
+        weighted_percentile)
+    import random
+    rng = random.Random(7)
+    data = [("g%d" % (i % 3), float(rng.randint(1, 100)), rng.randint(1, 9))
+            for i in range(300)]
+    df = spark.createDataFrame(data, "grp string, v double, w int")
+    got = {r.grp: (r.p50, r.p90)
+           for r in weighted_percentile(df, "v", "w",
+                                        {"p50": 0.5, "p90": 0.9},
+                                        by=("grp",)).collect()}
+
+    def brute(q, rows):
+        rows = sorted(rows)
+        tot = sum(w for _, w in rows)
+        cw = 0
+        for v, w in rows:
+            cw += w
+            if cw >= q * tot:
+                return v
+
+    for g in ("g0", "g1", "g2"):
+        rows = [(v, w) for grp, v, w in data if grp == g]
+        assert got[g] == (brute(0.5, rows), brute(0.9, rows))
