@@ -163,21 +163,59 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str,
             .drop("__csim", "__cr", "__cent_vec"))
 
 
+def kmeans_centroids(df: DataFrame, id_col: str, vec_col: str,
+                     k: int, iters: int = 3) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical k-means (Lloyd) coarse quantizer for IVF.
+
+    Init = the ``k`` lowest-id vectors; each iteration assigns every
+    vector to its nearest centroid by cosine (broadcast map-side pass,
+    no shuffle of the vector table) and recomputes centroids as
+    per-dimension means (partial+final hash aggregate — ``dims`` avg
+    columns, shuffle ∝ k·dims, not rows).  Centroids are collected to
+    the driver between iterations (k·dims doubles — tiny) so every
+    iteration starts from literals: lineage stays flat and the assign
+    stage broadcasts constants, the same trick that removed the LSH
+    planning overhead.  Empty cells keep their previous centroid.
+    Returns ``[(cell_id, centroid_vec), ...]`` for broadcast reuse."""
+    spark = df.sparkSession
+    base = (df.select(F.col(id_col).alias("__id"),
+                      _as_double(F.col(vec_col)).alias("__v"))
+            .cache())
+    init = base.orderBy("__id").limit(k).collect()
+    cents = {i + 1: list(r["__v"]) for i, r in enumerate(init)}
+    dims = len(init[0]["__v"])
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(c, v) for c, v in sorted(cents.items())],
+            "__cell INT, __cent_vec ARRAY<DOUBLE>")
+        assigned = ivf_assign(base, cdf, "__v", nprobe=1)
+        new = (assigned.groupBy("__cell")
+               .agg(F.array(*[F.avg(F.col("__v")[i]) for i in range(dims)])
+                    .alias("__mean"))
+               .collect())
+        cents.update({r["__cell"]: list(r["__mean"]) for r in new})
+    base.unpersist()
+    return [(c, v) for c, v in sorted(cents.items())]
+
+
 def ann_ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                  n_centroids: int = 32, nprobe: int = 4,
                  query_id: str = "vec_id", corpus_id: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding", train_iters: int = 0) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     into ``n_centroids`` cells, probe the ``nprobe`` nearest cells per
     query, exact-cosine rerank within probed cells.
 
-    The coarse quantizer is DETERMINISTIC: centroids are the
-    ``n_centroids`` lowest-id corpus vectors (a k-means fit would add an
-    iterative dependency for marginal recall on fixtures; at 100 TB
-    train real centroids offline and broadcast them the same way —
-    the plan shape does not change).  Approximate results are
-    engine-specific → rows-only driver check; recall vs. brute force is
-    asserted in tests (like :func:`ann_lsh_topk`).
+    The coarse quantizer is DETERMINISTIC either way: with
+    ``train_iters=0`` centroids are the ``n_centroids`` lowest-id corpus
+    vectors; with ``train_iters>0`` they are refined by
+    :func:`kmeans_centroids` (deterministic init → deterministic fit) —
+    better-balanced cells, higher recall per probe.  At 100 TB train
+    centroids on a sample (the fit cost is one broadcast pass per
+    iteration) and broadcast them the same way — the query plan shape
+    does not change.  Approximate results are engine-specific →
+    rows-only driver check; recall vs. brute force is asserted in tests
+    (like :func:`ann_lsh_topk`).
 
     Scale: corpus assignment is one broadcast pass; the probe join is an
     equi-join on cell id — shuffle is keyed by cell, sized by the
@@ -186,9 +224,15 @@ def ann_ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                        _as_double(F.col(vec_col)).alias("qv"))
     c = corpus.select(F.col(corpus_id).alias("corpus_id"),
                       _as_double(F.col(vec_col)).alias("cv"))
-    cents = (c.orderBy("corpus_id").limit(n_centroids)
-             .select(F.col("corpus_id").alias("__cell"),
-                     F.col("cv").alias("__cent_vec")))
+    if train_iters > 0:
+        trained = kmeans_centroids(corpus, corpus_id, vec_col,
+                                   k=n_centroids, iters=train_iters)
+        cents = queries.sparkSession.createDataFrame(
+            trained, "__cell INT, __cent_vec ARRAY<DOUBLE>")
+    else:
+        cents = (c.orderBy("corpus_id").limit(n_centroids)
+                 .select(F.col("corpus_id").alias("__cell"),
+                         F.col("cv").alias("__cent_vec")))
     c_cells = ivf_assign(c, cents, "cv", nprobe=1)
     q_cells = ivf_assign(q, cents, "qv", nprobe=nprobe)
     sims = (q_cells.join(c_cells, "__cell")

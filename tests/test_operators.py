@@ -279,3 +279,30 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir):
     assert spark.read.parquet(dst).count() == orders.count()
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_ivf_kmeans_trained_recall(spark, sf_dir):
+    from iceberg_datafusion_arrow_flight_spark.operators import similarity
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r.query_id, r.corpus_id)
+             for r in similarity.topk_cosine(queries, emb, k=10).collect()}
+
+    def recall(train_iters):
+        got = {(r.query_id, r.corpus_id)
+               for r in similarity.ann_ivf_topk(
+                   queries, emb, k=10, nprobe=8,
+                   train_iters=train_iters).collect()}
+        return len(exact & got) / len(exact)
+
+    untrained, trained = recall(0), recall(2)
+    # Lloyd refinement must not hurt, and stays deterministic
+    assert trained >= untrained - 0.02, (trained, untrained)
+    assert trained >= 0.5, trained
+    again = {(r.query_id, r.corpus_id)
+             for r in similarity.ann_ivf_topk(queries, emb, k=10, nprobe=8,
+                                              train_iters=2).collect()}
+    got = {(r.query_id, r.corpus_id)
+           for r in similarity.ann_ivf_topk(queries, emb, k=10, nprobe=8,
+                                            train_iters=2).collect()}
+    assert again == got
