@@ -174,3 +174,29 @@ def copy_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()
     shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+@register(
+    "io_copy_to_csv_roundtrip",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS total
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    doc="COPY ... FORMAT CSV (the third DF40 COPY format) -> "
+        "df.write.csv with header + typed schema read-back; doubles "
+        "survive because Spark's CSV writer round-trips them losslessly "
+        "(ROUND'ed identically on both sides regardless).",
+    tags=("io",),
+)
+def copy_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (table(spark, sf_dir, "lineitem")
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("total")))
+    path = os.path.join(_SCRATCH, f"copyc_{uuid.uuid4().hex[:8]}")
+    out.write.mode("overwrite").option("header", True).csv(path)
+    result = spark.read.schema(out.schema).option("header", True).csv(path)
+    rows = result.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

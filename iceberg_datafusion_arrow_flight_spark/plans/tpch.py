@@ -474,3 +474,133 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (all_nations.groupBy("o_year")
             .agg(F.round(share, 6).alias("mkt_share"))
             .orderBy("o_year"))
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="TPC-H Q4 (order priority checking), fixture-adapted predicate: "
+        "correlated EXISTS with an inequality on both relations' columns "
+        "— Catalyst decorrelates to a LEFT SEMI join "
+        "(RewritePredicateSubquery; SURVEY §2.8).  Scale: semi-join "
+        "shuffles on orderkey, never materializes matches.",
+    tags=("tpch", "subquery", "join"),
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc="TPC-H Q13 (customer order distribution): LEFT OUTER join with "
+        "an extra join-side predicate (kept in the join, NOT pushed as a "
+        "filter — outer semantics), aggregate-of-aggregate.  Scale: "
+        "first agg keyed by custkey (pre-shuffled by the join), second "
+        "agg is O(distinct counts).",
+    tags=("tpch", "join", "aggregate"),
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cst = table(spark, sf_dir, "customer")
+    ords = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (cst.join(ords, cst.c_custkey == ords.o_custkey, "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = l_partkey)
+""",
+    doc="TPC-H Q17 (small-quantity-order revenue): correlated SCALAR "
+        "subquery (per-part average) — Catalyst decorrelates to an "
+        "aggregate + join (RewriteCorrelatedScalarSubquery; SURVEY "
+        "§2.8).  Scale: the per-part avg is a partial agg keyed by "
+        "partkey, reusing the join's partitioning; part dim broadcasts.",
+    tags=("tpch", "subquery", "join", "aggregate"),
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = l_partkey)""")
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    doc="TPC-H Q22 (global sales opportunity), fixture-adapted grouping "
+        "(nationkey for the missing phone prefix; anti-join on URGENT orders so every SF yields rows): uncorrelated scalar "
+        "subquery (broadcast single-row threshold) + NOT EXISTS → LEFT "
+        "ANTI join.  Scale: anti-join shuffles on custkey; the scalar "
+        "threshold is computed once and broadcast into the filter.",
+    tags=("tpch", "subquery", "join", "aggregate"),
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""")

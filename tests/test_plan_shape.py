@@ -129,3 +129,25 @@ def test_join_strategy_hints_honored(spark, sf_dir):
         j = orders.join(cust.hint(hint), "o_custkey")
         plan = _explain(j, "simple")
         assert marker in plan, f"hint {hint} not honored:\n{plan}"
+
+
+def test_subquery_decorrelation_plan_shapes(spark, sf_dir):
+    """Q4/Q17/Q22: Catalyst must decorrelate each subquery family into
+    the right join — no per-row subquery execution survives at scale."""
+    q4 = _explain(REGISTRY["tpch_q4_order_priority"].build(spark, sf_dir))
+    assert "SemiJoin" in q4 or "LeftSemi" in q4, q4
+    q17 = _explain(
+        REGISTRY["tpch_q17_small_quantity_revenue"].build(spark, sf_dir))
+    # correlated scalar avg becomes an aggregate joined back on partkey
+    assert "HashAggregate" in q17 and q17.count("Join") >= 2, q17
+    q22 = _explain(
+        REGISTRY["tpch_q22_global_sales_opportunity"].build(spark, sf_dir))
+    assert "AntiJoin" in q22 or "LeftAnti" in q22, q22
+
+
+def test_q13_outer_join_predicate_stays_in_join(spark, sf_dir):
+    """Q13's orders-side predicate must filter the join input, not turn
+    the outer join inner — every customer row must survive."""
+    df = REGISTRY["tpch_q13_customer_distribution"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "LeftOuter" in plan or "left_outer" in plan, plan
