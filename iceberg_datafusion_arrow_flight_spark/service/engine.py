@@ -100,6 +100,11 @@ class EngineService:
     sessions: dict[str, SparkSession] = field(default_factory=dict)
     statements: dict[str, PreparedStatement] = field(default_factory=dict)
     results: OrderedDict = field(default_factory=OrderedDict)
+    # per-session `SET datafusion.*` values — backs the df_settings
+    # virtual table (the reference enables information_schema incl.
+    # df_settings at lib.rs:92; settings arrive via SessionConfig
+    # env/SET).  Keyed token → {datafusion key → value}.
+    df_overrides: dict[str, dict[str, str]] = field(default_factory=dict)
 
     # ------------------------------------------------------------ auth
     def handshake(self, username: str, password: str) -> str:
@@ -137,6 +142,25 @@ class EngineService:
         return (sql.replace("current_database()", f"'{db}'")
                    .replace("current_schema()", f"'{schema}'"))
 
+    # ------------------------------------------------- df_settings view
+    def _materialize_df_settings(self, token: str,
+                                 session: SparkSession) -> None:
+        """(Re)build the ``df_settings`` temp view: every mapped
+        DataFusion knob with its CURRENT Spark-side value, overlaid
+        with any `SET datafusion.*` this session issued (including
+        accepted-and-ignored unmapped keys — faithful to SHOW ALL
+        listing whatever was set)."""
+        rows = {}
+        for df_key, spark_key in DATAFUSION_CONF_MAP.items():
+            try:
+                rows[df_key] = str(session.conf.get(spark_key))
+            except Exception:
+                rows[df_key] = ""
+        rows.update(self.df_overrides.get(token, {}))
+        session.createDataFrame(sorted(rows.items()),
+                                "name STRING, value STRING"
+                                ).createOrReplaceTempView("df_settings")
+
     # ------------------------------------------------------------ prepare
     def create_prepared_statement(self, token: str, sql: str) -> str:
         session = self._session(token)
@@ -145,6 +169,16 @@ class EngineService:
             self.statements[handle] = PreparedStatement(
                 token, sql, sql, is_rollback=True)
             return handle
+        # SHOW ALL / information_schema.df_settings introspection
+        # (SURVEY §2.1: information_schema enabled at lib.rs:92).
+        if re.match(r"^\s*SHOW\s+ALL\s*;?\s*$", sql, re.IGNORECASE):
+            sql = "SELECT name, value FROM df_settings ORDER BY name"
+            self._materialize_df_settings(token, session)
+        elif re.search(r"\binformation_schema\.df_settings\b", sql,
+                       re.IGNORECASE):
+            sql = re.sub(r"\binformation_schema\.df_settings\b",
+                         "df_settings", sql, flags=re.IGNORECASE)
+            self._materialize_df_settings(token, session)
         translated = rewrite_sql(self._env_identity_pass(sql))
         has_params = ":p" in translated and "$" in sql
         st = PreparedStatement(token, sql, translated, has_params=has_params)
@@ -208,6 +242,8 @@ class EngineService:
             spark_key = DATAFUSION_CONF_MAP.get(m.group(1).lower())
             if spark_key is not None:
                 session.conf.set(spark_key, m.group(2))
+            self.df_overrides.setdefault(st.token, {})[
+                m.group(1).lower()] = m.group(2)
             return -1
         self._dataframe(st, session).collect()
         return -1
@@ -226,5 +262,6 @@ class EngineService:
 
     def close_session(self, token: str) -> None:
         self.sessions.pop(token, None)
+        self.df_overrides.pop(token, None)
         for h in [h for h, s in self.statements.items() if s.token == token]:
             self.close_prepared_statement(token, h)

@@ -216,3 +216,23 @@ def test_empty_result_keeps_schema(service):
     t = service.fetch(h)
     assert t.num_rows == 0
     assert t.column_names == ["a", "b"]
+
+
+def test_show_all_and_df_settings(service):
+    token = service.handshake("admin", "secret")
+    # SET a mapped knob and an unmapped (accepted-and-ignored) knob
+    for stmt in ("SET datafusion.execution.target_partitions = 8",
+                 "SET datafusion.explain.logical_plan_only = true"):
+        h = service.create_prepared_statement(token, stmt)
+        assert service.execute_update(token, h) == -1
+    ticket = service.execute(
+        token, service.create_prepared_statement(token, "SHOW ALL"))
+    settings = {r["name"]: r["value"]
+                for r in service.fetch(ticket).to_pylist()}
+    assert settings["datafusion.execution.target_partitions"] == "8"
+    assert settings["datafusion.explain.logical_plan_only"] == "true"
+    # information_schema spelling, filtered
+    ticket2 = service.execute(token, service.create_prepared_statement(
+        token, "SELECT value FROM information_schema.df_settings "
+               "WHERE name = 'datafusion.execution.batch_size'"))
+    assert service.fetch(ticket2).num_rows == 1
