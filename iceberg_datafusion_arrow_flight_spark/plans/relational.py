@@ -619,3 +619,37 @@ def star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
                  'x' AS n_comment_placeholder
           FROM nation) t
         ORDER BY n_nationkey""")
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+SELECT s_name, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY s_name
+""",
+    doc="Deterministically SALTED equi-join (skew toolkit as a "
+        "first-class query): the fact side gets pmod(xxhash64(row), 8) "
+        "salt, the dim side replicates 8x, join keys become (suppkey, "
+        "salt) — a single hot supplier spreads over 8 tasks instead of "
+        "stalling one.  Value-equal to the plain join (the oracle IS "
+        "the plain join).  operators/skew.py:salted_join; salting is "
+        "hash-of-row, not rand(), so task retries are deterministic.",
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+    li = (table(spark, sf_dir, "lineitem")
+          .select(F.col("l_suppkey").alias("suppkey"),
+                  "l_extendedprice", "l_discount"))
+    sup = (table(spark, sf_dir, "supplier")
+           .select(F.col("s_suppkey").alias("suppkey"), "s_name"))
+    joined = salted_join(li, sup, on="suppkey", salt=8)
+    return (joined.groupBy("s_name")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("s_name"))
