@@ -62,6 +62,7 @@ NAME_ALIASES: dict[str, str] = {
     # encode); in the DF dialect these spellings are numeric/codec-only,
     # so the rename is unconditional and faithful.
     "trunc": "df_trunc",                 # SQL UDF (s DEFAULT 0)
+    "regexp_match": "df_regexp_match",   # SQL UDF (first-match groups)
     "encode": "df_encode",               # SQL UDF (hex|base64)
     "decode": "df_decode",               # SQL UDF (hex|base64)
     "datepart": "date_part",

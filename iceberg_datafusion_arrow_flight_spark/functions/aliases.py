@@ -91,6 +91,20 @@ SQL_UDFS: dict[str, str] = {
     "array_has_all": ("CREATE OR REPLACE TEMPORARY FUNCTION array_has_all"
                       "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN "
                       "RETURN size(array_except(b, a)) = 0"),
+    # DF/Postgres regexp_match(s, p): capture groups of the FIRST match
+    # (whole match when the pattern has no groups), NULL when no match.
+    # The capture-group count is computed FROM THE PATTERN ITSELF
+    # (unescaped '(' not followed by '?'), so group patterns need no
+    # per-call arity — full semantics in one codegen'd expression.
+    "df_regexp_match": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION df_regexp_match"
+        "(s STRING, p STRING) RETURNS ARRAY<STRING> RETURN "
+        "CASE WHEN s IS NULL OR p IS NULL THEN NULL "
+        "WHEN NOT s RLIKE p THEN NULL "
+        r"WHEN regexp_count(p, '(?<!\\\\)\\((?!\\?)') = 0 "
+        "THEN array(regexp_extract(s, p, 0)) "
+        r"ELSE transform(sequence(1, regexp_count(p, '(?<!\\\\)\\((?!\\?)')), "
+        "i -> regexp_extract(s, p, i)) END"),
     # DF numeric trunc(x[, s]): truncate toward zero at scale s (Spark's
     # `trunc` builtin is date-only; dialect renames trunc → df_trunc).
     "df_trunc": (

@@ -271,3 +271,38 @@ WHERE p_partkey <= 400
 )
 def encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_dialect(spark, sf_dir, _ENCODE_DECODE, ("part",))
+
+
+_REGEXP_MATCH = """
+SELECT o_orderkey,
+       regexp_match(o_orderpriority, '([0-9])-([A-Z]+)') AS prio_parts,
+       regexp_match(o_orderpriority, 'URGENT') AS urgent_match
+FROM orders
+WHERE o_orderkey <= 1000
+"""
+
+
+@register(
+    "dialect_regexp_match",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN regexp_matches(o_orderpriority, '([0-9])-([A-Z]+)')
+            THEN [regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 1),
+                  regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 2)]
+       END AS prio_parts,
+       CASE WHEN regexp_matches(o_orderpriority, 'URGENT')
+            THEN [regexp_extract(o_orderpriority, 'URGENT')]
+       END AS urgent_match
+FROM orders
+WHERE o_orderkey <= 1000
+""",
+    doc="DF/Postgres regexp_match → array of first-match capture groups "
+        "(whole match when the pattern has no groups, NULL on no "
+        "match).  The shim derives the group count FROM the pattern "
+        "(unescaped '(' not followed by '?'), so one expression covers "
+        "any arity — no Python.  DuckDB oracle spells the same "
+        "semantics with its native regexp functions.",
+    tags=("dialect",),
+)
+def regexp_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_dialect(spark, sf_dir, _REGEXP_MATCH, ("orders",))

@@ -159,3 +159,16 @@ def test_weighted_percentile_matches_bruteforce(spark):
     for g in ("g0", "g1", "g2"):
         rows = [(v, w) for grp, v, w in data if grp == g]
         assert got[g] == (brute(0.5, rows), brute(0.9, rows))
+
+
+def test_regexp_match_semantics(spark):
+    register_dialect_functions(spark)
+    rows = spark.sql(
+        "SELECT df_regexp_match('foobarbaz', 'b..') AS whole, "
+        "       df_regexp_match('2024-01-15', '([0-9]+)-([0-9]+)-([0-9]+)') AS groups, "
+        "       df_regexp_match('abc', 'z+') AS nomatch, "
+        "       df_regexp_match('xab', 'x(?:a)(b)') AS noncapturing").head()
+    assert rows.whole == ["bar"]
+    assert rows.groups == ["2024", "01", "15"]
+    assert rows.nomatch is None
+    assert rows.noncapturing == ["b"]
