@@ -63,6 +63,10 @@ NAME_ALIASES: dict[str, str] = {
     # so the rename is unconditional and faithful.
     "trunc": "df_trunc",                 # SQL UDF (s DEFAULT 0)
     "regexp_match": "df_regexp_match",   # SQL UDF (first-match groups)
+    # DF array_remove = FIRST occurrence (SQL UDF); DF array_remove_all
+    # = Spark's builtin array_remove (removes all).
+    "array_remove": "df_array_remove",
+    "array_remove_all": "array_remove",
     "encode": "df_encode",               # SQL UDF (hex|base64)
     "decode": "df_decode",               # SQL UDF (hex|base64)
     "datepart": "date_part",

@@ -91,6 +91,46 @@ SQL_UDFS: dict[str, str] = {
     "array_has_all": ("CREATE OR REPLACE TEMPORARY FUNCTION array_has_all"
                       "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN "
                       "RETURN size(array_except(b, a)) = 0"),
+    # DF array family without Spark builtins (SURVEY §2.9 Array shims).
+    # SQL UDFs are typed; ARRAY<STRING> is the fixture-exercised arm —
+    # other element types coerce or can get sibling registrations.
+    # All 1-indexed like DF and Spark.
+    "array_positions": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION array_positions"
+        "(a ARRAY<STRING>, e STRING) RETURNS ARRAY<INT> RETURN "
+        "filter(transform(a, (x, i) -> "
+        "IF(x <=> e, CAST(i + 1 AS INT), CAST(NULL AS INT))), "
+        "x -> x IS NOT NULL)"),
+    # DF array_replace replaces the FIRST occurrence only.
+    "array_replace": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION array_replace"
+        "(a ARRAY<STRING>, f STRING, t STRING) RETURNS ARRAY<STRING> "
+        "RETURN transform(a, (x, i) -> "
+        "IF(i + 1 = array_position(a, f), t, x))"),
+    "array_replace_all": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION array_replace_all"
+        "(a ARRAY<STRING>, f STRING, t STRING) RETURNS ARRAY<STRING> "
+        "RETURN transform(a, x -> IF(x <=> f, t, x))"),
+    "array_resize": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION array_resize"
+        "(a ARRAY<STRING>, n INT, v STRING) RETURNS ARRAY<STRING> RETURN "
+        "IF(n <= size(a), slice(a, 1, n), "
+        "concat(a, array_repeat(v, n - size(a))))"),
+    # DF array_remove removes the FIRST occurrence; Spark's builtin of
+    # the same name removes ALL (it backs DF's array_remove_all via the
+    # dialect rename) — hence the df_ prefix here.
+    "df_array_remove": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION df_array_remove"
+        "(a ARRAY<STRING>, e STRING) RETURNS ARRAY<STRING> RETURN "
+        "filter(transform(a, (x, i) -> "
+        "IF(i + 1 = array_position(a, e), CAST(NULL AS STRING), x)), "
+        "x -> x IS NOT NULL)"),
+    # 1-D arrays only (Arrow/DF fixed nesting reads as nested ARRAY in
+    # Spark; multidim dims would recurse — out of fixture scope).
+    "array_dims": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION array_dims"
+        "(a ARRAY<STRING>) RETURNS ARRAY<INT> "
+        "RETURN array(CAST(size(a) AS INT))"),
     # DF/Postgres regexp_match(s, p): capture groups of the FIRST match
     # (whole match when the pattern has no groups), NULL when no match.
     # The capture-group count is computed FROM THE PATTERN ITSELF

@@ -306,3 +306,57 @@ WHERE o_orderkey <= 1000
 )
 def regexp_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_dialect(spark, sf_dir, _REGEXP_MATCH, ("orders",))
+
+
+_ARRAY_FAMILY = """
+SELECT c_custkey,
+       array_positions(make_array(c_mktsegment, 'x', c_mktsegment),
+                       c_mktsegment) AS pos,
+       array_replace(make_array(c_mktsegment, 'x', c_mktsegment),
+                     c_mktsegment, 'Y') AS rep_first,
+       array_replace_all(make_array(c_mktsegment, 'x', c_mktsegment),
+                         c_mktsegment, 'Y') AS rep_all,
+       array_resize(make_array(c_mktsegment, 'x'), 4, 'z') AS resized,
+       array_remove(make_array(c_mktsegment, 'x', c_mktsegment),
+                    c_mktsegment) AS rm_first,
+       array_remove_all(make_array(c_mktsegment, 'x', c_mktsegment),
+                        c_mktsegment) AS rm_all,
+       array_dims(make_array(c_mktsegment, 'x')) AS dims
+FROM customer
+WHERE c_custkey <= 500
+"""
+
+
+@register(
+    "dialect_array_family",
+    oracle="""
+SELECT c_custkey,
+       list_filter(list_transform([c_mktsegment, 'x', c_mktsegment],
+                     (x, i) -> CASE WHEN x = c_mktsegment
+                               THEN CAST(i AS INT) END),
+                   x -> x IS NOT NULL) AS pos,
+       list_transform([c_mktsegment, 'x', c_mktsegment],
+                      (x, i) -> CASE WHEN i = list_position(
+                                    [c_mktsegment, 'x', c_mktsegment],
+                                    c_mktsegment)
+                                THEN 'Y' ELSE x END) AS rep_first,
+       list_transform([c_mktsegment, 'x', c_mktsegment],
+                      x -> CASE WHEN x = c_mktsegment
+                           THEN 'Y' ELSE x END) AS rep_all,
+       [c_mktsegment, 'x', 'z', 'z'] AS resized,
+       ['x', c_mktsegment] AS rm_first,
+       ['x'] AS rm_all,
+       [CAST(2 AS INT)] AS dims
+FROM customer
+WHERE c_custkey <= 500
+""",
+    doc="DF array-family shims (SURVEY §2.9 Array): array_positions, "
+        "first-occurrence array_replace/array_remove vs _all variants "
+        "(DF's array_remove removes FIRST; Spark's same-named builtin "
+        "removes all and backs DF's array_remove_all), array_resize, "
+        "array_dims — all higher-order-lambda expressions, no Python; "
+        "DuckDB oracle via its native list lambdas.",
+    tags=("dialect",),
+)
+def array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_dialect(spark, sf_dir, _ARRAY_FAMILY, ("customer",))

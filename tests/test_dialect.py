@@ -172,3 +172,18 @@ def test_regexp_match_semantics(spark):
     assert rows.groups == ["2024", "01", "15"]
     assert rows.nomatch is None
     assert rows.noncapturing == ["b"]
+
+
+def test_array_remove_first_vs_all(spark):
+    register_dialect_functions(spark)
+    out = rewrite_sql("SELECT array_remove(a, e), array_remove_all(a, e)")
+    assert out == "SELECT df_array_remove(a, e), array_remove(a, e)"
+    row = spark.sql(
+        "SELECT df_array_remove(array('a','b','a'), 'a') AS first, "
+        "       array_remove(array('a','b','a'), 'a') AS al, "
+        "       array_replace(array('a','b','a'), 'a', 'X') AS rep, "
+        "       array_positions(array('a','b','a'), 'a') AS pos, "
+        "       array_resize(array('a'), 3, 'z') AS rs").head()
+    assert row.first == ["b", "a"] and row.al == ["b"]
+    assert row.rep == ["X", "b", "a"] and row.pos == [1, 3]
+    assert row.rs == ["a", "z", "z"]
