@@ -136,15 +136,22 @@ SQL_UDFS: dict[str, str] = {
     # The capture-group count is computed FROM THE PATTERN ITSELF
     # (unescaped '(' not followed by '?'), so group patterns need no
     # per-call arity — full semantics in one codegen'd expression.
+    # Optional 3rd arg = DF's flags ('i' case-insensitive, folded into
+    # the pattern as '(?i)'; 'g' changes multi-match shape in DF —
+    # unsupported here, documented).
     "df_regexp_match": (
         "CREATE OR REPLACE TEMPORARY FUNCTION df_regexp_match"
-        "(s STRING, p STRING) RETURNS ARRAY<STRING> RETURN "
+        "(s STRING, p STRING, flags STRING DEFAULT '') "
+        "RETURNS ARRAY<STRING> RETURN "
         "CASE WHEN s IS NULL OR p IS NULL THEN NULL "
-        "WHEN NOT s RLIKE p THEN NULL "
+        "WHEN NOT s RLIKE concat(IF(contains(flags, 'i'), '(?i)', ''), p) "
+        "THEN NULL "
         r"WHEN regexp_count(p, '(?<!\\\\)\\((?!\\?)') = 0 "
-        "THEN array(regexp_extract(s, p, 0)) "
+        "THEN array(regexp_extract(s, "
+        "concat(IF(contains(flags, 'i'), '(?i)', ''), p), 0)) "
         r"ELSE transform(sequence(1, regexp_count(p, '(?<!\\\\)\\((?!\\?)')), "
-        "i -> regexp_extract(s, p, i)) END"),
+        "i -> regexp_extract(s, "
+        "concat(IF(contains(flags, 'i'), '(?i)', ''), p), i)) END"),
     # DF numeric trunc(x[, s]): truncate toward zero at scale s (Spark's
     # `trunc` builtin is date-only; dialect renames trunc → df_trunc).
     "df_trunc": (

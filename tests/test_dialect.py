@@ -187,3 +187,11 @@ def test_array_remove_first_vs_all(spark):
     assert row.first == ["b", "a"] and row.al == ["b"]
     assert row.rep == ["X", "b", "a"] and row.pos == [1, 3]
     assert row.rs == ["a", "z", "z"]
+
+
+def test_regexp_match_case_insensitive_flag(spark):
+    register_dialect_functions(spark)
+    row = spark.sql(
+        "SELECT df_regexp_match('FooBar', 'foo(b..)', 'i') AS ci, "
+        "       df_regexp_match('FooBar', 'foo(b..)') AS cs").head()
+    assert row.ci == ["Bar"] and row.cs is None
