@@ -26,6 +26,31 @@ from __future__ import annotations
 
 import re
 
+# --------------------------------------------------------------- literals
+# The reference parses SQL with sqlparser, so its rewrites can never touch
+# the inside of a string literal.  The regex passes below get the same
+# guarantee by masking every single-quoted literal ('' is the SQL escape)
+# with an opaque sentinel before the literal-blind passes run, restoring
+# afterwards.  Passes whose *own syntax* includes a literal (SIMILAR TO,
+# to_char formats, AT TIME ZONE, regexp flags) run before masking — their
+# patterns only match a literal in keyword position, which cannot occur
+# inside another literal (literals don't nest).
+_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    saved: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        saved.append(m.group(0))
+        return f"'\x00{len(saved) - 1}\x00'"
+
+    return _LITERAL_RE.sub(stash, sql), saved
+
+
+def _unmask_literals(sql: str, saved: list[str]) -> str:
+    return re.sub(r"'\x00(\d+)\x00'", lambda m: saved[int(m.group(1))], sql)
+
 # --------------------------------------------------------------- renames
 # DataFusion name → Spark name.  Only names with IDENTICAL argument order
 # and semantics belong here; arg-order shims live in functions.aliases.
@@ -173,17 +198,55 @@ _CHRONO_TO_JDK = [
     ("%e", "d"), ("%f", "SSSSSSSSS"), ("%a", "EEE"), ("%A", "EEEE"),
     ("%b", "MMM"), ("%B", "MMMM"), ("%p", "a"), ("%%", "%"),
 ]
-_TO_CHAR_RE = re.compile(r"\bto_char\s*\(([^,]+),\s*'([^']*)'\s*\)",
-                         re.IGNORECASE)
+_TO_CHAR_OPEN = re.compile(r"\bto_char\s*\(", re.IGNORECASE)
+_TO_CHAR_FMT = re.compile(r"\s*'((?:[^']|'')*)'\s*\)")
+
+
+def _scan_first_arg(sql: str, start: int) -> int | None:
+    """Index of the depth-0 comma ending to_char's first argument, which
+    may itself contain commas — make_timestamp(y,m,d,...) etc."""
+    depth = 0
+    i = start
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":  # skip literal ('' escape included)
+            m = _LITERAL_RE.match(sql, i)
+            if not m:
+                return None
+            i = m.end()
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return None  # hit close before a depth-0 comma: not 2-arg
+            depth -= 1
+        elif c == "," and depth == 0:
+            return i
+        i += 1
+    return None
 
 
 def rewrite_to_char(sql: str) -> str:
-    def sub(m: re.Match) -> str:
-        fmt = m.group(2)
+    out = []
+    pos = 0
+    while True:
+        m = _TO_CHAR_OPEN.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        comma = _scan_first_arg(sql, m.end())
+        fmt_m = _TO_CHAR_FMT.match(sql, comma + 1) if comma is not None else None
+        if fmt_m is None:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        fmt = fmt_m.group(1)
         for chrono, jdk in _CHRONO_TO_JDK:
             fmt = fmt.replace(chrono, jdk)
-        return f"date_format({m.group(1)}, '{fmt}')"
-    return _TO_CHAR_RE.sub(sub, sql)
+        out.append(sql[pos:m.start()])
+        out.append(f"date_format({sql[m.end():comma]}, '{fmt}')")
+        pos = fmt_m.end()
 
 
 # --------------------------------------------------------------- DISTINCT ON
@@ -202,10 +265,15 @@ def rewrite_distinct_on(sql: str) -> str:
         return sql
     keys, cols, rest, order = m.group(1), m.group(2), m.group(3), m.group(4)
     order_by = order.strip() if order else keys
+    # Postgres guarantees the overall ORDER BY on the output, not just
+    # within the dedup window — keep it on the outer block (it may
+    # reference un-projected subquery columns; SQL resolves those from
+    # the FROM relation).
     return (
         f"SELECT {cols} FROM ("
         f"SELECT *, row_number() OVER (PARTITION BY {keys} "
-        f"ORDER BY {order_by}) AS __rn FROM {rest}) WHERE __rn = 1")
+        f"ORDER BY {order_by}) AS __rn FROM {rest}) WHERE __rn = 1 "
+        f"ORDER BY {order_by}")
 
 
 # --------------------------------------------------------------- AT TIME ZONE
@@ -222,20 +290,40 @@ def rewrite_at_time_zone(sql: str) -> str:
 
 
 # --------------------------------------------------------------- pipeline
-PASSES = [
+# Literal-consuming passes (their own grammar contains a quoted literal)
+# run on the raw SQL; literal-blind passes run with literals masked so a
+# '$5', '::', or function-looking substring INSIDE a string can never
+# trigger a rewrite.
+PASSES_RAW = [
     rewrite_distinct_on,   # before casts (keys may contain ::)
-    rewrite_pg_casts,
-    rewrite_params,
     rewrite_similar_to,
     rewrite_regexp_flags,
     rewrite_to_char,
     rewrite_at_time_zone,
+]
+PASSES_MASKED = [
+    rewrite_pg_casts,
+    rewrite_params,
     rename_functions,
 ]
+# Back-compat: the full pass list, in execution order (tests enumerate it).
+PASSES = PASSES_RAW + PASSES_MASKED
 
 
 def rewrite_sql(sql: str) -> str:
     """Translate one DataFusion-dialect statement to Spark SQL."""
-    for p in PASSES:
+    for p in PASSES_RAW:
         sql = p(sql)
-    return sql
+    masked, saved = _mask_literals(sql)
+    for p in PASSES_MASKED:
+        masked = p(masked)
+    return _unmask_literals(masked, saved)
+
+
+def find_params(sql: str) -> list[str]:
+    """``$n`` parameter names present OUTSIDE string literals — the
+    correct basis for "does this statement have parameters" decisions
+    (a literal like 'costs $5' must not count)."""
+    masked, _ = _mask_literals(sql)
+    return sorted({m.group(1) for m in _PARAM_RE.finditer(masked)},
+                  key=int)

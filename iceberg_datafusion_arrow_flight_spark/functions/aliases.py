@@ -131,6 +131,15 @@ SQL_UDFS: dict[str, str] = {
         "CREATE OR REPLACE TEMPORARY FUNCTION array_dims"
         "(a ARRAY<STRING>) RETURNS ARRAY<INT> "
         "RETURN array(CAST(size(a) AS INT))"),
+    # DF array_ndims / array_empty (dialect renames point here; same 1-D
+    # scope as array_dims above).  NULL array → NULL, like DF.
+    "df_array_ndims": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION df_array_ndims"
+        "(a ARRAY<STRING>) RETURNS INT "
+        "RETURN IF(a IS NULL, CAST(NULL AS INT), 1)"),
+    "df_array_empty": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION df_array_empty"
+        "(a ARRAY<STRING>) RETURNS BOOLEAN RETURN size(a) = 0"),
     # DF/Postgres regexp_match(s, p): capture groups of the FIRST match
     # (whole match when the pattern has no groups), NULL when no match.
     # The capture-group count is computed FROM THE PATTERN ITSELF

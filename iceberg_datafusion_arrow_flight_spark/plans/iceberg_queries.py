@@ -1,0 +1,104 @@
+"""Iceberg table lifecycle, exercised end-to-end (SURVEY §2.1 rows 1/5/6).
+
+The reference's core identity — the thing every one of its queries sits on —
+is a catalog-managed Iceberg table: DataFusion reads through the catalog
+(iceberg-datafusion-arrow-flight/src/lib.rs:94-103), and INSERTs commit
+snapshots atomically (iceberg-datafusion-arrow-flight-sql/src/main.rs:73,
+-rest/src/main.rs:62-90).  Round 1 only *configured* that path; these
+queries run the actual lifecycle through
+:mod:`..sources.iceberg_lite`:
+
+    CREATE TABLE → INSERT (snapshot 1) → INSERT (snapshot 2)
+    → read current / time-travel to snapshot 1 → aggregate
+
+The writes land in a per-run temp warehouse; the *output* of each query is
+an aggregate over fixture data, so the oracle is plain SQL over the same
+Parquet and the driver's hash check applies unchanged.
+
+Scale: writes are executor-side ``df.write.parquet``; the commit is a
+KB-sized metadata CAS; reads scan exactly the manifest's file list — the
+lifecycle cost is independent of table size.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.iceberg_lite import SqliteCatalog
+from .base import register, table
+
+
+def _fresh_catalog() -> SqliteCatalog:
+    root = tempfile.mkdtemp(prefix="spark_graft_iceberg_")
+    return SqliteCatalog(os.path.join(root, "catalog.db"),
+                         warehouse=os.path.join(root, "warehouse"))
+
+
+def _split_orders(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = table(spark, sf_dir, "orders")
+    return (orders.where(F.col("o_orderkey") % 2 == 0),
+            orders.where(F.col("o_orderkey") % 2 == 1))
+
+
+def _agg_cols():
+    # built lazily: Column construction needs an active SparkContext
+    return [F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price")]
+
+
+@register(
+    "iceberg_table_lifecycle",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="CREATE TABLE in a SQLite (JDBC-layout) catalog, two INSERT "
+        "commits (append snapshots with CAS pointer swap), read back the "
+        "current snapshot and aggregate.  Equals the same aggregate over "
+        "the source table iff both appends committed exactly once.",
+    tags=("iceberg", "catalog", "write"),
+)
+def iceberg_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    even, odd = _split_orders(spark, sf_dir)
+    t = cat.create_table("sales", "orders_iceberg", even)
+    t.append(even)   # snapshot 1
+    t.append(odd)    # snapshot 2
+    return (t.read(spark)
+            .groupBy("o_orderstatus").agg(*_agg_cols())
+            .orderBy("o_orderstatus"))
+
+
+@register(
+    "iceberg_time_travel",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Time travel: after two append snapshots, read AS OF the first "
+        "snapshot id — only the first insert's rows are visible (the "
+        "second snapshot's files are not in the pinned manifest).",
+    tags=("iceberg", "catalog", "time-travel"),
+)
+def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    even, odd = _split_orders(spark, sf_dir)
+    t = cat.create_table("sales", "orders_tt", even)
+    first = t.append(even)
+    t.append(odd)
+    return (t.read(spark, snapshot_id=first)
+            .groupBy("o_orderstatus").agg(*_agg_cols())
+            .orderBy("o_orderstatus"))

@@ -281,8 +281,8 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_shipping",
     oracle="""
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_count,
-       SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS open_count
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_count,
+       CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS open_count
 FROM orders
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -303,8 +303,8 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         ords.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
-            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("finished_count"),
-            F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)).alias("open_count"))
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("bigint").alias("finished_count"),
+            F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)).cast("bigint").alias("open_count"))
         .orderBy("o_orderpriority")
     )
 

@@ -46,6 +46,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..dialect import rewrite_sql, split_params
+from ..dialect.rewrite import find_params
 from ..functions import register_dialect_functions
 
 ROLLBACK_LITERAL = "rollback"  # exact match, like lib.rs:677
@@ -180,7 +181,9 @@ class EngineService:
                          "df_settings", sql, flags=re.IGNORECASE)
             self._materialize_df_settings(token, session)
         translated = rewrite_sql(self._env_identity_pass(sql))
-        has_params = ":p" in translated and "$" in sql
+        # parameters are counted OUTSIDE string literals — a literal like
+        # 'costs $5' must not defer schema analysis (ADVICE r1)
+        has_params = bool(find_params(sql))
         st = PreparedStatement(token, sql, translated, has_params=has_params)
         if not has_params:
             # eager analysis: schema available at prepare time, like the
@@ -194,11 +197,20 @@ class EngineService:
     def statement_schema(self, handle: str):
         return self.statements[handle].schema
 
-    # ------------------------------------------------------------ bind
-    def bind_parameters(self, token: str, handle: str, values: list) -> None:
+    def _owned(self, token: str, handle: str) -> PreparedStatement:
+        """Resolve a handle AND verify it belongs to the caller's session
+        — every post-prepare verb goes through here (the reference keys
+        all statement state per-session, lib.rs:87-132; a handle leaked
+        across sessions must not execute in, or expose results to,
+        another session)."""
         st = self.statements[handle]
         if st.token != token:
             raise AuthError("statement belongs to another session")
+        return st
+
+    # ------------------------------------------------------------ bind
+    def bind_parameters(self, token: str, handle: str, values: list) -> None:
+        st = self._owned(token, handle)
         st.args = split_params(values)
 
     # ------------------------------------------------------------ execute
@@ -212,7 +224,7 @@ class EngineService:
         """Run the statement, cache the FULL result (Arrow), return the
         fetch ticket (the handle itself, like FetchResults{handle} at
         lib.rs:351-361)."""
-        st = self.statements[handle]
+        st = self._owned(token, handle)
         session = self._session(token)
         if st.is_rollback:
             table = pa.table({"rollback": pa.array(["ROLLBACK"], pa.string())})
@@ -233,7 +245,7 @@ class EngineService:
         ``SET datafusion.x = v`` maps through DATAFUSION_CONF_MAP onto
         the session conf; unmapped DataFusion keys are accepted and
         ignored (compat)."""
-        st = self.statements[handle]
+        st = self._owned(token, handle)
         session = self._session(token)
         if st.is_rollback:
             return -1
@@ -249,7 +261,11 @@ class EngineService:
         return -1
 
     # ------------------------------------------------------------ fetch
-    def fetch(self, handle: str) -> pa.Table:
+    def fetch(self, token: str, handle: str) -> pa.Table:
+        """Cached-result fetch, keyed by the owner's session: a ticket
+        obtained by one session is not redeemable by another."""
+        if handle in self.statements:
+            self._owned(token, handle)
         try:
             return self.results[handle]
         except KeyError:
@@ -257,6 +273,8 @@ class EngineService:
 
     # ------------------------------------------------------------ close
     def close_prepared_statement(self, token: str, handle: str) -> None:
+        if handle in self.statements:
+            self._owned(token, handle)
         self.statements.pop(handle, None)
         self.results.pop(handle, None)
 

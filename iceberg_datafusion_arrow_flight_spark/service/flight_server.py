@@ -115,7 +115,7 @@ class SparkFlightServer(flight.FlightServerBase):
         token = self._token(context)
         handle = descriptor.command.decode()
         ticket_handle = self.service.execute(token, handle)
-        table = self.service.fetch(ticket_handle)
+        table = self.service.fetch(token, ticket_handle)
         endpoint = flight.FlightEndpoint(ticket_handle.encode(), [])
         # total_records/bytes -1: the reference never computes them
         # (lib.rs:368-370)
@@ -125,7 +125,9 @@ class SparkFlightServer(flight.FlightServerBase):
     def do_get(self, context, ticket):
         handle = ticket.ticket.decode()
         try:
-            table = self.service.fetch(handle)
+            table = self.service.fetch(self._token(context), handle)
+        except AuthError as exc:
+            raise flight.FlightUnauthorizedError(str(exc)) from exc
         except KeyError as exc:
             raise flight.FlightServerError(str(exc)) from exc
         return flight.RecordBatchStream(table)

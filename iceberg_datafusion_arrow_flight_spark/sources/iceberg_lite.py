@@ -1,0 +1,468 @@
+"""Iceberg table lifecycle — catalog-managed snapshots, exercised for real.
+
+The reference's identity is Iceberg tables behind a SQL catalog: tables are
+registered in a JDBC (SQLite/Postgres/MySQL) catalog and every write commits
+a new snapshot atomically through it
+(iceberg-datafusion-arrow-flight/src/lib.rs:94-103 wires the catalog into the
+session; iceberg-datafusion-arrow-flight-sql/src/main.rs:73 builds the
+``SqlCatalog``; writes go through ``commit_transaction`` so readers see
+either the old or the new snapshot, never a torn state).
+
+The Iceberg Spark runtime jar is not available in this container (no
+network; see GAPS.md), so this module implements the *table format
+semantics* directly from the public Iceberg spec
+(https://iceberg.apache.org/spec/), sized for the pieces the reference
+exercises:
+
+- **Catalog**: a SQLite database with Iceberg's JDBC-catalog table layout
+  (``iceberg_tables(catalog_name, table_namespace, table_name,
+  metadata_location, previous_metadata_location)``).  Commits are an
+  atomic compare-and-swap on ``metadata_location`` — exactly the JDBC
+  catalog's optimistic-concurrency protocol; a lost race raises
+  :class:`CommitFailedError` instead of corrupting the table.
+- **Metadata**: immutable, versioned ``vN.metadata.json`` files
+  (format-version 2 field names: table-uuid, schemas/schema-id,
+  current-snapshot-id, snapshots, snapshot-log).
+- **Snapshots**: every ``append``/``overwrite`` writes new Parquet data
+  files, a manifest listing them *with per-file row counts and per-column
+  min/max stats*, and a new metadata version pointing at the new snapshot.
+  Old snapshots stay readable → time travel by snapshot id or timestamp.
+- **Manifests**: JSON rather than the spec's Avro encoding (no Avro
+  library in the container — documented deviation; the *content* matches
+  the spec's manifest entries: file path, record count, file size, column
+  bounds).  Everything else round-trips the spec shape.
+
+Scale: the data path is pure Spark — ``df.write.parquet`` on the executors,
+``spark.read.parquet(paths)`` on read; only file *names and stats* pass
+through the committer (KB per snapshot, like Iceberg's manifest lists), so
+a 100 TB table costs the driver the same as a 100 MB one.  ``plan_files``
+does manifest-level min/max pruning, the same skip-scan Iceberg's
+``ManifestEvaluator`` performs, so selective reads open a subset of files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "SqliteCatalog",
+    "IcebergTable",
+    "CommitFailedError",
+    "NoSuchTableError",
+    "TableAlreadyExistsError",
+]
+
+
+class CommitFailedError(RuntimeError):
+    """Optimistic-concurrency CAS on metadata_location lost the race."""
+
+
+class NoSuchTableError(KeyError):
+    pass
+
+
+class TableAlreadyExistsError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Catalog — Iceberg JDBC-catalog table layout over stdlib sqlite3.
+# ---------------------------------------------------------------------------
+
+_DDL = """
+CREATE TABLE IF NOT EXISTS iceberg_tables (
+    catalog_name TEXT NOT NULL,
+    table_namespace TEXT NOT NULL,
+    table_name TEXT NOT NULL,
+    metadata_location TEXT,
+    previous_metadata_location TEXT,
+    PRIMARY KEY (catalog_name, table_namespace, table_name)
+)
+"""
+
+
+class SqliteCatalog:
+    """Iceberg JDBC catalog semantics on a SQLite file.
+
+    Mirrors ``SqlCatalog::new(&format!("sqlite://{path}"), name)`` in the
+    reference (iceberg-datafusion-arrow-flight-sql/src/main.rs:73): table
+    pointers live in the database, table *data* lives in the warehouse, and
+    the only mutable state is the ``metadata_location`` column, swapped
+    under a transaction.
+    """
+
+    def __init__(self, db_path: str, name: str = "lake",
+                 warehouse: str | None = None) -> None:
+        self.db_path = db_path
+        self.name = name
+        self.warehouse = warehouse or os.path.join(
+            os.path.dirname(db_path) or ".", "warehouse")
+        with self._conn() as conn:
+            conn.execute(_DDL)
+
+    def _conn(self) -> sqlite3.Connection:
+        conn = sqlite3.connect(self.db_path, timeout=30.0)
+        conn.isolation_level = None  # explicit BEGIN IMMEDIATE below
+        return conn
+
+    # -- table lifecycle ----------------------------------------------------
+
+    def create_table(self, namespace: str, name: str,
+                     df: DataFrame) -> "IcebergTable":
+        """CREATE TABLE: write metadata v1 (no snapshot), register pointer."""
+        location = os.path.join(self.warehouse, namespace, name)
+        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        metadata = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": location,
+            "last-sequence-number": 0,
+            "last-updated-ms": _now_ms(),
+            "schemas": [{"schema-id": 0, "type": "struct",
+                         "fields": _schema_fields(df)}],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "current-snapshot-id": None,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        metadata_location = _write_metadata(location, 1, metadata)
+        with self._conn() as conn:
+            conn.execute("BEGIN IMMEDIATE")
+            try:
+                conn.execute(
+                    "INSERT INTO iceberg_tables VALUES (?,?,?,?,NULL)",
+                    (self.name, namespace, name, metadata_location))
+                conn.execute("COMMIT")
+            except sqlite3.IntegrityError:
+                conn.execute("ROLLBACK")
+                raise TableAlreadyExistsError(f"{namespace}.{name}")
+        return IcebergTable(self, namespace, name)
+
+    def load_table(self, namespace: str, name: str) -> "IcebergTable":
+        if self._metadata_location(namespace, name) is None:
+            raise NoSuchTableError(f"{namespace}.{name}")
+        return IcebergTable(self, namespace, name)
+
+    def drop_table(self, namespace: str, name: str) -> None:
+        with self._conn() as conn:
+            conn.execute("BEGIN IMMEDIATE")
+            conn.execute(
+                "DELETE FROM iceberg_tables WHERE catalog_name=? AND "
+                "table_namespace=? AND table_name=?",
+                (self.name, namespace, name))
+            conn.execute("COMMIT")
+
+    def list_tables(self, namespace: str | None = None) -> list[tuple[str, str]]:
+        q = ("SELECT table_namespace, table_name FROM iceberg_tables "
+             "WHERE catalog_name=?")
+        args: tuple = (self.name,)
+        if namespace is not None:
+            q += " AND table_namespace=?"
+            args += (namespace,)
+        with self._conn() as conn:
+            return [tuple(r) for r in conn.execute(q + " ORDER BY 1, 2", args)]
+
+    # -- pointer CAS --------------------------------------------------------
+
+    def _metadata_location(self, namespace: str, name: str) -> str | None:
+        with self._conn() as conn:
+            row = conn.execute(
+                "SELECT metadata_location FROM iceberg_tables WHERE "
+                "catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.name, namespace, name)).fetchone()
+        return row[0] if row else None
+
+    def _swap_pointer(self, namespace: str, name: str,
+                      expected: str, new: str) -> None:
+        """Atomic CAS: the heart of the catalog commit protocol."""
+        with self._conn() as conn:
+            conn.execute("BEGIN IMMEDIATE")
+            cur = conn.execute(
+                "UPDATE iceberg_tables SET metadata_location=?, "
+                "previous_metadata_location=? WHERE catalog_name=? AND "
+                "table_namespace=? AND table_name=? AND metadata_location=?",
+                (new, expected, self.name, namespace, name, expected))
+            if cur.rowcount != 1:
+                conn.execute("ROLLBACK")
+                raise CommitFailedError(
+                    f"{namespace}.{name}: metadata_location moved from "
+                    f"{expected!r}; retry on the new base")
+            conn.execute("COMMIT")
+
+
+# ---------------------------------------------------------------------------
+# Table handle — snapshot-producing writes and snapshot-pinned reads.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DataFileEntry:
+    """One manifest entry (spec: manifest-entry → data_file struct)."""
+    file_path: str
+    record_count: int
+    file_size_in_bytes: int
+    lower_bounds: dict[str, object]
+    upper_bounds: dict[str, object]
+
+
+class IcebergTable:
+    def __init__(self, catalog: SqliteCatalog, namespace: str,
+                 name: str) -> None:
+        self.catalog = catalog
+        self.namespace = namespace
+        self.name = name
+
+    # -- metadata access ----------------------------------------------------
+
+    def _load_metadata(self) -> tuple[str, dict]:
+        loc = self.catalog._metadata_location(self.namespace, self.name)
+        if loc is None:
+            raise NoSuchTableError(f"{self.namespace}.{self.name}")
+        with open(loc) as f:
+            return loc, json.load(f)
+
+    def current_snapshot_id(self) -> int | None:
+        return self._load_metadata()[1]["current-snapshot-id"]
+
+    def snapshots(self) -> list[dict]:
+        return self._load_metadata()[1]["snapshots"]
+
+    def history(self) -> list[dict]:
+        return self._load_metadata()[1]["snapshot-log"]
+
+    def schema_fields(self) -> list[dict]:
+        md = self._load_metadata()[1]
+        (schema,) = [s for s in md["schemas"]
+                     if s["schema-id"] == md["current-schema-id"]]
+        return schema["fields"]
+
+    # -- write path ---------------------------------------------------------
+
+    def append(self, df: DataFrame) -> int:
+        """INSERT INTO semantics: new snapshot = old files + new files."""
+        return self._commit_write(df, operation="append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        """INSERT OVERWRITE semantics: new snapshot = new files only."""
+        return self._commit_write(df, operation="overwrite")
+
+    def _commit_write(self, df: DataFrame, operation: str) -> int:
+        base_location, metadata = self._load_metadata()
+        location = metadata["location"]
+        write_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(location, "data", write_id)
+        # Executors write the Parquet; the driver only ever sees file names
+        # and footer stats below.
+        df.write.mode("errorifexists").parquet(data_dir)
+        entries = _collect_entries(data_dir)
+
+        snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+        manifest_path = os.path.join(
+            location, "metadata", f"manifest-{snapshot_id}.json")
+        if operation == "append" and metadata["current-snapshot-id"]:
+            parent = _snapshot(metadata, metadata["current-snapshot-id"])
+            prior = _read_manifest_paths(parent)
+        else:
+            prior = []
+        _write_json(manifest_path, {
+            "schema-id": metadata["current-schema-id"],
+            "content": "data",
+            "entries": [e.__dict__ for e in entries],
+            "prior-manifests": prior if operation == "append" else [],
+        })
+
+        now = _now_ms()
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": metadata["current-snapshot-id"],
+            "sequence-number": metadata["last-sequence-number"] + 1,
+            "timestamp-ms": now,
+            "manifest-list": manifest_path,
+            "summary": {
+                "operation": operation,
+                "added-data-files": str(len(entries)),
+                "added-records": str(sum(e.record_count for e in entries)),
+            },
+            "schema-id": metadata["current-schema-id"],
+        }
+        metadata = dict(metadata)
+        metadata["last-sequence-number"] += 1
+        metadata["last-updated-ms"] = now
+        metadata["snapshots"] = metadata["snapshots"] + [snapshot]
+        metadata["current-snapshot-id"] = snapshot_id
+        metadata["snapshot-log"] = metadata["snapshot-log"] + [
+            {"timestamp-ms": now, "snapshot-id": snapshot_id}]
+        metadata["metadata-log"] = metadata["metadata-log"] + [
+            {"timestamp-ms": now, "metadata-file": base_location}]
+
+        version = _next_version(base_location)
+        new_location = _write_metadata(location, version, metadata)
+        # Atomic publish: losers raise CommitFailedError and must re-read +
+        # re-apply (their already-written data files are unreferenced, i.e.
+        # orphans — same cleanup story as real Iceberg).
+        self.catalog._swap_pointer(
+            self.namespace, self.name, base_location, new_location)
+        return snapshot_id
+
+    # -- read path ----------------------------------------------------------
+
+    def plan_files(self, snapshot_id: int | None = None,
+                   as_of_timestamp_ms: int | None = None,
+                   prune: tuple[str, object, object] | None = None,
+                   ) -> list[DataFileEntry]:
+        """Resolve the file set for a snapshot, with manifest-stat pruning.
+
+        ``prune=(col, lo, hi)`` keeps only files whose [min,max] range for
+        ``col`` intersects [lo, hi] — Iceberg's manifest-evaluator skip-scan.
+        """
+        _, metadata = self._load_metadata()
+        sid = snapshot_id
+        if sid is None and as_of_timestamp_ms is not None:
+            eligible = [s for s in metadata["snapshots"]
+                        if s["timestamp-ms"] <= as_of_timestamp_ms]
+            if not eligible:
+                raise NoSuchTableError(
+                    f"no snapshot at or before {as_of_timestamp_ms}")
+            sid = max(eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
+        if sid is None:
+            sid = metadata["current-snapshot-id"]
+        if sid is None:
+            return []
+        entries = _read_all_entries(_snapshot(metadata, sid))
+        if prune is not None:
+            col, lo, hi = prune
+            entries = [
+                e for e in entries
+                if e.lower_bounds.get(col) is None
+                or e.upper_bounds.get(col) is None
+                or not (e.upper_bounds[col] < lo or e.lower_bounds[col] > hi)
+            ]
+        return entries
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None,
+             as_of_timestamp_ms: int | None = None,
+             prune: tuple[str, object, object] | None = None) -> DataFrame:
+        """Snapshot-pinned read: the returned plan scans exactly the files
+        the manifest (after pruning) lists — Spark still does its own
+        row-group pushdown within each file."""
+        entries = self.plan_files(snapshot_id, as_of_timestamp_ms, prune)
+        if not entries:
+            schema = ", ".join(
+                f"`{f['name']}` {f['type']}" for f in self.schema_fields())
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*[e.file_path for e in entries])
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def _write_metadata(location: str, version: int, metadata: dict) -> str:
+    path = os.path.join(location, "metadata", f"v{version}.metadata.json")
+    _write_json(path, metadata)
+    return path
+
+
+def _next_version(metadata_location: str) -> int:
+    base = os.path.basename(metadata_location)  # vN.metadata.json
+    return int(base.split(".")[0][1:]) + 1
+
+
+def _snapshot(metadata: dict, snapshot_id: int) -> dict:
+    for s in metadata["snapshots"]:
+        if s["snapshot-id"] == snapshot_id:
+            return s
+    raise NoSuchTableError(f"snapshot {snapshot_id} not found")
+
+
+def _read_manifest_paths(snapshot: dict) -> list[str]:
+    """All manifest files reachable from a snapshot (itself + priors)."""
+    with open(snapshot["manifest-list"]) as f:
+        manifest = json.load(f)
+    return [snapshot["manifest-list"]] + manifest.get("prior-manifests", [])
+
+
+def _read_all_entries(snapshot: dict) -> list[DataFileEntry]:
+    entries: list[DataFileEntry] = []
+    for path in _read_manifest_paths(snapshot):
+        with open(path) as f:
+            manifest = json.load(f)
+        entries.extend(DataFileEntry(**e) for e in manifest["entries"])
+    return entries
+
+
+def _schema_fields(df: DataFrame) -> list[dict]:
+    return [{"id": i + 1, "name": f.name, "required": not f.nullable,
+             "type": f.dataType.simpleString()}
+            for i, f in enumerate(df.schema.fields)]
+
+
+def _collect_entries(data_dir: str) -> list[DataFileEntry]:
+    """Parquet footer stats → manifest entries (driver cost: one footer
+    read per written file, no data rows)."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for fname in sorted(os.listdir(data_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        path = os.path.join(data_dir, fname)
+        meta = pq.ParquetFile(path).metadata
+        lower: dict[str, object] = {}
+        upper: dict[str, object] = {}
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                stats = col.statistics
+                if stats is None or not stats.has_min_max:
+                    continue
+                name = col.path_in_schema
+                mn, mx = _plain(stats.min), _plain(stats.max)
+                if mn is None or mx is None:
+                    continue
+                lower[name] = mn if name not in lower else min(lower[name], mn)
+                upper[name] = mx if name not in upper else max(upper[name], mx)
+        entries.append(DataFileEntry(
+            file_path=path,
+            record_count=meta.num_rows,
+            file_size_in_bytes=os.path.getsize(path),
+            lower_bounds=lower,
+            upper_bounds=upper,
+        ))
+    return entries
+
+
+def _plain(value):
+    """JSON-encodable scalar (dates/timestamps/decimals → ISO strings)."""
+    if isinstance(value, (int, float, str, bool)) or value is None:
+        return value
+    if isinstance(value, bytes):
+        try:
+            return value.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return str(value)

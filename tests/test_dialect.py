@@ -54,7 +54,9 @@ def test_distinct_on_rewrite_shape():
     out = rewrite_distinct_on(
         "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC")
     assert "row_number() OVER (PARTITION BY k ORDER BY k, v DESC" in out
-    assert out.endswith("WHERE __rn = 1")
+    # Postgres guarantees the statement-level ORDER BY on the OUTPUT too
+    # (ADVICE r1) — the rewrite must keep an outer ORDER BY.
+    assert out.endswith("WHERE __rn = 1 ORDER BY k, v DESC")
 
 
 def test_rename_only_at_call_sites():
@@ -195,3 +197,44 @@ def test_regexp_match_case_insensitive_flag(spark):
         "SELECT df_regexp_match('FooBar', 'foo(b..)', 'i') AS ci, "
         "       df_regexp_match('FooBar', 'foo(b..)') AS cs").head()
     assert row.ci == ["Bar"] and row.cs is None
+
+
+# ----------------------------------------------------- ADVICE r1 regressions
+def test_literals_are_opaque_to_rewrites():
+    """String literals must never be rewritten (the reference parses with
+    sqlparser, so its literals are naturally safe)."""
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import rewrite_sql
+    sql = "SELECT 'costs $5' AS a, 'x::y' AS b, 'trunc(1)' AS c FROM t"
+    assert rewrite_sql(sql) == sql
+
+
+def test_find_params_ignores_literals():
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import find_params
+    assert find_params("SELECT 'costs $5' AS a") == []
+    assert find_params("SELECT $2 + $1, '$9'") == ["1", "2"]
+
+
+def test_literal_param_lookalike_executes(spark):
+    """'costs $5' must run as a plain parameter-less statement."""
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import rewrite_sql
+    out = spark.sql(rewrite_sql("SELECT 'costs $5' AS price")).collect()
+    assert out[0].price == "costs $5"
+
+
+def test_to_char_first_arg_with_commas():
+    out = rewrite_to_char(
+        "SELECT to_char(make_timestamp(2024, 1, 2, 3, 4, 5), '%Y-%m-%d') AS s")
+    assert out == ("SELECT date_format(make_timestamp(2024, 1, 2, 3, 4, 5), "
+                   "'yyyy-MM-dd') AS s")
+
+
+def test_distinct_on_output_order(spark, sf_dir):
+    """DISTINCT ON ... ORDER BY must order the OUTPUT rows."""
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import rewrite_sql
+    from iceberg_datafusion_arrow_flight_spark.sources.registry import load_table
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("t_don")
+    rows = spark.sql(rewrite_sql(
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_totalprice FROM t_don "
+        "ORDER BY o_custkey DESC, o_totalprice DESC")).collect()
+    keys = [r.o_custkey for r in rows]
+    assert keys == sorted(keys, reverse=True)

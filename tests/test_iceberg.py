@@ -1,0 +1,127 @@
+"""Iceberg lifecycle: catalog CAS commits, snapshots, time travel, pruning.
+
+Covers the reference's table-format identity (lib.rs:94-103 catalog wiring,
+sql/main.rs:73 SqlCatalog, atomic snapshot commits on INSERT) through
+``sources/iceberg_lite.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+    CommitFailedError,
+    NoSuchTableError,
+    SqliteCatalog,
+    TableAlreadyExistsError,
+)
+
+
+@pytest.fixture()
+def catalog(tmp_path) -> SqliteCatalog:
+    return SqliteCatalog(str(tmp_path / "catalog.db"),
+                         warehouse=str(tmp_path / "warehouse"))
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_create_insert_read_roundtrip(catalog, spark, orders):
+    t = catalog.create_table("sales", "orders", orders)
+    assert t.current_snapshot_id() is None          # v1: table, no data yet
+    t.append(orders)
+    got = t.read(spark)
+    assert got.count() == orders.count()
+    assert set(got.columns) == set(orders.columns)
+    # exactly one snapshot, operation recorded
+    (snap,) = t.snapshots()
+    assert snap["summary"]["operation"] == "append"
+    assert int(snap["summary"]["added-records"]) == orders.count()
+
+
+def test_append_accumulates_and_time_travel(catalog, spark, orders):
+    even = orders.where(F.col("o_orderkey") % 2 == 0)
+    odd = orders.where(F.col("o_orderkey") % 2 == 1)
+    t = catalog.create_table("sales", "orders_tt", orders)
+    s1 = t.append(even)
+    s2 = t.append(odd)
+    assert t.current_snapshot_id() == s2
+    assert t.read(spark).count() == orders.count()
+    # pinned read sees only the first commit
+    assert t.read(spark, snapshot_id=s1).count() == even.count()
+    # as-of-timestamp resolution picks the right snapshot
+    snaps = {s["snapshot-id"]: s for s in t.snapshots()}
+    assert t.read(
+        spark, as_of_timestamp_ms=snaps[s1]["timestamp-ms"]
+    ).count() == even.count()
+    # snapshot log is a parent chain
+    assert snaps[s2]["parent-snapshot-id"] == s1
+    assert [h["snapshot-id"] for h in t.history()] == [s1, s2]
+
+
+def test_overwrite_replaces_file_set(catalog, spark, orders):
+    even = orders.where(F.col("o_orderkey") % 2 == 0)
+    t = catalog.create_table("sales", "orders_ow", orders)
+    t.append(orders)
+    t.overwrite(even)
+    assert t.read(spark).count() == even.count()
+
+
+def test_commit_cas_conflict_is_loud(catalog, spark, orders):
+    t = catalog.create_table("sales", "orders_cas", orders)
+    stale_location = catalog._metadata_location("sales", "orders_cas")
+    t.append(orders)  # moves the pointer
+    with pytest.raises(CommitFailedError):
+        catalog._swap_pointer("sales", "orders_cas",
+                              stale_location, "/nowhere/v9.metadata.json")
+    # loser's failure did not corrupt the table
+    assert t.read(spark).count() == orders.count()
+
+
+def test_create_duplicate_and_missing(catalog, orders):
+    catalog.create_table("sales", "dup", orders)
+    with pytest.raises(TableAlreadyExistsError):
+        catalog.create_table("sales", "dup", orders)
+    with pytest.raises(NoSuchTableError):
+        catalog.load_table("sales", "absent")
+    assert ("sales", "dup") in catalog.list_tables()
+
+
+def test_manifest_stats_pruning_skips_files(catalog, spark, orders):
+    """Each append = disjoint o_orderkey range → selective read must plan
+    a strict subset of files (Iceberg manifest-evaluator behavior)."""
+    t = catalog.create_table("sales", "orders_prune",
+                             orders.coalesce(1))
+    keys = [r[0] for r in orders.select(F.max("o_orderkey")).collect()]
+    cut = keys[0] // 2
+    t.append(orders.where(F.col("o_orderkey") <= cut).coalesce(1))
+    t.append(orders.where(F.col("o_orderkey") > cut).coalesce(1))
+    all_files = t.plan_files()
+    pruned = t.plan_files(prune=("o_orderkey", 0, cut))
+    assert len(pruned) < len(all_files)
+    got = t.read(spark, prune=("o_orderkey", 0, cut)).where(
+        F.col("o_orderkey") <= cut)
+    assert got.count() == orders.where(F.col("o_orderkey") <= cut).count()
+
+
+def test_metadata_files_are_versioned_immutably(catalog, orders, tmp_path):
+    t = catalog.create_table("sales", "orders_meta", orders)
+    t.append(orders)
+    meta_dir = os.path.join(str(tmp_path), "warehouse", "sales",
+                            "orders_meta", "metadata")
+    versions = sorted(f for f in os.listdir(meta_dir)
+                      if f.endswith(".metadata.json"))
+    assert versions == ["v1.metadata.json", "v2.metadata.json"]
+
+
+def test_empty_table_read_has_schema(catalog, spark, orders):
+    t = catalog.create_table("sales", "orders_empty", orders)
+    got = t.read(spark)
+    assert got.count() == 0
+    assert "o_orderkey" in got.columns

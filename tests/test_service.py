@@ -47,12 +47,12 @@ def test_prepare_execute_fetch_close(service, spark):
         token, "SELECT 1 AS a UNION ALL SELECT 2")
     assert service.statement_schema(handle) is not None
     ticket = service.execute(token, handle)
-    table = service.fetch(ticket)
+    table = service.fetch(token, ticket)
     assert isinstance(table, pa.Table)
     assert sorted(table.column("a").to_pylist()) == [1, 2]
     service.close_prepared_statement(token, handle)
     with pytest.raises(KeyError):
-        service.fetch(ticket)
+        service.fetch(token, ticket)
 
 
 def test_rollback_special_case(service):
@@ -61,7 +61,7 @@ def test_rollback_special_case(service):
     token = service.handshake("admin", "secret")
     handle = service.create_prepared_statement(token, "rollback")
     service.execute(token, handle)
-    table = service.fetch(handle)
+    table = service.fetch(token, handle)
     assert table.column_names == ["rollback"]
     assert table.column("rollback").to_pylist() == ["ROLLBACK"]
 
@@ -71,7 +71,7 @@ def test_datafusion_dialect_accepted(service):
     handle = service.create_prepared_statement(
         token, "SELECT 42::bigint AS x, strpos('hello', 'll') AS p")
     service.execute(token, handle)
-    t = service.fetch(handle)
+    t = service.fetch(token, handle)
     assert t.column("x").to_pylist() == [42]
     assert t.column("p").to_pylist() == [3]
 
@@ -82,7 +82,7 @@ def test_bind_parameters(service):
         token, "SELECT $1 + $2 AS s, $1 AS again")
     service.bind_parameters(token, handle, [40, 2])
     service.execute(token, handle)
-    t = service.fetch(handle)
+    t = service.fetch(token, handle)
     assert t.column("s").to_pylist() == [42]
     assert t.column("again").to_pylist() == [40]
 
@@ -94,7 +94,7 @@ def test_execute_update_returns_minus_one(service):
     assert service.execute_update(token, handle) == -1
     h2 = service.create_prepared_statement(token, "SELECT x FROM svc_v")
     service.execute(token, h2)
-    assert service.fetch(h2).column("x").to_pylist() == [7]
+    assert service.fetch(token, h2).column("x").to_pylist() == [7]
 
 
 def test_session_isolation_between_tokens(service):
@@ -117,8 +117,8 @@ def test_result_cache_lru_bound(service):
         handles.append(h)
     assert len(service.results) == 4  # max_cached_results
     with pytest.raises(KeyError):
-        service.fetch(handles[0])  # evicted
-    assert service.fetch(handles[-1]).column("x").to_pylist() == [5]
+        service.fetch(token, handles[0])  # evicted
+    assert service.fetch(token, handles[-1]).column("x").to_pylist() == [5]
 
 
 def test_current_database_env_override(service, monkeypatch):
@@ -129,14 +129,14 @@ def test_current_database_env_override(service, monkeypatch):
     h = service.create_prepared_statement(
         token, "SELECT current_database() AS d, current_schema() AS s")
     service.execute(token, h)
-    t = service.fetch(h)
+    t = service.fetch(token, h)
     assert t.column("d").to_pylist() == ["datafusion"]
     assert t.column("s").to_pylist() == ["public"]
     monkeypatch.setenv("CURRENT_DATABASE", "mydb")
     h2 = service.create_prepared_statement(
         token, "SELECT current_database() AS d")
     service.execute(token, h2)
-    assert service.fetch(h2).column("d").to_pylist() == ["mydb"]
+    assert service.fetch(token, h2).column("d").to_pylist() == ["mydb"]
 
 
 # ----------------------------------------------------------------- flight
@@ -213,7 +213,7 @@ def test_empty_result_keeps_schema(service):
     h = service.create_prepared_statement(
         token, "SELECT 1 AS a, 'x' AS b WHERE 1 = 0")
     service.execute(token, h)
-    t = service.fetch(h)
+    t = service.fetch(token, h)
     assert t.num_rows == 0
     assert t.column_names == ["a", "b"]
 
@@ -228,11 +228,44 @@ def test_show_all_and_df_settings(service):
     ticket = service.execute(
         token, service.create_prepared_statement(token, "SHOW ALL"))
     settings = {r["name"]: r["value"]
-                for r in service.fetch(ticket).to_pylist()}
+                for r in service.fetch(token, ticket).to_pylist()}
     assert settings["datafusion.execution.target_partitions"] == "8"
     assert settings["datafusion.explain.logical_plan_only"] == "true"
     # information_schema spelling, filtered
     ticket2 = service.execute(token, service.create_prepared_statement(
         token, "SELECT value FROM information_schema.df_settings "
                "WHERE name = 'datafusion.execution.batch_size'"))
-    assert service.fetch(ticket2).num_rows == 1
+    assert service.fetch(token, ticket2).num_rows == 1
+
+
+def test_cross_session_handle_denied(service):
+    """ADVICE r1: a handle leaked across sessions must not execute in —
+    or expose cached results to — another session (the reference keys
+    all statement state per session, lib.rs:87-132)."""
+    t1 = service.handshake("admin", "secret")
+    t2 = service.handshake("admin", "secret")
+    h = service.create_prepared_statement(t1, "SELECT 1 AS x")
+    service.execute(t1, h)
+    with pytest.raises(AuthError):
+        service.execute(t2, h)
+    with pytest.raises(AuthError):
+        service.execute_update(t2, h)
+    with pytest.raises(AuthError):
+        service.fetch(t2, h)
+    with pytest.raises(AuthError):
+        service.bind_parameters(t2, h, [1])
+    with pytest.raises(AuthError):
+        service.close_prepared_statement(t2, h)
+    # the owner is unaffected by the denied attempts
+    assert service.fetch(t1, h).column("x").to_pylist() == [1]
+
+
+def test_literal_dollar_does_not_defer_schema(service):
+    """ADVICE r1: 'costs $5' is not a parameter — schema must be
+    available eagerly at prepare time."""
+    token = service.handshake("admin", "secret")
+    h = service.create_prepared_statement(
+        token, "SELECT 'costs $5' AS price")
+    assert service.statement_schema(h) is not None
+    service.execute(token, h)
+    assert service.fetch(token, h).column("price").to_pylist() == ["costs $5"]
