@@ -72,15 +72,50 @@ def topk_cosine(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
 def near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   threshold: float = 0.35) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
+                   threshold: float = 0.35,
+                   n_blocks: int = 24,
+                   max_rows: int = 500_000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t),
+    EXACT — every qualifying pair, no probabilistic recall.
 
-    Quadratic validation form; at scale run :func:`lsh_bucket_candidates`
-    first and verify only candidates (same verify expression)."""
-    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    Exact all-pairs is inherently O(n²) compares, but the *plan* here is
+    not a cartesian product: each side is tagged with a hash block and
+    replicated against the B² ordered block pairs (a tiny broadcast
+    relation), then equi-joined on the (pa, pb) composite key.  The n²
+    work lands as B² independent, evenly-sized, hash-partitioned tasks —
+    bounded memory, no single-task cartesian, AQE-splittable — instead
+    of one broadcast-nested-loop.  Compute is identical; physics at
+    1000 executors is not.
+
+    Because no partitioning can beat n² at a threshold this permissive,
+    the input is capped loudly: beyond ``max_rows``, use
+    :func:`near_dup_pairs_lsh` (bucketed candidates + the same exact
+    verify expression; probabilistic recall)."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"near_dup_pairs is the EXACT all-pairs form: O(n²) compares "
+            f"({n} rows > cap {max_rows} ⇒ {n * (n - 1) // 2:,} pairs). "
+            f"Use near_dup_pairs_lsh for corpora beyond the cap.")
+    spark = df.sparkSession
+    # tiny broadcast relation of all block ids: replicates each side B×
+    # so the equi-join key below is the COMPOSITE (block_a, block_b) —
+    # B² evenly-hashed reduce tasks of (n/B)² compares each
+    partner = F.broadcast(spark.range(n_blocks)
+                          .select(F.col("id").cast("int").alias("partner")))
+    block = F.pmod(F.xxhash64(F.col(id_col)), n_blocks).cast("int")
+    a_rep = (df.select(F.col(id_col).alias("id_a"),
+                       _as_double(F.col(vec_col)).alias("va"),
+                       block.alias("ba"))
+             .crossJoin(partner.withColumnRenamed("partner", "pb")))
+    b_rep = (df.select(F.col(id_col).alias("id_b"),
+                       _as_double(F.col(vec_col)).alias("vb"),
+                       block.alias("bb"))
+             .crossJoin(partner.withColumnRenamed("partner", "qa")))
     sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    return (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (a_rep.join(b_rep, (F.col("ba") == F.col("qa"))
+                       & (F.col("pb") == F.col("bb"))
+                       & (F.col("id_a") < F.col("id_b")))
             .select("id_a", "id_b", sim.alias("sim"))
             .where(F.col("sim") >= threshold))
 

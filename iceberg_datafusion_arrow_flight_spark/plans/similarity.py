@@ -72,8 +72,10 @@ FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 WHERE ROUND({_COS.format(a='a.v', b='b.v')}, 6) >= 0.35
 """,
     doc="Embedding-cosine near-duplicate pairs (sim >= 0.35 — calibrated "
-        "to the fixture's cosine distribution, max ~0.5). "
-        "operators/similarity.py:near_dup_pairs.",
+        "to the fixture's cosine distribution, max ~0.5).  EXACT, but not "
+        "a cartesian plan: block-pair composite-key equi-join (B² even "
+        "hash-partitioned tasks), loud input cap steering to the LSH twin "
+        "beyond it. operators/similarity.py:near_dup_pairs.",
     tags=("similarity", "dedup"),
 )
 def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -306,3 +306,20 @@ def test_ivf_kmeans_trained_recall(spark, sf_dir):
            for r in similarity.ann_ivf_topk(queries, emb, k=10, nprobe=8,
                                             train_iters=2).collect()}
     assert again == got
+
+
+def test_near_dup_exact_plan_has_no_cartesian(spark, sf_dir):
+    """VERDICT r1: the registered exact near-dup must not plan a
+    cartesian product — block-pair composite-key equi-join instead."""
+    from iceberg_datafusion_arrow_flight_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = similarity.near_dup_pairs(emb, threshold=0.35)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_near_dup_exact_input_cap_is_loud(spark, sf_dir):
+    from iceberg_datafusion_arrow_flight_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="near_dup_pairs_lsh"):
+        similarity.near_dup_pairs(emb, max_rows=1)
