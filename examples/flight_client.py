@@ -1,42 +1,29 @@
 #!/usr/bin/env python
-"""End-to-end client walkthrough — the workflow a reference (Flight SQL
-JDBC) client runs, against this engine's Flight front door.
+"""End-to-end Flight SQL walkthrough — the exact workflow the stock
+``flight_sql_client`` CLI runs against the reference
+(iceberg-datafusion-arrow-flight/README.md:15-34), against this engine.
 
     FLIGHT_USER=admin FLIGHT_PASSWORD=secret python examples/flight_client.py
 
-Starts an in-process server over the sf0.001 fixtures, then: handshake
-(basic auth → bearer) → prepare DataFusion-dialect SQL → bind $n params
-→ execute → fetch Arrow → close.  Mirrors iceberg-datafusion-arrow-flight's
-method surface (SURVEY §2.12)."""
+Starts an in-process server over the sf0.001 fixtures, then speaks the
+real Flight SQL wire protocol (Any-wrapped arrow.flight.protocol.sql
+messages, no shim): handshake (basic auth → bearer) → DoAction
+CreatePreparedStatement → DoPut parameter bind → GetFlightInfo →
+DoGet(FetchResults ticket) → ClosePreparedStatement.
+"""
 
-import json
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import pyarrow as pa
-import pyarrow.flight as fl
-
 from iceberg_datafusion_arrow_flight_spark import get_spark
 from iceberg_datafusion_arrow_flight_spark.service import EngineService
 from iceberg_datafusion_arrow_flight_spark.service.flight_server import (
     SparkFlightServer)
+from iceberg_datafusion_arrow_flight_spark.service.flightsql_client import (
+    FlightSqlClient)
 from iceberg_datafusion_arrow_flight_spark.sources.registry import register_tables
-
-
-class BasicClientAuth(fl.ClientAuthHandler):
-    def __init__(self, username, password):
-        super().__init__()
-        self.basic = fl.BasicAuth(username, password)
-        self.token = b""
-
-    def authenticate(self, outgoing, incoming):
-        outgoing.write(self.basic.serialize())
-        self.token = incoming.read()
-
-    def get_token(self):
-        return self.token
 
 
 def main():
@@ -51,33 +38,24 @@ def main():
     server = SparkFlightServer(svc, "grpc://127.0.0.1:0")
     print(f"server on port {server.port}")
 
-    client = fl.connect(f"grpc://127.0.0.1:{server.port}")
-    client.authenticate(BasicClientAuth(os.environ["FLIGHT_USER"],
-                                        os.environ["FLIGHT_PASSWORD"]))
+    client = FlightSqlClient(f"grpc://127.0.0.1:{server.port}",
+                             os.environ["FLIGHT_USER"],
+                             os.environ["FLIGHT_PASSWORD"])
 
     # DataFusion-dialect SQL, exactly as a reference client would write it
-    sql = ("SELECT o_orderpriority, COUNT(*)::bigint AS n "
-           "FROM orders WHERE o_totalprice > $1 "
-           "GROUP BY o_orderpriority ORDER BY n DESC")
-    res = list(client.do_action(fl.Action("create_prepared_statement",
-                                          sql.encode())))
-    payload = json.loads(res[0].body.to_pybytes())
-    handle = payload["handle"]
-    print("prepared:", handle)
-
-    # bind $1
-    params = pa.table({"p1": pa.array([150000.0])})
-    writer, _ = client.do_put(
-        fl.FlightDescriptor.for_command(handle.encode()), params.schema)
-    writer.write_table(params)
-    writer.close()
-
-    info = client.get_flight_info(fl.FlightDescriptor.for_command(handle.encode()))
-    table = client.do_get(info.endpoints[0].ticket).read_all()
+    st = client.prepare(
+        "SELECT o_orderpriority, COUNT(*)::bigint AS n "
+        "FROM orders WHERE o_totalprice > $1 "
+        "GROUP BY o_orderpriority ORDER BY n DESC")
+    print("prepared:", st.handle)
+    client.bind(st, [150000.0])
+    table = client.execute(st)
     print(table.to_pandas().to_string(index=False))
+    client.close(st)
 
-    list(client.do_action(fl.Action("close_prepared_statement",
-                                    handle.encode())))
+    # ad-hoc one-liner through the same protocol
+    print(client.query("SELECT current_database() AS db").to_pydict())
+
     server.shutdown()
     spark.stop()
 

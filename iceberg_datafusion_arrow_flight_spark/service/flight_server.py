@@ -1,24 +1,33 @@
-"""Arrow Flight front door for :class:`.engine.EngineService`.
+"""Arrow Flight SQL front door for :class:`.engine.EngineService`.
 
-Mirrors the reference's Flight SQL service method-for-method
-(iceberg-datafusion-arrow-flight/src/lib.rs, inventory at SURVEY §2.12) over
-PyArrow's generic Flight server:
+Speaks the actual Flight SQL wire protocol, method-for-method with the
+reference (iceberg-datafusion-arrow-flight/src/lib.rs, inventory at
+SURVEY §2.12):
 
 - handshake → :class:`BasicAuthHandler` (Basic → bearer, lib.rs:198-259)
-- do_action ``create_prepared_statement`` / ``close_prepared_statement``
-  (lib.rs:667-716 / 718-730)
-- do_put with a params batch → bind (lib.rs:601-643; first column,
-  stringly-typed scalars — same contract)
-- get_flight_info → EXECUTES and caches, endpoint carries the handle
-  ticket and no location = single-node, like lib.rs:346-361
-- do_get → streams the cached Arrow table (lib.rs:261-296)
-- everything the reference leaves unimplemented raises, so a client
-  porting from the reference sees the same failure surface.
+- DoAction ``CreatePreparedStatement`` / ``ClosePreparedStatement`` with
+  ``google.protobuf.Any``-wrapped ``arrow.flight.protocol.sql`` request/
+  result messages (lib.rs:667-716 / 718-730); the create result carries
+  the dataset schema as Arrow IPC bytes, like SchemaAsIpc (lib.rs:704-708)
+- DoPut with ``CommandPreparedStatementQuery`` descriptor → parameter
+  bind, ``DoPutPreparedStatementResult`` in the put metadata
+  (lib.rs:601-643); ``CommandPreparedStatementUpdate`` /
+  ``CommandStatementUpdate`` → DDL/DML, ``DoPutUpdateResult{-1}``
+  (lib.rs:645-654)
+- GetFlightInfo with ``CommandPreparedStatementQuery`` → EXECUTES and
+  caches, endpoint ticket = Any-wrapped ``FetchResults{handle}`` (the
+  reference's own fetch message, custom type_url lib.rs:793-810), no
+  location = single node (lib.rs:346-361)
+- DoGet with that ticket → streams the cached Arrow table (lib.rs:261-296)
+- every method the reference leaves unimplemented raises the same
+  "Implement …" unimplemented error (get_flight_info_statement,
+  catalogs/schemas/tables/sql_info, transactions — lib.rs:298-316,
+  382-482, 732-788), so a client porting over sees the identical surface.
 
-The wire protocol is generic Flight (PyArrow exposes no Flight SQL
-*server* scaffolding); message names and semantics line up 1:1 with the
-reference so a thin client shim maps between them.  Spark Connect is the
-alternative gRPC+Arrow door when a real cluster is available.
+Protobuf encode/decode is :mod:`.flightsql_proto` (pure-Python wire
+format; no protobuf dependency exists in this environment).  The
+pre-protocol JSON/raw-handle forms from round 1 remain as a documented
+legacy fallback for non-Flight-SQL clients.
 """
 
 from __future__ import annotations
@@ -30,6 +39,8 @@ import pyarrow as pa
 import pyarrow.flight as flight
 
 from .engine import AuthError, EngineService
+from .flightsql_proto import Any as PbAny
+from .flightsql_proto import pack_any, unpack_any
 
 
 class BasicAuthHandler(flight.ServerAuthHandler):
@@ -67,25 +78,61 @@ class SparkFlightServer(flight.FlightServerBase):
     def _token(context) -> str:
         return context.peer_identity().decode()
 
+    # --------------------------------------------------------- helpers
+    def _schema_ipc(self, handle: str) -> bytes:
+        """Dataset schema as Arrow IPC bytes (SchemaAsIpc, lib.rs:704-708);
+        empty when analysis is deferred (parameterized statement)."""
+        schema = self.service.statement_schema(handle)
+        if schema is None:
+            return b""
+        from pyspark.sql.pandas.types import to_arrow_schema
+        return to_arrow_schema(schema).serialize().to_pybytes()
+
     # --------------------------------------------------------- actions
     def do_action(self, context, action):
         token = self._token(context)
-        body = action.body.to_pybytes().decode() if action.body else ""
+        raw = action.body.to_pybytes() if action.body else b""
+        # ---- Flight SQL protocol (arrow-rs FlightSqlService action
+        # names; payloads are Any-wrapped protobuf messages)
+        if action.type == "CreatePreparedStatement":
+            name, fields = unpack_any(raw)
+            if name != "ActionCreatePreparedStatementRequest":
+                raise flight.FlightServerError(
+                    f"CreatePreparedStatement: unexpected payload {name!r}")
+            handle = self.service.create_prepared_statement(
+                token, fields["query"])
+            result = pack_any(
+                "ActionCreatePreparedStatementResult",
+                prepared_statement_handle=handle.encode(),
+                dataset_schema=self._schema_ipc(handle),
+                parameter_schema=b"")
+            return [result]
+        if action.type == "ClosePreparedStatement":
+            name, fields = unpack_any(raw)
+            if name != "ActionClosePreparedStatementRequest":
+                raise flight.FlightServerError(
+                    f"ClosePreparedStatement: unexpected payload {name!r}")
+            self.service.close_prepared_statement(
+                token, fields["prepared_statement_handle"].decode())
+            return []
+        if action.type in ("BeginTransaction", "EndTransaction",
+                           "BeginSavepoint", "EndSavepoint", "CancelQuery",
+                           "CreatePreparedSubstraitPlan"):
+            # lib.rs:732-788: transactions/savepoints/substrait are
+            # explicitly unimplemented in the reference
+            raise flight.FlightServerError(
+                f"Implement do_action_{action.type}")
+        # ---- legacy JSON action names (round-1 clients)
+        body = raw.decode()
         if action.type == "create_prepared_statement":
             handle = self.service.create_prepared_statement(token, body)
             schema = self.service.statement_schema(handle)
-            # dataset schema shipped as Arrow IPC bytes, like the
-            # reference (SchemaAsIpc at lib.rs:704-708), plus the JSON
-            # form for non-Arrow clients
-            ipc_b64 = None
-            if schema is not None:
-                from pyspark.sql.pandas.types import to_arrow_schema
-                import base64
-                ipc_b64 = base64.b64encode(
-                    to_arrow_schema(schema).serialize().to_pybytes()).decode()
+            import base64
+            ipc = self._schema_ipc(handle)
             payload = {"handle": handle,
                        "schema": schema.json() if schema is not None else None,
-                       "dataset_schema_ipc": ipc_b64}
+                       "dataset_schema_ipc":
+                           base64.b64encode(ipc).decode() if ipc else None}
             return [json.dumps(payload).encode()]
         if action.type == "close_prepared_statement":
             self.service.close_prepared_statement(token, body)
@@ -95,35 +142,107 @@ class SparkFlightServer(flight.FlightServerBase):
             "(matches reference unimplemented surface, lib.rs:732-788)")
 
     def list_actions(self, context):
-        return [("create_prepared_statement", "SQL text -> handle"),
-                ("close_prepared_statement", "evict handle")]
+        return [("CreatePreparedStatement",
+                 "Any(ActionCreatePreparedStatementRequest) -> "
+                 "Any(ActionCreatePreparedStatementResult)"),
+                ("ClosePreparedStatement",
+                 "Any(ActionClosePreparedStatementRequest)"),
+                ("create_prepared_statement", "legacy: SQL text -> handle"),
+                ("close_prepared_statement", "legacy: evict handle")]
 
     # --------------------------------------------------------- bind
+    @staticmethod
+    def _param_values(batch_table: pa.Table) -> list:
+        """lib.rs:613-622 reads the FIRST column's first value of each
+        batch; the common JDBC shape is one batch with $1..$n as columns.
+        Accept both: multi-column single batch → column order."""
+        if batch_table.num_columns > 1:
+            return [col.to_pylist()[0] for col in batch_table.columns]
+        return [v for v in batch_table.column(0).to_pylist()]
+
     def do_put(self, context, descriptor, reader, writer):
-        """Parameter binding: descriptor.command = handle; the stream's
-        first batch carries ``$1..$n`` values in column order (the
-        reference reads first-column string scalars per batch,
-        lib.rs:613-622 — column-order values are the superset)."""
         token = self._token(context)
+        name, fields = unpack_any(descriptor.command)
+        # ---- Flight SQL protocol
+        if name == "CommandPreparedStatementQuery":
+            handle = fields["prepared_statement_handle"].decode()
+            values = self._param_values(reader.read_all())
+            self.service.bind_parameters(token, handle, values)
+            # DoPutPreparedStatementResult in the put metadata, echoing
+            # the (possibly re-keyed) handle — lib.rs:639-642
+            writer.write(pa.py_buffer(pack_any(
+                "DoPutPreparedStatementResult",
+                prepared_statement_handle=handle.encode())))
+            return
+        if name == "CommandPreparedStatementUpdate":
+            handle = fields["prepared_statement_handle"].decode()
+            n = self.service.execute_update(token, handle)
+            writer.write(pa.py_buffer(pack_any(
+                "DoPutUpdateResult", record_count=n)))
+            return
+        if name == "CommandStatementUpdate":
+            handle = self.service.create_prepared_statement(
+                token, fields["query"])
+            n = self.service.execute_update(token, handle)
+            self.service.close_prepared_statement(token, handle)
+            writer.write(pa.py_buffer(pack_any(
+                "DoPutUpdateResult", record_count=n)))
+            return
+        if name == "CommandStatementSubstraitPlan":  # pragma: no cover
+            raise flight.FlightServerError(
+                "Implement do_put_prepared_statement_update")  # lib.rs:656-665
+        # ---- legacy: raw handle as descriptor command
         handle = descriptor.command.decode()
-        batch_table = reader.read_all()
-        values = [col.to_pylist()[0] for col in batch_table.columns]
-        self.service.bind_parameters(token, handle, values)
+        self.service.bind_parameters(
+            token, handle, self._param_values(reader.read_all()))
 
     # --------------------------------------------------------- execute
     def get_flight_info(self, context, descriptor):
         token = self._token(context)
-        handle = descriptor.command.decode()
+        name, fields = unpack_any(descriptor.command)
+        if name == "CommandPreparedStatementQuery":
+            handle = fields["prepared_statement_handle"].decode()
+        elif name == "CommandStatementQuery":
+            # mirrored unimplemented surface (lib.rs:298-306): the
+            # reference routes all execution through prepared statements
+            raise flight.FlightServerError(
+                "Implement get_flight_info_statement")
+        elif name in ("CommandGetCatalogs", "CommandGetDbSchemas",
+                      "CommandGetTables", "CommandGetTableTypes",
+                      "CommandGetSqlInfo"):
+            # lib.rs:382-427: catalog metadata via Flight SQL is
+            # unimplemented in the reference (clients use
+            # information_schema SQL instead — supported here too)
+            raise flight.FlightServerError(
+                f"Implement get_flight_info_{name.removeprefix('CommandGet').lower()}")
+        elif name is not None:
+            raise flight.FlightServerError(f"Implement get_flight_info for {name}")
+        else:
+            handle = descriptor.command.decode()  # legacy raw handle
         ticket_handle = self.service.execute(token, handle)
         table = self.service.fetch(token, ticket_handle)
-        endpoint = flight.FlightEndpoint(ticket_handle.encode(), [])
+        # ticket = Any-wrapped FetchResults{handle}, byte-compatible with
+        # the reference's fetch ticket (lib.rs:351-355)
+        ticket = flight.Ticket(pack_any("FetchResults", handle=ticket_handle))
+        endpoint = flight.FlightEndpoint(ticket, [])
         # total_records/bytes -1: the reference never computes them
         # (lib.rs:368-370)
         return flight.FlightInfo(table.schema, descriptor, [endpoint], -1, -1)
 
     # --------------------------------------------------------- fetch
     def do_get(self, context, ticket):
-        handle = ticket.ticket.decode()
+        raw = ticket.ticket
+        name, fields = unpack_any(raw)
+        if name == "FetchResults":
+            handle = fields["handle"]
+        elif name == "TicketStatementQuery":
+            handle = fields["statement_handle"].decode()
+        elif name is not None:
+            # lib.rs:266-271: any other Any payload is rejected
+            raise flight.FlightServerError(
+                f"do_get: The defined request is invalid: {PbAny.decode(raw).type_url}")
+        else:
+            handle = raw.decode()  # legacy raw handle
         try:
             table = self.service.fetch(self._token(context), handle)
         except AuthError as exc:
