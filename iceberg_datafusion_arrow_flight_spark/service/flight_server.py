@@ -68,10 +68,28 @@ class BasicAuthHandler(flight.ServerAuthHandler):
 
 class SparkFlightServer(flight.FlightServerBase):
     def __init__(self, service: EngineService,
-                 location: str = "grpc://0.0.0.0:31337"):
+                 location: str = "grpc://0.0.0.0:31337",
+                 tls_domain: str | None = None):
+        """``tls_domain`` (default: the TLS_DOMAIN env var, the
+        reference's contract — sql/main.rs:83-94) switches the endpoint
+        to TLS with a startup-generated self-signed certificate; the
+        cert is kept on ``self.tls_certificate`` so test clients can
+        pin it as their root."""
         # default port matches the reference binary (sql/main.rs:43)
         self.service = service
-        super().__init__(location, auth_handler=BasicAuthHandler(service))
+        from .tls import self_signed_pair
+        from .tls import tls_domain as env_tls_domain
+        domain = tls_domain if tls_domain is not None else env_tls_domain()
+        self.tls_certificate: bytes | None = None
+        kwargs = {}
+        if domain:
+            cert_pem, key_pem = self_signed_pair(domain)
+            self.tls_certificate = cert_pem
+            kwargs["tls_certificates"] = [(cert_pem, key_pem)]
+            if location.startswith("grpc://"):
+                location = "grpc+tls://" + location.removeprefix("grpc://")
+        super().__init__(location, auth_handler=BasicAuthHandler(service),
+                         **kwargs)
 
     # token of the calling connection
     @staticmethod

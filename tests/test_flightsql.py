@@ -172,3 +172,42 @@ def test_flight_sql_invalid_ticket_mirrors_reference(sql_server):
                        match="The defined request is invalid"):
         list(client.do_get(flight.Ticket(
             pack_any("CommandGetCatalogs"))))
+
+
+# ------------------------------------------------------------ TLS
+def test_flight_sql_over_tls(spark, monkeypatch):
+    """sql/main.rs:83-94: TLS_DOMAIN ⇒ self-signed TLS endpoint.  The
+    full Flight SQL conversation must work over it."""
+    monkeypatch.setenv("FLIGHT_USER", "admin")
+    monkeypatch.setenv("FLIGHT_PASSWORD", "secret")
+    monkeypatch.setenv("TLS_DOMAIN", "localhost")
+    import threading
+    from iceberg_datafusion_arrow_flight_spark.service import EngineService
+    from iceberg_datafusion_arrow_flight_spark.service.flight_server import (
+        SparkFlightServer)
+    from iceberg_datafusion_arrow_flight_spark.service.flightsql_client import (
+        FlightSqlClient)
+    service = EngineService(root=spark, max_cached_results=8)
+    server = SparkFlightServer(service, "grpc://localhost:31341")
+    assert server.tls_certificate is not None
+    threading.Thread(target=server.serve, daemon=True).start()
+    try:
+        c = FlightSqlClient("grpc+tls://localhost:31341", "admin", "secret",
+                            tls_root_certs=server.tls_certificate)
+        t = c.query("SELECT 'secure' AS s")
+        assert t.column("s").to_pylist() == ["secure"]
+    finally:
+        server.shutdown()
+
+
+def test_plaintext_without_tls_domain(spark, monkeypatch):
+    monkeypatch.delenv("TLS_DOMAIN", raising=False)
+    monkeypatch.setenv("FLIGHT_USER", "admin")
+    monkeypatch.setenv("FLIGHT_PASSWORD", "secret")
+    from iceberg_datafusion_arrow_flight_spark.service import EngineService
+    from iceberg_datafusion_arrow_flight_spark.service.flight_server import (
+        SparkFlightServer)
+    server = SparkFlightServer(EngineService(root=spark),
+                               "grpc://localhost:31342")
+    assert server.tls_certificate is None
+    server.shutdown()
