@@ -55,7 +55,13 @@ def main() -> None:
     # outside its per-query path too).
     spark.range(1000).selectExpr("sum(id)").collect()
     from iceberg_datafusion_arrow_flight_spark.sources.registry import load_table
-    load_table(spark, sf_dir, "region").groupBy("r_name").count().collect()
+    # Warm the HEAVY readers too, not just region: q1's first lineitem
+    # scan was absorbing ~2x of its steady-state time in JVM/codegen
+    # warm-up (PERFORMANCE.md r1) — a trivial count touches each fact
+    # table's footer + vectorized reader path without caching data.
+    for t in ("region", "lineitem", "orders", "documents", "embeddings",
+              "events"):
+        load_table(spark, sf_dir, t).selectExpr("count(*)").collect()
 
     names = [n for n in HEADLINE if n in REGISTRY]
     times: dict[str, float] = {}

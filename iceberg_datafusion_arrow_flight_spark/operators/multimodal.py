@@ -1,13 +1,21 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed by Arrow-batched Pandas UDFs (``mapInPandas``).
 
-The decode step is STUBBED (this container has no image/audio/video
-libraries): ``_try_real_decode`` gates on importability and raises
-``NotImplementedError`` if a real decode is requested without the lib;
-the default path is a deterministic fake decode (byte length + md5 +
-metadata passthrough).  Everything around the stub — the binary schema,
-the metadata struct, the mapInPandas batch shape, the partition-parallel
-execution — is real and tested (SURVEY north-star requirement).
+Decode comes in three tiers:
+
+- **Real decode for container-less formats** (``decode_image_payloads``):
+  PPM (P6) and uncompressed 24-bit BMP are parsed to actual pixel
+  arrays in pure numpy — header fields, row padding, bottom-up order —
+  no image library needed.  This is the genuinely-exercised path: the
+  fixture generator emits real PPM/BMP bytes and tests assert
+  pixel-exact statistics.
+- **Codec formats** (png/jpeg/webp): gated on Pillow, which is NOT
+  installable here (no network — pip install attempts fail at the
+  resolver; probed 2026-08-13, see GAPS.md).  Requesting
+  ``decode_mode='real'`` for these raises ``NotImplementedError``
+  loudly; on a cluster with Pillow the same entry point lights up.
+- **Stub decode** (``decode_payloads`` default): byte length + md5 +
+  metadata passthrough — the batch-shape/partitioning scaffold.
 
 Scale: mapInPandas streams Arrow batches per partition; payload bytes
 never pass through the driver.  At 100 TB keep payloads in object-store
@@ -21,6 +29,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -84,6 +93,157 @@ def decode_payloads(df: DataFrame, decode_mode: str = "stub") -> DataFrame:
             yield out
 
     return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real decode: PPM (P6) / uncompressed 24-bit BMP in pure numpy
+# ---------------------------------------------------------------------------
+
+IMAGE_SCHEMA = ("doc_id BIGINT, fmt STRING, width INT, height INT, "
+                "n_bytes BIGINT, sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, "
+                "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE, "
+                "checksum STRING")
+
+
+def _encode_ppm(width: int, height: int, pixels: np.ndarray) -> bytes:
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    return header + pixels.astype(np.uint8).tobytes()
+
+
+def _encode_bmp(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Minimal BITMAPINFOHEADER 24-bpp BMP; rows padded to 4 bytes and
+    stored bottom-up, pixels as BGR — the format's actual layout."""
+    row_size = (width * 3 + 3) & ~3
+    image_size = row_size * height
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    header[2:6] = (54 + image_size).to_bytes(4, "little")
+    header[10:14] = (54).to_bytes(4, "little")
+    header[14:18] = (40).to_bytes(4, "little")
+    header[18:22] = width.to_bytes(4, "little")
+    header[22:26] = height.to_bytes(4, "little")
+    header[26:28] = (1).to_bytes(2, "little")
+    header[28:30] = (24).to_bytes(2, "little")
+    header[34:38] = image_size.to_bytes(4, "little")
+    rows = bytearray()
+    bgr = pixels[:, :, ::-1].astype(np.uint8)  # RGB → BGR
+    pad = b"\x00" * (row_size - width * 3)
+    for y in range(height - 1, -1, -1):  # bottom-up
+        rows += bgr[y].tobytes() + pad
+    return bytes(header) + bytes(rows)
+
+
+def _decode_ppm(buf: bytes) -> tuple[int, int, np.ndarray]:
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts: list[int] = []
+    pos = 2
+    while len(parts) < 3:  # width, height, maxval (comments skipped)
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not buf[end:end + 1].isspace():
+            end += 1
+        parts.append(int(buf[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = parts
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = np.frombuffer(buf, np.uint8, count=width * height * 3, offset=pos)
+    return width, height, px.reshape(height, width, 3)
+
+
+def _decode_bmp(buf: bytes) -> tuple[int, int, np.ndarray]:
+    if not buf.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(buf[10:14], "little")
+    width = int.from_bytes(buf[18:22], "little", signed=True)
+    height = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bpp {bpp}")
+    row_size = (width * 3 + 3) & ~3
+    out = np.empty((abs(height), width, 3), np.uint8)
+    bottom_up = height > 0
+    height = abs(height)
+    for y in range(height):
+        row = np.frombuffer(buf, np.uint8, count=width * 3,
+                            offset=data_off + y * row_size)
+        dest = height - 1 - y if bottom_up else y
+        out[dest] = row.reshape(width, 3)[:, ::-1]  # BGR → RGB
+    return width, height, out
+
+
+_REAL_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp}
+
+
+def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real multimodal fixture: payload = actual PPM/BMP bytes with
+    deterministic pixels (value = (7·doc_id + flat_index) mod 256),
+    built executor-side in Arrow batches — the driver never sees a
+    payload byte."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, fmts, ws, hs = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + (did % 8) * 4
+                h = 8 + (did % 5) * 4
+                flat = (7 * did + np.arange(w * h * 3)) % 256
+                px = flat.reshape(h, w, 3)
+                if did % 2 == 0:
+                    fmts.append("ppm")
+                    payloads.append(_encode_ppm(w, h, px))
+                else:
+                    fmts.append("bmp")
+                    payloads.append(_encode_bmp(w, h, px))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fmt": fmts,
+                                "payload": payloads,
+                                "meta_width": ws, "meta_height": hs})
+
+    return src.mapInPandas(
+        gen, schema=("doc_id BIGINT, fmt STRING, payload BINARY, "
+                     "meta_width INT, meta_height INT"))
+
+
+def decode_image_payloads(df: DataFrame) -> DataFrame:
+    """REAL decode: parse each payload's actual header + pixel buffer
+    (PPM/BMP) and emit pixel statistics.  Width/height come from the
+    BYTES, not the metadata — the test asserts they agree, which only
+    holds if the parse is real."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "fmt", "width", "height",
+                                    "n_bytes", "sum_r", "sum_g", "sum_b",
+                                    "mean_r", "mean_g", "mean_b",
+                                    "checksum")}
+            for did, fmt, payload in zip(pdf["doc_id"], pdf["fmt"],
+                                         pdf["payload"]):
+                buf = bytes(payload)
+                w, h, px = _REAL_DECODERS[fmt](buf)
+                rows["doc_id"].append(did)
+                rows["fmt"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_bytes"].append(len(buf))
+                chan = px.reshape(-1, 3).astype(np.int64)
+                sums = chan.sum(axis=0)
+                for i, c in enumerate("rgb"):
+                    rows[f"sum_{c}"].append(int(sums[i]))
+                    rows[f"mean_{c}"].append(float(sums[i]) / (w * h))
+                rows["checksum"].append(hashlib.md5(buf).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(decode, schema=IMAGE_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_nth: int = 2) -> DataFrame:

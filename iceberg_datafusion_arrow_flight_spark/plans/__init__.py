@@ -62,7 +62,7 @@ _PRIORITY: list[str] = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "sim_topk_cosine", "sim_embedding_near_dup",
     "text_token_counts",
-    "multimodal_decode",
+    "multimodal_decode_real",
     "events_session_window", "join_asof_events",
     "dialect_regexp_match", "dialect_array_family",
     "ddl_ctas_insert_select", "catalog_information_schema_tables",

@@ -83,3 +83,50 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return M.extract_features(M.attach_payload(docs))
+
+
+@register(
+    "multimodal_decode_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8 + (doc_id % 8) * 4 AS w,
+         8 + (doc_id % 5) * 4 AS h
+  FROM documents WHERE doc_id % 10 = 0
+),
+sums AS (
+  SELECT doc_id,
+         CAST(SUM((7 * doc_id + k * 3) % 256) AS BIGINT) AS sum_r,
+         CAST(SUM((7 * doc_id + k * 3 + 1) % 256) AS BIGINT) AS sum_g,
+         CAST(SUM((7 * doc_id + k * 3 + 2) % 256) AS BIGINT) AS sum_b
+  FROM d, range(0, 1024) t(k)          -- static range; max w*h is 864
+  WHERE k < w * h
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(CASE WHEN d.doc_id % 2 = 0
+            THEN length(concat('P6', chr(10), CAST(w AS VARCHAR), ' ',
+                                CAST(h AS VARCHAR), chr(10), '255',
+                                chr(10))) + w * h * 3
+            ELSE 54 + ((w * 3 + 3) // 4) * 4 * h END AS BIGINT) AS n_bytes,
+       sum_r, sum_g, sum_b
+FROM d JOIN sums ON d.doc_id = sums.doc_id
+""",
+    doc="REAL image decode, oracle-checked: executors build actual "
+        "PPM/BMP byte payloads (deterministic pixels), the decoder "
+        "parses headers + pixel buffers in pure numpy, and DuckDB "
+        "recomputes the byte sizes and exact per-channel integer sums "
+        "from the generator formula — the hash only matches if the "
+        "binary parse is bit-correct. "
+        "operators/multimodal.py:decode_image_payloads.",
+    tags=("multimodal",),
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    real = M.decode_image_payloads(M.attach_image_payload(docs))
+    return real.select("doc_id", "fmt", "width", "height", "n_bytes",
+                       "sum_r", "sum_g", "sum_b")

@@ -315,6 +315,48 @@ class IcebergTable:
             self.namespace, self.name, base_location, new_location)
         return snapshot_id
 
+    # -- schema evolution ---------------------------------------------------
+
+    def add_column(self, name: str, spark_type: str) -> int:
+        """Metadata-only schema evolution (Iceberg add-column): a new
+        schema version is committed through the same CAS — NO data files
+        are rewritten; old files surface NULL for the new column at read
+        time.  Returns the new schema id."""
+        base_location, metadata = self._load_metadata()
+        (schema,) = [s for s in metadata["schemas"]
+                     if s["schema-id"] == metadata["current-schema-id"]]
+        if any(f["name"] == name for f in schema["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        new_id = max(s["schema-id"] for s in metadata["schemas"]) + 1
+        max_field = max((f["id"] for s in metadata["schemas"]
+                         for f in s["fields"]), default=0)
+        new_schema = {
+            "schema-id": new_id,
+            "type": "struct",
+            "fields": schema["fields"] + [
+                {"id": max_field + 1, "name": name, "required": False,
+                 "type": spark_type}],
+        }
+        metadata = dict(metadata)
+        metadata["schemas"] = metadata["schemas"] + [new_schema]
+        metadata["current-schema-id"] = new_id
+        metadata["last-updated-ms"] = _now_ms()
+        new_location = _write_metadata(
+            metadata["location"], _next_version(base_location), metadata)
+        self.catalog._swap_pointer(
+            self.namespace, self.name, base_location, new_location)
+        return new_id
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Rewrite the current file set into ``target_files`` files and
+        commit as a replace snapshot — Iceberg's rewrite_data_files
+        compaction.  Readers pinned to older snapshots are unaffected;
+        time travel still reaches the pre-compaction files."""
+        df = self.read(spark).coalesce(target_files)
+        return self._commit_write(df, operation="replace")
+
     # -- read path ----------------------------------------------------------
 
     def plan_files(self, snapshot_id: int | None = None,
@@ -357,11 +399,21 @@ class IcebergTable:
         the manifest (after pruning) lists — Spark still does its own
         row-group pushdown within each file."""
         entries = self.plan_files(snapshot_id, as_of_timestamp_ms, prune)
+        fields = self.schema_fields()
         if not entries:
             schema = ", ".join(
-                f"`{f['name']}` {f['type']}" for f in self.schema_fields())
+                f"`{f['name']}` {f['type']}" for f in fields)
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*[e.file_path for e in entries])
+        # mergeSchema: files written before an add_column lack the new
+        # field; missing columns surface as NULL (Iceberg read semantics)
+        df = (spark.read.option("mergeSchema", "true")
+              .parquet(*[e.file_path for e in entries]))
+        from pyspark.sql import functions as F
+        for f in fields:
+            if f["name"] not in df.columns:
+                df = df.withColumn(f["name"],
+                                   F.lit(None).cast(f["type"]))
+        return df.select(*[f["name"] for f in fields])
 
 
 # ---------------------------------------------------------------------------

@@ -238,3 +238,22 @@ def test_distinct_on_output_order(spark, sf_dir):
         "ORDER BY o_custkey DESC, o_totalprice DESC")).collect()
     keys = [r.o_custkey for r in rows]
     assert keys == sorted(keys, reverse=True)
+
+
+def test_u64_overflow_is_loud_not_silent(spark):
+    """GAPS.md u64 row: DF40 has UInt64; this engine's integral type
+    tops out at BIGINT (Iceberg/Spark have no u64 either).  The contract
+    is that values beyond 2^63-1 FAIL LOUDLY rather than wrap:
+    - a bare >2^63-1 literal surfaces as DECIMAL(20,0) (lossless),
+    - casting it to BIGINT raises CAST_OVERFLOW,
+    - arithmetic crossing the boundary raises ARITHMETIC_OVERFLOW."""
+    import pytest as _pytest
+    assert spark.sql("SELECT 18446744073709551615 AS x").dtypes == \
+        [("x", "decimal(20,0)")]
+    with _pytest.raises(Exception, match="CAST_OVERFLOW"):
+        spark.sql("SELECT CAST(18446744073709551615 AS BIGINT)").collect()
+    with _pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        spark.sql("SELECT 9223372036854775807 + 1").collect()
+    # max u64 the engine DOES hold exactly, as decimal arithmetic
+    row = spark.sql("SELECT 18446744073709551615 % 97 AS m").head()
+    assert row.m == 18446744073709551615 % 97

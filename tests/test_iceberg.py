@@ -125,3 +125,38 @@ def test_empty_table_read_has_schema(catalog, spark, orders):
     got = t.read(spark)
     assert got.count() == 0
     assert "o_orderkey" in got.columns
+
+
+def test_schema_evolution_add_column(catalog, spark, orders):
+    """Iceberg add-column: metadata-only commit; old files read NULL for
+    the new column, new files carry it."""
+    from pyspark.sql import functions as F
+    t = catalog.create_table("sales", "orders_evo", orders)
+    t.append(orders.limit(10))
+    t.add_column("channel", "string")
+    assert any(f["name"] == "channel" for f in t.schema_fields())
+    t.append(orders.limit(5).withColumn("channel", F.lit("web")))
+    got = t.read(spark)
+    assert "channel" in got.columns
+    assert got.where("channel IS NULL").count() == 10
+    assert got.where("channel = 'web'").count() == 5
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("channel", "string")
+
+
+def test_compaction_preserves_content_and_history(catalog, spark, orders):
+    """rewrite_data_files: fewer files, identical rows; pre-compaction
+    snapshots still readable (time travel unaffected)."""
+    t = catalog.create_table("sales", "orders_compact", orders)
+    s1 = t.append(orders.where("o_orderkey % 2 = 0").repartition(4))
+    t.append(orders.where("o_orderkey % 2 = 1").repartition(4))
+    files_before = len(t.plan_files())
+    t.compact(spark, target_files=1)
+    assert len(t.plan_files()) < files_before
+    assert t.read(spark).count() == orders.count()
+    (last,) = [s for s in t.snapshots()
+               if s["snapshot-id"] == t.current_snapshot_id()]
+    assert last["summary"]["operation"] == "replace"
+    # old snapshot still resolves its original files
+    assert t.read(spark, snapshot_id=s1).count() == \
+        orders.where("o_orderkey % 2 = 0").count()

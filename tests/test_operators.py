@@ -323,3 +323,41 @@ def test_near_dup_exact_input_cap_is_loud(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="near_dup_pairs_lsh"):
         similarity.near_dup_pairs(emb, max_rows=1)
+
+
+def test_real_image_codecs_roundtrip():
+    """PPM/BMP encode→decode round-trips pixel-exactly (incl. BMP row
+    padding + bottom-up order, the two classic implementation traps)."""
+    import numpy as np
+    from iceberg_datafusion_arrow_flight_spark.operators.multimodal import (
+        _decode_bmp, _decode_ppm, _encode_bmp, _encode_ppm)
+    rng = np.random.default_rng(7)
+    for w, h in [(5, 3), (8, 8), (13, 1)]:  # odd widths exercise padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for enc, dec in [(_encode_ppm, _decode_ppm),
+                         (_encode_bmp, _decode_bmp)]:
+            w2, h2, out = dec(enc(w, h, px))
+            assert (w2, h2) == (w, h)
+            assert np.array_equal(out, px), (enc.__name__, w, h)
+
+
+def test_real_image_decode_rejects_garbage():
+    from iceberg_datafusion_arrow_flight_spark.operators.multimodal import (
+        _decode_bmp, _decode_ppm)
+    with pytest.raises(ValueError, match="P6"):
+        _decode_ppm(b"JFIF....")
+    with pytest.raises(ValueError, match="BMP"):
+        _decode_bmp(b"\x89PNG....")
+
+
+def test_real_decode_pipeline_matches_metadata(spark, sf_dir):
+    """Header-derived width/height must equal the generator's metadata —
+    only true if the byte parse is real."""
+    from iceberg_datafusion_arrow_flight_spark.operators import multimodal as M
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    payloads = M.attach_image_payload(docs)
+    decoded = M.decode_image_payloads(payloads)
+    joined = payloads.join(decoded, "doc_id")
+    bad = joined.where("width != meta_width OR height != meta_height")
+    assert bad.count() == 0
+    assert decoded.count() == 40
