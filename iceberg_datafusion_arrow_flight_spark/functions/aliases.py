@@ -161,6 +161,23 @@ SQL_UDFS: dict[str, str] = {
         r"ELSE transform(sequence(1, regexp_count(p, '(?<!\\\\)\\((?!\\?)')), "
         "i -> regexp_extract(s, "
         "concat(IF(contains(flags, 'i'), '(?i)', ''), p), i)) END"),
+    # Postgres regexp_matches(s, p, 'g') / DF multi-match form: ALL
+    # matches, each as its capture-group array (whole match when the
+    # pattern has no groups).  Same pattern-derived group count as
+    # df_regexp_match; per-match groups re-extracted from the matched
+    # substring — one codegen'd expression, no Python.
+    "df_regexp_match_all": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION df_regexp_match_all"
+        "(s STRING, p STRING, flags STRING DEFAULT '') "
+        "RETURNS ARRAY<ARRAY<STRING>> RETURN "
+        "CASE WHEN s IS NULL OR p IS NULL THEN NULL ELSE "
+        "transform(regexp_extract_all(s, "
+        "concat(IF(contains(flags, 'i'), '(?i)', ''), p), 0), m -> "
+        r"CASE WHEN regexp_count(p, '(?<!\\\\)\\((?!\\?)') = 0 "
+        "THEN array(m) "
+        r"ELSE transform(sequence(1, regexp_count(p, '(?<!\\\\)\\((?!\\?)')), "
+        "i -> regexp_extract(m, "
+        "concat(IF(contains(flags, 'i'), '(?i)', ''), p), i)) END) END"),
     # DF numeric trunc(x[, s]): truncate toward zero at scale s (Spark's
     # `trunc` builtin is date-only; dialect renames trunc → df_trunc).
     "df_trunc": (

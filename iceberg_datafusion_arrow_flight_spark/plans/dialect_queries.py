@@ -360,3 +360,40 @@ WHERE c_custkey <= 500
 )
 def array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_dialect(spark, sf_dir, _ARRAY_FAMILY, ("customer",))
+
+
+_REGEXP_MATCH_ALL = """
+SELECT o_orderkey,
+       df_regexp_match_all(o_orderpriority, '[A-Z]') AS letters,
+       df_regexp_match_all(o_orderpriority, '([A-Z])([A-Z])') AS pairs,
+       df_regexp_match_all(o_orderpriority, 'urgent', 'i') AS ci
+FROM orders
+WHERE o_orderkey <= 1000
+"""
+
+
+@register(
+    "dialect_regexp_match_all",
+    oracle="""
+SELECT o_orderkey,
+       list_transform(regexp_extract_all(o_orderpriority, '[A-Z]'),
+                      m -> [m]) AS letters,
+       list_transform(regexp_extract_all(o_orderpriority,
+                                         '([A-Z])([A-Z])', 0),
+                      m -> [regexp_extract(m, '([A-Z])([A-Z])', 1),
+                            regexp_extract(m, '([A-Z])([A-Z])', 2)])
+         AS pairs,
+       list_transform(regexp_extract_all(o_orderpriority, '(?i)urgent'),
+                      m -> [m]) AS ci
+FROM orders
+WHERE o_orderkey <= 1000
+""",
+    doc="Multi-match regexp ('g'-flag family): every match as its "
+        "capture-group array — the set-returning sibling of "
+        "df_regexp_match, flattened to ARRAY<ARRAY<STRING>> (group "
+        "count derived from the pattern, 'i' flag folds in). "
+        "functions/aliases.py:df_regexp_match_all.",
+    tags=("dialect",),
+)
+def regexp_match_all_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_dialect(spark, sf_dir, _REGEXP_MATCH_ALL, ("orders",))

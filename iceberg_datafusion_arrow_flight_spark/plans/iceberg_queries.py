@@ -102,3 +102,32 @@ def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.read(spark, snapshot_id=first)
             .groupBy("o_orderstatus").agg(*_agg_cols())
             .orderBy("o_orderstatus"))
+
+
+@register(
+    "iceberg_schema_evolution",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'web' END AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY 1
+ORDER BY 1 NULLS FIRST
+""",
+    doc="Schema evolution through the catalog: append → add_column "
+        "(metadata-only commit, no data rewrite) → append WITH the new "
+        "column → read.  Old files surface NULL for the new column; the "
+        "aggregate by that column proves both file generations read "
+        "under the evolved schema.",
+    tags=("iceberg", "catalog", "schema-evolution"),
+)
+def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    even, odd = _split_orders(spark, sf_dir)
+    t = cat.create_table("sales", "orders_evo", even)
+    t.append(even)                                   # pre-evolution files
+    t.add_column("channel", "string")                # metadata-only commit
+    t.append(odd.withColumn("channel", F.lit("web")))
+    return (t.read(spark)
+            .groupBy("channel").agg(*_agg_cols())
+            .orderBy(F.col("channel").asc_nulls_first()))
