@@ -160,3 +160,21 @@ def test_compaction_preserves_content_and_history(catalog, spark, orders):
     # old snapshot still resolves its original files
     assert t.read(spark, snapshot_id=s1).count() == \
         orders.where("o_orderkey % 2 = 0").count()
+
+
+def test_read_plan_scans_exactly_manifest_files(catalog, spark, orders):
+    """The scan must read precisely the snapshot's (pruned) file list —
+    pruned-out files never enter the plan."""
+    t = catalog.create_table("sales", "orders_plan", orders.coalesce(1))
+    keys = [r[0] for r in orders.select(F.max("o_orderkey")).collect()]
+    cut = keys[0] // 2
+    t.append(orders.where(F.col("o_orderkey") <= cut).coalesce(1))
+    t.append(orders.where(F.col("o_orderkey") > cut).coalesce(1))
+    pruned = t.plan_files(prune=("o_orderkey", 0, cut))
+    scanned = {f.removeprefix("file://")
+               for f in t.read(spark, prune=("o_orderkey", 0, cut))
+               .inputFiles()}
+    kept = {e.file_path for e in pruned}
+    dropped = {e.file_path for e in t.plan_files()} - kept
+    assert scanned == kept
+    assert not scanned & dropped
