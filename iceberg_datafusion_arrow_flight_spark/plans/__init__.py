@@ -29,6 +29,7 @@ from . import events          # noqa: E402,F401
 from . import dialect_queries # noqa: E402,F401
 from . import ddl_io          # noqa: E402,F401
 from . import iceberg_queries # noqa: E402,F401
+from . import pipeline_queries # noqa: E402,F401
 from . import relational      # noqa: E402,F401
 from . import tpch            # noqa: E402,F401
 
@@ -50,7 +51,9 @@ _PRIORITY: list[str] = [
     # windows — entire family unchecked in r01
     "window_ranking", "window_offset_lag_lead", "window_value_functions",
     "window_sales_running", "window_range_frame", "window_agg_mixed_with_groupby",
-    "window_groups_frame", "window_named_clause",
+    "window_groups_frame",
+    # training-data pipeline family rep (full family: split/filter/pack)
+    "pipeline_train_test_split",
     # scalar functions — entire family unchecked
     "func_string_basic", "func_string_search", "func_regex",
     "func_crypto_encoding", "func_math", "func_trig", "func_datetime",
