@@ -50,16 +50,27 @@ def train_test_split(df: DataFrame, id_col: str = "doc_id",
 
 
 def quality_filter(df: DataFrame, text_col: str = "text",
+                   chars_col: str | None = "n_chars",
                    min_chars: int = 100, max_chars: int = 10_000,
                    min_tokens: int = 10,
                    min_quality: float = 0.5) -> DataFrame:
     """C4-style cleanup chain: length band, minimum token count, minimum
-    composite quality score.  Pure filters — Catalyst pushes the char
-    bounds to the scan; the score is computed only for surviving rows."""
+    composite quality score.
+
+    The length band prefers a materialized char-count COLUMN
+    (``chars_col``) over ``length(text)``: a plain column comparison
+    reaches the parquet scan as a pushed filter + row-group stats skip
+    (``length(text)`` never pushes), so at 100 TB the band prunes IO,
+    not just rows.  Falls back to computing the length when the column
+    is absent.  The expression predicates (tokens, score) run only on
+    band survivors."""
     text = F.col(text_col)
+    if chars_col and chars_col in df.columns:
+        n = F.col(chars_col)
+    else:
+        n = F.length(text)
     return (df
-            .where((F.length(text) >= min_chars)
-                   & (F.length(text) <= max_chars))
+            .where((n >= min_chars) & (n <= max_chars))
             .where(T.token_count(text) >= min_tokens)
             .where(T.quality_score(text) >= min_quality))
 

@@ -65,7 +65,7 @@ SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_kept,
        CAST(SUM({_N_TOKENS}) AS BIGINT) AS kept_tokens
 FROM documents
-WHERE length(text) BETWEEN 100 AND 10000
+WHERE n_chars BETWEEN 100 AND 10000
   AND {_N_TOKENS} >= 10
   AND {_QUALITY} >= 0.5
 GROUP BY lang

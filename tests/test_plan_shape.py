@@ -151,3 +151,25 @@ def test_q13_outer_join_predicate_stays_in_join(spark, sf_dir):
     df = REGISTRY["tpch_q13_customer_distribution"].build(spark, sf_dir)
     plan = _explain(df)
     assert "LeftOuter" in plan or "left_outer" in plan, plan
+
+
+def test_pipeline_quality_char_band_pushes_to_scan(spark, sf_dir):
+    """The quality filter's length band uses the materialized n_chars
+    column precisely so it reaches the scan as a pushed filter (a
+    length(text) predicate never pushes) — at 100 TB this band prunes
+    IO via row-group stats, not just rows."""
+    df = REGISTRY["pipeline_quality_filter"].build(spark, sf_dir)
+    plan = _explain(df)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "n_chars" in pushed
+
+
+def test_pipeline_split_is_pure_projection(spark, sf_dir):
+    """The train/test split adds zero exchanges beyond its aggregate:
+    the assignment itself is a projection (scale: no shuffle to split)."""
+    from iceberg_datafusion_arrow_flight_spark.operators.pipeline import (
+        train_test_split)
+    from iceberg_datafusion_arrow_flight_spark.sources.registry import load_table
+    df = train_test_split(load_table(spark, sf_dir, "documents"))
+    plan = _explain(df)
+    assert "Exchange" not in plan
