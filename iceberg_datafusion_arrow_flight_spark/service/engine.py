@@ -162,6 +162,39 @@ class EngineService:
                                 "name STRING, value STRING"
                                 ).createOrReplaceTempView("df_settings")
 
+    # --------------------------------------------- SHOW TABLES / COLUMNS
+    def _materialize_tables_view(self, session: SparkSession) -> None:
+        """``df_tables`` temp view in DataFusion's information_schema
+        .tables shape (the reference enables information_schema at
+        lib.rs:92; DataFusion's SHOW TABLES reads it)."""
+        db = os.environ.get("CURRENT_DATABASE", "datafusion")
+        schema = os.environ.get("CURRENT_SCHEMA", "public")
+        rows = [(db, schema, t.name,
+                 "VIEW" if t.tableType in ("TEMPORARY", "VIEW")
+                 else "BASE TABLE")
+                for t in session.catalog.listTables()
+                if t.name not in ("df_tables", "df_columns", "df_settings")]
+        session.createDataFrame(
+            rows or [("", "", "", "")],
+            "table_catalog STRING, table_schema STRING, "
+            "table_name STRING, table_type STRING"
+        ).where("table_name <> ''").createOrReplaceTempView("df_tables")
+
+    def _materialize_columns_view(self, session: SparkSession,
+                                  table_name: str) -> None:
+        db = os.environ.get("CURRENT_DATABASE", "datafusion")
+        schema = os.environ.get("CURRENT_SCHEMA", "public")
+        fields = session.table(table_name).schema.fields
+        session.createDataFrame(
+            [(db, schema, table_name, f.name, f.dataType.simpleString(),
+              "YES" if f.nullable else "NO") for f in fields],
+            "table_catalog STRING, table_schema STRING, table_name STRING, "
+            "column_name STRING, data_type STRING, is_nullable STRING"
+        ).createOrReplaceTempView("df_columns")
+
+    _SHOW_COLUMNS_RE = re.compile(
+        r"^\s*SHOW\s+COLUMNS\s+FROM\s+([\w.]+)\s*;?\s*$", re.IGNORECASE)
+
     # ------------------------------------------------------------ prepare
     def create_prepared_statement(self, token: str, sql: str) -> str:
         session = self._session(token)
@@ -170,11 +203,20 @@ class EngineService:
             self.statements[handle] = PreparedStatement(
                 token, sql, sql, is_rollback=True)
             return handle
-        # SHOW ALL / information_schema.df_settings introspection
-        # (SURVEY §2.1: information_schema enabled at lib.rs:92).
+        # SHOW ALL / SHOW TABLES / SHOW COLUMNS / information_schema —
+        # DataFusion answers these from information_schema, enabled in
+        # the reference at lib.rs:92; same shapes here.
         if re.match(r"^\s*SHOW\s+ALL\s*;?\s*$", sql, re.IGNORECASE):
             sql = "SELECT name, value FROM df_settings ORDER BY name"
             self._materialize_df_settings(token, session)
+        elif re.match(r"^\s*SHOW\s+TABLES\s*;?\s*$", sql, re.IGNORECASE):
+            sql = ("SELECT table_catalog, table_schema, table_name, "
+                   "table_type FROM df_tables ORDER BY table_name")
+            self._materialize_tables_view(session)
+        elif (m_cols := self._SHOW_COLUMNS_RE.match(sql)):
+            sql = ("SELECT table_catalog, table_schema, table_name, "
+                   "column_name, data_type, is_nullable FROM df_columns")
+            self._materialize_columns_view(session, m_cols.group(1))
         elif re.search(r"\binformation_schema\.df_settings\b", sql,
                        re.IGNORECASE):
             sql = re.sub(r"\binformation_schema\.df_settings\b",

@@ -269,3 +269,28 @@ def test_literal_dollar_does_not_defer_schema(service):
     assert service.statement_schema(h) is not None
     service.execute(token, h)
     assert service.fetch(token, h).column("price").to_pylist() == ["costs $5"]
+
+
+def test_show_tables_and_columns(service):
+    """DataFusion answers SHOW TABLES / SHOW COLUMNS from
+    information_schema (enabled in the reference, lib.rs:92) — same
+    spellings and output shapes here."""
+    token = service.handshake("admin", "secret")
+    h = service.create_prepared_statement(
+        token, "CREATE OR REPLACE TEMPORARY VIEW shown_v AS "
+               "SELECT 1 AS a, 'x' AS b")
+    service.execute_update(token, h)
+    t1 = service.execute(token,
+                         service.create_prepared_statement(token,
+                                                           "SHOW TABLES"))
+    tables = service.fetch(token, t1).to_pylist()
+    assert any(r["table_name"] == "shown_v" and r["table_type"] == "VIEW"
+               for r in tables)
+    assert all(set(r) == {"table_catalog", "table_schema", "table_name",
+                          "table_type"} for r in tables)
+    t2 = service.execute(token, service.create_prepared_statement(
+        token, "SHOW COLUMNS FROM shown_v"))
+    cols = service.fetch(token, t2).to_pylist()
+    assert [(c["column_name"], c["data_type"]) for c in cols] == \
+        [("a", "int"), ("b", "string")]
+    assert all(c["is_nullable"] in ("YES", "NO") for c in cols)
