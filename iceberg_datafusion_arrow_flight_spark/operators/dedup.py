@@ -158,7 +158,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     tb = sigs.select(F.col("__id").alias("id_b"), F.col("__tokens").alias("tok_b"))
     inter = F.size(F.array_intersect("tok_a", "tok_b"))
     union = F.size(F.array_union("tok_a", "tok_b"))
+    # PPJoin size filter: J(A,B) >= t forces t·|B| <= |A| (and
+    # symmetrically) — a scalar comparison that drops candidates before
+    # the O(|A|+|B|) intersect/union ever runs.  Lossless, so the exact
+    # oracle is unaffected.
+    sz_a, sz_b = F.size("tok_a"), F.size("tok_b")
+    size_ok = ((threshold_den * sz_a >= threshold_num * sz_b)
+               & (threshold_den * sz_b >= threshold_num * sz_a))
     return (cand.join(ta, "id_a").join(tb, "id_b")
+            .where(size_ok)
             .where(threshold_den * inter >= threshold_num * union)
             .select("id_a", "id_b",
                     F.round(inter.cast("double") / union, 6).alias("jaccard")))

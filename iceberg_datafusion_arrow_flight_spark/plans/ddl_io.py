@@ -200,3 +200,35 @@ def copy_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()
     shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+@register(
+    "io_copy_to_partitioned",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+""",
+    doc="COPY ... PARTITIONED BY (DF40 COPY partitioning option, SURVEY "
+        "§2.1) → df.write.partitionBy(...).parquet: hive-style "
+        "key=value directories; read-back restores partition columns "
+        "and values exactly.  At scale partitioned layout is what makes "
+        "downstream partition pruning possible.",
+    tags=("io",),
+)
+def copy_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (table(spark, sf_dir, "orders")
+           .groupBy("o_orderstatus", "o_orderpriority")
+           .agg(F.count("*").cast("bigint").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total")))
+    path = os.path.join(_SCRATCH, f"copy_part_{uuid.uuid4().hex[:8]}")
+    out.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    result = (spark.read.parquet(path)
+              .select("o_orderstatus", "o_orderpriority", "n", "total")
+              .orderBy("o_orderstatus", "o_orderpriority"))
+    rows = result.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
