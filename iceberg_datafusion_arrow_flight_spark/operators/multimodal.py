@@ -246,6 +246,42 @@ def decode_image_payloads(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, schema=IMAGE_SCHEMA)
 
 
+RESIZE_REAL_SCHEMA = ("doc_id BIGINT, fmt STRING, out_width INT, "
+                      "out_height INT, sum_r BIGINT, sum_g BIGINT, "
+                      "sum_b BIGINT")
+
+
+def resize_image_payloads(df: DataFrame, out_width: int = 16,
+                          out_height: int = 16) -> DataFrame:
+    """REAL nearest-neighbor resize of decoded PPM/BMP pixels (pure
+    numpy index sampling — the classic resample kernel) with exact
+    per-channel sums of the resized image.  The oracle recomputes the
+    same sampled-pixel sums symbolically, so the hash only matches if
+    both the decode and the resample index math are right."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "fmt", "out_width",
+                                    "out_height", "sum_r", "sum_g",
+                                    "sum_b")}
+            for did, fmt, payload in zip(pdf["doc_id"], pdf["fmt"],
+                                         pdf["payload"]):
+                w, h, px = _REAL_DECODERS[fmt](bytes(payload))
+                iy = (np.arange(out_height) * h) // out_height
+                ix = (np.arange(out_width) * w) // out_width
+                out = px[np.ix_(iy, ix)].astype(np.int64)
+                sums = out.reshape(-1, 3).sum(axis=0)
+                rows["doc_id"].append(did)
+                rows["fmt"].append(fmt)
+                rows["out_width"].append(out_width)
+                rows["out_height"].append(out_height)
+                for i, c in enumerate("rgb"):
+                    rows[f"sum_{c}"].append(int(sums[i]))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(resize, schema=RESIZE_REAL_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_nth: int = 2) -> DataFrame:
     """Frame sampling: emit every_nth 'frame' per payload (frame count
     from metadata; frame checksum = md5(payload || frame_idx)).  Shows

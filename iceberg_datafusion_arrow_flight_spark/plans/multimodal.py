@@ -130,3 +130,41 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     real = M.decode_image_payloads(M.attach_image_payload(docs))
     return real.select("doc_id", "fmt", "width", "height", "n_bytes",
                        "sum_r", "sum_g", "sum_b")
+
+
+@register(
+    "multimodal_resize_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8 + (doc_id % 8) * 4 AS w,
+         8 + (doc_id % 5) * 4 AS h
+  FROM documents WHERE doc_id % 10 = 0
+),
+samples AS (
+  SELECT doc_id, w, h,
+         ((oy.k * h) // 16) * w + ((ox.k * w) // 16) AS flat_px
+  FROM d, range(0, 16) oy(k), range(0, 16) ox(k)
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+       CAST(16 AS INT) AS out_width,
+       CAST(16 AS INT) AS out_height,
+       CAST(SUM((7 * doc_id + flat_px * 3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((7 * doc_id + flat_px * 3 + 1) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((7 * doc_id + flat_px * 3 + 2) % 256) AS BIGINT) AS sum_b
+FROM samples
+GROUP BY doc_id
+""",
+    doc="REAL nearest-neighbor resize, oracle-checked: decode actual "
+        "PPM/BMP pixels, resample to 16x16 via index sampling, emit "
+        "exact channel sums; DuckDB recomputes the sums from the "
+        "generator formula at the SAME sampled indices — hash matches "
+        "only if decode + resample index math agree. "
+        "operators/multimodal.py:resize_image_payloads.",
+    tags=("multimodal",),
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return M.resize_image_payloads(M.attach_image_payload(docs))

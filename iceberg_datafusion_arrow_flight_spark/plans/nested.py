@@ -230,11 +230,19 @@ def struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "map_functions",
-    oracle=None,  # DuckDB map ↔ Arrow map comparison is not stable across
-                  # the pandas bridge; validated by pytest instead.
+    oracle="""
+SELECT n_nationkey,
+       ['k', 'r'] AS ks,
+       [n_nationkey, n_regionkey] AS vs,
+       n_nationkey AS k_val
+FROM nation WHERE n_nationkey < 10
+""",
     doc="Map construction and access (map_from_arrays, map_keys, "
         "map_values, element_at). DF40 has no map functions at all "
-        "(SURVEY §2.9 Map) — Spark surplus.",
+        "(SURVEY §2.9 Map) — Spark surplus.  The MAP itself never "
+        "crosses engines (cross-engine map compare is unstable); the "
+        "oracle checks the projected keys/values/lookup, which pins the "
+        "same semantics on stable types.",
     tags=("map",),
 )
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:

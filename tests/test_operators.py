@@ -361,3 +361,21 @@ def test_real_decode_pipeline_matches_metadata(spark, sf_dir):
     bad = joined.where("width != meta_width OR height != meta_height")
     assert bad.count() == 0
     assert decoded.count() == 40
+
+
+def test_real_resize_matches_bruteforce():
+    """Nearest-neighbor index sampling equals the per-pixel brute force."""
+    import numpy as np
+    from iceberg_datafusion_arrow_flight_spark.operators.multimodal import (
+        _encode_ppm, _decode_ppm)
+    w, h, ow, oh = 12, 9, 16, 16
+    px = np.arange(w * h * 3, dtype=np.int64).reshape(h, w, 3) % 256
+    _, _, dec = _decode_ppm(_encode_ppm(w, h, px))
+    iy = (np.arange(oh) * h) // oh
+    ix = (np.arange(ow) * w) // ow
+    fast = dec[np.ix_(iy, ix)]
+    brute = np.empty((oh, ow, 3), dtype=np.uint8)
+    for y in range(oh):
+        for x in range(ow):
+            brute[y, x] = dec[(y * h) // oh, (x * w) // ow]
+    assert np.array_equal(fast, brute)
