@@ -200,3 +200,31 @@ def purchase_after_signup(events: DataFrame,
             f"INTERVAL {horizon}")),
         "inner")
         .select("user_id", "signup_ts", "purchase_ts", "purchase_value"))
+
+
+def stream_to_iceberg(df: DataFrame, iceberg_table,
+                      query_name: str = "iceberg_ingest"):
+    """Streaming ingestion into a catalog-managed Iceberg table: every
+    micro-batch commits ONE append snapshot through the catalog's CAS —
+    readers concurrently see whole batches or nothing (the lakehouse
+    ingestion contract; the reference's writes commit the same way
+    through its catalog, sql/main.rs:73).
+
+    ``foreachBatch`` is the Spark-native bridge to transactional sinks
+    that aren't built-in streaming sinks; exactly-once here derives from
+    the snapshot commit being atomic per batch (re-run batches would
+    need idempotent dedup upstream — standard lakehouse practice).
+    Returns the StreamingQuery; callers own awaiting/stopping."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        iceberg_table.append(batch_df)
+
+    return (df.writeStream
+            .foreachBatch(commit_batch)
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation",
+                    f"/tmp/spark_graft_ckpt_{query_name}")
+            .start())

@@ -152,3 +152,30 @@ def test_stream_stream_join_equals_batch(spark, events_stream, events_batch):
     # single batch the engine finalizes everything before termination
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, exp.collect()))
+
+
+def test_stream_to_iceberg_commits_snapshot_per_batch(spark, sf_dir,
+                                                      tmp_path):
+    """Streaming ingestion into the catalog: each micro-batch lands as
+    one atomic append snapshot; the table total equals the source."""
+    import shutil
+    from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+        SqliteCatalog)
+    from iceberg_datafusion_arrow_flight_spark.streaming.jobs import (
+        read_events_stream, stream_to_iceberg)
+    shutil.rmtree("/tmp/spark_graft_ckpt_iceberg_ingest_test",
+                  ignore_errors=True)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = SqliteCatalog(str(tmp_path / "cat.db"),
+                        warehouse=str(tmp_path / "wh"))
+    t = cat.create_table("stream", "events",
+                         read_events_stream(spark, sf_dir))
+    q = stream_to_iceberg(read_events_stream(spark, sf_dir), t,
+                          query_name="iceberg_ingest_test")
+    q.awaitTermination(120)
+    snaps = t.snapshots()
+    assert len(snaps) >= 1
+    assert all(s["summary"]["operation"] == "append" for s in snaps)
+    assert t.read(spark).count() == batch.count()
+    # ingested rows carry the converted event-time column
+    assert dict(t.read(spark).dtypes)["ts"].startswith("timestamp")
