@@ -93,3 +93,110 @@ def pack_sequences(df: DataFrame, token_budget: int = 512,
             .withColumn("bin_id",
                         ((F.col("cum_tokens") - F.col("n_tokens"))
                          / token_budget).cast("bigint")))
+
+
+# --- decontamination ----------------------------------------------------
+
+def decontaminate(corpus: DataFrame, bench: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """Benchmark-contamination scan: for every corpus document, the
+    fraction of its DISTINCT token n-grams that also occur anywhere in
+    the benchmark set (the pre-training hygiene check run before a
+    benchmark is trusted).
+
+    Scale shape: the benchmark side collapses to a DISTINCT gram set and
+    broadcasts (benchmark suites are ~MBs even when the corpus is 100 TB),
+    so the corpus is never self-joined and never shuffled on gram — the
+    only wide exchange is the per-document aggregate on ``id_col``.
+    Returns (id, n_grams, n_hit, contamination) for contaminated docs.
+    """
+    g = T.token_ngrams(F.col(text_col), n)
+    cg = (corpus.select(F.col(id_col), F.explode(g).alias("g"))
+          .distinct())
+    bg = bench.select(F.explode(g).alias("g")).distinct()
+    return (
+        cg.join(F.broadcast(bg.withColumn("__hit", F.lit(1))), "g", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint")
+              .alias("n_hit"))
+        .where(F.col("n_hit") > 0)
+        .withColumn("contamination",
+                    F.round(F.col("n_hit") / F.col("n_grams"), 4))
+    )
+
+
+# --- repetition (Gopher-style) ------------------------------------------
+
+def top_ngram_repetition(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Gopher-style repetition signal: per document, the share of all
+    token n-grams (counted WITH duplicates) taken by the single most
+    frequent one; boilerplate/templated docs score high.  Ties break to
+    the lexicographically smallest gram so output is deterministic.
+
+    Scale shape: explode → two keyed exchanges (gram count on
+    (id, gram), then the per-doc window) — state per doc is its
+    distinct-gram set, never a global structure."""
+    grams = df.select(F.col(id_col),
+                      F.explode(T.token_ngrams(F.col(text_col), n)).alias("g"))
+    counts = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = Window.partitionBy(id_col)
+    ranked = (counts
+              .withColumn("n_grams", F.sum("c").over(per_doc))
+              .withColumn("__rn", F.row_number().over(
+                  per_doc.orderBy(F.col("c").desc(), F.col("g")))))
+    return (ranked.where(F.col("__rn") == 1)
+            .select(F.col(id_col), F.col("g").alias("top_gram"),
+                    F.col("c").cast("bigint").alias("top_count"),
+                    F.col("n_grams").cast("bigint").alias("n_grams"),
+                    F.round(F.col("c") / F.col("n_grams"), 4)
+                     .alias("top_frac")))
+
+
+# --- stratified / balanced sampling -------------------------------------
+
+def balanced_sample(df: DataFrame, strata_col: str = "lang",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Language-balanced downsample: every stratum keeps exactly
+    min-stratum-count rows, chosen by ranking the Knuth hash of the id
+    (tie-broken by id) inside each stratum — deterministic across runs,
+    engines, and partitionings, unlike rand()-based sampling.
+
+    Scale shape: one window sort per stratum (the shuffle a stratified
+    sample fundamentally needs) plus a broadcast single-row target; no
+    driver-side stratum table."""
+    target = (df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__c"))
+              .agg(F.min("__c").alias("__target")))
+    w = Window.partitionBy(strata_col).orderBy(
+        split_bucket(F.col(id_col), _MOD), F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .join(F.broadcast(target))
+            .where(F.col("__rn") <= F.col("__target"))
+            .drop("__rn", "__target"))
+
+
+# --- PII detection / redaction ------------------------------------------
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (regex valid in BOTH Java regex and RE2, replacement tag)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"555-[0-9]{4}", "<PHONE>"),
+    "ip": (r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category PII match counts (codegen'd regexp_count)."""
+    return {name: F.regexp_count(col, F.lit(pat)).cast("bigint")
+            for name, (pat, _tag) in PII_PATTERNS.items()}
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its category tag.  Sequential
+    regexp_replace chain — all JVM-side, no Python in the loop."""
+    out = col
+    for pat, tag in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, tag)
+    return out

@@ -90,3 +90,17 @@ def fingerprint_rolling(text: Column, mod: int = 2_147_483_647,
         ws_tokens(text),
         F.lit(0).cast("bigint"),
         lambda acc, t: (acc * mult + F.pmod(hash_expr(t, 7), F.lit(mod))) % mod)
+
+
+def token_ngrams(col: Column, n: int) -> Column:
+    """Token n-grams (space-joined, WITH duplicates) as array<string>.
+
+    Pure expression — transform over a bounded sequence, evaluated in
+    whole-stage codegen; the CASE guard keeps ``sequence`` ascending for
+    short documents (Spark's sequence(1, k) counts DOWN when k < 1)."""
+    t = ws_tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    return (F.when(F.size(t) >= n, grams)
+            .otherwise(F.array().cast("array<string>")))

@@ -121,3 +121,184 @@ def pipeline_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("bin_tokens"))
             .orderBy("lang", "bin_id"))
+
+
+# n-gram oracle fragment: scalar range() + list_transform mirror of
+# operators/text.py:token_ngrams (DuckDB list slice t[i:j] is inclusive).
+def _DUCK_GRAMS(n: int) -> str:
+    return (f"CASE WHEN len(t) >= {n} THEN "
+            f"list_transform(range(1, len(t) - {n - 2}), "
+            f"i -> array_to_string(t[i:i+{n - 1}], ' ')) "
+            "ELSE [] END")
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, unnest({_DUCK_GRAMS(3)}) AS g FROM tok
+), bg AS (
+  SELECT DISTINCT g FROM grams WHERE source = 'src0'
+), cg AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'
+), hit AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END) AS n_hit
+  FROM cg GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       ROUND(n_hit * 1.0 / n_grams, 4) AS contamination
+FROM hit WHERE n_hit > 0 ORDER BY doc_id
+""",
+    doc="Benchmark decontamination: distinct-3-gram overlap of every "
+        "corpus doc (sources != src0) against the benchmark set (source "
+        "= src0).  The benchmark gram set broadcasts — the corpus is "
+        "never self-joined, so the plan survives a 100 TB corpus with "
+        "one aggregate exchange. operators/pipeline.py:decontaminate.",
+    tags=("pipeline", "dedup", "text"),
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src0")
+    bench = docs.where(F.col("source") == "src0")
+    return (P.decontaminate(corpus, bench, n=3)
+            .orderBy("doc_id"))
+
+
+@register(
+    "pipeline_repetition_filter",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_DUCK_GRAMS(2)}) AS g FROM tok
+), counts AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+), ranked AS (
+  SELECT doc_id, g, c,
+         SUM(c) OVER (PARTITION BY doc_id) AS n_grams,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, g) AS rn
+  FROM counts
+)
+SELECT doc_id, g AS top_gram, CAST(c AS BIGINT) AS top_count,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       ROUND(c * 1.0 / n_grams, 4) AS top_frac
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+""",
+    doc="Gopher-style repetition signal: per-doc share of all 2-grams "
+        "taken by the most frequent one (ties to the smallest gram).  "
+        "Exchanges are keyed by (doc, gram) then doc — per-doc state "
+        "only. operators/pipeline.py:top_ngram_repetition.",
+    tags=("pipeline", "text", "window"),
+)
+def pipeline_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return P.top_ngram_repetition(docs, n=2).orderBy("doc_id")
+
+
+@register(
+    "pipeline_balanced_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY doc_id * 2654435761 % 4294967296,
+                                     doc_id) AS rn
+  FROM documents
+), target AS (
+  SELECT MIN(c) AS t
+  FROM (SELECT COUNT(*) AS c FROM documents GROUP BY lang)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS ids_checksum
+FROM ranked WHERE rn <= (SELECT t FROM target)
+GROUP BY lang ORDER BY lang
+""",
+    doc="Language-balanced downsample: every lang keeps exactly "
+        "min-lang-count docs, ranked by the Knuth hash of the id — "
+        "deterministic across engines/runs (rand() sampling is not).  "
+        "The checksum pins WHICH docs were kept, not just how many. "
+        "operators/pipeline.py:balanced_sample.",
+    tags=("pipeline", "sample", "window"),
+)
+def pipeline_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (P.balanced_sample(docs, "lang", "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                 F.sum("doc_id").cast("bigint").alias("ids_checksum"))
+            .orderBy("lang"))
+
+
+# Deterministic synthetic-PII derivation shared by query and oracle:
+# fixture text is PII-free word soup, so the query plants category
+# markers as a pure function of doc_id, then detects/redacts them.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"555-[0-9]{4}"
+_PII_IP = r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+@register(
+    "pipeline_pii_redact",
+    oracle=f"""
+WITH synth AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0
+               THEN 'contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com ' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0
+                  THEN 'call 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' ' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN 'host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.0.1 ' ELSE '' END)
+         || text AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(s, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(s, '{_PII_IP}')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(s,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')) AS red_md5
+FROM synth ORDER BY doc_id
+""",
+    doc="PII detect + redact: plants synthetic emails/phones/IPs as a "
+        "pure function of doc_id (fixture text is PII-free), counts "
+        "matches per category (regexp_count) and md5-pins the fully "
+        "redacted text.  Zero shuffle — a scan-projection that runs at "
+        "any scale; patterns restricted to the Java-regex ∩ RE2 common "
+        "dialect. operators/pipeline.py:redact_pii.",
+    tags=("pipeline", "text", "regex"),
+)
+def pipeline_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = F.concat(
+        F.when(did % 3 == 0,
+               F.concat(F.lit("contact user"), did.cast("string"),
+                        F.lit("@example.com "))).otherwise(""),
+        F.when(did % 4 == 0,
+               F.concat(F.lit("call 555-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0"),
+                        F.lit(" "))).otherwise(""),
+        F.when(did % 5 == 0,
+               F.concat(F.lit("host 10."), (did % 256).cast("string"),
+                        F.lit(".0.1 "))).otherwise(""),
+        F.col("text"))
+    counts = P.pii_counts(s)
+    return (docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ip"].alias("n_ip"),
+        F.md5(P.redact_pii(s).cast("binary")).alias("red_md5"))
+        .orderBy("doc_id"))

@@ -604,3 +604,107 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey
         ORDER BY c_nationkey""")
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+    SELECT l_suppkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    doc="TPC-H Q15 (top supplier): the revenue view becomes a reused "
+        "aggregate; `= (SELECT MAX(...))` becomes a broadcast single-row "
+        "join.  Revenue is rounded BEFORE the max-equality compare so the "
+        "predicate is stable across engines/partition orders (float sums "
+        "differ in the last ulp).  Scale: one lineitem shuffle on suppkey "
+        "(partial+final agg); the max is a 1-row broadcast, supplier join "
+        "broadcasts the small revenue side — no second fact scan.  "
+        "Reference runs this via ctx.sql (lib.rs:678).",
+    tags=("tpch", "subquery", "aggregate"),
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp")))
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("total_revenue")))
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    sup = table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle="""
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    doc="TPC-H Q21 (suppliers who kept orders waiting), fixture-adapted "
+        "late test (no l_commitdate/l_receiptdate columns: a lineitem is "
+        "late when it ships >90 days after the order date).  The oracle "
+        "keeps the textbook EXISTS / NOT-EXISTS form; the Spark plan is an "
+        "aggregation REWRITE of both correlated subqueries — per-order "
+        "supplier sets via collect_set windows over the orderkey "
+        "partition, so the two lineitem self-joins collapse into ONE "
+        "shuffle of the fact table.  A row qualifies iff it is late, its "
+        "order has >1 distinct supplier (EXISTS l2), and exactly one "
+        "distinct LATE supplier (NOT EXISTS l3).  Scale: set sizes are "
+        "bounded by suppliers-per-order (~4-7 at any TPC-H SF), supplier "
+        "dim broadcasts, top-k is TakeOrderedAndProject.  "
+        "Reference runs this via ctx.sql (lib.rs:678).",
+    tags=("tpch", "join", "subquery", "window", "topk"),
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    ords = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    sup = table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    w = Window.partitionBy("l_orderkey")
+    joined = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("__late", late)
+        .withColumn("__n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn("__n_late_supp", F.size(F.collect_set(
+            F.when(F.col("__late"), F.col("l_suppkey"))).over(w)))
+    )
+    return (
+        joined.where(F.col("__late") & (F.col("__n_supp") > 1)
+                     & (F.col("__n_late_supp") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
