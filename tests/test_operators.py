@@ -379,3 +379,65 @@ def test_real_resize_matches_bruteforce():
         for x in range(ow):
             brute[y, x] = dec[(y * h) // oh, (x * w) // ow]
     assert np.array_equal(fast, brute)
+
+
+def test_decontaminate_flags_copied_doc(spark):
+    """A corpus doc that IS a benchmark doc scores contamination 1.0;
+    a doc sharing no 3-grams scores nothing (absent from output)."""
+    from iceberg_datafusion_arrow_flight_spark.operators.pipeline import decontaminate
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),   # exact copy
+         (2, "zeta eta theta iota kappa"),        # disjoint
+         (3, "x y alpha beta gamma q r")],        # partial overlap
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert rows[1].contamination == 1.0
+    assert 2 not in rows
+    assert 0 < rows[3].contamination < 1.0
+
+
+def test_balanced_sample_equal_strata_and_repartition_stable(spark, sf_dir):
+    """Every stratum keeps exactly min-stratum-count rows, and the KEPT
+    ID SET is identical under a different input partitioning (the
+    determinism contract rand()-sampling cannot give)."""
+    from iceberg_datafusion_arrow_flight_spark.operators.pipeline import balanced_sample
+    docs = load_table(spark, sf_dir, "documents")
+    kept = balanced_sample(docs, "lang", "doc_id")
+    sizes = {r.lang: r.n for r in
+             kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert len(set(sizes.values())) == 1  # all strata equal
+    ids_a = {r.doc_id for r in kept.select("doc_id").collect()}
+    kept_b = balanced_sample(docs.repartition(13, "source"), "lang", "doc_id")
+    ids_b = {r.doc_id for r in kept_b.select("doc_id").collect()}
+    assert ids_a == ids_b
+
+
+def test_redact_pii_removes_every_match(spark):
+    """After redaction no PII pattern matches; counts see the originals."""
+    from iceberg_datafusion_arrow_flight_spark.operators.pipeline import (
+        PII_PATTERNS, pii_counts, redact_pii)
+    df = spark.createDataFrame(
+        [("mail a.b@x.org and c@d.io, call 555-1234, host 10.1.2.3 end",)],
+        "s string")
+    counts = pii_counts(F.col("s"))
+    row = df.select(
+        counts["email"].alias("e"), counts["phone"].alias("p"),
+        counts["ip"].alias("i"), redact_pii(F.col("s")).alias("red")).first()
+    assert (row.e, row.p, row.i) == (2, 1, 1)
+    import re
+    for pat, _tag in PII_PATTERNS.values():
+        assert not re.search(pat, row.red), row.red
+    assert "<EMAIL>" in row.red and "<PHONE>" in row.red and "<IP>" in row.red
+
+
+def test_token_ngrams_short_and_exact(spark):
+    """Docs shorter than n yield an empty array, not a descending
+    sequence artifact; gram content matches a hand computation."""
+    from iceberg_datafusion_arrow_flight_spark.operators.text import token_ngrams
+    df = spark.createDataFrame([("a b",), ("a b c",), ("",)], "t string")
+    got = [r.g for r in df.select(token_ngrams(F.col("t"), 3).alias("g")).collect()]
+    assert got[0] == []
+    assert got[1] == ["a b c"]
+    assert got[2] == []

@@ -173,3 +173,45 @@ def test_pipeline_split_is_pure_projection(spark, sf_dir):
     df = train_test_split(load_table(spark, sf_dir, "documents"))
     plan = _explain(df)
     assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set must broadcast — the corpus side is never
+    shuffled on gram, the property that lets the scan scale to 100 TB
+    while the benchmark stays ~MBs."""
+    df = REGISTRY["pipeline_decontaminate"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_single_fact_shuffle_no_self_join(spark, sf_dir):
+    """Q21's two correlated EXISTS subqueries are rewritten as windows
+    over the orderkey partition: lineitem must appear ONCE in the plan
+    (no self-joins) and supplier must broadcast."""
+    df = REGISTRY["tpch_q21_suppliers_kept_waiting"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert plan.count("lineitem.parquet") == 1, \
+        f"lineitem scanned more than once:\n{plan}"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_no_second_fact_scan(spark, sf_dir):
+    """Q15's revenue view is reused for both the max and the equality
+    probe — Catalyst may re-scan for the 1-row max, but the max side
+    must arrive as a broadcast, never a shuffled join."""
+    df = REGISTRY["tpch_q15_top_supplier"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_redact_is_pure_projection(spark, sf_dir):
+    """PII detect/redact is a scan→project pipeline: the only exchange
+    allowed is the final presentation sort."""
+    df = REGISTRY["pipeline_pii_redact"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "Exchange hashpartitioning" not in plan, \
+        f"PII projection introduced a shuffle:\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
