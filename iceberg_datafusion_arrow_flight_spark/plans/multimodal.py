@@ -73,16 +73,38 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_feature_extract",
-    oracle=None,
+    oracle="""
+SELECT doc_id,
+       """ + ",\n       ".join(
+        f"CAST(SUM(CASE WHEN b = {k} THEN 1 ELSE 0 END) AS BIGINT) AS h{k:02d}"
+        for k in range(16)) + """
+FROM (
+  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+                                       i -> ord(text[i]) % 16)) AS b
+  FROM documents)
+GROUP BY doc_id ORDER BY doc_id
+""",
     doc="Feature extraction: payload -> ARRAY<DOUBLE> embedding via "
         "mapInPandas (stub byte-histogram featurizer; swap for an "
-        "ONNX/torch body on a GPU cluster). "
+        "ONNX/torch body on a GPU cluster — the plan is unchanged).  "
+        "Oracled EXACTLY: the L1-normalized feature is un-normalized "
+        "back to integer byte-bucket counts (round(f[k]*n_bytes)), "
+        "which DuckDB recomputes from the text bytes — integer sums, "
+        "not float means, so the cross-engine hash is stable; payload "
+        "is ASCII so chars == bytes. "
         "operators/multimodal.py:extract_features.",
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
     docs = table(spark, sf_dir, "documents")
-    return M.extract_features(M.attach_payload(docs))
+    feats = M.extract_features(M.attach_payload(docs))
+    return (
+        feats.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id",
+                *[F.round(F.element_at("feature", k + 1) * F.col("n_chars"))
+                  .cast("bigint").alias(f"h{k:02d}") for k in range(16)])
+        .orderBy("doc_id"))
 
 
 @register(
