@@ -177,3 +177,21 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.near_dup_pairs_lsh(table(spark, sf_dir, "embeddings"),
                                 threshold=0.35)
+
+
+@register(
+    "sim_ann_pq_topk",
+    oracle=None,  # approximate: recall vs. brute force asserted in tests
+    doc="Product-quantization ANN top-10: 8 subspaces x 16-code "
+        "codebooks (deterministic Lloyd, all subspaces trained per "
+        "iteration in ONE job), corpus encoded to 8 codes per vector "
+        "by a pure projection, queries answered by ADC lookup tables "
+        "+ exact cosine rerank of the best 128 candidates.  The "
+        "compressed-domain scale path: ~32x smaller candidate scan "
+        "than raw floats. operators/similarity.py:ann_pq_topk.",
+    tags=("similarity", "approx"),
+)
+def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.ann_pq_topk(queries, emb, k=10)

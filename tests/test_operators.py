@@ -441,3 +441,33 @@ def test_token_ngrams_short_and_exact(spark):
     assert got[0] == []
     assert got[1] == ["a b c"]
     assert got[2] == []
+
+
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    """PQ ADC + rerank beats the 0.5 recall floor the other ANN tiers
+    are held to, and is deterministic run-to-run (literal codebooks,
+    tie-broken argmin/rank orders)."""
+    from iceberg_datafusion_arrow_flight_spark.operators import similarity
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = similarity.topk_cosine(queries, emb, k=10)
+    approx = similarity.ann_pq_topk(queries, emb, k=10)
+    e = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    a = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"PQ recall too low: {recall:.2f}"
+    again = {(r.query_id, r.corpus_id)
+             for r in similarity.ann_pq_topk(queries, emb, k=10).collect()}
+    assert a == again
+
+
+def test_pq_codebook_shape_and_determinism(spark, sf_dir):
+    """m codebooks x k codes x D/m dims; retraining reproduces the
+    exact same centroids (deterministic init + deterministic Lloyd)."""
+    from iceberg_datafusion_arrow_flight_spark.operators import similarity
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = similarity.pq_codebooks(emb, "vec_id", "embedding", m=4, k=8, iters=1)
+    b2 = similarity.pq_codebooks(emb, "vec_id", "embedding", m=4, k=8, iters=1)
+    assert len(b1) == 4 and all(len(bk) == 8 for bk in b1)
+    assert all(len(cent) == 16 for bk in b1 for _c, cent in bk)
+    assert b1 == b2
