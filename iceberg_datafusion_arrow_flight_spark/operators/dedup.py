@@ -283,3 +283,44 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .where(threshold_den * inter >= threshold_num * union)
             .select("id_a", "id_b",
                     F.round(inter.cast("double") / union, 6).alias("jaccard")))
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """Connected components over an undirected pair list by min-label
+    propagation: every node starts labeled with itself; each round takes
+    the min of its own and its neighbors' labels; at fixpoint the label
+    IS the component representative (the smallest member id) — the
+    keep-one-per-cluster step that turns near-dup PAIRS into dedup
+    decisions.
+
+    Converges in O(component diameter) rounds — near-dup clusters are
+    dense (template floods are near-cliques), so a handful.  Each round
+    is one keyed join + partial-agg min; ``localCheckpoint`` every round
+    keeps the iterated plan flat (the driver-loop recursive-CTE pattern,
+    operators/recursive.py).  Fixpoint test = sum(label) unchanged:
+    labels only ever decrease, so the sum is a strictly decreasing
+    progress measure until convergence.  Returns (node, label)."""
+    und = (edges.select(F.col(src).cast("long").alias("a"),
+                        F.col(dst).cast("long").alias("b"))
+           .unionAll(edges.select(F.col(dst).cast("long").alias("a"),
+                                  F.col(src).cast("long").alias("b"))))
+    und = und.localCheckpoint(eager=True)
+    labels = (und.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    prev_sum = None
+    for _ in range(max_iterations):
+        neigh = (und.join(labels, und["b"] == labels["node"])
+                 .groupBy("a").agg(F.min("label").alias("__nl")))
+        labels = (labels.join(neigh, labels["node"] == neigh["a"], "left")
+                  .select(F.col("node"),
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("__nl"), F.col("label")))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+        s = labels.agg(F.sum("label")).first()[0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels

@@ -15,6 +15,7 @@ reference; operators live in operators/dedup.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .base import register, table
 from ..operators import dedup as D
@@ -167,3 +168,53 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"),
                                  "doc_id", "text", n=1,
                                  threshold_num=9, threshold_den=10)
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           range(1, len(string_split_regex(text, '\s+')) - 1),
+           i -> array_to_string(string_split_regex(text, '\s+')[i:i+2], ' ')))) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE 10 * len(list_intersect(a.s, b.s))
+        >= 8 * len(list_distinct(list_concat(a.s, b.s)))
+), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+), comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS rep FROM reach GROUP BY a
+)
+SELECT CAST(rep AS BIGINT) AS rep,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(node) AS BIGINT) AS ids_checksum
+FROM comp GROUP BY rep ORDER BY rep
+""",
+    doc="Near-dup CLUSTERING: exact 3-gram Jaccard>=0.8 pairs "
+        "(dedup_ngram_jaccard's edge set) -> connected components by "
+        "min-label propagation -> one representative (smallest id) per "
+        "cluster with member count + id checksum.  The oracle computes "
+        "the same components as a recursive-CTE transitive closure — "
+        "quadratic per component, which is exactly why the Spark side "
+        "iterates a keyed join instead (O(diameter) rounds, no closure "
+        "materialization). operators/dedup.py:connected_components.",
+    tags=("dedup", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"),
+                                  "doc_id", "text", n=3,
+                                  threshold_num=8, threshold_den=10)
+    comp = D.connected_components(pairs)
+    return (comp.groupBy(F.col("label").alias("rep"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                 F.sum("node").cast("bigint").alias("ids_checksum"))
+            .orderBy("rep"))

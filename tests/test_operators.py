@@ -471,3 +471,15 @@ def test_pq_codebook_shape_and_determinism(spark, sf_dir):
     assert len(b1) == 4 and all(len(bk) == 8 for bk in b1)
     assert all(len(cent) == 16 for bk in b1 for _c, cent in bk)
     assert b1 == b2
+
+
+def test_connected_components_chain_and_island(spark):
+    """A 5-node path needs multiple propagation rounds to converge on
+    one label; an isolated pair stays its own component."""
+    from iceberg_datafusion_arrow_flight_spark.operators.dedup import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "id_a long, id_b long")
+    got = {(r.node, r.label) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                   (10, 10), (11, 10)}
