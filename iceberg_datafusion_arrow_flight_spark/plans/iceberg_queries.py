@@ -131,3 +131,46 @@ def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.read(spark)
             .groupBy("channel").agg(*_agg_cols())
             .orderBy(F.col("channel").asc_nulls_first()))
+
+
+@register(
+    "iceberg_rest_catalog_lifecycle",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="The reference's SECOND catalog mode (the rest binary, "
+        "-rest/src/main.rs:46-90): the same lifecycle as "
+        "iceberg_table_lifecycle but every catalog interaction travels "
+        "over the Iceberg REST catalog API — an in-process spec server "
+        "fronts the SQLite catalog, the client authenticates with a "
+        "bearer token, registers the table, and both INSERT commits are "
+        "HTTP CAS pointer swaps.  Data/metadata files go straight to "
+        "the object store (shared fs here); only KB-sized pointers "
+        "cross the catalog wire, so the lifecycle cost stays "
+        "independent of table size at 100 TB. "
+        "sources/rest_catalog.py:RestCatalog/RestCatalogServer.",
+    tags=("iceberg", "catalog", "rest", "write"),
+)
+def iceberg_rest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.rest_catalog import RestCatalog, RestCatalogServer
+
+    backing = _fresh_catalog()
+    even, odd = _split_orders(spark, sf_dir)
+    with RestCatalogServer(backing, bearer_token="round2") as srv:
+        cat = RestCatalog(srv.url, warehouse=backing.warehouse,
+                          bearer_token="round2")
+        t = cat.create_table("sales", "orders_rest", even)
+        t.append(even)   # snapshot 1, committed over HTTP
+        t.append(odd)    # snapshot 2, committed over HTTP
+        out = (t.read(spark)
+               .groupBy("o_orderstatus").agg(*_agg_cols())
+               .orderBy("o_orderstatus"))
+        # materialize the plan's file list while the server is up; the
+        # read itself scans parquet directly (catalog no longer needed)
+        out = out.localCheckpoint(eager=True)
+    return out

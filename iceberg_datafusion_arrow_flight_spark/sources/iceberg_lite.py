@@ -118,25 +118,7 @@ class SqliteCatalog:
                      df: DataFrame) -> "IcebergTable":
         """CREATE TABLE: write metadata v1 (no snapshot), register pointer."""
         location = os.path.join(self.warehouse, namespace, name)
-        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
-        os.makedirs(os.path.join(location, "data"), exist_ok=True)
-        metadata = {
-            "format-version": 2,
-            "table-uuid": str(uuid.uuid4()),
-            "location": location,
-            "last-sequence-number": 0,
-            "last-updated-ms": _now_ms(),
-            "schemas": [{"schema-id": 0, "type": "struct",
-                         "fields": _schema_fields(df)}],
-            "current-schema-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "default-spec-id": 0,
-            "current-snapshot-id": None,
-            "snapshots": [],
-            "snapshot-log": [],
-            "metadata-log": [],
-        }
-        metadata_location = _write_metadata(location, 1, metadata)
+        metadata_location = _write_new_table(location, df)
         with self._conn() as conn:
             conn.execute("BEGIN IMMEDIATE")
             try:
@@ -423,6 +405,32 @@ class IcebergTable:
 
 def _now_ms() -> int:
     return int(time.time() * 1000)
+
+
+def _write_new_table(location: str, df: DataFrame) -> str:
+    """Write a fresh table's directory skeleton + v1 metadata (no
+    snapshot); returns the metadata location.  Shared by the SQLite
+    catalog's CREATE TABLE and the REST client's register flow — the
+    metadata file is identical no matter which catalog points at it."""
+    os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(location, "data"), exist_ok=True)
+    metadata = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": location,
+        "last-sequence-number": 0,
+        "last-updated-ms": _now_ms(),
+        "schemas": [{"schema-id": 0, "type": "struct",
+                     "fields": _schema_fields(df)}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": None,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    return _write_metadata(location, 1, metadata)
 
 
 def _write_json(path: str, obj: dict) -> None:

@@ -1,0 +1,112 @@
+"""Iceberg REST catalog client/server (SURVEY §2.1 — the reference's
+rest-binary catalog mode, -rest/src/main.rs:46-90): spec routes, auth,
+lifecycle over HTTP, CAS conflict semantics, env-contract construction.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+    CommitFailedError, NoSuchTableError, SqliteCatalog,
+    TableAlreadyExistsError)
+from iceberg_datafusion_arrow_flight_spark.sources.rest_catalog import (
+    RestCatalog, RestCatalogServer, catalog_from_env)
+
+
+@pytest.fixture()
+def backing():
+    root = tempfile.mkdtemp(prefix="rest_cat_test_")
+    return SqliteCatalog(os.path.join(root, "cat.db"),
+                         warehouse=os.path.join(root, "wh"))
+
+
+@pytest.fixture()
+def served(backing):
+    with RestCatalogServer(backing, bearer_token="tok") as srv:
+        yield srv, RestCatalog(srv.url, warehouse=backing.warehouse,
+                               bearer_token="tok")
+
+
+def test_config_and_endpoint_listing(served):
+    _, cat = served
+    cfg = cat.config()
+    assert "GET /v1/config" in cfg["endpoints"]
+    assert cfg["defaults"] == {} and cfg["overrides"] == {}
+
+
+def test_auth_required_and_precedence(backing):
+    with RestCatalogServer(backing, bearer_token="tok") as srv:
+        with pytest.raises(ConnectionError):
+            RestCatalog(srv.url, warehouse=backing.warehouse).config()
+        with pytest.raises(ConnectionError):
+            RestCatalog(srv.url, warehouse=backing.warehouse,
+                        bearer_token="wrong").config()
+        # oauth token is sent as Bearer too (reference precedence)
+        assert RestCatalog(srv.url, warehouse=backing.warehouse,
+                           oauth_token="tok").config()["endpoints"]
+
+
+def test_basic_auth_mode(backing):
+    with RestCatalogServer(backing, username="u", password="p") as srv:
+        ok = RestCatalog(srv.url, warehouse=backing.warehouse,
+                         username="u", password="p")
+        assert ok.config()["endpoints"]
+        with pytest.raises(ConnectionError):
+            RestCatalog(srv.url, warehouse=backing.warehouse,
+                        username="u", password="nope").config()
+
+
+def test_lifecycle_over_http(spark, served):
+    _, cat = served
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    t = cat.create_table("ns", "t", df)
+    s1 = t.append(df)
+    t.append(spark.range(5).selectExpr("id + 100 AS id", "id AS v"))
+    assert t.read(spark).count() == 15
+    assert t.read(spark, snapshot_id=s1).count() == 10
+    assert cat.list_tables() == [("ns", "t")]
+    assert cat.list_tables("ns") == [("ns", "t")]
+    with pytest.raises(TableAlreadyExistsError):
+        cat.create_table("ns", "t", df)
+    cat.drop_table("ns", "t")
+    with pytest.raises(NoSuchTableError):
+        cat.load_table("ns", "t")
+
+
+def test_commit_conflict_is_409_commitfailed(spark, served):
+    _, cat = served
+    df = spark.range(4).selectExpr("id", "id AS v")
+    t = cat.create_table("ns", "racy", df)
+    stale, _meta = t._load_metadata()
+    t.append(df)  # moves the pointer
+    with pytest.raises(CommitFailedError):
+        cat._swap_pointer("ns", "racy", stale, "/elsewhere")
+
+
+def test_sql_and_rest_catalogs_interoperate(spark, backing, served):
+    """Same pointer store: a table created over REST is visible (and
+    readable) through the SQL catalog and vice versa — the two binaries
+    front one lake."""
+    _, rest = served
+    df = spark.range(6).selectExpr("id", "id AS v")
+    rest.create_table("ns", "via_rest", df).append(df)
+    assert backing.load_table("ns", "via_rest").read(spark).count() == 6
+    backing.create_table("ns", "via_sql", df).append(df)
+    assert rest.load_table("ns", "via_sql").read(spark).count() == 6
+
+
+def test_catalog_from_env_contract(backing, monkeypatch):
+    with RestCatalogServer(backing, bearer_token="envtok") as srv:
+        monkeypatch.setenv("ICEBERG_CATALOG_URL", srv.url)
+        monkeypatch.setenv("ICEBERG_CATALOG_BEARER_TOKEN", "envtok")
+        monkeypatch.setenv("ICEBERG_WAREHOUSE", backing.warehouse)
+        cat = catalog_from_env()
+        assert cat.config()["endpoints"]
+        assert cat.warehouse == backing.warehouse
+    monkeypatch.delenv("ICEBERG_CATALOG_URL")
+    with pytest.raises(KeyError):
+        catalog_from_env()
