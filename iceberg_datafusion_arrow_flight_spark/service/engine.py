@@ -98,6 +98,16 @@ class EngineService:
     # for temp-view-backed tables pass e.g.
     # ``lambda s: register_tables(s, sf_dir)``.
     session_init: Callable[[SparkSession], None] | None = None
+    # Iceberg catalog (SqliteCatalog or RestCatalog — same duck type).
+    # When set, every handshake registers each catalog table as a view
+    # and qualified ``ns.table`` identifiers in incoming SQL resolve to
+    # it — the Spark analogue of the reference injecting its catalog
+    # list into each new SessionContext (lib.rs:94-103; the rest binary
+    # swaps in a RestCatalogList, -rest/src/main.rs:90).  Views pin the
+    # table's CURRENT snapshot at handshake: a session reads a
+    # consistent snapshot for its lifetime; new sessions see new
+    # commits.
+    catalog: object | None = None
     sessions: dict[str, SparkSession] = field(default_factory=dict)
     statements: dict[str, PreparedStatement] = field(default_factory=dict)
     results: OrderedDict = field(default_factory=OrderedDict)
@@ -122,8 +132,34 @@ class EngineService:
         register_dialect_functions(session)
         if self.session_init is not None:
             self.session_init(session)
+        if self.catalog is not None:
+            self._register_catalog_views(session)
         self.sessions[token] = session
         return token
+
+    def _register_catalog_views(self, session: SparkSession) -> None:
+        """One temp view per catalog table (``ns__name``), reading the
+        table's current snapshot; ``self._catalog_names`` maps the
+        qualified SQL spelling to the view for the identifier pass."""
+        self._catalog_names: dict[str, str] = {}
+        for ns, name in self.catalog.list_tables():
+            view = f"{ns}__{name}"
+            self.catalog.load_table(ns, name).read(session) \
+                .createOrReplaceTempView(view)
+            self._catalog_names[f"{ns}.{name}"] = view
+
+    def _qualified_names_pass(self, sql: str) -> str:
+        """Rewrite qualified ``ns.table`` identifiers to their session
+        views — OUTSIDE string literals (same masking discipline as the
+        dialect passes)."""
+        names = getattr(self, "_catalog_names", None)
+        if not names:
+            return sql
+        from ..dialect.rewrite import _mask_literals, _unmask_literals
+        masked, saved = _mask_literals(sql)
+        for qualified, view in names.items():
+            masked = re.sub(rf"\b{re.escape(qualified)}\b", view, masked)
+        return _unmask_literals(masked, saved)
 
     def _session(self, token: str) -> SparkSession:
         try:
@@ -222,7 +258,8 @@ class EngineService:
             sql = re.sub(r"\binformation_schema\.df_settings\b",
                          "df_settings", sql, flags=re.IGNORECASE)
             self._materialize_df_settings(token, session)
-        translated = rewrite_sql(self._env_identity_pass(sql))
+        translated = rewrite_sql(
+            self._qualified_names_pass(self._env_identity_pass(sql)))
         # parameters are counted OUTSIDE string literals — a literal like
         # 'costs $5' must not defer schema analysis (ADVICE r1)
         has_params = bool(find_params(sql))

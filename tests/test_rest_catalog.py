@@ -110,3 +110,38 @@ def test_catalog_from_env_contract(backing, monkeypatch):
     monkeypatch.delenv("ICEBERG_CATALOG_URL")
     with pytest.raises(KeyError):
         catalog_from_env()
+
+
+def test_flight_service_reads_catalog_tables(spark, backing, served,
+                                             monkeypatch):
+    """The reference's full rest-binary shape: Flight-door sessions see
+    catalog tables under their qualified names, pinned to the snapshot
+    current at handshake; later commits appear only to new sessions."""
+    from iceberg_datafusion_arrow_flight_spark.service import EngineService
+
+    monkeypatch.setenv("FLIGHT_USER", "admin")
+    monkeypatch.setenv("FLIGHT_PASSWORD", "secret")
+    _, rest = served
+    df = spark.range(8).selectExpr("id", "id * 3 AS v")
+    rest.create_table("sales", "items", df).append(df)
+
+    svc = EngineService(spark, catalog=rest)
+    tok1 = svc.handshake("admin", "secret")
+    h = svc.create_prepared_statement(
+        tok1, "SELECT COUNT(*) AS n, 'sales.items' AS lit FROM sales.items")
+    res = svc.results[svc.execute(tok1, h)]
+    row = res.to_pylist()[0]
+    assert row["n"] == 8
+    assert row["lit"] == "sales.items"  # literal NOT rewritten
+
+    # commit after handshake: session 1 keeps its snapshot…
+    rest.load_table("sales", "items").append(
+        spark.range(2).selectExpr("id + 50 AS id", "id AS v"))
+    h1b = svc.create_prepared_statement(
+        tok1, "SELECT COUNT(*) AS n FROM sales.items")
+    assert svc.results[svc.execute(tok1, h1b)].to_pylist()[0]["n"] == 8
+    # …a fresh session sees the new snapshot
+    tok2 = svc.handshake("admin", "secret")
+    h2 = svc.create_prepared_statement(
+        tok2, "SELECT COUNT(*) AS n FROM sales.items")
+    assert svc.results[svc.execute(tok2, h2)].to_pylist()[0]["n"] == 10
