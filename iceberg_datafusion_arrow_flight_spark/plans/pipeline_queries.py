@@ -302,3 +302,87 @@ def pipeline_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["ip"].alias("n_ip"),
         F.md5(P.redact_pii(s).cast("binary")).alias("red_md5"))
         .orderBy("doc_id"))
+
+
+@register(
+    "pipeline_end_to_end",
+    oracle=f"""
+WITH deduped AS (
+  SELECT * FROM (
+    SELECT d.*, MIN(doc_id) OVER (
+        PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g')))) AS __rep
+    FROM documents d)
+  WHERE doc_id = __rep
+), tok AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, unnest({_DUCK_GRAMS(3)}) AS g FROM tok
+), bg AS (
+  SELECT DISTINCT g FROM grams WHERE source = 'src0'
+), contaminated AS (
+  SELECT doc_id
+  FROM (SELECT doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END)
+               AS n_hit
+        FROM (SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0')
+        GROUP BY doc_id)
+  WHERE n_hit * 1.0 / n_grams > 0.15
+), kept AS (
+  SELECT * FROM deduped
+  WHERE source <> 'src0'
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND n_chars BETWEEN 100 AND 10000
+    AND {_N_TOKENS} >= 10
+    AND {_QUALITY} >= 0.5
+)
+SELECT lang,
+       CASE WHEN (doc_id * 2654435761 % 4294967296) % 10000 < 1000
+            THEN 'test' ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({_N_TOKENS}) AS BIGINT) AS total_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS ids_checksum
+FROM kept
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="The COMPOSED training-data pipeline, one declarative plan: "
+        "exact dedup (keep min-id per normalized-text fingerprint) -> "
+        "benchmark-decontamination gate (drop corpus docs with >15% "
+        "distinct-3-gram overlap vs the src0 benchmark) -> C4-style "
+        "quality filter -> reproducible hash split -> per-(lang, split) "
+        "counts, token totals, and an id checksum pinning exactly which "
+        "documents survived.  Every stage is the already-oracled "
+        "operator composed unchanged; Catalyst fuses the chain (the "
+        "filters run in one pass over dedup survivors, the benchmark "
+        "gram set broadcasts, the only wide exchanges are the dedup "
+        "fingerprint window, the contamination aggregate, and the final "
+        "group) — the plan a 100 TB curation run would actually ship. "
+        "operators/{{dedup,pipeline}}.py.",
+    tags=("pipeline", "dedup", "text", "split"),
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..operators import text as T
+    from ..operators.dedup import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(normalize_text(F.col("text")).cast("binary"))
+    deduped = (docs.withColumn(
+        "__rep", F.min("doc_id").over(Window.partitionBy(fp)))
+        .where(F.col("doc_id") == F.col("__rep")).drop("__rep"))
+    corpus_all = docs.where(F.col("source") != "src0")
+    bench = docs.where(F.col("source") == "src0")
+    contaminated = (P.decontaminate(corpus_all, bench, n=3)
+                    .where(F.col("contamination") > 0.15)
+                    .select("doc_id"))
+    kept = (deduped.where(F.col("source") != "src0")
+            .join(contaminated, "doc_id", "left_anti"))
+    kept = P.quality_filter(kept)
+    split = P.train_test_split(kept)
+    return (split.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(T.token_count(F.col("text"))).cast("bigint")
+                  .alias("total_tokens"),
+                 F.sum("doc_id").cast("bigint").alias("ids_checksum"))
+            .orderBy("lang", "split"))
