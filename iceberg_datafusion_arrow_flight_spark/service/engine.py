@@ -231,6 +231,42 @@ class EngineService:
     _SHOW_COLUMNS_RE = re.compile(
         r"^\s*SHOW\s+COLUMNS\s+FROM\s+([\w.]+)\s*;?\s*$", re.IGNORECASE)
 
+    # ------------------------------------------- EXPLAIN / DESCRIBE shims
+    # DataFusion executes both as ordinary statements through ctx.sql
+    # (lib.rs:678): EXPLAIN returns (plan_type, plan) rows —
+    # 'logical_plan' + 'physical_plan', or 'Plan with Metrics' for
+    # EXPLAIN ANALYZE (which executes the query) — and DESCRIBE returns
+    # (column_name, data_type, is_nullable).  Same shapes here, answered
+    # from Catalyst.
+    def _materialize_explain(self, token: str, session: SparkSession,
+                             analyze: bool, inner_sql: str) -> str:
+        translated = rewrite_sql(self._qualified_names_pass(
+            self._env_identity_pass(inner_sql)))
+        df = session.sql(translated)
+        qe = df._jdf.queryExecution()
+        if analyze:
+            df.collect()  # EXPLAIN ANALYZE runs the plan, like DF
+            rows = [("Plan with Metrics",
+                     qe.executedPlan().toString())]
+        else:
+            rows = [("logical_plan", qe.optimizedPlan().toString()),
+                    ("physical_plan", qe.executedPlan().toString())]
+        session.createDataFrame(rows, "plan_type STRING, plan STRING") \
+            .createOrReplaceTempView("df_explain")
+        return "SELECT plan_type, plan FROM df_explain"
+
+    def _materialize_describe(self, token: str, session: SparkSession,
+                              name: str) -> str:
+        resolved = self._qualified_names_pass(name)
+        fields = session.table(resolved).schema.fields
+        session.createDataFrame(
+            [(f.name, f.dataType.simpleString(),
+              "YES" if f.nullable else "NO") for f in fields],
+            "column_name STRING, data_type STRING, is_nullable STRING"
+        ).createOrReplaceTempView("df_describe")
+        return ("SELECT column_name, data_type, is_nullable "
+                "FROM df_describe")
+
     # ------------------------------------------------------------ prepare
     def create_prepared_statement(self, token: str, sql: str) -> str:
         session = self._session(token)
@@ -253,6 +289,13 @@ class EngineService:
             sql = ("SELECT table_catalog, table_schema, table_name, "
                    "column_name, data_type, is_nullable FROM df_columns")
             self._materialize_columns_view(session, m_cols.group(1))
+        elif (m_ex := re.match(r"^\s*EXPLAIN\s+(ANALYZE\s+)?(.+)$", sql,
+                               re.IGNORECASE | re.DOTALL)):
+            sql = self._materialize_explain(
+                token, session, bool(m_ex.group(1)), m_ex.group(2))
+        elif (m_desc := re.match(r"^\s*DESCRIBE\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+                                 sql, re.IGNORECASE)):
+            sql = self._materialize_describe(token, session, m_desc.group(1))
         elif re.search(r"\binformation_schema\.df_settings\b", sql,
                        re.IGNORECASE):
             sql = re.sub(r"\binformation_schema\.df_settings\b",

@@ -294,3 +294,42 @@ def test_show_tables_and_columns(service):
     assert [(c["column_name"], c["data_type"]) for c in cols] == \
         [("a", "int"), ("b", "string")]
     assert all(c["is_nullable"] in ("YES", "NO") for c in cols)
+
+
+@pytest.fixture()
+def table_service(spark, sf_dir, creds):
+    """Service whose sessions see the fixture tables (newSession() does
+    not inherit root temp views — the per-session init is the same hook
+    a deployment uses)."""
+    return EngineService(
+        spark, session_init=lambda s: register_tables(s, sf_dir))
+
+
+def test_explain_statement_shapes(table_service):
+    """EXPLAIN returns DataFusion's (plan_type, plan) rows; ANALYZE
+    executes and returns the metrics plan (lib.rs:678 passes both
+    through ctx.sql)."""
+    service = table_service
+    token = service.handshake("admin", "secret")
+    h = service.create_prepared_statement(
+        token, "EXPLAIN SELECT o_orderstatus, COUNT(*) FROM orders GROUP BY 1")
+    rows = service.results[service.execute(token, h)].to_pylist()
+    assert [r["plan_type"] for r in rows] == ["logical_plan",
+                                              "physical_plan"]
+    assert "Aggregate" in rows[0]["plan"]
+    h2 = service.create_prepared_statement(
+        token, "EXPLAIN ANALYZE SELECT COUNT(*) FROM orders")
+    rows2 = service.results[service.execute(token, h2)].to_pylist()
+    assert [r["plan_type"] for r in rows2] == ["Plan with Metrics"]
+
+
+def test_describe_statement_shape(table_service):
+    service = table_service
+    token = service.handshake("admin", "secret")
+    h = service.create_prepared_statement(token, "DESCRIBE orders")
+    rows = service.results[service.execute(token, h)].to_pylist()
+    cols = {r["column_name"]: (r["data_type"], r["is_nullable"])
+            for r in rows}
+    assert "o_orderkey" in cols and "o_totalprice" in cols
+    assert set(rows[0].keys()) == {"column_name", "data_type",
+                                   "is_nullable"}
