@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_topk_cosine",
     "sim_ann_ivf_topk",
+    "pipeline_decontaminate",
+    "pipeline_end_to_end",
     "text_quality_score",
     "events_tumbling_window",
     "events_session_window",
@@ -72,16 +74,21 @@ def main() -> None:
                               "/root/testdata/sf0.001")
     heavy = [n for n in names
              if n in ("dedup_minhash_lsh", "sim_topk_cosine",
-                      "sim_ann_ivf_topk")]
+                      "sim_ann_ivf_topk", "pipeline_decontaminate",
+                      "pipeline_end_to_end")]
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
         df = REGISTRY[name].build(spark, sf_dir)
-        # collect() mirrors the reference's execution model — it collects
-        # every result server-side before streaming to the client
-        # (lib.rs:333-344); headline outputs are aggregates/top-k, so the
-        # collected sets are small.
-        df.collect()
+        # Materialize the FULL result as Arrow, mirroring the reference's
+        # execution model: it collects every result server-side as Arrow
+        # RecordBatches before streaming to the client (lib.rs:333-344).
+        # toArrow() is that exact shape (JVM -> Arrow IPC); a row-objects
+        # collect() would additionally pay Python deserialization of
+        # ~1M rows on the wide-output operators (dedup_minhash_lsh),
+        # which is driver-side noise the reference never pays — it
+        # inflated that entry 26s -> 50s with high variance.
+        df.toArrow()
         return round(time.perf_counter() - t0, 4)
 
     times: dict[str, float] = {}
