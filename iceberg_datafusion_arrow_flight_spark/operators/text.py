@@ -104,3 +104,73 @@ def token_ngrams(col: Column, n: int) -> Column:
         lambda i: F.concat_ws(" ", F.slice(t, i, n)))
     return (F.when(F.size(t) >= n, grams)
             .otherwise(F.array().cast("array<string>")))
+
+
+def lm_score(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Bigram language-model score per document (the CCNet/RedPajama
+    quality signal): train add-one-smoothed bigram counts on the corpus
+    itself, then score each doc by its mean log P(w2 | w1).
+    Low scorers are gibberish/outliers; high scorers are in-distribution.
+
+    avg_logprob = mean over doc bigrams of
+        ln( (C(w1 w2) + 1) / (C(w1) + V) )
+
+    Scale shape: counts are two partial-agg shuffles over the exploded
+    grams; scoring is ONE equi-join of doc bigrams against the bigram
+    table (hash-keyed on the gram) plus a broadcast unigram join per
+    first-token — no per-doc state beyond its gram multiset.  At 100 TB
+    train the counts on a sample or swap in a count-min sketch; the
+    scoring join is unchanged."""
+    from pyspark.sql import Window  # local: keep module import surface
+
+    grams = df.select(F.col(id_col),
+                      F.explode(token_ngrams(F.col(text_col), 2)).alias("g"))
+    toks = df.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
+    big_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c12"))
+    uni_counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.countDistinct("w").alias("__v"))
+    w1 = F.split(F.col("g"), " ").getItem(0)
+    scored = (grams
+              .join(big_counts, "g")
+              .withColumn("__w1", w1)
+              .join(F.broadcast(uni_counts),
+                    F.col("__w1") == F.col("w"))
+              .join(F.broadcast(vocab))
+              .withColumn("__lp", F.log((F.col("c12") + 1)
+                                        / (F.col("c1") + F.col("__v")))))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.round(F.avg("__lp"), 4).alias("avg_logprob")))
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf:
+    tf = term count / doc tokens, idf = ln(N / docs-containing-term).
+    Ties break (tfidf DESC, term ASC) so output is deterministic.
+
+    Scale shape: one (doc, term) count shuffle, one per-term document-
+    frequency aggregate (broadcast back — vocabulary ≪ corpus), one
+    per-doc window for the top-k."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col),
+                     F.explode(ws_tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    doc_len = Window.partitionBy(id_col)
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    dfreq = (toks.select(id_col, "term").distinct()
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    scored = (tf.withColumn("__len", F.sum("c").over(doc_len))
+              .join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(n_docs))
+              .withColumn("tfidf",
+                          F.round((F.col("c") / F.col("__len"))
+                                  * F.log(F.col("__n") / F.col("df")), 6)))
+    rank_w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(rank_w))
+            .where(F.col("rank") <= k)
+            .select(F.col(id_col), "term", "tfidf",
+                    F.col("rank").cast("int").alias("rank")))

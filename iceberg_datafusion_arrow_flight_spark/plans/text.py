@@ -121,3 +121,80 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id",
                     T.fingerprint_md5(F.col("text")).alias("fp_md5"),
                     T.fingerprint_rolling(F.col("text")).alias("fp_rolling"))
+
+
+@register(
+    "text_lm_score",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+           list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+         ELSE [] END) AS g
+  FROM tok
+), words AS (
+  SELECT unnest(t) AS w FROM tok
+), big_counts AS (
+  SELECT g, COUNT(*) AS c12 FROM grams GROUP BY g
+), uni_counts AS (
+  SELECT w, COUNT(*) AS c1 FROM words GROUP BY w
+), vocab AS (
+  SELECT COUNT(DISTINCT w) AS v FROM words
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln((c12 + 1) * 1.0 / (c1 + v))), 4) AS avg_logprob
+FROM grams
+JOIN big_counts USING (g)
+JOIN uni_counts ON string_split(g, ' ')[1] = w
+CROSS JOIN vocab
+GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="Bigram LM quality score (CCNet-style): add-one-smoothed "
+        "in-corpus bigram model, mean log P(w2|w1) per doc — low "
+        "scorers are out-of-distribution.  Counts are partial-agg "
+        "shuffles; scoring is one gram-keyed equi-join + broadcast "
+        "unigram/vocab joins. operators/text.py:lm_score.",
+    tags=("text", "pipeline"),
+)
+def text_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return T.lm_score(d).orderBy("doc_id")
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term,
+         ROUND((c * 1.0 / SUM(c) OVER (PARTITION BY doc_id))
+               * ln(n_docs * 1.0 / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+""",
+    doc="Top-3 characteristic terms per doc by tf-idf (deterministic "
+        "tie-break).  One (doc,term) shuffle, vocabulary-sized document-"
+        "frequency broadcast, per-doc top-k window. "
+        "operators/text.py:tfidf_top_terms.",
+    tags=("text", "pipeline", "window"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")
