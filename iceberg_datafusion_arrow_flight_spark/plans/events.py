@@ -249,3 +249,42 @@ def events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select(F.lit("__ALL__").alias("event_type"),
                           "n_events",
                           F.hll_sketch_estimate("g").alias("approx_users"))))
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), cohort AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM activity GROUP BY user_id
+)
+SELECT CAST(cohort_wk AS TIMESTAMP) AS cohort_week,
+       CAST((epoch(wk) - epoch(cohort_wk)) / 604800 AS INT) AS weeks_since,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM activity JOIN cohort USING (user_id)
+GROUP BY cohort_wk, weeks_since
+ORDER BY cohort_week, weeks_since
+""",
+    doc="Cohort retention matrix: users grouped by first-active week, "
+        "counted in each subsequent week they return — the canonical "
+        "product-analytics rollup.  Two keyed aggregates (distinct "
+        "user-week activity, per-user cohort min) and one user-keyed "
+        "join; shuffle is O(users × active weeks), never O(events), "
+        "because the distinct collapses first.",
+    tags=("events", "aggregate"),
+)
+def events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    activity = (e.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+                .distinct())
+    cohort = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    weeks_since = ((F.unix_timestamp("wk")
+                    - F.unix_timestamp("cohort_wk")) / 604800).cast("int")
+    return (activity.join(cohort, "user_id")
+            .select(F.col("cohort_wk").cast("timestamp_ntz")
+                    .alias("cohort_week"),
+                    weeks_since.alias("weeks_since"))
+            .groupBy("cohort_week", "weeks_since")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+            .orderBy("cohort_week", "weeks_since"))

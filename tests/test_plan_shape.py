@@ -215,3 +215,20 @@ def test_pii_redact_is_pure_projection(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, \
         f"PII projection introduced a shuffle:\n{plan}"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_score_broadcasts_model_sides(spark, sf_dir):
+    """The unigram/vocab model sides broadcast; the only shuffles are
+    the count aggregates and the gram-keyed scoring join."""
+    df = REGISTRY["text_lm_score"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
+    df = REGISTRY["text_tfidf_topk"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
