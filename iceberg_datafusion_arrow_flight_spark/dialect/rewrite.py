@@ -249,6 +249,68 @@ def rewrite_to_char(sql: str) -> str:
         pos = fmt_m.end()
 
 
+# --------------------------------------------------------------- arrow_cast
+
+# DataFusion's arrow_cast(expr, 'ArrowTypeName') — the Arrow type names a
+# DF client writes, mapped to Spark SQL types (unsigned ints widen per
+# the documented §1.4 mapping; UInt64 -> DECIMAL(20,0) keeps the full
+# range and fails loudly on overflow downstream).
+_ARROW_TYPE_MAP = {
+    "Int8": "TINYINT", "Int16": "SMALLINT", "Int32": "INT",
+    "Int64": "BIGINT",
+    "UInt8": "SMALLINT", "UInt16": "INT", "UInt32": "BIGINT",
+    "UInt64": "DECIMAL(20,0)",
+    "Float16": "FLOAT", "Float32": "FLOAT", "Float64": "DOUBLE",
+    "Utf8": "STRING", "LargeUtf8": "STRING", "Utf8View": "STRING",
+    "Binary": "BINARY", "LargeBinary": "BINARY",
+    "Boolean": "BOOLEAN", "Date32": "DATE", "Date64": "DATE",
+}
+_ARROW_CAST_OPEN = re.compile(r"\barrow_cast\s*\(", re.IGNORECASE)
+_ARROW_CAST_TYPE = re.compile(r"\s*'([^']*)'\s*\)")
+_ARROW_TS_RE = re.compile(
+    r"^Timestamp\s*\(\s*(Second|Millisecond|Microsecond|Nanosecond)\s*,"
+    r"\s*(None|Some\(\s*\"[^\"]*\"\s*\))\s*\)$")
+_ARROW_DECIMAL_RE = re.compile(r"^Decimal(?:128|256)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+
+
+def _arrow_type_to_spark(name: str) -> str | None:
+    name = name.strip()
+    if name in _ARROW_TYPE_MAP:
+        return _ARROW_TYPE_MAP[name]
+    if m := _ARROW_DECIMAL_RE.match(name):
+        return f"DECIMAL({m.group(1)},{m.group(2)})"
+    if m := _ARROW_TS_RE.match(name):
+        # tz-less Arrow timestamps are NTZ; Some("...") carries a zone
+        return "TIMESTAMP_NTZ" if m.group(2) == "None" else "TIMESTAMP"
+    return None
+
+
+def rewrite_arrow_cast(sql: str) -> str:
+    """``arrow_cast(expr, 'Int64')`` → ``CAST(expr AS BIGINT)``.  Runs
+    on raw SQL (the type name is a string literal the masked passes
+    cannot see); unknown type names are left untouched so the error
+    surfaces as an unresolved function, not a silent mis-cast."""
+    out = []
+    pos = 0
+    while True:
+        m = _ARROW_CAST_OPEN.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        comma = _scan_first_arg(sql, m.end())
+        type_m = (_ARROW_CAST_TYPE.match(sql, comma + 1)
+                  if comma is not None else None)
+        spark_ty = (_arrow_type_to_spark(type_m.group(1))
+                    if type_m else None)
+        if spark_ty is None:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        out.append(sql[pos:m.start()])
+        out.append(f"CAST({sql[m.end():comma]} AS {spark_ty})")
+        pos = type_m.end()
+
+
 # --------------------------------------------------------------- DISTINCT ON
 _DISTINCT_ON_RE = re.compile(
     r"^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]+)\)\s*(.*?)\s+FROM\s+(.*?)"
@@ -299,6 +361,7 @@ PASSES_RAW = [
     rewrite_similar_to,
     rewrite_regexp_flags,
     rewrite_to_char,
+    rewrite_arrow_cast,    # consumes its type-name literal
     rewrite_at_time_zone,
 ]
 PASSES_MASKED = [

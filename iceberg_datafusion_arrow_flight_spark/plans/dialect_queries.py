@@ -397,3 +397,38 @@ WHERE o_orderkey <= 1000
 )
 def regexp_match_all_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_dialect(spark, sf_dir, _REGEXP_MATCH_ALL, ("orders",))
+
+
+# arrow_cast: DataFusion's Arrow-native cast spelling (a DF client's
+# text, translated by rewrite_arrow_cast; DuckDB oracle uses plain CASTs)
+_ARROW_CAST = """
+SELECT o_orderkey,
+       arrow_cast(o_orderkey, 'Int32') AS k32,
+       arrow_cast(o_totalprice, 'Float32') AS price_f32,
+       arrow_cast(o_orderstatus, 'LargeUtf8') AS status_str,
+       arrow_cast(round(o_totalprice, 2), 'Decimal128(12, 2)') AS price_dec,
+       arrow_cast(o_orderdate, 'Timestamp(Microsecond, None)') AS ts_us
+FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+"""
+
+
+@register(
+    "dialect_arrow_cast",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS INT) AS k32,
+       CAST(o_totalprice AS FLOAT) AS price_f32,
+       CAST(o_orderstatus AS VARCHAR) AS status_str,
+       CAST(round(o_totalprice, 2) AS DECIMAL(12,2)) AS price_dec,
+       CAST(o_orderdate AS TIMESTAMP) AS ts_us
+FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+""",
+    doc="arrow_cast with Arrow type names (Int32 / Float32 / LargeUtf8 "
+        "/ Decimal128(p,s) / Timestamp(Microsecond, None)) rewritten to "
+        "Spark CASTs — including a commas-in-first-arg expression.  "
+        "Unknown type names pass through untouched and fail loudly. "
+        "dialect/rewrite.py:rewrite_arrow_cast.",
+    tags=("dialect",),
+)
+def arrow_cast_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_dialect(spark, sf_dir, _ARROW_CAST, ("orders",))

@@ -257,3 +257,23 @@ def test_u64_overflow_is_loud_not_silent(spark):
     # max u64 the engine DOES hold exactly, as decimal arithmetic
     row = spark.sql("SELECT 18446744073709551615 % 97 AS m").head()
     assert row.m == 18446744073709551615 % 97
+
+
+def test_arrow_cast_rewrites():
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import rewrite_arrow_cast
+    assert (rewrite_arrow_cast("SELECT arrow_cast(x, 'Int64') FROM t")
+            == "SELECT CAST(x AS BIGINT) FROM t")
+    # commas inside the first argument
+    assert (rewrite_arrow_cast("arrow_cast(round(a, 2), 'Decimal128(10, 3)')")
+            == "CAST(round(a, 2) AS DECIMAL(10,3))")
+    # tz-less vs zoned timestamps
+    assert "TIMESTAMP_NTZ" in rewrite_arrow_cast(
+        "arrow_cast(ts, 'Timestamp(Nanosecond, None)')")
+    assert rewrite_arrow_cast(
+        'arrow_cast(ts, \'Timestamp(Microsecond, Some("UTC"))\')').endswith(
+        "AS TIMESTAMP)")
+    # unsigned widening
+    assert "DECIMAL(20,0)" in rewrite_arrow_cast("arrow_cast(x, 'UInt64')")
+    # unknown names left alone (loud unresolved-function error downstream)
+    weird = "arrow_cast(x, 'Dictionary(Int32, Utf8)')"
+    assert rewrite_arrow_cast(weird) == weird
