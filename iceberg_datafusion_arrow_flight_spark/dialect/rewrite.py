@@ -97,6 +97,43 @@ NAME_ALIASES: dict[str, str] = {
     "datepart": "date_part",
     "list_append": "array_append",
     "list_prepend": "array_prepend",
+    # DF40 registers a list_* synonym for the whole array family
+    # (datafusion-functions-nested expr_fn) — route each to the same
+    # target its array_* twin resolves to, DF-semantics shims included.
+    "list_push_back": "array_append",
+    "list_push_front": "array_prepend",
+    "list_element": "element_at",
+    "list_extract": "element_at",
+    "list_length": "size",
+    "list_cat": "concat",
+    "list_concat": "concat",
+    "list_has": "array_contains",
+    "list_contains": "array_contains",
+    "list_has_any": "arrays_overlap",
+    "list_has_all": "array_has_all",
+    "list_dims": "array_dims",
+    "list_ndims": "df_array_ndims",
+    "list_empty": "df_array_empty",
+    "list_distinct": "array_distinct",
+    "list_union": "array_union",
+    "list_intersect": "array_intersect",
+    "list_except": "array_except",
+    "list_sort": "array_sort",
+    "list_remove": "df_array_remove",
+    "list_remove_all": "array_remove",
+    "list_replace": "array_replace",
+    "list_replace_all": "array_replace_all",
+    "list_position": "array_position",
+    "list_indexof": "array_position",
+    "list_positions": "array_positions",
+    "list_repeat": "array_repeat",
+    "list_resize": "array_resize",
+    "list_reverse": "reverse",
+    "list_join": "array_join",
+    "list_slice": "df_array_slice",
+    "array_slice": "df_array_slice",
+    "list_pop_back": "array_pop_back",
+    "list_pop_front": "array_pop_front",
 }
 
 _ALIAS_RE = re.compile(

@@ -140,6 +140,21 @@ SQL_UDFS: dict[str, str] = {
     "df_array_empty": (
         "CREATE OR REPLACE TEMPORARY FUNCTION df_array_empty"
         "(a ARRAY<STRING>) RETURNS BOOLEAN RETURN size(a) = 0"),
+    # DF array_slice(a, from, to): 1-based, INCLUSIVE to (Spark's slice
+    # takes a length) — negative `to` counts from the end like DF.
+    "df_array_slice": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION df_array_slice"
+        "(a ARRAY<STRING>, f INT, t INT) RETURNS ARRAY<STRING> RETURN "
+        "slice(a, f, greatest(IF(t < 0, size(a) + t + 1, t) - f + 1, 0))"),
+    # DF array_pop_back / array_pop_front; empty/1-element → empty.
+    "array_pop_back": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION array_pop_back"
+        "(a ARRAY<STRING>) RETURNS ARRAY<STRING> "
+        "RETURN slice(a, 1, greatest(size(a) - 1, 0))"),
+    "array_pop_front": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION array_pop_front"
+        "(a ARRAY<STRING>) RETURNS ARRAY<STRING> "
+        "RETURN IF(size(a) <= 1, slice(a, 1, 0), slice(a, 2, size(a) - 1))"),
     # DF/Postgres regexp_match(s, p): capture groups of the FIRST match
     # (whole match when the pattern has no groups), NULL when no match.
     # The capture-group count is computed FROM THE PATTERN ITSELF

@@ -432,3 +432,67 @@ FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
 )
 def arrow_cast_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_dialect(spark, sf_dir, _ARROW_CAST, ("orders",))
+
+
+# DF40's list_* synonym family (datafusion-functions-nested registers a
+# list_ alias for every array_ function) — a DF client's text, verbatim.
+_LIST_ALIASES = """
+WITH t AS (SELECT o_orderkey, make_array(o_orderstatus, 'b', 'c', 'b') AS arr
+           FROM orders WHERE o_orderkey <= 200)
+SELECT o_orderkey,
+       list_length(arr) AS n,
+       list_element(arr, 2) AS second,
+       list_slice(arr, 2, 3) AS mid,
+       list_slice(arr, 2, -1) AS tail,
+       list_pop_back(arr) AS popped,
+       list_pop_front(arr) AS shifted,
+       list_position(arr, 'b') AS pos_b,
+       list_positions(arr, 'b') AS pos_all,
+       list_remove(arr, 'b') AS removed_first,
+       list_replace(arr, 'b', 'x') AS replaced_first,
+       list_has_all(arr, make_array('b', 'c')) AS has_bc,
+       list_sort(list_distinct(arr)) AS uniq_sorted,
+       list_join(arr, '-') AS joined
+FROM t ORDER BY o_orderkey
+"""
+
+
+@register(
+    "dialect_list_aliases",
+    oracle="""
+WITH t AS (SELECT o_orderkey, [o_orderstatus, 'b', 'c', 'b'] AS arr
+           FROM orders WHERE o_orderkey <= 200)
+SELECT o_orderkey,
+       CAST(len(arr) AS INT) AS n,
+       arr[2] AS second,
+       arr[2:3] AS mid,
+       arr[2:4] AS tail,
+       arr[1:3] AS popped,
+       arr[2:4] AS shifted,
+       CAST(list_position(arr, 'b') AS INT) AS pos_b,
+       CAST(list_filter(list_transform(range(1, len(arr) + 1),
+                 i -> CASE WHEN arr[i] = 'b' THEN i END),
+            x -> x IS NOT NULL) AS INT[]) AS pos_all,
+       list_filter(list_transform(range(1, len(arr) + 1),
+                 i -> CASE WHEN i <> list_position(arr, 'b')
+                      THEN arr[i] END),
+            x -> x IS NOT NULL) AS removed_first,
+       list_transform(range(1, len(arr) + 1),
+                 i -> CASE WHEN i = list_position(arr, 'b') THEN 'x'
+                      ELSE arr[i] END) AS replaced_first,
+       list_has_all(arr, ['b', 'c']) AS has_bc,
+       list_sort(list_distinct(arr)) AS uniq_sorted,
+       array_to_string(arr, '-') AS joined
+FROM t ORDER BY o_orderkey
+""",
+    doc="DF40 list_* synonyms (length/element/slice incl. negative to/"
+        "pop_back/pop_front/position(s)/remove-first/replace-first/"
+        "has_all/distinct/join) routed through the same targets as "
+        "their array_* twins; the oracle spells DuckDB-native list "
+        "semantics explicitly where DuckDB lacks the DF function. "
+        "dialect/rewrite.py NAME_ALIASES, functions/aliases.py "
+        "df_array_slice/array_pop_*.",
+    tags=("dialect", "array"),
+)
+def list_aliases_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_dialect(spark, sf_dir, _LIST_ALIASES, ("orders",))
