@@ -348,6 +348,30 @@ def rewrite_arrow_cast(sql: str) -> str:
         pos = type_m.end()
 
 
+# --------------------------------------------------------------- get_field
+
+_GET_FIELD_OPEN = re.compile(r"\bget_field\s*\(", re.IGNORECASE)
+_GET_FIELD_NAME = re.compile(r"\s*'([A-Za-z_][\w]*)'\s*\)")
+
+
+def rewrite_get_field(sql: str) -> str:
+    """DF's ``get_field(expr, 'name')`` → ``(expr).`name``` — Spark has
+    only dot access for struct fields.  Nested calls resolve by
+    iterating outside-in (each pass eliminates the outermost)."""
+    while True:
+        m = _GET_FIELD_OPEN.search(sql)
+        if not m:
+            return sql
+        comma = _scan_first_arg(sql, m.end())
+        name_m = (_GET_FIELD_NAME.match(sql, comma + 1)
+                  if comma is not None else None)
+        if name_m is None:
+            return sql  # not the two-arg literal form; leave untouched
+        sql = (sql[:m.start()]
+               + f"({sql[m.end():comma]}).`{name_m.group(1)}`"
+               + sql[name_m.end():])
+
+
 # --------------------------------------------------------------- DISTINCT ON
 _DISTINCT_ON_RE = re.compile(
     r"^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]+)\)\s*(.*?)\s+FROM\s+(.*?)"
@@ -399,6 +423,7 @@ PASSES_RAW = [
     rewrite_regexp_flags,
     rewrite_to_char,
     rewrite_arrow_cast,    # consumes its type-name literal
+    rewrite_get_field,     # consumes its field-name literal
     rewrite_at_time_zone,
 ]
 PASSES_MASKED = [

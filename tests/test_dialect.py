@@ -277,3 +277,20 @@ def test_arrow_cast_rewrites():
     # unknown names left alone (loud unresolved-function error downstream)
     weird = "arrow_cast(x, 'Dictionary(Int32, Utf8)')"
     assert rewrite_arrow_cast(weird) == weird
+
+
+def test_get_field_rewrites_and_runs(spark):
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+        rewrite_get_field, rewrite_sql)
+    assert (rewrite_get_field("SELECT get_field(s, 'a') FROM t")
+            == "SELECT (s).`a` FROM t")
+    # nested: outer resolves first, inner on the next iteration
+    assert (rewrite_get_field("get_field(get_field(s, 'a'), 'b')")
+            == "((s).`a`).`b`")
+    # malformed (dynamic name) left untouched — loud downstream error
+    assert rewrite_get_field("get_field(s, f)") == "get_field(s, f)"
+    row = spark.sql(rewrite_sql(
+        "SELECT get_field(named_struct('a', named_struct('b', 42)), 'a') AS inner, "
+        "get_field(get_field(named_struct('a', named_struct('b', 42)), 'a'), 'b') AS leaf"
+    )).first()
+    assert row.leaf == 42 and row.inner.b == 42
