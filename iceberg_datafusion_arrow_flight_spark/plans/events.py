@@ -288,3 +288,41 @@ def events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cohort_week", "weeks_since")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
             .orderBy("cohort_week", "weeks_since"))
+
+
+@register(
+    "events_user_anomalies",
+    oracle="""
+WITH s AS (
+  SELECT user_id, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+  FROM events GROUP BY user_id
+)
+SELECT event_id, user_id,
+       ROUND(value, 4) AS value,
+       ROUND((value - m) / sd, 2) AS zscore
+FROM events JOIN s USING (user_id)
+WHERE ABS(value - m) > 2.5 * sd
+ORDER BY event_id
+""",
+    doc="Per-user anomaly flagging: events whose value sits more than "
+        "2.5 sample-stddevs from that user's mean.  One partial-agg "
+        "shuffle builds the per-user model (users-sized, broadcast "
+        "back); the detection pass is a map-side join + filter, so the "
+        "event stream is scanned once and never re-shuffled.  The "
+        "z-score is rounded to 2 decimals for cross-engine float "
+        "stability at the compare boundary.",
+    tags=("events", "aggregate"),
+)
+def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    stats = (e.groupBy("user_id")
+             .agg(F.avg("value").alias("__m"),
+                  F.stddev_samp("value").alias("__sd")))
+    return (e.join(F.broadcast(stats), "user_id")
+            .where(F.abs(F.col("value") - F.col("__m"))
+                   > 2.5 * F.col("__sd"))
+            .select("event_id", "user_id",
+                    F.round("value", 4).alias("value"),
+                    F.round((F.col("value") - F.col("__m")) / F.col("__sd"),
+                            2).alias("zscore"))
+            .orderBy("event_id"))
