@@ -526,3 +526,23 @@ def _plain(value):
         except UnicodeDecodeError:
             return None
     return str(value)
+
+
+def sql_catalog_from_env(warehouse: str | None = None) -> SqliteCatalog:
+    """The sql binary's environment contract (README.md:6, main.rs:45):
+    ``CATALOG_URL`` names the Iceberg SQL catalog, scheme-prefixed —
+    ``sqlite://<path>`` is what the reference constructs its SqlCatalog
+    from.  Other schemes (postgres:// etc.) need a JDBC deployment and
+    fail loudly here.  ``BUCKET``/``ICEBERG_WAREHOUSE`` pick the data
+    root (a filesystem path in this container — no object store)."""
+    url = os.environ["CATALOG_URL"]
+    if not url.startswith("sqlite://"):
+        raise ValueError(
+            f"unsupported CATALOG_URL scheme: {url!r} — this build "
+            "implements the sqlite:// SQL catalog (the reference's "
+            "default, main.rs:45); point postgres:// at a real JDBC "
+            "catalog deployment")
+    path = url[len("sqlite://"):]
+    wh = (warehouse or os.environ.get("ICEBERG_WAREHOUSE")
+          or os.environ.get("BUCKET"))
+    return SqliteCatalog(path, warehouse=wh)

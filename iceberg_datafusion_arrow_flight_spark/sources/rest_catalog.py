@@ -391,3 +391,16 @@ class RestCatalogServer:
 
     def __exit__(self, *exc) -> None:
         self.stop()
+
+
+def engine_catalog_from_env():
+    """The full two-binary catalog selection: ``ICEBERG_CATALOG_URL``
+    (the rest binary's REST catalog, -rest/src/main.rs:46) wins, else
+    ``CATALOG_URL`` (the sql binary's SQL catalog, -sql/src/main.rs:45),
+    else None — pass the result to ``EngineService(catalog=...)``."""
+    if os.environ.get("ICEBERG_CATALOG_URL"):
+        return catalog_from_env()
+    if os.environ.get("CATALOG_URL"):
+        from .iceberg_lite import sql_catalog_from_env
+        return sql_catalog_from_env()
+    return None

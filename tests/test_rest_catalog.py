@@ -145,3 +145,34 @@ def test_flight_service_reads_catalog_tables(spark, backing, served,
     h2 = svc.create_prepared_statement(
         tok2, "SELECT COUNT(*) AS n FROM sales.items")
     assert svc.results[svc.execute(tok2, h2)].to_pylist()[0]["n"] == 10
+
+
+def test_engine_catalog_env_precedence(backing, monkeypatch, tmp_path):
+    from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+        SqliteCatalog, sql_catalog_from_env)
+    from iceberg_datafusion_arrow_flight_spark.sources.rest_catalog import (
+        engine_catalog_from_env)
+
+    monkeypatch.delenv("ICEBERG_CATALOG_URL", raising=False)
+    monkeypatch.delenv("CATALOG_URL", raising=False)
+    assert engine_catalog_from_env() is None
+
+    # sql mode: CATALOG_URL with the reference's sqlite:// scheme
+    monkeypatch.setenv("CATALOG_URL", f"sqlite://{tmp_path}/cat.db")
+    monkeypatch.setenv("BUCKET", str(tmp_path / "wh"))
+    cat = engine_catalog_from_env()
+    assert isinstance(cat, SqliteCatalog)
+    assert cat.warehouse == str(tmp_path / "wh")
+    with monkeypatch.context() as m:
+        m.setenv("CATALOG_URL", "postgres://host/db")
+        with pytest.raises(ValueError, match="postgres"):
+            sql_catalog_from_env()
+
+    # rest mode wins over sql mode when both are set
+    with RestCatalogServer(backing, bearer_token="t") as srv:
+        monkeypatch.setenv("ICEBERG_CATALOG_URL", srv.url)
+        monkeypatch.setenv("ICEBERG_CATALOG_BEARER_TOKEN", "t")
+        monkeypatch.setenv("ICEBERG_WAREHOUSE", backing.warehouse)
+        rest = engine_catalog_from_env()
+        assert type(rest).__name__ == "RestCatalog"
+        assert rest.config()["endpoints"]
