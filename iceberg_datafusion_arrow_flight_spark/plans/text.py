@@ -198,3 +198,88 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return T.tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")
+
+
+@register(
+    "sketch_count_min",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS v FROM documents
+), rows_ AS (
+  SELECT d, v FROM tok CROSS JOIN (SELECT unnest([0,1,2,3]) AS d)
+)
+SELECT d,
+       CAST(('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || '|' || v),
+                            1, 8))::UBIGINT % 256 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM rows_
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="Count-min sketch (4 rows x 256 buckets) over document tokens — "
+        "the mergeable frequency sketch itself, bit-for-bit oracled: "
+        "md5-derived bucket hashes compute identically on both engines. "
+        "Shuffle volume is d*w regardless of corpus size; executors "
+        "sketch shards independently and cells add. "
+        "operators/countmin.py:countmin_sketch.",
+    tags=("text", "sketch", "approx"),
+)
+def sketch_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import countmin as CM
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.ws_tokens(F.col("text"))).alias("v"))
+    return (CM.countmin_sketch(toks, "v", depth=4, width=256)
+            .select("d", "bucket", F.col("c").cast("bigint").alias("c"))
+            .orderBy("d", "bucket"))
+
+
+@register(
+    "sketch_heavy_hitters",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS v FROM documents
+), exact_ AS (
+  SELECT v, COUNT(*) AS exact_count FROM tok GROUP BY v
+), sk AS (
+  SELECT d,
+         ('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || '|' || v),
+                         1, 8))::UBIGINT % 256 AS bucket,
+         COUNT(*) AS c
+  FROM tok CROSS JOIN (SELECT unnest([0,1,2,3]) AS d)
+  GROUP BY 1, 2
+), est AS (
+  SELECT e.v, MIN(sk.c) AS cm_estimate
+  FROM exact_ e
+  CROSS JOIN (SELECT unnest([0,1,2,3]) AS d) ds
+  JOIN sk ON sk.d = ds.d
+         AND sk.bucket = ('0x' || substr(md5('cm' || CAST(ds.d AS VARCHAR)
+                          || '|' || e.v), 1, 8))::UBIGINT % 256
+  GROUP BY e.v
+)
+SELECT v AS token, CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - exact_count AS BIGINT) AS overcount
+FROM exact_ JOIN est USING (v)
+ORDER BY exact_count DESC, token LIMIT 20
+""",
+    doc="Top-20 tokens with exact count AND count-min estimate side by "
+        "side: overcount >= 0 always (the sketch never underestimates), "
+        "bounded by n/width.  The probe path broadcasts the d*w sketch "
+        "and never reshuffles the stream. "
+        "operators/countmin.py:countmin_estimate.",
+    tags=("text", "sketch", "approx", "topk"),
+)
+def sketch_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import countmin as CM
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.ws_tokens(F.col("text"))).alias("v"))
+    sketch = CM.countmin_sketch(toks, "v", depth=4, width=256)
+    exact = toks.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+    est = CM.countmin_estimate(sketch, toks, "v", depth=4, width=256)
+    return (exact.join(est, "v")
+            .select(F.col("v").alias("token"), "exact_count",
+                    "cm_estimate",
+                    (F.col("cm_estimate") - F.col("exact_count"))
+                    .cast("bigint").alias("overcount"))
+            .orderBy(F.col("exact_count").desc(), F.col("token"))
+            .limit(20))

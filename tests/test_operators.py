@@ -483,3 +483,31 @@ def test_connected_components_chain_and_island(spark):
     got = {(r.node, r.label) for r in connected_components(edges).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
                    (10, 10), (11, 10)}
+
+
+def test_countmin_merge_and_bounds(spark, sf_dir):
+    """Cell-wise merge of two shard sketches equals the whole-corpus
+    sketch (the property that lets executors sketch independently), and
+    estimates never underestimate."""
+    from iceberg_datafusion_arrow_flight_spark.operators import countmin as CM
+    from iceberg_datafusion_arrow_flight_spark.operators import text as T
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.ws_tokens(F.col("text"))).alias("v"),
+                       F.col("doc_id"))
+    a = toks.where(F.col("doc_id") % 2 == 0)
+    b = toks.where(F.col("doc_id") % 2 == 1)
+    whole = {(r.d, r.bucket): r.c
+             for r in CM.countmin_sketch(toks, "v").collect()}
+    merged = (CM.countmin_sketch(a, "v").unionAll(CM.countmin_sketch(b, "v"))
+              .groupBy("d", "bucket").agg(F.sum("c").alias("c")))
+    assert {(r.d, r.bucket): r.c for r in merged.collect()} == whole
+
+    sketch = CM.countmin_sketch(toks, "v")
+    exact = {r.v: r.n for r in
+             toks.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    est = {r.v: r.cm_estimate for r in
+           CM.countmin_estimate(sketch, toks, "v").collect()}
+    n_total = sum(exact.values())
+    for v, n in exact.items():
+        assert est[v] >= n, f"{v}: underestimate {est[v]} < {n}"
+        assert est[v] - n <= n_total / 256 * 8, f"{v}: overcount too big"
