@@ -232,3 +232,13 @@ def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
     plan = _explain(df)
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_countmin_probe_broadcasts_sketch(spark, sf_dir):
+    """The d*w sketch broadcasts to the probe side; the token stream is
+    aggregated with partial+final hash aggregates, never nested-looped."""
+    df = REGISTRY["sketch_heavy_hitters"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
