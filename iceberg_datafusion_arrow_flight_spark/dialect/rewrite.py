@@ -327,25 +327,26 @@ def rewrite_arrow_cast(sql: str) -> str:
     on raw SQL (the type name is a string literal the masked passes
     cannot see); unknown type names are left untouched so the error
     surfaces as an unresolved function, not a silent mis-cast."""
-    out = []
-    pos = 0
+    # Iterate from the start after every rewrite so occurrences nested
+    # INSIDE a rewritten first argument are revisited; skip past (only)
+    # the current occurrence when it is not the rewritable form.
+    skip_from = 0
     while True:
-        m = _ARROW_CAST_OPEN.search(sql, pos)
+        m = _ARROW_CAST_OPEN.search(sql, skip_from)
         if not m:
-            out.append(sql[pos:])
-            return "".join(out)
+            return sql
         comma = _scan_first_arg(sql, m.end())
         type_m = (_ARROW_CAST_TYPE.match(sql, comma + 1)
                   if comma is not None else None)
         spark_ty = (_arrow_type_to_spark(type_m.group(1))
                     if type_m else None)
         if spark_ty is None:
-            out.append(sql[pos:m.end()])
-            pos = m.end()
+            skip_from = m.end()  # unknown/dynamic type: leave, move on
             continue
-        out.append(sql[pos:m.start()])
-        out.append(f"CAST({sql[m.end():comma]} AS {spark_ty})")
-        pos = type_m.end()
+        sql = (sql[:m.start()]
+               + f"CAST({sql[m.end():comma]} AS {spark_ty})"
+               + sql[type_m.end():])
+        skip_from = 0
 
 
 # --------------------------------------------------------------- get_field
@@ -357,19 +358,23 @@ _GET_FIELD_NAME = re.compile(r"\s*'([A-Za-z_][\w]*)'\s*\)")
 def rewrite_get_field(sql: str) -> str:
     """DF's ``get_field(expr, 'name')`` → ``(expr).`name``` — Spark has
     only dot access for struct fields.  Nested calls resolve by
-    iterating outside-in (each pass eliminates the outermost)."""
+    iterating outside-in; a non-literal-name occurrence is skipped in
+    place (NOT an abort — later valid calls still rewrite)."""
+    skip_from = 0
     while True:
-        m = _GET_FIELD_OPEN.search(sql)
+        m = _GET_FIELD_OPEN.search(sql, skip_from)
         if not m:
             return sql
         comma = _scan_first_arg(sql, m.end())
         name_m = (_GET_FIELD_NAME.match(sql, comma + 1)
                   if comma is not None else None)
         if name_m is None:
-            return sql  # not the two-arg literal form; leave untouched
+            skip_from = m.end()  # dynamic-name form: leave, move on
+            continue
         sql = (sql[:m.start()]
                + f"({sql[m.end():comma]}).`{name_m.group(1)}`"
                + sql[name_m.end():])
+        skip_from = 0
 
 
 # --------------------------------------------------------------- DISTINCT ON

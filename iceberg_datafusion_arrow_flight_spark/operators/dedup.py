@@ -321,6 +321,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                   .localCheckpoint(eager=True))
         s = labels.agg(F.sum("label")).first()[0]
         if s == prev_sum:
-            break
+            return labels
         prev_sum = s
-    return labels
+    # exhausting the round budget with labels still moving would mean
+    # silently returning SPLIT components — fail loudly instead
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        f"rounds (a component's diameter exceeds the budget); raise "
+        f"max_iterations")

@@ -122,7 +122,6 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
     first-token — no per-doc state beyond its gram multiset.  At 100 TB
     train the counts on a sample or swap in a count-min sketch; the
     scoring join is unchanged."""
-    from pyspark.sql import Window  # local: keep module import surface
 
     grams = df.select(F.col(id_col),
                       F.explode(token_ngrams(F.col(text_col), 2)).alias("g"))

@@ -133,32 +133,42 @@ class EngineService:
         if self.session_init is not None:
             self.session_init(session)
         if self.catalog is not None:
-            self._register_catalog_views(session)
+            self._register_catalog_views(session, token)
         self.sessions[token] = session
         return token
 
-    def _register_catalog_views(self, session: SparkSession) -> None:
+    def _register_catalog_views(self, session: SparkSession,
+                                token: str) -> None:
         """One temp view per catalog table (``ns__name``), reading the
-        table's current snapshot; ``self._catalog_names`` maps the
-        qualified SQL spelling to the view for the identifier pass."""
-        self._catalog_names: dict[str, str] = {}
+        table's current snapshot.  The qualified-name → view mapping is
+        kept PER TOKEN: a table created between two handshakes must not
+        leak into the earlier session's rewrites (its session has no
+        view for it)."""
+        if not hasattr(self, "_catalog_names_by_token"):
+            self._catalog_names_by_token: dict[str, dict[str, str]] = {}
+        names: dict[str, str] = {}
         for ns, name in self.catalog.list_tables():
             view = f"{ns}__{name}"
             self.catalog.load_table(ns, name).read(session) \
                 .createOrReplaceTempView(view)
-            self._catalog_names[f"{ns}.{name}"] = view
+            names[f"{ns}.{name}"] = view
+        self._catalog_names_by_token[token] = names
 
-    def _qualified_names_pass(self, sql: str) -> str:
-        """Rewrite qualified ``ns.table`` identifiers to their session
-        views — OUTSIDE string literals (same masking discipline as the
-        dialect passes)."""
-        names = getattr(self, "_catalog_names", None)
+    def _qualified_names_pass(self, sql: str, token: str) -> str:
+        """Rewrite qualified ``ns.table`` identifiers to the caller's
+        session views — OUTSIDE string literals (same masking discipline
+        as the dialect passes).  Boundaries exclude '.' so a longer
+        dotted spelling (``db.ns.table``) is never corrupted from the
+        middle."""
+        names = getattr(self, "_catalog_names_by_token", {}).get(token)
         if not names:
             return sql
         from ..dialect.rewrite import _mask_literals, _unmask_literals
         masked, saved = _mask_literals(sql)
         for qualified, view in names.items():
-            masked = re.sub(rf"\b{re.escape(qualified)}\b", view, masked)
+            masked = re.sub(
+                rf"(?<![\w.]){re.escape(qualified)}(?![\w.])",
+                view, masked)
         return _unmask_literals(masked, saved)
 
     def _session(self, token: str) -> SparkSession:
@@ -239,9 +249,10 @@ class EngineService:
     # (column_name, data_type, is_nullable).  Same shapes here, answered
     # from Catalyst.
     def _materialize_explain(self, token: str, session: SparkSession,
-                             analyze: bool, inner_sql: str) -> str:
+                             analyze: bool, inner_sql: str,
+                             handle: str) -> str:
         translated = rewrite_sql(self._qualified_names_pass(
-            self._env_identity_pass(inner_sql)))
+            self._env_identity_pass(inner_sql), token))
         df = session.sql(translated)
         qe = df._jdf.queryExecution()
         if analyze:
@@ -251,21 +262,25 @@ class EngineService:
         else:
             rows = [("logical_plan", qe.optimizedPlan().toString()),
                     ("physical_plan", qe.executedPlan().toString())]
+        # per-HANDLE view: interleaved prepares on one session must not
+        # clobber each other's results between prepare and execute
+        view = f"df_explain_{handle.replace('-', '')[:16]}"
         session.createDataFrame(rows, "plan_type STRING, plan STRING") \
-            .createOrReplaceTempView("df_explain")
-        return "SELECT plan_type, plan FROM df_explain"
+            .createOrReplaceTempView(view)
+        return f"SELECT plan_type, plan FROM {view}"
 
     def _materialize_describe(self, token: str, session: SparkSession,
-                              name: str) -> str:
-        resolved = self._qualified_names_pass(name)
+                              name: str, handle: str) -> str:
+        resolved = self._qualified_names_pass(name, token)
         fields = session.table(resolved).schema.fields
+        view = f"df_describe_{handle.replace('-', '')[:16]}"
         session.createDataFrame(
             [(f.name, f.dataType.simpleString(),
               "YES" if f.nullable else "NO") for f in fields],
             "column_name STRING, data_type STRING, is_nullable STRING"
-        ).createOrReplaceTempView("df_describe")
+        ).createOrReplaceTempView(view)
         return ("SELECT column_name, data_type, is_nullable "
-                "FROM df_describe")
+                f"FROM {view}")
 
     # ------------------------------------------------------------ prepare
     def create_prepared_statement(self, token: str, sql: str) -> str:
@@ -292,17 +307,18 @@ class EngineService:
         elif (m_ex := re.match(r"^\s*EXPLAIN\s+(ANALYZE\s+)?(.+)$", sql,
                                re.IGNORECASE | re.DOTALL)):
             sql = self._materialize_explain(
-                token, session, bool(m_ex.group(1)), m_ex.group(2))
+                token, session, bool(m_ex.group(1)), m_ex.group(2), handle)
         elif (m_desc := re.match(r"^\s*DESCRIBE\s+([A-Za-z_][\w.]*)\s*;?\s*$",
                                  sql, re.IGNORECASE)):
-            sql = self._materialize_describe(token, session, m_desc.group(1))
+            sql = self._materialize_describe(token, session,
+                                             m_desc.group(1), handle)
         elif re.search(r"\binformation_schema\.df_settings\b", sql,
                        re.IGNORECASE):
             sql = re.sub(r"\binformation_schema\.df_settings\b",
                          "df_settings", sql, flags=re.IGNORECASE)
             self._materialize_df_settings(token, session)
         translated = rewrite_sql(
-            self._qualified_names_pass(self._env_identity_pass(sql)))
+            self._qualified_names_pass(self._env_identity_pass(sql), token))
         # parameters are counted OUTSIDE string literals — a literal like
         # 'costs $5' must not defer schema analysis (ADVICE r1)
         has_params = bool(find_params(sql))

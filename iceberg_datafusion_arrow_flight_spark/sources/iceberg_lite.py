@@ -543,6 +543,8 @@ def sql_catalog_from_env(warehouse: str | None = None) -> SqliteCatalog:
             "default, main.rs:45); point postgres:// at a real JDBC "
             "catalog deployment")
     path = url[len("sqlite://"):]
+    # same default as the REST sibling — never None, which would defer
+    # the failure to an opaque os.path.join TypeError at create_table
     wh = (warehouse or os.environ.get("ICEBERG_WAREHOUSE")
-          or os.environ.get("BUCKET"))
+          or os.environ.get("BUCKET") or "/tmp/warehouse")
     return SqliteCatalog(path, warehouse=wh)

@@ -140,6 +140,10 @@ class RestCatalog:
             return sorted((tuple(i["namespace"])[0], i["name"])
                           for i in body["identifiers"])
         status, body = self._request("GET", "/v1/namespaces")
+        if status != 200:
+            # silent [] here would make EngineService register zero
+            # catalog views on a bad credential — surface the failure
+            raise ConnectionError(f"list namespaces failed: {status} {body}")
         out: list[tuple[str, str]] = []
         for ns in body.get("namespaces", []):
             out.extend(self.list_tables(ns[0]))
@@ -278,18 +282,25 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, {"identifiers": idents})
                 return
             if method == "POST" and p[3:] == ["register"]:
+                import sqlite3
+
                 body = self._body()
                 name, loc = body["name"], body["metadata-location"]
-                if cat._metadata_location(ns, name) is not None:
-                    self._error(409, f"{ns}.{name} exists",
-                                "AlreadyExistsException")
-                    return
+                # single transaction: the PRIMARY KEY is the real
+                # existence check — concurrent registers race to the
+                # INSERT and the loser gets the spec's 409, not a 500
                 with cat._conn() as conn:
                     conn.execute("BEGIN IMMEDIATE")
-                    conn.execute(
-                        "INSERT INTO iceberg_tables VALUES (?,?,?,?,NULL)",
-                        (cat.name, ns, name, loc))
-                    conn.execute("COMMIT")
+                    try:
+                        conn.execute(
+                            "INSERT INTO iceberg_tables VALUES (?,?,?,?,NULL)",
+                            (cat.name, ns, name, loc))
+                        conn.execute("COMMIT")
+                    except sqlite3.IntegrityError:
+                        conn.execute("ROLLBACK")
+                        self._error(409, f"{ns}.{name} exists",
+                                    "AlreadyExistsException")
+                        return
                 self._send(200, {"metadata-location": loc})
                 return
             if len(p) == 5 and p[3] == "tables":

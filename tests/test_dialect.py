@@ -294,3 +294,23 @@ def test_get_field_rewrites_and_runs(spark):
         "get_field(get_field(named_struct('a', named_struct('b', 42)), 'a'), 'b') AS leaf"
     )).first()
     assert row.leaf == 42 and row.inner.b == 42
+
+
+def test_review_fixes_rewriter_resilience():
+    """Round-2 review findings: a non-rewritable occurrence must be
+    skipped in place, not abort the pass; nested occurrences inside a
+    rewritten first argument must be revisited."""
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+        rewrite_arrow_cast, rewrite_get_field, rewrite_sql)
+    # literal mentioning a non-literal-name get_field does NOT stop the
+    # real one from rewriting
+    out = rewrite_sql("SELECT 'docs: get_field(s, x)' AS note, "
+                      "get_field(t, 'a') AS v FROM t")
+    assert "(t).`a`" in out and "get_field(s, x)" in out
+    # nested arrow_cast: both layers rewritten
+    assert (rewrite_arrow_cast(
+        "SELECT arrow_cast(arrow_cast(x, 'Int32'), 'Int64') FROM t")
+        == "SELECT CAST(CAST(x AS INT) AS BIGINT) FROM t")
+    # dynamic form before a valid one: only the valid one rewrites
+    assert (rewrite_get_field("get_field(s, f), get_field(s, 'g')")
+            == "get_field(s, f), ((s)).`g`".replace("((s))", "(s)"))

@@ -176,3 +176,44 @@ def test_engine_catalog_env_precedence(backing, monkeypatch, tmp_path):
         rest = engine_catalog_from_env()
         assert type(rest).__name__ == "RestCatalog"
         assert rest.config()["endpoints"]
+
+
+def test_review_fixes_catalog_surface(spark, backing):
+    """Round-2 review findings: bad credentials surface as errors from
+    list_tables (not a silent empty catalog), and a lost register race
+    is a 409 from the INSERT's primary-key conflict — exercised via
+    direct POSTs so both requests reach the same transaction path."""
+    with RestCatalogServer(backing, bearer_token="tok") as srv:
+        bad = RestCatalog(srv.url, warehouse=backing.warehouse,
+                          bearer_token="nope")
+        with pytest.raises(ConnectionError):
+            bad.list_tables()
+        good = RestCatalog(srv.url, warehouse=backing.warehouse,
+                           bearer_token="tok")
+        df = spark.range(3).selectExpr("id", "id AS v")
+        good.create_table("ns", "raced", df)
+        loc = good._metadata_location("ns", "raced")
+        # a second register of the same identifier (what the loser of a
+        # concurrent race sends) must come back as the spec's 409
+        status, body = good._request(
+            "POST", "/v1/namespaces/ns/register",
+            {"name": "raced", "metadata-location": loc})
+        assert status == 409
+        assert body["error"]["type"] == "AlreadyExistsException"
+
+
+def test_explain_results_survive_interleaved_prepares(spark, backing,
+                                                     monkeypatch):
+    """Per-handle EXPLAIN views: prepare A, prepare B, execute A must
+    return A's plan."""
+    from iceberg_datafusion_arrow_flight_spark.service import EngineService
+    monkeypatch.setenv("FLIGHT_USER", "u"); monkeypatch.setenv("FLIGHT_PASSWORD", "p")
+    svc = EngineService(spark)
+    tok = svc.handshake("u", "p")
+    ha = svc.create_prepared_statement(tok, "EXPLAIN SELECT 1 AS a_marker")
+    hb = svc.create_prepared_statement(tok, "EXPLAIN SELECT 2 AS b_marker")
+    rows_a = svc.results[svc.execute(tok, ha)].to_pylist()
+    assert any("a_marker" in r["plan"] for r in rows_a)
+    assert not any("b_marker" in r["plan"] for r in rows_a)
+    rows_b = svc.results[svc.execute(tok, hb)].to_pylist()
+    assert any("b_marker" in r["plan"] for r in rows_b)
