@@ -386,3 +386,49 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("total_tokens"),
                  F.sum("doc_id").cast("bigint").alias("ids_checksum"))
             .orderBy("lang", "split"))
+
+
+@register(
+    "pipeline_domain_mixture",
+    oracle="""
+WITH per AS (
+  SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+  FROM documents GROUP BY source, lang
+), tot AS (SELECT COUNT(*) AS n FROM documents)
+SELECT source, lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(n_docs * 1.0 / n, 6) AS actual_share,
+       -- uniform target over the observed (source, lang) cells
+       ROUND(1.0 / (SELECT COUNT(*) FROM per), 6) AS target_share,
+       ROUND((1.0 / (SELECT COUNT(*) FROM per)) / (n_docs * 1.0 / n), 4)
+         AS sample_weight,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM per CROSS JOIN tot
+ORDER BY source, lang
+""",
+    doc="Domain-mixture reweighting (the data-mixing step before "
+        "training): per (source, lang) cell — count, actual corpus "
+        "share, uniform target share, and the sampling weight "
+        "(target/actual) a weighted sampler applies to hit the target "
+        "mixture.  One partial-agg shuffle builds the cell table; the "
+        "totals are single-row broadcasts.  Swap the uniform target for "
+        "a tuned mixture (DoReMi-style) without changing the plan.",
+    tags=("pipeline", "sample"),
+)
+def pipeline_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    per = (docs.groupBy("source", "lang")
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.sum("n_chars").alias("__chars")))
+    tot = docs.agg(F.count(F.lit(1)).alias("__total"))
+    cells = per.agg(F.count(F.lit(1)).alias("__cells"))
+    actual = F.col("__n") / F.col("__total")
+    target = F.lit(1.0) / F.col("__cells")
+    return (per.join(F.broadcast(tot)).join(F.broadcast(cells))
+            .select("source", "lang",
+                    F.col("__n").cast("bigint").alias("n_docs"),
+                    F.round(actual, 6).alias("actual_share"),
+                    F.round(target, 6).alias("target_share"),
+                    F.round(target / actual, 4).alias("sample_weight"),
+                    F.col("__chars").cast("bigint").alias("n_chars"))
+            .orderBy("source", "lang"))
