@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
+
 
 def normalize_text(col: Column) -> Column:
     """Canonical form for exact dedup: lowercase, strip non-word/space
@@ -66,6 +68,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str,
 
     Scale: single shuffle on the md5 fingerprint; map-side partial
     aggregation keeps shuffle rows ≈ distinct fingerprints."""
+    df = fan_out(df)
     if canon == "token_set":
         fp = F.md5(F.array_join(tokens(F.col(text_col)), " ").cast("binary"))
     else:
@@ -132,7 +135,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     one pathological bucket can dominate the job).  Leave None for
     exact-oracle parity; set it when approximate recall is acceptable."""
     rows_per_band = max(1, len(range(n_hashes)) // bands)
-    sigs = minhash_signature(df, id_col, text_col, n_hashes).cache()
+    sigs = minhash_signature(fan_out(df), id_col, text_col, n_hashes).cache()
     band_entries = sigs.select(
         "__id",
         F.explode(F.array(*[
@@ -208,7 +211,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     per-bucket size cap as the skew guard."""
     if n_chunks <= max_hamming:
         raise ValueError("need n_chunks > max_hamming for exact recall")
-    sigs = simhash(df, id_col, text_col, bits).cache()
+    sigs = simhash(fan_out(df), id_col, text_col, bits).cache()
     width = bits // n_chunks
     mask = (1 << width) - 1
     chunks = sigs.select(
@@ -251,6 +254,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     near-unique, so buckets stay small.  (Replaced a crossJoin that took
     364 s at sf0.1 — now seconds, identical output.)  n=1 uses distinct
     tokens; n>1 uses n-gram shingles."""
+    df = fan_out(df)
     toks = F.split(F.col(text_col), r"\s+")
     if n == 1:
         sh = F.array_distinct(toks)

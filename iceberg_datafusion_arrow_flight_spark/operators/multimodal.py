@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
+
 DECODED_SCHEMA = ("doc_id BIGINT, fmt STRING, width INT, height INT, "
                   "n_bytes BIGINT, checksum STRING")
 
@@ -92,7 +94,7 @@ def decode_payloads(df: DataFrame, decode_mode: str = "stub") -> DataFrame:
             })
             yield out
 
-    return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+    return fan_out(df).mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +245,7 @@ def decode_image_payloads(df: DataFrame) -> DataFrame:
                 rows["checksum"].append(hashlib.md5(buf).hexdigest())
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(decode, schema=IMAGE_SCHEMA)
+    return fan_out(df).mapInPandas(decode, schema=IMAGE_SCHEMA)
 
 
 RESIZE_REAL_SCHEMA = ("doc_id BIGINT, fmt STRING, out_width INT, "

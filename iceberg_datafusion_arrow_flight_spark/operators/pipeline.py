@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
+
 from . import text as T
 
 # Knuth multiplicative hash: identical plain-integer arithmetic on any
@@ -112,7 +114,7 @@ def decontaminate(corpus: DataFrame, bench: DataFrame,
     Returns (id, n_grams, n_hit, contamination) for contaminated docs.
     """
     g = T.token_ngrams(F.col(text_col), n)
-    cg = (corpus.select(F.col(id_col), F.explode(g).alias("g"))
+    cg = (fan_out(corpus).select(F.col(id_col), F.explode(g).alias("g"))
           .distinct())
     bg = bench.select(F.explode(g).alias("g")).distinct()
     return (
@@ -139,8 +141,8 @@ def top_ngram_repetition(df: DataFrame, text_col: str = "text",
     Scale shape: explode → two keyed exchanges (gram count on
     (id, gram), then the per-doc window) — state per doc is its
     distinct-gram set, never a global structure."""
-    grams = df.select(F.col(id_col),
-                      F.explode(T.token_ngrams(F.col(text_col), n)).alias("g"))
+    grams = fan_out(df).select(F.col(id_col),
+                               F.explode(T.token_ngrams(F.col(text_col), n)).alias("g"))
     counts = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
     per_doc = Window.partitionBy(id_col)
     ranked = (counts

@@ -25,6 +25,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .partitioning import fan_out
 from pyspark.sql.window import Window
 
 
@@ -58,8 +60,8 @@ def topk_cosine(queries: DataFrame, corpus: DataFrame, k: int = 10,
     id) so ties and float noise are deterministic."""
     q = queries.select(F.col(query_id).alias("query_id"),
                        _as_double(F.col(query_vec)).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
-                      _as_double(F.col(corpus_vec)).alias("cv"))
+    c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
+                               _as_double(F.col(corpus_vec)).alias("cv"))
     sims = (F.broadcast(q).crossJoin(c)
             .where(F.col("query_id") != F.col("corpus_id"))
             .select("query_id", "corpus_id",
@@ -103,6 +105,7 @@ def near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     # B² evenly-hashed reduce tasks of (n/B)² compares each
     partner = F.broadcast(spark.range(n_blocks)
                           .select(F.col("id").cast("int").alias("partner")))
+    df = fan_out(df)
     block = F.pmod(F.xxhash64(F.col(id_col)), n_blocks).cast("int")
     a_rep = (df.select(F.col(id_col).alias("id_a"),
                        _as_double(F.col(vec_col)).alias("va"),
@@ -164,8 +167,8 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     query×corpus product never materializes."""
     q = queries.select(F.col(query_id).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
-                      _as_double(F.col(vec_col)).alias("cv"))
+    c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
+                               _as_double(F.col(vec_col)).alias("cv"))
     cands = None
     for t in range(n_tables):
         qb = q.withColumn("bucket", lsh_bucket(F.col("qv"), n_planes, dims, t))
@@ -213,8 +216,8 @@ def kmeans_centroids(df: DataFrame, id_col: str, vec_col: str,
     planning overhead.  Empty cells keep their previous centroid.
     Returns ``[(cell_id, centroid_vec), ...]`` for broadcast reuse."""
     spark = df.sparkSession
-    base = (df.select(F.col(id_col).alias("__id"),
-                      _as_double(F.col(vec_col)).alias("__v"))
+    base = (fan_out(df).select(F.col(id_col).alias("__id"),
+                               _as_double(F.col(vec_col)).alias("__v"))
             .cache())
     init = base.orderBy("__id").limit(k).collect()
     cents = {i + 1: list(r["__v"]) for i, r in enumerate(init)}
@@ -257,8 +260,8 @@ def ann_ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     largest cell (tune n_centroids so cells fit an executor)."""
     q = queries.select(F.col(query_id).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
-                      _as_double(F.col(vec_col)).alias("cv"))
+    c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
+                               _as_double(F.col(vec_col)).alias("cv"))
     if train_iters > 0:
         trained = kmeans_centroids(corpus, corpus_id, vec_col,
                                    k=n_centroids, iters=train_iters)
@@ -321,8 +324,8 @@ def near_dup_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
     s≥0.9 the same geometry gives recall >0.9999 with FEWER tables.
     Approximate by nature → rows-only driver check + recall test vs the
     exact operator, like :func:`ann_lsh_topk`."""
-    v = df.select(F.col(id_col).alias("__vid"),
-                  _as_double(F.col(vec_col)).alias("__v"))
+    v = fan_out(df).select(F.col(id_col).alias("__vid"),
+                           _as_double(F.col(vec_col)).alias("__v"))
     cands = None
     for t in range(n_tables):
         b = v.withColumn("__b", lsh_bucket(F.col("__v"), n_planes, dims, t))
@@ -389,8 +392,8 @@ def pq_codebooks(corpus: DataFrame, corpus_id: str, vec_col: str,
     ``k`` (code, centroid) entries — m·k·(D/m) doubles, tiny.  At
     100 TB: train on a sample (PQ codebooks need ~100k vectors, not the
     corpus); encoding in :func:`ann_pq_topk` is the full-corpus pass."""
-    base = corpus.select(F.col(corpus_id).alias("__id"),
-                         _normed(_as_double(F.col(vec_col))).alias("__nv"))
+    base = fan_out(corpus).select(F.col(corpus_id).alias("__id"),
+                                  _normed(_as_double(F.col(vec_col))).alias("__nv"))
     base = base.cache()
     init = base.orderBy("__id").limit(k).collect()
     dims = len(init[0]["__nv"])
@@ -444,9 +447,9 @@ def ann_pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     d = len(books[0][0][1])  # subspace width = D / m
     nv = _normed(_as_double(F.col(vec_col)))
 
-    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
-                      _as_double(F.col(vec_col)).alias("cv"),
-                      nv.alias("cnv"))
+    c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
+                               _as_double(F.col(vec_col)).alias("cv"),
+                               nv.alias("cnv"))
     code_cols = []
     for s, book in enumerate(books):
         sub = F.slice(F.col("cnv"), s * d + 1, d)

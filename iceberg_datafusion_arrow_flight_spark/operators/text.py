@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
+
 from .dedup import hash_expr, normalize_text
 
 # Tiny in-expression stopword lists per language (n-gram/stopword-hit
@@ -123,6 +125,7 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
     train the counts on a sample or swap in a count-min sketch; the
     scoring join is unchanged."""
 
+    df = fan_out(df)
     grams = df.select(F.col(id_col),
                       F.explode(token_ngrams(F.col(text_col), 2)).alias("g"))
     toks = df.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
@@ -154,8 +157,8 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
     per-doc window for the top-k."""
     from pyspark.sql import Window
 
-    toks = df.select(F.col(id_col),
-                     F.explode(ws_tokens(F.col(text_col))).alias("term"))
+    toks = fan_out(df).select(F.col(id_col),
+                              F.explode(ws_tokens(F.col(text_col))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
     doc_len = Window.partitionBy(id_col)
     n_docs = df.select(F.countDistinct(id_col).alias("__n"))
