@@ -27,17 +27,22 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (DoubleType, LongType, StringType,
                                StructField, StructType)
 
-# events fixture schema (FIXTURES.md); ts read as int64 nanos under
-# spark.sql.legacy.parquet.nanosAsLong (see sources.registry), converted
-# to µs timestamps in the stream projection.
-_RAW_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+# events fixture schema (FIXTURES.md).  The ts physical type depends on
+# the fixture generation: TIMESTAMP(NANOS) arrives as int64 nanos under
+# spark.sql.legacy.parquet.nanosAsLong, TIMESTAMP(MICROS) as a native
+# timestamp.  The stream source mirrors sources.registry.load_table:
+# probe the footer with a batch read, then declare the matching stream
+# schema (streaming sources require an explicit schema).
+def _events_schema(ts_is_long: bool) -> StructType:
+    from pyspark.sql.types import TimestampType
+    return StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType() if ts_is_long else TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
@@ -45,7 +50,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     """Unbounded DataFrame over the events Parquet (file streaming
     source).  On a cluster this is one line away from Kafka."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = (spark.readStream.schema(_RAW_SCHEMA)
+    ts_is_long = (dict(spark.read.parquet(f"{sf_dir}/events.parquet")
+                       .dtypes).get("ts") == "bigint")
+    reader = (spark.readStream.schema(_events_schema(ts_is_long))
               .format("parquet")
               # the file source takes a DIRECTORY (new files appear over
               # time); the fixture dir holds every table, so filter
@@ -53,7 +60,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def tumbling_counts(events: DataFrame,
