@@ -289,6 +289,79 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     F.round(inter.cast("double") / union, 6).alias("jaccard")))
 
 
+def substring_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
+                            k: int = 8, min_tokens: int = 20,
+                            max_gram_postings: int | None = None) -> DataFrame:
+    """Pairs of documents sharing a run of >= ``min_tokens`` CONSECUTIVE
+    whitespace tokens, with the longest shared run length — the
+    document-pair form of exact substring dedup (suffix-array dedup à la
+    "Deduplicating Training Data Makes Language Models Better"), computed
+    as a k-gram inverted index + diagonal run detection instead of a
+    suffix array (which has no distributed expression).
+
+    Plan, all JVM expressions:
+
+    1. positional k-gram fingerprints per doc — ``transform`` over a
+       ``sequence`` of start offsets, xxhash64 of the joined window; a
+       pure projection + one explode, NO shuffle;
+    2. candidate positions from an equi-join on the gram hash (the
+       inverted index): every shared k-gram yields (pair, pos_a, pos_b);
+    3. gaps-and-islands on each (pair, pos_a - pos_b) DIAGONAL:
+       ``r`` consecutive matching k-grams ⇔ a shared substring of
+       ``r + k - 1`` tokens, so max-run-per-pair + k - 1 is the longest
+       common token run.
+
+    Exactness: complete for any shared run >= k tokens (every window of
+    the run is a shared k-gram on one diagonal); pairs are compared via
+    64-bit gram hashes (corpus-wide collision odds ~1e-10, same trade as
+    the minhash verify stage).
+
+    Scale: the only shuffles are keyed by gram hash (near-unique at
+    k >= 8) and by pair — never doc×doc.  ``max_gram_postings`` is the
+    skew guard: grams whose posting list exceeds the cap (boilerplate
+    headers shared by half the corpus) are dropped, bounding the join
+    fan-out at the cost of missing runs composed ONLY of capped grams —
+    leave None for exact-oracle parity."""
+    df = fan_out(df)
+    toks = F.split(F.col(text_col), r"\s+")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    n = F.size("__t")
+    # valid starts 0..n-k; the sequence is clamped and filtered so docs
+    # shorter than k tokens contribute nothing (sequence() would count
+    # DOWN for a negative span — never emit it)
+    starts = F.filter(F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+                      lambda i: (i + k) <= n)
+    gram = F.transform(
+        starts,
+        lambda i: F.struct(i.cast("int").alias("pos"),
+                           F.xxhash64(F.concat_ws(" ", F.slice("__t", i + 1, k)))
+                           .alias("g")))
+    grams = (base.select("__id", F.explode(gram).alias("e"))
+             .select("__id", "e.pos", "e.g"))
+    if max_gram_postings is not None:
+        w = Window.partitionBy("g")
+        grams = (grams.withColumn("__n", F.count("*").over(w))
+                 .where(F.col("__n") <= max_gram_postings).drop("__n"))
+    cand = (grams.alias("l")
+            .join(grams.alias("r"),
+                  (F.col("l.g") == F.col("r.g"))
+                  & (F.col("l.__id") < F.col("r.__id")))
+            .select(F.col("l.__id").alias("id_a"),
+                    F.col("r.__id").alias("id_b"),
+                    F.col("l.pos").alias("pa"),
+                    F.col("r.pos").alias("pb")))
+    wrun = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    islands = (cand
+               .withColumn("diag", F.col("pa") - F.col("pb"))
+               .withColumn("island", F.col("pa") - F.row_number().over(wrun))
+               .groupBy("id_a", "id_b", "diag", "island")
+               .agg(F.count(F.lit(1)).alias("__run")))
+    return (islands.groupBy("id_a", "id_b")
+            .agg((F.max("__run") + F.lit(k - 1)).cast("bigint")
+                 .alias("max_run_tokens"))
+            .where(F.col("max_run_tokens") >= min_tokens))
+
+
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
                          max_iterations: int = 25) -> DataFrame:

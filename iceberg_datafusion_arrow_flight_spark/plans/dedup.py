@@ -171,6 +171,92 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_overlap",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS g
+  FROM toks, range(0, 128) r(i)       -- static bound >= max doc tokens (fixture max ~100)
+  WHERE i + 8 <= len(t)
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+), islands AS (
+  SELECT id_a, id_b, COUNT(*) AS run
+  FROM (SELECT id_a, id_b, pa - pb AS diag, pa,
+               pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pa - pb
+                                       ORDER BY pa) AS island
+        FROM cand)
+  GROUP BY id_a, id_b, diag, island
+)
+SELECT id_a, id_b, CAST(MAX(run) + 7 AS BIGINT) AS max_run_tokens
+FROM islands GROUP BY id_a, id_b
+HAVING MAX(run) + 7 >= 20
+""",
+    doc="Exact substring-overlap pairs: docs sharing >= 20 consecutive "
+        "tokens, with the longest shared run — suffix-array-style "
+        "substring dedup re-expressed as a k-gram (k=8) inverted index + "
+        "diagonal gaps-and-islands, so candidates come keyed by gram "
+        "hash, never doc×doc.  The oracle replicates the identical "
+        "index+islands plan over gram STRINGS (Spark joins xxhash64 of "
+        "the same grams). operators/dedup.py:substring_overlap_pairs.",
+    tags=("dedup",),
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.substring_overlap_pairs(table(spark, sf_dir, "documents"),
+                                     "doc_id", "text", k=8, min_tokens=20)
+
+
+@register(
+    "dedup_prune_corpus",
+    oracle=r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           range(1, len(string_split_regex(text, '\s+')) - 1),
+           i -> array_to_string(string_split_regex(text, '\s+')[i:i+2], ' ')))) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE 10 * len(list_intersect(a.s, b.s))
+        >= 8 * len(list_distinct(list_concat(a.s, b.s)))
+), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+), comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS rep FROM reach GROUP BY a
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node != rep)
+""",
+    doc="Dedup MATERIALIZATION: the kept corpus after near-dup pruning — "
+        "3-gram Jaccard>=0.8 pairs -> connected components -> keep the "
+        "smallest doc_id per cluster (plus every unpaired doc).  The "
+        "pair-mining and clustering steps are the already-oracled "
+        "operators; this query is the step real pipelines actually ship: "
+        "an anti-join of the corpus against the non-representative "
+        "members. operators/dedup.py:connected_components.",
+    tags=("dedup",),
+)
+def dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                  threshold_num=8, threshold_den=10)
+    comp = D.connected_components(pairs)
+    drop = comp.where(F.col("node") != F.col("label")) \
+               .select(F.col("node").alias("doc_id"))
+    return (docs.join(drop, "doc_id", "left_anti")
+            .select("doc_id", "lang", "source"))
+
+
+@register(
     "dedup_cluster_components",
     oracle=r"""
 WITH RECURSIVE sh AS (

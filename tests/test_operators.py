@@ -511,3 +511,40 @@ def test_countmin_merge_and_bounds(spark, sf_dir):
     for v, n in exact.items():
         assert est[v] >= n, f"{v}: underestimate {est[v]} < {n}"
         assert est[v] - n <= n_total / 256 * 8, f"{v}: overcount too big"
+
+
+def test_substring_overlap_constructed_runs(spark):
+    """Hand-built corpus with KNOWN longest shared runs: the operator
+    must report exactly run+k-1 tokens and drop sub-threshold pairs."""
+    shared = " ".join(f"w{i}" for i in range(12))          # 12-token run
+    df = spark.createDataFrame(
+        [(1, "a b " + shared + " tail one"),
+         (2, "x y z " + shared + " other end"),
+         (3, shared.replace("w5", "DIFF")),                # run broken -> max 6
+         (4, "tiny doc"),                                  # shorter than k
+         ],
+        "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.max_run_tokens
+           for r in dedup.substring_overlap_pairs(
+               df, "doc_id", "text", k=4, min_tokens=10).collect()}
+    assert out == {(1, 2): 12}
+    # lowering the bar surfaces the broken-run pair at its true length
+    out2 = {(r.id_a, r.id_b): r.max_run_tokens
+            for r in dedup.substring_overlap_pairs(
+                df, "doc_id", "text", k=4, min_tokens=5).collect()}
+    assert out2[(1, 3)] == 6 and out2[(2, 3)] == 6 and out2[(1, 2)] == 12
+
+
+def test_substring_overlap_posting_cap_drops_boilerplate(spark):
+    """With a posting-list cap, a gram shared by every doc stops
+    generating candidates (skew guard semantics)."""
+    boiler = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(i, f"u{i} " + boiler + f" v{i}") for i in range(6)],
+        "doc_id long, text string")
+    capped = dedup.substring_overlap_pairs(df, "doc_id", "text", k=8,
+                                           min_tokens=8,
+                                           max_gram_postings=3).count()
+    uncapped = dedup.substring_overlap_pairs(df, "doc_id", "text", k=8,
+                                             min_tokens=8).count()
+    assert uncapped == 15 and capped == 0
