@@ -202,3 +202,59 @@ def redact_pii(col: Column) -> Column:
     for pat, tag in PII_PATTERNS.values():
         out = F.regexp_replace(out, pat, tag)
     return out
+
+
+# --- data-quality profiling / validation --------------------------------
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None,
+                    exact_distinct: bool = True) -> DataFrame:
+    """One-pass column profiler (the deequ/TFDV analyzer shape): per
+    column — row count, null count, distinct count, min, max (min/max
+    cast to string so one tall schema fits every column type).
+
+    Scale: ONE aggregate job over the data.  Multiple exact
+    COUNT(DISTINCT) in one pass plan as a Catalyst Expand (k× the scan
+    rows through the partial aggregate, still map-side combined);
+    ``exact_distinct=False`` swaps in approx_count_distinct (HLL, no
+    Expand) — the 100 TB default, the exact form is the oracle path."""
+    cols = cols or df.columns
+    nd = (F.count_distinct if exact_distinct
+          else lambda c: F.approx_count_distinct(c))
+    row = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        *[e for c in cols for e in (
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+             .cast("bigint").alias(f"__null_{c}"),
+            nd(F.col(c)).cast("bigint").alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        )])
+    per_col = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col("__n").alias("n_rows"),
+                 F.col(f"__null_{c}").alias("n_nulls"),
+                 F.col(f"__nd_{c}").alias("n_distinct"),
+                 F.col(f"__min_{c}").alias("min_value"),
+                 F.col(f"__max_{c}").alias("max_value"))
+        for c in cols])
+    return (row.select(F.explode(per_col).alias("m")).select("m.*"))
+
+
+def check_constraints(df: DataFrame,
+                      checks: list[tuple[str, Column]]) -> DataFrame:
+    """Declarative data-quality gate: each check is (name, row-level
+    boolean Column); emits one row per check with the violation count
+    and pass flag.  All checks evaluate in ONE aggregate pass (no
+    per-check jobs — the mistake that makes naive validators O(checks)
+    scans at 100 TB)."""
+    row = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        *[F.sum(F.when(~cond, 1).otherwise(0)).cast("bigint")
+           .alias(f"__viol_{i}") for i, (_, cond) in enumerate(checks)])
+    per_check = F.array(*[
+        F.struct(F.lit(name).alias("check"),
+                 F.col("__n").alias("n_rows"),
+                 F.col(f"__viol_{i}").alias("n_violations"),
+                 (F.col(f"__viol_{i}") == 0).alias("passed"))
+        for i, (name, _) in enumerate(checks)])
+    return row.select(F.explode(per_check).alias("m")).select("m.*")

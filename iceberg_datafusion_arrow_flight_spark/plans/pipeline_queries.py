@@ -432,3 +432,85 @@ def pipeline_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(target / actual, 4).alias("sample_weight"),
                     F.col("__chars").cast("bigint").alias("n_chars"))
             .orderBy("source", "lang"))
+
+
+@register(
+    "pipeline_profile_columns",
+    oracle="""
+SELECT 'doc_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+       CAST(MAX(doc_id) AS VARCHAR) AS max_value
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT lang) AS BIGINT),
+       CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'source', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT),
+       CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+FROM documents
+""",
+    doc="One-pass column profiler (deequ/TFDV analyzer shape): "
+        "null/distinct counts + min/max per column in a single aggregate "
+        "job (Expand for multi-column exact distincts; HLL variant for "
+        "the 100 TB path). operators/pipeline.py:profile_columns.",
+    tags=("pipeline",),
+)
+def pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.profile_columns(table(spark, sf_dir, "documents"),
+                             ["doc_id", "lang", "source", "n_chars"])
+
+
+@register(
+    "pipeline_check_constraints",
+    oracle="""
+SELECT 'doc_id_not_null' AS check, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN NOT (doc_id IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       SUM(CASE WHEN NOT (doc_id IS NOT NULL) THEN 1 ELSE 0 END) = 0 AS passed
+FROM documents
+UNION ALL
+SELECT 'lang_in_domain', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN NOT (lang IN ('en','de','fr','es','zh'))
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN NOT (lang IN ('en','de','fr','es','zh'))
+           THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'n_chars_positive', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN NOT (n_chars > 0) THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN NOT (n_chars > 0) THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'n_chars_matches_text', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN NOT (length(text) = n_chars) THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN NOT (length(text) = n_chars) THEN 1 ELSE 0 END) = 0
+FROM documents
+""",
+    doc="Declarative data-quality gate: named row-level boolean checks "
+        "evaluated in ONE aggregate pass (violation count + pass flag "
+        "per check; NULL outcomes count as passes — SQL CHECK "
+        "semantics, identical on both engines). "
+        "operators/pipeline.py:check_constraints.",
+    tags=("pipeline",),
+)
+def pipeline_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return P.check_constraints(docs, [
+        ("doc_id_not_null", F.col("doc_id").isNotNull()),
+        ("lang_in_domain", F.col("lang").isin("en", "de", "fr", "es", "zh")),
+        ("n_chars_positive", F.col("n_chars") > 0),
+        ("n_chars_matches_text", F.length("text") == F.col("n_chars")),
+    ])
