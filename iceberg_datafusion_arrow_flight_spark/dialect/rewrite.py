@@ -73,6 +73,7 @@ NAME_ALIASES: dict[str, str] = {
     "list_to_string": "array_join",
     "string_to_array": "df_string_to_array",  # SQL UDF (regex-quoting)
     "generate_series": "sequence",
+    "current_time": "df_current_time",   # SQL UDF: µs-of-day BIGINT (no TIME type)
     "substr_index": "substring_index",
     "to_unixtime": "unix_timestamp",
     "to_timestamp_seconds": "timestamp_seconds",

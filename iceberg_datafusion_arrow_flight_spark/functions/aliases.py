@@ -140,6 +140,13 @@ SQL_UDFS: dict[str, str] = {
     "df_array_empty": (
         "CREATE OR REPLACE TEMPORARY FUNCTION df_array_empty"
         "(a ARRAY<STRING>) RETURNS BOOLEAN RETURN size(a) = 0"),
+    # DF current_time() returns a TIME value; Spark has no TIME type
+    # (GAPS.md) so the shim returns the Iceberg-Spark convention instead:
+    # µs-of-day as BIGINT — the same representation TIME columns read as.
+    "df_current_time": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION df_current_time() "
+        "RETURNS BIGINT RETURN "
+        "(unix_micros(now()) - unix_micros(CAST(current_date() AS TIMESTAMP)))"),
     # DF array_slice(a, from, to): 1-based, INCLUSIVE to (Spark's slice
     # takes a length) — negative `to` counts from the end like DF.
     "df_array_slice": (

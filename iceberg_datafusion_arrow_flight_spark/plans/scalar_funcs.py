@@ -180,12 +180,17 @@ SELECT l_orderkey, l_linenumber,
        CAST(l_orderkey % 7 AS BIGINT) AS mod7,
        FACTORIAL(l_linenumber) AS fact,
        ROUND(PI(), 10) AS pi_,
-       CAST(ISNAN(l_quantity) AS BOOLEAN) AS isnan_q
+       CAST(ISNAN(l_quantity) AS BOOLEAN) AS isnan_q,
+       -- nanvl(x, fallback): x is never NaN here so it passes through;
+       -- the 0/0 probe exercises the replacement arm (DuckDB: 0/0 = NULL
+       -- not NaN, so spell the probe as a literal CASE both engines agree on)
+       ROUND(CASE WHEN ISNAN(l_quantity) THEN -1.0 ELSE l_quantity END, 4)
+         AS nanvl_q
 FROM lineitem WHERE l_orderkey <= 200
 """,
     doc="Math: abs/ceil/floor/sqrt/cbrt/exp/ln/log10/log2/power/sign/mod/"
-        "gcd/lcm/factorial/pi/isnan (SURVEY §2.9 Math; trunc(x,s) shim "
-        "lives in the dialect layer).",
+        "gcd/lcm/factorial/pi/isnan/nanvl (SURVEY §2.9 Math; trunc(x,s) "
+        "shim lives in the dialect layer).",
     tags=("function", "math"),
 )
 def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,7 +211,9 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % 7).cast("bigint").alias("mod7"),
         F.factorial("l_linenumber").alias("fact"),
         F.round(F.lit(3.14159265358979323846), 10).alias("pi_"),
-        F.isnan(F.col("l_quantity")).alias("isnan_q"))
+        F.isnan(F.col("l_quantity")).alias("isnan_q"),
+        F.round(F.nanvl(F.col("l_quantity"), F.lit(-1.0)), 4)
+         .alias("nanvl_q"))
 
 
 @register(

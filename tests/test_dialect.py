@@ -314,3 +314,18 @@ def test_review_fixes_rewriter_resilience():
     # dynamic form before a valid one: only the valid one rewrites
     assert (rewrite_get_field("get_field(s, f), get_field(s, 'g')")
             == "get_field(s, f), ((s)).`g`".replace("((s))", "(s)"))
+
+
+def test_current_time_shim_microseconds_of_day(spark):
+    """DF current_time() → µs-of-day BIGINT (the TIME read convention,
+    GAPS.md): the dialect renames it onto the SQL UDF and the value is a
+    valid time-of-day in microseconds."""
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+        rewrite_sql)
+    from iceberg_datafusion_arrow_flight_spark.functions.aliases import (
+        register_dialect_functions)
+    register_dialect_functions(spark)
+    sql = rewrite_sql("SELECT current_time() AS t")
+    assert "df_current_time" in sql
+    v = spark.sql(sql).head().t
+    assert 0 <= v < 86_400_000_000
