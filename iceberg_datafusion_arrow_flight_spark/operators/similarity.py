@@ -485,3 +485,51 @@ def ann_pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .where(F.col("rank") <= k)
             .select("query_id", "corpus_id", "sim",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_clusters: int = 32,
+                   threshold: float = 0.35,
+                   train_iters: int = 0) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse-cluster the embedding space
+    (spherical k-means), then within each cluster drop every vector that
+    has a higher-priority (lower-id) neighbor at cosine >= ``threshold``.
+    Returns the KEPT rows as (vec_id, cell).
+
+    This is the embedding analogue of near-dup corpus pruning: pairs are
+    only compared inside a cluster, so the pair join is keyed by cell —
+    per-cell work is quadratic in CELL size, never in corpus size.  At
+    100 TB: scale ``n_clusters`` with the corpus (cells of ~1-10k
+    vectors), train the quantizer (``train_iters>0``) for balanced
+    cells, and cap pathological cells the same way the LSH buckets are
+    capped.  Cross-cluster near-dups are missed by design — the
+    SemDeDup trade (arXiv:2303.09540's shape; this is a from-scratch
+    Spark expression of that idea, not a port).
+
+    With ``train_iters=0`` the quantizer is the ``n_clusters`` lowest-id
+    vectors — fully deterministic AND SQL-expressible, which is what
+    makes the registry entry exactly DuckDB-oracled; ``train_iters>0``
+    runs Lloyd refinement (deterministic too, but not oracle-able in
+    one SQL query)."""
+    spark = df.sparkSession
+    base = (fan_out(df).select(F.col(id_col).alias("__id"),
+                               _as_double(F.col(vec_col)).alias("__v")))
+    cents = kmeans_centroids(df, id_col, vec_col, k=n_clusters,
+                             iters=train_iters)
+    cdf = spark.createDataFrame(cents, "__cell INT, __cent_vec ARRAY<DOUBLE>")
+    assigned = ivf_assign(base, cdf, "__v", nprobe=1).cache()
+    a = assigned.select(F.col("__cell").alias("cell"),
+                        F.col("__id").alias("id_a"),
+                        F.col("__v").alias("va"))
+    b = assigned.select(F.col("__cell").alias("cell"),
+                        F.col("__id").alias("id_b"),
+                        F.col("__v").alias("vb"))
+    pairs = (a.join(b, ["cell"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .where(F.round(cosine(F.col("va"), F.col("vb")), 6)
+                    >= F.lit(threshold)))
+    drop = pairs.select(F.col("id_b").alias("__drop")).distinct()
+    return (assigned.join(drop, assigned["__id"] == drop["__drop"],
+                          "left_anti")
+            .select(F.col("__id").alias("vec_id"),
+                    F.col("__cell").cast("bigint").alias("cell")))

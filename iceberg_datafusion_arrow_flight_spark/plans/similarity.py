@@ -195,3 +195,37 @@ def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return S.ann_pq_topk(queries, emb, k=10)
+
+
+@register(
+    "sim_semantic_dedup",
+    oracle=f"""
+WITH emb AS ({_EMB}),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, v AS cv
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 32)
+), assigned AS (
+  SELECT e.vec_id, e.v,
+         (SELECT cell FROM cent
+          ORDER BY {_COS.format(a='cv', b='e.v')} DESC, cell LIMIT 1) AS cell
+  FROM emb e
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND({_COS.format(a='a.v', b='b.v')}, 6) >= 0.35
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell
+FROM assigned
+WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+""",
+    doc="SemDeDup-style semantic dedup: spherical-k-means cells (here "
+        "the deterministic untrained quantizer: 32 lowest-id vectors), "
+        "within-cell cosine>=0.35 prune keeping the lowest id; emits the "
+        "kept (vec_id, cell).  The oracle recomputes the identical "
+        "assignment + prune with the bit-exact fold cosine. "
+        "operators/similarity.py:semantic_dedup.",
+    tags=("similarity", "dedup"),
+)
+def sim_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.semantic_dedup(table(spark, sf_dir, "embeddings"))

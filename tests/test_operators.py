@@ -548,3 +548,22 @@ def test_substring_overlap_posting_cap_drops_boilerplate(spark):
     uncapped = dedup.substring_overlap_pairs(df, "doc_id", "text", k=8,
                                              min_tokens=8).count()
     assert uncapped == 15 and capped == 0
+
+
+def test_semantic_dedup_drops_exact_duplicate_keeps_lower_id(spark):
+    """A vector duplicated under a higher id must be pruned; the lower
+    id survives.  Trained (Lloyd) variant must also be deterministic."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((99, list(rows[5][1])))          # exact dup of id 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = similarity.semantic_dedup(df, n_clusters=4, threshold=0.999)
+    ids = {r.vec_id for r in kept.collect()}
+    assert 5 in ids and 99 not in ids
+    trained_a = similarity.semantic_dedup(df, n_clusters=4, threshold=0.999,
+                                          train_iters=2).collect()
+    trained_b = similarity.semantic_dedup(df, n_clusters=4, threshold=0.999,
+                                          train_iters=2).collect()
+    assert sorted(map(tuple, trained_a)) == sorted(map(tuple, trained_b))
+    assert {r.vec_id for r in trained_a} <= set(range(40)) | {99}
