@@ -362,3 +362,46 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_percentile(
         li, "l_extendedprice", F.col("l_quantity").cast("bigint"),
         {"p25": 0.25, "p50": 0.5, "p90": 0.9}, by=("l_returnflag",))
+
+
+@register(
+    "agg_hdr_quantile_sketch",
+    oracle="""
+WITH scaled AS (
+  SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS iv
+  FROM lineitem
+), sk AS (
+  SELECT l_returnflag, length(CAST(iv AS VARCHAR)) AS n_digits,
+         CAST(substr(CAST(iv AS VARCHAR), 1, 2) AS BIGINT) AS mantissa,
+         CAST(COUNT(*) AS BIGINT) AS bin_count
+  FROM scaled GROUP BY 1, 2, 3
+), cum AS (
+  SELECT l_returnflag, bin_count,
+         SUM(bin_count) OVER (PARTITION BY l_returnflag
+                              ORDER BY n_digits, mantissa
+                              ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(bin_count) OVER (PARTITION BY l_returnflag) AS n,
+         (mantissa + 0.5)
+           * POWER(10, n_digits - length(CAST(mantissa AS VARCHAR))) / 100
+           AS rep
+  FROM sk
+)
+SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_values,
+       ROUND(MIN(CASE WHEN 10000 * c >= 5000 * n THEN rep END), 6) AS q5,
+       ROUND(MIN(CASE WHEN 10000 * c >= 9000 * n THEN rep END), 6) AS q9,
+       ROUND(MIN(CASE WHEN 10000 * c >= 9900 * n THEN rep END), 6) AS q99
+FROM cum GROUP BY l_returnflag
+""",
+    doc="Mergeable HDR-histogram quantile sketch (base-10, 2 significant "
+        "digits — integer/string binning, engine-portable): build per "
+        "l_returnflag over l_extendedprice, answer p50/p90/p99 from one "
+        "window pass.  Counts add across partial sketches (merge "
+        "invariant pinned by pytest) — the third mergeable sketch next "
+        "to HLL and count-min. operators/percentile.py:hdr_sketch.",
+    tags=("aggregate", "sketch"),
+)
+def agg_hdr_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentile import hdr_quantiles, hdr_sketch
+    li = table(spark, sf_dir, "lineitem")
+    sk = hdr_sketch(li, "l_extendedprice", ["l_returnflag"])
+    return hdr_quantiles(sk, ["l_returnflag"])

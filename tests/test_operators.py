@@ -567,3 +567,40 @@ def test_semantic_dedup_drops_exact_duplicate_keeps_lower_id(spark):
                                           train_iters=2).collect()
     assert sorted(map(tuple, trained_a)) == sorted(map(tuple, trained_b))
     assert {r.vec_id for r in trained_a} <= set(range(40)) | {99}
+
+
+def test_hdr_sketch_merge_equals_whole(spark, sf_dir):
+    """Mergeability: sketch(A) ⊕ sketch(B) == sketch(A ∪ B) exactly, and
+    quantiles answered from the merged sketch match the whole-data
+    sketch value-for-value."""
+    from iceberg_datafusion_arrow_flight_spark.operators.percentile import (
+        hdr_merge, hdr_quantiles, hdr_sketch)
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where("l_orderkey % 2 = 0")
+    b = li.where("l_orderkey % 2 = 1")
+    merged = hdr_merge(hdr_sketch(a, "l_extendedprice", ["l_returnflag"]),
+                       hdr_sketch(b, "l_extendedprice", ["l_returnflag"]))
+    whole = hdr_sketch(li, "l_extendedprice", ["l_returnflag"])
+    key = lambda r: (r.l_returnflag, r.n_digits, r.mantissa, r.bin_count)
+    assert sorted(map(key, merged.collect())) == \
+        sorted(map(key, whole.collect()))
+    qm = hdr_quantiles(merged, ["l_returnflag"]).collect()
+    qw = hdr_quantiles(whole, ["l_returnflag"]).collect()
+    assert sorted(map(tuple, qm)) == sorted(map(tuple, qw))
+
+
+def test_hdr_quantile_error_bound(spark, sf_dir):
+    """Reconstructed p50/p90 within the 2-significant-digit bound (5%
+    relative) of the exact percentile."""
+    from iceberg_datafusion_arrow_flight_spark.operators.percentile import (
+        hdr_quantiles, hdr_sketch)
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {r.l_returnflag: r for r in hdr_quantiles(
+        hdr_sketch(li, "l_extendedprice", ["l_returnflag"]),
+        ["l_returnflag"], quantiles=(0.5, 0.9)).collect()}
+    exact = {r.l_returnflag: r for r in li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90")).collect()}
+    for flag, row in got.items():
+        assert abs(row.q5 - exact[flag].p50) / exact[flag].p50 < 0.05
+        assert abs(row.q9 - exact[flag].p90) / exact[flag].p90 < 0.05
