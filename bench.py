@@ -91,12 +91,33 @@ def main() -> None:
         df.toArrow()
         return round(time.perf_counter() - t0, 4)
 
+    # This host shares CPUs with invisible neighbors (load avg swings
+    # 1->6 with zero local processes; measured: the SAME heavy query
+    # solo-benched 12.6s and 60s twenty minutes apart).  Report the MIN
+    # of two samples — the standard estimator for uncontended wall-clock
+    # under external noise — with a third sample only when the first two
+    # disagree enough (>1.5x) to prove one was contended.
+    # Every sample is COLD: operators that legitimately cache an
+    # intermediate (minhash signatures, IVF assignments) would otherwise
+    # serve sample 2 from sample 1's persisted plan — that measures the
+    # cache, not the query.
+    def run_cold(name: str) -> float:
+        spark.catalog.clearCache()
+        return run(name)
+
+    def run_min(name: str) -> float:
+        t1, t2 = run_cold(name), run_cold(name)
+        best = min(t1, t2)
+        if max(t1, t2) > 1.5 * best:
+            best = min(best, run_cold(name))
+        return best
+
     times: dict[str, float] = {}
     # Heavy operators first, on the pristine JVM: their runtimes dwarf
     # codegen compile, and measuring them AFTER 16 warm-up jobs was
     # reproducibly ~20% slower (shuffle-file/GC residue).
     for name in heavy:
-        times[name] = run(name)
+        times[name] = run_min(name)
     # Then warm every light query's own codegen at sf0.001 and measure.
     for name in names:
         if name in heavy:
@@ -107,7 +128,7 @@ def main() -> None:
             pass  # warm-up is best-effort; the measured run reports errors
     for name in names:
         if name not in heavy:
-            times[name] = run(name)
+            times[name] = run_min(name)
     times = {n: times[n] for n in names}  # report in HEADLINE order
     total = round(sum(times.values()), 4)
     print(json.dumps({

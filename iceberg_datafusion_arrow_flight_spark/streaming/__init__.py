@@ -40,3 +40,7 @@ __all__ = [
 from .jobs import enriched_events, purchase_after_signup  # noqa: E402
 
 __all__ += ["enriched_events", "purchase_after_signup"]
+
+from .jobs import merged_countmin, stream_countmin_partials  # noqa: E402
+
+__all__ += ["stream_countmin_partials", "merged_countmin"]

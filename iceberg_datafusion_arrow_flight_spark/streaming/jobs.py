@@ -237,3 +237,44 @@ def stream_to_iceberg(df: DataFrame, iceberg_table,
             .option("checkpointLocation",
                     f"/tmp/spark_graft_ckpt_{query_name}")
             .start())
+
+
+def stream_countmin_partials(stream_df: DataFrame, value_col: str,
+                             out_dir: str, query_name: str = "cm_stream",
+                             depth: int = 4, width: int = 256):
+    """Streaming frequency sketching: each micro-batch builds its own
+    count-min sketch (a d×w relation) and APPENDS it as a partial;
+    readers merge partials by bin addition at query time.
+
+    This is the mergeable-sketch pattern applied to streams: per-batch
+    work is bounded (d·w counters, however many rows the batch has),
+    appends are atomic per batch, and no unbounded key state lives in
+    the streaming job at all — the sketch IS the state, and it's in the
+    table.  At 100 TB/day: partials land per batch, a periodic compact
+    job folds them (same groupBy-sum), and the estimate join broadcasts
+    the folded d×w table.  Returns the StreamingQuery."""
+    from ..operators.countmin import countmin_sketch
+
+    def _append_partial(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (countmin_sketch(batch_df, value_col, depth=depth, width=width)
+         .withColumn("batch_id", F.lit(batch_id))
+         .coalesce(1)
+         .write.mode("append").parquet(out_dir))
+
+    return (stream_df.writeStream
+            .foreachBatch(_append_partial)
+            .trigger(availableNow=True)
+            .option("checkpointLocation",
+                    f"/root/repo/.scratch/ckpt/{query_name}")
+            .queryName(query_name)
+            .start())
+
+
+def merged_countmin(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fold every appended partial sketch into one (merge = bin-count
+    addition; associative, so batch boundaries are invisible)."""
+    return (spark.read.parquet(out_dir)
+            .groupBy("d", "bucket")
+            .agg(F.sum("c").alias("c")))

@@ -179,3 +179,35 @@ def test_stream_to_iceberg_commits_snapshot_per_batch(spark, sf_dir,
     assert t.read(spark).count() == batch.count()
     # ingested rows carry the converted event-time column
     assert dict(t.read(spark).dtypes)["ts"].startswith("timestamp")
+
+
+def test_stream_countmin_partials_merge_to_batch_sketch(spark, events_batch):
+    """Per-batch count-min partials folded together must equal the
+    batch-built sketch bit-for-bit (merge = bin addition, so micro-batch
+    boundaries are invisible).  Source is split into 3 files with
+    maxFilesPerTrigger=1 to force a genuinely multi-batch run."""
+    import shutil
+    from iceberg_datafusion_arrow_flight_spark.operators.countmin import (
+        countmin_sketch)
+    from iceberg_datafusion_arrow_flight_spark.streaming.jobs import (
+        merged_countmin, stream_countmin_partials)
+    src = "/root/repo/.scratch/cm_src"
+    out = "/root/repo/.scratch/cm_partials"
+    for d in (src, out, "/root/repo/.scratch/ckpt/cm_stream_test"):
+        shutil.rmtree(d, ignore_errors=True)
+    events_batch.select("event_type").repartition(3) \
+        .write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("event_type string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    q = stream_countmin_partials(stream, "event_type", out,
+                                 query_name="cm_stream_test")
+    q.awaitTermination(120)
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() >= 3
+    merged = merged_countmin(spark, out)
+    batch = countmin_sketch(events_batch.select("event_type"), "event_type")
+    key = lambda r: (r.d, r.bucket, r.c)
+    assert sorted(map(key, merged.collect())) == \
+        sorted(map(key, batch.collect()))
