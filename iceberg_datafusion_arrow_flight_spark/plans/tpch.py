@@ -708,3 +708,263 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(100)
     )
+
+
+# The fixture has no partsupp table, so Q2/Q11/Q16/Q20 derive the
+# part↔supplier relation from lineitem (cost = min observed unit price,
+# quantity = shipped quantity) and Q9 proxies supply cost from
+# p_retailprice.  Every adapted query preserves the ORIGINAL's operator
+# shape — that is what parity requires: correlated min-subquery (Q2),
+# multi-dim star profit rollup (Q9), HAVING against an uncorrelated
+# scalar aggregate (Q11), NOT-IN + COUNT(DISTINCT) (Q16), nested
+# semi-join with an aggregate threshold (Q20).
+
+@register(
+    "tpch_q2_minimum_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         MIN(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_type
+FROM part, cost, supplier, nation, region
+WHERE p_partkey = pk AND s_suppkey = sk
+  AND p_size = 15
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND supplycost = (SELECT MIN(c2.supplycost)
+                    FROM cost c2, supplier s2, nation n2, region r2
+                    WHERE c2.pk = p_partkey AND s2.s_suppkey = c2.sk
+                      AND s2.s_nationkey = n2.n_nationkey
+                      AND n2.n_regionkey = r2.r_regionkey
+                      AND r2.r_name = 'ASIA')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    doc="TPC-H Q2 (minimum-cost supplier), fixture-adapted: supply cost "
+        "= min observed unit price from lineitem (no partsupp table). "
+        "Shape preserved: correlated scalar MIN subquery over the same "
+        "region-restricted join — Catalyst decorrelates it to an "
+        "aggregate keyed by partkey joined back (one extra shuffle, no "
+        "per-row re-execution).  Scale: supplier/nation/region "
+        "broadcast; the cost relation shuffles once on (part, supp).",
+    tags=("tpch", "subquery", "join"),
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        WITH cost AS (
+          SELECT l_partkey AS pk, l_suppkey AS sk,
+                 MIN(l_extendedprice / l_quantity) AS supplycost
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+               p_partkey, p_type
+        FROM part
+        JOIN cost ON p_partkey = pk
+        JOIN supplier ON s_suppkey = sk
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND r_name = 'ASIA'
+          AND supplycost = (SELECT MIN(c2.supplycost)
+                            FROM cost c2
+                            JOIN supplier s2 ON s2.s_suppkey = c2.sk
+                            JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                            JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                            WHERE c2.pk = p_partkey AND r2.r_name = 'ASIA')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100""")
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle="""
+SELECT nation, o_year,
+       CAST(SUM(amount_cents) AS DOUBLE) / 100 AS sum_profit
+FROM (
+  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+         -- per-row cents, summed as exact integers: the float sum of
+         -- ~1e4 cancellation-prone amounts differs in the last cent
+         -- between engines purely by summation order
+         CAST(ROUND(100 * (l_extendedprice * (1 - l_discount)
+                           - 0.01 * p_retailprice * l_quantity)) AS BIGINT)
+           AS amount_cents
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    doc="TPC-H Q9 (product-type profit), fixture-adapted: supply cost "
+        "proxied as 0.01·p_retailprice (no partsupp).  Shape preserved: "
+        "5-way star join filtered by a part-name LIKE, profit rolled up "
+        "by (nation, year).  Scale: part/supplier/nation broadcast; "
+        "lineitem↔orders is the one big shuffle; the LIKE filter prunes "
+        "at the part scan before the join fan-out.",
+    tags=("tpch", "join", "aggregate"),
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    prt = table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    sup = table(spark, sf_dir, "supplier")
+    ords = table(spark, sf_dir, "orders")
+    nat = table(spark, sf_dir, "nation")
+    amount_cents = F.round(100 * (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.01 * F.col("p_retailprice") * F.col("l_quantity"))).cast("bigint")
+    return (
+        li.join(F.broadcast(prt), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(ords, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"),
+                F.year("o_orderdate").alias("o_year"),
+                amount_cents.alias("amount_cents"))
+        .groupBy("nation", "o_year")
+        .agg((F.sum("amount_cents").cast("double") / 100).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+WITH v AS (
+  SELECT l_partkey AS ps_partkey, SUM(l_extendedprice) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT ps_partkey, ROUND(val, 2) AS value
+FROM v
+WHERE val > (SELECT SUM(val) * 0.002 FROM v)
+ORDER BY value DESC, ps_partkey
+""",
+    doc="TPC-H Q11 (important stock), fixture-adapted: part value = "
+        "lineitem revenue through one nation's suppliers (no partsupp). "
+        "Shape preserved: grouped value vs an UNCORRELATED scalar "
+        "aggregate over the same relation — the CTE is computed once, "
+        "the scalar side reduces to a single broadcast row.  Scale: the "
+        "value relation shuffles once on partkey; threshold is one row.",
+    tags=("tpch", "subquery", "aggregate"),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "supplier", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        WITH v AS (
+          SELECT l_partkey AS ps_partkey, SUM(l_extendedprice) AS val
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'
+          GROUP BY l_partkey
+        )
+        SELECT ps_partkey, ROUND(val, 2) AS value
+        FROM v
+        WHERE val > (SELECT SUM(val) * 0.002 FROM v)
+        ORDER BY value DESC, ps_partkey""")
+
+
+@register(
+    "tpch_q16_parts_supplier_relationship",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#12'
+  AND p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 (parts/supplier relationship), fixture-adapted: the "
+        "part↔supplier relation comes from lineitem, and the excluded-"
+        "supplier predicate is negative acctbal (no comment column). "
+        "Shape preserved: NOT IN subquery (null-aware anti join) + "
+        "COUNT(DISTINCT) over a grouped star.  Scale: the exclusion "
+        "list is tiny → broadcast null-aware anti; distinct-count "
+        "partial-aggregates per (brand,type,size) group.",
+    tags=("tpch", "subquery", "aggregate"),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part", "supplier"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#12'
+          AND p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+
+
+@register(
+    "tpch_q20_potential_part_promotion",
+    oracle="""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY 1
+)
+SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_2')
+  AND s_suppkey IN (SELECT l_suppkey
+                    FROM shipped JOIN tot USING (l_partkey)
+                    WHERE qty > 0.5 * total_qty)
+ORDER BY s_name
+""",
+    doc="TPC-H Q20 (potential part promotion), fixture-adapted: "
+        "'availqty > half of shipped' becomes 'supplier dominates half "
+        "of a promo part's shipped quantity in the window' (no "
+        "partsupp).  Shape preserved: IN semi-join whose inner side is "
+        "an aggregate-thresholded join — planned as aggregates + a "
+        "LEFT SEMI join, no correlated re-execution.  Scale: "
+        "shipped/tot reuse the same partkey partitioning; the semi-join "
+        "key list is distinct supplier ids (small) → broadcast.",
+    tags=("tpch", "subquery", "join"),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part", "supplier", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        WITH shipped AS (
+          SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          WHERE p_type = 'PROMO'
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+        ), tot AS (
+          SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey
+        )
+        SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2')
+          AND s_suppkey IN (SELECT l_suppkey
+                            FROM shipped JOIN tot USING (l_partkey)
+                            WHERE qty > 0.5 * total_qty)
+        ORDER BY s_name""")

@@ -242,3 +242,54 @@ def test_countmin_probe_broadcasts_sketch(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q9_star_dims_broadcast_and_name_filter_pushed(spark, sf_dir):
+    """Q9: part/supplier/nation broadcast; the p_name LIKE filter prunes
+    at the part scan, before the join fan-out."""
+    df = REGISTRY["tpch_q9_product_type_profit"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    pushed = plan.split("PushedFilters: [", 1)[1]
+    assert "p_name" in plan  # LIKE filter present at a scan, not post-join
+
+
+def test_q2_correlated_min_decorrelates(spark, sf_dir):
+    """Q2's correlated MIN subquery must decorrelate to an aggregate
+    joined back on partkey — no per-row re-execution (no nested
+    subquery nodes in the physical plan)."""
+    df = REGISTRY["tpch_q2_minimum_cost_supplier"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "Subquery" not in plan.split("== Physical Plan ==", 1)[-1] \
+        or "SubqueryBroadcast" in plan  # dynamic-pruning subqueries OK
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q20_semi_join_shape(spark, sf_dir):
+    """Q20's IN-subquery plans as a semi join (or a broadcast variant),
+    never a cartesian."""
+    df = REGISTRY["tpch_q20_potential_part_promotion"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_overlap_no_cartesian(spark, sf_dir):
+    """The substring-overlap inverted index must plan as an equi-join on
+    the gram hash — never a cartesian/BNLJ candidate space."""
+    df = REGISTRY["dedup_substring_overlap"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profile_columns_single_aggregate_job(spark, sf_dir):
+    """The column profiler is ONE aggregate over the scan (Expand for
+    multi-distinct) — not one job per metric."""
+    df = REGISTRY["pipeline_profile_columns"].build(spark, sf_dir)
+    plan = _explain(df)
+    # exactly one scan node (formatted explain lists each scan's detail
+    # block once, keyed by its file index)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in plan  # the multi-distinct one-pass shape
