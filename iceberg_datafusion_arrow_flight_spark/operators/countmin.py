@@ -65,3 +65,54 @@ def countmin_estimate(sketch: DataFrame, probes: DataFrame,
     return (joined.groupBy("__v")
             .agg(F.min("c").cast("bigint").alias("cm_estimate"))
             .withColumnRenamed("__v", value_col))
+
+
+# --- Bloom filter (sparse-bitset form) ----------------------------------
+
+def bloom_build(df: DataFrame, value_col: str,
+                k: int = 4, m: int = 4096) -> DataFrame:
+    """Bloom filter as a SPARSE bitset relation: one row per SET bit
+    (bit index in [0, m)).  k hash rows reuse the count-min bucket
+    family (md5-derived, engine-portable), so membership is exactly
+    reproducible anywhere.
+
+    Relational sketches merge for free: union + distinct IS bitwise OR.
+    Scale: build is a projection + explode(k) + distinct (shuffle keyed
+    by bit index, output <= m rows however big the input); the probe
+    side broadcasts the <= m-row filter.  Classic FPR math applies:
+    (1 - e^{-kn/m})^k."""
+    rows = df.select(
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("kk"),
+        F.col(value_col).cast("string").alias("__v"))
+    return (rows.select(cm_bucket(F.col("__v"), F.col("kk"), m).alias("bit"),
+                        F.col("kk"))
+            .distinct())
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Bitwise OR of sparse bitsets = union + distinct."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
+def bloom_probe(bloom: DataFrame, probes: DataFrame, value_col: str,
+                k: int = 4, m: int = 4096) -> DataFrame:
+    """Membership probe: a value is maybe-present iff ALL k of its bits
+    are set (no false negatives; false positives at the classic rate).
+    The filter relation broadcasts; the probe stream is never shuffled
+    beyond its own distinct."""
+    p = probes.select(F.col(value_col)).distinct()
+    per_bit = p.select(
+        value_col,
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("kk"))
+    per_bit = per_bit.withColumn(
+        "bit", cm_bucket(F.col(value_col).cast("string"), F.col("kk"), m))
+    hits = (per_bit.join(F.broadcast(bloom), ["kk", "bit"], "left_semi")
+            .groupBy(value_col)
+            .agg(F.count(F.lit(1)).alias("__hits")))
+    return (p.join(hits, [value_col], "left")
+            .select(value_col,
+                    (F.coalesce(F.col("__hits"), F.lit(0)) == k)
+                    .alias("maybe_present")))

@@ -283,3 +283,43 @@ def sketch_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("overcount"))
             .orderBy(F.col("exact_count").desc(), F.col("token"))
             .limit(20))
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=r"""
+WITH bloom AS (
+  SELECT DISTINCT kk,
+         CAST(('0x' || substr(md5('cm' || CAST(kk AS VARCHAR) || '|'
+                              || CAST(o_custkey AS VARCHAR)),
+                              1, 8))::UBIGINT % 4096 AS BIGINT) AS bit
+  FROM orders CROSS JOIN (SELECT unnest([0,1,2,3]) AS kk)
+  WHERE o_orderpriority = '1-URGENT'
+), probe AS (
+  SELECT c_custkey, kk,
+         CAST(('0x' || substr(md5('cm' || CAST(kk AS VARCHAR) || '|'
+                              || CAST(c_custkey AS VARCHAR)),
+                              1, 8))::UBIGINT % 4096 AS BIGINT) AS bit
+  FROM customer CROSS JOIN (SELECT unnest([0,1,2,3]) AS kk)
+)
+SELECT c_custkey,
+       (COUNT(*) FILTER (WHERE b.bit IS NOT NULL) = 4) AS maybe_present
+FROM probe p
+LEFT JOIN bloom b ON b.kk = p.kk AND b.bit = p.bit
+GROUP BY c_custkey
+""",
+    doc="Bloom-filter membership sketch (sparse bitset relation, k=4 "
+        "hash rows x m=4096 bits, count-min's md5 bucket family): build "
+        "over urgent-order customers, probe every customer.  Merge is "
+        "union+distinct (bitwise OR); no false negatives by "
+        "construction; the oracle reproduces the identical bits in SQL. "
+        "operators/countmin.py:bloom_build/bloom_probe.",
+    tags=("sketch", "approx"),
+)
+def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import countmin as CM
+    urgent = (table(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT"))
+    bloom = CM.bloom_build(urgent, "o_custkey")
+    return CM.bloom_probe(bloom, table(spark, sf_dir, "customer"),
+                          "c_custkey")

@@ -604,3 +604,29 @@ def test_hdr_quantile_error_bound(spark, sf_dir):
     for flag, row in got.items():
         assert abs(row.q5 - exact[flag].p50) / exact[flag].p50 < 0.05
         assert abs(row.q9 - exact[flag].p90) / exact[flag].p90 < 0.05
+
+
+def test_bloom_no_false_negatives_and_merge(spark, sf_dir):
+    """Every inserted key probes maybe_present; merge(A,B) answers
+    exactly like build(A∪B); FPR on disjoint probes stays near the
+    analytic rate."""
+    from iceberg_datafusion_arrow_flight_spark.operators.countmin import (
+        bloom_build, bloom_merge, bloom_probe)
+    ords = load_table(spark, sf_dir, "orders")
+    members = ords.select("o_custkey").distinct().where("o_custkey % 2 = 0")
+    half_a = members.where("o_custkey % 4 = 0")
+    half_b = members.where("o_custkey % 4 != 0")
+    merged = bloom_merge(bloom_build(half_a, "o_custkey"),
+                         bloom_build(half_b, "o_custkey"))
+    whole = bloom_build(members, "o_custkey")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+    present = bloom_probe(whole, members, "o_custkey")
+    assert present.where("NOT maybe_present").count() == 0  # no false negs
+    absent = ords.select("o_custkey").distinct().where("o_custkey % 2 = 1")
+    fpr = (bloom_probe(whole, absent, "o_custkey")
+           .where("maybe_present").count() / max(absent.count(), 1))
+    import math
+    n = members.count()
+    expected = (1 - math.exp(-4 * n / 4096)) ** 4
+    assert fpr <= max(3 * expected, 0.05)
