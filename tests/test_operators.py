@@ -630,3 +630,19 @@ def test_bloom_no_false_negatives_and_merge(spark, sf_dir):
     n = members.count()
     expected = (1 - math.exp(-4 * n / 4096)) ** 4
     assert fpr <= max(3 * expected, 0.05)
+
+
+def test_wav_roundtrip_and_rejects_garbage():
+    """WAV encode/parse round-trips sample-exact; non-RIFF and truncated
+    payloads fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+    from iceberg_datafusion_arrow_flight_spark.operators.multimodal import (
+        _decode_wav, _encode_wav)
+    s = ((np.arange(1000) * 7 + 31) % 4096 - 2048).astype(np.int16)
+    rate, back = _decode_wav(_encode_wav(s, 8000))
+    assert rate == 8000 and np.array_equal(back, s)
+    with _pytest.raises(ValueError):
+        _decode_wav(b"not audio at all")
+    with _pytest.raises(ValueError):
+        _decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
