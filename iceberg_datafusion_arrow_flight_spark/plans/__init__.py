@@ -46,8 +46,12 @@ _PRIORITY: list[str] = [
     # aggregates tail (r01 gate stopped at agg_rollup)
     "agg_having_filter_distinct", "agg_variance_stddev", "agg_corr_covar_regr",
     "agg_min_max_by", "agg_array_collect", "agg_string_agg", "agg_bool_bit",
-    "agg_median_percentile", "agg_approx_within_tolerance",
+    "agg_median_percentile",
     "agg_weighted_percentile",
+    # sketch family rep (exact md5-derived bits — strong driver value;
+    # agg_approx_within_tolerance rotated out: its oracle is a tolerance
+    # band, the weakest kind of driver row)
+    "sketch_bloom_membership",
     # windows — entire family unchecked in r01
     "window_ranking", "window_offset_lag_lead", "window_value_functions",
     "window_sales_running", "window_range_frame", "window_agg_mixed_with_groupby",
