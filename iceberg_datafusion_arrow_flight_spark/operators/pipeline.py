@@ -258,3 +258,42 @@ def check_constraints(df: DataFrame,
                  (F.col(f"__viol_{i}") == 0).alias("passed"))
         for i, (name, _) in enumerate(checks)])
     return row.select(F.explode(per_check).alias("m")).select("m.*")
+
+
+# --- deterministic weighted sampling ------------------------------------
+
+_WS_MAX_WEIGHT = 16
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    k: int) -> DataFrame:
+    """Deterministic weighted sampling without replacement: top-k by a
+    per-row key whose distribution matches integer-weighted A-Res
+    (Efraimidis–Spirakis) — but with NO transcendentals, so any engine
+    reproduces the exact sample.
+
+    The trick: a weight-w row's key is the MAX of w independent
+    md5-derived uniforms (max of w uniforms ~ u^(1/w), the A-Res key),
+    computed as ``greatest`` over a static bound of ``_WS_MAX_WEIGHT``
+    hash slots gated by the weight.  log/pow keys differ in the last ulp
+    across libms and can flip selection at the boundary; integer hash
+    comparisons cannot.
+
+    Scale: the key is a pure projection; selection is a global top-k
+    (TakeOrderedAndProject — per-partition heaps, no full sort).
+    Weights are small positive ints (repetition factors / domain
+    priorities), capped at 16."""
+    wcol = F.col(weight_col).cast("int")
+    slots = [
+        F.when(F.lit(j) < wcol,
+               F.conv(F.substring(
+                   F.md5(F.concat(F.lit("ws|"),
+                                  F.col(id_col).cast("string"),
+                                  F.lit("|"), F.lit(str(j)))), 1, 15),
+                   16, 10).cast("bigint"))
+        .otherwise(F.lit(-1).cast("bigint"))
+        for j in range(_WS_MAX_WEIGHT)]
+    return (df.withColumn("__key", F.greatest(*slots))
+            .orderBy(F.col("__key").desc(), F.col(id_col))
+            .limit(k)
+            .drop("__key"))

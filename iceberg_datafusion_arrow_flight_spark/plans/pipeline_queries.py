@@ -514,3 +514,41 @@ def pipeline_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_chars_positive", F.col("n_chars") > 0),
         ("n_chars_matches_text", F.length("text") == F.col("n_chars")),
     ])
+
+
+@register(
+    "pipeline_weighted_sample",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 4 WHEN lang = 'de' THEN 2
+              ELSE 1 END AS weight
+  FROM documents
+), keyed AS (
+  SELECT doc_id, lang, weight,
+         MAX(CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)
+                                   || '|' || CAST(j AS VARCHAR)), 1, 15))
+                  ::UBIGINT AS BIGINT)) AS key
+  FROM w, range(0, 16) r(j)
+  WHERE j < weight
+  GROUP BY doc_id, lang, weight
+)
+SELECT doc_id, lang, CAST(weight AS INT) AS weight
+FROM keyed ORDER BY key DESC, doc_id LIMIT 100
+""",
+    doc="Deterministic weighted sampling (integer-weighted A-Res / "
+        "Efraimidis–Spirakis): key = max of `weight` md5-derived hash "
+        "slots — the u^(1/w) order statistic with zero transcendentals, "
+        "so both engines select the IDENTICAL 100 docs (en weighted 4x, "
+        "de 2x).  Selection plans as a global top-k, not a full sort. "
+        "operators/pipeline.py:weighted_sample.",
+    tags=("pipeline", "sampling"),
+)
+def pipeline_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "lang",
+        F.when(F.col("lang") == "en", 4)
+         .when(F.col("lang") == "de", 2)
+         .otherwise(1).cast("int").alias("weight"))
+    return P.weighted_sample(w, "doc_id", "weight", k=100)
