@@ -232,3 +232,65 @@ def copy_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()
     shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+def copy_to_arrow(df: DataFrame, path: str) -> list[str]:
+    """COPY ... TO ... FORMAT arrow without any Spark sink jar: each
+    partition streams its Arrow batches into one IPC file via pyarrow
+    ON THE EXECUTOR (mapInPandas — bytes never pass through the
+    driver); returns the written file paths.  DF40's COPY accepts
+    arrow (GAPS.md row, closed here); at cluster scale ``path`` is an
+    object-store mount and each task writes its own object."""
+    import pandas as pd
+    import pyarrow as pa
+
+    os.makedirs(path, exist_ok=True)
+    schema = df.limit(0).toArrow().schema  # Spark's own Arrow mapping
+
+    def write_part(batches):
+        import os as _os
+        writer, fname, n = None, None, 0
+        for pdf in batches:
+            if writer is None:
+                pid = _os.getpid()
+                fname = os.path.join(
+                    path, f"part-{pid}-{uuid.uuid4().hex[:8]}.arrow")
+                writer = pa.ipc.new_file(fname, schema)
+            writer.write_table(pa.Table.from_pandas(
+                pdf, schema=schema, preserve_index=False))
+            n += len(pdf)
+        if writer is not None:
+            writer.close()
+            yield pd.DataFrame({"file": [fname], "n_rows": [n]})
+
+    manifest = df.mapInPandas(write_part, schema="file string, n_rows long")
+    return [r.file for r in manifest.collect()]
+
+
+@register(
+    "io_copy_to_arrow_roundtrip",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="COPY (query) TO ... FORMAT arrow (DF40 COPY arrow — formerly a "
+        "GAPS.md row): executor-side pyarrow IPC file writers via "
+        "mapInPandas (one file per task, no jar, no driver bytes), then "
+        "read back through pyarrow and verified against the original "
+        "aggregate. plans/ddl_io.py:copy_to_arrow.",
+    tags=("io",),
+)
+def copy_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    out = (table(spark, sf_dir, "orders")
+           .groupBy("o_orderstatus")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total")))
+    path = os.path.join(_SCRATCH, f"copy_arrow_{uuid.uuid4().hex[:8]}")
+    files = copy_to_arrow(out, path)
+    tbl = pa.concat_tables([ipc.open_file(f).read_all() for f in files])
+    result = spark.createDataFrame(tbl.to_pandas())
+    shutil.rmtree(path, ignore_errors=True)
+    return result
