@@ -294,3 +294,66 @@ def copy_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(tbl.to_pandas())
     shutil.rmtree(path, ignore_errors=True)
     return result
+
+
+_AVRO_TYPES = {"bigint": "long", "double": "double", "string": "string"}
+
+
+def copy_to_avro(df: DataFrame, path: str) -> list[str]:
+    """COPY ... TO ... FORMAT avro without the spark-avro jar: pure-
+    Python Avro OCF writers run per task (mapInPandas), one container
+    file per partition (sources/avro_lite — zigzag varints, null-union
+    fields, null codec).  Scope: flat long/double/string results — the
+    COPY-result shape; closes the final GAPS.md COPY row."""
+    import pandas as pd
+
+    from ..sources import avro_lite
+
+    os.makedirs(path, exist_ok=True)
+    fields = [(f.name, _AVRO_TYPES[f.dataType.simpleString()])
+              for f in df.schema.fields]
+
+    def write_part(batches):
+        rows, n = [], 0
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                rows.append(tuple(None if pd.isna(v) else v for v in row))
+            n += len(pdf)
+        if rows:
+            fname = os.path.join(
+                path, f"part-{uuid.uuid4().hex[:8]}.avro")
+            avro_lite.write_avro(fname, fields, rows)
+            yield pd.DataFrame({"file": [fname], "n_rows": [n]})
+
+    manifest = df.mapInPandas(write_part, schema="file string, n_rows long")
+    return [r.file for r in manifest.collect()]
+
+
+@register(
+    "io_copy_to_avro_roundtrip",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="COPY (query) TO ... FORMAT avro (DF40 COPY avro — the last "
+        "GAPS.md COPY row): per-task pure-Python Avro OCF writers "
+        "(sources/avro_lite, spec-conformant container: magic, metadata "
+        "map, zigzag varints, sync-marked blocks), read back by the "
+        "same codec and verified against the original aggregate.",
+    tags=("io",),
+)
+def copy_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import avro_lite
+
+    out = (table(spark, sf_dir, "orders")
+           .groupBy("o_orderstatus")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total")))
+    path = os.path.join(_SCRATCH, f"copy_avro_{uuid.uuid4().hex[:8]}")
+    files = copy_to_avro(out, path)
+    rows = []
+    for f in files:
+        _, part = avro_lite.read_avro(f)
+        rows.extend(part)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -646,3 +646,28 @@ def test_wav_roundtrip_and_rejects_garbage():
         _decode_wav(b"not audio at all")
     with _pytest.raises(ValueError):
         _decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
+
+
+def test_avro_lite_roundtrip_nulls_and_corruption():
+    """Pure-Python Avro OCF: null-union round-trip is value-exact;
+    corrupt magic and sync-marker damage fail loudly."""
+    import os
+    import tempfile
+    import pytest as _pytest
+    from iceberg_datafusion_arrow_flight_spark.sources import avro_lite
+    fields = [("k", "long"), ("x", "double"), ("s", "string")]
+    rows = [(1, 1.5, "a"), (None, None, None), (-(2**40), -0.25, "naïve ✓")]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        avro_lite.write_avro(p, fields, rows)
+        got_fields, got_rows = avro_lite.read_avro(p)
+        assert got_fields == fields and got_rows == rows
+        buf = bytearray(open(p, "rb").read())
+        bad = os.path.join(d, "bad.avro")
+        open(bad, "wb").write(b"XXXX" + bytes(buf[4:]))
+        with _pytest.raises(ValueError):
+            avro_lite.read_avro(bad)
+        buf[-1] ^= 0xFF  # damage the trailing sync marker
+        open(bad, "wb").write(bytes(buf))
+        with _pytest.raises(ValueError):
+            avro_lite.read_avro(bad)
