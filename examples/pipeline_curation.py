@@ -4,12 +4,14 @@ runs, composed on this engine over the documents fixture:
 
     python examples/pipeline_curation.py [sf_dir]
 
+0.  quality gate       one-pass column profile + declarative constraints
 1.  exact dedup        keep one doc per normalized-text fingerprint
 2.  near-dup clusters  3-gram Jaccard pairs → connected components
+2b. semantic dedup     k-means cells → within-cell cosine prune (embeddings)
 3.  decontamination    drop docs overlapping the benchmark (src0) set
 4.  quality filter     C4-style length / token / score chain
 5.  PII redaction      regex detect + redact (counts per category)
-6.  balanced sample    equal docs per language, hash-ranked
+6.  weighted sample    deterministic integer-A-Res domain reweighting
 7.  split + packing    reproducible train/test split, 512-token bins
 
 Each stage is the oracled operator from the registry, composed
@@ -37,6 +39,15 @@ def main():
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     print(f"corpus: {docs.count()} docs from {sf_dir}")
 
+    # 0. quality gate — profile the corpus, hard-fail on broken invariants
+    P.profile_columns(docs, ["doc_id", "lang", "source", "n_chars"]).show()
+    gate = P.check_constraints(docs, [
+        ("doc_id_not_null", F.col("doc_id").isNotNull()),
+        ("n_chars_matches_text", F.length("text") == F.col("n_chars")),
+    ])
+    gate.show()
+    assert gate.where("NOT passed").count() == 0, "quality gate failed"
+
     # 1. exact dedup — keep the smallest id per fingerprint group
     fp = F.md5(D.normalize_text(F.col("text")).cast("binary"))
     deduped = (docs.withColumn(
@@ -52,6 +63,14 @@ def main():
     n_clusters = comps.select("label").distinct().count()
     print(f"near-dup clusters (J>=0.8): {n_clusters} "
           f"covering {comps.count()} docs")
+
+    # 2b. semantic dedup on the embedding table (SemDeDup shape)
+    from iceberg_datafusion_arrow_flight_spark.operators import (
+        similarity as S)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sem_kept = S.semantic_dedup(emb, n_clusters=16, threshold=0.35)
+    print(f"semantic dedup: kept {sem_kept.count()} of {emb.count()} "
+          f"embeddings")
 
     # 3. decontamination — src0 plays the held-out benchmark
     corpus = deduped.where(F.col("source") != "src0")
@@ -76,8 +95,12 @@ def main():
     kept = kept.withColumn("text", P.redact_pii(F.col("text")))
     print(f"PII redacted: {pii.asDict()}")
 
-    # 6. language-balanced sample
-    balanced = P.balanced_sample(kept, "lang", "doc_id")
+    # 6. domain reweighting — deterministic weighted sample (en 4x, de 2x)
+    weighted = kept.withColumn(
+        "weight", F.when(F.col("lang") == "en", 4)
+                   .when(F.col("lang") == "de", 2).otherwise(1).cast("int"))
+    balanced = P.weighted_sample(weighted, "doc_id", "weight",
+                                 k=max(kept.count() // 2, 1)).drop("weight")
     balanced.groupBy("lang").count().orderBy("lang").show()
 
     # 7. reproducible split + sequence packing
