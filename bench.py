@@ -34,8 +34,10 @@ HEADLINE = [
     "tpch_q19_discounted_revenue",
     "window_sales_running",
     "dedup_minhash_lsh",
+    "dedup_substring_overlap",
     "sim_topk_cosine",
     "sim_ann_ivf_topk",
+    "sim_semantic_dedup",
     "pipeline_decontaminate",
     "pipeline_end_to_end",
     "text_quality_score",
@@ -73,8 +75,9 @@ def main() -> None:
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR",
                               "/root/testdata/sf0.001")
     heavy = [n for n in names
-             if n in ("dedup_minhash_lsh", "sim_topk_cosine",
-                      "sim_ann_ivf_topk", "pipeline_decontaminate",
+             if n in ("dedup_minhash_lsh", "dedup_substring_overlap",
+                      "sim_topk_cosine", "sim_ann_ivf_topk",
+                      "sim_semantic_dedup", "pipeline_decontaminate",
                       "pipeline_end_to_end")]
 
     def run(name: str) -> float:
