@@ -39,6 +39,16 @@ from . import tpch            # noqa: E402,F401
 # every still-unchecked operator family gets a driver-green row this round
 # (plus tpch_q12, whose r01 hash mismatch is fixed and needs re-verification).
 # Entries not listed keep their registration order after the window.
+# Rotation ledger for the driver's 50-entry gate window:
+#   r01 checked (green): tpch q1-q22 subset (15), join_* (9), subquery_*/cte
+#   (4+2), setop_* (6), sort/distinct/values/filter/project (8), agg first 4.
+#   r02 window (below): iceberg lifecycle, aggs tail, windows, funcs,
+#   nested, family reps, sketch_bloom, q12 re-check.
+#   r03 candidates (still never driver-checked): remaining dedup
+#   (simhash/token_ppjoin/cluster/substring/prune), sim_* tail
+#   (semantic/lsh/ivf/pq/label), text_* tail, events_* tail, pipeline_*
+#   tail (profile/checks/weighted/...), dialect_* tail, io_copy arrow/avro,
+#   multimodal oracled rows, agg_hdr_quantile_sketch, window_named_clause.
 _PRIORITY: list[str] = [
     # iceberg lifecycle — judge's #3 ask, brand new this round
     "iceberg_table_lifecycle",

@@ -278,3 +278,113 @@ def merged_countmin(spark: SparkSession, out_dir: str) -> DataFrame:
     return (spark.read.parquet(out_dir)
             .groupBy("d", "bucket")
             .agg(F.sum("c").alias("c")))
+
+
+def stream_dedup_ingest(stream_docs: DataFrame, state_dir: str,
+                        query_name: str = "dedup_ingest",
+                        n_hashes: int = 64, bands: int = 16,
+                        threshold_num: int = 9, threshold_den: int = 10):
+    """Near-dup dedup AT INGEST with a persistent LSH band index — the
+    production shape: each micro-batch minhashes ONLY its own docs,
+    probes the accumulated band index for collisions, exact-verifies
+    candidates, and appends just the novel docs (and their bands) to
+    the index.  Work per batch scales with the batch and its
+    collisions, never with corpus history size.
+
+    Drop rule: a doc is dropped when it exact-verifies (token Jaccard
+    >= t) against ANY already-indexed doc, or against a smaller-id doc
+    in its own batch.  The kept set is therefore pair-free at threshold
+    t (no two kept docs are near-dups — the invariant the test pins);
+    relative to maximal-greedy it can only over-drop (a dropped doc's
+    within-batch witness may itself have been dropped) — conservative
+    in the safe direction for training data.
+
+    State layout under ``state_dir``: ``index/`` parquet of
+    (band, bh, __id, __tokens) for every KEPT doc; ``kept/`` parquet of
+    kept (doc_id, text).  Appends are atomic per batch (foreachBatch).
+    At 100 TB both live as Iceberg tables and the probe join reads only
+    the colliding band partitions."""
+    import os
+
+    from ..operators.dedup import minhash_signature
+
+    index_dir = os.path.join(state_dir, "index")
+    kept_dir = os.path.join(state_dir, "kept")
+    rows_per_band = max(1, n_hashes // bands)
+
+    def _bands(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "__id", "__tokens",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.hash(*[F.element_at("__sig",
+                                               b * rows_per_band + r + 1)
+                                  for r in range(rows_per_band)]).alias("bh"))
+                for b in range(bands)])).alias("e")
+        ).select("__id", "__tokens", "e.band", "e.bh")
+
+    def _verified(cand: DataFrame) -> DataFrame:
+        inter = F.size(F.array_intersect("tok_a", "tok_b"))
+        union = F.size(F.array_union("tok_a", "tok_b"))
+        sz_a, sz_b = F.size("tok_a"), F.size("tok_b")
+        size_ok = ((threshold_den * sz_a >= threshold_num * sz_b)
+                   & (threshold_den * sz_b >= threshold_num * sz_a))
+        return cand.where(size_ok) \
+                   .where(threshold_den * inter >= threshold_num * union)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sigs = minhash_signature(batch_df, "doc_id", "text",
+                                 n_hashes).cache()
+        be = _bands(sigs).cache()
+        # within-batch: drop the larger id of any verified pair
+        l, r = be.alias("l"), be.alias("r")
+        # dedupe candidates by PAIR (token arrays are determined by the
+        # ids, so one row per pair is lossless), verify, THEN collapse
+        # to drop ids — collapsing per drop_id before the verify would
+        # test one arbitrary partner and let real dups escape
+        internal = _verified(
+            l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.bh") == F.col("r.bh"))
+                   & (F.col("l.__id") < F.col("r.__id")))
+            .select(F.col("l.__id").alias("keep_id"),
+                    F.col("l.__tokens").alias("tok_a"),
+                    F.col("r.__tokens").alias("tok_b"),
+                    F.col("r.__id").alias("drop_id"))
+            .dropDuplicates(["keep_id", "drop_id"]))
+        drops = internal.select("drop_id").distinct()
+        # against the accumulated index
+        try:
+            idx = spark.read.parquet(index_dir)
+            cross = _verified(
+                be.join(idx.withColumnRenamed("__id", "__idx_id")
+                        .withColumnRenamed("__tokens", "__idx_tokens"),
+                        ["band", "bh"])
+                .select(F.col("__idx_id").alias("keep_id"),
+                        F.col("__tokens").alias("tok_a"),
+                        F.col("__idx_tokens").alias("tok_b"),
+                        F.col("__id").alias("drop_id"))
+                .dropDuplicates(["keep_id", "drop_id"]))
+            drops = (drops.unionByName(cross.select("drop_id"))
+                     .distinct())
+        except Exception:
+            pass  # first batch: no index yet
+        novel = sigs.join(drops, sigs["__id"] == drops["drop_id"],
+                          "left_anti")
+        (be.join(novel.select("__id"), ["__id"], "left_semi")
+         .write.mode("append").parquet(index_dir))
+        (batch_df.join(novel.select(F.col("__id").alias("doc_id")),
+                       ["doc_id"], "left_semi")
+         .write.mode("append").parquet(kept_dir))
+        sigs.unpersist()
+        be.unpersist()
+
+    return (stream_docs.writeStream
+            .foreachBatch(_ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation",
+                    f"/root/repo/.scratch/ckpt/{query_name}")
+            .queryName(query_name)
+            .start())

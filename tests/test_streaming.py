@@ -211,3 +211,49 @@ def test_stream_countmin_partials_merge_to_batch_sketch(spark, events_batch):
     key = lambda r: (r.d, r.bucket, r.c)
     assert sorted(map(key, merged.collect())) == \
         sorted(map(key, batch.collect()))
+
+
+def test_stream_dedup_ingest_kept_set_is_pair_free(spark, sf_dir):
+    """Dedup-at-ingest over a 3-chunk document stream: (a) the kept set
+    has NO near-dup pair left at the threshold (the defining
+    invariant), (b) every dropped doc near-dups some smaller-id doc,
+    (c) the band index holds exactly the kept docs."""
+    import shutil
+    from iceberg_datafusion_arrow_flight_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from iceberg_datafusion_arrow_flight_spark.sources.registry import (
+        load_table)
+    from iceberg_datafusion_arrow_flight_spark.streaming.jobs import (
+        stream_dedup_ingest)
+    src = "/root/repo/.scratch/ingest_src"
+    state = "/root/repo/.scratch/ingest_state"
+    for d in (src, state, "/root/repo/.scratch/ckpt/dedup_ingest_test"):
+        shutil.rmtree(d, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_dedup_ingest(stream, state, query_name="dedup_ingest_test")
+    q.awaitTermination(180)
+    kept = spark.read.parquet(f"{state}/kept")
+    n_docs, n_kept = docs.count(), kept.count()
+    assert 0 < n_kept <= n_docs
+    # (a) kept set pair-free at J >= 0.9
+    assert minhash_lsh_pairs(kept, "doc_id", "text").count() == 0
+    # (b) every dropped doc has a near-dup partner somewhere (arrival
+    # order decides the keeper, so the witness may carry a LARGER id —
+    # check both sides of the pair list)
+    dropped = docs.join(kept.select("doc_id"), ["doc_id"], "left_anti")
+    if dropped.count():
+        all_pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+        partners = (all_pairs.select(F.col("id_a").alias("doc_id"))
+                    .unionByName(
+                        all_pairs.select(F.col("id_b").alias("doc_id")))
+                    .distinct())
+        witnessed = dropped.join(partners, ["doc_id"], "left_semi")
+        assert witnessed.count() == dropped.count()
+    # (c) the index covers exactly the kept ids
+    idx_ids = {r["__id"] for r in
+               spark.read.parquet(f"{state}/index").select("__id")
+               .distinct().collect()}
+    assert idx_ids == {r.doc_id for r in kept.select("doc_id").collect()}
