@@ -432,7 +432,31 @@ PASSES_RAW = [
     rewrite_get_field,     # consumes its field-name literal
     rewrite_at_time_zone,
 ]
+
+
+# ------------------------------------------------- Postgres regex operators
+# DF40 (sqlparser) accepts ``expr ~ 'pat'`` / ``~*`` (case-insensitive) /
+# ``!~`` / ``!~*``; Spark has no infix regex operator.  Runs on MASKED sql:
+# the pattern literal is a placeholder token, so the rewrite just
+# repositions it into regexp_like.  A PREFIX ``~`` (bitwise not) never
+# matches — the pattern requires an operand immediately before the op.
+_REGEX_OP_RE = re.compile(
+    r"(?P<lhs>[A-Za-z_][\w.]*|'\x00\d+\x00')\s*"
+    r"(?P<op>!~\*|!~|~\*|~)\s*"
+    r"(?P<rhs>'\x00\d+\x00'|[A-Za-z_][\w.]*)")
+
+
+def rewrite_regex_operators(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        lhs, op, rhs = m.group("lhs"), m.group("op"), m.group("rhs")
+        pat = rhs if "*" not in op else f"concat('(?i)', {rhs})"
+        call = f"regexp_like({lhs}, {pat})"
+        return call if not op.startswith("!") else f"NOT {call}"
+    return _REGEX_OP_RE.sub(repl, sql)
+
+
 PASSES_MASKED = [
+    rewrite_regex_operators,
     rewrite_pg_casts,
     rewrite_params,
     rename_functions,

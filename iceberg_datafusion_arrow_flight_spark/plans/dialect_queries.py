@@ -496,3 +496,36 @@ FROM t ORDER BY o_orderkey
 )
 def list_aliases_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_dialect(spark, sf_dir, _LIST_ALIASES, ("orders",))
+
+
+_REGEX_OPS = """
+SELECT p_partkey, p_name,
+       p_name ~ 'red.*t' AS re_match,
+       p_name ~* 'RED' AS re_imatch,
+       p_name !~ 'bolt$' AS re_not,
+       p_name !~* 'WIDGET' AS re_inot
+FROM part
+WHERE p_partkey <= 500 AND p_name ~ '[a-z]+ [a-z]+'
+"""
+
+
+@register(
+    "dialect_regex_operators",
+    oracle="""
+SELECT p_partkey, p_name,
+       regexp_matches(p_name, 'red.*t') AS re_match,
+       regexp_matches(p_name, 'RED', 'i') AS re_imatch,
+       NOT regexp_matches(p_name, 'bolt$') AS re_not,
+       NOT regexp_matches(p_name, 'WIDGET', 'i') AS re_inot
+FROM part
+WHERE p_partkey <= 500 AND regexp_matches(p_name, '[a-z]+ [a-z]+')
+""",
+    doc="Postgres regex operators ~ / ~* / !~ / !~* (DF40 accepts them "
+        "through sqlparser) → regexp_like with (?i) folding for the "
+        "case-insensitive forms; prefix ~ (bitwise NOT) is untouched "
+        "because the rewrite requires an operand before the operator. "
+        "dialect/rewrite.py:rewrite_regex_operators.",
+    tags=("dialect",),
+)
+def regex_operators_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_dialect(spark, sf_dir, _REGEX_OPS, ("part",))

@@ -329,3 +329,15 @@ def test_current_time_shim_microseconds_of_day(spark):
     assert "df_current_time" in sql
     v = spark.sql(sql).head().t
     assert 0 <= v < 86_400_000_000
+
+
+def test_regex_operators_rewrite_forms():
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+        rewrite_sql)
+    out = rewrite_sql("SELECT * FROM t WHERE a ~ 'x' AND b !~* 'Y'")
+    assert "regexp_like(a, 'x')" in out
+    assert "NOT regexp_like(b, concat('(?i)', 'Y'))" in out
+    # literals are opaque: an infix ~ inside a string never rewrites
+    assert rewrite_sql("SELECT 'a ~ b' AS s") == "SELECT 'a ~ b' AS s"
+    # prefix bitwise NOT is untouched (no operand before the operator)
+    assert rewrite_sql("SELECT ~5 AS x") == "SELECT ~5 AS x"
