@@ -331,6 +331,60 @@ class IcebergTable:
 
     # -- maintenance --------------------------------------------------------
 
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg table maintenance (expire_snapshots): drop all but the
+        newest ``keep_last`` snapshots from metadata, then delete every
+        manifest and data file no surviving snapshot can reach.
+
+        Ordering matters and mirrors real Iceberg: the metadata commit
+        goes through the catalog CAS FIRST, file deletion happens after
+        the pointer swap — a crash in between leaves harmless orphans,
+        never a broken table.  Manifests chain (``prior-manifests``), so
+        reachability is computed from the kept snapshots' full chains —
+        a manifest created for an expired snapshot stays on disk while
+        any kept snapshot still links it.  Time travel to an expired id
+        fails loudly afterwards (NoSuchTableError)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        base_location, metadata = self._load_metadata()
+        snaps = metadata["snapshots"]
+        if len(snaps) <= keep_last:
+            return {"expired": 0, "deleted_data_files": 0,
+                    "deleted_manifests": 0}
+        keep, expired = snaps[-keep_last:], snaps[:-keep_last]
+        keep_ids = {s["snapshot-id"] for s in keep}
+        live_manifests: set[str] = set()
+        live_files: set[str] = set()
+        for s in keep:
+            live_manifests.update(_read_manifest_paths(s))
+            live_files.update(e.file_path for e in _read_all_entries(s))
+        dead_manifests: set[str] = set()
+        dead_files: set[str] = set()
+        for s in expired:
+            dead_manifests.update(m for m in _read_manifest_paths(s)
+                                  if m not in live_manifests)
+            dead_files.update(e.file_path for e in _read_all_entries(s)
+                              if e.file_path not in live_files)
+        now = _now_ms()
+        new_md = dict(metadata)
+        new_md["snapshots"] = keep
+        new_md["snapshot-log"] = [
+            h for h in metadata["snapshot-log"]
+            if h["snapshot-id"] in keep_ids]
+        new_md["last-updated-ms"] = now
+        version = _next_version(base_location)
+        new_location = _write_metadata(metadata["location"], version, new_md)
+        self.catalog._swap_pointer(
+            self.namespace, self.name, base_location, new_location)
+        for path in sorted(dead_manifests | dead_files):
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass  # already gone — deletion is idempotent
+        return {"expired": len(expired),
+                "deleted_data_files": len(dead_files),
+                "deleted_manifests": len(dead_manifests)}
+
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Rewrite the current file set into ``target_files`` files and
         commit as a replace snapshot — Iceberg's rewrite_data_files

@@ -178,3 +178,44 @@ def test_read_plan_scans_exactly_manifest_files(catalog, spark, orders):
     dropped = {e.file_path for e in t.plan_files()} - kept
     assert scanned == kept
     assert not scanned & dropped
+
+
+def test_expire_snapshots_prunes_history_and_orphans(spark, tmp_path):
+    """expire_snapshots(keep_last=2) after three appends + a compaction:
+    kept reads are byte-identical, expired time travel fails loudly,
+    and every file unreachable from the kept snapshots is gone while
+    every reachable one survives (manifest chains included)."""
+    import os
+    import pytest as _pytest
+    from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+        NoSuchTableError, SqliteCatalog, _read_all_entries,
+        _read_manifest_paths)
+    cat = SqliteCatalog(str(tmp_path / "cat.db"),
+                        warehouse=str(tmp_path / "wh"))
+    df1 = spark.range(0, 100).withColumnRenamed("id", "k")
+    t = cat.create_table("maint", "t", df1)
+    s1 = t.append(df1)
+    s2 = t.append(spark.range(100, 150).withColumnRenamed("id", "k"))
+    s3 = t.compact(spark, target_files=1)  # replace: references new files only
+    pre_total = t.read(spark).count()
+    s2_count = t.read(spark, snapshot_id=s2).count()
+    stats = t.expire_snapshots(keep_last=2)
+    assert stats["expired"] == 1 and stats["deleted_data_files"] == 0
+    # s1's files are still reachable through s2's manifest chain
+    assert t.read(spark, snapshot_id=s2).count() == s2_count
+    assert t.read(spark).count() == pre_total
+    with _pytest.raises(NoSuchTableError):
+        t.read(spark, snapshot_id=s1)
+    # expiring down to just the compacted snapshot orphans the
+    # pre-compaction data files; they must be deleted from disk
+    old_files = {e.file_path for e in t.plan_files(snapshot_id=s2)}
+    stats2 = t.expire_snapshots(keep_last=1)
+    assert stats2["expired"] == 1 and stats2["deleted_data_files"] > 0
+    live = {e.file_path for e in t.plan_files()}
+    for f in old_files - live:
+        assert not os.path.exists(f)
+    for f in live:
+        assert os.path.exists(f)
+    assert t.read(spark).count() == pre_total
+    assert t.expire_snapshots(keep_last=5) == {
+        "expired": 0, "deleted_data_files": 0, "deleted_manifests": 0}
