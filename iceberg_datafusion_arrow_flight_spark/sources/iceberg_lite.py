@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sqlite3
 import time
 import uuid
@@ -384,6 +385,37 @@ class IcebergTable:
         return {"expired": len(expired),
                 "deleted_data_files": len(dead_files),
                 "deleted_manifests": len(dead_manifests)}
+
+    def remove_orphan_files(self) -> dict:
+        """Iceberg's remove_orphan_files: delete data files under the
+        table location that NO snapshot (current metadata, any id)
+        references — the debris a crashed writer or a CAS-race loser
+        leaves behind (_commit_write documents exactly that failure
+        mode).  Metadata is never touched; only unreachable bytes go."""
+        _, metadata = self._load_metadata()
+        referenced: set[str] = set()
+        for s in metadata["snapshots"]:
+            referenced.update(e.file_path for e in _read_all_entries(s))
+        data_root = os.path.join(metadata["location"], "data")
+        # the unit is the per-commit write directory (data/<write_id>/):
+        # manifests reference its parquet files but not Spark's
+        # _SUCCESS/.crc markers, so per-file deletion would strip live
+        # directories' markers — a directory is orphaned iff none of its
+        # parquet files are referenced
+        removed_dirs, removed_files = 0, 0
+        for entry in sorted(os.listdir(data_root)):
+            wdir = os.path.join(data_root, entry)
+            if not os.path.isdir(wdir):
+                continue
+            parquet = [os.path.join(dp, f)
+                       for dp, _d, fs in os.walk(wdir)
+                       for f in fs if f.endswith(".parquet")]
+            if parquet and not any(p in referenced for p in parquet):
+                removed_files += len(parquet)
+                shutil.rmtree(wdir)
+                removed_dirs += 1
+        return {"deleted_orphan_dirs": removed_dirs,
+                "deleted_orphan_files": removed_files}
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Rewrite the current file set into ``target_files`` files and

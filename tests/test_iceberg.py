@@ -219,3 +219,33 @@ def test_expire_snapshots_prunes_history_and_orphans(spark, tmp_path):
     assert t.read(spark).count() == pre_total
     assert t.expire_snapshots(keep_last=5) == {
         "expired": 0, "deleted_data_files": 0, "deleted_manifests": 0}
+
+
+def test_remove_orphan_files_deletes_only_unreferenced_dirs(spark, tmp_path):
+    """A simulated crashed-writer directory (parquet on disk, never
+    committed) is removed; every live write directory — markers
+    included — survives and reads are unchanged."""
+    import os
+    import shutil as _sh
+    from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+        SqliteCatalog)
+    cat = SqliteCatalog(str(tmp_path / "cat.db"),
+                        warehouse=str(tmp_path / "wh"))
+    df = spark.range(0, 80).withColumnRenamed("id", "k")
+    t = cat.create_table("maint", "orph", df)
+    t.append(df)
+    t.append(spark.range(80, 120).withColumnRenamed("id", "k"))
+    pre = t.read(spark).count()
+    loc = t._load_metadata()[1]["location"]
+    # crashed writer: wrote parquet, never committed a snapshot
+    orphan_dir = os.path.join(loc, "data", "deadbeef0000")
+    spark.range(5).write.parquet(orphan_dir)
+    live_dirs = {d for d in os.listdir(os.path.join(loc, "data"))
+                 if d != "deadbeef0000"}
+    stats = t.remove_orphan_files()
+    assert stats["deleted_orphan_dirs"] == 1
+    assert not os.path.exists(orphan_dir)
+    assert {d for d in os.listdir(os.path.join(loc, "data"))} == live_dirs
+    assert t.read(spark).count() == pre
+    # idempotent
+    assert t.remove_orphan_files()["deleted_orphan_dirs"] == 0
