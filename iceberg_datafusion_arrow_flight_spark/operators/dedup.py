@@ -406,3 +406,47 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         f"connected_components did not converge in {max_iterations} "
         f"rounds (a component's diameter exceeds the budget); raise "
         f"max_iterations")
+
+
+def minhash_lsh_pairs_cross(left: DataFrame, right: DataFrame,
+                            id_col: str, text_col: str,
+                            n_hashes: int = 64, bands: int = 16,
+                            threshold_num: int = 9,
+                            threshold_den: int = 10) -> DataFrame:
+    """Cross-corpus near-dup pairs: every (left id, right id) with
+    token-set Jaccard >= t — the batch form of "dedupe the new crawl
+    against the existing corpus" (streaming twin:
+    streaming.jobs.stream_dedup_ingest).  Same banded-LSH candidate
+    generation and exact verify as :func:`minhash_lsh_pairs`, keyed
+    join between the two sides' band tables instead of a self-join —
+    so candidate volume scales with cross-collisions, never
+    |left|×|right|."""
+    rows_per_band = max(1, n_hashes // bands)
+
+    def _bands(df: DataFrame, side: str) -> DataFrame:
+        sigs = minhash_signature(df, id_col, text_col, n_hashes)
+        return sigs.select(
+            F.col("__id").alias(f"{side}_id"),
+            F.col("__tokens").alias(f"{side}_tokens"),
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.hash(*[F.element_at("__sig", b * rows_per_band + r + 1)
+                                  for r in range(rows_per_band)]).alias("bh"))
+                for b in range(bands)])).alias("e")
+        ).select(f"{side}_id", f"{side}_tokens", "e.band", "e.bh")
+
+    lb = _bands(fan_out(left), "l").cache()
+    rb = _bands(fan_out(right), "r").cache()
+    cand = (lb.join(rb, ["band", "bh"])
+            .select("l_id", "r_id", "l_tokens", "r_tokens")
+            .dropDuplicates(["l_id", "r_id"]))
+    inter = F.size(F.array_intersect("l_tokens", "r_tokens"))
+    union = F.size(F.array_union("l_tokens", "r_tokens"))
+    sz_l, sz_r = F.size("l_tokens"), F.size("r_tokens")
+    size_ok = ((threshold_den * sz_l >= threshold_num * sz_r)
+               & (threshold_den * sz_r >= threshold_num * sz_l))
+    return (cand.where(size_ok)
+            .where(threshold_den * inter >= threshold_num * union)
+            .select(F.col("l_id").alias("id_left"),
+                    F.col("r_id").alias("id_right"),
+                    F.round(inter.cast("double") / union, 6).alias("jaccard")))

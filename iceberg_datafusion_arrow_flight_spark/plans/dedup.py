@@ -304,3 +304,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
                  F.sum("node").cast("bigint").alias("ids_checksum"))
             .orderBy("rep"))
+
+
+@register(
+    "dedup_cross_corpus",
+    oracle=f"""
+WITH toks AS ({_TOKS}),
+new_docs AS (SELECT d.doc_id, t.ts FROM documents d JOIN toks t USING (doc_id)
+             WHERE d.source = 'src0'),
+corpus AS (SELECT d.doc_id, t.ts FROM documents d JOIN toks t USING (doc_id)
+           WHERE d.source != 'src0')
+SELECT n.doc_id AS id_left, c.doc_id AS id_right,
+       ROUND(len(list_intersect(n.ts, c.ts)) * 1.0 /
+             len(list_distinct(list_concat(n.ts, c.ts))), 6) AS jaccard
+FROM new_docs n JOIN corpus c
+  ON 10 * len(list_intersect(n.ts, c.ts))
+     >= 9 * len(list_distinct(list_concat(n.ts, c.ts)))
+""",
+    doc="Cross-corpus near-dup mining: every src0 doc (the 'new crawl') "
+        "against the rest of the corpus at token Jaccard >= 0.9 — the "
+        "batch form of dedup-at-ingest.  Banded-LSH keyed join between "
+        "the two sides' band tables (never |new|×|corpus|), exact "
+        "verify; oracle is the exhaustive cross join. "
+        "operators/dedup.py:minhash_lsh_pairs_cross.",
+    tags=("dedup",),
+)
+def dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_cross(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        "doc_id", "text")
