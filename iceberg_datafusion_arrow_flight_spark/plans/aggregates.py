@@ -405,3 +405,31 @@ def agg_hdr_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     sk = hdr_sketch(li, "l_extendedprice", ["l_returnflag"])
     return hdr_quantiles(sk, ["l_returnflag"])
+
+
+@register(
+    "agg_pivot_lang_by_source",
+    oracle="""
+SELECT source,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+       CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+       CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+       CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+       CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+FROM documents GROUP BY source ORDER BY source
+""",
+    doc="PIVOT — a Spark-side surplus (DF40's sqlparser has no PIVOT; "
+        "GAPS.md surplus list): document counts by source pivoted on an "
+        "explicit language list.  Explicit pivot values keep the plan a "
+        "single partial+final aggregate (no distinct-values pre-pass); "
+        "empty cells fill 0 to match the CASE-sum oracle.",
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .pivot("lang", ["en", "de", "fr", "es", "zh"])
+            .count().na.fill(0)
+            .select("source", *[F.col(c).cast("bigint").alias(c)
+                                for c in ("en", "de", "fr", "es", "zh")])
+            .orderBy("source"))
