@@ -653,3 +653,26 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
             .orderBy("s_name"))
+
+
+@register(
+    "setop_union_by_name",
+    oracle="""
+SELECT n_nationkey AS k, n_name AS name FROM nation
+UNION ALL BY NAME
+SELECT r_name AS name, r_regionkey + 100 AS k FROM region
+ORDER BY k, name
+""",
+    doc="UNION BY NAME — a Spark-side surplus (DF40 positional-only "
+        "set ops; GAPS.md surplus list): columns align by NAME across "
+        "branches with different column orders.  DuckDB's native "
+        "UNION ALL BY NAME is the oracle.",
+    tags=("setop",),
+)
+def setop_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("name"))
+    reg = table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("name"),
+        (F.col("r_regionkey") + 100).alias("k"))
+    return nat.unionByName(reg).orderBy("k", "name")
