@@ -533,3 +533,33 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                           "left_anti")
             .select(F.col("__id").alias("vec_id"),
                     F.col("__cell").cast("bigint").alias("cell")))
+
+
+def knn_label_vote(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                   query_id: str = "vec_id", corpus_id: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """kNN label voting — the label-propagation / eval primitive: each
+    query takes the majority label of its k nearest corpus neighbors by
+    cosine (ties broken toward the smallest label, making the vote
+    deterministic and engine-reproducible).  Returns
+    (query_id, predicted_label).
+
+    Composes the existing exact top-k (broadcast queries × corpus, JVM
+    fold cosine) with a per-query count/argmax — two keyed aggregations
+    over k·|queries| rows.  At scale, swap the exact top-k for the IVF/
+    LSH variants; the voting stage is unchanged."""
+    nn = topk_cosine(queries, corpus, k=k, query_id=query_id,
+                     corpus_id=corpus_id, query_vec=vec_col,
+                     corpus_vec=vec_col)
+    lab = corpus.select(F.col(corpus_id).alias("corpus_id"),
+                        F.col(label_col).alias("__lab"))
+    votes = (nn.join(lab, "corpus_id")
+             .groupBy("query_id", "__lab")
+             .agg(F.count(F.lit(1)).alias("__n")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__n").desc(), F.col("__lab"))
+    return (votes.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("query_id",
+                    F.col("__lab").cast("int").alias("predicted_label")))

@@ -229,3 +229,58 @@ WHERE vec_id NOT IN (SELECT id_b FROM pairs)
 )
 def sim_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_knn_confusion",
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         label
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, label AS true_label
+  FROM emb WHERE vec_id % 25 = 0
+), sims AS (
+  SELECT query_id, true_label, e.label AS nlab, e.vec_id AS corpus_id,
+         ROUND({_COS.format(a='qv', b='e.v')}, 6) AS sim
+  FROM q JOIN emb e ON e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, true_label, nlab,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, corpus_id) AS rnk
+  FROM sims
+), votes AS (
+  SELECT query_id, true_label, nlab, COUNT(*) AS n
+  FROM ranked WHERE rnk <= 10 GROUP BY 1, 2, 3
+), pred AS (
+  SELECT query_id, true_label, nlab AS predicted_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n DESC, nlab) AS vr
+  FROM votes
+)
+SELECT CAST(true_label AS INT) AS label,
+       CAST(predicted_label AS INT) AS predicted_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred WHERE vr = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="kNN label-vote confusion matrix (k=10, every 25th vector as "
+        "the probe set): the label-propagation / eval primitive — "
+        "majority label of the 10 nearest neighbors (ties toward the "
+        "smallest label) cross-tabulated against the true label.  The "
+        "oracle recomputes the identical vote with the bit-exact fold "
+        "cosine and the same deterministic tie-breaks. "
+        "operators/similarity.py:knn_label_vote.",
+    tags=("similarity", "eval"),
+)
+def sim_knn_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 25 == 0)
+    pred = S.knn_label_vote(probes, emb, k=10)
+    truth = probes.select(F.col("vec_id").alias("query_id"),
+                          F.col("label").cast("int").alias("label"))
+    return (pred.join(truth, "query_id")
+            .groupBy("label", "predicted_label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy("label", "predicted_label"))
