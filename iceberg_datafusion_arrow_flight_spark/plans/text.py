@@ -323,3 +323,71 @@ def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = CM.bloom_build(urgent, "o_custkey")
     return CM.bloom_probe(bloom, table(spark, sf_dir, "customer"),
                           "c_custkey")
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH pred AS (
+  SELECT lang,
+         CASE WHEN en_h >= de_h AND en_h >= fr_h AND en_h > 0 THEN 'en'
+              WHEN de_h >= fr_h AND de_h > 0 THEN 'de'
+              WHEN fr_h > 0 THEN 'fr'
+              ELSE 'und' END AS detected_lang
+  FROM (
+    SELECT lang,
+           {_HITS.format(lst=_SW_EN)} AS en_h,
+           {_HITS.format(lst=_SW_DE)} AS de_h,
+           {_HITS.format(lst=_SW_FR)} AS fr_h
+    FROM documents
+  ) t
+)
+SELECT lang, detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY lang, detected_lang ORDER BY lang, detected_lang
+""",
+    doc="Language-ID confusion matrix: the stopword-argmax detector "
+        "cross-tabulated against the fixture labels — the evaluation "
+        "rollup a pipeline runs before trusting a classifier for "
+        "filtering. operators/text.py:detect_language.",
+    tags=("text", "eval"),
+)
+def text_langid_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (d.select("lang",
+                     T.detect_language(F.col("text")).alias("detected_lang"))
+            .groupBy("lang", "detected_lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy("lang", "detected_lang"))
+
+
+@register(
+    "text_vocab_stats",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+), counts AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+)
+SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+       CAST(MAX(c) AS BIGINT) AS max_token_freq
+FROM counts
+""",
+    doc="Corpus vocabulary statistics in one pass over the token "
+        "explosion: total token count, vocabulary size, hapax-legomena "
+        "count (frequency-1 tokens — the Heaps/Zipf health signal for a "
+        "crawl), and the modal token frequency.  One shuffle keyed by "
+        "token, then a single-row rollup.",
+    tags=("text",),
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = (d.select(F.explode(T.ws_tokens(F.col("text"))).alias("t"))
+              .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    return counts.agg(
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+         .alias("hapax_count"),
+        F.max("c").cast("bigint").alias("max_token_freq"))
