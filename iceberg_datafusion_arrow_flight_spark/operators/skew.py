@@ -72,3 +72,27 @@ def salted_aggregate(df: DataFrame, keys: list[str],
     salted = df.withColumn("__salt", _salt_col(df, salt))
     return (salted.groupBy(*keys, "__salt").agg(*partial_exprs)
             .groupBy(*keys).agg(*final_exprs))
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Shuffle-health diagnostic for a prospective join/agg key: one row
+    of key-frequency distribution stats — key count, max and p50/p99
+    frequency, the heaviest key, and the share of rows the top key owns.
+    This is the measurement that decides salting (operators/skew) or an
+    AQE skew-join threshold BEFORE a 100 TB shuffle, not after it spills.
+
+    One groupBy on the key (the same shuffle the real job would do, but
+    counting only) and a single-row rollup; exact percentiles over the
+    per-key counts via sort-free percentile_approx? No — counts are one
+    row per key, so the exact percentile window is cheap at any scale
+    where the diagnostic itself is feasible."""
+    counts = (df.groupBy(F.col(key_col).alias("k"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    return counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        F.expr("CAST(percentile(c, 0.5) AS DOUBLE)").alias("p50_key_rows"),
+        F.expr("CAST(percentile(c, 0.99) AS DOUBLE)").alias("p99_key_rows"),
+        F.max_by("k", "c").cast("string").alias("heaviest_key"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_key_row_share"))

@@ -552,3 +552,29 @@ def pipeline_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(F.col("lang") == "de", 2)
          .otherwise(1).cast("int").alias("weight"))
     return P.weighted_sample(w, "doc_id", "weight", k=100)
+
+
+@register(
+    "diag_key_skew_profile",
+    oracle="""
+WITH counts AS (
+  SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       CAST(quantile_cont(c, 0.5) AS DOUBLE) AS p50_key_rows,
+       CAST(quantile_cont(c, 0.99) AS DOUBLE) AS p99_key_rows,
+       CAST(arg_max(k, c) AS VARCHAR) AS heaviest_key,
+       ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_key_row_share
+FROM counts
+""",
+    doc="Key-skew diagnostic over orders.o_custkey: the frequency-"
+        "distribution stats (max/p50/p99 per-key rows, heaviest key, "
+        "top-key row share) that decide salting or AQE skew thresholds "
+        "BEFORE a large shuffle. operators/skew.py:key_skew_profile.",
+    tags=("pipeline", "diagnostic"),
+)
+def diag_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import key_skew_profile
+    return key_skew_profile(table(spark, sf_dir, "orders"), "o_custkey")
