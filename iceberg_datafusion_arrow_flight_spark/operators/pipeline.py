@@ -297,3 +297,36 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
             .orderBy(F.col("__key").desc(), F.col(id_col))
             .limit(k)
             .drop("__key"))
+
+
+# --- context-window document chunking -----------------------------------
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 32,
+                    stride: int = 24) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    context-window chunking step of pretraining/RAG ingestion
+    (``stride < chunk_tokens`` gives the overlap that keeps spans from
+    being cut at hard boundaries).
+
+    Pure projection + one explode: chunk starts come from a strided
+    ``sequence``, each chunk reassembles via ``slice`` + ``concat_ws``
+    inside codegen — no shuffle at all; the operator parallelizes with
+    the scan.  Emits (id, chunk_idx, n_tokens, chunk_text)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    n = F.size("__t")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: s < n)
+    chunk = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.least(F.lit(chunk_tokens), n - s).cast("int")
+             .alias("n_tokens"),
+            F.concat_ws(" ", F.slice("__t", s + 1, chunk_tokens))
+             .alias("chunk_text")))
+    return (base.select("__id", F.explode(chunk).alias("c"))
+            .select(F.col("__id").alias(id_col),
+                    "c.chunk_idx", "c.n_tokens", "c.chunk_text"))

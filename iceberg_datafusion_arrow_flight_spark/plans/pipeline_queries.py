@@ -578,3 +578,28 @@ FROM counts
 def diag_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import key_skew_profile
     return key_skew_profile(table(spark, sf_dir, "orders"), "o_custkey")
+
+
+@register(
+    "pipeline_chunk_documents",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(i // 24 AS INT) AS chunk_idx,
+       CAST(LEAST(32, len(t) - i) AS INT) AS n_tokens,
+       array_to_string(t[i+1:i+32], ' ') AS chunk_text
+FROM toks, range(0, 128) r(i)
+WHERE i % 24 = 0 AND i < len(t)
+""",
+    doc="Context-window chunking: 32-token windows at stride 24 (8-token "
+        "overlap) — the pretraining/RAG ingestion split.  Zero-shuffle "
+        "projection+explode; chunks reassemble inside codegen.  The "
+        "oracle recomputes identical windows from a static strided "
+        "range. operators/pipeline.py:chunk_documents.",
+    tags=("pipeline",),
+)
+def pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.chunk_documents(table(spark, sf_dir, "documents"),
+                             chunk_tokens=32, stride=24)
