@@ -326,3 +326,38 @@ def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((F.col("value") - F.col("__m")) / F.col("__sd"),
                             2).alias("zscore"))
             .orderBy("event_id"))
+
+
+@register(
+    "events_trending_topk",
+    oracle="""
+WITH w AS (
+  SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                    ORDER BY n_events DESC, event_type)
+                 AS INT) AS rnk
+  FROM w
+) WHERE rnk <= 3
+""",
+    doc="Windowed trending top-k: the 3 most frequent event types per "
+        "1-hour tumbling window — the rank-within-event-time-bucket "
+        "shape every monitoring dashboard runs.  Aggregate keyed by "
+        "(window, type) then a per-window row_number; deterministic "
+        "tie-break on type.",
+    tags=("events", "window", "topk"),
+)
+def events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    e = table(spark, sf_dir, "events")
+    counts = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+              .select(F.col("w.start").cast("timestamp_ntz")
+                      .alias("window_start"), "event_type", "n_events"))
+    win = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type"))
+    return (counts.withColumn("rnk", F.row_number().over(win).cast("int"))
+            .where(F.col("rnk") <= 3))
