@@ -293,3 +293,26 @@ def test_profile_columns_single_aggregate_job(spark, sf_dir):
     # block once, keyed by its file index)
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Expand" in plan  # the multi-distinct one-pass shape
+
+
+def test_chunk_documents_zero_shuffle(spark, sf_dir):
+    """Chunking is a projection+explode — the plan must contain NO
+    exchange at all (it parallelizes with the scan)."""
+    df = REGISTRY["pipeline_chunk_documents"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "Exchange" not in plan
+
+
+def test_weighted_sample_is_topk_not_full_sort(spark, sf_dir):
+    """Selection must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global Sort of the corpus."""
+    df = REGISTRY["pipeline_weighted_sample"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    """The <= m-row bloom relation must broadcast to the probe side."""
+    df = REGISTRY["sketch_bloom_membership"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
