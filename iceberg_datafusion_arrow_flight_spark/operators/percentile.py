@@ -118,3 +118,23 @@ def hdr_quantiles(sketch: DataFrame, group_cols: Sequence[str],
                      .alias(f"q{str(q).replace('0.', '')}"))
     return (cum.groupBy(*group_cols)
             .agg(F.max("__n").alias("n_values"), *aggs))
+
+
+def equi_width_histogram(df: DataFrame, value_col: str,
+                         lo: float, hi: float,
+                         n_bins: int = 20,
+                         group_cols: Sequence[str] = ()) -> DataFrame:
+    """Equi-width histogram over a fixed [lo, hi) range: bin i covers
+    [lo + i·w, lo + (i+1)·w); values outside clamp to the edge bins so
+    counts always total the input.  Complements the HDR log-bin sketch:
+    equi-width for a known range (dashboards, bounded metrics), log
+    bins for heavy-tailed unknowns.  Mergeable the same way — counts
+    add.  One groupBy on (groups, bin); identical IEEE arithmetic on
+    any engine makes the bin assignment exactly reproducible."""
+    w = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w))
+    bin_ = F.least(F.lit(n_bins - 1),
+                   F.greatest(F.lit(0), raw)).cast("int")
+    return (df.select(*group_cols, bin_.alias("bin"))
+            .groupBy(*group_cols, "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("bin_count")))

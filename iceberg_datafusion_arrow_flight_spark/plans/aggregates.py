@@ -433,3 +433,29 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", *[F.col(c).cast("bigint").alias(c)
                                 for c in ("en", "de", "fr", "es", "zh")])
             .orderBy("source"))
+
+
+@register(
+    "agg_equi_width_histogram",
+    oracle="""
+SELECT l_returnflag,
+       CAST(LEAST(19, GREATEST(0,
+            FLOOR((l_extendedprice - 900.0) / ((105000.0 - 900.0) / 20))))
+            AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS bin_count
+FROM lineitem
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="Equi-width histogram (20 bins over [900, 105000)) of "
+        "l_extendedprice per returnflag, edge-clamped so counts total "
+        "the input — the fixed-range profiling complement to the HDR "
+        "log-bin sketch; counts add across partial histograms. "
+        "operators/percentile.py:equi_width_histogram.",
+    tags=("aggregate", "sketch"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentile import equi_width_histogram
+    li = table(spark, sf_dir, "lineitem")
+    return (equi_width_histogram(li, "l_extendedprice", 900.0, 105000.0,
+                                 n_bins=20, group_cols=("l_returnflag",))
+            .orderBy("l_returnflag", "bin"))
