@@ -218,22 +218,24 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_array_collect",
     oracle="""
 SELECT o_orderstatus,
-       LIST_SORT(LIST(o_orderpriority))          AS priorities,
-       LIST_SORT(LIST(DISTINCT o_orderpriority)) AS distinct_priorities
+       CAST(to_json(LIST_SORT(LIST(o_orderpriority)))          AS VARCHAR) AS priorities,
+       CAST(to_json(LIST_SORT(LIST(DISTINCT o_orderpriority))) AS VARCHAR) AS distinct_priorities
 FROM orders
 WHERE o_custkey % 100 = 0
 GROUP BY o_orderstatus
 """,
     doc="array_agg / array_agg DISTINCT (DF40) ≡ collect_list/collect_set; "
-        "sorted on both sides because collection order is engine-defined.",
+        "sorted on both sides because collection order is engine-defined. "
+        "Result arrays are JSON-serialized: the driver's canonicalizer can "
+        "only hash scalar columns (CORRECTNESS_r02 ERR class).",
     tags=("aggregate", "array"),
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (table(spark, sf_dir, "orders")
             .where(F.col("o_custkey") % 100 == 0)
             .groupBy("o_orderstatus")
-            .agg(F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
-                 F.sort_array(F.collect_set("o_orderpriority")).alias("distinct_priorities")))
+            .agg(F.to_json(F.sort_array(F.collect_list("o_orderpriority"))).alias("priorities"),
+                 F.to_json(F.sort_array(F.collect_set("o_orderpriority"))).alias("distinct_priorities")))
 
 
 @register(
@@ -262,10 +264,12 @@ SELECT o_orderstatus,
        CAST(BIT_AND(o_custkey) AS BIGINT) AS band,
        CAST(BIT_OR(o_custkey)  AS BIGINT) AS bor,
        CAST(BIT_XOR(o_custkey) AS BIGINT) AS bxor,
-       COUNT_IF(o_orderpriority = '1-URGENT') AS n_urgent
+       CAST(COUNT_IF(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
 FROM orders GROUP BY o_orderstatus
 """,
-    doc="bool_and/bool_or, bit_and/or/xor, count_if (SURVEY §2.4 table).",
+    doc="bool_and/bool_or, bit_and/or/xor, count_if (SURVEY §2.4 table). "
+        "COUNT_IF is BIGINT-cast on both sides: DuckDB widens it to HUGEINT, "
+        "which breaks the driver's value hash (the tpch_q12 recipe).",
     tags=("aggregate",),
 )
 def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,7 +280,8 @@ def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.bit_and("o_custkey").cast("bigint").alias("band"),
                  F.bit_or("o_custkey").cast("bigint").alias("bor"),
                  F.bit_xor("o_custkey").cast("bigint").alias("bxor"),
-                 F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent")))
+                 F.count_if(F.col("o_orderpriority") == "1-URGENT")
+                 .cast("bigint").alias("n_urgent")))
 
 
 @register(

@@ -74,7 +74,7 @@ def distinct_on_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUNC_ALIASES = """
 SELECT c_custkey,
        strpos(c_name, '9') AS pos_nine,
-       string_to_array(c_name, '#') AS name_parts,
+       to_json(string_to_array(c_name, '#')) AS name_parts,
        md5(c_name) AS name_md5
 FROM customer
 WHERE c_custkey <= 200
@@ -83,7 +83,9 @@ WHERE c_custkey <= 200
 
 @register(
     "dialect_function_aliases",
-    oracle=_FUNC_ALIASES,
+    oracle=_FUNC_ALIASES.replace(
+        "to_json(string_to_array(c_name, '#'))",
+        "CAST(to_json(string_to_array(c_name, '#')) AS VARCHAR)"),
     doc="DF function names with different Spark spellings/arg order "
         "(strpos, string_to_array) via SQL-UDF shims — codegen'd Catalyst "
         "expressions, no Python (SURVEY §2.9 ≈-class).",
@@ -275,8 +277,8 @@ def encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REGEXP_MATCH = """
 SELECT o_orderkey,
-       regexp_match(o_orderpriority, '([0-9])-([A-Z]+)') AS prio_parts,
-       regexp_match(o_orderpriority, 'URGENT') AS urgent_match
+       to_json(regexp_match(o_orderpriority, '([0-9])-([A-Z]+)')) AS prio_parts,
+       to_json(regexp_match(o_orderpriority, 'URGENT')) AS urgent_match
 FROM orders
 WHERE o_orderkey <= 1000
 """
@@ -286,13 +288,13 @@ WHERE o_orderkey <= 1000
     "dialect_regexp_match",
     oracle="""
 SELECT o_orderkey,
-       CASE WHEN regexp_matches(o_orderpriority, '([0-9])-([A-Z]+)')
+       CAST(to_json(CASE WHEN regexp_matches(o_orderpriority, '([0-9])-([A-Z]+)')
             THEN [regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 1),
                   regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 2)]
-       END AS prio_parts,
-       CASE WHEN regexp_matches(o_orderpriority, 'URGENT')
+       END) AS VARCHAR) AS prio_parts,
+       CAST(to_json(CASE WHEN regexp_matches(o_orderpriority, 'URGENT')
             THEN [regexp_extract(o_orderpriority, 'URGENT')]
-       END AS urgent_match
+       END) AS VARCHAR) AS urgent_match
 FROM orders
 WHERE o_orderkey <= 1000
 """,
@@ -310,18 +312,18 @@ def regexp_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARRAY_FAMILY = """
 SELECT c_custkey,
-       array_positions(make_array(c_mktsegment, 'x', c_mktsegment),
-                       c_mktsegment) AS pos,
-       array_replace(make_array(c_mktsegment, 'x', c_mktsegment),
-                     c_mktsegment, 'Y') AS rep_first,
-       array_replace_all(make_array(c_mktsegment, 'x', c_mktsegment),
-                         c_mktsegment, 'Y') AS rep_all,
-       array_resize(make_array(c_mktsegment, 'x'), 4, 'z') AS resized,
-       array_remove(make_array(c_mktsegment, 'x', c_mktsegment),
-                    c_mktsegment) AS rm_first,
-       array_remove_all(make_array(c_mktsegment, 'x', c_mktsegment),
-                        c_mktsegment) AS rm_all,
-       array_dims(make_array(c_mktsegment, 'x')) AS dims
+       to_json(array_positions(make_array(c_mktsegment, 'x', c_mktsegment),
+                       c_mktsegment)) AS pos,
+       to_json(array_replace(make_array(c_mktsegment, 'x', c_mktsegment),
+                     c_mktsegment, 'Y')) AS rep_first,
+       to_json(array_replace_all(make_array(c_mktsegment, 'x', c_mktsegment),
+                         c_mktsegment, 'Y')) AS rep_all,
+       to_json(array_resize(make_array(c_mktsegment, 'x'), 4, 'z')) AS resized,
+       to_json(array_remove(make_array(c_mktsegment, 'x', c_mktsegment),
+                    c_mktsegment)) AS rm_first,
+       to_json(array_remove_all(make_array(c_mktsegment, 'x', c_mktsegment),
+                        c_mktsegment)) AS rm_all,
+       to_json(array_dims(make_array(c_mktsegment, 'x'))) AS dims
 FROM customer
 WHERE c_custkey <= 500
 """
@@ -331,22 +333,22 @@ WHERE c_custkey <= 500
     "dialect_array_family",
     oracle="""
 SELECT c_custkey,
-       list_filter(list_transform([c_mktsegment, 'x', c_mktsegment],
+       CAST(to_json(list_filter(list_transform([c_mktsegment, 'x', c_mktsegment],
                      (x, i) -> CASE WHEN x = c_mktsegment
                                THEN CAST(i AS INT) END),
-                   x -> x IS NOT NULL) AS pos,
-       list_transform([c_mktsegment, 'x', c_mktsegment],
+                   x -> x IS NOT NULL)) AS VARCHAR) AS pos,
+       CAST(to_json(list_transform([c_mktsegment, 'x', c_mktsegment],
                       (x, i) -> CASE WHEN i = list_position(
                                     [c_mktsegment, 'x', c_mktsegment],
                                     c_mktsegment)
-                                THEN 'Y' ELSE x END) AS rep_first,
-       list_transform([c_mktsegment, 'x', c_mktsegment],
+                                THEN 'Y' ELSE x END)) AS VARCHAR) AS rep_first,
+       CAST(to_json(list_transform([c_mktsegment, 'x', c_mktsegment],
                       x -> CASE WHEN x = c_mktsegment
-                           THEN 'Y' ELSE x END) AS rep_all,
-       [c_mktsegment, 'x', 'z', 'z'] AS resized,
-       ['x', c_mktsegment] AS rm_first,
-       ['x'] AS rm_all,
-       [CAST(2 AS INT)] AS dims
+                           THEN 'Y' ELSE x END)) AS VARCHAR) AS rep_all,
+       CAST(to_json([c_mktsegment, 'x', 'z', 'z']) AS VARCHAR) AS resized,
+       CAST(to_json(['x', c_mktsegment]) AS VARCHAR) AS rm_first,
+       CAST(to_json(['x']) AS VARCHAR) AS rm_all,
+       CAST(to_json([CAST(2 AS INT)]) AS VARCHAR) AS dims
 FROM customer
 WHERE c_custkey <= 500
 """,
@@ -364,9 +366,9 @@ def array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REGEXP_MATCH_ALL = """
 SELECT o_orderkey,
-       df_regexp_match_all(o_orderpriority, '[A-Z]') AS letters,
-       df_regexp_match_all(o_orderpriority, '([A-Z])([A-Z])') AS pairs,
-       df_regexp_match_all(o_orderpriority, 'urgent', 'i') AS ci
+       to_json(df_regexp_match_all(o_orderpriority, '[A-Z]')) AS letters,
+       to_json(df_regexp_match_all(o_orderpriority, '([A-Z])([A-Z])')) AS pairs,
+       to_json(df_regexp_match_all(o_orderpriority, 'urgent', 'i')) AS ci
 FROM orders
 WHERE o_orderkey <= 1000
 """
@@ -376,15 +378,15 @@ WHERE o_orderkey <= 1000
     "dialect_regexp_match_all",
     oracle="""
 SELECT o_orderkey,
-       list_transform(regexp_extract_all(o_orderpriority, '[A-Z]'),
-                      m -> [m]) AS letters,
-       list_transform(regexp_extract_all(o_orderpriority,
+       CAST(to_json(list_transform(regexp_extract_all(o_orderpriority, '[A-Z]'),
+                      m -> [m])) AS VARCHAR) AS letters,
+       CAST(to_json(list_transform(regexp_extract_all(o_orderpriority,
                                          '([A-Z])([A-Z])', 0),
                       m -> [regexp_extract(m, '([A-Z])([A-Z])', 1),
-                            regexp_extract(m, '([A-Z])([A-Z])', 2)])
-         AS pairs,
-       list_transform(regexp_extract_all(o_orderpriority, '(?i)urgent'),
-                      m -> [m]) AS ci
+                            regexp_extract(m, '([A-Z])([A-Z])', 2)]))
+         AS VARCHAR) AS pairs,
+       CAST(to_json(list_transform(regexp_extract_all(o_orderpriority, '(?i)urgent'),
+                      m -> [m])) AS VARCHAR) AS ci
 FROM orders
 WHERE o_orderkey <= 1000
 """,
@@ -442,16 +444,16 @@ WITH t AS (SELECT o_orderkey, make_array(o_orderstatus, 'b', 'c', 'b') AS arr
 SELECT o_orderkey,
        list_length(arr) AS n,
        list_element(arr, 2) AS second,
-       list_slice(arr, 2, 3) AS mid,
-       list_slice(arr, 2, -1) AS tail,
-       list_pop_back(arr) AS popped,
-       list_pop_front(arr) AS shifted,
+       to_json(list_slice(arr, 2, 3)) AS mid,
+       to_json(list_slice(arr, 2, -1)) AS tail,
+       to_json(list_pop_back(arr)) AS popped,
+       to_json(list_pop_front(arr)) AS shifted,
        list_position(arr, 'b') AS pos_b,
-       list_positions(arr, 'b') AS pos_all,
-       list_remove(arr, 'b') AS removed_first,
-       list_replace(arr, 'b', 'x') AS replaced_first,
+       to_json(list_positions(arr, 'b')) AS pos_all,
+       to_json(list_remove(arr, 'b')) AS removed_first,
+       to_json(list_replace(arr, 'b', 'x')) AS replaced_first,
        list_has_all(arr, make_array('b', 'c')) AS has_bc,
-       list_sort(list_distinct(arr)) AS uniq_sorted,
+       to_json(list_sort(list_distinct(arr))) AS uniq_sorted,
        list_join(arr, '-') AS joined
 FROM t ORDER BY o_orderkey
 """
@@ -465,23 +467,23 @@ WITH t AS (SELECT o_orderkey, [o_orderstatus, 'b', 'c', 'b'] AS arr
 SELECT o_orderkey,
        CAST(len(arr) AS INT) AS n,
        arr[2] AS second,
-       arr[2:3] AS mid,
-       arr[2:4] AS tail,
-       arr[1:3] AS popped,
-       arr[2:4] AS shifted,
+       CAST(to_json(arr[2:3]) AS VARCHAR) AS mid,
+       CAST(to_json(arr[2:4]) AS VARCHAR) AS tail,
+       CAST(to_json(arr[1:3]) AS VARCHAR) AS popped,
+       CAST(to_json(arr[2:4]) AS VARCHAR) AS shifted,
        CAST(list_position(arr, 'b') AS INT) AS pos_b,
-       CAST(list_filter(list_transform(range(1, len(arr) + 1),
+       CAST(to_json(CAST(list_filter(list_transform(range(1, len(arr) + 1),
                  i -> CASE WHEN arr[i] = 'b' THEN i END),
-            x -> x IS NOT NULL) AS INT[]) AS pos_all,
-       list_filter(list_transform(range(1, len(arr) + 1),
+            x -> x IS NOT NULL) AS INT[])) AS VARCHAR) AS pos_all,
+       CAST(to_json(list_filter(list_transform(range(1, len(arr) + 1),
                  i -> CASE WHEN i <> list_position(arr, 'b')
                       THEN arr[i] END),
-            x -> x IS NOT NULL) AS removed_first,
-       list_transform(range(1, len(arr) + 1),
+            x -> x IS NOT NULL)) AS VARCHAR) AS removed_first,
+       CAST(to_json(list_transform(range(1, len(arr) + 1),
                  i -> CASE WHEN i = list_position(arr, 'b') THEN 'x'
-                      ELSE arr[i] END) AS replaced_first,
+                      ELSE arr[i] END)) AS VARCHAR) AS replaced_first,
        list_has_all(arr, ['b', 'c']) AS has_bc,
-       list_sort(list_distinct(arr)) AS uniq_sorted,
+       CAST(to_json(list_sort(list_distinct(arr))) AS VARCHAR) AS uniq_sorted,
        array_to_string(arr, '-') AS joined
 FROM t ORDER BY o_orderkey
 """,

@@ -23,22 +23,26 @@ from .base import register, table
     "array_construct_access",
     oracle="""
 SELECT n_nationkey,
-       [n_nationkey, n_regionkey, n_nationkey + n_regionkey] AS arr,
+       CAST(to_json([n_nationkey, n_regionkey, n_nationkey + n_regionkey]) AS VARCHAR) AS arr,
        LEN([n_nationkey, n_regionkey]) AS sz,
        [n_nationkey, n_regionkey, 99][2] AS second_el,
-       [n_nationkey, n_regionkey, 99][2:3] AS sliced,
+       CAST(to_json([n_nationkey, n_regionkey, 99][2:3]) AS VARCHAR) AS sliced,
        LIST_CONTAINS([n_regionkey, 7], n_regionkey) AS has_rk,
        LIST_POSITION([10, 20, n_nationkey], n_nationkey) AS pos_self,
-       LIST_CONCAT([n_nationkey], [n_regionkey]) AS cat,
-       LIST_REVERSE([n_nationkey, n_regionkey]) AS rev,
-       LIST_SORT([n_regionkey, n_nationkey, 0]) AS srt,
-       FLATTEN([[n_nationkey], [n_regionkey]]) AS flat,
-       GENERATE_SERIES(1, 3) AS seq
+       CAST(to_json(LIST_CONCAT([n_nationkey], [n_regionkey])) AS VARCHAR) AS cat,
+       CAST(to_json(LIST_REVERSE([n_nationkey, n_regionkey])) AS VARCHAR) AS rev,
+       CAST(to_json(LIST_SORT([n_regionkey, n_nationkey, 0])) AS VARCHAR) AS srt,
+       CAST(to_json(FLATTEN([[n_nationkey], [n_regionkey]])) AS VARCHAR) AS flat,
+       CAST(to_json(GENERATE_SERIES(1, 3)) AS VARCHAR) AS seq
 FROM nation
 """,
     doc="Array construct/access: make_array, cardinality, element_at "
         "(1-indexed in both engines), slice, contains, position, concat, "
-        "reverse, sort, flatten, generate_series (SURVEY §2.9 Array).",
+        "reverse, sort, flatten, generate_series (SURVEY §2.9 Array). "
+        "Array results are JSON-serialized on both sides: the driver's "
+        "canonicalizer only hashes scalar columns (CORRECTNESS_r02 ERR "
+        "class); to_json int/string output is byte-identical across "
+        "engines (verified; doubles would NOT be — see array_higher_order).",
     tags=("array",),
 )
 def array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,33 +50,34 @@ def array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     nk, rk = F.col("n_nationkey"), F.col("n_regionkey")
     return n.select(
         "n_nationkey",
-        F.array(nk, rk, nk + rk).alias("arr"),
+        F.to_json(F.array(nk, rk, nk + rk)).alias("arr"),
         F.size(F.array(nk, rk)).alias("sz"),
         F.element_at(F.array(nk, rk, F.lit(99)), 2).alias("second_el"),
-        F.slice(F.array(nk, rk, F.lit(99)), 2, 2).alias("sliced"),
+        F.to_json(F.slice(F.array(nk, rk, F.lit(99)), 2, 2)).alias("sliced"),
         F.array_contains(F.array(rk, F.lit(7)), rk).alias("has_rk"),
         F.array_position(F.array(F.lit(10), F.lit(20), nk), nk).alias("pos_self"),
-        F.concat(F.array(nk), F.array(rk)).alias("cat"),
-        F.reverse(F.array(nk, rk)).alias("rev"),
-        F.sort_array(F.array(rk, nk, F.lit(0))).alias("srt"),
-        F.flatten(F.array(F.array(nk), F.array(rk))).alias("flat"),
-        F.sequence(F.lit(1), F.lit(3)).alias("seq"))
+        F.to_json(F.concat(F.array(nk), F.array(rk))).alias("cat"),
+        F.to_json(F.reverse(F.array(nk, rk))).alias("rev"),
+        F.to_json(F.sort_array(F.array(rk, nk, F.lit(0)))).alias("srt"),
+        F.to_json(F.flatten(F.array(F.array(nk), F.array(rk)))).alias("flat"),
+        F.to_json(F.sequence(F.lit(1), F.lit(3))).alias("seq"))
 
 
 @register(
     "array_set_operations",
     oracle="""
 SELECT n_nationkey,
-       LIST_SORT(LIST_DISTINCT([n_regionkey, n_regionkey, n_nationkey])) AS dedup,
-       LIST_SORT(LIST_INTERSECT([0, 1, 2, n_nationkey], [n_nationkey, 2])) AS inter,
+       CAST(to_json(LIST_SORT(LIST_DISTINCT([n_regionkey, n_regionkey, n_nationkey]))) AS VARCHAR) AS dedup,
+       CAST(to_json(LIST_SORT(LIST_INTERSECT([0, 1, 2, n_nationkey], [n_nationkey, 2]))) AS VARCHAR) AS inter,
        LIST_HAS_ALL([0, 1, 2, 3, 4, n_regionkey], [n_regionkey, 0]) AS hasall,
        LIST_HAS_ANY([99, n_regionkey], [98, 97, n_regionkey]) AS hasany,
-       LIST_SORT(LIST_FILTER([0, 1, 2, 3, 4], x -> NOT LIST_CONTAINS([n_regionkey], x))) AS minus_rk
+       CAST(to_json(LIST_SORT(LIST_FILTER([0, 1, 2, 3, 4], x -> NOT LIST_CONTAINS([n_regionkey], x)))) AS VARCHAR) AS minus_rk
 FROM nation
 """,
     doc="Array set ops: array_distinct, array_intersect, array_has_all "
         "(forall shim), array_has_any≈arrays_overlap, array_except — all "
-        "order-normalized via sort on both engines.",
+        "order-normalized via sort on both engines; array results "
+        "JSON-serialized for the driver's scalar-only canonicalizer.",
     tags=("array",),
 )
 def array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,31 +86,36 @@ def array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3), F.lit(4))
     return n.select(
         "n_nationkey",
-        F.sort_array(F.array_distinct(F.array(rk, rk, nk))).alias("dedup"),
-        F.sort_array(F.array_intersect(
-            F.array(F.lit(0), F.lit(1), F.lit(2), nk), F.array(nk, F.lit(2)))).alias("inter"),
+        F.to_json(F.sort_array(F.array_distinct(F.array(rk, rk, nk)))).alias("dedup"),
+        F.to_json(F.sort_array(F.array_intersect(
+            F.array(F.lit(0), F.lit(1), F.lit(2), nk), F.array(nk, F.lit(2))))).alias("inter"),
         F.forall(F.array(rk, F.lit(0)),
                  lambda x: F.array_contains(F.concat(full, F.array(rk)), x)).alias("hasall"),
         F.arrays_overlap(F.array(F.lit(99), rk),
                          F.array(F.lit(98), F.lit(97), rk)).alias("hasany"),
-        F.sort_array(F.array_except(full, F.array(rk))).alias("minus_rk"))
+        F.to_json(F.sort_array(F.array_except(full, F.array(rk)))).alias("minus_rk"))
 
 
 @register(
     "array_higher_order",
     oracle="""
 SELECT vec_id,
-       LIST_TRANSFORM(emb8, x -> ROUND(x * 2, 4)) AS doubled,
-       LIST_SORT(LIST_FILTER(emb8, x -> x > 0)) AS positives,
+       ARRAY_TO_STRING(LIST_TRANSFORM(emb8, x -> PRINTF('%.4f', ROUND(x * 2, 4))), ',') AS doubled,
+       ARRAY_TO_STRING(LIST_TRANSFORM(LIST_SORT(LIST_FILTER(emb8, x -> x > 0)),
+                                      x -> PRINTF('%.4f', x)), ',') AS positives,
        ROUND(LIST_REDUCE(LIST_PREPEND(0.0, emb8), (acc, x) -> acc + x), 4) AS total,
-       LIST_TRANSFORM(LIST_ZIP(emb8, emb8), p -> ROUND(p[1] * p[2], 4)) AS squares
+       ARRAY_TO_STRING(LIST_TRANSFORM(LIST_ZIP(emb8, emb8),
+                                      p -> PRINTF('%.4f', ROUND(p[1] * p[2], 4))), ',') AS squares
 FROM (SELECT vec_id,
              LIST_TRANSFORM(embedding[1:8], x -> ROUND(CAST(x AS DOUBLE), 4)) AS emb8
       FROM embeddings WHERE vec_id % 25 = 0) t
 """,
     doc="Higher-order lambdas: transform, filter, aggregate/reduce, "
         "zip_with — the Spark-side basis for the similarity operators "
-        "(SURVEY §7.1 step 7). Float math rounded on both sides.",
+        "(SURVEY §7.1 step 7). Float math rounded on both sides. Double "
+        "arrays are serialized via %.4f format+join, NOT to_json: Spark "
+        "JSON-encodes 0.0001 as 1.0E-4 while DuckDB writes 0.0001, so "
+        "printf is the only byte-stable cross-engine double encoding.",
     tags=("array", "lambda"),
 )
 def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,12 +123,16 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("vec_id",
                  F.transform(F.slice("embedding", 1, 8),
                              lambda x: F.round(x.cast("double"), 4)).alias("emb8")))
+
+    def fmt(col):
+        return F.array_join(F.transform(col, lambda x: F.format_string("%.4f", x)), ",")
+
     return e.select(
         "vec_id",
-        F.transform("emb8", lambda x: F.round(x * 2, 4)).alias("doubled"),
-        F.sort_array(F.filter("emb8", lambda x: x > 0)).alias("positives"),
+        fmt(F.transform("emb8", lambda x: F.round(x * 2, 4))).alias("doubled"),
+        fmt(F.sort_array(F.filter("emb8", lambda x: x > 0))).alias("positives"),
         F.round(F.aggregate("emb8", F.lit(0.0), lambda acc, x: acc + x), 4).alias("total"),
-        F.zip_with("emb8", "emb8", lambda a, b: F.round(a * b, 4)).alias("squares"))
+        fmt(F.zip_with("emb8", "emb8", lambda a, b: F.round(a * b, 4))).alias("squares"))
 
 
 @register(
@@ -208,13 +222,16 @@ def json_from_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     "struct_access",
     oracle="""
 SELECT n_nationkey,
-       {'key': n_nationkey, 'name': n_name} AS st,
+       CAST(to_json({'key': n_nationkey, 'name': n_name}) AS VARCHAR) AS st,
        ({'key': n_nationkey, 'name': n_name}).name AS st_name,
        ({'a': {'b': n_regionkey}}).a.b AS nested
 FROM nation WHERE n_nationkey < 10
 """,
     doc="struct / named_struct construction + dot access (get_field), "
-        "incl. nested structs (SURVEY §2.9 struct/meta).",
+        "incl. nested structs (SURVEY §2.9 struct/meta); the struct "
+        "column is JSON-serialized for the driver's scalar-only "
+        "canonicalizer (field order + int/string encodings are "
+        "byte-identical across engines).",
     tags=("struct",),
 )
 def struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +240,7 @@ def struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = F.struct(F.struct(F.col("n_regionkey").alias("b")).alias("a"))
     return n.select(
         "n_nationkey",
-        st.alias("st"),
+        F.to_json(st).alias("st"),
         st.getField("name").alias("st_name"),
         nested.getField("a").getField("b").alias("nested"))
 
@@ -232,8 +249,8 @@ def struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_functions",
     oracle="""
 SELECT n_nationkey,
-       ['k', 'r'] AS ks,
-       [n_nationkey, n_regionkey] AS vs,
+       CAST(to_json(['k', 'r']) AS VARCHAR) AS ks,
+       CAST(to_json([n_nationkey, n_regionkey]) AS VARCHAR) AS vs,
        n_nationkey AS k_val
 FROM nation WHERE n_nationkey < 10
 """,
@@ -251,8 +268,8 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.array(F.col("n_nationkey"), F.col("n_regionkey")))
     return n.select(
         "n_nationkey",
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        F.to_json(F.map_keys(m)).alias("ks"),
+        F.to_json(F.map_values(m)).alias("vs"),
         F.element_at(m, "k").alias("k_val"))
 
 

@@ -167,8 +167,8 @@ def func_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        ABS(-l_quantity) AS abs_q,
-       CEIL(l_extendedprice / 100) AS ceil_p,
-       FLOOR(l_extendedprice / 100) AS floor_p,
+       CAST(CEIL(l_extendedprice / 100) AS BIGINT) AS ceil_p,
+       CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS floor_p,
        ROUND(SQRT(l_quantity), 8) AS sqrt_q,
        ROUND(CBRT(l_quantity), 8) AS cbrt_q,
        ROUND(EXP(l_discount), 10) AS exp_d,
@@ -178,7 +178,7 @@ SELECT l_orderkey, l_linenumber,
        ROUND(POWER(l_quantity, 2), 4) AS pow_q,
        SIGN(l_discount - 0.05) AS sgn,
        CAST(l_orderkey % 7 AS BIGINT) AS mod7,
-       FACTORIAL(l_linenumber) AS fact,
+       CAST(FACTORIAL(l_linenumber) AS BIGINT) AS fact,
        ROUND(PI(), 10) AS pi_,
        CAST(ISNAN(l_quantity) AS BOOLEAN) AS isnan_q,
        -- nanvl(x, fallback): x is never NaN here so it passes through;
@@ -190,7 +190,10 @@ FROM lineitem WHERE l_orderkey <= 200
 """,
     doc="Math: abs/ceil/floor/sqrt/cbrt/exp/ln/log10/log2/power/sign/mod/"
         "gcd/lcm/factorial/pi/isnan/nanvl (SURVEY §2.9 Math; trunc(x,s) "
-        "shim lives in the dialect layer).",
+        "shim lives in the dialect layer). CEIL/FLOOR/FACTORIAL are "
+        "BIGINT-cast on both sides: DuckDB returns DOUBLE (ceil/floor) "
+        "and HUGEINT (factorial) where Spark returns LONG, which breaks "
+        "the driver's value hash (the tpch_q12 recipe).",
     tags=("function", "math"),
 )
 def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,8 +201,8 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey", "l_linenumber",
         F.abs(-F.col("l_quantity")).alias("abs_q"),
-        F.ceil(F.col("l_extendedprice") / 100).alias("ceil_p"),
-        F.floor(F.col("l_extendedprice") / 100).alias("floor_p"),
+        F.ceil(F.col("l_extendedprice") / 100).cast("bigint").alias("ceil_p"),
+        F.floor(F.col("l_extendedprice") / 100).cast("bigint").alias("floor_p"),
         F.round(F.sqrt("l_quantity"), 8).alias("sqrt_q"),
         F.round(F.cbrt("l_quantity"), 8).alias("cbrt_q"),
         F.round(F.exp("l_discount"), 10).alias("exp_d"),
@@ -209,7 +212,7 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow("l_quantity", 2), 4).alias("pow_q"),
         F.signum(F.col("l_discount") - 0.05).alias("sgn"),
         (F.col("l_orderkey") % 7).cast("bigint").alias("mod7"),
-        F.factorial("l_linenumber").alias("fact"),
+        F.factorial("l_linenumber").cast("bigint").alias("fact"),
         F.round(F.lit(3.14159265358979323846), 10).alias("pi_"),
         F.isnan(F.col("l_quantity")).alias("isnan_q"),
         F.round(F.nanvl(F.col("l_quantity"), F.lit(-1.0)), 4)
