@@ -176,7 +176,7 @@ SELECT l_orderkey, l_linenumber,
        ROUND(LOG10(l_extendedprice), 10) AS log10_p,
        ROUND(LOG2(l_quantity), 10) AS log2_q,
        ROUND(POWER(l_quantity, 2), 4) AS pow_q,
-       SIGN(l_discount - 0.05) AS sgn,
+       CAST(SIGN(l_discount - 0.05) AS BIGINT) AS sgn,
        CAST(l_orderkey % 7 AS BIGINT) AS mod7,
        CAST(FACTORIAL(l_linenumber) AS BIGINT) AS fact,
        ROUND(PI(), 10) AS pi_,
@@ -210,7 +210,7 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log10("l_extendedprice"), 10).alias("log10_p"),
         F.round(F.log2("l_quantity"), 10).alias("log2_q"),
         F.round(F.pow("l_quantity", 2), 4).alias("pow_q"),
-        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("sgn"),
         (F.col("l_orderkey") % 7).cast("bigint").alias("mod7"),
         F.factorial("l_linenumber").cast("bigint").alias("fact"),
         F.round(F.lit(3.14159265358979323846), 10).alias("pi_"),

@@ -21,9 +21,86 @@ from dataclasses import dataclass
 
 import duckdb
 from pyspark.sql import SparkSession
+from pyspark.sql import types as T
 
 from ..plans import REGISTRY
 from ..sources.registry import TABLES
+
+
+# --- type-class fidelity -----------------------------------------------------
+#
+# The driver's value hash is pandas-dtype-sensitive: DuckDB HUGEINT
+# (COUNT_IF, FACTORIAL, SUM(int)) and DOUBLE-returning CEIL/FLOOR hash
+# differently from Spark's LONG even when every value compares equal
+# (CORRECTNESS_r02: agg_bool_bit, func_math — rows and schema matched,
+# hash didn't).  Stringly value comparison alone cannot see this, so the
+# local gate also maps both engines' result types into coarse classes and
+# requires them to agree column-by-column.  HUGEINT deliberately maps to
+# its own class that matches nothing: the fix is always an explicit
+# BIGINT cast on both sides (the tpch_q12 recipe).
+
+_SPARK_TYPE_CLASS: list[tuple[type, str]] = [
+    (T.ByteType, "int"), (T.ShortType, "int"), (T.IntegerType, "int"),
+    (T.LongType, "int"),
+    (T.FloatType, "float"), (T.DoubleType, "float"),
+    (T.DecimalType, "decimal"),
+    (T.StringType, "string"), (T.BooleanType, "bool"),
+    (T.DateType, "date"),
+    (T.TimestampType, "timestamp"), (T.TimestampNTZType, "timestamp"),
+    (T.BinaryType, "binary"),
+    (T.ArrayType, "nested"), (T.MapType, "nested"), (T.StructType, "nested"),
+    (T.NullType, "null"),
+]
+
+
+def _spark_type_class(dt: T.DataType) -> str:
+    for klass, name in _SPARK_TYPE_CLASS:
+        if isinstance(dt, klass):
+            return name
+    return f"other:{dt.simpleString()}"
+
+
+def _duck_type_class(type_str: str) -> str:
+    s = type_str.upper()
+    if "[" in s or s.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+        return "nested"
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s in ("VARCHAR", "JSON"):
+        return "string"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s == "BLOB":
+        return "binary"
+    if s == '"NULL"' or s == "NULL":
+        return "null"
+    return f"other:{s}"
+
+
+def _type_class_mismatches(df, rel) -> list[str]:
+    """Column-level type-class disagreements between a Spark DataFrame
+    and a DuckDB relation (both not yet executed)."""
+    s_class = {f.name: _spark_type_class(f.dataType) for f in df.schema.fields}
+    d_class = dict(zip(rel.columns, (_duck_type_class(str(t)) for t in rel.types)))
+    out = []
+    for col in sorted(set(s_class) & set(d_class)):
+        sc, dc = s_class[col], d_class[col]
+        # NULL literals are typeless on either side — any class may carry them.
+        if sc == dc or "null" in (sc, dc):
+            continue
+        out.append(f"{col}: spark={sc} oracle={dc}")
+    return out
 
 
 def _canon_scalar(v):
@@ -89,12 +166,18 @@ def check_query(spark: SparkSession, name: str, sf_dir: str,
     if own:
         con = _duck_conn(sf_dir)
     try:
-        res = con.execute(spec.oracle)
-        o_cols = [d[0] for d in res.description]
-        o_rows = res.fetchall()
+        rel = con.sql(spec.oracle)
+        o_cols = list(rel.columns)
+        type_mismatches = _type_class_mismatches(df, rel)
+        o_rows = rel.fetchall()
     finally:
         if own:
             con.close()
+    if type_mismatches:
+        return CheckResult(name, False,
+                           "type-class mismatch (driver hash would differ): "
+                           + "; ".join(type_mismatches),
+                           len(s_rows), len(o_rows))
     if sorted(s_cols) != sorted(o_cols):
         return CheckResult(name, False,
                            f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}",

@@ -9,6 +9,8 @@ driver coverage.
 
 from __future__ import annotations
 
+from pyspark.sql.types import ArrayType, MapType, StructType
+
 from iceberg_datafusion_arrow_flight_spark.plans import REGISTRY
 from iceberg_datafusion_arrow_flight_spark.plans import _PRIORITY
 
@@ -24,6 +26,26 @@ def test_priority_window_leads_registry():
 
 def test_priority_window_fits_driver_cap():
     assert len(_PRIORITY) <= 50  # r01 gate checked exactly 50 entries
+
+
+def test_priority_window_results_are_scalar_only(spark, sf_dir):
+    """No query in the driver's 50-entry window may return a nested column.
+
+    The driver's canonicalizer pandas-sorts the result and hashes values;
+    array/struct/map columns raise ``TypeError: unhashable type`` and the
+    row is recorded as ERR — a wasted window slot (6 of 8 red rows in
+    CORRECTNESS_r02 were exactly this).  Nested values must be projected
+    through to_json (ints/strings) or %.4f format+join (doubles) before a
+    query enters the window.
+    """
+    offenders = {}
+    for name in _PRIORITY:
+        df = REGISTRY[name].build(spark, sf_dir)
+        bad = [f.name for f in df.schema.fields
+               if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"nested result columns in gate window: {offenders}"
 
 
 def test_every_family_has_a_priority_row():
