@@ -57,24 +57,33 @@ def weighted_percentile(df: DataFrame, value_col: str, weight_col,
 def hdr_sketch(df: DataFrame, value_col: str, group_cols: Sequence[str],
                scale: int = 100) -> DataFrame:
     """Mergeable quantile sketch: HDR-histogram-family base-10 binning at
-    2 significant digits.  A value is scaled to a positive integer
-    (``round(value * scale)``), then binned by (decimal digit count,
-    leading two digits) — pure integer/string expressions, so the sketch
-    is byte-identical on any engine (unlike log2 binning, where the last
-    ulp of a C vs JVM log differs).  Relative error of any reconstructed
-    quantile is bounded by half a bin: <= 5% at 2 significant digits.
+    2 significant digits.  A value is scaled to an integer
+    (``round(value * scale)``) and binned by (sign, decimal digit count
+    of |v|, leading two digits of |v|) — pure integer/string
+    expressions, so the sketch is byte-identical on any engine (unlike
+    log2 binning, where the last ulp of a C vs JVM log differs).
+    Binning the magnitude with an explicit sign column makes the whole
+    real line valid input: negative values land in sign=-1 bins (a raw
+    signed stringify would put the '-' into the mantissa substring and
+    yield NULL bins), zero gets its own exact sign=0 bin.  Relative
+    error of any reconstructed quantile is bounded by half a bin:
+    <= 5% of |value| at 2 significant digits (exact for zero).
 
-    The sketch IS a (group, bin, count) relation: merging two sketches is
-    ``union -> groupBy -> sum`` (counts add), which makes it the shuffle-
-    friendly distributed form — partial sketches combine map-side exactly
-    like partial aggregates.  Completes the mergeable-sketch family next
-    to HLL (events_hll_sketch_merge) and count-min (sketch_count_min)."""
+    The sketch IS a (group, sign, bin, count) relation: merging two
+    sketches is ``union -> groupBy -> sum`` (counts add), which makes it
+    the shuffle-friendly distributed form — partial sketches combine
+    map-side exactly like partial aggregates.  Completes the mergeable-
+    sketch family next to HLL (events_hll_sketch_merge) and count-min
+    (sketch_count_min)."""
     iv = F.round(F.col(value_col) * scale).cast("bigint")
-    s = iv.cast("string")
+    sign = (F.when(iv < 0, F.lit(-1)).when(iv > 0, F.lit(1))
+            .otherwise(F.lit(0))).cast("int")
+    s = F.abs(iv).cast("string")
     d = F.length(s)
     mant = F.substring(s, 1, 2).cast("bigint")
-    return (df.select(*group_cols, d.alias("n_digits"), mant.alias("mantissa"))
-            .groupBy(*group_cols, "n_digits", "mantissa")
+    return (df.select(*group_cols, sign.alias("sign"),
+                      d.alias("n_digits"), mant.alias("mantissa"))
+            .groupBy(*group_cols, "sign", "n_digits", "mantissa")
             .agg(F.count(F.lit(1)).cast("bigint").alias("bin_count")))
 
 
@@ -97,13 +106,19 @@ def hdr_quantiles(sketch: DataFrame, group_cols: Sequence[str],
     quantile (a new quantile adds a conditional-min aggregate, not a
     scan).  Threshold compares integer cross-products — no float
     boundary flake."""
+    # Value order over sign-magnitude bins, in pure integer keys: sign
+    # ascending, then magnitude ascending for positives but DESCENDING
+    # for negatives — i.e. (sign, sign*n_digits, sign*mantissa).
+    sgn = F.col("sign")
     w = (Window.partitionBy(*group_cols)
-         .orderBy("n_digits", "mantissa")
+         .orderBy(sgn, sgn * F.col("n_digits"), sgn * F.col("mantissa"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wg = Window.partitionBy(*group_cols)
-    # bin midpoint in scaled units: (mantissa + 0.5) * 10^(n_digits - len(mantissa))
+    # signed bin midpoint in scaled units:
+    # sign * (mantissa + 0.5) * 10^(n_digits - len(mantissa));
+    # sign=0 (the exact zero bin) makes the midpoint exactly 0.
     mant_digits = F.length(F.col("mantissa").cast("string"))
-    rep = ((F.col("mantissa") + 0.5)
+    rep = (sgn * (F.col("mantissa") + 0.5)
            * F.pow(F.lit(10.0), (F.col("n_digits") - mant_digits)
                    .cast("double"))) / scale
     cum = (sketch

@@ -33,59 +33,70 @@ from . import pipeline_queries # noqa: E402,F401
 from . import relational      # noqa: E402,F401
 from . import tpch            # noqa: E402,F401
 
-# The driver's round-1 correctness gate checked exactly the FIRST 50 registry
-# entries (CORRECTNESS_r01.json).  Round 1 covered all of tpch + relational +
-# the first 4 aggregates; the explicit window below hand-picks the next 50 so
-# every still-unchecked operator family gets a driver-green row this round
-# (plus tpch_q12, whose r01 hash mismatch is fixed and needs re-verification).
+# The driver's correctness gate checks exactly the FIRST 50 registry
+# entries in insertion order; the explicit window below hand-picks them.
 # Entries not listed keep their registration order after the window.
 # Rotation ledger for the driver's 50-entry gate window:
 #   r01 checked (green): tpch q1-q22 subset (15), join_* (9), subquery_*/cte
 #   (4+2), setop_* (6), sort/distinct/values/filter/project (8), agg first 4.
-#   r02 window (below): iceberg lifecycle, aggs tail, windows, funcs,
-#   nested, family reps, sketch_bloom, q12 re-check.
-#   r03 candidates (still never driver-checked): remaining dedup
-#   (simhash/token_ppjoin/cluster/substring/prune), sim_* tail
-#   (semantic/lsh/ivf/pq/label), text_* tail, events_* tail, pipeline_*
-#   tail (profile/checks/weighted/...), dialect_* tail, io_copy arrow/avro,
-#   multimodal oracled rows, agg_hdr_quantile_sketch, window_named_clause.
+#   r02 checked (CORRECTNESS_r02: 42 green, 8 red): iceberg lifecycle,
+#   aggs tail, windows, funcs, nested reps, family reps, sketch_bloom,
+#   q12 re-check.  The 8 red rows (6 nested-column ERR + 2 uncast-widen
+#   hash) are fixed and re-verify below.
+#   r03 window (below): the 8 fixed r02 rows + 42 never-checked entries —
+#   iceberg evolution/REST, io arrow+avro, the dedup tail, sim semantic/
+#   knn/centroid, surplus TPC-H composites, window_named_clause, the
+#   text/sketch tail, events tail reps, pipeline tail reps, multimodal
+#   audio/resize, hdr+histogram+pivot aggs, agg_exact_distinct (new).
+#   r04 candidates (the ~49 still never driver-checked after r03):
+#   dialect tail (12), io json/csv/partitioned, catalog_columns,
+#   ddl_external_table, events sliding/dedup/anomalies/trending,
+#   text lm_score/langid_confusion, pipeline repetition/balanced/pii/
+#   mixture/profile/constraints/chunk, multimodal decode/frame/feature,
+#   unnest_posexplode, json_from_to, map_functions, array_set_operations,
+#   setop_union_by_name, tpch q15/q21, agg_approx_within_tolerance,
+#   diag_key_skew_profile, rows-only ANN family (weaker rows by design).
 _PRIORITY: list[str] = [
-    # iceberg lifecycle — judge's #3 ask, brand new this round
-    "iceberg_table_lifecycle",
-    "iceberg_time_travel",
-    # aggregates tail (r01 gate stopped at agg_rollup)
-    "agg_having_filter_distinct", "agg_variance_stddev", "agg_corr_covar_regr",
-    "agg_min_max_by", "agg_array_collect", "agg_string_agg", "agg_bool_bit",
-    "agg_median_percentile",
-    "agg_weighted_percentile",
-    # sketch family rep (exact md5-derived bits — strong driver value;
-    # agg_approx_within_tolerance rotated out: its oracle is a tolerance
-    # band, the weakest kind of driver row)
-    "sketch_bloom_membership",
-    # windows — entire family unchecked in r01
-    "window_ranking", "window_offset_lag_lead", "window_value_functions",
-    "window_sales_running", "window_range_frame", "window_agg_mixed_with_groupby",
-    "window_groups_frame",
-    # training-data pipeline family rep (full family: split/filter/pack)
-    "pipeline_train_test_split",
-    # scalar functions — entire family unchecked
-    "func_string_basic", "func_string_search", "func_regex",
-    "func_crypto_encoding", "func_math", "func_trig", "func_datetime",
-    "func_conditional", "func_cast_trycast",
-    # nested / arrays / json — family reps (rest rotate in next round)
-    "array_construct_access", "array_higher_order", "unnest_explode",
-    "json_access", "struct_access", "table_func_generate_series",
-    # one driver row per remaining family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "sim_topk_cosine", "sim_embedding_near_dup",
-    "text_token_counts",
-    "multimodal_decode_real",
-    "events_session_window", "join_asof_events",
-    "dialect_regexp_match", "dialect_array_family",
-    "ddl_ctas_insert_select", "catalog_information_schema_tables",
-    "io_copy_to_roundtrip",
-    # r01's only red row — fixed (BIGINT casts), must be re-checked
-    "tpch_q12_priority_shipping",
+    # --- r02 red rows, now fixed: re-verify first -----------------------
+    # nested results serialized to scalars (to_json / %.4f join)
+    "agg_array_collect", "array_construct_access", "array_higher_order",
+    "struct_access", "dialect_regexp_match", "dialect_array_family",
+    # BIGINT-cast widen fixes (count_if / factorial / ceil / floor / sign)
+    "agg_bool_bit", "func_math",
+    # --- never-driver-checked: 42 slots ---------------------------------
+    # iceberg: evolution + REST catalog (the reference's 2nd binary)
+    "iceberg_schema_evolution", "iceberg_rest_catalog_lifecycle",
+    # COPY TO arrow / avro round-trips (closed GAPS.md rows)
+    "io_copy_to_arrow_roundtrip", "io_copy_to_avro_roundtrip",
+    # dedup tail — every remaining oracled dedup operator
+    "dedup_exact_token_set", "dedup_simhash", "dedup_token_jaccard_ppjoin",
+    "dedup_substring_overlap", "dedup_prune_corpus",
+    "dedup_cluster_components", "dedup_cross_corpus",
+    # similarity (oracled entries; ANN family is rows-only by design)
+    "sim_semantic_dedup", "sim_knn_confusion", "sim_label_centroid_distance",
+    # surplus TPC-H composites (multi-join + agg + subquery compositions)
+    "tpch_q2_minimum_cost_supplier", "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock", "tpch_q16_parts_supplier_relationship",
+    "tpch_q20_potential_part_promotion",
+    # windows: the one family member never checked
+    "window_named_clause",
+    # aggregates: exact-distinct twin (hard row for the HLL family),
+    # HDR quantile sketch, equi-width histogram, pivot
+    "agg_exact_distinct", "agg_hdr_quantile_sketch",
+    "agg_equi_width_histogram", "agg_pivot_lang_by_source",
+    # text + sketch tail
+    "text_language_id", "text_quality_score", "text_fingerprints",
+    "text_tfidf_topk", "text_vocab_stats",
+    "sketch_count_min", "sketch_heavy_hitters",
+    # events tail reps (sliding/dedup/anomalies/trending → r04)
+    "events_tumbling_window", "events_funnel_rates",
+    "events_hypertable_rollup", "events_cohort_retention",
+    # pipeline tail reps (repetition/balanced/pii/mixture/... → r04)
+    "pipeline_quality_filter", "pipeline_sequence_packing",
+    "pipeline_decontaminate", "pipeline_weighted_sample",
+    "pipeline_end_to_end",
+    # multimodal: real-decode siblings of the r02-green row
+    "multimodal_resize_real", "multimodal_audio_features",
 ]
 
 

@@ -335,6 +335,32 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_exact_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+       CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS nd_date
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Exact COUNT(DISTINCT) — the deterministic twin of "
+        "agg_approx_within_tolerance, registered so the distinct-count "
+        "family (SURVEY §2.4 approx_distinct row) has one hard driver "
+        "row: the HLL query's oracle is a tolerance band, the weakest "
+        "kind of evidence.  At scale the exact form is a two-stage "
+        "shuffle (partial distinct per partition, then merge); the HLL "
+        "twin is the single-pass mergeable-sketch path.",
+    tags=("aggregate",),
+)
+def agg_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count_distinct(F.col("l_partkey")).alias("nd_part"),
+                 F.count_distinct(F.col("l_suppkey")).alias("nd_supp"),
+                 F.count_distinct(F.col("l_shipdate")).alias("nd_date")))
+
+
+@register(
     "agg_weighted_percentile",
     oracle="""
 WITH c AS (

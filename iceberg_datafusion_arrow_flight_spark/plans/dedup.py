@@ -175,10 +175,15 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+), pos AS (
+  -- per-doc gram positions derived FROM the data (unnest over a lateral
+  -- generate_series), not a static bound: fixtures regenerate between
+  -- rounds and a doc longer than any hard-coded cap would silently drop
+  -- grams on the oracle side only.
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS i
+  FROM toks WHERE len(t) >= 8
 ), grams AS (
-  SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS g
-  FROM toks, range(0, 128) r(i)       -- static bound >= max doc tokens (fixture max ~100)
-  WHERE i + 8 <= len(t)
+  SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS g FROM pos
 ), cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
   FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id

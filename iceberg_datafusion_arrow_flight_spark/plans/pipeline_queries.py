@@ -585,19 +585,24 @@ def diag_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+), pos AS (
+  -- chunk starts derived FROM the data (lateral generate_series), not a
+  -- static bound: fixtures regenerate between rounds and a doc longer
+  -- than a hard-coded cap would silently lose chunks on this side only.
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS i
+  FROM toks WHERE len(t) >= 1
 )
 SELECT doc_id,
        CAST(i // 24 AS INT) AS chunk_idx,
        CAST(LEAST(32, len(t) - i) AS INT) AS n_tokens,
        array_to_string(t[i+1:i+32], ' ') AS chunk_text
-FROM toks, range(0, 128) r(i)
-WHERE i % 24 = 0 AND i < len(t)
+FROM pos
 """,
     doc="Context-window chunking: 32-token windows at stride 24 (8-token "
         "overlap) — the pretraining/RAG ingestion split.  Zero-shuffle "
         "projection+explode; chunks reassemble inside codegen.  The "
-        "oracle recomputes identical windows from a static strided "
-        "range. operators/pipeline.py:chunk_documents.",
+        "oracle recomputes identical windows from a data-derived strided "
+        "series. operators/pipeline.py:chunk_documents.",
     tags=("pipeline",),
 )
 def pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -263,11 +263,14 @@ def stream_countmin_partials(stream_df: DataFrame, value_col: str,
          .coalesce(1)
          .write.mode("append").parquet(out_dir))
 
+    # Checkpoint lives under out_dir: re-invoking with the same query
+    # name but a different sink must NOT inherit the old checkpoint (a
+    # shared fixed path would mark all source files already-processed
+    # and silently write nothing to the new sink).
     return (stream_df.writeStream
             .foreachBatch(_append_partial)
             .trigger(availableNow=True)
-            .option("checkpointLocation",
-                    f"/root/repo/.scratch/ckpt/{query_name}")
+            .option("checkpointLocation", f"{out_dir}/_ckpt")
             .queryName(query_name)
             .start())
 
@@ -355,8 +358,12 @@ def stream_dedup_ingest(stream_docs: DataFrame, state_dir: str,
                     F.col("r.__id").alias("drop_id"))
             .dropDuplicates(["keep_id", "drop_id"]))
         drops = internal.select("drop_id").distinct()
-        # against the accumulated index
-        try:
+        # Against the accumulated index.  Existence is checked explicitly:
+        # a broad except here would also swallow corrupt-parquet / schema
+        # / IO errors and silently disable cross-batch dedup, violating
+        # the pair-free invariant with no signal.  Any real read failure
+        # must fail the batch.
+        if os.path.isdir(index_dir):
             idx = spark.read.parquet(index_dir)
             cross = _verified(
                 be.join(idx.withColumnRenamed("__id", "__idx_id")
@@ -369,8 +376,6 @@ def stream_dedup_ingest(stream_docs: DataFrame, state_dir: str,
                 .dropDuplicates(["keep_id", "drop_id"]))
             drops = (drops.unionByName(cross.select("drop_id"))
                      .distinct())
-        except Exception:
-            pass  # first batch: no index yet
         novel = sigs.join(drops, sigs["__id"] == drops["drop_id"],
                           "left_anti")
         (be.join(novel.select("__id"), ["__id"], "left_semi")
@@ -381,10 +386,12 @@ def stream_dedup_ingest(stream_docs: DataFrame, state_dir: str,
         sigs.unpersist()
         be.unpersist()
 
+    # Checkpoint is state-dir-scoped for the same reason as
+    # stream_countmin_partials: a fixed shared path silently no-ops
+    # re-runs against a fresh state_dir.
     return (stream_docs.writeStream
             .foreachBatch(_ingest)
             .trigger(availableNow=True)
-            .option("checkpointLocation",
-                    f"/root/repo/.scratch/ckpt/{query_name}")
+            .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
             .queryName(query_name)
             .start())

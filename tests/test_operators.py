@@ -606,6 +606,27 @@ def test_hdr_quantile_error_bound(spark, sf_dir):
         assert abs(row.q9 - exact[flag].p90) / exact[flag].p90 < 0.05
 
 
+def test_hdr_sketch_negative_and_zero_domain(spark):
+    """Sign-aware binning: negatives and zero are first-class (a signed
+    stringify would NULL the mantissa and poison every quantile).  The
+    median of a symmetric distribution lands in the exact zero bin; tail
+    quantiles respect the 5%-of-|v| bound; no NULL bins exist."""
+    from iceberg_datafusion_arrow_flight_spark.operators.percentile import (
+        hdr_quantiles, hdr_sketch)
+    df = (spark.range(2001)
+          .select(((F.col("id") - 1000) * 1.0).alias("v"),
+                  F.lit("g").alias("g")))
+    sk = hdr_sketch(df, "v", ["g"])
+    assert sk.where("sign IS NULL OR n_digits IS NULL OR mantissa IS NULL") \
+             .count() == 0
+    assert {r.sign for r in sk.select("sign").distinct().collect()} == {-1, 0, 1}
+    q = hdr_quantiles(sk, ["g"], quantiles=(0.05, 0.5, 0.95)).collect()[0]
+    assert q.n_values == 2001
+    assert q.q5 == 0.0                      # exact zero bin
+    assert abs(q.q05 - (-900.0)) <= 0.05 * 900.0
+    assert abs(q.q95 - 900.0) <= 0.05 * 900.0
+
+
 def test_bloom_no_false_negatives_and_merge(spark, sf_dir):
     """Every inserted key probes maybe_present; merge(A,B) answers
     exactly like build(A∪B); FPR on disjoint probes stays near the

@@ -251,8 +251,12 @@ def test_q9_star_dims_broadcast_and_name_filter_pushed(spark, sf_dir):
     plan = _explain(df)
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
-    pushed = plan.split("PushedFilters: [", 1)[1]
-    assert "p_name" in plan  # LIKE filter present at a scan, not post-join
+    assert "PushedFilters: [" in plan, "no pushdown section in any scan"
+    # The p_name LIKE filter must appear inside a scan's pushed-filter
+    # list (StringContains), not merely in the projection.
+    pushed_sections = [seg.split("]", 1)[0]
+                       for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("p_name" in s for s in pushed_sections), pushed_sections
 
 
 def test_q2_correlated_min_decorrelates(spark, sf_dir):
