@@ -35,8 +35,10 @@ HEADLINE = [
     "window_sales_running",
     "dedup_minhash_lsh",
     "dedup_substring_overlap",
+    "dedup_cluster_components",
     "sim_topk_cosine",
     "sim_ann_ivf_topk",
+    "sim_ann_pq_topk",
     "sim_semantic_dedup",
     "pipeline_decontaminate",
     "pipeline_end_to_end",
@@ -76,7 +78,8 @@ def main() -> None:
                               "/root/testdata/sf0.001")
     heavy = [n for n in names
              if n in ("dedup_minhash_lsh", "dedup_substring_overlap",
-                      "sim_topk_cosine", "sim_ann_ivf_topk",
+                      "dedup_cluster_components", "sim_topk_cosine",
+                      "sim_ann_ivf_topk", "sim_ann_pq_topk",
                       "sim_semantic_dedup", "pipeline_decontaminate",
                       "pipeline_end_to_end")]
 

@@ -379,11 +379,13 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     operators/recursive.py).  Fixpoint test = sum(label) unchanged:
     labels only ever decrease, so the sum is a strictly decreasing
     progress measure until convergence.  Returns (node, label)."""
-    und = (edges.select(F.col(src).cast("long").alias("a"),
-                        F.col(dst).cast("long").alias("b"))
-           .unionAll(edges.select(F.col(dst).cast("long").alias("a"),
-                                  F.col(src).cast("long").alias("b"))))
-    und = und.localCheckpoint(eager=True)
+    # Checkpoint the edge list BEFORE mirroring it: union(edges, swap)
+    # over the raw lineage would execute the (expensive) upstream
+    # pair-mining pipeline twice in the one materialization job.
+    e = (edges.select(F.col(src).cast("long").alias("a"),
+                      F.col(dst).cast("long").alias("b"))
+         .localCheckpoint(eager=True))
+    und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (und.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     prev_sum = None
