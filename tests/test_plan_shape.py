@@ -320,3 +320,68 @@ def test_bloom_probe_broadcasts_filter(spark, sf_dir):
     df = REGISTRY["sketch_bloom_membership"].build(spark, sf_dir)
     plan = _explain(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_training_assignment_is_broadcast_join(spark, sf_dir):
+    """PQ Lloyd assignment joins the exploded subvectors against a
+    BROADCAST centroid table — constant-size plan regardless of m·k
+    (the literal-forest spelling cost ~7 s of Catalyst analysis per
+    iteration), and never shuffles the corpus side for the compare."""
+    from pyspark.sql import functions as F
+    from iceberg_datafusion_arrow_flight_spark.operators.similarity import (
+        _as_double, _normed, fan_out)
+    from iceberg_datafusion_arrow_flight_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = fan_out(emb).select(F.col("vec_id").alias("__id"),
+                               _normed(_as_double(F.col("embedding"))).alias("__nv"))
+    m, d = 8, 8
+    subs = (base.select("__id", F.explode(F.array(*[
+                F.struct(F.lit(s).cast("int").alias("s"),
+                         F.slice("__nv", s * d + 1, d).alias("sub"))
+                for s in range(m)])).alias("e"))
+            .select("__id", "e.s", "e.sub"))
+    cents = spark.createDataFrame(
+        [(s, c, [0.0] * d) for s in range(m) for c in range(1, 17)],
+        "s int, code int, cent array<double>")
+    joined = subs.join(F.broadcast(cents), "s")
+    plan = _explain(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_topk_sql_string_encode_matches_column_form(spark, sf_dir):
+    """The F.expr SQL-string spelling of the PQ distance fold must be
+    expression-identical to the Column-object spelling (repr(float)
+    round-trips doubles exactly) — same codes, same distances."""
+    from pyspark.sql import functions as F
+    from iceberg_datafusion_arrow_flight_spark.operators.similarity import (
+        _sq_l2_sql, _sq_l2_to_literal)
+
+    cent = [0.125, -1.5, 1e-05, 3.0071]
+    df = (spark.range(5)
+          .select(F.expr("array(cast(id as double), cast(id+1 as double),"
+                         "cast(id*0.5 as double), cast(-id as double))")
+                  .alias("v")))
+    got = df.select(
+        F.expr(_sq_l2_sql("v", cent)).alias("a"),
+        _sq_l2_to_literal(F.col("v"), cent).alias("b")).collect()
+    assert all(r.a == r.b for r in got)  # bit-exact, not approx
+
+
+def test_connected_components_materializes_edges_once(spark, sf_dir):
+    """The mirrored edge list must read the checkpointed edges, not
+    re-execute the upstream pair-mining lineage twice: after the first
+    round the und plan contains no parquet scan at all."""
+    from iceberg_datafusion_arrow_flight_spark.operators import dedup as D
+    from iceberg_datafusion_arrow_flight_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                  threshold_num=8, threshold_den=10)
+    comp = D.connected_components(pairs)
+    plan = _explain(comp)
+    # the component result's lineage bottoms out at checkpointed label
+    # tables — the documents scan ran exactly once, inside the checkpoint
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "Location: InMemoryFileIndex" not in plan
