@@ -118,3 +118,52 @@ def configure_iceberg_catalog(name: str = "lake",
     else:
         raise ValueError(f"unknown catalog_type: {catalog_type}")
     return conf
+
+
+def configure_object_store(env: dict[str, str] | None = None,
+                           catalog_name: str = "lake") -> dict[str, str]:
+    """Spark conf for the reference's object-store env contract
+    (iceberg-datafusion-arrow-flight-sql/src/main.rs:46-71): the store is
+    configured from ``BUCKET`` + ``AWS_ACCESS_KEY_ID`` +
+    ``AWS_SECRET_ACCESS_KEY`` (ALL three, matching the reference's
+    3-tuple match arm), optional ``AWS_ENDPOINT`` (custom/MinIO
+    endpoint → path-style addressing) and ``AWS_ALLOW_HTTP == 'TRUE'``.
+    When the triple is absent the reference falls back to an in-memory
+    store; here that maps to {} — Spark keeps reading the local
+    filesystem.
+
+    The same credentials are emitted twice on purpose: Hadoop-S3A keys
+    cover plain ``spark.read.parquet('s3a://…')`` paths, Iceberg FileIO
+    keys cover catalog tables (the reference hands ONE object store to
+    both its SQL paths and its Iceberg catalog,
+    ``SqlCatalogList::new(&catalog_url, object_store)``).
+
+    Apply with ``get_spark(extra_conf={**configure_iceberg_catalog(...),
+    **configure_object_store(...)})``.  Untestable live in this sandbox
+    (no network — GAPS.md); the key mapping itself is pytest-pinned."""
+    import os as _os
+    e = dict(_os.environ) if env is None else dict(env)
+    bucket = e.get("BUCKET")
+    key = e.get("AWS_ACCESS_KEY_ID")
+    secret = e.get("AWS_SECRET_ACCESS_KEY")
+    if not (bucket and key and secret):
+        return {}
+    conf = {
+        "spark.hadoop.fs.s3a.access.key": key,
+        "spark.hadoop.fs.s3a.secret.key": secret,
+        f"spark.sql.catalog.{catalog_name}.io-impl":
+            "org.apache.iceberg.aws.s3.S3FileIO",
+        f"spark.sql.catalog.{catalog_name}.s3.access-key-id": key,
+        f"spark.sql.catalog.{catalog_name}.s3.secret-access-key": secret,
+        f"spark.sql.catalog.{catalog_name}.warehouse":
+            f"s3a://{bucket}/warehouse",
+    }
+    endpoint = e.get("AWS_ENDPOINT")
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
+        conf[f"spark.sql.catalog.{catalog_name}.s3.endpoint"] = endpoint
+        conf[f"spark.sql.catalog.{catalog_name}.s3.path-style-access"] = "true"
+    if e.get("AWS_ALLOW_HTTP") == "TRUE":
+        conf["spark.hadoop.fs.s3a.connection.ssl.enabled"] = "false"
+    return conf
