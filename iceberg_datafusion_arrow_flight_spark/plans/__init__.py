@@ -50,7 +50,7 @@ from . import tpch            # noqa: E402,F401
 #   audio/resize, hdr+histogram+pivot aggs, agg_exact_distinct (new).
 #   r04 candidates (the ~49 still never driver-checked after r03):
 #   dialect tail (12), io json/csv/partitioned, catalog_columns,
-#   ddl_external_table, events sliding/dedup/anomalies/trending,
+#   ddl_external_table, events sliding/dedup/anomalies/trending/gap_fill,
 #   text lm_score/langid_confusion, pipeline repetition/balanced/pii/
 #   mixture/profile/constraints/chunk, multimodal decode/frame/feature,
 #   unnest_posexplode, json_from_to, map_functions, array_set_operations,

@@ -361,3 +361,63 @@ def events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").desc(), F.col("event_type"))
     return (counts.withColumn("rnk", F.row_number().over(win).cast("int"))
             .where(F.col("rnk") <= 3))
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(AVG(value), 4) AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM hourly),
+buckets AS (
+  SELECT CAST(unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS TIMESTAMP) AS bucket
+  FROM bounds
+), spine AS (
+  SELECT b.bucket, t.event_type
+  FROM buckets b, (SELECT DISTINCT event_type FROM events) t
+)
+SELECT s.bucket, s.event_type,
+       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+       LAST_VALUE(h.avg_value IGNORE NULLS) OVER (
+          PARTITION BY s.event_type ORDER BY s.bucket
+          ROWS UNBOUNDED PRECEDING) AS value_locf,
+       (h.n_events IS NULL) AS is_gap
+FROM spine s LEFT JOIN hourly h USING (bucket, event_type)
+""",
+    doc="Time-series gap filling over the hourly hypertable rollup: a "
+        "complete (hour × event_type) spine from the data's own time "
+        "bounds, zero-count rows for silent hours, and LOCF (last "
+        "observation carried forward) of the hourly mean — the "
+        "TimescaleDB time_bucket_gapfill/locf composite, absent from "
+        "DataFusion 40 and Spark alike.  Scale shape: the spine is "
+        "generated from a 1-row bounds aggregate (sequence + explode — "
+        "O(hours × types), independent of raw event count), the fill "
+        "join runs against the ROLLUP not the events, and LOCF is one "
+        "per-type ordered window over the bounded spine.",
+    tags=("events", "window"),
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    e = table(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                   F.round(F.avg("value"), 4).alias("avg_value"))
+              .select(F.col("w.start").cast("timestamp_ntz").alias("bucket"),
+                      "event_type", "n_events", "avg_value"))
+    bounds = hourly.agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+    buckets = bounds.select(
+        F.explode(F.sequence("b0", "b1", F.expr("INTERVAL 1 HOUR")))
+        .alias("bucket"))
+    spine = buckets.crossJoin(e.select("event_type").distinct())
+    locf_w = (W.partitionBy("event_type").orderBy("bucket")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (spine.join(hourly, ["bucket", "event_type"], "left")
+            .select("bucket", "event_type",
+                    F.coalesce("n_events", F.lit(0)).cast("bigint")
+                    .alias("n_events"),
+                    F.last("avg_value", ignorenulls=True).over(locf_w)
+                    .alias("value_locf"),
+                    F.col("n_events").isNull().alias("is_gap")))
