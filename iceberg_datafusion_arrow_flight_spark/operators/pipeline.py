@@ -157,6 +157,83 @@ def top_ngram_repetition(df: DataFrame, text_col: str = "text",
                      .alias("top_frac")))
 
 
+# --- Gopher rule filter (Rae et al. 2021, table A1) ---------------------
+
+_GOPHER_STOPWORDS = ("the", "a")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_words: int = 25, max_words: int = 90,
+                 min_mwl: float = 4.3, max_mwl: float = 4.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-style per-document quality rules, adapted to whitespace
+    tokens: word-count band, mean-word-length band, and a minimum
+    stop-word hit count.  Adds the measured signals plus one boolean
+    column per rule and a combined ``kept`` flag.
+
+    Scale shape: a pure projection — every signal is a codegen'd
+    expression over the token array (no explode, no shuffle, no Python),
+    so the rule pass rides along with whatever scan already reads the
+    text column.  Thresholds are tuned to the fixture's token-length
+    distribution (p5-p95 = 16-94 words) so each rule has teeth.
+    """
+    toks = T.ws_tokens(F.col(text_col))
+    n_words = F.size(toks)
+    # Left-to-right fold of integer lengths in a double accumulator:
+    # exact in both engines, so the band compare needs no rounding.
+    mwl = (F.aggregate(toks, F.lit(0.0),
+                       lambda acc, x: acc + F.length(x)) / n_words)
+    stop_hits = F.size(F.filter(
+        toks, lambda x: x.isin(*_GOPHER_STOPWORDS)))
+    out = (df
+           .withColumn("n_words", n_words.cast("bigint"))
+           .withColumn("mean_word_len", mwl)
+           .withColumn("stop_hits", stop_hits.cast("bigint")))
+    ok_words = F.col("n_words").between(min_words, max_words)
+    ok_mwl = F.col("mean_word_len").between(min_mwl, max_mwl)
+    ok_stop = F.col("stop_hits") >= min_stop_hits
+    return (out
+            .withColumn("ok_words", ok_words)
+            .withColumn("ok_mwl", ok_mwl)
+            .withColumn("ok_stop", ok_stop)
+            .withColumn("kept", ok_words & ok_mwl & ok_stop))
+
+
+# --- corpus boilerplate span mining (C4-style, token-span unit) ---------
+
+def boilerplate_spans(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 8,
+                      min_freq: int = 2,
+                      carry: tuple[str, ...] = ()) -> DataFrame:
+    """C4-style boilerplate detection re-based on token spans: a span is
+    an ``n``-token gram; spans occurring ``min_freq``+ times corpus-wide
+    are boilerplate, and every document is scored by the fraction of its
+    gram INSTANCES that are boilerplate (its templated share).
+
+    Scale shape: one gram-keyed aggregate (map-side partial combine)
+    mines the frequent-span set — which is small by construction
+    (boilerplate is the heavy-hitter tail, and min_freq bounds it) — and
+    that set broadcasts back onto the gram stream, so the corpus is
+    never self-joined on gram and the only wide exchange is the per-doc
+    re-aggregate.  Documents shorter than ``n`` tokens have no spans and
+    drop out (mirrored by the oracle's CASE len(t) >= n guard).
+    """
+    g = T.token_ngrams(F.col(text_col), n)
+    grams = fan_out(df).select(
+        F.col(id_col), *[F.col(c) for c in carry], F.explode(g).alias("g"))
+    frequent = (grams.groupBy("g")
+                .agg(F.count(F.lit(1)).alias("freq"))
+                .where(F.col("freq") >= min_freq)
+                .select("g", F.lit(1).alias("__boiler")))
+    return (grams.join(F.broadcast(frequent), "g", "left")
+            .groupBy(id_col, *carry)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 F.sum(F.coalesce(F.col("__boiler"), F.lit(0)))
+                  .cast("bigint").alias("n_boiler"))
+            .withColumn("boiler_frac",
+                        F.round(F.col("n_boiler") / F.col("n_grams"), 4)))
+
+
 # --- stratified / balanced sampling -------------------------------------
 
 def balanced_sample(df: DataFrame, strata_col: str = "lang",

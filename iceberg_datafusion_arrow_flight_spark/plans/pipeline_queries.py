@@ -608,3 +608,96 @@ FROM pos
 def pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.chunk_documents(table(spark, sf_dir, "documents"),
                              chunk_tokens=32, stride=24)
+
+
+@register(
+    "pipeline_gopher_rules",
+    oracle=r"""
+WITH t AS (
+  SELECT lang, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), m AS (
+  SELECT lang,
+         len(toks) AS n_words,
+         list_aggregate(list_transform(toks, x -> CAST(len(x) AS DOUBLE)),
+                        'sum') / len(toks) AS mwl,
+         len(list_filter(toks, x -> x IN ('the', 'a'))) AS stop_hits
+  FROM t
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN NOT (n_words BETWEEN 25 AND 90)
+                THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+  CAST(SUM(CASE WHEN NOT (mwl BETWEEN 4.3 AND 4.8)
+                THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+  CAST(SUM(CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+  CAST(SUM(CASE WHEN n_words BETWEEN 25 AND 90
+                 AND mwl BETWEEN 4.3 AND 4.8
+                 AND stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM m GROUP BY lang ORDER BY lang
+""",
+    doc="Gopher rule filter (Rae et al. 2021 table A1, whitespace-token "
+        "adaptation): word-count band, mean-word-length band, stop-word "
+        "minimum — per-language per-rule failure counts plus the "
+        "all-rules survivor count.  Pure projection + one aggregate; the "
+        "mean-word-length fold is exact in double on both engines so the "
+        "band compares need no rounding. "
+        "operators/pipeline.py:gopher_rules.",
+    tags=("pipeline", "text"),
+)
+def pipeline_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = P.gopher_rules(table(spark, sf_dir, "documents"))
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.count_if(~F.col("ok_words")).cast("bigint")
+                  .alias("fail_words"),
+                 F.count_if(~F.col("ok_mwl")).cast("bigint")
+                  .alias("fail_mwl"),
+                 F.count_if(~F.col("ok_stop")).cast("bigint")
+                  .alias("fail_stop"),
+                 F.count_if(F.col("kept")).cast("bigint").alias("n_kept"))
+            .orderBy("lang"))
+
+
+@register(
+    "pipeline_boilerplate_coverage",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest({_DUCK_GRAMS(8)}) AS g FROM tok
+), freq AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+), per_doc AS (
+  SELECT doc_id, lang, COUNT(*) AS n_grams,
+         SUM(CASE WHEN g IN (SELECT g FROM freq) THEN 1 ELSE 0 END)
+           AS n_boiler
+  FROM grams GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ROUND(n_boiler * 1.0 / n_grams, 4) >= 0.2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       ROUND(SUM(n_boiler) * 1.0 / SUM(n_grams), 4) AS corpus_frac
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
+    doc="C4-style boilerplate mining on token spans: 8-gram spans with "
+        "corpus frequency >= 2 are boilerplate; documents are scored by "
+        "the boilerplate share of their span instances, then rolled up "
+        "per language (docs, flagged >= 0.2, corpus-level share).  The "
+        "frequent-span set is mined with one partial-combined aggregate "
+        "and broadcast back — no gram self-join.  corpus_frac uses the "
+        "integer-sum ratio (exact) rather than avg-of-doubles so the "
+        "hash is engine-stable. operators/pipeline.py:boilerplate_spans.",
+    tags=("pipeline", "dedup", "text"),
+)
+def pipeline_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = P.boilerplate_spans(table(spark, sf_dir, "documents"),
+                                  n=8, min_freq=2, carry=("lang",))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.count_if(F.col("boiler_frac") >= 0.2).cast("bigint")
+                  .alias("n_flagged"),
+                 F.round(F.sum("n_boiler") / F.sum("n_grams"), 4)
+                  .alias("corpus_frac"))
+            .orderBy("lang"))

@@ -692,3 +692,36 @@ def test_avro_lite_roundtrip_nulls_and_corruption():
         open(bad, "wb").write(bytes(buf))
         with _pytest.raises(ValueError):
             avro_lite.read_avro(bad)
+
+
+def test_gopher_rules_flags(spark):
+    from iceberg_datafusion_arrow_flight_spark.operators.pipeline import (
+        gopher_rules)
+    base = "the a " + " ".join(["word"] * 28)        # 30 words, has stops
+    short = "the a tiny doc"                          # fails word count
+    nostop = " ".join(["word"] * 30)                  # fails stop rule
+    df = spark.createDataFrame(
+        [(1, base), (2, short), (3, nostop)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            gopher_rules(df, min_mwl=1.0, max_mwl=10.0).collect()}
+    assert rows[1]["kept"] and rows[1]["ok_words"] and rows[1]["ok_stop"]
+    assert not rows[2]["ok_words"] and not rows[2]["kept"]
+    assert rows[3]["ok_words"] and not rows[3]["ok_stop"]
+    assert rows[1]["n_words"] == 30
+    assert abs(rows[3]["mean_word_len"] - 4.0) < 1e-12
+
+
+def test_boilerplate_spans_scores(spark):
+    from iceberg_datafusion_arrow_flight_spark.operators.pipeline import (
+        boilerplate_spans)
+    shared = " ".join(f"w{i}" for i in range(8))      # one shared 8-gram
+    uniq = " ".join(f"u{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, uniq), (4, "too short")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            boilerplate_spans(df, n=8, min_freq=2).collect()}
+    assert 4 not in rows                              # < n tokens: no spans
+    assert rows[1]["boiler_frac"] == 1.0 and rows[2]["boiler_frac"] == 1.0
+    assert rows[3]["boiler_frac"] == 0.0
+    assert rows[1]["n_grams"] == 1 and rows[1]["n_boiler"] == 1

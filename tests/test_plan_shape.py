@@ -385,3 +385,29 @@ def test_connected_components_materializes_edges_once(spark, sf_dir):
     # tables — the documents scan ran exactly once, inside the checkpoint
     assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
     assert "Location: InMemoryFileIndex" not in plan
+
+
+def test_gopher_rules_pure_projection(spark, sf_dir):
+    """Every Gopher rule signal is a codegen'd expression over the token
+    array — no explode, no exchange, no Python; the rule pass rides the
+    scan that already reads the text column."""
+    from iceberg_datafusion_arrow_flight_spark.operators.pipeline import (
+        gopher_rules)
+    from iceberg_datafusion_arrow_flight_spark.sources.registry import load_table
+    df = gopher_rules(load_table(spark, sf_dir, "documents"))
+    plan = _explain(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" not in plan  # no explode: signals fold in place
+
+
+def test_boilerplate_frequent_set_broadcasts(spark, sf_dir):
+    """The mined frequent-span set must broadcast back onto the gram
+    stream — the corpus is never self-joined on gram, so the only wide
+    exchanges are the gram-count aggregate and the per-doc rollup."""
+    df = REGISTRY["pipeline_boilerplate_coverage"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan \
+        and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # gram join must not shuffle-sort
