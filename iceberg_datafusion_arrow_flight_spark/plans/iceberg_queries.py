@@ -174,3 +174,77 @@ def iceberg_rest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         # read itself scans parquet directly (catalog no longer needed)
         out = out.localCheckpoint(eager=True)
     return out
+
+
+@register(
+    "iceberg_merge_upsert",
+    oracle="""
+WITH merged AS (
+  SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderkey % 2 = 1
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Row-level MERGE INTO with copy-on-write file granularity: the "
+        "table holds the even orderkeys, the source doubles the price of "
+        "every %4 key (matched -> update) and brings the odd keys "
+        "(not matched -> insert).  Manifest min/max stats prune the "
+        "candidate files before any data is read; matched files are "
+        "found by one semi-join collecting FILE PATHS only; untouched "
+        "files carry into the new snapshot by manifest entry.  Equals "
+        "the relational merge of the same inputs iff update, insert, and "
+        "carry-over all composed correctly. "
+        "sources/iceberg_lite.py:merge_upsert.",
+    tags=("iceberg", "catalog", "write", "dml"),
+)
+def iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    orders = table(spark, sf_dir, "orders")
+    even = orders.where(F.col("o_orderkey") % 2 == 0)
+    t = cat.create_table("sales", "orders_merge", even)
+    t.append(even)
+    src = (orders.where(F.col("o_orderkey") % 4 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+           .unionByName(orders.where(F.col("o_orderkey") % 2 == 1)))
+    t.merge_upsert(spark, src, ["o_orderkey"])
+    return (t.read(spark)
+            .groupBy("o_orderstatus").agg(*_agg_cols())
+            .orderBy("o_orderstatus"))
+
+
+@register(
+    "iceberg_delete_rows",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="Row-level DELETE with copy-on-write: files containing a matching "
+        "row are rewritten without those rows, the rest carry over by "
+        "manifest entry; the pre-delete snapshot stays time-travelable.  "
+        "Equals the anti-filtered aggregate iff exactly the predicated "
+        "rows disappeared. sources/iceberg_lite.py:delete_where.",
+    tags=("iceberg", "catalog", "write", "dml"),
+)
+def iceberg_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    orders = table(spark, sf_dir, "orders")
+    t = cat.create_table("sales", "orders_del", orders)
+    t.append(orders)
+    t.delete_where(spark, F.col("o_orderstatus") == "F")
+    return (t.read(spark)
+            .groupBy("o_orderpriority").agg(*_agg_cols())
+            .orderBy("o_orderpriority"))

@@ -51,6 +51,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = [
     "SqliteCatalog",
@@ -240,7 +241,9 @@ class IcebergTable:
         """INSERT OVERWRITE semantics: new snapshot = new files only."""
         return self._commit_write(df, operation="overwrite")
 
-    def _commit_write(self, df: DataFrame, operation: str) -> int:
+    def _commit_write(self, df: DataFrame, operation: str,
+                      kept_entries: list[DataFileEntry] | None = None,
+                      summary_extra: dict[str, str] | None = None) -> int:
         base_location, metadata = self._load_metadata()
         location = metadata["location"]
         write_id = uuid.uuid4().hex[:12]
@@ -258,25 +261,31 @@ class IcebergTable:
             prior = _read_manifest_paths(parent)
         else:
             prior = []
+        # Row-level DML (merge/delete) keeps the untouched files by copying
+        # their entries into the new manifest verbatim — the copy-on-write
+        # contract: surviving files are referenced, never rewritten.
+        manifest_entries = entries + list(kept_entries or [])
         _write_json(manifest_path, {
             "schema-id": metadata["current-schema-id"],
             "content": "data",
-            "entries": [e.__dict__ for e in entries],
+            "entries": [e.__dict__ for e in manifest_entries],
             "prior-manifests": prior if operation == "append" else [],
         })
 
         now = _now_ms()
+        summary = {
+            "operation": operation,
+            "added-data-files": str(len(entries)),
+            "added-records": str(sum(e.record_count for e in entries)),
+        }
+        summary.update(summary_extra or {})
         snapshot = {
             "snapshot-id": snapshot_id,
             "parent-snapshot-id": metadata["current-snapshot-id"],
             "sequence-number": metadata["last-sequence-number"] + 1,
             "timestamp-ms": now,
             "manifest-list": manifest_path,
-            "summary": {
-                "operation": operation,
-                "added-data-files": str(len(entries)),
-                "added-records": str(sum(e.record_count for e in entries)),
-            },
+            "summary": summary,
             "schema-id": metadata["current-schema-id"],
         }
         metadata = dict(metadata)
@@ -425,6 +434,115 @@ class IcebergTable:
         df = self.read(spark).coalesce(target_files)
         return self._commit_write(df, operation="replace")
 
+    # -- row-level DML (copy-on-write) --------------------------------------
+
+    def merge_upsert(self, spark: SparkSession, source: DataFrame,
+                     key_cols: list[str]) -> dict:
+        """MERGE INTO target USING source ON keys — WHEN MATCHED UPDATE
+        all columns, WHEN NOT MATCHED INSERT — with Iceberg's
+        copy-on-write file granularity: only data files that actually
+        contain a matched key are rewritten; every other file's manifest
+        entry is carried into the new snapshot untouched.
+
+        Scale shape: (1) manifest min/max stats prune the candidate file
+        set against the source's key span before any data is read (the
+        manifest-evaluator skip — a point-key merge into a 100 TB table
+        reads only the overlapping files); (2) matched files are found
+        with one semi-join against the source keys, grouped by
+        ``input_file_name`` — the driver collects FILE PATHS, never rows;
+        (3) survivors + source are written as new files and committed
+        through the same CAS as every other snapshot, so a concurrent
+        writer loses cleanly with CommitFailedError.
+
+        Raises ``ValueError`` if the source has duplicate keys (a target
+        row may match at most one source row — the MERGE cardinality
+        rule real engines enforce).
+        """
+        fields = self.schema_fields()
+        names = [f["name"] for f in fields]
+        src = source.select(*names)
+        if (src.groupBy(*key_cols).count()
+                .where(F.col("count") > 1).limit(1).count()):
+            raise ValueError(
+                "MERGE source has duplicate keys on "
+                f"{key_cols} — each target row may match at most one "
+                "source row")
+        entries = self.plan_files()
+        affected: list[DataFileEntry] = []
+        kept: list[DataFileEntry] = list(entries)
+        if entries:
+            k0 = key_cols[0]
+            row = src.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
+            lo, hi = row["lo"], row["hi"]
+            cand = [] if lo is None else [
+                e for e in entries
+                if e.lower_bounds.get(k0) is None
+                or e.upper_bounds.get(k0) is None
+                or not (e.upper_bounds[k0] < lo or e.lower_bounds[k0] > hi)]
+            if cand:
+                tgt = (spark.read.option("mergeSchema", "true")
+                       .parquet(*[e.file_path for e in cand])
+                       .withColumn("__file", F.input_file_name()))
+                keys = src.select(*key_cols).distinct()
+                hit_paths = {
+                    _local_path(r["__file"]) for r in
+                    tgt.join(keys, key_cols, "left_semi")
+                       .select("__file").distinct().collect()}
+                affected = [e for e in cand if e.file_path in hit_paths]
+                kept = [e for e in entries if e.file_path not in hit_paths]
+        if affected:
+            old = _fill_missing(
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[e.file_path for e in affected]), fields)
+            survivors = old.join(src.select(*key_cols).distinct(),
+                                 key_cols, "left_anti")
+            new_df = survivors.select(*names).unionByName(src)
+        else:
+            new_df = src
+        snapshot_id = self._commit_write(
+            new_df, operation="overwrite", kept_entries=kept,
+            summary_extra={"replaced-data-files": str(len(affected)),
+                           "kept-data-files": str(len(kept))})
+        return {"snapshot_id": snapshot_id,
+                "rewritten_files": len(affected),
+                "kept_files": len(kept)}
+
+    def delete_where(self, spark: SparkSession, condition) -> dict:
+        """Row-level DELETE with copy-on-write: files containing at least
+        one matching row are rewritten without those rows; all other
+        files carry over by manifest entry.  ``condition`` is a Spark
+        Column predicate (or SQL string).  Same CAS commit + concurrent
+        -writer semantics as merge_upsert."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        fields = self.schema_fields()
+        names = [f["name"] for f in fields]
+        entries = self.plan_files()
+        if not entries:
+            return {"snapshot_id": None, "rewritten_files": 0,
+                    "kept_files": 0}
+        tgt = (spark.read.option("mergeSchema", "true")
+               .parquet(*[e.file_path for e in entries])
+               .withColumn("__file", F.input_file_name()))
+        hit_paths = {
+            _local_path(r["__file"]) for r in
+            tgt.where(cond).select("__file").distinct().collect()}
+        affected = [e for e in entries if e.file_path in hit_paths]
+        kept = [e for e in entries if e.file_path not in hit_paths]
+        if not affected:
+            return {"snapshot_id": None, "rewritten_files": 0,
+                    "kept_files": len(kept)}
+        survivors = (_fill_missing(
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[e.file_path for e in affected]), fields)
+            .where(~cond).select(*names))
+        snapshot_id = self._commit_write(
+            survivors, operation="delete", kept_entries=kept,
+            summary_extra={"replaced-data-files": str(len(affected)),
+                           "kept-data-files": str(len(kept))})
+        return {"snapshot_id": snapshot_id,
+                "rewritten_files": len(affected),
+                "kept_files": len(kept)}
+
     # -- read path ----------------------------------------------------------
 
     def plan_files(self, snapshot_id: int | None = None,
@@ -474,13 +592,9 @@ class IcebergTable:
             return spark.createDataFrame([], schema)
         # mergeSchema: files written before an add_column lack the new
         # field; missing columns surface as NULL (Iceberg read semantics)
-        df = (spark.read.option("mergeSchema", "true")
-              .parquet(*[e.file_path for e in entries]))
-        from pyspark.sql import functions as F
-        for f in fields:
-            if f["name"] not in df.columns:
-                df = df.withColumn(f["name"],
-                                   F.lit(None).cast(f["type"]))
+        df = _fill_missing(
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[e.file_path for e in entries]), fields)
         return df.select(*[f["name"] for f in fields])
 
 
@@ -491,6 +605,23 @@ class IcebergTable:
 
 def _now_ms() -> int:
     return int(time.time() * 1000)
+
+
+def _local_path(uri: str) -> str:
+    """input_file_name() yields a file: URI; manifests store plain paths."""
+    if uri.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+        return unquote(urlparse(uri).path)
+    return uri
+
+
+def _fill_missing(df: DataFrame, fields: list[dict]) -> DataFrame:
+    """Files written before an add_column lack the new field; surface it
+    as a typed NULL (Iceberg read semantics)."""
+    for f in fields:
+        if f["name"] not in df.columns:
+            df = df.withColumn(f["name"], F.lit(None).cast(f["type"]))
+    return df
 
 
 def _write_new_table(location: str, df: DataFrame) -> str:

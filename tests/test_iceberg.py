@@ -249,3 +249,77 @@ def test_remove_orphan_files_deletes_only_unreferenced_dirs(spark, tmp_path):
     assert t.read(spark).count() == pre
     # idempotent
     assert t.remove_orphan_files()["deleted_orphan_dirs"] == 0
+
+
+def _kv_table(cat, spark, name):
+    """Three appends with disjoint key ranges -> >= 3 data files."""
+    mk = lambda lo, hi: (spark.range(lo, hi).withColumnRenamed("id", "k")
+                         .withColumn("v", F.col("k") * 10))
+    t = cat.create_table("dml", name, mk(0, 10))
+    t.append(mk(0, 10).coalesce(1))
+    t.append(mk(10, 20).coalesce(1))
+    t.append(mk(20, 30).coalesce(1))
+    return t
+
+
+def test_merge_upsert_updates_and_inserts(catalog, spark):
+    t = _kv_table(catalog, spark, "m1")
+    pre_snap = t.current_snapshot_id()
+    src = spark.createDataFrame([(5, -1), (15, -2), (99, -3)], "k long, v long")
+    stats = t.merge_upsert(spark, src, ["k"])
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 31                      # 30 original + 1 insert
+    assert got[5] == -1 and got[15] == -2 and got[99] == -3
+    assert got[6] == 60                        # untouched row intact
+    # copy-on-write: only the two files holding k=5 and k=15 rewrote
+    assert stats["rewritten_files"] == 2 and stats["kept_files"] >= 1
+    # time travel: pre-merge snapshot still shows the old values
+    old = {r["k"]: r["v"] for r in t.read(spark, snapshot_id=pre_snap).collect()}
+    assert old[5] == 50 and 99 not in old
+
+
+def test_merge_upsert_kept_files_not_rewritten(catalog, spark):
+    t = _kv_table(catalog, spark, "m2")
+    pre_paths = {e.file_path for e in t.plan_files()}
+    src = spark.createDataFrame([(25, -1)], "k long, v long")
+    t.merge_upsert(spark, src, ["k"])
+    post_paths = {e.file_path for e in t.plan_files()}
+    # manifest stats pruned the merge to the 20-30 file; the 0-10 and
+    # 10-20 files appear in the new snapshot BY THE SAME PATH
+    # the 0-10 and 10-20 files appear in the new snapshot BY THE SAME
+    # PATH (copy-on-write carried their manifest entries, no rewrite)
+    assert len(pre_paths & post_paths) >= 2
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[25] == -1 and got[5] == 50 and len(got) == 30
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(catalog, spark):
+    t = _kv_table(catalog, spark, "m3")
+    src = spark.createDataFrame([(5, -1), (5, -2)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge_upsert(spark, src, ["k"])
+
+
+def test_merge_into_empty_table_is_insert_all(catalog, spark):
+    df = spark.range(0, 4).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k"))
+    t = catalog.create_table("dml", "m4", df)
+    stats = t.merge_upsert(spark, df, ["k"])
+    assert stats["rewritten_files"] == 0
+    assert t.read(spark).count() == 4
+
+
+def test_delete_where_copy_on_write(catalog, spark):
+    t = _kv_table(catalog, spark, "d1")
+    pre_paths = {e.file_path for e in t.plan_files()}
+    pre_snap = t.current_snapshot_id()
+    stats = t.delete_where(spark, F.col("k").between(12, 14))
+    assert stats["rewritten_files"] == 1
+    ks = {r["k"] for r in t.read(spark).collect()}
+    assert ks == set(range(0, 30)) - {12, 13, 14}
+    # untouched files carried by path; history intact
+    assert len(pre_paths & {e.file_path for e in t.plan_files()}) == 2
+    assert t.read(spark, snapshot_id=pre_snap).count() == 30
+    # no-match delete commits nothing
+    stats2 = t.delete_where(spark, F.col("k") > 10_000)
+    assert stats2["snapshot_id"] is None and stats2["rewritten_files"] == 0
