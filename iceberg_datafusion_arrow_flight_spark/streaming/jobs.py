@@ -239,6 +239,43 @@ def stream_to_iceberg(df: DataFrame, iceberg_table,
             .start())
 
 
+def stream_upsert_to_iceberg(df: DataFrame, iceberg_table,
+                             key_cols: list[str], order_col: str,
+                             ckpt_dir: str,
+                             query_name: str = "iceberg_upsert"):
+    """CDC-style streaming upsert: every micro-batch is collapsed to its
+    latest row per key (``order_col`` descending — the change-stream
+    sequence/timestamp) and MERGEd into the catalog-managed table with
+    copy-on-write file granularity (iceberg_lite.merge_upsert).
+
+    The lakehouse CDC ingestion shape: per batch, one atomic snapshot
+    commit that updates matched keys and inserts new ones; readers see
+    whole batches or nothing, and every pre-merge snapshot stays
+    time-travelable.  Work per batch scales with the batch's key span
+    (manifest stats prune the file set), never with table history.
+    ``order_col`` must order rows of the same key uniquely within a
+    batch — ties would make the collapse nondeterministic.  The
+    checkpoint is caller-owned (``ckpt_dir``) so re-runs against a new
+    table never inherit a stale file ledger."""
+    from pyspark.sql import Window
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = (Window.partitionBy(*key_cols)
+             .orderBy(F.col(order_col).desc()))
+        latest = (batch_df.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1).drop("__rn"))
+        iceberg_table.merge_upsert(batch_df.sparkSession, latest, key_cols)
+
+    return (df.writeStream
+            .foreachBatch(commit_batch)
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start())
+
+
 def stream_countmin_partials(stream_df: DataFrame, value_col: str,
                              out_dir: str, query_name: str = "cm_stream",
                              depth: int = 4, width: int = 256):

@@ -257,3 +257,48 @@ def test_stream_dedup_ingest_kept_set_is_pair_free(spark, sf_dir):
                spark.read.parquet(f"{state}/index").select("__id")
                .distinct().collect()}
     assert idx_ids == {r.doc_id for r in kept.select("doc_id").collect()}
+
+
+def test_stream_upsert_to_iceberg_cdc(spark, tmp_path):
+    """CDC upsert ingest: within-batch collapse keeps the latest row per
+    key; each batch MERGEs as one snapshot; updates land, inserts land,
+    untouched keys survive, and pre-merge history stays travelable."""
+    from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+        SqliteCatalog)
+    from iceberg_datafusion_arrow_flight_spark.streaming.jobs import (
+        stream_upsert_to_iceberg)
+    cat = SqliteCatalog(str(tmp_path / "cat.db"),
+                        warehouse=str(tmp_path / "wh"))
+    base = spark.createDataFrame([(k, 0) for k in range(10)],
+                                 "k long, v long")
+    t = cat.create_table("cdc", "kv", base)
+    t.append(base)
+    first = t.current_snapshot_id()
+    # change stream: one file per micro-batch (maxFilesPerTrigger=1);
+    # batches touch DISJOINT keys so the final state is order-free.
+    src = str(tmp_path / "cdc_src")
+    spark.createDataFrame(
+        [(3, -5, 1), (3, 33, 2), (100, 1, 1)],       # k=3: seq 2 wins
+        "k long, v long, seq long").coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(
+        [(4, 44, 1), (200, 2, 1)],
+        "k long, v long, seq long").coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = (spark.readStream.schema("k long, v long, seq long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_upsert_to_iceberg(
+        stream, t, ["k"], "seq", ckpt_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[3] == 33            # within-batch collapse: seq 2 beat seq 1
+    assert got[4] == 44 and got[100] == 1 and got[200] == 2
+    assert got[5] == 0 and len(got) == 12
+    # one merge snapshot per non-empty batch, all overwrite commits
+    merges = [s for s in t.snapshots()
+              if s["summary"]["operation"] == "overwrite"]
+    assert len(merges) == 2
+    # history: the pre-CDC snapshot still reads the original values
+    old = {r["k"]: r["v"] for r in
+           t.read(spark, snapshot_id=first).collect()}
+    assert old[3] == 0 and 100 not in old
