@@ -248,3 +248,39 @@ def iceberg_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.read(spark)
             .groupBy("o_orderpriority").agg(*_agg_cols())
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "iceberg_partitioned_scan",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Partitioned table + partition pruning: events land under a "
+        "day(ts) partition spec (hive-layout write dirs, partition "
+        "values in the manifest entries), and the read plans ONLY the "
+        "first day's files via the manifest partition filter — Iceberg's "
+        "exact partition pruning, not stats-based.  Equals the "
+        "date-filtered aggregate iff the partition transform, the "
+        "manifest values, and the pruned file set all agree. "
+        "sources/iceberg_lite.py:_parse_partition_spec,plan_files.",
+    tags=("iceberg", "catalog", "partition"),
+)
+def iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    events = table(spark, sf_dir, "events")
+    t = cat.create_table("stream", "events_part", events,
+                         partition_by=["day(ts)"])
+    t.append(events)
+    first_day = events.agg(
+        F.min(F.date_format("ts", "yyyy-MM-dd"))).first()[0]
+    return (t.read(spark, partition_filter={"ts_day": first_day})
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("event_type"))

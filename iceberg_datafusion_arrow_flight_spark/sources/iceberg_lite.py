@@ -44,11 +44,13 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import sqlite3
 import time
 import uuid
 from dataclasses import dataclass
+from dataclasses import field as dataclass_field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,11 +118,15 @@ class SqliteCatalog:
 
     # -- table lifecycle ----------------------------------------------------
 
-    def create_table(self, namespace: str, name: str,
-                     df: DataFrame) -> "IcebergTable":
-        """CREATE TABLE: write metadata v1 (no snapshot), register pointer."""
+    def create_table(self, namespace: str, name: str, df: DataFrame,
+                     partition_by: list[str] | None = None,
+                     ) -> "IcebergTable":
+        """CREATE TABLE: write metadata v1 (no snapshot), register pointer.
+        ``partition_by`` accepts Iceberg transform syntax per field:
+        ``"lang"`` (identity), ``"day(ts)"``, ``"bucket(8, user_id)"``,
+        ``"truncate(3, name)"``."""
         location = os.path.join(self.warehouse, namespace, name)
-        metadata_location = _write_new_table(location, df)
+        metadata_location = _write_new_table(location, df, partition_by)
         with self._conn() as conn:
             conn.execute("BEGIN IMMEDIATE")
             try:
@@ -192,12 +198,16 @@ class SqliteCatalog:
 
 @dataclass(frozen=True)
 class DataFileEntry:
-    """One manifest entry (spec: manifest-entry → data_file struct)."""
+    """One manifest entry (spec: manifest-entry → data_file struct).
+    ``partition`` holds the file's partition-field values (spec:
+    data_file.partition) — empty for unpartitioned tables and for
+    manifests written before partitioning existed."""
     file_path: str
     record_count: int
     file_size_in_bytes: int
     lower_bounds: dict[str, object]
     upper_bounds: dict[str, object]
+    partition: dict[str, str] = dataclass_field(default_factory=dict)
 
 
 class IcebergTable:
@@ -249,8 +259,20 @@ class IcebergTable:
         write_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(location, "data", write_id)
         # Executors write the Parquet; the driver only ever sees file names
-        # and footer stats below.
-        df.write.mode("errorifexists").parquet(data_dir)
+        # and footer stats below.  Partitioned tables fan the write out by
+        # the spec's transform values (hive-layout dirs carry the values;
+        # data files keep every SOURCE column, as the Iceberg spec does) —
+        # the values land in each file's manifest entry for pruning.
+        spec_fields = _spec_fields(metadata)
+        if spec_fields:
+            pcols = [f"__p_{f['name']}" for f in spec_fields]
+            out = df
+            for f, pc in zip(spec_fields, pcols):
+                out = out.withColumn(pc, _transform_col(f))
+            (out.write.mode("errorifexists")
+             .partitionBy(*pcols).parquet(data_dir))
+        else:
+            df.write.mode("errorifexists").parquet(data_dir)
         entries = _collect_entries(data_dir)
 
         snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
@@ -548,11 +570,16 @@ class IcebergTable:
     def plan_files(self, snapshot_id: int | None = None,
                    as_of_timestamp_ms: int | None = None,
                    prune: tuple[str, object, object] | None = None,
+                   partition_filter: dict[str, object] | None = None,
                    ) -> list[DataFileEntry]:
         """Resolve the file set for a snapshot, with manifest-stat pruning.
 
         ``prune=(col, lo, hi)`` keeps only files whose [min,max] range for
         ``col`` intersects [lo, hi] — Iceberg's manifest-evaluator skip-scan.
+        ``partition_filter={field: value | [values]}`` keeps only files
+        whose manifest partition values match — Iceberg's partition
+        pruning, exact (not stats-based), applied before the stat prune.
+        Values compare as their string rendering (the transform output).
         """
         _, metadata = self._load_metadata()
         sid = snapshot_id
@@ -568,6 +595,17 @@ class IcebergTable:
         if sid is None:
             return []
         entries = _read_all_entries(_snapshot(metadata, sid))
+        if partition_filter:
+            for pf_name, allowed in partition_filter.items():
+                if pf_name not in {f["name"] for f in
+                                   _spec_fields(metadata)}:
+                    raise ValueError(
+                        f"unknown partition field {pf_name!r}")
+                vals = ({str(v) for v in allowed}
+                        if isinstance(allowed, (list, tuple, set))
+                        else {str(allowed)})
+                entries = [e for e in entries
+                           if e.partition.get(pf_name) in vals]
         if prune is not None:
             col, lo, hi = prune
             entries = [
@@ -580,11 +618,14 @@ class IcebergTable:
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
              as_of_timestamp_ms: int | None = None,
-             prune: tuple[str, object, object] | None = None) -> DataFrame:
+             prune: tuple[str, object, object] | None = None,
+             partition_filter: dict[str, object] | None = None,
+             ) -> DataFrame:
         """Snapshot-pinned read: the returned plan scans exactly the files
         the manifest (after pruning) lists — Spark still does its own
         row-group pushdown within each file."""
-        entries = self.plan_files(snapshot_id, as_of_timestamp_ms, prune)
+        entries = self.plan_files(snapshot_id, as_of_timestamp_ms, prune,
+                                  partition_filter)
         fields = self.schema_fields()
         if not entries:
             schema = ", ".join(
@@ -624,13 +665,76 @@ def _fill_missing(df: DataFrame, fields: list[dict]) -> DataFrame:
     return df
 
 
-def _write_new_table(location: str, df: DataFrame) -> str:
+# Iceberg partition transforms (spec §Partitioning), the subset the
+# fixtures exercise: identity, temporal buckets, hash bucket, string
+# truncate.  Values are rendered as strings — they become hive-layout
+# directory names on write and manifest partition values for pruning.
+_SPEC_FIELD = re.compile(r"(\w+)\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)")
+_TEMPORAL_FMT = {"year": "yyyy", "month": "yyyy-MM",
+                 "day": "yyyy-MM-dd", "hour": "yyyy-MM-dd-HH"}
+
+
+def _parse_partition_spec(specs: list[str]) -> list[dict]:
+    """``["lang", "day(ts)", "bucket(8, user_id)", "truncate(3, name)"]``
+    → spec fields [{name, transform, source, param}]."""
+    fields = []
+    for s in specs:
+        s = s.strip()
+        if re.fullmatch(r"\w+", s):
+            fields.append({"name": s, "transform": "identity",
+                           "source": s, "param": None})
+            continue
+        m = _SPEC_FIELD.fullmatch(s)
+        if not m:
+            raise ValueError(f"unparseable partition field: {s!r}")
+        transform, param, source = m.group(1), m.group(2), m.group(3)
+        if transform in _TEMPORAL_FMT and param is None:
+            pass
+        elif transform in ("bucket", "truncate") and param is not None:
+            pass
+        else:
+            raise ValueError(f"unsupported partition transform: {s!r}")
+        fields.append({"name": f"{source}_{transform}",
+                       "transform": transform, "source": source,
+                       "param": int(param) if param else None})
+    return fields
+
+
+def _transform_col(f: dict):
+    """Partition-field spec → string-typed Spark Column."""
+    c = F.col(f["source"])
+    t = f["transform"]
+    if t == "identity":
+        return c.cast("string")
+    if t in _TEMPORAL_FMT:
+        return F.date_format(c, _TEMPORAL_FMT[t])
+    if t == "bucket":
+        return F.pmod(F.hash(c), F.lit(f["param"])).cast("string")
+    if t == "truncate":
+        return F.substring(c.cast("string"), 1, f["param"])
+    raise ValueError(f"unknown transform {t!r}")  # pragma: no cover
+
+
+def _spec_fields(metadata: dict) -> list[dict]:
+    (spec,) = [s for s in metadata["partition-specs"]
+               if s["spec-id"] == metadata["default-spec-id"]]
+    return spec["fields"]
+
+
+def _write_new_table(location: str, df: DataFrame,
+                     partition_by: list[str] | None = None) -> str:
     """Write a fresh table's directory skeleton + v1 metadata (no
     snapshot); returns the metadata location.  Shared by the SQLite
     catalog's CREATE TABLE and the REST client's register flow — the
     metadata file is identical no matter which catalog points at it."""
     os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
     os.makedirs(os.path.join(location, "data"), exist_ok=True)
+    spec_fields = _parse_partition_spec(partition_by or [])
+    known = {f.name for f in df.schema.fields}
+    for pf in spec_fields:
+        if pf["source"] not in known:
+            raise ValueError(
+                f"partition source column {pf['source']!r} not in schema")
     metadata = {
         "format-version": 2,
         "table-uuid": str(uuid.uuid4()),
@@ -640,7 +744,7 @@ def _write_new_table(location: str, df: DataFrame) -> str:
         "schemas": [{"schema-id": 0, "type": "struct",
                      "fields": _schema_fields(df)}],
         "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
         "current-snapshot-id": None,
         "snapshots": [],
@@ -702,11 +806,23 @@ def _collect_entries(data_dir: str) -> list[DataFileEntry]:
     read per written file, no data rows)."""
     import pyarrow.parquet as pq
 
+    from urllib.parse import unquote
+
+    paths = []
+    for dirpath, _dirs, files in os.walk(data_dir):
+        for fname in files:
+            if fname.endswith(".parquet"):
+                paths.append(os.path.join(dirpath, fname))
     entries = []
-    for fname in sorted(os.listdir(data_dir)):
-        if not fname.endswith(".parquet"):
-            continue
-        path = os.path.join(data_dir, fname)
+    for path in sorted(paths):
+        # hive-layout components (__p_<field>=<value>) → partition values
+        partition: dict[str, str] = {}
+        for comp in os.path.relpath(path, data_dir).split(os.sep)[:-1]:
+            if "=" in comp and comp.startswith("__p_"):
+                k, _, v = comp.partition("=")
+                partition[k[len("__p_"):]] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(v))
         meta = pq.ParquetFile(path).metadata
         lower: dict[str, object] = {}
         upper: dict[str, object] = {}
@@ -729,6 +845,7 @@ def _collect_entries(data_dir: str) -> list[DataFileEntry]:
             file_size_in_bytes=os.path.getsize(path),
             lower_bounds=lower,
             upper_bounds=upper,
+            partition=partition,
         ))
     return entries
 

@@ -323,3 +323,71 @@ def test_delete_where_copy_on_write(catalog, spark):
     # no-match delete commits nothing
     stats2 = t.delete_where(spark, F.col("k") > 10_000)
     assert stats2["snapshot_id"] is None and stats2["rewritten_files"] == 0
+
+
+def test_partitioned_write_and_partition_pruning(catalog, spark):
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], float(i)) for i in range(30)],
+        "k long, lang string, v double")
+    t = catalog.create_table("part", "docs", df, partition_by=["lang"])
+    t.append(df)
+    everything = t.plan_files()
+    en = t.plan_files(partition_filter={"lang": "en"})
+    assert 0 < len(en) < len(everything)
+    assert all(e.partition["lang"] == "en" for e in en)
+    got = t.read(spark, partition_filter={"lang": "en"})
+    assert got.count() == 10
+    assert {r["lang"] for r in got.collect()} == {"en"}
+    # the derived partition dirs never leak into the read schema
+    assert got.columns == ["k", "lang", "v"]
+    # multi-value filter, and loud unknown field
+    assert t.read(spark, partition_filter={"lang": ["en", "fr"]}).count() == 20
+    with pytest.raises(ValueError, match="unknown partition field"):
+        t.plan_files(partition_filter={"nope": 1})
+
+
+def test_partitioned_temporal_and_bucket_transforms(catalog, spark):
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3} 12:00:00") for i in range(12)],
+        "user_id long, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")).drop("ts_s")
+    t = catalog.create_table("part", "ev", df,
+                             partition_by=["day(ts)", "bucket(4, user_id)"])
+    t.append(df)
+    day2 = t.plan_files(partition_filter={"ts_day": "2024-01-02"})
+    assert day2 and all(e.partition["ts_day"] == "2024-01-02" for e in day2)
+    assert t.read(spark,
+                  partition_filter={"ts_day": "2024-01-02"}).count() == 4
+    buckets = {e.partition["user_id_bucket"] for e in t.plan_files()}
+    assert buckets <= {"0", "1", "2", "3"} and len(buckets) > 1
+
+
+def test_partitioned_merge_rewrites_only_touched_partitions(catalog, spark):
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], float(i)) for i in range(30)],
+        "k long, lang string, v double")
+    t = catalog.create_table("part", "m", df, partition_by=["lang"])
+    t.append(df)
+    pre = {e.file_path for e in t.plan_files()}
+    other_pre = {e.file_path for e in t.plan_files()
+                 if e.partition["lang"] != "en"}
+    src = spark.createDataFrame([(0, "en", -1.0), (99, "en", -2.0)],
+                                "k long, lang string, v double")
+    t.merge_upsert(spark, src, ["k"])
+    post = {e.file_path for e in t.plan_files()}
+    # every non-en file carried over untouched, by the same path
+    assert other_pre <= post
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[0] == -1.0 and got[99] == -2.0 and len(got) == 31
+    # new files landed with partition values too
+    new_en = [e for e in t.plan_files(partition_filter={"lang": "en"})
+              if e.file_path not in pre]
+    assert new_en
+
+
+def test_invalid_partition_specs_are_loud(catalog, spark):
+    df = spark.createDataFrame([(1, "x")], "k long, s string")
+    with pytest.raises(ValueError, match="unparseable|unsupported"):
+        catalog.create_table("part", "bad1", df, partition_by=["day(3, k)"])
+    with pytest.raises(ValueError, match="not in schema"):
+        catalog.create_table("part", "bad2", df, partition_by=["missing"])
