@@ -42,6 +42,8 @@ HEADLINE = [
     "sim_semantic_dedup",
     "pipeline_decontaminate",
     "pipeline_end_to_end",
+    "pipeline_boilerplate_coverage",
+    "iceberg_merge_upsert",
     "text_quality_score",
     "events_tumbling_window",
     "events_session_window",

@@ -340,3 +340,63 @@ def dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("source") == "src0"),
         docs.where(F.col("source") != "src0"),
         "doc_id", "text")
+
+
+@register(
+    "pipeline_split_leakage",
+    oracle=f"""
+WITH toks AS ({_TOKS}), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  WHERE 10 * len(list_intersect(a.ts, b.ts))
+        >= 9 * len(list_distinct(list_concat(a.ts, b.ts)))
+), splits AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id * 2654435761 % 4294967296) % 10000 < 1000
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs,
+       CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split
+                              THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_leaky_pairs,
+       CAST(COUNT(DISTINCT
+              CASE WHEN sa.split <> sb.split AND sa.split = 'test'
+                   THEN p.id_a
+                   WHEN sa.split <> sb.split AND sb.split = 'test'
+                   THEN p.id_b END)
+            AS BIGINT) AS n_test_docs_leaked
+FROM pairs p JOIN splits sa ON p.id_a = sa.doc_id
+             JOIN splits sb ON p.id_b = sb.doc_id
+""",
+    doc="Train/test leakage audit: near-dup pairs (MinHash-LSH at "
+        "Jaccard >= 0.9, exact-verified) that STRADDLE the reproducible "
+        "split boundary — the contamination check a training pipeline "
+        "runs before trusting held-out metrics.  Composes two oracled "
+        "operators; the split is a pure projection, so the only extra "
+        "cost over pair mining is two id-keyed joins of the (small) "
+        "pair set.  Reports pair counts and the distinct test docs "
+        "with a train-side twin. operators/dedup.py:minhash_lsh_pairs + "
+        "operators/pipeline.py:train_test_split.",
+    tags=("pipeline", "dedup", "split"),
+)
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pipeline as P
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text")
+    splits = P.train_test_split(docs).select("doc_id", "split")
+    sa = (splits.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("split", "split_a"))
+    sb = (splits.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("split", "split_b"))
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    leak = F.col("split_a") != F.col("split_b")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_near_dup_pairs"),
+        F.coalesce(F.sum(leak.cast("int")), F.lit(0)).cast("bigint")
+         .alias("n_leaky_pairs"),
+        F.countDistinct(
+            F.when(leak & (F.col("split_a") == "test"), F.col("id_a"))
+             .when(leak & (F.col("split_b") == "test"), F.col("id_b")))
+         .cast("bigint").alias("n_test_docs_leaked"))
