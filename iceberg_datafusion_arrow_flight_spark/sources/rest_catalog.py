@@ -149,10 +149,11 @@ class RestCatalog:
             out.extend(self.list_tables(ns[0]))
         return sorted(out)
 
-    def create_table(self, namespace: str, name: str,
-                     df: DataFrame) -> IcebergTable:
+    def create_table(self, namespace: str, name: str, df: DataFrame,
+                     partition_by: list[str] | None = None,
+                     ) -> IcebergTable:
         location = os.path.join(self.warehouse, namespace, name)
-        metadata_location = _write_new_table(location, df)
+        metadata_location = _write_new_table(location, df, partition_by)
         status, body = self._request(
             "POST", f"/v1/namespaces/{urlparse.quote(namespace, safe='')}"
                     "/register",

@@ -217,3 +217,20 @@ def test_explain_results_survive_interleaved_prepares(spark, backing,
     assert not any("b_marker" in r["plan"] for r in rows_a)
     rows_b = svc.results[svc.execute(tok, hb)].to_pylist()
     assert any("b_marker" in r["plan"] for r in rows_b)
+
+
+def test_partitioned_table_over_http(spark, served):
+    """Partition spec flows through the REST register + commit path: the
+    spec lands in the registered metadata, writes fan out by value, and
+    partition pruning works on the table loaded back over HTTP."""
+    from pyspark.sql import functions as F
+    _, cat = served
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2]) for i in range(8)],
+        "k long, lang string")
+    t = cat.create_table("part", "docs", df, partition_by=["lang"])
+    t.append(df)
+    t2 = cat.load_table("part", "docs")
+    en = t2.plan_files(partition_filter={"lang": "en"})
+    assert en and all(e.partition["lang"] == "en" for e in en)
+    assert t2.read(spark, partition_filter={"lang": "en"}).count() == 4
