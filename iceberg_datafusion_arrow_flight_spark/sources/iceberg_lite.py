@@ -361,6 +361,35 @@ class IcebergTable:
             self.namespace, self.name, base_location, new_location)
         return new_id
 
+    def update_partition_spec(self, partition_by: list[str]) -> int:
+        """Partition-spec evolution (Iceberg REPLACE PARTITION FIELD /
+        add-field): a metadata-only commit — NO data files move.  Files
+        already written keep their old spec's values; new writes fan out
+        by the new spec; partition pruning stays correct across both
+        generations via the inclusive-projection rule in plan_files
+        (files lacking a filtered field are conservatively kept).
+        Returns the new spec id."""
+        base_location, metadata = self._load_metadata()
+        fields = _parse_partition_spec(partition_by)
+        known = {f["name"] for f in self.schema_fields()}
+        for pf in fields:
+            if pf["source"] not in known:
+                raise ValueError(
+                    f"partition source column {pf['source']!r} "
+                    "not in schema")
+        new_id = max(s["spec-id"]
+                     for s in metadata["partition-specs"]) + 1
+        metadata = dict(metadata)
+        metadata["partition-specs"] = metadata["partition-specs"] + [
+            {"spec-id": new_id, "fields": fields}]
+        metadata["default-spec-id"] = new_id
+        metadata["last-updated-ms"] = _now_ms()
+        new_location = _write_metadata(
+            metadata["location"], _next_version(base_location), metadata)
+        self.catalog._swap_pointer(
+            self.namespace, self.name, base_location, new_location)
+        return new_id
+
     # -- maintenance --------------------------------------------------------
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
@@ -448,12 +477,24 @@ class IcebergTable:
         return {"deleted_orphan_dirs": removed_dirs,
                 "deleted_orphan_files": removed_files}
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+    def compact(self, spark: SparkSession, target_files: int = 1,
+                sort_by: list[str] | None = None) -> int:
         """Rewrite the current file set into ``target_files`` files and
         commit as a replace snapshot — Iceberg's rewrite_data_files
         compaction.  Readers pinned to older snapshots are unaffected;
-        time travel still reaches the pre-compaction files."""
-        df = self.read(spark).coalesce(target_files)
+        time travel still reaches the pre-compaction files.
+
+        ``sort_by`` performs a CLUSTERING rewrite (Iceberg's sort-order
+        rewrite): rows are range-partitioned then sorted on the keys, so
+        each output file covers a narrow, disjoint key range and the
+        manifest min/max prune skips far more files on selective reads —
+        the skip-scan payoff that matters at 100 TB."""
+        df = self.read(spark)
+        if sort_by:
+            df = (df.repartitionByRange(target_files, *sort_by)
+                  .sortWithinPartitions(*sort_by))
+        else:
+            df = df.coalesce(target_files)
         return self._commit_write(df, operation="replace")
 
     # -- row-level DML (copy-on-write) --------------------------------------
@@ -596,16 +637,23 @@ class IcebergTable:
             return []
         entries = _read_all_entries(_snapshot(metadata, sid))
         if partition_filter:
+            ever_fields = {f["name"] for s in metadata["partition-specs"]
+                           for f in s["fields"]}
             for pf_name, allowed in partition_filter.items():
-                if pf_name not in {f["name"] for f in
-                                   _spec_fields(metadata)}:
+                if pf_name not in ever_fields:
                     raise ValueError(
                         f"unknown partition field {pf_name!r}")
                 vals = ({str(v) for v in allowed}
                         if isinstance(allowed, (list, tuple, set))
                         else {str(allowed)})
+                # Inclusive projection across spec evolution: a file
+                # written under a spec WITHOUT this field cannot be
+                # proven non-matching, so it is kept (Iceberg's
+                # conservative evaluator); only files that carry the
+                # field and mismatch are skipped.
                 entries = [e for e in entries
-                           if e.partition.get(pf_name) in vals]
+                           if pf_name not in e.partition
+                           or e.partition[pf_name] in vals]
         if prune is not None:
             col, lo, hi = prune
             entries = [

@@ -391,3 +391,53 @@ def test_invalid_partition_specs_are_loud(catalog, spark):
         catalog.create_table("part", "bad1", df, partition_by=["day(3, k)"])
     with pytest.raises(ValueError, match="not in schema"):
         catalog.create_table("part", "bad2", df, partition_by=["missing"])
+
+
+def test_partition_spec_evolution_conservative_pruning(catalog, spark):
+    """Evolving the spec is metadata-only; files from the old generation
+    are conservatively KEPT when filtered on a field they never had, and
+    new-generation files prune exactly."""
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], ["a", "b"][i % 2]) for i in range(8)],
+        "k long, lang string, src string")
+    t = catalog.create_table("part", "evo", df, partition_by=["lang"])
+    t.append(df)                      # generation 1: lang partitions
+    old_files = {e.file_path for e in t.plan_files()}
+    spec_id = t.update_partition_spec(["src"])
+    assert spec_id == 1
+    assert {e.file_path for e in t.plan_files()} == old_files  # no rewrite
+    t.append(df)                      # generation 2: src partitions
+    # filter on the NEW field: gen-1 files (no src value) must survive
+    picked = t.plan_files(partition_filter={"src": "a"})
+    assert old_files <= {e.file_path for e in picked}
+    gen2 = [e for e in picked if e.file_path not in old_files]
+    assert gen2 and all(e.partition["src"] == "a" for e in gen2)
+    # filter on the OLD field symmetrically keeps gen-2 files
+    picked_lang = t.plan_files(partition_filter={"lang": "en"})
+    assert all(e.partition.get("lang", "en") == "en" for e in picked_lang)
+    with pytest.raises(ValueError, match="not in schema"):
+        t.update_partition_spec(["missing"])
+
+
+def test_sorted_compaction_tightens_pruning(catalog, spark):
+    """Clustering rewrite: after compact(sort_by=k), each file covers a
+    narrow disjoint key range, so a selective stat-prune plans fewer
+    files than the same prune over the shuffled originals."""
+    import random
+    rnd = random.Random(7)
+    keys = list(range(400))
+    rnd.shuffle(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    t = catalog.create_table("maint", "sorted", df)
+    for i in range(4):                # 4 files, each spanning ~full range
+        t.append(spark.createDataFrame(
+            [(k,) for k in keys[i * 100:(i + 1) * 100]], "k long")
+            .coalesce(1))
+    before = len(t.plan_files(prune=("k", 10, 20)))
+    assert before == 4                # every unsorted file overlaps
+    t.compact(spark, target_files=4, sort_by=["k"])
+    after = t.plan_files(prune=("k", 10, 20))
+    assert len(after) < before
+    got = t.read(spark, prune=("k", 10, 20)).where(
+        F.col("k").between(10, 20))
+    assert got.count() == 11
