@@ -441,3 +441,36 @@ def test_sorted_compaction_tightens_pruning(catalog, spark):
     got = t.read(spark, prune=("k", 10, 20)).where(
         F.col("k").between(10, 20))
     assert got.count() == 11
+
+
+def test_dml_model_based_random_ops(catalog, spark):
+    """Randomized merge/delete sequence vs a dict model: after every op
+    the table equals the model exactly, and earlier snapshots replay
+    their recorded states (later DML never disturbs history)."""
+    import random
+    rnd = random.Random(42)
+    model = {k: rnd.randrange(100) for k in range(40)}
+    df = spark.createDataFrame(sorted(model.items()), "k long, v long")
+    t = catalog.create_table("dml", "model", df)
+    t.append(df)
+    history = [(t.current_snapshot_id(), dict(model))]
+    for _ in range(5):
+        if rnd.random() < 0.6:
+            src = [(k, rnd.randrange(100))
+                   for k in rnd.sample(range(60), rnd.randrange(1, 8))]
+            t.merge_upsert(
+                spark, spark.createDataFrame(src, "k long, v long"), ["k"])
+            model.update(dict(src))
+        else:
+            lo = rnd.randrange(0, 50)
+            hi = lo + rnd.randrange(0, 10)
+            t.delete_where(spark, F.col("k").between(lo, hi))
+            for k in [k for k in model if lo <= k <= hi]:
+                del model[k]
+        history.append((t.current_snapshot_id(), dict(model)))
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got == model
+    for sid, snap_model in rnd.sample(history, 3):
+        got = {r["k"]: r["v"]
+               for r in t.read(spark, snapshot_id=sid).collect()}
+        assert got == snap_model
