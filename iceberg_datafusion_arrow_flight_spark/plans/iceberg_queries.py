@@ -284,3 +284,46 @@ def iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
                  F.round(F.sum("value"), 2).alias("total_value"))
             .orderBy("event_type"))
+
+
+@register(
+    "iceberg_sorted_compaction",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderkey <= (SELECT MIN(o_orderkey) + 999 FROM orders)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Clustering rewrite: orders land in key-shuffled files (every "
+        "file spans the whole o_orderkey range, so a selective read "
+        "must open all of them), then compact(sort_by=o_orderkey) "
+        "range-partitions the rewrite so each file covers a narrow "
+        "disjoint range — and the SAME stat-pruned read now plans a "
+        "strict subset of files.  The returned aggregate runs over the "
+        "pruned plan; it equals the key-filtered aggregate iff the "
+        "rewrite preserved content and the skip-scan kept every "
+        "qualifying row. sources/iceberg_lite.py:compact.",
+    tags=("iceberg", "catalog", "maintenance"),
+)
+def iceberg_sorted_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    orders = table(spark, sf_dir, "orders")
+    t = cat.create_table("sales", "orders_sorted", orders)
+    # shuffled-by-hash files: each spans ~the full key range
+    t.append(orders.repartition(4, "o_custkey"))
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    hi = lo + 999
+    files_before = len(t.plan_files(prune=("o_orderkey", lo, hi)))
+    t.compact(spark, target_files=4, sort_by=["o_orderkey"])
+    pruned = t.plan_files(prune=("o_orderkey", lo, hi))
+    if not len(pruned) < files_before:   # clustering must actually bite
+        raise AssertionError(
+            f"sorted compaction did not tighten pruning "
+            f"({files_before} -> {len(pruned)})")
+    return (t.read(spark, prune=("o_orderkey", lo, hi))
+            .where(F.col("o_orderkey") <= hi)
+            .groupBy("o_orderstatus").agg(*_agg_cols())
+            .orderBy("o_orderstatus"))
