@@ -183,11 +183,15 @@ def _decode_bmp(buf: bytes) -> tuple[int, int, np.ndarray]:
 _REAL_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp}
 
 
-def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_image_payload(df: DataFrame, id_col: str = "doc_id",
+                         fmt_period: int = 1) -> DataFrame:
     """Real multimodal fixture: payload = actual PPM/BMP bytes with
     deterministic pixels (value = (7·doc_id + flat_index) mod 256),
     built executor-side in Arrow batches — the driver never sees a
-    payload byte."""
+    payload byte.  ``fmt_period`` picks the container by
+    ``(doc_id // fmt_period) % 2`` — the default 1 alternates per id;
+    1280 makes identical-pixel ids (which differ by multiples of 1280)
+    land in DIFFERENT containers, the cross-encoding dedup fixture."""
     src = df.select(F.col(id_col).alias("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -199,7 +203,7 @@ def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 h = 8 + (did % 5) * 4
                 flat = (7 * did + np.arange(w * h * 3)) % 256
                 px = flat.reshape(h, w, 3)
-                if did % 2 == 0:
+                if (did // fmt_period) % 2 == 0:
                     fmts.append("ppm")
                     payloads.append(_encode_ppm(w, h, px))
                 else:
@@ -246,6 +250,42 @@ def decode_image_payloads(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return fan_out(df).mapInPandas(decode, schema=IMAGE_SCHEMA)
+
+
+PIXEL_SIG_SCHEMA = ("doc_id BIGINT, fmt STRING, width INT, height INT, "
+                    "pix_sig STRING")
+
+
+def pixel_signatures(df: DataFrame) -> DataFrame:
+    """Content signature of the DECODED image: md5 over the normalized
+    (top-down, RGB, row-major) pixel stream — so two payloads with the
+    same picture in different containers (PPM vs BMP: different headers,
+    BGR order, bottom-up rows, padding) hash identically.  This is what
+    separates content dedup from byte dedup: a payload-checksum groupBy
+    can never match across encodings.
+
+    Scale shape: the signature is computed executor-side per Arrow
+    batch; downstream grouping shuffles only (sig, id) pairs — payload
+    bytes never move after the decode."""
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "fmt", "width", "height",
+                                    "pix_sig")}
+            for did, fmt, payload in zip(pdf["doc_id"], pdf["fmt"],
+                                         pdf["payload"]):
+                w, h, px = _REAL_DECODERS[fmt](bytes(payload))
+                sig = hashlib.md5(",".join(
+                    str(int(v)) for v in px.reshape(-1)).encode()
+                ).hexdigest()
+                rows["doc_id"].append(did)
+                rows["fmt"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pix_sig"].append(sig)
+            yield pd.DataFrame(rows)
+
+    return fan_out(df).mapInPandas(sign, schema=PIXEL_SIG_SCHEMA)
 
 
 RESIZE_REAL_SCHEMA = ("doc_id BIGINT, fmt STRING, out_width INT, "

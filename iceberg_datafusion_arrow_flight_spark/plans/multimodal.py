@@ -228,3 +228,67 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = M.audio_features(M.attach_audio_payload(docs))
     return feats.select("doc_id", "sample_rate", "n_samples", "peak_amp",
                         F.round("rms", 6).alias("rms"), "n_zero_cross")
+
+
+@register(
+    "multimodal_pixel_dedup",
+    oracle="""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1280 FROM documents WHERE doc_id % 5 = 0
+), d AS (
+  SELECT doc_id,
+         8 + (doc_id % 8) * 4 AS w,
+         8 + (doc_id % 5) * 4 AS h,
+         CASE WHEN (doc_id // 1280) % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt
+  FROM ids
+), sig AS (
+  SELECT doc_id, w, h, fmt,
+         md5(string_agg(CAST((7 * doc_id + k) % 256 AS VARCHAR),
+                        ',' ORDER BY k)) AS pix_sig
+  FROM d, range(0, 2592) t(k)          -- static bound: 3 * max(w*h)
+  WHERE k < 3 * w * h
+  GROUP BY doc_id, w, h, fmt
+)
+SELECT pix_sig,
+       CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT fmt) AS BIGINT) AS n_fmts,
+       CAST(MIN(w) AS INT) AS width,
+       CAST(MIN(h) AS INT) AS height
+FROM sig GROUP BY pix_sig HAVING COUNT(*) > 1
+ORDER BY rep_id
+""",
+    doc="Cross-encoding exact image dedup: md5 over the DECODED "
+        "normalized pixel stream groups images whose payload BYTES "
+        "differ (PPM vs BMP: headers, BGR, bottom-up rows, padding) but "
+        "whose pictures are identical — the multimodal twin of "
+        "content-hash text dedup; a payload-checksum groupBy can never "
+        "match these.  The corpus is the fixture ids plus re-encoded "
+        "copies at id+1280 — 1280 = lcm of the generator's pixel/width/"
+        "height periods, so each copy repeats its original's picture "
+        "exactly while fmt_period=1280 puts it in the OTHER container; "
+        "every reported group is genuinely cross-container (n_fmts = 2 "
+        "proves it).  The oracle recomputes the generator's pixel "
+        "stream and the SAME md5 in SQL — equal only if the PPM and BMP "
+        "parses both reproduce the exact bytes. "
+        "operators/multimodal.py:pixel_signatures.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    base = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 5 == 0).select("doc_id"))
+    ids = base.unionAll(
+        base.select((F.col("doc_id") + 1280).alias("doc_id")))
+    sigs = M.pixel_signatures(
+        M.attach_image_payload(ids, fmt_period=1280))
+    return (sigs.groupBy("pix_sig")
+            .agg(F.min("doc_id").cast("bigint").alias("rep_id"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+                 F.countDistinct("fmt").cast("bigint").alias("n_fmts"),
+                 F.min("width").cast("int").alias("width"),
+                 F.min("height").cast("int").alias("height"))
+            .where(F.col("n_copies") > 1)
+            .orderBy("rep_id"))

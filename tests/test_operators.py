@@ -725,3 +725,18 @@ def test_boilerplate_spans_scores(spark):
     assert rows[1]["boiler_frac"] == 1.0 and rows[2]["boiler_frac"] == 1.0
     assert rows[3]["boiler_frac"] == 0.0
     assert rows[1]["n_grams"] == 1 and rows[1]["n_boiler"] == 1
+
+
+def test_pixel_signature_matches_across_encodings(spark):
+    """The same picture in PPM and BMP (different bytes: headers, BGR,
+    bottom-up rows, padding) must produce the SAME pixel signature and
+    DIFFERENT payload checksums — content dedup, not byte dedup."""
+    from iceberg_datafusion_arrow_flight_spark.operators import multimodal as M
+    ids = spark.createDataFrame([(5,), (5 + 1280,)], "doc_id long")
+    imgs = M.attach_image_payload(ids, fmt_period=1280)
+    rows = {r["doc_id"]: r for r in M.pixel_signatures(imgs).collect()}
+    assert rows[5]["fmt"] != rows[5 + 1280]["fmt"]
+    assert rows[5]["pix_sig"] == rows[5 + 1280]["pix_sig"]
+    byte_sums = {r["doc_id"]: r["checksum"] for r in
+                 M.decode_image_payloads(imgs).collect()}
+    assert byte_sums[5] != byte_sums[5 + 1280]
