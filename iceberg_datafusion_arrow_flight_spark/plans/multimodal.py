@@ -233,15 +233,20 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_pixel_dedup",
     oracle="""
-WITH ids AS (
+WITH off AS (
+  -- smallest multiple of 1280 past every real id: copies never collide
+  -- with fixture ids at ANY scale factor
+  SELECT ((MAX(doc_id) // 1280) + 1) * 1280 AS o FROM documents
+), ids AS (
   SELECT doc_id FROM documents WHERE doc_id % 5 = 0
   UNION ALL
-  SELECT doc_id + 1280 FROM documents WHERE doc_id % 5 = 0
+  SELECT doc_id + (SELECT o FROM off) FROM documents WHERE doc_id % 5 = 0
 ), d AS (
   SELECT doc_id,
          8 + (doc_id % 8) * 4 AS w,
          8 + (doc_id % 5) * 4 AS h,
-         CASE WHEN (doc_id // 1280) % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt
+         CASE WHEN (doc_id // (SELECT o FROM off)) % 2 = 0
+              THEN 'ppm' ELSE 'bmp' END AS fmt
   FROM ids
 ), sig AS (
   SELECT doc_id, w, h, fmt,
@@ -266,9 +271,11 @@ ORDER BY rep_id
         "whose pictures are identical — the multimodal twin of "
         "content-hash text dedup; a payload-checksum groupBy can never "
         "match these.  The corpus is the fixture ids plus re-encoded "
-        "copies at id+1280 — 1280 = lcm of the generator's pixel/width/"
-        "height periods, so each copy repeats its original's picture "
-        "exactly while fmt_period=1280 puts it in the OTHER container; "
+        "copies at id+offset, where offset is the smallest multiple of "
+        "1280 (the lcm of the generator's pixel/width/height periods) "
+        "past the max real id — each copy repeats its original's "
+        "picture exactly, never collides with a real id at any scale "
+        "factor, and fmt_period=offset puts it in the OTHER container; "
         "every reported group is genuinely cross-container (n_fmts = 2 "
         "proves it).  The oracle recomputes the generator's pixel "
         "stream and the SAME md5 in SQL — equal only if the PPM and BMP "
@@ -278,12 +285,14 @@ ORDER BY rep_id
 )
 def multimodal_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
-    base = (table(spark, sf_dir, "documents")
-            .where(F.col("doc_id") % 5 == 0).select("doc_id"))
+    docs = table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    offset = ((max_id // 1280) + 1) * 1280
+    base = docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
     ids = base.unionAll(
-        base.select((F.col("doc_id") + 1280).alias("doc_id")))
+        base.select((F.col("doc_id") + offset).alias("doc_id")))
     sigs = M.pixel_signatures(
-        M.attach_image_payload(ids, fmt_period=1280))
+        M.attach_image_payload(ids, fmt_period=offset))
     return (sigs.groupBy("pix_sig")
             .agg(F.min("doc_id").cast("bigint").alias("rep_id"),
                  F.count(F.lit(1)).cast("bigint").alias("n_copies"),

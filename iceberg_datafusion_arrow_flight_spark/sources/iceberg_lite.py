@@ -106,8 +106,12 @@ class SqliteCatalog:
                  warehouse: str | None = None) -> None:
         self.db_path = db_path
         self.name = name
-        self.warehouse = warehouse or os.path.join(
-            os.path.dirname(db_path) or ".", "warehouse")
+        # Canonicalize up front: a relative warehouse would otherwise
+        # resolve against the PYTHON cwd in the committer (os.listdir,
+        # manifest paths) but against the JVM's start cwd in the Spark
+        # read/write path — two different trees, silently.
+        self.warehouse = os.path.abspath(warehouse or os.path.join(
+            os.path.dirname(db_path) or ".", "warehouse"))
         with self._conn() as conn:
             conn.execute(_DDL)
 
@@ -517,19 +521,39 @@ class IcebergTable:
         through the same CAS as every other snapshot, so a concurrent
         writer loses cleanly with CommitFailedError.
 
-        Raises ``ValueError`` if the source has duplicate keys (a target
-        row may match at most one source row — the MERGE cardinality
-        rule real engines enforce).
+        Raises ``ValueError`` if the source has duplicate non-null keys
+        (a target row may match at most one source row — the MERGE
+        cardinality rule real engines enforce; null-key rows match
+        nothing and are legal inserts).
         """
         fields = self.schema_fields()
         names = [f["name"] for f in fields]
-        src = source.select(*names)
-        if (src.groupBy(*key_cols).count()
-                .where(F.col("count") > 1).limit(1).count()):
+        # The source lineage may be an arbitrary query (e.g. the CDC
+        # window collapse); it feeds the cardinality check, the key-span
+        # agg, the semi-join probe, and the final write — cache so the
+        # lineage is paid once.
+        src = source.select(*names).cache()
+        nonnull_key = None
+        for k in key_cols:
+            c = F.col(k).isNotNull()
+            nonnull_key = c if nonnull_key is None else (nonnull_key & c)
+        card = (src.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.first(nonnull_key).alias("keyed"))
+                .agg(F.count(F.lit(1)).alias("n_groups"),
+                     F.max(F.when(F.col("keyed"), F.col("n")))
+                      .alias("max_dup")).first())
+        if card["n_groups"] == 0:      # empty source: nothing to commit
+            src.unpersist()
+            return {"snapshot_id": None, "rewritten_files": 0,
+                    "kept_files": len(self.plan_files())}
+        if (card["max_dup"] or 0) > 1:
+            src.unpersist()
             raise ValueError(
                 "MERGE source has duplicate keys on "
                 f"{key_cols} — each target row may match at most one "
                 "source row")
+        keys = src.select(*key_cols).distinct()
         entries = self.plan_files()
         affected: list[DataFileEntry] = []
         kept: list[DataFileEntry] = list(entries)
@@ -546,19 +570,22 @@ class IcebergTable:
                 tgt = (spark.read.option("mergeSchema", "true")
                        .parquet(*[e.file_path for e in cand])
                        .withColumn("__file", F.input_file_name()))
-                keys = src.select(*key_cols).distinct()
                 hit_paths = {
                     _local_path(r["__file"]) for r in
                     tgt.join(keys, key_cols, "left_semi")
                        .select("__file").distinct().collect()}
-                affected = [e for e in cand if e.file_path in hit_paths]
-                kept = [e for e in entries if e.file_path not in hit_paths]
+                # manifests may store relative paths (relative warehouse)
+                # while input_file_name() is always absolute — compare
+                # canonicalized
+                affected = [e for e in cand
+                            if os.path.abspath(e.file_path) in hit_paths]
+                hit_set = {e.file_path for e in affected}
+                kept = [e for e in entries if e.file_path not in hit_set]
         if affected:
             old = _fill_missing(
                 spark.read.option("mergeSchema", "true")
                 .parquet(*[e.file_path for e in affected]), fields)
-            survivors = old.join(src.select(*key_cols).distinct(),
-                                 key_cols, "left_anti")
+            survivors = old.join(keys, key_cols, "left_anti")
             new_df = survivors.select(*names).unionByName(src)
         else:
             new_df = src
@@ -566,6 +593,7 @@ class IcebergTable:
             new_df, operation="overwrite", kept_entries=kept,
             summary_extra={"replaced-data-files": str(len(affected)),
                            "kept-data-files": str(len(kept))})
+        src.unpersist()
         return {"snapshot_id": snapshot_id,
                 "rewritten_files": len(affected),
                 "kept_files": len(kept)}
@@ -589,15 +617,20 @@ class IcebergTable:
         hit_paths = {
             _local_path(r["__file"]) for r in
             tgt.where(cond).select("__file").distinct().collect()}
-        affected = [e for e in entries if e.file_path in hit_paths]
-        kept = [e for e in entries if e.file_path not in hit_paths]
+        affected = [e for e in entries
+                    if os.path.abspath(e.file_path) in hit_paths]
+        hit_set = {e.file_path for e in affected}
+        kept = [e for e in entries if e.file_path not in hit_set]
         if not affected:
             return {"snapshot_id": None, "rewritten_files": 0,
                     "kept_files": len(kept)}
+        # DELETE removes rows where the predicate is TRUE; rows where it
+        # is NULL (three-valued logic) are NOT matched and must survive —
+        # a bare ~cond would silently drop them in rewritten files only.
         survivors = (_fill_missing(
             spark.read.option("mergeSchema", "true")
             .parquet(*[e.file_path for e in affected]), fields)
-            .where(~cond).select(*names))
+            .where(~F.coalesce(cond, F.lit(False))).select(*names))
         snapshot_id = self._commit_write(
             survivors, operation="delete", kept_entries=kept,
             summary_extra={"replaced-data-files": str(len(affected)),

@@ -84,7 +84,9 @@ class RestCatalog:
                  password: str | None = None,
                  timeout: float = 10.0) -> None:
         self.base_url = base_url.rstrip("/")
-        self.warehouse = warehouse
+        # canonicalized for the same reason as SqliteCatalog.__init__:
+        # Python-cwd vs JVM-cwd resolution of relative paths diverges
+        self.warehouse = os.path.abspath(warehouse)
         self.name = name
         self.timeout = timeout
         # reference precedence: bearer, else oauth, else basic

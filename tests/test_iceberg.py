@@ -286,8 +286,7 @@ def test_merge_upsert_kept_files_not_rewritten(catalog, spark):
     post_paths = {e.file_path for e in t.plan_files()}
     # manifest stats pruned the merge to the 20-30 file; the 0-10 and
     # 10-20 files appear in the new snapshot BY THE SAME PATH
-    # the 0-10 and 10-20 files appear in the new snapshot BY THE SAME
-    # PATH (copy-on-write carried their manifest entries, no rewrite)
+    # (copy-on-write carried their manifest entries, no rewrite)
     assert len(pre_paths & post_paths) >= 2
     got = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert got[25] == -1 and got[5] == 50 and len(got) == 30
@@ -474,3 +473,52 @@ def test_dml_model_based_random_ops(catalog, spark):
         got = {r["k"]: r["v"]
                for r in t.read(spark, snapshot_id=sid).collect()}
         assert got == snap_model
+
+
+def test_delete_where_null_predicate_rows_survive(catalog, spark):
+    """DELETE removes rows where the predicate is TRUE; NULL-predicate
+    rows (three-valued logic) are not matched and must survive the
+    rewrite of their file."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 10), (3, 2)], "k long, v long")
+    t = catalog.create_table("dml", "nulls", df)
+    t.append(df.coalesce(1))            # one file: rewrite hits all rows
+    t.delete_where(spark, F.col("v") > 5)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: None, 3: 2}       # k=1 (NULL predicate) survived
+
+
+def test_merge_with_relative_warehouse_path(spark, tmp_path, monkeypatch):
+    """input_file_name() is always absolute while a relative warehouse
+    stores relative paths in the manifest — matched-file detection must
+    canonicalize or MERGE silently degrades to insert-only."""
+    monkeypatch.chdir(tmp_path)
+    cat = SqliteCatalog("cat.db", warehouse="wh")
+    df = spark.createDataFrame([(k, 0) for k in range(6)], "k long, v long")
+    t = cat.create_table("dml", "rel", df)
+    t.append(df.coalesce(1))
+    stats = t.merge_upsert(
+        spark, spark.createDataFrame([(2, -1)], "k long, v long"), ["k"])
+    assert stats["rewritten_files"] == 1     # the match was detected
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[2] == -1 and len(got) == 6    # updated, not duplicated
+
+
+def test_merge_null_keys_insert_and_empty_source_noop(catalog, spark):
+    """Null-key source rows match nothing → legal inserts (no spurious
+    cardinality error); an empty source commits no snapshot."""
+    df = spark.createDataFrame([(1, 0), (2, 0)], "k long, v long")
+    t = catalog.create_table("dml", "nullkeys", df)
+    t.append(df)
+    src = spark.createDataFrame([(None, 7), (None, 8), (1, -1)],
+                                "k long, v long")
+    t.merge_upsert(spark, src, ["k"])
+    rows = t.read(spark).collect()
+    assert len(rows) == 4                     # 2 kept/updated + 2 inserts
+    assert {r["v"] for r in rows if r["k"] is None} == {7, 8}
+    assert {r["v"] for r in rows if r["k"] == 1} == {-1}
+    pre = t.current_snapshot_id()
+    stats = t.merge_upsert(
+        spark, spark.createDataFrame([], "k long, v long"), ["k"])
+    assert stats["snapshot_id"] is None
+    assert t.current_snapshot_id() == pre     # no snapshot churn
