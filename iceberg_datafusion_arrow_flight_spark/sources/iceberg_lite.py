@@ -413,11 +413,16 @@ class IcebergTable:
             raise ValueError("keep_last must be >= 1")
         base_location, metadata = self._load_metadata()
         snaps = metadata["snapshots"]
-        if len(snaps) <= keep_last:
+        # retention honors refs: a tagged/branched snapshot never expires
+        ref_ids = {r["snapshot-id"]
+                   for r in metadata.get("refs", {}).values()}
+        keep_ids = ({s["snapshot-id"] for s in snaps[-keep_last:]}
+                    | ref_ids)
+        keep = [s for s in snaps if s["snapshot-id"] in keep_ids]
+        expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+        if not expired:
             return {"expired": 0, "deleted_data_files": 0,
                     "deleted_manifests": 0}
-        keep, expired = snaps[-keep_last:], snaps[:-keep_last]
-        keep_ids = {s["snapshot-id"] for s in keep}
         live_manifests: set[str] = set()
         live_files: set[str] = set()
         for s in keep:
@@ -500,6 +505,92 @@ class IcebergTable:
         else:
             df = df.coalesce(target_files)
         return self._commit_write(df, operation="replace")
+
+    # -- snapshot refs (tags / branches) ------------------------------------
+
+    def set_ref(self, name: str, snapshot_id: int | None = None,
+                kind: str = "tag") -> None:
+        """Iceberg named refs: pin a name to a snapshot (``tag`` for an
+        immutable release pointer, ``branch`` for a movable head).
+        Metadata-only CAS commit.  ``expire_snapshots`` keeps every
+        ref'd snapshot alive regardless of ``keep_last`` (retention
+        honors refs, as real Iceberg's does).  Re-setting a tag raises;
+        re-setting a branch moves it."""
+        if kind not in ("tag", "branch"):
+            raise ValueError(f"ref kind must be tag|branch, got {kind!r}")
+        base_location, metadata = self._load_metadata()
+        sid = snapshot_id or metadata["current-snapshot-id"]
+        if sid is None:
+            raise ValueError("table has no snapshot to reference")
+        _snapshot(metadata, sid)  # loud if unknown
+        refs = dict(metadata.get("refs", {}))
+        if name in refs and refs[name]["type"] == "tag":
+            raise ValueError(f"tag {name!r} already exists (immutable)")
+        refs[name] = {"snapshot-id": sid, "type": kind}
+        metadata = dict(metadata)
+        metadata["refs"] = refs
+        metadata["last-updated-ms"] = _now_ms()
+        new_location = _write_metadata(
+            metadata["location"], _next_version(base_location), metadata)
+        self.catalog._swap_pointer(
+            self.namespace, self.name, base_location, new_location)
+
+    def resolve_ref(self, name: str) -> int:
+        _, metadata = self._load_metadata()
+        refs = metadata.get("refs", {})
+        if name not in refs:
+            raise NoSuchTableError(f"ref {name!r} not found")
+        return refs[name]["snapshot-id"]
+
+    # -- incremental scan ---------------------------------------------------
+
+    def read_incremental(self, spark: SparkSession,
+                         from_snapshot: int,
+                         to_snapshot: int | None = None) -> DataFrame:
+        """Incremental append scan (Iceberg's incremental read): rows in
+        data files ADDED strictly after ``from_snapshot`` up to
+        ``to_snapshot`` (default: current) — the downstream-consumer
+        primitive: checkpoint a snapshot id, wake up, read only the
+        delta, advance the checkpoint.
+
+        Only append deltas are well-defined: if any snapshot in the
+        range rewrote files (overwrite / replace / delete), the file
+        diff is not a row diff and this raises loudly instead of
+        returning wrong increments."""
+        _, metadata = self._load_metadata()
+        to_id = to_snapshot or metadata["current-snapshot-id"]
+        from_snap = _snapshot(metadata, from_snapshot)
+        to_snap = _snapshot(metadata, to_id)
+        # walk the parent chain from to_snap back to from_snap
+        chain: list[dict] = []
+        cur = to_snap
+        while cur is not None and cur["snapshot-id"] != from_snapshot:
+            chain.append(cur)
+            parent = cur.get("parent-snapshot-id")
+            cur = (None if parent is None
+                   else _snapshot(metadata, parent))
+        if cur is None:
+            raise ValueError(
+                f"snapshot {from_snapshot} is not an ancestor of {to_id}")
+        non_append = [s["snapshot-id"] for s in chain
+                      if s["summary"]["operation"] != "append"]
+        if non_append:
+            raise ValueError(
+                "incremental scan undefined across non-append snapshots "
+                f"{non_append}: files were rewritten; re-read the full "
+                "table or consume the CDC stream instead")
+        base_files = {e.file_path for e in _read_all_entries(from_snap)}
+        new_files = [e.file_path for e in _read_all_entries(to_snap)
+                     if e.file_path not in base_files]
+        fields = self.schema_fields()
+        if not new_files:
+            schema = ", ".join(
+                f"`{f['name']}` {f['type']}" for f in fields)
+            return spark.createDataFrame([], schema)
+        df = _fill_missing(
+            spark.read.option("mergeSchema", "true").parquet(*new_files),
+            fields)
+        return df.select(*[f["name"] for f in fields])
 
     # -- row-level DML (copy-on-write) --------------------------------------
 

@@ -522,3 +522,52 @@ def test_merge_null_keys_insert_and_empty_source_noop(catalog, spark):
         spark, spark.createDataFrame([], "k long, v long"), ["k"])
     assert stats["snapshot_id"] is None
     assert t.current_snapshot_id() == pre     # no snapshot churn
+
+
+def test_refs_tag_branch_and_retention(catalog, spark, orders):
+    even = orders.where("o_orderkey % 2 = 0")
+    odd = orders.where("o_orderkey % 2 = 1")
+    t = catalog.create_table("refs", "t", orders)
+    s1 = t.append(even)
+    t.set_ref("v1", kind="tag")                     # pins current (s1)
+    s2 = t.append(odd)
+    t.set_ref("main_head", kind="branch")
+    assert t.resolve_ref("v1") == s1
+    assert t.resolve_ref("main_head") == s2
+    # tag immutable, branch movable
+    with pytest.raises(ValueError, match="immutable"):
+        t.set_ref("v1", snapshot_id=s2)
+    t.set_ref("main_head", snapshot_id=s1, kind="branch")
+    assert t.resolve_ref("main_head") == s1
+    # read through the ref
+    assert t.read(spark, snapshot_id=t.resolve_ref("v1")).count() == \
+        even.count()
+    # retention keeps the tagged snapshot alive past keep_last
+    t.append(odd)
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["expired"] >= 1
+    assert t.read(spark, snapshot_id=s1).count() == even.count()
+    with pytest.raises(NoSuchTableError):
+        t.resolve_ref("absent")
+
+
+def test_incremental_scan_reads_only_the_delta(catalog, spark):
+    mk = lambda lo, hi: (spark.range(lo, hi).withColumnRenamed("id", "k"))
+    t = catalog.create_table("inc", "t", mk(0, 5))
+    s1 = t.append(mk(0, 5))
+    s2 = t.append(mk(5, 9))
+    s3 = t.append(mk(9, 12))
+    delta = t.read_incremental(spark, from_snapshot=s1)
+    assert {r["k"] for r in delta.collect()} == set(range(5, 12))
+    mid = t.read_incremental(spark, from_snapshot=s1, to_snapshot=s2)
+    assert {r["k"] for r in mid.collect()} == set(range(5, 9))
+    # same-snapshot delta is empty with the right schema
+    empty = t.read_incremental(spark, s3, s3)
+    assert empty.count() == 0 and empty.columns == ["k"]
+    # non-append snapshot in range -> loud
+    t.compact(spark)
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_incremental(spark, from_snapshot=s1)
+    # non-ancestor -> loud
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.read_incremental(spark, from_snapshot=s2, to_snapshot=s1)
