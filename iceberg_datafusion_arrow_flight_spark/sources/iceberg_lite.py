@@ -49,6 +49,7 @@ import shutil
 import sqlite3
 import time
 import uuid
+import dataclasses
 from dataclasses import dataclass
 from dataclasses import field as dataclass_field
 
@@ -212,6 +213,10 @@ class DataFileEntry:
     lower_bounds: dict[str, object]
     upper_bounds: dict[str, object]
     partition: dict[str, str] = dataclass_field(default_factory=dict)
+    # schema the file was WRITTEN under (spec: manifest schema-id) —
+    # the read path maps its column names to the current schema by
+    # field id, which is what makes rename/drop evolution safe
+    schema_id: int = 0
 
 
 class IcebergTable:
@@ -277,7 +282,9 @@ class IcebergTable:
              .partitionBy(*pcols).parquet(data_dir))
         else:
             df.write.mode("errorifexists").parquet(data_dir)
-        entries = _collect_entries(data_dir)
+        entries = [dataclasses.replace(
+            e, schema_id=metadata["current-schema-id"])
+            for e in _collect_entries(data_dir)]
 
         snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
         manifest_path = os.path.join(
@@ -506,6 +513,48 @@ class IcebergTable:
             df = df.coalesce(target_files)
         return self._commit_write(df, operation="replace")
 
+    def _commit_schema(self, new_fields: list[dict]) -> int:
+        """Append a new schema version and point current-schema-id at it
+        (metadata-only CAS commit, shared by all evolution ops)."""
+        base_location, metadata = self._load_metadata()
+        new_id = max(s["schema-id"] for s in metadata["schemas"]) + 1
+        metadata = dict(metadata)
+        metadata["schemas"] = metadata["schemas"] + [
+            {"schema-id": new_id, "type": "struct", "fields": new_fields}]
+        metadata["current-schema-id"] = new_id
+        metadata["last-updated-ms"] = _now_ms()
+        new_location = _write_metadata(
+            metadata["location"], _next_version(base_location), metadata)
+        self.catalog._swap_pointer(
+            self.namespace, self.name, base_location, new_location)
+        return new_id
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Iceberg rename: metadata-only — the field keeps its ID, so
+        every already-written file's data follows the new name at read
+        time (the id map in _read_entries_df).  No data files move."""
+        fields = self.schema_fields()
+        if not any(f["name"] == old for f in fields):
+            raise ValueError(f"column {old!r} does not exist")
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column {new!r} already exists")
+        return self._commit_schema(
+            [{**f, "name": new} if f["name"] == old else f
+             for f in fields])
+
+    def drop_column(self, name: str) -> int:
+        """Iceberg drop: metadata-only — the field id is retired, so the
+        column vanishes from reads WITHOUT rewriting files, and a later
+        add_column with the same name (new id) never resurrects the old
+        data (the id map drops retired columns per file)."""
+        fields = self.schema_fields()
+        if not any(f["name"] == name for f in fields):
+            raise ValueError(f"column {name!r} does not exist")
+        if len(fields) == 1:
+            raise ValueError("cannot drop the last column")
+        return self._commit_schema(
+            [f for f in fields if f["name"] != name])
+
     # -- snapshot refs (tags / branches) ------------------------------------
 
     def set_ref(self, name: str, snapshot_id: int | None = None,
@@ -580,17 +629,14 @@ class IcebergTable:
                 f"{non_append}: files were rewritten; re-read the full "
                 "table or consume the CDC stream instead")
         base_files = {e.file_path for e in _read_all_entries(from_snap)}
-        new_files = [e.file_path for e in _read_all_entries(to_snap)
-                     if e.file_path not in base_files]
+        new_entries = [e for e in _read_all_entries(to_snap)
+                       if e.file_path not in base_files]
         fields = self.schema_fields()
-        if not new_files:
+        if not new_entries:
             schema = ", ".join(
                 f"`{f['name']}` {f['type']}" for f in fields)
             return spark.createDataFrame([], schema)
-        df = _fill_missing(
-            spark.read.option("mergeSchema", "true").parquet(*new_files),
-            fields)
-        return df.select(*[f["name"] for f in fields])
+        return _read_entries_df(spark, metadata, new_entries)
 
     # -- row-level DML (copy-on-write) --------------------------------------
 
@@ -658,9 +704,8 @@ class IcebergTable:
                 or e.upper_bounds.get(k0) is None
                 or not (e.upper_bounds[k0] < lo or e.lower_bounds[k0] > hi)]
             if cand:
-                tgt = (spark.read.option("mergeSchema", "true")
-                       .parquet(*[e.file_path for e in cand])
-                       .withColumn("__file", F.input_file_name()))
+                _, md = self._load_metadata()
+                tgt = _read_entries_df(spark, md, cand, include_file=True)
                 hit_paths = {
                     _local_path(r["__file"]) for r in
                     tgt.join(keys, key_cols, "left_semi")
@@ -673,9 +718,8 @@ class IcebergTable:
                 hit_set = {e.file_path for e in affected}
                 kept = [e for e in entries if e.file_path not in hit_set]
         if affected:
-            old = _fill_missing(
-                spark.read.option("mergeSchema", "true")
-                .parquet(*[e.file_path for e in affected]), fields)
+            _, md = self._load_metadata()
+            old = _read_entries_df(spark, md, affected)
             survivors = old.join(keys, key_cols, "left_anti")
             new_df = survivors.select(*names).unionByName(src)
         else:
@@ -702,9 +746,8 @@ class IcebergTable:
         if not entries:
             return {"snapshot_id": None, "rewritten_files": 0,
                     "kept_files": 0}
-        tgt = (spark.read.option("mergeSchema", "true")
-               .parquet(*[e.file_path for e in entries])
-               .withColumn("__file", F.input_file_name()))
+        _, md = self._load_metadata()
+        tgt = _read_entries_df(spark, md, entries, include_file=True)
         hit_paths = {
             _local_path(r["__file"]) for r in
             tgt.where(cond).select("__file").distinct().collect()}
@@ -718,10 +761,9 @@ class IcebergTable:
         # DELETE removes rows where the predicate is TRUE; rows where it
         # is NULL (three-valued logic) are NOT matched and must survive —
         # a bare ~cond would silently drop them in rewritten files only.
-        survivors = (_fill_missing(
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[e.file_path for e in affected]), fields)
-            .where(~F.coalesce(cond, F.lit(False))).select(*names))
+        survivors = (_read_entries_df(spark, md, affected)
+                     .where(~F.coalesce(cond, F.lit(False)))
+                     .select(*names))
         snapshot_id = self._commit_write(
             survivors, operation="delete", kept_entries=kept,
             summary_extra={"replaced-data-files": str(len(affected)),
@@ -798,17 +840,16 @@ class IcebergTable:
         row-group pushdown within each file."""
         entries = self.plan_files(snapshot_id, as_of_timestamp_ms, prune,
                                   partition_filter)
+        _, metadata = self._load_metadata()
         fields = self.schema_fields()
         if not entries:
             schema = ", ".join(
                 f"`{f['name']}` {f['type']}" for f in fields)
             return spark.createDataFrame([], schema)
-        # mergeSchema: files written before an add_column lack the new
-        # field; missing columns surface as NULL (Iceberg read semantics)
-        df = _fill_missing(
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[e.file_path for e in entries]), fields)
-        return df.select(*[f["name"] for f in fields])
+        # every file reads under the CURRENT schema: columns map by
+        # field id from the file's write schema (add → typed NULL,
+        # rename → data follows the id, drop → never resurrected)
+        return _read_entries_df(spark, metadata, entries)
 
 
 # ---------------------------------------------------------------------------
@@ -835,6 +876,55 @@ def _fill_missing(df: DataFrame, fields: list[dict]) -> DataFrame:
         if f["name"] not in df.columns:
             df = df.withColumn(f["name"], F.lit(None).cast(f["type"]))
     return df
+
+
+def _schema_of(metadata: dict, schema_id: int) -> list[dict]:
+    (schema,) = [s for s in metadata["schemas"]
+                 if s["schema-id"] == schema_id]
+    return schema["fields"]
+
+
+def _read_entries_df(spark: SparkSession, metadata: dict,
+                     entries: list[DataFileEntry],
+                     include_file: bool = False) -> DataFrame:
+    """Read a set of data files under the CURRENT schema, mapping each
+    file's columns by FIELD ID from the schema it was written with —
+    the Iceberg rule that makes rename/drop evolution safe: a renamed
+    column's data follows its id; a dropped-then-readded name never
+    resurrects old data (different id).  Files group by their write
+    schema; each group renames/drops by the id map, fills added columns
+    with typed NULLs, then the groups union by name."""
+    cur_fields = _schema_of(metadata, metadata["current-schema-id"])
+    names = [f["name"] for f in cur_fields]
+    groups: dict[int, list[DataFileEntry]] = {}
+    for e in entries:
+        groups.setdefault(e.schema_id, []).append(e)
+    parts = []
+    for sid, es in sorted(groups.items()):
+        df = (spark.read.option("mergeSchema", "true")
+              .parquet(*[e.file_path for e in es]))
+        if include_file:
+            df = df.withColumn("__file", F.input_file_name())
+        cur_by_id = {f["id"]: f["name"] for f in cur_fields}
+        for f in _schema_of(metadata, sid):
+            if f["id"] not in cur_by_id and f["name"] in df.columns:
+                df = df.drop(f["name"])       # dropped field: id retired
+        renames = {f["name"]: cur_by_id[f["id"]]
+                   for f in _schema_of(metadata, sid)
+                   if f["id"] in cur_by_id
+                   and f["name"] != cur_by_id[f["id"]]}
+        # two-phase so swaps (a<->b) can't collide mid-rename
+        for old in renames:
+            df = df.withColumnRenamed(old, f"__evo__{old}")
+        for old, new in renames.items():
+            df = df.withColumnRenamed(f"__evo__{old}", new)
+        df = _fill_missing(df, cur_fields)
+        parts.append(df.select(
+            *names, *(["__file"] if include_file else [])))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # Iceberg partition transforms (spec §Partitioning), the subset the
@@ -963,7 +1053,12 @@ def _read_all_entries(snapshot: dict) -> list[DataFileEntry]:
     for path in _read_manifest_paths(snapshot):
         with open(path) as f:
             manifest = json.load(f)
-        entries.extend(DataFileEntry(**e) for e in manifest["entries"])
+        # legacy manifests predate per-entry schema ids: fall back to
+        # the manifest-level schema-id (correct for their own entries)
+        default_sid = manifest.get("schema-id", 0)
+        entries.extend(
+            DataFileEntry(**{"schema_id": default_sid, **e})
+            for e in manifest["entries"])
     return entries
 
 

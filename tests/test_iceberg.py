@@ -571,3 +571,52 @@ def test_incremental_scan_reads_only_the_delta(catalog, spark):
     # non-ancestor -> loud
     with pytest.raises(ValueError, match="not an ancestor"):
         t.read_incremental(spark, from_snapshot=s2, to_snapshot=s1)
+
+
+def test_rename_column_data_follows_field_id(catalog, spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    t = catalog.create_table("evo", "ren", df)
+    t.append(df)
+    t.rename_column("v", "val")
+    assert [f["name"] for f in t.schema_fields()] == ["k", "val"]
+    got = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    assert got == {1: 10, 2: 20}          # old files' data follows the id
+    # writes + DML under the new name work across both file generations
+    t.append(spark.createDataFrame([(3, 30)], "k long, val long"))
+    t.merge_upsert(spark, spark.createDataFrame(
+        [(1, -1)], "k long, val long"), ["k"])
+    got = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    assert got == {1: -1, 2: 20, 3: 30}
+    with pytest.raises(ValueError, match="does not exist"):
+        t.rename_column("v", "w")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("k", "val")
+
+
+def test_drop_and_readd_never_resurrects(catalog, spark):
+    df = spark.createDataFrame([(1, 111), (2, 222)], "k long, v long")
+    t = catalog.create_table("evo", "drop", df)
+    t.append(df)
+    t.drop_column("v")
+    assert t.read(spark).columns == ["k"]
+    t.add_column("v", "bigint")           # same NAME, new field id
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: None, 2: None}      # old 111/222 never resurrect
+    t.append(spark.createDataFrame([(3, 3)], "k long, v long"))
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: None, 2: None, 3: 3}
+    with pytest.raises(ValueError, match="last column"):
+        t2 = catalog.create_table(
+            "evo", "one", spark.createDataFrame([(1,)], "k long"))
+        t2.drop_column("k")
+
+
+def test_rename_swap_via_temp_is_readable(catalog, spark):
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    t = catalog.create_table("evo", "swap", df)
+    t.append(df)
+    t.rename_column("a", "tmp")
+    t.rename_column("b", "a")
+    t.rename_column("tmp", "b")
+    (row,) = t.read(spark).collect()
+    assert row["a"] == 2 and row["b"] == 1   # swapped, data followed ids
