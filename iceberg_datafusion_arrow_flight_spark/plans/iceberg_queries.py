@@ -327,3 +327,38 @@ def iceberg_sorted_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("o_orderkey") <= hi)
             .groupBy("o_orderstatus").agg(*_agg_cols())
             .orderBy("o_orderstatus"))
+
+
+@register(
+    "iceberg_rename_drop_evolution",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Rename + drop schema evolution, metadata-only: after appending "
+        "under the original schema, o_orderstatus is RENAMED to status "
+        "(data must follow the field id out of already-written files), "
+        "o_orderpriority is DROPPED (column vanishes without rewriting "
+        "anything), and a second append lands under the evolved schema. "
+        "The aggregate reads both file generations under the current "
+        "schema; it equals the source aggregate iff the id mapping is "
+        "right in every generation. "
+        "sources/iceberg_lite.py:rename_column,drop_column.",
+    tags=("iceberg", "catalog", "schema-evolution"),
+)
+def iceberg_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    even, odd = _split_orders(spark, sf_dir)
+    t = cat.create_table("sales", "orders_rd", even)
+    t.append(even)                                # generation 1: old names
+    t.rename_column("o_orderstatus", "status")    # metadata-only
+    t.drop_column("o_orderpriority")              # metadata-only
+    t.append(odd.withColumnRenamed("o_orderstatus", "status")
+             .drop("o_orderpriority"))            # generation 2: new schema
+    return (t.read(spark)
+            .groupBy("status").agg(*_agg_cols())
+            .orderBy("status"))
