@@ -105,7 +105,9 @@ class SqliteCatalog:
 
     def __init__(self, db_path: str, name: str = "lake",
                  warehouse: str | None = None) -> None:
-        self.db_path = db_path
+        # abspath for the same cwd-divergence reason as the warehouse:
+        # a later os.chdir must not re-point the catalog at a fresh db
+        self.db_path = os.path.abspath(db_path)
         self.name = name
         # Canonicalize up front: a relative warehouse would otherwise
         # resolve against the PYTHON cwd in the committer (os.listdir,
@@ -260,10 +262,26 @@ class IcebergTable:
         """INSERT OVERWRITE semantics: new snapshot = new files only."""
         return self._commit_write(df, operation="overwrite")
 
+    _ANY_BASE = object()  # sentinel: commit on top of whatever is current
+
     def _commit_write(self, df: DataFrame, operation: str,
                       kept_entries: list[DataFileEntry] | None = None,
-                      summary_extra: dict[str, str] | None = None) -> int:
+                      summary_extra: dict[str, str] | None = None,
+                      expect_snapshot=_ANY_BASE) -> int:
         base_location, metadata = self._load_metadata()
+        # Row-level DML plans its kept/rewritten file split against a
+        # specific base snapshot; if another writer committed since, that
+        # split is stale and committing it would silently drop the
+        # concurrent writer's files.  The CAS alone can't catch this
+        # (the pointer is re-read here), so the base is checked
+        # explicitly — losers raise and must re-plan, same contract as
+        # a lost pointer swap.
+        if (expect_snapshot is not self._ANY_BASE
+                and metadata["current-snapshot-id"] != expect_snapshot):
+            raise CommitFailedError(
+                f"{self.namespace}.{self.name}: base snapshot moved "
+                f"({expect_snapshot} -> {metadata['current-snapshot-id']});"
+                " re-plan the operation")
         location = metadata["location"]
         write_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(location, "data", write_id)
@@ -347,30 +365,19 @@ class IcebergTable:
         schema version is committed through the same CAS — NO data files
         are rewritten; old files surface NULL for the new column at read
         time.  Returns the new schema id."""
-        base_location, metadata = self._load_metadata()
+        _, metadata = self._load_metadata()
         (schema,) = [s for s in metadata["schemas"]
                      if s["schema-id"] == metadata["current-schema-id"]]
         if any(f["name"] == name for f in schema["fields"]):
             raise ValueError(f"column {name!r} already exists")
-        new_id = max(s["schema-id"] for s in metadata["schemas"]) + 1
+        # max over ALL schemas, not just current: a retired (dropped)
+        # field's id must never be reused or old data would resurrect
         max_field = max((f["id"] for s in metadata["schemas"]
                          for f in s["fields"]), default=0)
-        new_schema = {
-            "schema-id": new_id,
-            "type": "struct",
-            "fields": schema["fields"] + [
+        return self._commit_schema(
+            schema["fields"] + [
                 {"id": max_field + 1, "name": name, "required": False,
-                 "type": spark_type}],
-        }
-        metadata = dict(metadata)
-        metadata["schemas"] = metadata["schemas"] + [new_schema]
-        metadata["current-schema-id"] = new_id
-        metadata["last-updated-ms"] = _now_ms()
-        new_location = _write_metadata(
-            metadata["location"], _next_version(base_location), metadata)
-        self.catalog._swap_pointer(
-            self.namespace, self.name, base_location, new_location)
-        return new_id
+                 "type": spark_type}])
 
     def update_partition_spec(self, partition_by: list[str]) -> int:
         """Partition-spec evolution (Iceberg REPLACE PARTITION FIELD /
@@ -513,15 +520,20 @@ class IcebergTable:
             df = df.coalesce(target_files)
         return self._commit_write(df, operation="replace")
 
-    def _commit_schema(self, new_fields: list[dict]) -> int:
+    def _commit_schema(self, new_fields: list[dict],
+                       respec=None) -> int:
         """Append a new schema version and point current-schema-id at it
-        (metadata-only CAS commit, shared by all evolution ops)."""
+        (metadata-only CAS commit, shared by all evolution ops).
+        ``respec(metadata)`` may return replacement partition-specs to
+        commit atomically with the schema change (rename uses it)."""
         base_location, metadata = self._load_metadata()
         new_id = max(s["schema-id"] for s in metadata["schemas"]) + 1
         metadata = dict(metadata)
         metadata["schemas"] = metadata["schemas"] + [
             {"schema-id": new_id, "type": "struct", "fields": new_fields}]
         metadata["current-schema-id"] = new_id
+        if respec is not None:
+            metadata["partition-specs"] = respec(metadata)
         metadata["last-updated-ms"] = _now_ms()
         new_location = _write_metadata(
             metadata["location"], _next_version(base_location), metadata)
@@ -532,26 +544,43 @@ class IcebergTable:
     def rename_column(self, old: str, new: str) -> int:
         """Iceberg rename: metadata-only — the field keeps its ID, so
         every already-written file's data follows the new name at read
-        time (the id map in _read_entries_df).  No data files move."""
+        time (the id map in _read_entries_df).  No data files move.
+        Partition-spec fields referencing the column follow the rename
+        (specs here bind sources by name; updating them preserves the
+        by-id semantics real Iceberg gets for free)."""
         fields = self.schema_fields()
         if not any(f["name"] == old for f in fields):
             raise ValueError(f"column {old!r} does not exist")
         if any(f["name"] == new for f in fields):
             raise ValueError(f"column {new!r} already exists")
+        def respec(metadata):
+            return [
+                {**s, "fields": [
+                    {**pf, "source": new} if pf["source"] == old else pf
+                    for pf in s["fields"]]}
+                for s in metadata["partition-specs"]]
         return self._commit_schema(
             [{**f, "name": new} if f["name"] == old else f
-             for f in fields])
+             for f in fields], respec)
 
     def drop_column(self, name: str) -> int:
         """Iceberg drop: metadata-only — the field id is retired, so the
         column vanishes from reads WITHOUT rewriting files, and a later
         add_column with the same name (new id) never resurrects the old
-        data (the id map drops retired columns per file)."""
+        data (the id map drops retired columns per file).  Refuses to
+        drop a column the CURRENT partition spec transforms (real
+        Iceberg's rule — the write path would break)."""
         fields = self.schema_fields()
         if not any(f["name"] == name for f in fields):
             raise ValueError(f"column {name!r} does not exist")
         if len(fields) == 1:
             raise ValueError("cannot drop the last column")
+        _, metadata = self._load_metadata()
+        for pf in _spec_fields(metadata):
+            if pf["source"] == name:
+                raise ValueError(
+                    f"column {name!r} is a partition source of the "
+                    "current spec — update_partition_spec first")
         return self._commit_schema(
             [f for f in fields if f["name"] != name])
 
@@ -573,8 +602,13 @@ class IcebergTable:
             raise ValueError("table has no snapshot to reference")
         _snapshot(metadata, sid)  # loud if unknown
         refs = dict(metadata.get("refs", {}))
-        if name in refs and refs[name]["type"] == "tag":
-            raise ValueError(f"tag {name!r} already exists (immutable)")
+        if name in refs:
+            if refs[name]["type"] == "tag":
+                raise ValueError(f"tag {name!r} already exists (immutable)")
+            if refs[name]["type"] != kind:
+                raise ValueError(
+                    f"ref {name!r} is a {refs[name]['type']}; pass "
+                    f"kind={refs[name]['type']!r} to move it")
         refs[name] = {"snapshot-id": sid, "type": kind}
         metadata = dict(metadata)
         metadata["refs"] = refs
@@ -616,8 +650,17 @@ class IcebergTable:
         while cur is not None and cur["snapshot-id"] != from_snapshot:
             chain.append(cur)
             parent = cur.get("parent-snapshot-id")
-            cur = (None if parent is None
-                   else _snapshot(metadata, parent))
+            if parent is None:
+                cur = None
+                continue
+            try:
+                cur = _snapshot(metadata, parent)
+            except NoSuchTableError:
+                raise ValueError(
+                    f"history gap: snapshot {parent} in the ancestry "
+                    f"of {to_id} was expired — the delta from "
+                    f"{from_snapshot} is no longer reconstructible; "
+                    "re-read the full table") from None
         if cur is None:
             raise ValueError(
                 f"snapshot {from_snapshot} is not an ancestor of {to_id}")
@@ -663,13 +706,24 @@ class IcebergTable:
         cardinality rule real engines enforce; null-key rows match
         nothing and are legal inserts).
         """
-        fields = self.schema_fields()
+        _, metadata = self._load_metadata()
+        base_snapshot = metadata["current-snapshot-id"]
+        fields = _schema_of(metadata, metadata["current-schema-id"])
         names = [f["name"] for f in fields]
         # The source lineage may be an arbitrary query (e.g. the CDC
         # window collapse); it feeds the cardinality check, the key-span
         # agg, the semi-join probe, and the final write — cache so the
-        # lineage is paid once.
+        # lineage is paid once (released in the finally, including on
+        # the expected CommitFailedError retry path).
         src = source.select(*names).cache()
+        try:
+            return self._merge_planned(spark, src, key_cols, metadata,
+                                       base_snapshot, names)
+        finally:
+            src.unpersist()
+
+    def _merge_planned(self, spark, src, key_cols, metadata,
+                       base_snapshot, names) -> dict:
         nonnull_key = None
         for k in key_cols:
             c = F.col(k).isNotNull()
@@ -681,17 +735,15 @@ class IcebergTable:
                      F.max(F.when(F.col("keyed"), F.col("n")))
                       .alias("max_dup")).first())
         if card["n_groups"] == 0:      # empty source: nothing to commit
-            src.unpersist()
             return {"snapshot_id": None, "rewritten_files": 0,
-                    "kept_files": len(self.plan_files())}
+                    "kept_files": len(self.plan_files(_metadata=metadata))}
         if (card["max_dup"] or 0) > 1:
-            src.unpersist()
             raise ValueError(
                 "MERGE source has duplicate keys on "
                 f"{key_cols} — each target row may match at most one "
                 "source row")
         keys = src.select(*key_cols).distinct()
-        entries = self.plan_files()
+        entries = self.plan_files(_metadata=metadata)
         affected: list[DataFileEntry] = []
         kept: list[DataFileEntry] = list(entries)
         if entries:
@@ -704,8 +756,8 @@ class IcebergTable:
                 or e.upper_bounds.get(k0) is None
                 or not (e.upper_bounds[k0] < lo or e.lower_bounds[k0] > hi)]
             if cand:
-                _, md = self._load_metadata()
-                tgt = _read_entries_df(spark, md, cand, include_file=True)
+                tgt = _read_entries_df(spark, metadata, cand,
+                                       include_file=True)
                 hit_paths = {
                     _local_path(r["__file"]) for r in
                     tgt.join(keys, key_cols, "left_semi")
@@ -718,8 +770,7 @@ class IcebergTable:
                 hit_set = {e.file_path for e in affected}
                 kept = [e for e in entries if e.file_path not in hit_set]
         if affected:
-            _, md = self._load_metadata()
-            old = _read_entries_df(spark, md, affected)
+            old = _read_entries_df(spark, metadata, affected)
             survivors = old.join(keys, key_cols, "left_anti")
             new_df = survivors.select(*names).unionByName(src)
         else:
@@ -727,8 +778,8 @@ class IcebergTable:
         snapshot_id = self._commit_write(
             new_df, operation="overwrite", kept_entries=kept,
             summary_extra={"replaced-data-files": str(len(affected)),
-                           "kept-data-files": str(len(kept))})
-        src.unpersist()
+                           "kept-data-files": str(len(kept))},
+            expect_snapshot=base_snapshot)
         return {"snapshot_id": snapshot_id,
                 "rewritten_files": len(affected),
                 "kept_files": len(kept)}
@@ -740,13 +791,14 @@ class IcebergTable:
         Column predicate (or SQL string).  Same CAS commit + concurrent
         -writer semantics as merge_upsert."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        fields = self.schema_fields()
-        names = [f["name"] for f in fields]
-        entries = self.plan_files()
+        _, md = self._load_metadata()
+        base_snapshot = md["current-snapshot-id"]
+        names = [f["name"]
+                 for f in _schema_of(md, md["current-schema-id"])]
+        entries = self.plan_files(_metadata=md)
         if not entries:
             return {"snapshot_id": None, "rewritten_files": 0,
                     "kept_files": 0}
-        _, md = self._load_metadata()
         tgt = _read_entries_df(spark, md, entries, include_file=True)
         hit_paths = {
             _local_path(r["__file"]) for r in
@@ -767,7 +819,8 @@ class IcebergTable:
         snapshot_id = self._commit_write(
             survivors, operation="delete", kept_entries=kept,
             summary_extra={"replaced-data-files": str(len(affected)),
-                           "kept-data-files": str(len(kept))})
+                           "kept-data-files": str(len(kept))},
+            expect_snapshot=base_snapshot)
         return {"snapshot_id": snapshot_id,
                 "rewritten_files": len(affected),
                 "kept_files": len(kept)}
@@ -778,6 +831,7 @@ class IcebergTable:
                    as_of_timestamp_ms: int | None = None,
                    prune: tuple[str, object, object] | None = None,
                    partition_filter: dict[str, object] | None = None,
+                   _metadata: dict | None = None,
                    ) -> list[DataFileEntry]:
         """Resolve the file set for a snapshot, with manifest-stat pruning.
 
@@ -788,17 +842,8 @@ class IcebergTable:
         pruning, exact (not stats-based), applied before the stat prune.
         Values compare as their string rendering (the transform output).
         """
-        _, metadata = self._load_metadata()
-        sid = snapshot_id
-        if sid is None and as_of_timestamp_ms is not None:
-            eligible = [s for s in metadata["snapshots"]
-                        if s["timestamp-ms"] <= as_of_timestamp_ms]
-            if not eligible:
-                raise NoSuchTableError(
-                    f"no snapshot at or before {as_of_timestamp_ms}")
-            sid = max(eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
-        if sid is None:
-            sid = metadata["current-snapshot-id"]
+        metadata = _metadata or self._load_metadata()[1]
+        sid = _resolve_sid(metadata, snapshot_id, as_of_timestamp_ms)
         if sid is None:
             return []
         entries = _read_all_entries(_snapshot(metadata, sid))
@@ -838,18 +883,28 @@ class IcebergTable:
         """Snapshot-pinned read: the returned plan scans exactly the files
         the manifest (after pruning) lists — Spark still does its own
         row-group pushdown within each file."""
-        entries = self.plan_files(snapshot_id, as_of_timestamp_ms, prune,
-                                  partition_filter)
         _, metadata = self._load_metadata()
-        fields = self.schema_fields()
+        sid = _resolve_sid(metadata, snapshot_id, as_of_timestamp_ms)
+        entries = self.plan_files(snapshot_id, as_of_timestamp_ms, prune,
+                                  partition_filter, _metadata=metadata)
+        # Time travel reads under the SNAPSHOT's recorded schema (a later
+        # rename/drop must not retroactively rewrite history); current
+        # reads use the CURRENT schema — which can be newer than the
+        # last snapshot's, since evolution commits are metadata-only and
+        # create no snapshot.  Columns map by field id from each file's
+        # write schema (add → typed NULL, rename → data follows the id,
+        # drop → never resurrected).
+        pinned = snapshot_id is not None or as_of_timestamp_ms is not None
+        schema_id = (_snapshot(metadata, sid)["schema-id"]
+                     if pinned and sid is not None
+                     else metadata["current-schema-id"])
+        fields = _schema_of(metadata, schema_id)
         if not entries:
             schema = ", ".join(
                 f"`{f['name']}` {f['type']}" for f in fields)
             return spark.createDataFrame([], schema)
-        # every file reads under the CURRENT schema: columns map by
-        # field id from the file's write schema (add → typed NULL,
-        # rename → data follows the id, drop → never resurrected)
-        return _read_entries_df(spark, metadata, entries)
+        return _read_entries_df(spark, metadata, entries,
+                                to_schema_id=schema_id)
 
 
 # ---------------------------------------------------------------------------
@@ -878,6 +933,21 @@ def _fill_missing(df: DataFrame, fields: list[dict]) -> DataFrame:
     return df
 
 
+def _resolve_sid(metadata: dict, snapshot_id: int | None,
+                 as_of_timestamp_ms: int | None) -> int | None:
+    """Snapshot-id resolution shared by plan_files and read: explicit id
+    wins, else newest snapshot at-or-before the timestamp, else current."""
+    sid = snapshot_id
+    if sid is None and as_of_timestamp_ms is not None:
+        eligible = [s for s in metadata["snapshots"]
+                    if s["timestamp-ms"] <= as_of_timestamp_ms]
+        if not eligible:
+            raise NoSuchTableError(
+                f"no snapshot at or before {as_of_timestamp_ms}")
+        sid = max(eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
+    return metadata["current-snapshot-id"] if sid is None else sid
+
+
 def _schema_of(metadata: dict, schema_id: int) -> list[dict]:
     (schema,) = [s for s in metadata["schemas"]
                  if s["schema-id"] == schema_id]
@@ -886,15 +956,19 @@ def _schema_of(metadata: dict, schema_id: int) -> list[dict]:
 
 def _read_entries_df(spark: SparkSession, metadata: dict,
                      entries: list[DataFileEntry],
-                     include_file: bool = False) -> DataFrame:
-    """Read a set of data files under the CURRENT schema, mapping each
-    file's columns by FIELD ID from the schema it was written with —
-    the Iceberg rule that makes rename/drop evolution safe: a renamed
-    column's data follows its id; a dropped-then-readded name never
-    resurrects old data (different id).  Files group by their write
-    schema; each group renames/drops by the id map, fills added columns
-    with typed NULLs, then the groups union by name."""
-    cur_fields = _schema_of(metadata, metadata["current-schema-id"])
+                     include_file: bool = False,
+                     to_schema_id: int | None = None) -> DataFrame:
+    """Read a set of data files under a target schema (default: the
+    current one; time travel passes the snapshot's recorded schema-id),
+    mapping each file's columns by FIELD ID from the schema it was
+    written with — the Iceberg rule that makes rename/drop evolution
+    safe: a renamed column's data follows its id; a dropped-then-readded
+    name never resurrects old data (different id).  Files group by their
+    write schema; each group renames/drops by the id map, fills added
+    columns with typed NULLs, then the groups union by name."""
+    cur_fields = _schema_of(
+        metadata, (metadata["current-schema-id"]
+                   if to_schema_id is None else to_schema_id))
     names = [f["name"] for f in cur_fields]
     groups: dict[int, list[DataFileEntry]] = {}
     for e in entries:

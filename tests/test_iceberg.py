@@ -620,3 +620,65 @@ def test_rename_swap_via_temp_is_readable(catalog, spark):
     t.rename_column("tmp", "b")
     (row,) = t.read(spark).collect()
     assert row["a"] == 2 and row["b"] == 1   # swapped, data followed ids
+
+
+def test_rename_partition_source_keeps_writes_working(catalog, spark):
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2]) for i in range(8)], "k long, lang string")
+    t = catalog.create_table("evo", "psrc", df, partition_by=["lang"])
+    t.append(df)
+    t.rename_column("lang", "language")
+    # the spec followed the rename: the next write fans out fine
+    t.append(spark.createDataFrame([(100, "fr")], "k long, language string"))
+    assert t.read(spark).count() == 9
+    picked = t.plan_files(partition_filter={"lang": "fr"})
+    assert picked and all(e.partition.get("lang") in (None, "fr")
+                          for e in picked)
+    # dropping a current partition source is refused
+    with pytest.raises(ValueError, match="partition source"):
+        t.drop_column("language")
+
+
+def test_set_ref_kind_mismatch_is_loud(catalog, spark, orders):
+    t = catalog.create_table("refs", "kinds", orders)
+    t.append(orders.limit(5))
+    t.set_ref("dev", kind="branch")
+    with pytest.raises(ValueError, match="is a branch"):
+        t.set_ref("dev")                  # kind defaults to tag
+    t.set_ref("dev", kind="branch")       # explicit branch move is fine
+
+
+def test_dml_commit_rejects_stale_base_snapshot(catalog, spark):
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    t = catalog.create_table("dml", "stale", df)
+    stale_base = t.append(df)
+    t.append(spark.createDataFrame([(2, 2)], "k long, v long"))
+    with pytest.raises(CommitFailedError, match="base snapshot moved"):
+        t._commit_write(df, operation="overwrite", kept_entries=[],
+                        expect_snapshot=stale_base)
+
+
+def test_time_travel_reads_snapshot_schema(catalog, spark):
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    t = catalog.create_table("evo", "tt_schema", df)
+    s1 = t.append(df)
+    t.rename_column("v", "val")
+    t.drop_column("val")
+    # current read: only k; historical read: the original k, v — a later
+    # rename/drop must not retroactively rewrite history
+    assert t.read(spark).columns == ["k"]
+    old = t.read(spark, snapshot_id=s1)
+    assert old.columns == ["k", "v"]
+    assert old.collect()[0]["v"] == 10
+
+
+def test_incremental_scan_history_gap_is_loud(catalog, spark):
+    mk = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")
+    t = catalog.create_table("inc", "gap", mk(0, 2))
+    s1 = t.append(mk(0, 2))
+    t.set_ref("ckpt", snapshot_id=s1)     # keeps s1 past expiration
+    t.append(mk(2, 4))
+    t.append(mk(4, 6))
+    t.expire_snapshots(keep_last=1)       # middle snapshot expires
+    with pytest.raises(ValueError, match="history gap"):
+        t.read_incremental(spark, from_snapshot=s1)
