@@ -411,3 +411,14 @@ def test_boilerplate_frequent_set_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan \
         and "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan  # gram join must not shuffle-sort
+
+
+def test_split_leakage_no_cartesian_and_projected_split(spark, sf_dir):
+    """The leakage audit joins the (small) verified pair set against the
+    split assignment twice by id — no cartesian forms anywhere, and the
+    split itself stays a pure projection over the scan."""
+    df = REGISTRY["pipeline_split_leakage"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
