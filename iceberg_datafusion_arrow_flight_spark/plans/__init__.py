@@ -48,14 +48,21 @@ from . import tpch            # noqa: E402,F401
 #   knn/centroid, surplus TPC-H composites, window_named_clause, the
 #   text/sketch tail, events tail reps, pipeline tail reps, multimodal
 #   audio/resize, hdr+histogram+pivot aggs, agg_exact_distinct (new).
-#   r04 candidates (the ~49 still never driver-checked after r03):
-#   dialect tail (12), io json/csv/partitioned, catalog_columns,
-#   ddl_external_table, events sliding/dedup/anomalies/trending/gap_fill,
-#   text lm_score/langid_confusion, pipeline repetition/balanced/pii/
-#   mixture/profile/constraints/chunk, multimodal decode/frame/feature,
-#   unnest_posexplode, json_from_to, map_functions, array_set_operations,
-#   setop_union_by_name, tpch q15/q21, agg_approx_within_tolerance,
-#   diag_key_skew_profile, rows-only ANN family (weaker rows by design).
+#   r04 candidates (the never-driver-checked tail after r03):
+#   NEW this round (prioritize — each carries a fresh operator family):
+#   iceberg_merge_upsert, iceberg_delete_rows, iceberg_partitioned_scan,
+#   iceberg_sorted_compaction, iceberg_rename_drop_evolution,
+#   pipeline_gopher_rules, pipeline_boilerplate_coverage,
+#   pipeline_split_leakage, multimodal_pixel_dedup.
+#   Plus the standing tail: dialect tail (12), io json/csv/partitioned,
+#   catalog_columns, ddl_external_table, events sliding/dedup/anomalies/
+#   trending/gap_fill, text lm_score/langid_confusion, pipeline
+#   repetition/balanced/pii/mixture/profile/constraints/chunk, multimodal
+#   decode/frame/feature, unnest_posexplode, json_from_to, map_functions,
+#   array_set_operations, setop_union_by_name, tpch q15/q21,
+#   agg_approx_within_tolerance, diag_key_skew_profile, rows-only ANN
+#   family (weaker rows by design).  All new entries return scalar-only
+#   result columns (window guard applies before any rotation).
 _PRIORITY: list[str] = [
     # --- r02 red rows, now fixed: re-verify first -----------------------
     # nested results serialized to scalars (to_json / %.4f join)
