@@ -63,3 +63,39 @@ def rollup_hierarchy(df: DataFrame, ts_col: str,
         current = rollup_level(current, g, keys)
         levels[g] = current
     return levels
+
+
+def refresh_rollup_incremental(spark, events_table, rollup_table,
+                               since_snapshot: int, ts_col: str = "ts",
+                               granularity: str = "1 hour",
+                               keys: list[str] | None = None) -> dict:
+    """Continuous-aggregate maintenance (the TimescaleDB refresh /
+    incremental-materialized-view pattern) on catalog tables: read ONLY
+    the events appended since ``since_snapshot`` (incremental scan),
+    aggregate the delta, combine it with the existing rollup rows for
+    the touched (bucket, keys) — count/sum add, min/max fold — and
+    MERGE the combined rows back copy-on-write.
+
+    Refresh work scales with the DELTA and the touched buckets, never
+    with table history: the delta read plans only the new files, the
+    old-rollup side is a semi-join on the touched keys, and the merge
+    rewrites only the rollup files holding those buckets.  Returns the
+    events snapshot to checkpoint for the next refresh.
+    """
+    keys = keys or []
+    join_keys = ["bucket", *keys]
+    delta = events_table.read_incremental(spark, since_snapshot)
+    head_snapshot = events_table.current_snapshot_id()
+    if delta.isEmpty():
+        return {"refreshed": False, "events_snapshot": head_snapshot}
+    delta_agg = bucket_aggregate(delta, ts_col, granularity, keys)
+    touched_old = rollup_table.read(spark).join(
+        delta_agg.select(*join_keys), join_keys, "left_semi")
+    combined = (touched_old.unionByName(delta_agg)
+                .groupBy(*join_keys)
+                .agg(F.sum("n").alias("n"),
+                     F.sum("sum_value").alias("sum_value"),
+                     F.min("min_value").alias("min_value"),
+                     F.max("max_value").alias("max_value")))
+    stats = rollup_table.merge_upsert(spark, combined, join_keys)
+    return {"refreshed": True, "events_snapshot": head_snapshot, **stats}

@@ -421,3 +421,64 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.last("avg_value", ignorenulls=True).over(locf_w)
                     .alias("value_locf"),
                     F.col("n_events").isNull().alias("is_gap")))
+
+
+@register(
+    "events_rollup_incremental_refresh",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS bucket,
+       event_type,
+       n,
+       ROUND(sum_value, 4) AS sum_value,
+       ROUND(min_value, 4) AS min_value,
+       ROUND(max_value, 4) AS max_value
+FROM (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ts, event_type,
+         COUNT(*) AS n, SUM(value) AS sum_value,
+         MIN(value) AS min_value, MAX(value) AS max_value
+  FROM events GROUP BY 1, 2
+)
+ORDER BY bucket, event_type
+""",
+    doc="Continuous-aggregate incremental refresh over catalog tables: "
+        "an hourly rollup table is initialized from half the events, a "
+        "second batch is appended to the events table, and the refresh "
+        "reads ONLY that delta (incremental scan), combines it with the "
+        "touched rollup rows (count/sum add, min/max fold), and MERGEs "
+        "copy-on-write.  The refreshed rollup must equal the full "
+        "recompute over all events — the oracle checks exactly that "
+        "identity, which only holds if delta detection, the combinable "
+        "re-aggregation, and the merge all compose correctly. "
+        "operators/rollup_ts.py:refresh_rollup_incremental.",
+    tags=("events", "rollup", "iceberg"),
+)
+def events_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.rollup_ts import (bucket_aggregate,
+                                       refresh_rollup_incremental)
+    from ..sources.iceberg_lite import SqliteCatalog
+
+    root = tempfile.mkdtemp(prefix="spark_graft_car_")
+    cat = SqliteCatalog(os.path.join(root, "catalog.db"),
+                        warehouse=os.path.join(root, "warehouse"))
+    events = table(spark, sf_dir, "events")
+    first = events.where(F.col("event_id") % 2 == 0)
+    second = events.where(F.col("event_id") % 2 == 1)
+    ev = cat.create_table("stream", "events_car", first)
+    ckpt = ev.append(first)
+    init = bucket_aggregate(first, "ts", "1 hour", ["event_type"])
+    agg = cat.create_table("agg", "hourly", init)
+    agg.append(init)
+    ev.append(second)                               # new data arrives
+    refresh_rollup_incremental(spark, ev, agg, since_snapshot=ckpt,
+                               granularity="1 hour",
+                               keys=["event_type"])
+    return (agg.read(spark)
+            .select(F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+                    "event_type", "n",
+                    F.round("sum_value", 4).alias("sum_value"),
+                    F.round("min_value", 4).alias("min_value"),
+                    F.round("max_value", 4).alias("max_value"))
+            .orderBy("bucket", "event_type"))

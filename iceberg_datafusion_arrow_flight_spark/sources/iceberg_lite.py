@@ -750,11 +750,20 @@ class IcebergTable:
             k0 = key_cols[0]
             row = src.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
             lo, hi = row["lo"], row["hi"]
-            cand = [] if lo is None else [
-                e for e in entries
-                if e.lower_bounds.get(k0) is None
-                or e.upper_bounds.get(k0) is None
-                or not (e.upper_bounds[k0] < lo or e.lower_bounds[k0] > hi)]
+
+            def overlaps(e):
+                # manifest bounds are JSON scalars (_plain renders
+                # timestamps/decimals as strings); if they aren't
+                # comparable with the source's key span, keep the file —
+                # pruning is an optimization, never a correctness gate
+                elo, ehi = e.lower_bounds.get(k0), e.upper_bounds.get(k0)
+                if elo is None or ehi is None:
+                    return True
+                try:
+                    return not (ehi < lo or elo > hi)
+                except TypeError:
+                    return True
+            cand = [] if lo is None else [e for e in entries if overlaps(e)]
             if cand:
                 tgt = _read_entries_df(spark, metadata, cand,
                                        include_file=True)

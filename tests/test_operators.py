@@ -740,3 +740,31 @@ def test_pixel_signature_matches_across_encodings(spark):
     byte_sums = {r["doc_id"]: r["checksum"] for r in
                  M.decode_image_payloads(imgs).collect()}
     assert byte_sums[5] != byte_sums[5 + 1280]
+
+
+def test_incremental_rollup_refresh_noop_and_checkpoint(spark, sf_dir):
+    """Empty delta: no merge commit, but the returned checkpoint still
+    advances to the current events snapshot."""
+    import os
+    import tempfile
+    from iceberg_datafusion_arrow_flight_spark.operators.rollup_ts import (
+        bucket_aggregate, refresh_rollup_incremental)
+    from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+        SqliteCatalog)
+    from iceberg_datafusion_arrow_flight_spark.sources.registry import (
+        load_table)
+    root = tempfile.mkdtemp(prefix="car_noop_")
+    cat = SqliteCatalog(os.path.join(root, "cat.db"),
+                        warehouse=os.path.join(root, "wh"))
+    events = load_table(spark, sf_dir, "events").limit(200)
+    ev = cat.create_table("s", "e", events)
+    ckpt = ev.append(events)
+    init = bucket_aggregate(events, "ts", "1 hour", ["event_type"])
+    agg = cat.create_table("a", "h", init)
+    agg.append(init)
+    pre = agg.current_snapshot_id()
+    out = refresh_rollup_incremental(spark, ev, agg, since_snapshot=ckpt,
+                                     keys=["event_type"])
+    assert out["refreshed"] is False
+    assert out["events_snapshot"] == ev.current_snapshot_id()
+    assert agg.current_snapshot_id() == pre       # rollup untouched
