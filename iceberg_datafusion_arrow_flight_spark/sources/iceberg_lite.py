@@ -628,7 +628,7 @@ class IcebergTable:
     # -- incremental scan ---------------------------------------------------
 
     def read_incremental(self, spark: SparkSession,
-                         from_snapshot: int,
+                         from_snapshot: int | None,
                          to_snapshot: int | None = None) -> DataFrame:
         """Incremental append scan (Iceberg's incremental read): rows in
         data files ADDED strictly after ``from_snapshot`` up to
@@ -639,11 +639,24 @@ class IcebergTable:
         Only append deltas are well-defined: if any snapshot in the
         range rewrote files (overwrite / replace / delete), the file
         diff is not a row diff and this raises loudly instead of
-        returning wrong increments."""
+        returning wrong increments.  ``from_snapshot=None`` means "from
+        empty" — the delta is the target snapshot's whole file set (the
+        first-refresh case for a consumer that checkpointed before any
+        data existed), valid regardless of intervening operations."""
         _, metadata = self._load_metadata()
+        fields = self.schema_fields()
+        empty = spark.createDataFrame([], ", ".join(
+            f"`{f['name']}` {f['type']}" for f in fields))
         to_id = to_snapshot or metadata["current-snapshot-id"]
-        from_snap = _snapshot(metadata, from_snapshot)
+        if to_id is None or from_snapshot == to_id:
+            return empty
         to_snap = _snapshot(metadata, to_id)
+        if from_snapshot is None:
+            # from empty: the delta IS the target's file set, valid
+            # regardless of intervening operations
+            return _read_entries_df(spark, metadata,
+                                    _read_all_entries(to_snap))
+        from_snap = _snapshot(metadata, from_snapshot)
         # walk the parent chain from to_snap back to from_snap
         chain: list[dict] = []
         cur = to_snap
@@ -674,11 +687,8 @@ class IcebergTable:
         base_files = {e.file_path for e in _read_all_entries(from_snap)}
         new_entries = [e for e in _read_all_entries(to_snap)
                        if e.file_path not in base_files]
-        fields = self.schema_fields()
         if not new_entries:
-            schema = ", ".join(
-                f"`{f['name']}` {f['type']}" for f in fields)
-            return spark.createDataFrame([], schema)
+            return empty
         return _read_entries_df(spark, metadata, new_entries)
 
     # -- row-level DML (copy-on-write) --------------------------------------

@@ -432,3 +432,44 @@ def stream_dedup_ingest(stream_docs: DataFrame, state_dir: str,
             .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
             .queryName(query_name)
             .start())
+
+
+def stream_events_with_rollup(df: DataFrame, events_table, rollup_table,
+                              ckpt_dir: str,
+                              granularity: str = "1 hour",
+                              keys: list[str] | None = None,
+                              query_name: str = "events_mv"):
+    """Streaming materialized view: every micro-batch lands in the
+    events table as one append snapshot AND the hourly rollup is
+    incrementally refreshed from exactly that delta — the lakehouse
+    continuous aggregate, kept transactionally adjacent to its source.
+
+    Per batch: one append commit, one merge commit; refresh work is the
+    batch's buckets, never table history (the incremental scan reads
+    only the batch's files via the checkpointed snapshot id).  If the
+    merge loses a CAS race the batch fails and streaming retries it —
+    the rollup never silently diverges from the events table."""
+    from ..operators.rollup_ts import refresh_rollup_incremental
+
+    # checkpoint the events snapshot BETWEEN batches in driver memory;
+    # on restart the first refresh re-reads from the table head so the
+    # rollup converges (merge is idempotent per (bucket, key) state)
+    state = {"ckpt": events_table.current_snapshot_id()}
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        events_table.append(batch_df)
+        out = refresh_rollup_incremental(
+            spark, events_table, rollup_table,
+            since_snapshot=state["ckpt"], granularity=granularity,
+            keys=keys or [])
+        state["ckpt"] = out["events_snapshot"]
+
+    return (df.writeStream
+            .foreachBatch(commit_batch)
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start())

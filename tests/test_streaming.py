@@ -302,3 +302,48 @@ def test_stream_upsert_to_iceberg_cdc(spark, tmp_path):
     old = {r["k"]: r["v"] for r in
            t.read(spark, snapshot_id=first).collect()}
     assert old[3] == 0 and 100 not in old
+
+
+def test_stream_events_with_rollup_mv(spark, tmp_path):
+    """Streaming materialized view: per batch, one events append + one
+    incremental rollup MERGE; after draining the backlog the rollup
+    equals a full recompute over the ingested events."""
+    from iceberg_datafusion_arrow_flight_spark.operators.rollup_ts import (
+        bucket_aggregate)
+    from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+        SqliteCatalog)
+    from iceberg_datafusion_arrow_flight_spark.streaming.jobs import (
+        stream_events_with_rollup)
+    cat = SqliteCatalog(str(tmp_path / "cat.db"),
+                        warehouse=str(tmp_path / "wh"))
+    rows = [(i, f"2024-01-01 {i % 4:02d}:15:00", ["a", "b"][i % 2],
+             float(i)) for i in range(40)]
+    schema = "event_id long, ts_s string, event_type string, value double"
+    all_df = (spark.createDataFrame(rows, schema)
+              .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s"))
+    ev = cat.create_table("mv", "events", all_df)
+    agg = cat.create_table("mv", "hourly",
+                           bucket_aggregate(all_df, "ts", "1 hour",
+                                            ["event_type"]))
+    src = str(tmp_path / "src")
+    for lo, hi in ((0, 15), (15, 40)):          # two micro-batches
+        (all_df.where(F.col("event_id").between(lo, hi - 1))
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream
+              .schema("event_id long, event_type string, value double, "
+                      "ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_events_with_rollup(stream, ev, agg,
+                                  ckpt_dir=str(tmp_path / "ckpt"),
+                                  keys=["event_type"])
+    q.awaitTermination(180)
+    full = {(r["bucket"], r["event_type"]): (r["n"], round(r["sum_value"], 4))
+            for r in bucket_aggregate(ev.read(spark), "ts", "1 hour",
+                                      ["event_type"]).collect()}
+    mv = {(r["bucket"], r["event_type"]): (r["n"], round(r["sum_value"], 4))
+          for r in agg.read(spark).collect()}
+    # hour (i%4) and type (i%2) are correlated: 4 (hour, type) combos
+    assert mv == full and len(mv) == 4
+    # one append + one merge snapshot per batch
+    ops = [s["summary"]["operation"] for s in agg.snapshots()]
+    assert ops.count("overwrite") == 2
