@@ -66,9 +66,11 @@ def rollup_hierarchy(df: DataFrame, ts_col: str,
 
 
 def refresh_rollup_incremental(spark, events_table, rollup_table,
-                               since_snapshot: int, ts_col: str = "ts",
+                               since_snapshot: int | None,
+                               ts_col: str = "ts",
                                granularity: str = "1 hour",
-                               keys: list[str] | None = None) -> dict:
+                               keys: list[str] | None = None,
+                               summary_extra: dict | None = None) -> dict:
     """Continuous-aggregate maintenance (the TimescaleDB refresh /
     incremental-materialized-view pattern) on catalog tables: read ONLY
     the events appended since ``since_snapshot`` (incremental scan),
@@ -79,23 +81,46 @@ def refresh_rollup_incremental(spark, events_table, rollup_table,
     Refresh work scales with the DELTA and the touched buckets, never
     with table history: the delta read plans only the new files, the
     old-rollup side is a semi-join on the touched keys, and the merge
-    rewrites only the rollup files holding those buckets.  Returns the
-    events snapshot to checkpoint for the next refresh.
+    rewrites only the rollup files holding those buckets.
+
+    Contracts: the events head is captured FIRST and the delta pinned
+    to it (a concurrent append can never be checkpointed past unseen);
+    the covered head is recorded in the merge snapshot's summary
+    (``events-snapshot``) so the checkpoint is recoverable from table
+    metadata alone; grouping keys are NOT NULL — NULL bucket/key delta
+    rows are dropped (they cannot fold incrementally: NULL never equals
+    NULL in the semi-join or the merge keys).  Returns the events
+    snapshot to checkpoint for the next refresh.
     """
     keys = keys or []
     join_keys = ["bucket", *keys]
-    delta = events_table.read_incremental(spark, since_snapshot)
+    # Capture the head FIRST and pin the delta to it: reading the delta
+    # and then asking for "current" separately would let a concurrent
+    # append land between the two and be checkpointed past unseen.
     head_snapshot = events_table.current_snapshot_id()
-    if delta.isEmpty():
-        return {"refreshed": False, "events_snapshot": head_snapshot}
-    delta_agg = bucket_aggregate(delta, ts_col, granularity, keys)
-    touched_old = rollup_table.read(spark).join(
-        delta_agg.select(*join_keys), join_keys, "left_semi")
-    combined = (touched_old.unionByName(delta_agg)
-                .groupBy(*join_keys)
-                .agg(F.sum("n").alias("n"),
-                     F.sum("sum_value").alias("sum_value"),
-                     F.min("min_value").alias("min_value"),
-                     F.max("max_value").alias("max_value")))
-    stats = rollup_table.merge_upsert(spark, combined, join_keys)
-    return {"refreshed": True, "events_snapshot": head_snapshot, **stats}
+    delta = events_table.read_incremental(spark, since_snapshot,
+                                          to_snapshot=head_snapshot)
+    # NULL bucket/key rows cannot be folded incrementally (NULL never
+    # equals NULL in the semi-join or the MERGE keys) — the rollup's
+    # contract is NOT NULL grouping keys, enforced here on the delta.
+    delta_agg = (bucket_aggregate(delta, ts_col, granularity, keys)
+                 .na.drop(subset=join_keys).cache())
+    try:
+        if not delta_agg.take(1):
+            return {"refreshed": False, "events_snapshot": head_snapshot}
+        touched_old = rollup_table.read(spark).join(
+            delta_agg.select(*join_keys), join_keys, "left_semi")
+        combined = (touched_old.unionByName(delta_agg)
+                    .groupBy(*join_keys)
+                    .agg(F.sum("n").alias("n"),
+                         F.sum("sum_value").alias("sum_value"),
+                         F.min("min_value").alias("min_value"),
+                         F.max("max_value").alias("max_value")))
+        stats = rollup_table.merge_upsert(
+            spark, combined, join_keys,
+            summary_extra={"events-snapshot": str(head_snapshot),
+                           **(summary_extra or {})})
+        return {"refreshed": True, "events_snapshot": head_snapshot,
+                **stats}
+    finally:
+        delta_agg.unpersist()

@@ -254,9 +254,13 @@ class IcebergTable:
 
     # -- write path ---------------------------------------------------------
 
-    def append(self, df: DataFrame) -> int:
-        """INSERT INTO semantics: new snapshot = old files + new files."""
-        return self._commit_write(df, operation="append")
+    def append(self, df: DataFrame,
+               summary_extra: dict[str, str] | None = None) -> int:
+        """INSERT INTO semantics: new snapshot = old files + new files.
+        ``summary_extra`` lands in the snapshot summary — streaming
+        sinks stamp their batch id there to make replays detectable."""
+        return self._commit_write(df, operation="append",
+                                  summary_extra=summary_extra)
 
     def overwrite(self, df: DataFrame) -> int:
         """INSERT OVERWRITE semantics: new snapshot = new files only."""
@@ -648,14 +652,25 @@ class IcebergTable:
         empty = spark.createDataFrame([], ", ".join(
             f"`{f['name']}` {f['type']}" for f in fields))
         to_id = to_snapshot or metadata["current-snapshot-id"]
-        if to_id is None or from_snapshot == to_id:
+        if to_id is None:
+            if from_snapshot is not None:
+                # a checkpoint id against a table with no snapshots is a
+                # lineage break (e.g. drop+recreate) — surface it, don't
+                # mask it as an empty delta
+                raise NoSuchTableError(
+                    f"snapshot {from_snapshot} not found (table has no "
+                    "snapshots — stale checkpoint?)")
+            return empty
+        if from_snapshot == to_id:
             return empty
         to_snap = _snapshot(metadata, to_id)
         if from_snapshot is None:
             # from empty: the delta IS the target's file set, valid
             # regardless of intervening operations
-            return _read_entries_df(spark, metadata,
-                                    _read_all_entries(to_snap))
+            entries = _read_all_entries(to_snap)
+            if not entries:
+                return empty
+            return _read_entries_df(spark, metadata, entries)
         from_snap = _snapshot(metadata, from_snapshot)
         # walk the parent chain from to_snap back to from_snap
         chain: list[dict] = []
@@ -694,7 +709,8 @@ class IcebergTable:
     # -- row-level DML (copy-on-write) --------------------------------------
 
     def merge_upsert(self, spark: SparkSession, source: DataFrame,
-                     key_cols: list[str]) -> dict:
+                     key_cols: list[str],
+                     summary_extra: dict[str, str] | None = None) -> dict:
         """MERGE INTO target USING source ON keys — WHEN MATCHED UPDATE
         all columns, WHEN NOT MATCHED INSERT — with Iceberg's
         copy-on-write file granularity: only data files that actually
@@ -728,12 +744,13 @@ class IcebergTable:
         src = source.select(*names).cache()
         try:
             return self._merge_planned(spark, src, key_cols, metadata,
-                                       base_snapshot, names)
+                                       base_snapshot, names,
+                                       summary_extra or {})
         finally:
             src.unpersist()
 
     def _merge_planned(self, spark, src, key_cols, metadata,
-                       base_snapshot, names) -> dict:
+                       base_snapshot, names, summary_extra) -> dict:
         nonnull_key = None
         for k in key_cols:
             c = F.col(k).isNotNull()
@@ -760,20 +777,8 @@ class IcebergTable:
             k0 = key_cols[0]
             row = src.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
             lo, hi = row["lo"], row["hi"]
-
-            def overlaps(e):
-                # manifest bounds are JSON scalars (_plain renders
-                # timestamps/decimals as strings); if they aren't
-                # comparable with the source's key span, keep the file —
-                # pruning is an optimization, never a correctness gate
-                elo, ehi = e.lower_bounds.get(k0), e.upper_bounds.get(k0)
-                if elo is None or ehi is None:
-                    return True
-                try:
-                    return not (ehi < lo or elo > hi)
-                except TypeError:
-                    return True
-            cand = [] if lo is None else [e for e in entries if overlaps(e)]
+            cand = [] if lo is None else [
+                e for e in entries if _bounds_overlap(e, k0, lo, hi)]
             if cand:
                 tgt = _read_entries_df(spark, metadata, cand,
                                        include_file=True)
@@ -797,7 +802,8 @@ class IcebergTable:
         snapshot_id = self._commit_write(
             new_df, operation="overwrite", kept_entries=kept,
             summary_extra={"replaced-data-files": str(len(affected)),
-                           "kept-data-files": str(len(kept))},
+                           "kept-data-files": str(len(kept)),
+                           **summary_extra},
             expect_snapshot=base_snapshot)
         return {"snapshot_id": snapshot_id,
                 "rewritten_files": len(affected),
@@ -886,12 +892,8 @@ class IcebergTable:
                            or e.partition[pf_name] in vals]
         if prune is not None:
             col, lo, hi = prune
-            entries = [
-                e for e in entries
-                if e.lower_bounds.get(col) is None
-                or e.upper_bounds.get(col) is None
-                or not (e.upper_bounds[col] < lo or e.lower_bounds[col] > hi)
-            ]
+            entries = [e for e in entries
+                       if _bounds_overlap(e, col, lo, hi)]
         return entries
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
@@ -950,6 +952,21 @@ def _fill_missing(df: DataFrame, fields: list[dict]) -> DataFrame:
         if f["name"] not in df.columns:
             df = df.withColumn(f["name"], F.lit(None).cast(f["type"]))
     return df
+
+
+def _bounds_overlap(e: DataFileEntry, col: str, lo, hi) -> bool:
+    """Does the file's [min, max] for ``col`` intersect [lo, hi]?
+    Manifest bounds are JSON scalars (_plain renders timestamps/decimals
+    as strings); if they are not comparable with the probe values, the
+    file is KEPT — pruning is an optimization, never a correctness
+    gate.  Shared by plan_files and the MERGE candidate prune."""
+    elo, ehi = e.lower_bounds.get(col), e.upper_bounds.get(col)
+    if elo is None or ehi is None:
+        return True
+    try:
+        return not (ehi < lo or elo > hi)
+    except TypeError:
+        return True
 
 
 def _resolve_sid(metadata: dict, snapshot_id: int | None,

@@ -438,34 +438,56 @@ def stream_events_with_rollup(df: DataFrame, events_table, rollup_table,
                               ckpt_dir: str,
                               granularity: str = "1 hour",
                               keys: list[str] | None = None,
+                              initial_events_snapshot: int | None = None,
                               query_name: str = "events_mv"):
     """Streaming materialized view: every micro-batch lands in the
     events table as one append snapshot AND the hourly rollup is
     incrementally refreshed from exactly that delta — the lakehouse
     continuous aggregate, kept transactionally adjacent to its source.
 
+    Exactly-once against foreachBatch's at-least-once replays, with NO
+    driver-memory state — everything recovers from table metadata:
+
+    - the append stamps ``streaming-batch-id`` in its snapshot summary;
+      a replayed batch whose append already committed is skipped, so
+      rows are never ingested twice;
+    - the refresh checkpoint is the ``events-snapshot`` recorded by the
+      last refresh's merge commit (falling back to
+      ``initial_events_snapshot`` — the snapshot the rollup's initial
+      contents already cover, None for an empty rollup), so a crash
+      between append and refresh replays the refresh over the SAME
+      delta instead of skipping it;
+    - a replay after both commits finds both stamps and no-ops.
+
     Per batch: one append commit, one merge commit; refresh work is the
-    batch's buckets, never table history (the incremental scan reads
-    only the batch's files via the checkpointed snapshot id).  If the
-    merge loses a CAS race the batch fails and streaming retries it —
-    the rollup never silently diverges from the events table."""
+    batch's buckets, never table history."""
     from ..operators.rollup_ts import refresh_rollup_incremental
 
-    # checkpoint the events snapshot BETWEEN batches in driver memory;
-    # on restart the first refresh re-reads from the table head so the
-    # rollup converges (merge is idempotent per (bucket, key) state)
-    state = {"ckpt": events_table.current_snapshot_id()}
+    def _stamped(table, stamp: str) -> bool:
+        return any(s["summary"].get("streaming-batch-id") == stamp
+                   for s in table.snapshots())
+
+    def _refresh_checkpoint(table) -> int | None:
+        for s in reversed(table.snapshots()):
+            v = s["summary"].get("events-snapshot")
+            if v is not None:
+                return int(v)
+        return initial_events_snapshot
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        events_table.append(batch_df)
-        out = refresh_rollup_incremental(
-            spark, events_table, rollup_table,
-            since_snapshot=state["ckpt"], granularity=granularity,
-            keys=keys or [])
-        state["ckpt"] = out["events_snapshot"]
+        stamp = f"{query_name}:{batch_id}"
+        if not _stamped(events_table, stamp):
+            events_table.append(
+                batch_df, summary_extra={"streaming-batch-id": stamp})
+        if not _stamped(rollup_table, stamp):
+            refresh_rollup_incremental(
+                spark, events_table, rollup_table,
+                since_snapshot=_refresh_checkpoint(rollup_table),
+                granularity=granularity, keys=keys or [],
+                summary_extra={"streaming-batch-id": stamp})
 
     return (df.writeStream
             .foreachBatch(commit_batch)

@@ -347,3 +347,21 @@ def test_stream_events_with_rollup_mv(spark, tmp_path):
     # one append + one merge snapshot per batch
     ops = [s["summary"]["operation"] for s in agg.snapshots()]
     assert ops.count("overwrite") == 2
+    # at-least-once replay is a no-op: a fresh streaming checkpoint
+    # replays batches 0 and 1, but both tables carry the batch stamps,
+    # so no rows double and no new snapshots commit
+    ev_snaps, agg_snaps = len(ev.snapshots()), len(agg.snapshots())
+    stream2 = (spark.readStream
+               .schema("event_id long, event_type string, value double, "
+                       "ts timestamp")
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    q2 = stream_events_with_rollup(stream2, ev, agg,
+                                   ckpt_dir=str(tmp_path / "ckpt2"),
+                                   keys=["event_type"])
+    q2.awaitTermination(180)
+    assert ev.read(spark).count() == 40
+    assert len(ev.snapshots()) == ev_snaps
+    assert len(agg.snapshots()) == agg_snaps
+    mv2 = {(r["bucket"], r["event_type"]): (r["n"], round(r["sum_value"], 4))
+           for r in agg.read(spark).collect()}
+    assert mv2 == full
