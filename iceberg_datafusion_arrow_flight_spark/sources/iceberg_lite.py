@@ -809,21 +809,35 @@ class IcebergTable:
                 "rewritten_files": len(affected),
                 "kept_files": len(kept)}
 
-    def delete_where(self, spark: SparkSession, condition) -> dict:
+    def delete_where(self, spark: SparkSession, condition,
+                     partition_filter: dict[str, object] | None = None,
+                     ) -> dict:
         """Row-level DELETE with copy-on-write: files containing at least
         one matching row are rewritten without those rows; all other
         files carry over by manifest entry.  ``condition`` is a Spark
         Column predicate (or SQL string).  Same CAS commit + concurrent
-        -writer semantics as merge_upsert."""
+        -writer semantics as merge_upsert.
+
+        ``partition_filter`` restricts the CANDIDATE files by manifest
+        partition values (a day-aligned delete scans one day's files,
+        not the table).  It is the caller's contract that the predicate
+        only matches rows inside the filtered partitions — rows outside
+        are never examined (same optimization contract as Iceberg's
+        partition-scoped deletes)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         _, md = self._load_metadata()
         base_snapshot = md["current-snapshot-id"]
         names = [f["name"]
                  for f in _schema_of(md, md["current-schema-id"])]
-        entries = self.plan_files(_metadata=md)
+        all_entries = self.plan_files(_metadata=md)
+        entries = (self.plan_files(partition_filter=partition_filter,
+                                   _metadata=md)
+                   if partition_filter else all_entries)
+        in_paths = {e.file_path for e in entries}
+        outside = [e for e in all_entries if e.file_path not in in_paths]
         if not entries:
             return {"snapshot_id": None, "rewritten_files": 0,
-                    "kept_files": 0}
+                    "kept_files": len(outside)}
         tgt = _read_entries_df(spark, md, entries, include_file=True)
         hit_paths = {
             _local_path(r["__file"]) for r in
@@ -831,7 +845,10 @@ class IcebergTable:
         affected = [e for e in entries
                     if os.path.abspath(e.file_path) in hit_paths]
         hit_set = {e.file_path for e in affected}
-        kept = [e for e in entries if e.file_path not in hit_set]
+        # kept = unexamined partitions (carried verbatim) + examined
+        # files with no matching row
+        kept = outside + [e for e in entries
+                          if e.file_path not in hit_set]
         if not affected:
             return {"snapshot_id": None, "rewritten_files": 0,
                     "kept_files": len(kept)}

@@ -682,3 +682,24 @@ def test_incremental_scan_history_gap_is_loud(catalog, spark):
     t.expire_snapshots(keep_last=1)       # middle snapshot expires
     with pytest.raises(ValueError, match="history gap"):
         t.read_incremental(spark, from_snapshot=s1)
+
+
+def test_delete_partition_scoped_scans_only_the_partition(catalog, spark):
+    """A partition-scoped DELETE examines only the filtered partitions'
+    files; everything else carries over by manifest entry untouched."""
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(30)],
+        "k long, lang string")
+    t = catalog.create_table("dml", "pdel", df, partition_by=["lang"])
+    t.append(df)
+    other_pre = {e.file_path for e in t.plan_files()
+                 if e.partition["lang"] != "de"}
+    stats = t.delete_where(spark, F.col("k") % 2 == 1,
+                           partition_filter={"lang": "de"})
+    assert stats["rewritten_files"] >= 1
+    ks = {r["k"] for r in t.read(spark).collect()}
+    # only de rows (k % 3 == 1) with odd k disappeared
+    assert ks == set(range(30)) - {k for k in range(30)
+                                   if k % 3 == 1 and k % 2 == 1}
+    # non-de files carried by the same path
+    assert other_pre <= {e.file_path for e in t.plan_files()}
