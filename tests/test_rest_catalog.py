@@ -234,3 +234,24 @@ def test_partitioned_table_over_http(spark, served):
     en = t2.plan_files(partition_filter={"lang": "en"})
     assert en and all(e.partition["lang"] == "en" for e in en)
     assert t2.read(spark, partition_filter={"lang": "en"}).count() == 4
+
+
+def test_merge_and_delete_over_http(spark, served):
+    """Row-level DML composes with the REST catalog: the merge and
+    delete snapshots commit as HTTP CAS pointer swaps, copy-on-write
+    file carrying included."""
+    from pyspark.sql import functions as F
+    _, cat = served
+    df = spark.createDataFrame([(k, 0) for k in range(10)],
+                               "k long, v long")
+    t = cat.create_table("dml", "kv", df)
+    t.append(df.coalesce(1))
+    t.append(spark.createDataFrame([(k, 0) for k in range(10, 20)],
+                                   "k long, v long").coalesce(1))
+    stats = t.merge_upsert(spark, spark.createDataFrame(
+        [(3, -1), (99, -2)], "k long, v long"), ["k"])
+    assert stats["rewritten_files"] == 1 and stats["kept_files"] == 1
+    t.delete_where(spark, F.col("k").between(10, 12))
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[3] == -1 and got[99] == -2
+    assert set(got) == (set(range(10)) | {13, 14, 15, 16, 17, 18, 19, 99})
