@@ -362,3 +362,33 @@ def iceberg_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.read(spark)
             .groupBy("status").agg(*_agg_cols())
             .orderBy("status"))
+
+
+@register(
+    "iceberg_incremental_scan",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderkey % 2 = 1
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Incremental append scan: after two append snapshots, read the "
+        "delta SINCE the first — the checkpoint-and-consume primitive "
+        "for downstream pipelines.  The scan plans only the second "
+        "commit's files (never the base files), so the aggregate equals "
+        "the second batch's aggregate exactly — which is what the "
+        "oracle checks. sources/iceberg_lite.py:read_incremental.",
+    tags=("iceberg", "catalog", "incremental"),
+)
+def iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    even, odd = _split_orders(spark, sf_dir)
+    t = cat.create_table("sales", "orders_inc", even)
+    first = t.append(even)
+    t.append(odd)
+    return (t.read_incremental(spark, from_snapshot=first)
+            .groupBy("o_orderstatus").agg(*_agg_cols())
+            .orderBy("o_orderstatus"))
