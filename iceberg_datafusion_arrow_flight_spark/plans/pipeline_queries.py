@@ -701,3 +701,59 @@ def pipeline_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("n_boiler") / F.sum("n_grams"), 4)
                   .alias("corpus_frac"))
             .orderBy("lang"))
+
+
+@register(
+    "pipeline_drift_psi",
+    oracle=r"""
+WITH binned AS (
+  SELECT LEAST(CAST(n_chars // 50 AS BIGINT), 11) AS bin,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_cur
+  FROM documents GROUP BY 1
+), dist AS (
+  SELECT bin, n_ref, n_cur,
+         (n_ref + 0.5) / (SUM(n_ref) OVER () + 6.0) AS p,
+         (n_cur + 0.5) / (SUM(n_cur) OVER () + 6.0) AS q
+  FROM binned
+)
+SELECT bin, n_ref, n_cur,
+       ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+       ROUND((p - q) * ln(p / q), 6) AS psi_term
+FROM dist ORDER BY bin
+""",
+    doc="Population-stability-index drift monitor: the length "
+        "distribution of the reference slice (source = src0) vs the "
+        "rest of the corpus, over fixed 50-char bins with +0.5 Laplace "
+        "smoothing (12 virtual bins) so empty bins never divide by "
+        "zero.  Per-bin PSI terms sum to the drift score a pipeline "
+        "alerts on between crawl snapshots.  One aggregate pass + "
+        "window totals — no per-slice rescan; both engines compute the "
+        "identical smoothed doubles so ln() terms hash-match at 6 "
+        "decimals.",
+    tags=("pipeline", "text", "monitoring"),
+)
+def pipeline_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    docs = table(spark, sf_dir, "documents")
+    binned = (docs.groupBy(
+        F.least((F.col("n_chars") / 50).cast("bigint"), F.lit(11))
+         .alias("bin"))
+        .agg(F.count_if(F.col("source") == "src0").cast("bigint")
+              .alias("n_ref"),
+             F.count_if(F.col("source") != "src0").cast("bigint")
+              .alias("n_cur")))
+    w = Window.partitionBy()
+    p = (F.col("n_ref") + 0.5) / (F.sum("n_ref").over(w) + 6.0)
+    q = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(w) + 6.0)
+    return (binned
+            .withColumn("p", p).withColumn("q", q)
+            .select("bin", "n_ref", "n_cur",
+                    F.round("p", 6).alias("p"),
+                    F.round("q", 6).alias("q"),
+                    F.round((F.col("p") - F.col("q"))
+                            * F.log(F.col("p") / F.col("q")), 6)
+                     .alias("psi_term"))
+            .orderBy("bin"))
