@@ -13,6 +13,11 @@ Contract (mirrors the driver's correctness gate, see ``__spark_entry__.py``):
   total order, unique tie-breaks in every window ORDER BY, and
   floating-point aggregates rounded on both sides (cross-engine float
   summation order differs in the last ulp; rounding makes the hash stable).
+  Beware ROUND on values that can land EXACTLY on a .5 digit boundary
+  (e.g. a rounded sum divided by a count): Spark rounds the shortest
+  decimal rendering, DuckDB rounds the binary value, and they disagree at
+  the boundary — emit the unrounded quotient of identically-rounded
+  operands instead (bit-identical inputs ⇒ bit-identical hash).
 
 Every [P] operator row in SURVEY §2 is reachable in the reference only
 via ctx.sql (iceberg-datafusion-arrow-flight/src/lib.rs:678); this registry is the

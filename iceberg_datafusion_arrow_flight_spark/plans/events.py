@@ -367,9 +367,16 @@ def events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_gap_fill",
     oracle="""
 WITH hourly AS (
+  -- mean = round(sum, 2) / n, UNrounded after the division: the
+  -- coarse sum-round absorbs the engines' summation-order ulps, and
+  -- the division of bit-identical operands is bit-identical — no
+  -- final round, because a quotient landing exactly on .XXXX5 rounds
+  -- differently across engines (binary-value vs shortest-decimal
+  -- rounding; both a raw ROUND(AVG, 4) and a rounded quotient flipped
+  -- the last digit at sf0.1)
   SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
          CAST(COUNT(*) AS BIGINT) AS n_events,
-         ROUND(AVG(value), 4) AS avg_value
+         ROUND(SUM(value), 2) / COUNT(*) AS avg_value
   FROM events GROUP BY 1, 2
 ), bounds AS (SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM hourly),
 buckets AS (
@@ -404,7 +411,8 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
               .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                   F.round(F.avg("value"), 4).alias("avg_value"))
+                   (F.round(F.sum("value"), 2)
+                    / F.count(F.lit(1))).alias("avg_value"))
               .select(F.col("w.start").cast("timestamp_ntz").alias("bucket"),
                       "event_type", "n_events", "avg_value"))
     bounds = hourly.agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
