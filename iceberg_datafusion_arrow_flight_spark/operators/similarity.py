@@ -611,3 +611,74 @@ def knn_label_vote(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .where(F.col("__r") == 1)
             .select("query_id",
                     F.col("__lab").cast("int").alias("predicted_label")))
+
+
+def topk_mips(queries: DataFrame, corpus: DataFrame, k: int = 10,
+              query_id: str = "vec_id", corpus_id: str = "vec_id",
+              query_vec: str = "embedding", corpus_vec: str = "embedding",
+              ) -> DataFrame:
+    """Exact top-k by MAXIMUM INNER PRODUCT (MIPS) — the retrieval
+    objective for recommendation / two-tower models, where vector norm
+    carries signal and cosine's normalization would erase it.
+
+    Plan shape matches :func:`topk_cosine`: broadcast(queries) × corpus
+    → one codegen'd left-fold dot per pair → per-query row_number.
+    Ranking key is (rounded score DESC, corpus id): deterministic under
+    float noise and ties.
+
+    Scale path: MIPS reduces to cosine search by the norm-augmentation
+    transform (append sqrt(M² − ‖x‖²) to each corpus vector, 0 to each
+    query, M = max corpus norm — Bachrach et al., RecSys 2014), after
+    which the LSH/IVF ANN variants in this module apply unchanged; the
+    exact form here is the oracle those would be recalled against."""
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       _as_double(F.col(query_vec)).alias("qv"))
+    c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
+                               _as_double(F.col(corpus_vec)).alias("cv"))
+    scores = (F.broadcast(q).crossJoin(c)
+              .where(F.col("query_id") != F.col("corpus_id"))
+              .select("query_id", "corpus_id",
+                      F.round(dot(F.col("qv"), F.col("cv")), 6)
+                       .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("corpus_id"))
+    return (scores.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "score",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def benchmark_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: float,
+                            corpus_id: str = "vec_id",
+                            bench_id: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Semantic decontamination: flag every corpus vector whose cosine
+    to ANY benchmark/eval vector reaches ``threshold`` — the embedding
+    complement of the n-gram ``pipeline_decontaminate`` gate (surface
+    overlap misses paraphrased eval leakage; embeddings catch it).
+
+    Returns (corpus id, nearest flagged benchmark id, sim) for flagged
+    rows only — the removal list a curation pipeline anti-joins against.
+    Nearest benchmark is deterministic: row_number over (sim DESC,
+    benchmark id).
+
+    Plan shape: benchmark sets are eval-suite sized (thousands), so the
+    benchmark side BROADCASTS and the 100 TB corpus streams through one
+    codegen'd projection — no shuffle of the corpus at all; the only
+    exchange is the per-corpus-row argmax aggregation, keyed on the
+    corpus id it is already hash-partitionable by."""
+    b = benchmark.select(F.col(bench_id).alias("bench_id"),
+                         _as_double(F.col(vec_col)).alias("bv"))
+    c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
+                               _as_double(F.col(vec_col)).alias("cv"))
+    sims = (c.crossJoin(F.broadcast(b))
+            .select("corpus_id", "bench_id",
+                    F.round(cosine(F.col("cv"), F.col("bv")), 6)
+                     .alias("sim"))
+            .where(F.col("sim") >= F.lit(threshold)))
+    w = Window.partitionBy("corpus_id").orderBy(
+        F.col("sim").desc(), F.col("bench_id"))
+    return (sims.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("corpus_id", "bench_id", "sim"))

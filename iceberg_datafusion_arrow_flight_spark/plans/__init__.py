@@ -53,7 +53,11 @@ from . import tpch            # noqa: E402,F401
 #   iceberg_merge_upsert, iceberg_delete_rows, iceberg_partitioned_scan,
 #   iceberg_sorted_compaction, iceberg_rename_drop_evolution,
 #   pipeline_gopher_rules, pipeline_boilerplate_coverage,
-#   pipeline_split_leakage, multimodal_pixel_dedup.
+#   pipeline_split_leakage, multimodal_pixel_dedup, window_distinct_count
+#   (a Spark-gap emulation like GROUPS frames), sim_mips_topk,
+#   pipeline_semantic_decontaminate, text_zipf_law_fit,
+#   text_chi2_lang_source, events_rollup_incremental_refresh,
+#   pipeline_drift_psi.
 #   Plus the standing tail: dialect tail (12), io json/csv/partitioned,
 #   catalog_columns, ddl_external_table, events sliding/dedup/anomalies/
 #   trending/gap_fill, text lm_score/langid_confusion, pipeline

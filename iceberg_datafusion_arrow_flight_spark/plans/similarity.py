@@ -284,3 +284,74 @@ def sim_knn_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("label", "predicted_label")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
             .orderBy("label", "predicted_label"))
+
+
+_DOT = """
+  list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), p -> p[1] * p[2])),
+              (acc, x) -> acc + x)
+"""
+
+
+@register(
+    "sim_mips_topk",
+    oracle=f"""
+WITH emb AS ({_EMB}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+scores AS (
+  SELECT query_id, e.vec_id AS corpus_id,
+         ROUND({_DOT.format(a='qv', b='e.v')}, 6) AS score
+  FROM q JOIN emb e ON e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, corpus_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, corpus_id) AS INT) AS rank
+  FROM scores
+)
+SELECT query_id, corpus_id, score, rank FROM ranked WHERE rank <= 10
+""",
+    doc="Exact top-10 by MAXIMUM INNER PRODUCT per query vector — the "
+        "norm-sensitive retrieval objective (recommenders, two-tower "
+        "models) that cosine's normalization erases.  Same broadcast × "
+        "corpus / JVM-fold / per-query-window shape as sim_topk_cosine; "
+        "at scale MIPS reduces to cosine ANN via norm augmentation "
+        "(operators/similarity.py:topk_mips docstring).",
+    tags=("similarity",),
+)
+def sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.topk_mips(queries, emb, k=10)
+
+
+@register(
+    "pipeline_semantic_decontaminate",
+    oracle=f"""
+WITH emb AS ({_EMB}),
+bench AS (SELECT vec_id AS bench_id, v AS bv FROM emb WHERE vec_id % 97 = 0),
+corpus AS (SELECT vec_id AS corpus_id, v AS cv FROM emb WHERE vec_id % 97 != 0),
+sims AS (
+  SELECT corpus_id, bench_id,
+         ROUND({_COS.format(a='cv', b='bv')}, 6) AS sim
+  FROM corpus JOIN bench ON TRUE
+), flagged AS (
+  SELECT corpus_id, bench_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY corpus_id
+                            ORDER BY sim DESC, bench_id) AS r
+  FROM sims WHERE sim >= 0.30
+)
+SELECT corpus_id, bench_id, sim FROM flagged WHERE r = 1
+""",
+    doc="Semantic benchmark decontamination: corpus vectors whose cosine "
+        "to any eval-set vector reaches 0.30 (fixture-calibrated), with "
+        "their nearest flagged benchmark — the embedding complement of "
+        "the n-gram pipeline_decontaminate gate (catches paraphrased "
+        "eval leakage that surface n-grams miss).  Benchmark side "
+        "broadcasts; the corpus never shuffles before the flag. "
+        "operators/similarity.py:benchmark_decontaminate.",
+    tags=("similarity", "pipeline"),
+)
+def pipeline_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 97 == 0)
+    corpus = emb.where(F.col("vec_id") % 97 != 0)
+    return S.benchmark_decontaminate(corpus, bench, threshold=0.30)

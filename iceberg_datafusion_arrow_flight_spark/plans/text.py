@@ -391,3 +391,100 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
          .alias("hapax_count"),
         F.max("c").cast("bigint").alias("max_token_freq"))
+
+
+@register(
+    "text_zipf_law_fit",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+), counts AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+), ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r FROM counts
+), head AS (
+  SELECT CAST(c AS DOUBLE) AS c, CAST(r AS DOUBLE) AS r
+  FROM ranked WHERE r <= 1000
+)
+SELECT ROUND(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
+       ROUND(regr_r2(ln(c), ln(r)), 4) AS zipf_r2,
+       CAST(COUNT(*) AS BIGINT) AS n_types_fit
+FROM head
+""",
+    doc="Zipf's-law fit over the corpus frequency spectrum: OLS slope "
+        "and R² of ln(frequency) against ln(rank) for the top-1000 "
+        "types (the head is where the power law holds; the tail "
+        "departs).  A healthy natural-language crawl fits slope ≈ −1 "
+        "with high R² — a flat slope or broken fit flags boilerplate "
+        "floods or synthetic spam.  Scale shape: one token-keyed "
+        "count shuffle, then TakeOrderedAndProject caps the global "
+        "sort at 1000 rows before the single-partition rank window — "
+        "the full vocabulary (hundreds of millions of types at 100 TB) "
+        "never funnels through one task.",
+    tags=("text",),
+)
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    d = table(spark, sf_dir, "documents")
+    counts = (d.select(F.explode(T.ws_tokens(F.col("text"))).alias("t"))
+              .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    head = counts.orderBy(F.col("c").desc(), F.col("t")).limit(1000)
+    w = Window.orderBy(F.col("c").desc(), F.col("t"))
+    ranked = head.select(F.col("c").cast("double").alias("c"),
+                         F.row_number().over(w).cast("double").alias("r"))
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("c"), F.log("r")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("c"), F.log("r")), 4).alias("zipf_r2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types_fit"))
+
+
+@register(
+    "text_chi2_lang_source",
+    oracle=r"""
+WITH obs AS (
+  SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
+  FROM documents GROUP BY lang, source
+), rowt AS (
+  SELECT lang, SUM(o) AS rl FROM obs GROUP BY lang
+), colt AS (
+  SELECT source, SUM(o) AS cs FROM obs GROUP BY source
+), tot AS (
+  SELECT SUM(o) AS n FROM obs
+), cells AS (
+  SELECT r.lang, c.source, r.rl * c.cs / t.n AS e, COALESCE(o.o, 0.0) AS o
+  FROM rowt r CROSS JOIN colt c CROSS JOIN tot t
+  LEFT JOIN obs o ON o.lang = r.lang AND o.source = c.source
+)
+SELECT ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2_stat,
+       CAST(((SELECT COUNT(*) FROM rowt) - 1)
+            * ((SELECT COUNT(*) FROM colt) - 1) AS BIGINT) AS dof
+FROM cells
+""",
+    doc="Chi-squared test of independence between document language and "
+        "source — the corpus-composition diagnostic (is one source "
+        "over-contributing a language?  is the crawl mix drifting?).  "
+        "All cells of the full contingency table contribute, including "
+        "observed-zero ones (rowt × colt cross join, COALESCE 0).  "
+        "Scale shape: one (lang, source)-keyed count shuffle over the "
+        "corpus; everything after operates on the cell table, which is "
+        "|langs|·|sources| rows — driver-trivial at any corpus size.",
+    tags=("text",),
+)
+def text_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    obs = (d.groupBy("lang", "source")
+           .agg(F.count(F.lit(1)).cast("double").alias("o")))
+    rowt = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    colt = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    dof = obs.agg(((F.countDistinct("lang") - 1)
+                   * (F.countDistinct("source") - 1))
+                  .cast("bigint").alias("dof"))
+    cells = (rowt.crossJoin(colt).crossJoin(F.broadcast(tot))
+             .join(obs, ["lang", "source"], "left")
+             .select((F.col("rl") * F.col("cs") / F.col("n")).alias("e"),
+                     F.coalesce(F.col("o"), F.lit(0.0)).alias("o")))
+    chi2 = cells.agg(
+        F.round(F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+                      / F.col("e")), 4).alias("chi2_stat"))
+    return chi2.crossJoin(F.broadcast(dof))

@@ -250,3 +250,37 @@ def window_named(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY l_orderkey
                      ORDER BY l_linenumber
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+
+
+@register(
+    "window_distinct_count",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) OVER (
+            PARTITION BY o_orderstatus
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS distinct_custs_trailing
+FROM orders
+""",
+    doc="DISTINCT aggregate over a sliding window frame — distinct "
+        "customers among the trailing 100 orders per status.  Spark "
+        "window functions REJECT `COUNT(DISTINCT …) OVER` outright "
+        "(DISTINCT_WINDOW_FUNCTION_UNSUPPORTED), the same class of "
+        "engine gap as the GROUPS frame: the faithful emulation is "
+        "`size(collect_set(x) OVER w)` — set semantics inside the "
+        "frame, then cardinality.  State per row is bounded by the "
+        "ROWS frame (≤100 values), so executor memory holds at any "
+        "corpus size; the frame's uniquely-ordered (date, key) sort "
+        "makes every prefix deterministic.  DuckDB runs the native "
+        "DISTINCT window as the oracle.",
+    tags=("window",),
+)
+def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("o_orderstatus")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-99, Window.currentRow))
+    return (table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus",
+                    F.size(F.collect_set("o_custkey").over(w))
+                     .cast("bigint").alias("distinct_custs_trailing")))

@@ -18,6 +18,7 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -212,7 +213,8 @@ def purchase_after_signup(events: DataFrame,
 
 
 def stream_to_iceberg(df: DataFrame, iceberg_table,
-                      query_name: str = "iceberg_ingest"):
+                      query_name: str = "iceberg_ingest",
+                      ckpt_dir: str | None = None):
     """Streaming ingestion into a catalog-managed Iceberg table: every
     micro-batch commits ONE append snapshot through the catalog's CAS —
     readers concurrently see whole batches or nothing (the lakehouse
@@ -223,7 +225,15 @@ def stream_to_iceberg(df: DataFrame, iceberg_table,
     that aren't built-in streaming sinks; exactly-once here derives from
     the snapshot commit being atomic per batch (re-run batches would
     need idempotent dedup upstream — standard lakehouse practice).
-    Returns the StreamingQuery; callers own awaiting/stopping."""
+
+    The checkpoint lives under the table's own location by default, so
+    a table created at a fresh path never inherits another run's
+    processed-file ledger (a reused checkpoint silently skips every
+    source file and commits nothing).  Returns the StreamingQuery;
+    callers own awaiting/stopping."""
+    if ckpt_dir is None:
+        table_loc = iceberg_table._load_metadata()[1]["location"]
+        ckpt_dir = os.path.join(table_loc, "_ckpt", query_name)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -234,8 +244,7 @@ def stream_to_iceberg(df: DataFrame, iceberg_table,
             .foreachBatch(commit_batch)
             .queryName(query_name)
             .trigger(availableNow=True)
-            .option("checkpointLocation",
-                    f"/tmp/spark_graft_ckpt_{query_name}")
+            .option("checkpointLocation", ckpt_dir)
             .start())
 
 

@@ -422,3 +422,39 @@ def test_split_leakage_no_cartesian_and_projected_split(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semantic_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The eval-set embedding side broadcasts; the corpus streams through
+    a projection and is only exchanged for its per-row argmax window —
+    a BroadcastNestedLoopJoin here is the intended all-pairs-vs-small
+    shape (the benchmark side is eval-suite sized by contract)."""
+    df = REGISTRY["pipeline_semantic_decontaminate"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mips_topk_broadcasts_queries(spark, sf_dir):
+    """MIPS top-k keeps the sim_topk_cosine shape: query side broadcast,
+    corpus never shuffled before the per-query rank."""
+    df = REGISTRY["sim_mips_topk"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_fit_caps_global_sort_at_topk(spark, sf_dir):
+    """The rank window only ever sees the top-1000 types: the global
+    order must plan as TakeOrderedAndProject (top-k), not a full sort
+    of the vocabulary into one partition."""
+    df = REGISTRY["text_zipf_law_fit"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_distinct_count_no_python(spark, sf_dir):
+    """The collect_set-based DISTINCT window emulation stays JVM-side."""
+    df = REGISTRY["window_distinct_count"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

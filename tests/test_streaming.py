@@ -158,13 +158,10 @@ def test_stream_to_iceberg_commits_snapshot_per_batch(spark, sf_dir,
                                                       tmp_path):
     """Streaming ingestion into the catalog: each micro-batch lands as
     one atomic append snapshot; the table total equals the source."""
-    import shutil
     from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
         SqliteCatalog)
     from iceberg_datafusion_arrow_flight_spark.streaming.jobs import (
         read_events_stream, stream_to_iceberg)
-    shutil.rmtree("/tmp/spark_graft_ckpt_iceberg_ingest_test",
-                  ignore_errors=True)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     cat = SqliteCatalog(str(tmp_path / "cat.db"),
                         warehouse=str(tmp_path / "wh"))
