@@ -1,0 +1,74 @@
+"""Iterative graph algorithms as driver-loop DataFrame plans.
+
+The reference's engine (pinned DataFusion 40, iceberg-datafusion-arrow-flight/src/lib.rs:678)
+has no iterative operator; SQL expresses fixpoints only through
+recursive CTEs, which materialize the transitive closure.  Spark's
+native form is the driver loop over keyed joins — work per round is
+O(edges), checkpointed flat, and each round is an ordinary shuffled
+aggregation that scales exactly like any other keyed agg at 100 TB.
+Connected components (min-label propagation) lives in
+:mod:`.dedup`; this module holds the weighted-iteration family.
+
+Cross-engine determinism contract: every per-round rank is rounded to
+``round_digits`` decimals on BOTH engines.  Per-edge contributions are
+bit-identical quotients of identically-rounded operands; only the
+float SUM order differs between engines (last-ulp noise, «1e-12), so
+the shared per-round rounding re-synchronizes the state before it can
+compound across iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iterations: int = 5, damping: float = 0.85,
+             round_digits: int = 10) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list.
+
+    r_{k+1}(v) = (1-d)/N + d * Σ_{u→v} r_k(u) / outdeg(u)
+
+    Callers wanting undirected centrality symmetrize the edge list
+    first (then every node has out-degree ≥ 1, so there is no dangling
+    mass and the iteration conserves probability exactly).
+
+    Plan shape per round: edges ⋈ ranks (hash join on the source key)
+    → dst-keyed partial-agg sum → node left-join for zero-indegree
+    nodes.  The edge list is localCheckpoint'ed once up front and the
+    rank state every round — the same flat-lineage discipline as
+    :func:`..dedup.connected_components`; without it round k's plan
+    would re-derive rounds 0..k-1.  All state is (node, rank) — bytes
+    per node, never per edge — and every shuffle is keyed on node ids,
+    so skew follows the graph's degree distribution (hub nodes land in
+    single partitions only for their AGGREGATION row, not their edge
+    fan-in, because the sum is partial-aggregated map-side).
+
+    Returns (node, rank) after ``iterations`` rounds, each round's
+    ranks rounded to ``round_digits`` (see module docstring).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("a"),
+                      F.col(dst).cast("long").alias("b"))
+         .localCheckpoint(eager=True))
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
+    nodes = e.select(F.col("a").alias("node")).distinct()
+    ntot = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    ranks = (nodes.crossJoin(F.broadcast(ntot))
+             .select("node", F.round(F.lit(1.0) / F.col("__n"),
+                                     round_digits).alias("rank"))
+             .localCheckpoint(eager=True))
+    for _ in range(iterations):
+        contrib = (e.join(ranks, e["a"] == ranks["node"])
+                   .join(deg, "a")
+                   .groupBy(F.col("b"))
+                   .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__m")))
+        ranks = (nodes.join(contrib, nodes["node"] == contrib["b"], "left")
+                 .crossJoin(F.broadcast(ntot))
+                 .select("node",
+                         F.round(F.lit(1.0 - damping) / F.col("__n")
+                                 + F.lit(damping)
+                                 * F.coalesce(F.col("__m"), F.lit(0.0)),
+                                 round_digits).alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks

@@ -26,6 +26,7 @@ from . import similarity      # noqa: E402,F401
 from . import text            # noqa: E402,F401
 from . import multimodal      # noqa: E402,F401
 from . import events          # noqa: E402,F401
+from . import graph_queries   # noqa: E402,F401
 from . import dialect_queries # noqa: E402,F401
 from . import ddl_io          # noqa: E402,F401
 from . import iceberg_queries # noqa: E402,F401
@@ -57,7 +58,8 @@ from . import tpch            # noqa: E402,F401
 #   (a Spark-gap emulation like GROUPS frames), sim_mips_topk,
 #   pipeline_semantic_decontaminate, text_zipf_law_fit,
 #   text_chi2_lang_source, events_rollup_incremental_refresh,
-#   pipeline_drift_psi.
+#   pipeline_drift_psi, text_vocab_stats (ceded its r03 slot to the
+#   new graph family rep, which entered the window directly).
 #   Plus the standing tail: dialect tail (12), io json/csv/partitioned,
 #   catalog_columns, ddl_external_table, events sliding/dedup/anomalies/
 #   trending/gap_fill, text lm_score/langid_confusion, pipeline
@@ -97,7 +99,11 @@ _PRIORITY: list[str] = [
     "agg_equi_width_histogram", "agg_pivot_lang_by_source",
     # text + sketch tail
     "text_language_id", "text_quality_score", "text_fingerprints",
-    "text_tfidf_topk", "text_vocab_stats",
+    "text_tfidf_topk",
+    # graph: new family this round — the iterative-algorithm rep
+    # (text_vocab_stats ceded its slot: the text family already holds
+    # a driver-green row, text_token_counts r02; vocab_stats → r04)
+    "graph_pagerank_supply_chain",
     "sketch_count_min", "sketch_heavy_hitters",
     # events tail reps (sliding/dedup/anomalies/trending → r04)
     "events_tumbling_window", "events_funnel_rates",

@@ -1,0 +1,96 @@
+"""Iterative graph-analytics plans (implementations in
+:mod:`..operators.graph`).
+
+North-star extension (SURVEY §7.1 step 7) — no counterpart in the
+reference (DataFusion 40 reaches fixpoints only via recursive CTEs).
+The oracle unrolls the fixed iteration count as chained CTEs — the
+SQL spelling of the same arithmetic, generated from the SAME damping
+constants so the float literals are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import register, table
+from ..operators import graph as G
+
+_DAMP = 0.85
+_ITERS = 5
+_RD = 10  # per-round rounding digits (cross-engine float re-sync)
+
+
+def _pagerank_oracle() -> str:
+    sql = """
+WITH pairs AS (
+  SELECT DISTINCT 2 * l_suppkey AS s, 2 * l_partkey + 1 AS p FROM lineitem
+), e AS (
+  SELECT s AS a, p AS b FROM pairs UNION ALL SELECT p AS a, s AS b FROM pairs
+), deg AS (
+  SELECT a, COUNT(*) AS deg FROM e GROUP BY a
+), nodes AS (
+  SELECT DISTINCT a AS node FROM e
+), tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), p0 AS (
+  SELECT node, ROUND(1.0 / t.n, %(rd)d) AS rank FROM nodes CROSS JOIN tot t
+)""" % {"rd": _RD}
+    for k in range(1, _ITERS + 1):
+        sql += """, p%(k)d AS (
+  SELECT nd.node,
+         ROUND(%(base)r / t.n + %(damp)r * COALESCE(c.m, 0.0), %(rd)d) AS rank
+  FROM nodes nd CROSS JOIN tot t
+  LEFT JOIN (
+    SELECT e.b, SUM(p.rank / d.deg) AS m
+    FROM e JOIN p%(prev)d p ON p.node = e.a JOIN deg d ON d.a = e.a
+    GROUP BY e.b
+  ) c ON c.b = nd.node
+)""" % {"k": k, "prev": k - 1, "base": 1.0 - _DAMP, "damp": _DAMP,
+        "rd": _RD}
+    sql += """
+SELECT node, node_type, pagerank, pos FROM (
+  SELECT node,
+         CASE WHEN node %% 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+         ROUND(rank, 8) AS pagerank,
+         CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS INT) AS pos
+  FROM p%(last)d
+) WHERE pos <= 20
+""" % {"last": _ITERS}
+    return sql
+
+
+@register(
+    "graph_pagerank_supply_chain",
+    oracle=_pagerank_oracle(),
+    doc="Fixed-iteration PageRank (5 rounds, d=0.85) over the "
+        "supplier↔part co-occurrence graph mined from lineitem "
+        "(symmetrized bipartite edges; node id parity encodes the "
+        "side) — the 'which suppliers/parts anchor the supply chain' "
+        "centrality.  Spark side is a driver loop of keyed joins with "
+        "per-round checkpointing (work per round ∝ edges, state ∝ "
+        "nodes — the scale path recursive CTEs don't have); the "
+        "oracle unrolls the same five rounds as chained CTEs.  Both "
+        "engines round every round's ranks to 10 decimals so float "
+        "summation-order noise never compounds.  Top-20 by final "
+        "rank, uniquely ordered. operators/graph.py:pagerank.",
+    tags=("graph",),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pairs = (li.select((F.col("l_suppkey") * 2).alias("s"),
+                       (F.col("l_partkey") * 2 + 1).alias("p"))
+             .distinct())
+    e = (pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+         .unionAll(pairs.select(F.col("p").alias("src"),
+                                F.col("s").alias("dst"))))
+    pr = G.pagerank(e, iterations=_ITERS, damping=_DAMP, round_digits=_RD)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node"))
+    return (pr.select(
+                "node",
+                F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+                 .otherwise(F.lit("part")).alias("node_type"),
+                F.round(F.col("rank"), 8).alias("pagerank"),
+                F.row_number().over(w).cast("int").alias("pos"))
+            .where(F.col("pos") <= 20))
