@@ -44,6 +44,8 @@ HEADLINE = [
     "pipeline_end_to_end",
     "pipeline_boilerplate_coverage",
     "iceberg_merge_upsert",
+    "graph_pagerank_supply_chain",
+    "pipeline_semantic_decontaminate",
     "text_quality_score",
     "events_tumbling_window",
     "events_session_window",

@@ -59,7 +59,8 @@ from . import tpch            # noqa: E402,F401
 #   pipeline_semantic_decontaminate, text_zipf_law_fit,
 #   text_chi2_lang_source, events_rollup_incremental_refresh,
 #   pipeline_drift_psi, text_vocab_stats (ceded its r03 slot to the
-#   new graph family rep, which entered the window directly).
+#   new graph family rep, which entered the window directly),
+#   project_unpivot_measures.
 #   Plus the standing tail: dialect tail (12), io json/csv/partitioned,
 #   catalog_columns, ddl_external_table, events sliding/dedup/anomalies/
 #   trending/gap_fill, text lm_score/langid_confusion, pipeline

@@ -676,3 +676,40 @@ def setop_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name").alias("name"),
         (F.col("r_regionkey") + 100).alias("k"))
     return nat.unionByName(reg).orderBy("k", "name")
+
+
+@register(
+    "project_unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, val FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         l_quantity AS val FROM lineitem WHERE l_orderkey <= 2000
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey <= 2000
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+  FROM lineitem WHERE l_orderkey <= 2000
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+  FROM lineitem WHERE l_orderkey <= 2000
+) t
+""",
+    doc="UNPIVOT — wide measure columns to (measure, value) rows, the "
+        "inverse of the pivot entry (agg_pivot_lang_by_source).  Spark "
+        "side uses the native DataFrame.unpivot (melt) operator — a "
+        "pure zero-shuffle Expand projection, 4× the rows in the same "
+        "scan pass; the oracle spells the engine-neutral UNION ALL "
+        "equivalent (DuckDB's UNPIVOT keyword has its own syntax).  "
+        "Values pass through unchanged, so the compare is exact.",
+    tags=("projection",),
+)
+def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (table(spark, sf_dir, "lineitem")
+            .where(F.col("l_orderkey") <= 2000)
+            .unpivot(
+                ids=["l_orderkey", "l_linenumber"],
+                values=["l_quantity", "l_extendedprice", "l_discount",
+                        "l_tax"],
+                variableColumnName="measure",
+                valueColumnName="val"))
