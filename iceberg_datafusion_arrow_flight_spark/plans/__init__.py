@@ -60,7 +60,8 @@ from . import tpch            # noqa: E402,F401
 #   text_chi2_lang_source, events_rollup_incremental_refresh,
 #   pipeline_drift_psi, text_vocab_stats (ceded its r03 slot to the
 #   new graph family rep, which entered the window directly),
-#   project_unpivot_measures.
+#   project_unpivot_measures, iceberg_mor_delete (merge-on-read twin
+#   of the COW delete row).
 #   Plus the standing tail: dialect tail (12), io json/csv/partitioned,
 #   catalog_columns, ddl_external_table, events sliding/dedup/anomalies/
 #   trending/gap_fill, text lm_score/langid_confusion, pipeline

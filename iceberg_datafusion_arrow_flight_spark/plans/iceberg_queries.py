@@ -392,3 +392,41 @@ def iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.read_incremental(spark, from_snapshot=first)
             .groupBy("o_orderstatus").agg(*_agg_cols())
             .orderBy("o_orderstatus"))
+
+
+@register(
+    "iceberg_mor_delete",
+    oracle="""
+WITH live AS (
+  SELECT * FROM orders WHERE o_orderstatus <> 'F'
+  UNION ALL
+  SELECT * FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM live
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="Row-level DELETE with MERGE-ON-READ position delete files — "
+        "Iceberg v2's second delete strategy, the twin of the "
+        "copy-on-write iceberg_delete_rows entry: the delete commits "
+        "KBs of (file, row-position) pairs, rewrites NOTHING, and "
+        "readers apply the deletes with a scan-time anti-join.  The "
+        "query then APPENDS the full table again, so the result proves "
+        "both the delete AND the carry rule (new files are untouched "
+        "by old positions): live rows = non-F originals + the full "
+        "re-append.  sources/iceberg_lite.py:delete_where_mor.",
+    tags=("iceberg", "catalog", "write", "dml"),
+)
+def iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    orders = table(spark, sf_dir, "orders")
+    t = cat.create_table("sales", "orders_mor", orders)
+    t.append(orders)
+    t.delete_where_mor(spark, F.col("o_orderstatus") == "F")
+    t.append(orders)
+    return (t.read(spark)
+            .groupBy("o_orderpriority").agg(*_agg_cols())
+            .orderBy("o_orderpriority"))

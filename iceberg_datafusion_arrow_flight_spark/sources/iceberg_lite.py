@@ -271,7 +271,8 @@ class IcebergTable:
     def _commit_write(self, df: DataFrame, operation: str,
                       kept_entries: list[DataFileEntry] | None = None,
                       summary_extra: dict[str, str] | None = None,
-                      expect_snapshot=_ANY_BASE) -> int:
+                      expect_snapshot=_ANY_BASE,
+                      delete_files: list[dict] | None = None) -> int:
         base_location, metadata = self._load_metadata()
         # Row-level DML plans its kept/rewritten file split against a
         # specific base snapshot; if another writer committed since, that
@@ -334,6 +335,18 @@ class IcebergTable:
             "added-records": str(sum(e.record_count for e in entries)),
         }
         summary.update(summary_extra or {})
+        # Merge-on-read delete files carry forward: appends cannot
+        # invalidate a positional delete (new files have new paths), so
+        # they inherit the parent's list; every REWRITE operation must
+        # decide explicitly — overwrite/replace drop them (files the
+        # positions point into are gone or rewritten with deletes
+        # applied), row-level DML passes the carried list itself.
+        if delete_files is None:
+            if operation == "append" and metadata["current-snapshot-id"]:
+                parent = _snapshot(metadata, metadata["current-snapshot-id"])
+                delete_files = parent.get("delete-files", [])
+            else:
+                delete_files = []
         snapshot = {
             "snapshot-id": snapshot_id,
             "parent-snapshot-id": metadata["current-snapshot-id"],
@@ -342,6 +355,7 @@ class IcebergTable:
             "manifest-list": manifest_path,
             "summary": summary,
             "schema-id": metadata["current-schema-id"],
+            "delete-files": delete_files,
         }
         metadata = dict(metadata)
         metadata["last-sequence-number"] += 1
@@ -446,6 +460,10 @@ class IcebergTable:
         for s in keep:
             live_manifests.update(_read_manifest_paths(s))
             live_files.update(e.file_path for e in _read_all_entries(s))
+            # merge-on-read delete files are snapshot state like any
+            # data file: reachable from a kept snapshot → must survive
+            live_files.update(d["path"]
+                              for d in s.get("delete-files", []))
         dead_manifests: set[str] = set()
         dead_files: set[str] = set()
         for s in expired:
@@ -453,6 +471,9 @@ class IcebergTable:
                                   if m not in live_manifests)
             dead_files.update(e.file_path for e in _read_all_entries(s)
                               if e.file_path not in live_files)
+            dead_files.update(d["path"]
+                              for d in s.get("delete-files", [])
+                              if d["path"] not in live_files)
         now = _now_ms()
         new_md = dict(metadata)
         new_md["snapshots"] = keep
@@ -483,6 +504,8 @@ class IcebergTable:
         referenced: set[str] = set()
         for s in metadata["snapshots"]:
             referenced.update(e.file_path for e in _read_all_entries(s))
+            referenced.update(d["path"]
+                              for d in s.get("delete-files", []))
         data_root = os.path.join(metadata["location"], "data")
         # the unit is the per-commit write directory (data/<write_id>/):
         # manifests reference its parquet files but not Spark's
@@ -666,11 +689,14 @@ class IcebergTable:
         to_snap = _snapshot(metadata, to_id)
         if from_snapshot is None:
             # from empty: the delta IS the target's file set, valid
-            # regardless of intervening operations
+            # regardless of intervening operations (with the target's
+            # merge-on-read deletes applied — the delta is its ROWS)
             entries = _read_all_entries(to_snap)
             if not entries:
                 return empty
-            return _read_entries_df(spark, metadata, entries)
+            return _read_entries_df(
+                spark, metadata, entries,
+                delete_files=to_snap.get("delete-files", []))
         from_snap = _snapshot(metadata, from_snapshot)
         # walk the parent chain from to_snap back to from_snap
         chain: list[dict] = []
@@ -771,6 +797,13 @@ class IcebergTable:
                 "source row")
         keys = src.select(*key_cols).distinct()
         entries = self.plan_files(_metadata=metadata)
+        # pending merge-on-read deletes: rewritten files must be read
+        # with them applied (else deleted rows resurrect as survivors),
+        # and kept files still need them at read time, so the list
+        # carries into the new snapshot
+        pending_dels = ([] if base_snapshot is None else
+                        _snapshot(metadata, base_snapshot)
+                        .get("delete-files", []))
         affected: list[DataFileEntry] = []
         kept: list[DataFileEntry] = list(entries)
         if entries:
@@ -781,7 +814,8 @@ class IcebergTable:
                 e for e in entries if _bounds_overlap(e, k0, lo, hi)]
             if cand:
                 tgt = _read_entries_df(spark, metadata, cand,
-                                       include_file=True)
+                                       include_file=True,
+                                       delete_files=pending_dels)
                 hit_paths = {
                     _local_path(r["__file"]) for r in
                     tgt.join(keys, key_cols, "left_semi")
@@ -794,7 +828,8 @@ class IcebergTable:
                 hit_set = {e.file_path for e in affected}
                 kept = [e for e in entries if e.file_path not in hit_set]
         if affected:
-            old = _read_entries_df(spark, metadata, affected)
+            old = _read_entries_df(spark, metadata, affected,
+                                   delete_files=pending_dels)
             survivors = old.join(keys, key_cols, "left_anti")
             new_df = survivors.select(*names).unionByName(src)
         else:
@@ -804,7 +839,8 @@ class IcebergTable:
             summary_extra={"replaced-data-files": str(len(affected)),
                            "kept-data-files": str(len(kept)),
                            **summary_extra},
-            expect_snapshot=base_snapshot)
+            expect_snapshot=base_snapshot,
+            delete_files=pending_dels)
         return {"snapshot_id": snapshot_id,
                 "rewritten_files": len(affected),
                 "kept_files": len(kept)}
@@ -829,6 +865,9 @@ class IcebergTable:
         base_snapshot = md["current-snapshot-id"]
         names = [f["name"]
                  for f in _schema_of(md, md["current-schema-id"])]
+        pending_dels = ([] if base_snapshot is None else
+                        _snapshot(md, base_snapshot)
+                        .get("delete-files", []))
         all_entries = self.plan_files(_metadata=md)
         entries = (self.plan_files(partition_filter=partition_filter,
                                    _metadata=md)
@@ -838,7 +877,8 @@ class IcebergTable:
         if not entries:
             return {"snapshot_id": None, "rewritten_files": 0,
                     "kept_files": len(outside)}
-        tgt = _read_entries_df(spark, md, entries, include_file=True)
+        tgt = _read_entries_df(spark, md, entries, include_file=True,
+                               delete_files=pending_dels)
         hit_paths = {
             _local_path(r["__file"]) for r in
             tgt.where(cond).select("__file").distinct().collect()}
@@ -855,17 +895,123 @@ class IcebergTable:
         # DELETE removes rows where the predicate is TRUE; rows where it
         # is NULL (three-valued logic) are NOT matched and must survive —
         # a bare ~cond would silently drop them in rewritten files only.
-        survivors = (_read_entries_df(spark, md, affected)
+        # Pending MOR deletes apply to the rewrite read for the same
+        # reason they do in _merge_planned: survivors must be live rows.
+        survivors = (_read_entries_df(spark, md, affected,
+                                      delete_files=pending_dels)
                      .where(~F.coalesce(cond, F.lit(False)))
                      .select(*names))
         snapshot_id = self._commit_write(
             survivors, operation="delete", kept_entries=kept,
             summary_extra={"replaced-data-files": str(len(affected)),
                            "kept-data-files": str(len(kept))},
-            expect_snapshot=base_snapshot)
+            expect_snapshot=base_snapshot,
+            delete_files=pending_dels)
         return {"snapshot_id": snapshot_id,
                 "rewritten_files": len(affected),
                 "kept_files": len(kept)}
+
+    def delete_where_mor(self, spark: SparkSession, condition,
+                         partition_filter: dict[str, object] | None = None,
+                         ) -> dict:
+        """Row-level DELETE with MERGE-ON-READ positional delete files —
+        Iceberg v2's other delete strategy: instead of rewriting data
+        files (copy-on-write, :meth:`delete_where`), the commit writes a
+        POSITION DELETE file of (file, row-position) pairs and leaves
+        every data file untouched; readers apply the deletes with an
+        anti-join at scan time.
+
+        The write-amplification trade real tables tune per workload:
+        MOR makes a delete of k rows cost O(k) written bytes regardless
+        of the size of the files the rows live in (a 10-row delete
+        against 1 GB files writes KBs, not gigabytes), at the price of a
+        per-read anti-join until :meth:`compact` folds the deletes into
+        rewritten files and clears the list.  Positions are Spark's own
+        ``_metadata.row_index``, recorded with the scan's
+        ``_metadata.file_path`` rendering so read-time application needs
+        no path normalization.  Already-deleted rows are excluded before
+        matching, so re-issuing an identical predicate is a no-op commit
+        (delete files never accumulate duplicate positions).
+
+        Same CAS + explicit base-snapshot guard as the other row-level
+        DML: losers raise CommitFailedError and re-plan."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        base_location, md = self._load_metadata()
+        base_snapshot = md["current-snapshot-id"]
+        if base_snapshot is None:
+            return {"snapshot_id": None, "delete_files": 0,
+                    "deleted_rows": 0}
+        snap = _snapshot(md, base_snapshot)
+        prior_deletes = snap.get("delete-files", [])
+        entries = self.plan_files(partition_filter=partition_filter,
+                                  _metadata=md)
+        if not entries:
+            return {"snapshot_id": None, "delete_files": 0,
+                    "deleted_rows": 0}
+        live = _read_entries_df(spark, md, entries,
+                                delete_files=prior_deletes,
+                                include_pos=True)
+        # DELETE matches rows where the predicate is TRUE; NULL is not
+        # matched (same three-valued contract as delete_where)
+        matches = (live.where(F.coalesce(cond, F.lit(False)))
+                   .select(F.col("__dfile").alias("file_uri"),
+                           F.col("__dpos").alias("pos")))
+        location = md["location"]
+        write_id = uuid.uuid4().hex[:12]
+        del_dir = os.path.join(location, "data", write_id)
+        matches.write.mode("errorifexists").parquet(del_dir)
+        import pyarrow.parquet as pq
+        new_files = []
+        for dirpath, _dirs, files in os.walk(del_dir):
+            for fname in sorted(files):
+                if not fname.endswith(".parquet"):
+                    continue
+                path = os.path.join(dirpath, fname)
+                n = pq.ParquetFile(path).metadata.num_rows
+                if n:
+                    new_files.append({"path": path, "record_count": n})
+        n_deleted = sum(f["record_count"] for f in new_files)
+        if not new_files:
+            shutil.rmtree(del_dir, ignore_errors=True)
+            return {"snapshot_id": None, "delete_files": 0,
+                    "deleted_rows": 0}
+
+        # Commit: data manifests are UNCHANGED (the point of MOR) — the
+        # new snapshot reuses the parent's manifest list and only the
+        # delete-file list grows.
+        now = _now_ms()
+        snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": base_snapshot,
+            "sequence-number": md["last-sequence-number"] + 1,
+            "timestamp-ms": now,
+            "manifest-list": snap["manifest-list"],
+            "summary": {
+                "operation": "delete",
+                "delete-mode": "merge-on-read",
+                "added-delete-files": str(len(new_files)),
+                "added-position-deletes": str(n_deleted),
+            },
+            "schema-id": md["current-schema-id"],
+            "delete-files": prior_deletes + new_files,
+        }
+        new_md = dict(md)
+        new_md["last-sequence-number"] += 1
+        new_md["last-updated-ms"] = now
+        new_md["snapshots"] = md["snapshots"] + [snapshot]
+        new_md["current-snapshot-id"] = snapshot_id
+        new_md["snapshot-log"] = md["snapshot-log"] + [
+            {"timestamp-ms": now, "snapshot-id": snapshot_id}]
+        new_md["metadata-log"] = md["metadata-log"] + [
+            {"timestamp-ms": now, "metadata-file": base_location}]
+        version = _next_version(base_location)
+        new_location = _write_metadata(location, version, new_md)
+        self.catalog._swap_pointer(
+            self.namespace, self.name, base_location, new_location)
+        return {"snapshot_id": snapshot_id,
+                "delete_files": len(new_files),
+                "deleted_rows": n_deleted}
 
     # -- read path ----------------------------------------------------------
 
@@ -941,8 +1087,14 @@ class IcebergTable:
             schema = ", ".join(
                 f"`{f['name']}` {f['type']}" for f in fields)
             return spark.createDataFrame([], schema)
+        # Merge-on-read deletes are snapshot-scoped: a time-travel read
+        # applies exactly the delete files THAT snapshot recorded (none
+        # before the delete committed), the same way it pins its schema.
+        dels = (_snapshot(metadata, sid).get("delete-files", [])
+                if sid is not None else [])
         return _read_entries_df(spark, metadata, entries,
-                                to_schema_id=schema_id)
+                                to_schema_id=schema_id,
+                                delete_files=dels)
 
 
 # ---------------------------------------------------------------------------
@@ -1010,7 +1162,9 @@ def _schema_of(metadata: dict, schema_id: int) -> list[dict]:
 def _read_entries_df(spark: SparkSession, metadata: dict,
                      entries: list[DataFileEntry],
                      include_file: bool = False,
-                     to_schema_id: int | None = None) -> DataFrame:
+                     to_schema_id: int | None = None,
+                     delete_files: list[dict] | None = None,
+                     include_pos: bool = False) -> DataFrame:
     """Read a set of data files under a target schema (default: the
     current one; time travel passes the snapshot's recorded schema-id),
     mapping each file's columns by FIELD ID from the schema it was
@@ -1018,11 +1172,22 @@ def _read_entries_df(spark: SparkSession, metadata: dict,
     safe: a renamed column's data follows its id; a dropped-then-readded
     name never resurrects old data (different id).  Files group by their
     write schema; each group renames/drops by the id map, fills added
-    columns with typed NULLs, then the groups union by name."""
+    columns with typed NULLs, then the groups union by name.
+
+    ``delete_files`` applies MERGE-ON-READ positional deletes: each is a
+    ``{"path": ...}`` entry whose parquet rows are (file_uri, pos) pairs
+    exactly as Spark's ``_metadata`` columns render them, so the
+    anti-join needs no path normalization.  This is the distributed form
+    of Iceberg's per-file delete application: a keyed anti-join on
+    (file, position) instead of the single-reader sorted merge — at
+    100 TB the delete side is ∝ deleted rows, shuffled once on the same
+    composite key the scan rows already carry.  ``include_pos`` keeps
+    the ``__dfile``/``__dpos`` columns for writers of new delete files."""
     cur_fields = _schema_of(
         metadata, (metadata["current-schema-id"]
                    if to_schema_id is None else to_schema_id))
     names = [f["name"] for f in cur_fields]
+    need_pos = include_pos or bool(delete_files)
     groups: dict[int, list[DataFileEntry]] = {}
     for e in entries:
         groups.setdefault(e.schema_id, []).append(e)
@@ -1032,6 +1197,11 @@ def _read_entries_df(spark: SparkSession, metadata: dict,
               .parquet(*[e.file_path for e in es]))
         if include_file:
             df = df.withColumn("__file", F.input_file_name())
+        if need_pos:
+            # _metadata must be projected at the scan, before any union
+            df = df.withColumns({
+                "__dfile": F.col("_metadata.file_path"),
+                "__dpos": F.col("_metadata.row_index")})
         cur_by_id = {f["id"]: f["name"] for f in cur_fields}
         for f in _schema_of(metadata, sid):
             if f["id"] not in cur_by_id and f["name"] in df.columns:
@@ -1047,10 +1217,21 @@ def _read_entries_df(spark: SparkSession, metadata: dict,
             df = df.withColumnRenamed(f"__evo__{old}", new)
         df = _fill_missing(df, cur_fields)
         parts.append(df.select(
-            *names, *(["__file"] if include_file else [])))
+            *names,
+            *(["__file"] if include_file else []),
+            *(["__dfile", "__dpos"] if need_pos else [])))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if delete_files:
+        dels = spark.read.parquet(*[d["path"] for d in delete_files])
+        out = out.join(
+            dels,
+            (out["__dfile"] == dels["file_uri"])
+            & (out["__dpos"] == dels["pos"]),
+            "left_anti")
+    if need_pos and not include_pos:
+        out = out.drop("__dfile", "__dpos")
     return out
 
 

@@ -703,3 +703,114 @@ def test_delete_partition_scoped_scans_only_the_partition(catalog, spark):
                                    if k % 3 == 1 and k % 2 == 1}
     # non-de files carried by the same path
     assert other_pre <= {e.file_path for e in t.plan_files()}
+
+
+# -- merge-on-read positional deletes ---------------------------------------
+
+
+def _mk(spark, n=100):
+    return spark.range(n).select(F.col("id"), (F.col("id") % 10).alias("k"))
+
+
+def test_mor_delete_rows_gone_files_untouched(catalog, spark):
+    """MOR delete: rows disappear from reads, but NO data file is
+    rewritten — the new snapshot reuses the parent's manifest and only
+    gains a positional delete file; the pre-delete snapshot still sees
+    every row (deletes are snapshot-scoped, like schema)."""
+    t = catalog.create_table("ns", "mor", _mk(spark))
+    t.append(_mk(spark))
+    pre = t.current_snapshot_id()
+    pre_files = {e.file_path for e in t.plan_files()}
+    r = t.delete_where_mor(spark, F.col("k") == 3)
+    assert r["deleted_rows"] == 10 and r["delete_files"] >= 1
+    assert t.read(spark).count() == 90
+    assert t.read(spark).where(F.col("k") == 3).count() == 0
+    assert {e.file_path for e in t.plan_files()} == pre_files  # untouched
+    assert t.read(spark, snapshot_id=pre).count() == 100       # time travel
+    md = t._load_metadata()[1]
+    cur = [s for s in md["snapshots"]
+           if s["snapshot-id"] == md["current-snapshot-id"]][0]
+    assert cur["summary"]["delete-mode"] == "merge-on-read"
+
+
+def test_mor_delete_idempotent_and_null_semantics(catalog, spark):
+    """Re-issuing the same predicate is a no-op commit (already-deleted
+    rows are excluded before matching); NULL-predicate rows are not
+    matched (three-valued DELETE semantics, same as copy-on-write)."""
+    df = spark.createDataFrame(
+        [(1, 1), (2, None), (3, 3)], "id long, k long")
+    t = catalog.create_table("ns", "mor_null", df)
+    t.append(df)
+    r1 = t.delete_where_mor(spark, F.col("k") == 3)
+    assert r1["deleted_rows"] == 1
+    assert t.read(spark).count() == 2          # NULL row survives
+    r2 = t.delete_where_mor(spark, F.col("k") == 3)
+    assert r2 == {"snapshot_id": None, "delete_files": 0,
+                  "deleted_rows": 0}
+
+
+def test_mor_deletes_carry_across_append_and_cow_dml(catalog, spark):
+    """Deletes ride along appends (old rows stay deleted, new rows are
+    untouched), and later copy-on-write DML must not resurrect them:
+    its rewrite reads apply the pending delete files and the list
+    carries into the DML snapshot."""
+    t = catalog.create_table("ns", "mor_carry", _mk(spark))
+    t.append(_mk(spark))
+    t.delete_where_mor(spark, F.col("k") == 3)
+    t.append(spark.range(100, 120).select(
+        F.col("id"), (F.col("id") % 10).alias("k")))
+    assert t.read(spark).count() == 110
+    assert t.read(spark).where(F.col("k") == 3).count() == 2  # new only
+    # COW delete of a different key: k=3 must STAY deleted afterwards
+    t.delete_where(spark, F.col("k") == 4)
+    assert t.read(spark).where(F.col("k") == 4).count() == 0
+    assert t.read(spark).where(F.col("k") == 3).count() == 2
+    assert t.read(spark).count() == 98
+    # merge touching a MOR-deleted id treats it as NOT MATCHED (insert)
+    src = spark.createDataFrame([(3, 99)], "id long, k long")
+    t.merge_upsert(spark, src, ["id"])
+    got = t.read(spark).where(F.col("id") == 3).collect()
+    assert [(r["id"], r["k"]) for r in got] == [(3, 99)]
+
+
+def test_mor_compact_folds_deletes_and_maintenance_keeps_them(
+        catalog, spark):
+    """compact() rewrites live rows and CLEARS the delete list; until
+    then expire/orphan maintenance treats delete files as referenced
+    snapshot state (never collected while a snapshot lists them)."""
+    t = catalog.create_table("ns", "mor_compact", _mk(spark))
+    t.append(_mk(spark))
+    t.delete_where_mor(spark, F.col("k") < 2)
+    md = t._load_metadata()[1]
+    cur = [s for s in md["snapshots"]
+           if s["snapshot-id"] == md["current-snapshot-id"]][0]
+    del_paths = [d["path"] for d in cur["delete-files"]]
+    assert del_paths and all(os.path.exists(p) for p in del_paths)
+    assert t.remove_orphan_files()["deleted_orphan_files"] == 0
+    assert all(os.path.exists(p) for p in del_paths)
+    before = sorted((r["id"], r["k"]) for r in t.read(spark).collect())
+    assert len(before) == 80
+    t.compact(spark, target_files=1)
+    md = t._load_metadata()[1]
+    cur = [s for s in md["snapshots"]
+           if s["snapshot-id"] == md["current-snapshot-id"]][0]
+    assert cur["delete-files"] == []
+    after = sorted((r["id"], r["k"]) for r in t.read(spark).collect())
+    assert after == before
+    # once no snapshot references them, expire+orphan may collect them
+    t.expire_snapshots(keep_last=1)
+    assert not any(os.path.exists(p) for p in del_paths)
+    assert sorted((r["id"], r["k"])
+                  for r in t.read(spark).collect()) == before
+
+
+def test_mor_incremental_scan_raises_across_delete(catalog, spark):
+    """An incremental append scan crossing a MOR delete snapshot raises
+    (the file diff is no longer a row diff), same contract as crossing
+    any rewrite; the from-empty read applies the deletes."""
+    t = catalog.create_table("ns", "mor_inc", _mk(spark))
+    ck = t.append(_mk(spark))
+    t.delete_where_mor(spark, F.col("k") == 0)
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_incremental(spark, from_snapshot=ck)
+    assert t.read_incremental(spark, from_snapshot=None).count() == 90
