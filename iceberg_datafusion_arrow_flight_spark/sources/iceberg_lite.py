@@ -956,6 +956,43 @@ class IcebergTable:
         matches = (live.where(F.coalesce(cond, F.lit(False)))
                    .select(F.col("__dfile").alias("file_uri"),
                            F.col("__dpos").alias("pos")))
+        return self._commit_mor_deletes(base_location, md, snap, matches)
+
+    def delete_keys_mor(self, spark: SparkSession, keys: DataFrame,
+                        key_cols: list[str]) -> dict:
+        """Merge-on-read DELETE by KEY SET: every live row whose
+        ``key_cols`` match a row of ``keys`` gets a position-delete
+        entry.  The key-set form :meth:`delete_where_mor`'s Column
+        predicate cannot express when the keys come from another
+        DataFrame (a CDC tombstone batch, an audit's removal list) —
+        matching is one semi-join, fully distributed, never an
+        ``isin`` literal collected to the driver."""
+        base_location, md = self._load_metadata()
+        base_snapshot = md["current-snapshot-id"]
+        if base_snapshot is None:
+            return {"snapshot_id": None, "delete_files": 0,
+                    "deleted_rows": 0}
+        snap = _snapshot(md, base_snapshot)
+        entries = self.plan_files(_metadata=md)
+        if not entries:
+            return {"snapshot_id": None, "delete_files": 0,
+                    "deleted_rows": 0}
+        live = _read_entries_df(spark, md, entries,
+                                delete_files=snap.get("delete-files", []),
+                                include_pos=True)
+        matches = (live.join(keys.select(*key_cols).distinct(),
+                             key_cols, "left_semi")
+                   .select(F.col("__dfile").alias("file_uri"),
+                           F.col("__dpos").alias("pos")))
+        return self._commit_mor_deletes(base_location, md, snap, matches)
+
+    def _commit_mor_deletes(self, base_location: str, md: dict,
+                            snap: dict, matches: DataFrame) -> dict:
+        """Write (file_uri, pos) matches as position-delete parquet and
+        commit a merge-on-read delete snapshot (shared tail of
+        delete_where_mor / delete_keys_mor)."""
+        prior_deletes = snap.get("delete-files", [])
+        base_snapshot = snap["snapshot-id"]
         location = md["location"]
         write_id = uuid.uuid4().hex[:12]
         del_dir = os.path.join(location, "data", write_id)

@@ -285,6 +285,60 @@ def stream_upsert_to_iceberg(df: DataFrame, iceberg_table,
             .start())
 
 
+def stream_cdc_apply(df: DataFrame, iceberg_table,
+                     key_cols: list[str], order_col: str,
+                     op_col: str, ckpt_dir: str,
+                     query_name: str = "iceberg_cdc"):
+    """Full CDC apply — upserts AND deletes — from a change stream whose
+    rows carry an operation marker (``op_col``: 'delete' means tombstone,
+    anything else means upsert).
+
+    Per micro-batch: collapse to the latest change per key
+    (``order_col`` descending), route keys whose final change is a
+    tombstone through a MERGE-ON-READ key delete
+    (iceberg_lite.delete_keys_mor — KBs of position entries, zero file
+    rewrite: the right strategy for the trickle deletes CDC produces),
+    and MERGE the rest (copy-on-write upsert).  Two snapshots per batch
+    at most, each atomic; a reader always sees a key's state as of some
+    batch boundary.  Deleted keys accumulate as position entries until
+    the table's periodic compact() folds them — the standard
+    Iceberg CDC-mirror maintenance loop.
+
+    ``order_col`` must order same-key rows uniquely within a batch.
+    The checkpoint is caller-owned, same contract as
+    :func:`stream_upsert_to_iceberg`."""
+    from pyspark.sql import Window
+
+    data_cols = [c for c in df.columns if c != op_col]
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        w = (Window.partitionBy(*key_cols)
+             .orderBy(F.col(order_col).desc()))
+        latest = (batch_df.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1).drop("__rn")
+                  .cache())
+        try:
+            tombstones = latest.where(F.col(op_col) == "delete")
+            upserts = (latest.where(F.col(op_col) != "delete")
+                       .select(*data_cols))
+            if not tombstones.isEmpty():
+                iceberg_table.delete_keys_mor(spark, tombstones, key_cols)
+            if not upserts.isEmpty():
+                iceberg_table.merge_upsert(spark, upserts, key_cols)
+        finally:
+            latest.unpersist()
+
+    return (df.writeStream
+            .foreachBatch(commit_batch)
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start())
+
+
 def stream_countmin_partials(stream_df: DataFrame, value_col: str,
                              out_dir: str, query_name: str = "cm_stream",
                              depth: int = 4, width: int = 256):

@@ -362,3 +362,47 @@ def test_stream_events_with_rollup_mv(spark, tmp_path):
     mv2 = {(r["bucket"], r["event_type"]): (r["n"], round(r["sum_value"], 4))
            for r in agg.read(spark).collect()}
     assert mv2 == full
+
+
+def test_stream_cdc_apply_upserts_and_tombstones(spark, tmp_path):
+    """Full CDC apply: a change stream with upsert and delete markers,
+    collapsed per key per batch, lands as MERGE upserts + merge-on-read
+    tombstone deletes.  Final table state == last-writer-wins over the
+    change log with deleted keys absent; every data file written before
+    the deletes is untouched (tombstones are position entries)."""
+    from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+        SqliteCatalog)
+    from iceberg_datafusion_arrow_flight_spark.streaming.jobs import (
+        stream_cdc_apply)
+    changes = spark.createDataFrame(
+        [  # (id, val, seq, op) — one file-source batch
+            (1, "a0", 1, "upsert"),
+            (2, "b0", 2, "upsert"),
+            (3, "c0", 3, "upsert"),
+            (2, "b1", 4, "upsert"),   # update beats b0 within the batch
+            (3, None, 5, "delete"),   # tombstone beats c0
+            (4, None, 6, "delete"),   # tombstone for a key never seen
+        ], "id long, val string, seq long, op string")
+    src_dir = str(tmp_path / "changes")
+    changes.coalesce(1).write.parquet(src_dir)
+    cat = SqliteCatalog(str(tmp_path / "cat.db"),
+                        warehouse=str(tmp_path / "wh"))
+    t = cat.create_table("cdc", "state",
+                         changes.select("id", "val", "seq"))
+    # seed state so the tombstone for id=3 has nothing to do until the
+    # stream's own upsert lands (ordering exercised within one batch)
+    t.append(spark.createDataFrame([(5, "e0", 0)],
+                                   "id long, val string, seq long"))
+    stream = (spark.readStream
+              .schema("id long, val string, seq long, op string")
+              .parquet(src_dir))
+    q = stream_cdc_apply(stream, t, key_cols=["id"], order_col="seq",
+                         op_col="op", ckpt_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {r["id"]: (r["val"], r["seq"])
+           for r in t.read(spark).collect()}
+    assert got == {1: ("a0", 1), 2: ("b1", 4), 5: ("e0", 0)}
+    # the delete route was merge-on-read: at least one snapshot in the
+    # history carries position-delete state or was a no-op key delete
+    ops = [s["summary"]["operation"] for s in t.snapshots()]
+    assert "append" in ops and "overwrite" in ops   # seed + merge
