@@ -22,7 +22,7 @@ from iceberg_datafusion_arrow_flight_spark import get_spark
 from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
     SqliteCatalog)
 from iceberg_datafusion_arrow_flight_spark.streaming.jobs import (
-    stream_upsert_to_iceberg)
+    stream_cdc_apply, stream_upsert_to_iceberg)
 
 
 def main():
@@ -76,6 +76,38 @@ def main():
     q.awaitTermination(120)
     print(f"CDC ingest: {t.read(spark).count()} rows after 2 upsert "
           f"batches; snapshots so far: {len(t.snapshots())}")
+
+    # merge-on-read delete: tombstone positions, zero file rewrites
+    n_files = len(t.plan_files())
+    stats = t.delete_where_mor(spark, F.col("v") % 7 == 0)
+    print(f"MOR DELETE: {stats['deleted_rows']} rows tombstoned in "
+          f"{stats['delete_files']} position files; data files still "
+          f"{len(t.plan_files())}/{n_files}; rows now "
+          f"{t.read(spark).count()}")
+
+    # CDC with tombstones: upsert + delete markers in one change batch
+    cdc2 = os.path.join(root, "cdc2")
+    (spark.createDataFrame(
+        [(8, "2024-01-02", 999, 2, "upsert"),
+         (3000, None, None, 3, "delete")],
+        "k long, day string, v long, seq long, op string")
+     .withColumn("day", F.to_date("day"))
+     .coalesce(1).write.parquet(cdc2))
+    stream = (spark.readStream
+              .schema("k long, day date, v long, seq long, op string")
+              .parquet(cdc2))
+    q = stream_cdc_apply(stream, t, ["k"], "seq", "op",
+                         ckpt_dir=os.path.join(root, "ckpt2"))
+    q.awaitTermination(120)
+    print(f"CDC apply with tombstones: k=3000 deleted, k=8 updated; "
+          f"rows now {t.read(spark).count()}")
+
+    t.compact(spark, target_files=4)
+    md = t._load_metadata()[1]
+    cur = [s for s in md["snapshots"]
+           if s["snapshot-id"] == md["current-snapshot-id"]][0]
+    print(f"compaction folded tombstones: delete files now "
+          f"{len(cur['delete-files'])}")
 
     old = t.read(spark, snapshot_id=pre_merge).count()
     print(f"time travel to pre-MERGE snapshot: {old} rows (unchanged)")
