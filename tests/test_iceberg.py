@@ -814,3 +814,19 @@ def test_mor_incremental_scan_raises_across_delete(catalog, spark):
     with pytest.raises(ValueError, match="non-append"):
         t.read_incremental(spark, from_snapshot=ck)
     assert t.read_incremental(spark, from_snapshot=None).count() == 90
+
+
+def test_mor_read_plan_is_anti_join_jvm_only(catalog, spark):
+    """The delete application is a keyed ANTI join, entirely JVM-side:
+    no cartesian, no Python eval in the read plan of a table carrying
+    position deletes."""
+    t = catalog.create_table("ns", "mor_plan", _mk(spark))
+    t.append(_mk(spark))
+    t.delete_where_mor(spark, F.col("k") == 1)
+    df = t.read(spark)
+    em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(em)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
