@@ -757,3 +757,46 @@ def pipeline_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * F.log(F.col("p") / F.col("q")), 6)
                      .alias("psi_term"))
             .orderBy("bin"))
+
+
+@register(
+    "pipeline_seeded_shuffle_shards",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, md5(concat('epoch-7:', CAST(doc_id AS VARCHAR))) AS h
+  FROM documents
+), sharded AS (
+  SELECT doc_id, h,
+         CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT)
+           AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos_in_shard
+FROM sharded
+""",
+    doc="Seeded REPRODUCIBLE global shuffle + sharding — the ordering "
+        "primitive training runs need: every worker, every rerun, any "
+        "cluster size derives the identical (shard, position) for each "
+        "document from md5(seed, doc_id) alone.  Shard = first hex "
+        "nibble (16 shards); position = hash order within the shard.  Scale "
+        "shape: a pure projection plus ONE window partitioned by shard "
+        "— no global sort, no single-partition rank; changing the seed "
+        "string reshuffles every epoch deterministically.",
+    tags=("pipeline",),
+)
+def pipeline_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("epoch-7:"),
+                       F.col("doc_id").cast("string"))).alias("h"))
+    sharded = keyed.withColumn(
+        "shard", (F.instr(F.lit("0123456789abcdef"),
+                          F.substring("h", 1, 1)) - 1).cast("bigint"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"))
