@@ -488,3 +488,135 @@ def text_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
                       / F.col("e")), 4).alias("chi2_stat"))
     return chi2.crossJoin(F.broadcast(dof))
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT unnest(CASE WHEN len(t) >= 2 THEN
+           list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+         ELSE [] END) AS g
+  FROM tok
+), words AS (
+  SELECT unnest(t) AS w FROM tok
+), big_counts AS (
+  SELECT g, COUNT(*) AS c12 FROM grams GROUP BY g
+), uni_counts AS (
+  SELECT w, COUNT(*) AS c1 FROM words GROUP BY w
+), tot AS (
+  SELECT (SELECT CAST(SUM(c12) AS DOUBLE) FROM big_counts) AS b,
+         (SELECT CAST(SUM(c1) AS DOUBLE) FROM uni_counts) AS n
+), scored AS (
+  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+         CAST(c12 AS BIGINT) AS c12,
+         ROUND(ln((c12 / t.b) / ((u1.c1 / t.n) * (u2.c1 / t.n))), 6) AS pmi
+  FROM big_counts CROSS JOIN tot t
+  JOIN uni_counts u1 ON string_split(g, ' ')[1] = u1.w
+  JOIN uni_counts u2 ON string_split(g, ' ')[2] = u2.w
+  WHERE c12 >= 5
+)
+SELECT w1, w2, c12, pmi FROM scored
+ORDER BY pmi DESC, w1, w2 LIMIT 50
+""",
+    doc="PMI collocation mining — top-50 adjacent token pairs by "
+        "pointwise mutual information, min count 5 (the classic "
+        "collocation-extraction recipe; on a web crawl it surfaces "
+        "multiword entities and boilerplate phrases).  pmi = "
+        "ln(P(w1w2) / (P(w1)P(w2))) from in-corpus bigram/unigram "
+        "frequencies.  Scale shape: two partial-agg count shuffles, "
+        "then the SMALL filtered bigram table joins broadcast unigram "
+        "counts and a 1-row totals relation; the top-50 is a "
+        "TakeOrdered, never a global sort.  Deterministic under ties: "
+        "(pmi, w1, w2) is a unique total order.",
+    tags=("text",),
+)
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(F.explode(T.token_ngrams(F.col("text"), 2)).alias("g"))
+    toks = d.select(F.explode(T.ws_tokens(F.col("text"))).alias("w"))
+    big = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c12"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    tot = (big.agg(F.sum("c12").cast("double").alias("b"))
+           .crossJoin(uni.agg(F.sum("c1").cast("double").alias("n"))))
+    u1 = uni.select(F.col("w").alias("__w1k"), F.col("c1").alias("c1a"))
+    u2 = uni.select(F.col("w").alias("__w2k"), F.col("c1").alias("c1b"))
+    scored = (big.where(F.col("c12") >= 5)
+              .withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+              .withColumn("w2", F.split(F.col("g"), " ").getItem(1))
+              .join(F.broadcast(u1), F.col("w1") == F.col("__w1k"))
+              .join(F.broadcast(u2), F.col("w2") == F.col("__w2k"))
+              .crossJoin(F.broadcast(tot))
+              .select(
+                  "w1", "w2", F.col("c12").cast("bigint").alias("c12"),
+                  F.round(F.log((F.col("c12") / F.col("b"))
+                                / ((F.col("c1a") / F.col("n"))
+                                   * (F.col("c1b") / F.col("n")))), 6)
+                   .alias("pmi")))
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(50)
+
+
+@register(
+    "text_unigram_kl_by_source",
+    oracle=r"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+), sw AS (
+  SELECT source, w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY source, w
+), vocab AS (
+  SELECT w, CAST(SUM(c) AS DOUBLE) AS c_all FROM sw GROUP BY w
+), srcs AS (
+  SELECT source, CAST(SUM(c) AS DOUBLE) AS n_src FROM sw GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(c_all) AS DOUBLE) AS n_all,
+         CAST(COUNT(*) AS DOUBLE) AS v FROM vocab
+), cells AS (
+  SELECT s.source,
+         (COALESCE(c.c, 0.0) + 0.5) / (s.n_src + 0.5 * t.v) AS p,
+         ((vb.c_all - COALESCE(c.c, 0.0)) + 0.5)
+           / ((t.n_all - s.n_src) + 0.5 * t.v) AS q
+  FROM srcs s CROSS JOIN vocab vb CROSS JOIN tot t
+  LEFT JOIN sw c ON c.source = s.source AND c.w = vb.w
+)
+SELECT source,
+       ROUND(SUM(p * ln(p / q)), 6) AS kl_vs_rest
+FROM cells GROUP BY source ORDER BY source
+""",
+    doc="Per-source unigram KL divergence vs the rest of the corpus — "
+        "the 'which source is linguistically off-distribution' monitor "
+        "(the token-level sibling of the length-bin PSI drift entry).  "
+        "Laplace-0.5 smoothing over the shared vocabulary keeps both "
+        "distributions strictly positive, absent words included (the "
+        "srcs × vocab cross join materializes |S|·|V| cells — sources "
+        "are few by construction, so this stays vocabulary-sized at "
+        "any corpus scale).  One (source, token) count shuffle feeds "
+        "everything; identical smoothed doubles on both engines.",
+    tags=("text", "monitoring"),
+)
+def text_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sw = (d.select("source", F.explode(T.ws_tokens(F.col("text"))).alias("w"))
+          .groupBy("source", "w")
+          .agg(F.count(F.lit(1)).cast("double").alias("c")))
+    vocab = sw.groupBy("w").agg(F.sum("c").alias("c_all"))
+    srcs = sw.groupBy("source").agg(F.sum("c").alias("n_src"))
+    tot = vocab.agg(F.sum("c_all").alias("n_all"),
+                    F.count(F.lit(1)).cast("double").alias("v"))
+    cells = (srcs.crossJoin(vocab).crossJoin(F.broadcast(tot))
+             .join(sw, ["source", "w"], "left")
+             .select(
+                 "source",
+                 ((F.coalesce(F.col("c"), F.lit(0.0)) + 0.5)
+                  / (F.col("n_src") + 0.5 * F.col("v"))).alias("p"),
+                 (((F.col("c_all") - F.coalesce(F.col("c"), F.lit(0.0)))
+                   + 0.5)
+                  / ((F.col("n_all") - F.col("n_src"))
+                     + 0.5 * F.col("v"))).alias("q")))
+    return (cells.groupBy("source")
+            .agg(F.round(F.sum(F.col("p")
+                               * F.log(F.col("p") / F.col("q"))), 6)
+                 .alias("kl_vs_rest"))
+            .orderBy("source"))
