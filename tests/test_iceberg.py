@@ -830,3 +830,80 @@ def test_mor_read_plan_is_anti_join_jvm_only(catalog, spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dml_model_based_random_ops_with_mor(catalog, spark):
+    """The randomized DML model extended with merge-on-read ops: a
+    sequence of {merge, COW delete, MOR predicate delete, MOR key
+    delete, append, compact} must equal the dict model after every op,
+    and every recorded snapshot must replay its state — the strongest
+    interaction check for COW rewrites over pending position deletes."""
+    import random
+    rnd = random.Random(1337)
+    model = {k: rnd.randrange(100) for k in range(40)}
+    df = spark.createDataFrame(sorted(model.items()), "k long, v long")
+    t = catalog.create_table("dml", "model_mor", df)
+    t.append(df)
+    history = [(t.current_snapshot_id(), dict(model))]
+    next_new = 1000
+    for _ in range(8):
+        p = rnd.random()
+        if p < 0.30:
+            src = [(k, rnd.randrange(100))
+                   for k in rnd.sample(range(60), rnd.randrange(1, 8))]
+            t.merge_upsert(
+                spark, spark.createDataFrame(src, "k long, v long"), ["k"])
+            model.update(dict(src))
+        elif p < 0.45:
+            lo = rnd.randrange(0, 50)
+            hi = lo + rnd.randrange(0, 10)
+            t.delete_where(spark, F.col("k").between(lo, hi))
+            for k in [k for k in model if lo <= k <= hi]:
+                del model[k]
+        elif p < 0.65:
+            lo = rnd.randrange(0, 50)
+            hi = lo + rnd.randrange(0, 10)
+            t.delete_where_mor(spark, F.col("k").between(lo, hi))
+            for k in [k for k in model if lo <= k <= hi]:
+                del model[k]
+        elif p < 0.80:
+            ks = rnd.sample(range(60), rnd.randrange(1, 6))
+            t.delete_keys_mor(
+                spark,
+                spark.createDataFrame([(k,) for k in ks], "k long"),
+                ["k"])
+            for k in ks:
+                model.pop(k, None)
+        elif p < 0.92:
+            rows = [(next_new + i, rnd.randrange(100))
+                    for i in range(rnd.randrange(1, 5))]
+            next_new += len(rows)
+            t.append(spark.createDataFrame(rows, "k long, v long"))
+            model.update(dict(rows))
+        else:
+            t.compact(spark, target_files=2)
+        history.append((t.current_snapshot_id(), dict(model)))
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got == model, f"divergence after op {_}"
+    for sid, snap_model in rnd.sample(history, 4):
+        got = {r["k"]: r["v"]
+               for r in t.read(spark, snapshot_id=sid).collect()}
+        assert got == snap_model
+
+
+def test_mor_delete_over_rest_catalog(spark, tmp_path):
+    """Merge-on-read deletes work unchanged through the REST catalog
+    mode (same IcebergTable handle, pointer CAS over HTTP)."""
+    from iceberg_datafusion_arrow_flight_spark.sources.rest_catalog import (
+        RestCatalog, RestCatalogServer)
+    backing = SqliteCatalog(str(tmp_path / "cat.db"),
+                            warehouse=str(tmp_path / "wh"))
+    with RestCatalogServer(backing, bearer_token="tok") as srv:
+        client = RestCatalog(srv.url, warehouse=backing.warehouse,
+                             bearer_token="tok")
+        t = client.create_table("ns", "mor_rest", _mk(spark))
+        t.append(_mk(spark))
+        r = t.delete_where_mor(spark, F.col("k") == 2)
+        assert r["deleted_rows"] == 10
+        assert t.read(spark).count() == 90
+        assert t.read(spark).where(F.col("k") == 2).count() == 0
