@@ -25,10 +25,20 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 5, damping: float = 0.85,
-             round_digits: int = 10) -> DataFrame:
+             round_digits: int = 10,
+             reset: DataFrame | None = None) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list.
 
-    r_{k+1}(v) = (1-d)/N + d * Σ_{u→v} r_k(u) / outdeg(u)
+    r_{k+1}(v) = (1-d)·reset(v) + d * Σ_{u→v} r_k(u) / outdeg(u)
+
+    With ``reset=None`` the teleport vector is uniform (classic
+    PageRank: reset(v) = 1/N).  Passing a one-column DataFrame of seed
+    node ids makes it PERSONALIZED PageRank: teleport mass restarts
+    uniformly over the seeds only (reset(v) = 1/|seeds| on seeds, 0
+    elsewhere), so the stationary mass concentrates in the seeds'
+    neighborhoods — the similar-node / recommendation primitive.  The
+    seed set is broadcast (seeds are query-sized by contract); ranks
+    start at the reset vector.
 
     Callers wanting undirected centrality symmetrize the edge list
     first (then every node has out-degree ≥ 1, so there is no dangling
@@ -53,20 +63,35 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
          .localCheckpoint(eager=True))
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
     nodes = e.select(F.col("a").alias("node")).distinct()
-    ntot = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    ranks = (nodes.crossJoin(F.broadcast(ntot))
-             .select("node", F.round(F.lit(1.0) / F.col("__n"),
-                                     round_digits).alias("rank"))
-             .localCheckpoint(eager=True))
+    if reset is None:
+        ntot = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+        base = (nodes.crossJoin(F.broadcast(ntot))
+                .select("node", F.round(F.lit(1.0) / F.col("__n"),
+                                        round_digits).alias("__reset")))
+    else:
+        seed_col = reset.columns[0]
+        seeds = reset.select(F.col(seed_col).cast("long")
+                             .alias("__seed")).distinct()
+        stot = seeds.agg(F.count(F.lit(1)).cast("double").alias("__s"))
+        base = (nodes
+                .join(F.broadcast(seeds),
+                      nodes["node"] == seeds["__seed"], "left")
+                .crossJoin(F.broadcast(stot))
+                .select("node",
+                        F.round(F.when(F.col("__seed").isNotNull(),
+                                       F.lit(1.0) / F.col("__s"))
+                                .otherwise(F.lit(0.0)),
+                                round_digits).alias("__reset")))
+    base = base.localCheckpoint(eager=True)
+    ranks = base.select("node", F.col("__reset").alias("rank"))
     for _ in range(iterations):
         contrib = (e.join(ranks, e["a"] == ranks["node"])
                    .join(deg, "a")
                    .groupBy(F.col("b"))
                    .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__m")))
-        ranks = (nodes.join(contrib, nodes["node"] == contrib["b"], "left")
-                 .crossJoin(F.broadcast(ntot))
+        ranks = (base.join(contrib, base["node"] == contrib["b"], "left")
                  .select("node",
-                         F.round(F.lit(1.0 - damping) / F.col("__n")
+                         F.round(F.lit(1.0 - damping) * F.col("__reset")
                                  + F.lit(damping)
                                  * F.coalesce(F.col("__m"), F.lit(0.0)),
                                  round_digits).alias("rank"))

@@ -22,8 +22,8 @@ _ITERS = 5
 _RD = 10  # per-round rounding digits (cross-engine float re-sync)
 
 
-def _pagerank_oracle() -> str:
-    sql = """
+def _graph_cte() -> str:
+    return """
 WITH pairs AS (
   SELECT DISTINCT 2 * l_suppkey AS s, 2 * l_partkey + 1 AS p FROM lineitem
 ), e AS (
@@ -32,21 +32,28 @@ WITH pairs AS (
   SELECT a, COUNT(*) AS deg FROM e GROUP BY a
 ), nodes AS (
   SELECT DISTINCT a AS node FROM e
-), tot AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
-), p0 AS (
-  SELECT node, ROUND(1.0 / t.n, %(rd)d) AS rank FROM nodes CROSS JOIN tot t
-)""" % {"rd": _RD}
+)"""
+
+
+def _pagerank_tail(reset_cte: str) -> str:
+    """Shared iteration unroll: ``reset_cte`` must define base(node,
+    reset); rank₀ = reset, rank_{k+1} = (1−d)·reset + d·Σ — the exact
+    arithmetic of operators/graph.py:pagerank (same rounded reset, so
+    float literals agree bit-for-bit)."""
+    sql = reset_cte + """, p0 AS (
+  SELECT node, reset AS rank FROM base
+)"""
     for k in range(1, _ITERS + 1):
         sql += """, p%(k)d AS (
-  SELECT nd.node,
-         ROUND(%(base)r / t.n + %(damp)r * COALESCE(c.m, 0.0), %(rd)d) AS rank
-  FROM nodes nd CROSS JOIN tot t
+  SELECT b.node,
+         ROUND(%(base)r * b.reset + %(damp)r * COALESCE(c.m, 0.0), %(rd)d)
+           AS rank
+  FROM base b
   LEFT JOIN (
     SELECT e.b, SUM(p.rank / d.deg) AS m
     FROM e JOIN p%(prev)d p ON p.node = e.a JOIN deg d ON d.a = e.a
     GROUP BY e.b
-  ) c ON c.b = nd.node
+  ) c ON c.b = b.node
 )""" % {"k": k, "prev": k - 1, "base": 1.0 - _DAMP, "damp": _DAMP,
         "rd": _RD}
     sql += """
@@ -59,6 +66,29 @@ SELECT node, node_type, pagerank, pos FROM (
 ) WHERE pos <= 20
 """ % {"last": _ITERS}
     return sql
+
+
+def _pagerank_oracle() -> str:
+    return _pagerank_tail(_graph_cte() + """, tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), base AS (
+  SELECT node, ROUND(1.0 / t.n, %(rd)d) AS reset
+  FROM nodes CROSS JOIN tot t
+)""" % {"rd": _RD})
+
+
+def _ppr_oracle() -> str:
+    return _pagerank_tail(_graph_cte() + """, seeds AS (
+  SELECT node AS seed FROM nodes WHERE node %% 2 = 0 AND (node / 2) %% 50 = 0
+), stot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM seeds
+), base AS (
+  SELECT n.node,
+         ROUND(CASE WHEN sd.seed IS NOT NULL THEN 1.0 / st.s
+                    ELSE 0.0 END, %(rd)d) AS reset
+  FROM nodes n CROSS JOIN stot st
+  LEFT JOIN seeds sd ON sd.seed = n.node
+)""" % {"rd": _RD})
 
 
 @register(
@@ -78,14 +108,22 @@ SELECT node, node_type, pagerank, pos FROM (
     tags=("graph",),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _supply_edges(spark, sf_dir)
+    pr = G.pagerank(e, iterations=_ITERS, damping=_DAMP, round_digits=_RD)
+    return _top20(pr)
+
+
+def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     pairs = (li.select((F.col("l_suppkey") * 2).alias("s"),
                        (F.col("l_partkey") * 2 + 1).alias("p"))
              .distinct())
-    e = (pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
-         .unionAll(pairs.select(F.col("p").alias("src"),
-                                F.col("s").alias("dst"))))
-    pr = G.pagerank(e, iterations=_ITERS, damping=_DAMP, round_digits=_RD)
+    return (pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+            .unionAll(pairs.select(F.col("p").alias("src"),
+                                   F.col("s").alias("dst"))))
+
+
+def _top20(pr: DataFrame) -> DataFrame:
     w = Window.orderBy(F.col("rank").desc(), F.col("node"))
     return (pr.select(
                 "node",
@@ -94,3 +132,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("rank"), 8).alias("pagerank"),
                 F.row_number().over(w).cast("int").alias("pos"))
             .where(F.col("pos") <= 20))
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    doc="PERSONALIZED PageRank: teleport mass restarts over a seed set "
+        "only (every 50th supplier), so the stationary mass ranks the "
+        "seeds' supply-chain neighborhoods — the similar-node / "
+        "recommendation primitive (random walk with restart).  Same "
+        "driver-loop machinery and per-round float re-sync as the "
+        "uniform entry; the seed set is broadcast.  Top-20, uniquely "
+        "ordered. operators/graph.py:pagerank(reset=...).",
+    tags=("graph",),
+)
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    seeds = (li.where(F.col("l_suppkey") % 50 == 0)
+             .select((F.col("l_suppkey") * 2).alias("seed")).distinct())
+    pr = G.pagerank(_supply_edges(spark, sf_dir), iterations=_ITERS,
+                    damping=_DAMP, round_digits=_RD, reset=seeds)
+    return _top20(pr)

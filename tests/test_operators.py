@@ -795,3 +795,37 @@ def test_pagerank_star_graph_semantics(spark):
     again = {r["node"]: r["rank"]
              for r in pagerank(e, iterations=5).collect()}
     assert again == got                                  # deterministic
+
+
+def test_personalized_pagerank_matches_exact_simulation(spark):
+    """Personalized PageRank on a symmetric path 0-1-2-3 with seed {0}
+    equals a plain-Python simulation of the identical recurrence
+    BIT-FOR-BIT (4 nodes, power-of-two degrees: every quotient and
+    2-term sum is exact in IEEE doubles, so the per-round rounding
+    contract collapses to equality), and mass is conserved.  Note rank
+    is NOT monotone with seed distance here — node 0 pushes ALL its
+    mass to node 1, so the degree asymmetry lifts node 1 above the
+    seed; asserting monotonicity would be wrong math."""
+    from iceberg_datafusion_arrow_flight_spark.operators.graph import pagerank
+    edges = [(i, i + 1) for i in range(3)] + [(i + 1, i) for i in range(3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(e, iterations=8, reset=seeds).collect()}
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r10(x):   # Spark's ROUND is HALF_UP on the decimal value;
+        return float(Decimal(x).quantize(Decimal("1e-10"),
+                                         rounding=ROUND_HALF_UP))
+
+    base, damp = 1.0 - 0.85, 0.85   # the operator's exact literals
+    deg = {0: 1, 1: 2, 2: 2, 3: 1}
+    nbrs = {0: [1], 1: [0, 2], 2: [1, 3], 3: [2]}
+    reset = {0: 1.0, 1: 0.0, 2: 0.0, 3: 0.0}
+    rank = dict(reset)
+    for _ in range(8):
+        rank = {v: r10(base * reset[v]
+                       + damp * sum(rank[u] / deg[u] for u in nbrs[v]))
+                for v in deg}
+    assert got == rank
+    assert abs(sum(got.values()) - 1.0) < 1e-6
