@@ -70,8 +70,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                                         round_digits).alias("__reset")))
     else:
         seed_col = reset.columns[0]
-        seeds = reset.select(F.col(seed_col).cast("long")
-                             .alias("__seed")).distinct()
+        # Restrict to seeds that exist in the graph BEFORE normalizing:
+        # otherwise absent seeds' teleport mass silently vanishes and
+        # the walk no longer conserves probability.
+        seeds = (reset.select(F.col(seed_col).cast("long")
+                              .alias("__seed")).distinct()
+                 .join(nodes, F.col("__seed") == nodes["node"], "left_semi")
+                 .localCheckpoint(eager=True))
+        if seeds.isEmpty():
+            raise ValueError(
+                "personalized pagerank: no seed appears in the graph — "
+                "the teleport vector would be all-zero (NaN ranks)")
         stot = seeds.agg(F.count(F.lit(1)).cast("double").alias("__s"))
         base = (nodes
                 .join(F.broadcast(seeds),

@@ -829,3 +829,19 @@ def test_personalized_pagerank_matches_exact_simulation(spark):
                 for v in deg}
     assert got == rank
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_personalized_pagerank_seed_edge_cases(spark):
+    """Seeds not present in the graph are excluded BEFORE normalizing
+    (teleport mass stays 1, never silently vanishing); an entirely
+    absent seed set fails loudly instead of producing NaN ranks."""
+    from iceberg_datafusion_arrow_flight_spark.operators.graph import pagerank
+    edges = [(0, 1), (1, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(
+        e, iterations=4,
+        reset=spark.createDataFrame([(0,), (99,)], "node long")).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-6   # 99 didn't eat mass
+    with pytest.raises(ValueError, match="no seed"):
+        pagerank(e, iterations=2,
+                 reset=spark.createDataFrame([(99,)], "node long"))
