@@ -288,3 +288,36 @@ def generate_series_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.explode(F.sequence(F.lit(1), F.lit(1000), F.lit(7)))
                     .alias("n"))
             .select("n", (F.col("n") * F.col("n")).alias("sq")))
+
+
+@register(
+    "json_variant_ops",
+    oracle="""
+SELECT event_id,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_val,
+       'OBJECT<k: BIGINT>' AS var_schema,
+       CONCAT('{"k":', JSON_EXTRACT_STRING(props, '$.k'), '}') AS rebuilt,
+       CAST(JSON_EXTRACT_STRING(props, '$.absent') AS INT) AS absent_val
+FROM events WHERE event_id % 41 = 0
+""",
+    doc="Spark 4 VARIANT type over the props JSON column: parse_json "
+        "into the binary semi-structured encoding ONCE, then typed "
+        "try_variant_get extraction, schema_of_variant introspection, "
+        "canonical to_json round-trip, and missing-path null handling "
+        "— the modern engine's answer to schemaless columns (parse "
+        "once, shredded binary access; no per-expression string "
+        "re-parse).  The oracle spells the same results through "
+        "DuckDB's JSON functions; the variant column itself never "
+        "reaches the result (scalar projections only, per the gate "
+        "window contract).",
+    tags=("json",),
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(F.col("event_id") % 41 == 0)
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get(F.col("v"), "$.k", "int").alias("k_val"),
+        F.schema_of_variant(F.col("v")).alias("var_schema"),
+        F.to_json(F.col("v")).alias("rebuilt"),
+        F.try_variant_get(F.col("v"), "$.absent", "int").alias("absent_val"))
