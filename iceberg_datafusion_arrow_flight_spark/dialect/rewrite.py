@@ -442,16 +442,25 @@ PASSES_RAW = [
 # matches — the pattern requires an operand immediately before the op.
 _REGEX_OP_RE = re.compile(
     r"(?P<lhs>[A-Za-z_][\w.]*|'\x00\d+\x00')\s*"
-    r"(?P<op>!~\*|!~|~\*|~)\s*"
+    r"(?P<op>!~~\*|!~~|~~\*|~~|!~\*|!~|~\*|~)\s*"
     r"(?P<rhs>'\x00\d+\x00'|[A-Za-z_][\w.]*)")
 
 
 def rewrite_regex_operators(sql: str) -> str:
+    """Also covers the Postgres LIKE-operator spellings DF40 parses:
+    ``~~`` (LIKE), ``~~*`` (ILIKE), and their ``!``-negations — Spark
+    has LIKE/ILIKE keywords, so those just re-keyword."""
     def repl(m: re.Match) -> str:
         lhs, op, rhs = m.group("lhs"), m.group("op"), m.group("rhs")
+        neg = op.startswith("!")
+        core = op.lstrip("!")
+        if core.startswith("~~"):
+            kw = "ILIKE" if core.endswith("*") else "LIKE"
+            call = f"{lhs} {kw} {rhs}"
+            return f"NOT ({call})" if neg else call
         pat = rhs if "*" not in op else f"concat('(?i)', {rhs})"
         call = f"regexp_like({lhs}, {pat})"
-        return call if not op.startswith("!") else f"NOT {call}"
+        return call if not neg else f"NOT {call}"
     return _REGEX_OP_RE.sub(repl, sql)
 
 

@@ -505,7 +505,11 @@ SELECT p_partkey, p_name,
        p_name ~ 'red.*t' AS re_match,
        p_name ~* 'RED' AS re_imatch,
        p_name !~ 'bolt$' AS re_not,
-       p_name !~* 'WIDGET' AS re_inot
+       p_name !~* 'WIDGET' AS re_inot,
+       p_name ~~ '%red%' AS like_match,
+       p_name ~~* '%RED%' AS ilike_match,
+       p_name !~~ '%bolt' AS like_not,
+       p_name !~~* '%WIDGET%' AS ilike_not
 FROM part
 WHERE p_partkey <= 500 AND p_name ~ '[a-z]+ [a-z]+'
 """
@@ -518,12 +522,17 @@ SELECT p_partkey, p_name,
        regexp_matches(p_name, 'red.*t') AS re_match,
        regexp_matches(p_name, 'RED', 'i') AS re_imatch,
        NOT regexp_matches(p_name, 'bolt$') AS re_not,
-       NOT regexp_matches(p_name, 'WIDGET', 'i') AS re_inot
+       NOT regexp_matches(p_name, 'WIDGET', 'i') AS re_inot,
+       p_name LIKE '%red%' AS like_match,
+       p_name ILIKE '%RED%' AS ilike_match,
+       p_name NOT LIKE '%bolt' AS like_not,
+       p_name NOT ILIKE '%WIDGET%' AS ilike_not
 FROM part
 WHERE p_partkey <= 500 AND regexp_matches(p_name, '[a-z]+ [a-z]+')
 """,
-    doc="Postgres regex operators ~ / ~* / !~ / !~* (DF40 accepts them "
-        "through sqlparser) → regexp_like with (?i) folding for the "
+    doc="Postgres regex operators ~ / ~* / !~ / !~* plus the LIKE "
+        "spellings ~~ / ~~* / !~~ / !~~* (DF40 accepts all through "
+        "sqlparser) → regexp_like with (?i) folding for the "
         "case-insensitive forms; prefix ~ (bitwise NOT) is untouched "
         "because the rewrite requires an operand before the operator. "
         "dialect/rewrite.py:rewrite_regex_operators.",
