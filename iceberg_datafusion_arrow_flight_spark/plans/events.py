@@ -490,3 +490,99 @@ def events_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("min_value", 4).alias("min_value"),
                     F.round("max_value", 4).alias("max_value"))
             .orderBy("bucket", "event_type"))
+
+
+@register(
+    "events_gap_fill_interpolate",
+    oracle="""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) / COUNT(*) AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM hourly),
+buckets AS (
+  SELECT CAST(unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS TIMESTAMP) AS bucket
+  FROM bounds
+), spine AS (
+  SELECT b.bucket, t.event_type
+  FROM buckets b, (SELECT DISTINCT event_type FROM events) t
+), joined AS (
+  SELECT s.bucket, s.event_type, h.avg_value,
+         CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+         (h.n_events IS NULL) AS is_gap,
+         LAST_VALUE(h.avg_value IGNORE NULLS) OVER (
+            PARTITION BY s.event_type ORDER BY s.bucket
+            ROWS UNBOUNDED PRECEDING) AS pv,
+         LAST_VALUE(CASE WHEN h.avg_value IS NOT NULL THEN s.bucket END
+                    IGNORE NULLS) OVER (
+            PARTITION BY s.event_type ORDER BY s.bucket
+            ROWS UNBOUNDED PRECEDING) AS pb,
+         FIRST_VALUE(h.avg_value IGNORE NULLS) OVER (
+            PARTITION BY s.event_type ORDER BY s.bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN h.avg_value IS NOT NULL THEN s.bucket END
+                     IGNORE NULLS) OVER (
+            PARTITION BY s.event_type ORDER BY s.bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM spine s LEFT JOIN hourly h USING (bucket, event_type)
+)
+SELECT bucket, event_type, n_events, is_gap,
+       CASE WHEN NOT is_gap THEN avg_value
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv)
+                 * (date_diff('hour', pb, bucket) * 1.0
+                    / date_diff('hour', pb, nb))
+       END AS value_interp
+FROM joined
+""",
+    doc="Gap filling by LINEAR INTERPOLATION — the `interpolate()` "
+        "companion of the LOCF entry (TimescaleDB's gapfill pair): "
+        "each silent hour gets the distance-weighted blend of the "
+        "nearest observed means on either side (edges degrade to "
+        "nearest-neighbor).  Two opposing IGNORE NULLS value/bucket "
+        "windows per type recover the bracketing observations in one "
+        "pass over the bounded spine; the hour-count ratio is an exact "
+        "small-integer quotient and every operand is bit-identical "
+        "across engines, so the blend needs no final rounding.",
+    tags=("events", "window"),
+)
+def events_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    e = table(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                   (F.round(F.sum("value"), 2)
+                    / F.count(F.lit(1))).alias("avg_value"))
+              .select(F.col("w.start").cast("timestamp_ntz").alias("bucket"),
+                      "event_type", "n_events", "avg_value"))
+    bounds = hourly.agg(F.min("bucket").alias("b0"),
+                        F.max("bucket").alias("b1"))
+    buckets = bounds.select(
+        F.explode(F.sequence("b0", "b1", F.expr("INTERVAL 1 HOUR")))
+        .alias("bucket"))
+    spine = buckets.crossJoin(e.select("event_type").distinct())
+    back = (W.partitionBy("event_type").orderBy("bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    fwd = (W.partitionBy("event_type").orderBy("bucket")
+           .rowsBetween(W.currentRow, W.unboundedFollowing))
+    obs_bucket = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
+    j = (spine.join(hourly, ["bucket", "event_type"], "left")
+         .select("bucket", "event_type", "avg_value",
+                 F.coalesce("n_events", F.lit(0)).cast("bigint")
+                 .alias("n_events"),
+                 F.col("n_events").isNull().alias("is_gap"))
+         .withColumn("pv", F.last("avg_value", ignorenulls=True).over(back))
+         .withColumn("pb", F.last(obs_bucket, ignorenulls=True).over(back))
+         .withColumn("nv", F.first("avg_value", ignorenulls=True).over(fwd))
+         .withColumn("nb", F.first(obs_bucket, ignorenulls=True).over(fwd)))
+    frac = (F.expr("timestampdiff(HOUR, pb, bucket)") * F.lit(1.0)
+            / F.expr("timestampdiff(HOUR, pb, nb)"))
+    return j.select(
+        "bucket", "event_type", "n_events", "is_gap",
+        F.when(~F.col("is_gap"), F.col("avg_value"))
+         .when(F.col("pv").isNull(), F.col("nv"))
+         .when(F.col("nv").isNull(), F.col("pv"))
+         .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+         .alias("value_interp"))
