@@ -212,6 +212,39 @@ def purchase_after_signup(events: DataFrame,
         .select("user_id", "signup_ts", "purchase_ts", "purchase_value"))
 
 
+def purchase_after_signup_outer(events: DataFrame,
+                                horizon: str = "1 hour") -> DataFrame:
+    """LEFT OUTER stream-stream join: EVERY signup emits — joined to
+    its within-``horizon`` purchases, or null-padded once the watermark
+    proves no purchase can still arrive (signup_ts + horizon falls
+    behind the purchase-side watermark, so the engine evicts the state
+    and emits the unmatched row).  The conversion-funnel shape: inner
+    results stream out as matches land; the "never converted" rows
+    arrive exactly as late as the lateness bound requires and no later.
+
+    State is bounded identically to the inner variant — the time-range
+    predicate plus both watermarks age rows out; the outer-ness only
+    changes what happens at eviction (emit-with-nulls instead of drop).
+    """
+    signups = (events.where(F.col("event_type") == "signup")
+               .select(F.col("user_id"),
+                       F.col("ts").alias("signup_ts"))
+               .withWatermark("signup_ts", "2 hours"))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    return (signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(
+            f"INTERVAL {horizon}")),
+        "leftOuter")
+        .select("user_id", "signup_ts", "purchase_ts", "purchase_value"))
+
+
 def stream_to_iceberg(df: DataFrame, iceberg_table,
                       query_name: str = "iceberg_ingest",
                       ckpt_dir: str | None = None):

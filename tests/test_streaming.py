@@ -406,3 +406,51 @@ def test_stream_cdc_apply_upserts_and_tombstones(spark, tmp_path):
     # history carries position-delete state or was a no-op key delete
     ops = [s["summary"]["operation"] for s in t.snapshots()]
     assert "append" in ops and "overwrite" in ops   # seed + merge
+
+
+def test_stream_stream_left_outer_join(spark, events_stream, events_batch):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    inner join; unmatched signups null-pad once the watermark proves no
+    purchase can still arrive.  Every emitted null row IS a batch-
+    unmatched signup, and every unmatched signup old enough for the
+    final watermark (max_ts - 2h) to pass signup_ts + horizon has been
+    emitted."""
+    from iceberg_datafusion_arrow_flight_spark.streaming.jobs import (
+        purchase_after_signup_outer)
+    got = _run(spark, purchase_after_signup_outer(events_stream))
+    s = (events_batch.where("event_type = 'signup'")
+         .selectExpr("user_id", "ts AS signup_ts"))
+    p = (events_batch.where("event_type = 'purchase'")
+         .selectExpr("user_id AS p_user_id", "ts AS purchase_ts",
+                     "value AS purchase_value"))
+    cond = ((F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") > F.col("signup_ts"))
+            & (F.col("purchase_ts") <= F.col("signup_ts")
+               + F.expr("INTERVAL 1 hour")))
+    inner = {tuple(r) for r in
+             s.join(p, cond).select("user_id", "signup_ts", "purchase_ts",
+                                    "purchase_value").collect()}
+    matched_signups = {(r["user_id"], r["signup_ts"])
+                       for r in s.join(p, cond).select(
+                           "user_id", "signup_ts").collect()}
+    unmatched = {(r["user_id"], r["signup_ts"])
+                 for r in s.collect()} - matched_signups
+    got_rows = got.collect()
+    got_inner = {tuple(r) for r in got_rows if r["purchase_ts"] is not None}
+    got_nulls = {(r["user_id"], r["signup_ts"])
+                 for r in got_rows if r["purchase_ts"] is None}
+    assert got_inner == inner
+    assert got_nulls <= unmatched          # never a false "no purchase"
+    import datetime
+    max_ts = events_batch.agg(F.max("ts")).head()[0]
+    # The engine evicts outer state with the PREVIOUS batch's watermark,
+    # so null emission trails the final watermark by several hours
+    # (measured ~7h on the fixture); a 24h margin keeps the "old
+    # unmatched rows DID emit" claim robust while still covering the
+    # vast majority of the month-long fixture.
+    wm = max_ts - datetime.timedelta(hours=2)
+    must_emit = {(u, ts) for (u, ts) in unmatched
+                 if ts + datetime.timedelta(hours=1)
+                 < wm - datetime.timedelta(hours=24)}
+    assert must_emit, "fixture should have old unmatched signups"
+    assert must_emit <= got_nulls          # old unmatched all emitted
