@@ -452,3 +452,44 @@ def minhash_lsh_pairs_cross(left: DataFrame, right: DataFrame,
             .select(F.col("l_id").alias("id_left"),
                     F.col("r_id").alias("id_right"),
                     F.round(inter.cast("double") / union, 6).alias("jaccard")))
+
+
+def lsh_candidate_probability(bands: int, rows: int,
+                              similarity: float) -> float:
+    """P[a pair with MinHash-estimated Jaccard ``similarity`` shares at
+    least one LSH band] = 1 − (1 − s^r)^b — the banding S-curve whose
+    steepness is the whole design space of MinHash LSH."""
+    return 1.0 - (1.0 - similarity ** rows) ** bands
+
+
+def lsh_tuning(n_hashes: int, threshold: float,
+               recall_floor: float = 1.0 - 1e-6) -> tuple[int, int]:
+    """Pick the (bands, rows) factorization of ``n_hashes`` for a
+    verify-after-candidates pipeline: among factorizations whose
+    candidate recall AT the threshold is ≥ ``recall_floor``, take the
+    one with the MOST rows per band — the sharpest S-curve, i.e. the
+    fewest sub-threshold false candidates feeding the exact-verify
+    join.
+
+    This is the objective the hand-set geometries in this module
+    follow (16×4 for J≥0.9 over 64 hashes: P[miss] ≈ 4e-8 with 16×
+    fewer template-vocabulary candidates than rows=2 — see
+    minhash_lsh_pairs).  It is NOT the textbook "midpoint ≈ threshold"
+    rule: that balances false positives against false negatives, but
+    with exact verification downstream false positives only cost
+    compute while false negatives cost CORRECTNESS, so recall is a
+    floor, not a trade.  Falls back to the highest-recall geometry if
+    nothing meets the floor (tiny n_hashes).  Returns (bands, rows)
+    with bands·rows == n_hashes."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    pairs = [(b, n_hashes // b) for b in range(1, n_hashes + 1)
+             if n_hashes % b == 0]
+    ok = [br for br in pairs
+          if lsh_candidate_probability(br[0], br[1], threshold)
+          >= recall_floor]
+    if ok:
+        return max(ok, key=lambda br: br[1])
+    return max(pairs,
+               key=lambda br: lsh_candidate_probability(br[0], br[1],
+                                                        threshold))

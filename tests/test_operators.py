@@ -845,3 +845,25 @@ def test_personalized_pagerank_seed_edge_cases(spark):
     with pytest.raises(ValueError, match="no seed"):
         pagerank(e, iterations=2,
                  reset=spark.createDataFrame([(99,)], "node long"))
+
+
+def test_lsh_tuning_scurve_properties():
+    """The banding auto-tuner: midpoints track the target threshold
+    directionally; the S-curve is monotone in similarity and steeper
+    (more selective) with more rows per band; the module's hand-tuned
+    16×4-for-J≥0.9 geometry is reproduced from its parameters."""
+    from iceberg_datafusion_arrow_flight_spark.operators.dedup import (
+        lsh_candidate_probability, lsh_tuning)
+    b_lo, r_lo = lsh_tuning(64, 0.3)
+    b_hi, r_hi = lsh_tuning(64, 0.9)
+    assert b_lo * r_lo == 64 and b_hi * r_hi == 64
+    assert r_lo < r_hi                   # low threshold → shallow bands
+    assert lsh_tuning(64, 0.9) == (16, 4)   # reproduces the module's
+    # geometry: sharpest curve still meeting the 1-1e-6 recall floor
+    probs = [lsh_candidate_probability(16, 4, s / 10) for s in range(11)]
+    assert probs == sorted(probs)        # monotone
+    assert lsh_candidate_probability(16, 4, 0.9) > 0.95
+    assert lsh_candidate_probability(16, 4, 0.3) < 0.15
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lsh_tuning(64, 1.5)
