@@ -490,3 +490,34 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (equi_width_histogram(li, "l_extendedprice", 900.0, 105000.0,
                                  n_bins=20, group_cols=("l_returnflag",))
             .orderBy("l_returnflag", "bin"))
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+), ranked AS (
+  SELECT o_orderpriority, o_orderstatus,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY n DESC, o_orderstatus) AS r
+  FROM c
+)
+SELECT o_orderpriority, o_orderstatus AS modal_status
+FROM ranked WHERE r = 1 ORDER BY o_orderpriority
+""",
+    doc="MODE aggregate, deterministic form: the most frequent order "
+        "status per priority, ties broken toward the smallest value — "
+        "Spark's mode(col, deterministic=true) contract, which the "
+        "oracle spells as an explicit count-rank with the same "
+        "tie-break (DuckDB's own mode() is first-encountered-wins and "
+        "therefore not cross-engine comparable).  One grouped count "
+        "plus a per-group argmax.",
+    tags=("aggregate",),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (table(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.mode("o_orderstatus", True).alias("modal_status"))
+            .orderBy("o_orderpriority"))

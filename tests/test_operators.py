@@ -867,3 +867,16 @@ def test_lsh_tuning_scurve_properties():
     import pytest as _pt
     with _pt.raises(ValueError):
         lsh_tuning(64, 1.5)
+
+
+def test_mode_deterministic_tie_break_is_smallest(spark):
+    """Pins the tie rule the agg_mode_deterministic oracle assumes:
+    Spark's mode(col, deterministic=true) returns the SMALLEST value
+    among equally-frequent candidates (the fixture may contain no real
+    tie, so the gate alone can't prove this)."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c")],
+        "k string, v string")
+    assert df.groupBy("k").agg(
+        F.mode("v", True).alias("m")).head()["m"] == "a"
