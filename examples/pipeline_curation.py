@@ -111,6 +111,22 @@ def main():
         F.max("bin_id").alias("bins"),
         F.sum("n_tokens").alias("tokens")).orderBy("lang").show()
 
+    # 8. corpus health report — the statistical monitors, one line each
+    from iceberg_datafusion_arrow_flight_spark.plans import REGISTRY
+    zipf = REGISTRY["text_zipf_law_fit"].build(spark, sf_dir).first()
+    chi2 = REGISTRY["text_chi2_lang_source"].build(spark, sf_dir).first()
+    print(f"health: zipf slope {zipf['zipf_slope']} "
+          f"(R2 {zipf['zipf_r2']}); lang-by-source chi2 "
+          f"{chi2['chi2_stat']} @ {chi2['dof']} dof")
+    print("top collocations:")
+    REGISTRY["text_pmi_collocations"].build(spark, sf_dir).show(5)
+    print("per-source KL vs rest:")
+    REGISTRY["text_unigram_kl_by_source"].build(spark, sf_dir).show()
+
+    # 9. seeded epoch shuffle — identical on every worker and rerun
+    REGISTRY["pipeline_seeded_shuffle_shards"].build(spark, sf_dir) \
+        .groupBy("shard").count().orderBy("shard").show()
+
     spark.stop()
 
 
