@@ -586,3 +586,51 @@ def events_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(F.col("nv").isNull(), F.col("pv"))
          .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
          .alias("value_interp"))
+
+
+@register(
+    "events_series_correlation",
+    oracle="""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+         ROUND(SUM(CASE WHEN event_type = 'click'
+                        THEN value ELSE 0 END), 4) AS clicks,
+         ROUND(SUM(CASE WHEN event_type = 'purchase'
+                        THEN value ELSE 0 END), 4) AS purchases,
+         ROUND(SUM(CASE WHEN event_type = 'error'
+                        THEN value ELSE 0 END), 4) AS errors
+  FROM events GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+       ROUND(CORR(clicks, purchases), 6) AS corr_click_purchase,
+       ROUND(CORR(clicks, errors), 6) AS corr_click_error,
+       ROUND(CORR(purchases, errors), 6) AS corr_purchase_error
+FROM hourly
+""",
+    doc="Cross-series correlation over the hourly rollup: Pearson "
+        "correlation between the click / purchase / error value series "
+        "bucketed per hour — the 'do these metrics move together' "
+        "dashboard primitive.  One conditional-sum aggregation pivots "
+        "the three series in a single pass (no per-type rescan, no "
+        "join); the per-bucket sums round to 4 digits so cross-engine "
+        "summation-order ulps cannot leak into the correlation inputs.",
+    tags=("events",),
+)
+def events_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+
+    def series(t):
+        return F.round(F.sum(F.when(F.col("event_type") == t,
+                                    F.col("value")).otherwise(0.0)), 4)
+
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(series("click").alias("clicks"),
+                   series("purchase").alias("purchases"),
+                   series("error").alias("errors")))
+    return hourly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.round(F.corr("clicks", "purchases"), 6)
+         .alias("corr_click_purchase"),
+        F.round(F.corr("clicks", "errors"), 6).alias("corr_click_error"),
+        F.round(F.corr("purchases", "errors"), 6)
+         .alias("corr_purchase_error"))

@@ -620,3 +620,85 @@ def text_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
                                * F.log(F.col("p") / F.col("q"))), 6)
                  .alias("kl_vs_rest"))
             .orderBy("source"))
+
+
+_BM25_TERMS = "['table', 'spark', 'merge']"
+
+
+@register(
+    "text_bm25_topk",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS len FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(len) / COUNT(*) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS f
+  FROM tok WHERE list_contains({_BM25_TERMS}, term)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tok WHERE list_contains({_BM25_TERMS}, term)
+  GROUP BY term
+), parts AS (
+  SELECT tf.doc_id,
+         ROUND(ln((s.n - df + 0.5) / (df + 0.5) + 1.0)
+               * (f * 2.2)
+               / (f + 1.2 * (0.25 + 0.75 * dl.len / s.avgdl)), 10)
+           AS part
+  FROM tf JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+), scored AS (
+  SELECT doc_id, ROUND(SUM(part), 6) AS bm25 FROM parts GROUP BY doc_id
+)
+SELECT doc_id, bm25,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 20
+""",
+    doc="Okapi BM25 ranking (k1=1.2, b=0.75) of the corpus against a "
+        "fixed query-term set — THE classical retrieval scorer and the "
+        "lexical half of every hybrid search stack (tf saturation + "
+        "length normalization, which plain tf-idf lacks).  Per-term "
+        "parts round to 10 digits before the per-doc sum so the "
+        "engines' 3-term addition order can't flip the 6-digit score.  "
+        "Scale shape: the query-term filter prunes the (doc, term) "
+        "shuffle to matching rows only; document-frequency and "
+        "corpus-stats sides broadcast; top-20 is a TakeOrdered.",
+    tags=("text",),
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    terms = ["table", "spark", "merge"]
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id",
+                    F.explode(T.ws_tokens(F.col("text"))).alias("term"))
+    dl = (toks.groupBy("doc_id")
+          .agg(F.count(F.lit(1)).cast("double").alias("len")))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                   (F.sum("len") / F.count(F.lit(1))).alias("avgdl"))
+    qtoks = toks.where(F.col("term").isin(terms))
+    tf = (qtoks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("double").alias("f")))
+    dfreq = (qtoks.select("doc_id", "term").distinct()
+             .groupBy("term")
+             .agg(F.count(F.lit(1)).cast("double").alias("df")))
+    parts = (tf.join(F.broadcast(dfreq), "term")
+             .join(dl, "doc_id")
+             .crossJoin(F.broadcast(stats))
+             .select("doc_id", F.round(
+                 F.log((F.col("n") - F.col("df") + 0.5)
+                       / (F.col("df") + 0.5) + 1.0)
+                 * (F.col("f") * 2.2)
+                 / (F.col("f") + 1.2 * (0.25 + 0.75 * F.col("len")
+                                        / F.col("avgdl"))), 10)
+                 .alias("part")))
+    scored = (parts.groupBy("doc_id")
+              .agg(F.round(F.sum("part"), 6).alias("bm25")))
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 20))
