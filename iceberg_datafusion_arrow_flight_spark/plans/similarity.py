@@ -355,3 +355,120 @@ def pipeline_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = emb.where(F.col("vec_id") % 97 == 0)
     corpus = emb.where(F.col("vec_id") % 97 != 0)
     return S.benchmark_decontaminate(corpus, bench, threshold=0.30)
+
+
+@register(
+    "sim_hybrid_search_rrf",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS len FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(len) / COUNT(*) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS f
+  FROM tok WHERE list_contains(['table', 'spark', 'merge'], term)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tok WHERE list_contains(['table', 'spark', 'merge'], term)
+  GROUP BY term
+), lex_scored AS (
+  SELECT tf.doc_id, ROUND(SUM(ROUND(
+           ln((s.n - df + 0.5) / (df + 0.5) + 1.0) * (f * 2.2)
+           / (f + 1.2 * (0.25 + 0.75 * dl.len / s.avgdl)), 10)), 6) AS bm25
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+), lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lrank
+  FROM lex_scored
+), emb AS ({_EMB}),
+qv AS (SELECT v AS q FROM emb WHERE vec_id = 0),
+sem_scored AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND({_COS.format(a='e.v', b='q')}, 6) AS sim
+  FROM emb e CROSS JOIN qv
+  WHERE e.vec_id != 0 AND e.vec_id IN (SELECT doc_id FROM documents)
+), sem AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS srank
+  FROM sem_scored
+), fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60 + l.lrank), 0.0)
+               + COALESCE(1.0 / (60 + s.srank), 0.0), 8) AS rrf
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, rrf,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+FROM fused QUALIFY rank <= 20
+""",
+    doc="HYBRID SEARCH by Reciprocal Rank Fusion: the BM25 lexical "
+        "ranking and an embedding-cosine semantic ranking (query = "
+        "vector 0, candidates restricted to ids shared with the "
+        "documents table) fuse as Σ 1/(60 + rank) — the rank-space "
+        "combination every modern retrieval stack ships because it "
+        "needs no score calibration between the two signals.  Ranks "
+        "are integers, so the fused score is an exact two-term sum; "
+        "top-20, uniquely ordered.  Composes the text_bm25_topk and "
+        "sim_topk_cosine machinery end to end.",
+    tags=("similarity", "text"),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..operators import text as T
+    terms = ["table", "spark", "merge"]
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id",
+                    F.explode(T.ws_tokens(F.col("text"))).alias("term"))
+    dl = (toks.groupBy("doc_id")
+          .agg(F.count(F.lit(1)).cast("double").alias("len")))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                   (F.sum("len") / F.count(F.lit(1))).alias("avgdl"))
+    qtoks = toks.where(F.col("term").isin(terms))
+    tf = (qtoks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("double").alias("f")))
+    dfreq = (qtoks.select("doc_id", "term").distinct()
+             .groupBy("term")
+             .agg(F.count(F.lit(1)).cast("double").alias("df")))
+    lex_scored = (tf.join(F.broadcast(dfreq), "term")
+                  .join(dl, "doc_id")
+                  .crossJoin(F.broadcast(stats))
+                  .select("doc_id", F.round(
+                      F.log((F.col("n") - F.col("df") + 0.5)
+                            / (F.col("df") + 0.5) + 1.0)
+                      * (F.col("f") * 2.2)
+                      / (F.col("f") + 1.2 * (0.25 + 0.75 * F.col("len")
+                                             / F.col("avgdl"))), 10)
+                      .alias("part"))
+                  .groupBy("doc_id")
+                  .agg(F.round(F.sum("part"), 6).alias("bm25")))
+    lex = lex_scored.select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("lrank"))
+    emb = table(spark, sf_dir, "embeddings")
+    qv = (emb.where(F.col("vec_id") == 0)
+          .select(S._as_double(F.col("embedding")).alias("q")))
+    sem_scored = (emb.where(F.col("vec_id") != 0)
+                  .join(d.select(F.col("doc_id").alias("vec_id")),
+                        "vec_id", "left_semi")
+                  .crossJoin(F.broadcast(qv))
+                  .select(F.col("vec_id").alias("doc_id"),
+                          F.round(S.cosine(
+                              S._as_double(F.col("embedding")),
+                              F.col("q")), 6).alias("sim")))
+    sem = sem_scored.select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(F.col("sim").desc(), F.col("doc_id")))
+        .alias("srank"))
+    fused = (lex.join(sem, "doc_id", "full_outer")
+             .select("doc_id",
+                     F.round(F.coalesce(1.0 / (60 + F.col("lrank")),
+                                        F.lit(0.0))
+                             + F.coalesce(1.0 / (60 + F.col("srank")),
+                                          F.lit(0.0)), 8).alias("rrf")))
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (fused.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 20))
