@@ -284,3 +284,47 @@ def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "o_orderstatus",
                     F.size(F.collect_set("o_custkey").over(w))
                      .cast("bigint").alias("distinct_custs_trailing")))
+
+
+@register(
+    "window_moving_median",
+    oracle="""
+WITH m AS (
+  SELECT o_orderkey, o_orderstatus,
+         MEDIAN(o_totalprice) OVER (
+            PARTITION BY o_orderstatus
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 50 PRECEDING AND CURRENT ROW) AS moving_median,
+         ROW_NUMBER() OVER (
+            PARTITION BY o_orderstatus
+            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderkey, o_orderstatus, moving_median
+FROM m WHERE rn > 50
+""",
+    doc="MOVING MEDIAN over a sliding frame — Spark rejects median() "
+        "with an ORDER BY / frame outright "
+        "(INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), the third member "
+        "of the engine-gap family next to GROUPS frames and DISTINCT "
+        "windows.  Emulation: sort_array(collect_list) over the frame, "
+        "take the middle element — state per row bounded by the 51-row "
+        "frame.  The first 50 rows per partition are excluded so every "
+        "emitted frame has EXACTLY 51 values: an odd count means the "
+        "median is a single element on both engines and no "
+        "interpolation arithmetic (whose float spelling differs across "
+        "engines) ever runs.  DuckDB runs its native MEDIAN window as "
+        "the oracle.",
+    tags=("window",),
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("o_orderstatus")
+         .orderBy("o_orderdate", "o_orderkey"))
+    frame = w.rowsBetween(-50, Window.currentRow)
+    vals = F.sort_array(F.collect_list("o_totalprice").over(frame))
+    return (table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus",
+                    F.element_at(vals, 26).alias("moving_median"),
+                    F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") > 50)
+            .drop("rn"))
