@@ -328,3 +328,79 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("rn"))
             .where(F.col("rn") > 50)
             .drop("rn"))
+
+
+@register(
+    "window_filtered_aggregate",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT')
+             OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS urgent_running
+FROM orders
+""",
+    doc="FILTER clause on a window aggregate — `agg(x) FILTER (WHERE c) "
+        "OVER w` is standard SQL that DuckDB (and Postgres) run "
+        "natively; Spark accepts FILTER only on plain aggregates, so "
+        "the window form translates to the conditional-expression "
+        "equivalent sum(CASE WHEN c THEN x END) OVER w — identical "
+        "semantics incl. the all-filtered-frame → NULL case.  Running "
+        "urgent-order revenue per status; coarse 2-digit rounding "
+        "absorbs the engines' running-sum association order.",
+    tags=("window",),
+)
+def window_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("o_orderstatus")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cond = F.when(F.col("o_orderpriority") == "1-URGENT",
+                  F.col("o_totalprice"))
+    return (table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus",
+                    F.round(F.sum(cond).over(w), 2)
+                     .alias("urgent_running")))
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS n_last_hour,
+       ROUND(SUM(value) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW), 4)
+         AS value_last_hour
+FROM events
+""",
+    doc="Time-interval RANGE frame — `RANGE BETWEEN INTERVAL '1 hour' "
+        "PRECEDING` is the per-row trailing-window primitive (rate "
+        "limiting, rolling activity).  Spark's RANGE frames take only "
+        "numeric offsets on the sort key, so the translation orders by "
+        "epoch seconds and ranges over [-3600, 0] — value-based frame "
+        "bounds, identical row sets (ties at equal ts are PEERS in "
+        "RANGE frames on both engines, so the per-row aggregate is "
+        "order-insensitive and needs no unique tie-break).  The sums "
+        "round at 4 digits for summation-order ulps.",
+    tags=("window", "events"),
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MICROsecond epoch, not unix_timestamp (seconds): truncation would
+    # pull in rows just beyond the hour at sub-second offsets — caught
+    # by the sf0.1 gate, invisible at sf0.01's sparser per-user series.
+    # (unix_micros needs TIMESTAMP; the NTZ cast is UTC under the
+    # gate's session timezone, and any constant epoch shift cancels in
+    # the frame's value differences anyway)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-3_600_000_000, 0))
+    return (table(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.count(F.lit(1)).over(w).cast("bigint")
+                     .alias("n_last_hour"),
+                    F.round(F.sum("value").over(w), 4)
+                     .alias("value_last_hour")))
