@@ -430,3 +430,43 @@ def iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.read(spark)
             .groupBy("o_orderpriority").agg(*_agg_cols())
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "iceberg_equality_delete",
+    oracle="""
+WITH live AS (
+  SELECT * FROM orders WHERE o_custkey % 50 != 0
+  UNION ALL
+  SELECT * FROM orders WHERE o_custkey % 50 = 0 AND o_orderkey % 2 = 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM live
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="EQUALITY delete files — Iceberg v2's second merge-on-read "
+        "delete kind and the CDC fast path: the commit writes only the "
+        "key VALUES (every 50th customer's key) and never scans the "
+        "table; readers apply a sequence-guarded key anti-join.  The "
+        "query then RE-APPENDS half of the deleted customers' orders — "
+        "the strict-sequence rule means the re-appended rows survive "
+        "the older delete, which is exactly what the oracle's UNION "
+        "spells.  sources/iceberg_lite.py:delete_keys_mor_equality.",
+    tags=("iceberg", "catalog", "write", "dml"),
+)
+def iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    orders = table(spark, sf_dir, "orders")
+    t = cat.create_table("sales", "orders_eq", orders)
+    t.append(orders)
+    keys = (orders.where(F.col("o_custkey") % 50 == 0)
+            .select("o_custkey").distinct())
+    t.delete_keys_mor_equality(spark, keys, ["o_custkey"])
+    t.append(orders.where((F.col("o_custkey") % 50 == 0)
+                          & (F.col("o_orderkey") % 2 == 0)))
+    return (t.read(spark)
+            .groupBy("o_orderpriority").agg(*_agg_cols())
+            .orderBy("o_orderpriority"))

@@ -219,6 +219,12 @@ class DataFileEntry:
     # the read path maps its column names to the current schema by
     # field id, which is what makes rename/drop evolution safe
     schema_id: int = 0
+    # data sequence number (spec: sequence_number): the commit order
+    # position the file's rows entered the table at.  EQUALITY deletes
+    # apply only to rows with a STRICTLY SMALLER sequence — a deleted
+    # key re-appended later must survive.  0 for pre-sequencing
+    # manifests (every equality delete applies to them).
+    sequence_number: int = 0
 
 
 class IcebergTable:
@@ -306,7 +312,8 @@ class IcebergTable:
         else:
             df.write.mode("errorifexists").parquet(data_dir)
         entries = [dataclasses.replace(
-            e, schema_id=metadata["current-schema-id"])
+            e, schema_id=metadata["current-schema-id"],
+            sequence_number=metadata["last-sequence-number"] + 1)
             for e in _collect_entries(data_dir)]
 
         snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
@@ -568,6 +575,24 @@ class IcebergTable:
             self.namespace, self.name, base_location, new_location)
         return new_id
 
+    def _guard_equality_delete_column(self, name: str, op: str) -> None:
+        """Live equality-delete files bind key columns by NAME (a
+        documented simplification of the spec's field-id binding): a
+        rename/drop of a named column would silently orphan the
+        deletes, so it fails loudly instead — compact() folds the
+        deletes away first."""
+        sid = self._load_metadata()[1]["current-snapshot-id"]
+        if sid is None:
+            return
+        snap = _snapshot(self._load_metadata()[1], sid)
+        hit = [d for d in snap.get("delete-files", [])
+               if name in d.get("equality_cols", [])]
+        if hit:
+            raise ValueError(
+                f"cannot {op} column {name!r}: {len(hit)} live equality"
+                " delete file(s) bind it by name — run compact() first"
+                " to fold the deletes, then evolve the schema")
+
     def rename_column(self, old: str, new: str) -> int:
         """Iceberg rename: metadata-only — the field keeps its ID, so
         every already-written file's data follows the new name at read
@@ -580,6 +605,7 @@ class IcebergTable:
             raise ValueError(f"column {old!r} does not exist")
         if any(f["name"] == new for f in fields):
             raise ValueError(f"column {new!r} already exists")
+        self._guard_equality_delete_column(old, "rename")
         def respec(metadata):
             return [
                 {**s, "fields": [
@@ -597,6 +623,7 @@ class IcebergTable:
         data (the id map drops retired columns per file).  Refuses to
         drop a column the CURRENT partition spec transforms (real
         Iceberg's rule — the write path would break)."""
+        self._guard_equality_delete_column(name, "drop")
         fields = self.schema_fields()
         if not any(f["name"] == name for f in fields):
             raise ValueError(f"column {name!r} does not exist")
@@ -986,6 +1013,89 @@ class IcebergTable:
                            F.col("__dpos").alias("pos")))
         return self._commit_mor_deletes(base_location, md, snap, matches)
 
+    def delete_keys_mor_equality(self, spark: SparkSession,
+                                 keys: DataFrame,
+                                 key_cols: list[str]) -> dict:
+        """Merge-on-read EQUALITY delete files — the second delete-file
+        kind in the Iceberg v2 spec, and the true CDC fast path: the
+        commit writes only the KEY VALUES themselves and never reads
+        the table at all (a positional delete must scan to find row
+        positions; an equality delete is O(keys) end to end).
+
+        Sequence semantics per the spec: an equality delete applies
+        only to rows whose data file carries a STRICTLY SMALLER
+        sequence number, so a deleted key re-appended later survives —
+        the property that makes delete-then-reinsert CDC streams
+        correct without any coordination.  NULL key values match
+        nothing (SQL equality), mirroring ``WHERE k = NULL``.
+
+        Readers apply these as a column anti-join against the
+        broadcastable key set, guarded by the per-file sequence; the
+        positional and equality kinds coexist on one table and
+        :meth:`compact` folds both away."""
+        base_location, md = self._load_metadata()
+        base_snapshot = md["current-snapshot-id"]
+        if base_snapshot is None:
+            return {"snapshot_id": None, "delete_files": 0,
+                    "deleted_keys": 0}
+        snap = _snapshot(md, base_snapshot)
+        location = md["location"]
+        write_id = uuid.uuid4().hex[:12]
+        del_dir = os.path.join(location, "data", write_id)
+        keys.select(*key_cols).distinct().write.mode(
+            "errorifexists").parquet(del_dir)
+        import pyarrow.parquet as pq
+        seq = md["last-sequence-number"] + 1
+        new_files = []
+        for dirpath, _dirs, files in os.walk(del_dir):
+            for fname in sorted(files):
+                if not fname.endswith(".parquet"):
+                    continue
+                path = os.path.join(dirpath, fname)
+                n = pq.ParquetFile(path).metadata.num_rows
+                if n:
+                    new_files.append({"path": path, "record_count": n,
+                                      "equality_cols": list(key_cols),
+                                      "sequence": seq})
+        if not new_files:
+            shutil.rmtree(del_dir, ignore_errors=True)
+            return {"snapshot_id": None, "delete_files": 0,
+                    "deleted_keys": 0}
+        now = _now_ms()
+        snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": base_snapshot,
+            "sequence-number": seq,
+            "timestamp-ms": now,
+            "manifest-list": snap["manifest-list"],
+            "summary": {
+                "operation": "delete",
+                "delete-mode": "merge-on-read-equality",
+                "added-delete-files": str(len(new_files)),
+                "added-equality-deletes": str(
+                    sum(f["record_count"] for f in new_files)),
+            },
+            "schema-id": md["current-schema-id"],
+            "delete-files": snap.get("delete-files", []) + new_files,
+        }
+        new_md = dict(md)
+        new_md["last-sequence-number"] = seq
+        new_md["last-updated-ms"] = now
+        new_md["snapshots"] = md["snapshots"] + [snapshot]
+        new_md["current-snapshot-id"] = snapshot_id
+        new_md["snapshot-log"] = md["snapshot-log"] + [
+            {"timestamp-ms": now, "snapshot-id": snapshot_id}]
+        new_md["metadata-log"] = md["metadata-log"] + [
+            {"timestamp-ms": now, "metadata-file": base_location}]
+        version = _next_version(base_location)
+        new_location = _write_metadata(location, version, new_md)
+        self.catalog._swap_pointer(
+            self.namespace, self.name, base_location, new_location)
+        return {"snapshot_id": snapshot_id,
+                "delete_files": len(new_files),
+                "deleted_keys": sum(f["record_count"] for f in new_files)}
+
     def _commit_mor_deletes(self, base_location: str, md: dict,
                             snap: dict, matches: DataFrame) -> dict:
         """Write (file_uri, pos) matches as position-delete parquet and
@@ -1224,12 +1334,20 @@ def _read_entries_df(spark: SparkSession, metadata: dict,
         metadata, (metadata["current-schema-id"]
                    if to_schema_id is None else to_schema_id))
     names = [f["name"] for f in cur_fields]
-    need_pos = include_pos or bool(delete_files)
-    groups: dict[int, list[DataFileEntry]] = {}
+    pos_dels = [d for d in (delete_files or [])
+                if "equality_cols" not in d]
+    eq_dels = [d for d in (delete_files or []) if "equality_cols" in d]
+    need_pos = include_pos or bool(pos_dels)
+    # Equality deletes apply per FILE SEQUENCE (strictly older rows
+    # only), so scan groups split by (schema, sequence) and each group
+    # carries its sequence as a literal column — no per-row metadata
+    # lookup needed.
+    groups: dict[tuple[int, int], list[DataFileEntry]] = {}
     for e in entries:
-        groups.setdefault(e.schema_id, []).append(e)
+        seq_key = e.sequence_number if eq_dels else 0
+        groups.setdefault((e.schema_id, seq_key), []).append(e)
     parts = []
-    for sid, es in sorted(groups.items()):
+    for (sid, fseq), es in sorted(groups.items()):
         df = (spark.read.option("mergeSchema", "true")
               .parquet(*[e.file_path for e in es]))
         if include_file:
@@ -1239,6 +1357,8 @@ def _read_entries_df(spark: SparkSession, metadata: dict,
             df = df.withColumns({
                 "__dfile": F.col("_metadata.file_path"),
                 "__dpos": F.col("_metadata.row_index")})
+        if eq_dels:
+            df = df.withColumn("__fseq", F.lit(fseq))
         cur_by_id = {f["id"]: f["name"] for f in cur_fields}
         for f in _schema_of(metadata, sid):
             if f["id"] not in cur_by_id and f["name"] in df.columns:
@@ -1256,19 +1376,39 @@ def _read_entries_df(spark: SparkSession, metadata: dict,
         parts.append(df.select(
             *names,
             *(["__file"] if include_file else []),
-            *(["__dfile", "__dpos"] if need_pos else [])))
+            *(["__dfile", "__dpos"] if need_pos else []),
+            *(["__fseq"] if eq_dels else [])))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    if delete_files:
-        dels = spark.read.parquet(*[d["path"] for d in delete_files])
+    if pos_dels:
+        dels = spark.read.parquet(*[d["path"] for d in pos_dels])
         out = out.join(
             dels,
             (out["__dfile"] == dels["file_uri"])
             & (out["__dpos"] == dels["pos"]),
             "left_anti")
+    # Equality deletes: anti-join on the named key columns, guarded by
+    # the strict sequence rule (delete seq > row's file seq) — grouped
+    # by key-column set so files naming different keys never union.
+    by_cols: dict[tuple[str, ...], list[dict]] = {}
+    for d in eq_dels:
+        by_cols.setdefault(tuple(d["equality_cols"]), []).append(d)
+    for cols, ds in sorted(by_cols.items()):
+        dels = None
+        for d in ds:
+            one = (spark.read.parquet(d["path"])
+                   .select(*[F.col(c).alias(f"__eq_{c}") for c in cols])
+                   .withColumn("__dseq", F.lit(d["sequence"])))
+            dels = one if dels is None else dels.unionByName(one)
+        cond = F.col("__fseq") < F.col("__dseq")
+        for c in cols:
+            cond = cond & (out[c] == F.col(f"__eq_{c}"))
+        out = out.join(F.broadcast(dels), cond, "left_anti")
     if need_pos and not include_pos:
         out = out.drop("__dfile", "__dpos")
+    if eq_dels:
+        out = out.drop("__fseq")
     return out
 
 

@@ -907,3 +907,57 @@ def test_mor_delete_over_rest_catalog(spark, tmp_path):
         assert r["deleted_rows"] == 10
         assert t.read(spark).count() == 90
         assert t.read(spark).where(F.col("k") == 2).count() == 0
+
+
+def test_equality_delete_strict_sequence_and_coexistence(catalog, spark):
+    """Equality deletes: commit writes ONLY the key values (no table
+    scan); rows strictly older than the delete vanish; a re-appended
+    key SURVIVES (the spec's strict-sequence rule); positional and
+    equality kinds coexist and compact() folds both."""
+    t = catalog.create_table("ns", "eq", _mk(spark))
+    t.append(_mk(spark))
+    r = t.delete_keys_mor_equality(
+        spark, spark.createDataFrame([(1,), (3,)], "k long"), ["k"])
+    assert r["deleted_keys"] == 2 and r["delete_files"] >= 1
+    assert t.read(spark).count() == 80
+    t.append(spark.createDataFrame([(100, 1)], "id long, k long"))
+    assert t.read(spark).where("k = 1").count() == 1   # re-append lives
+    t.delete_where_mor(spark, F.col("id") == 100)      # positional on top
+    assert t.read(spark).where("k = 1").count() == 0
+    before = sorted((r["id"], r["k"]) for r in t.read(spark).collect())
+    t.compact(spark, target_files=1)
+    md = t._load_metadata()[1]
+    cur = [s for s in md["snapshots"]
+           if s["snapshot-id"] == md["current-snapshot-id"]][0]
+    assert cur["delete-files"] == []
+    assert sorted((r["id"], r["k"])
+                  for r in t.read(spark).collect()) == before
+
+
+def test_equality_delete_null_keys_match_nothing(catalog, spark):
+    """NULL key values in an equality delete match no rows (SQL
+    equality), mirroring WHERE k = NULL."""
+    df = spark.createDataFrame([(1, 1), (2, None)], "id long, k long")
+    t = catalog.create_table("ns", "eq_null", df)
+    t.append(df)
+    t.delete_keys_mor_equality(
+        spark, spark.createDataFrame([(None,)], "k long"), ["k"])
+    assert t.read(spark).count() == 2                  # nothing matched
+
+
+def test_equality_delete_blocks_schema_evolution_of_key(catalog, spark):
+    """Live equality deletes bind key columns by name, so renaming or
+    dropping a bound column fails loudly until compact() folds the
+    deletes — then evolution proceeds."""
+    t = catalog.create_table("ns", "eq_evo", _mk(spark))
+    t.append(_mk(spark))
+    t.delete_keys_mor_equality(
+        spark, spark.createDataFrame([(1,)], "k long"), ["k"])
+    with pytest.raises(ValueError, match="equality"):
+        t.rename_column("k", "k2")
+    with pytest.raises(ValueError, match="equality"):
+        t.drop_column("k")
+    t.rename_column("id", "rid")        # unbound columns still evolve
+    t.compact(spark, target_files=1)
+    t.rename_column("k", "k2")          # folded → free to evolve
+    assert {f["name"] for f in t.schema_fields()} == {"rid", "k2"}
