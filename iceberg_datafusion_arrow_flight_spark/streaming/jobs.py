@@ -321,27 +321,38 @@ def stream_upsert_to_iceberg(df: DataFrame, iceberg_table,
 def stream_cdc_apply(df: DataFrame, iceberg_table,
                      key_cols: list[str], order_col: str,
                      op_col: str, ckpt_dir: str,
-                     query_name: str = "iceberg_cdc"):
+                     query_name: str = "iceberg_cdc",
+                     delete_strategy: str = "equality"):
     """Full CDC apply — upserts AND deletes — from a change stream whose
     rows carry an operation marker (``op_col``: 'delete' means tombstone,
     anything else means upsert).
 
     Per micro-batch: collapse to the latest change per key
     (``order_col`` descending), route keys whose final change is a
-    tombstone through a MERGE-ON-READ key delete
-    (iceberg_lite.delete_keys_mor — KBs of position entries, zero file
-    rewrite: the right strategy for the trickle deletes CDC produces),
-    and MERGE the rest (copy-on-write upsert).  Two snapshots per batch
-    at most, each atomic; a reader always sees a key's state as of some
-    batch boundary.  Deleted keys accumulate as position entries until
-    the table's periodic compact() folds them — the standard
-    Iceberg CDC-mirror maintenance loop.
+    tombstone through a MERGE-ON-READ delete, and MERGE the rest
+    (copy-on-write upsert).  Two snapshots per batch at most, each
+    atomic; a reader always sees a key's state as of some batch
+    boundary.  Delete state accumulates until the table's periodic
+    compact() folds it — the standard Iceberg CDC-mirror maintenance
+    loop.
+
+    ``delete_strategy='equality'`` (default) commits the tombstone KEYS
+    themselves (iceberg_lite.delete_keys_mor_equality): O(keys) per
+    batch with NO table read — the CDC fast path; the strict-sequence
+    rule keeps later re-inserts of a deleted key alive, exactly the
+    delete-then-reinsert pattern change streams produce.
+    ``'positional'`` scans for row positions instead
+    (iceberg_lite.delete_keys_mor) — reads stay cheaper (no key
+    anti-join per read), writes pay the scan; prefer it when deletes
+    are rare and reads dominate.
 
     ``order_col`` must order same-key rows uniquely within a batch.
     The checkpoint is caller-owned, same contract as
     :func:`stream_upsert_to_iceberg`."""
     from pyspark.sql import Window
 
+    if delete_strategy not in ("equality", "positional"):
+        raise ValueError(f"unknown delete_strategy {delete_strategy!r}")
     data_cols = [c for c in df.columns if c != op_col]
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -358,7 +369,12 @@ def stream_cdc_apply(df: DataFrame, iceberg_table,
             upserts = (latest.where(F.col(op_col) != "delete")
                        .select(*data_cols))
             if not tombstones.isEmpty():
-                iceberg_table.delete_keys_mor(spark, tombstones, key_cols)
+                if delete_strategy == "equality":
+                    iceberg_table.delete_keys_mor_equality(
+                        spark, tombstones, key_cols)
+                else:
+                    iceberg_table.delete_keys_mor(spark, tombstones,
+                                                  key_cols)
             if not upserts.isEmpty():
                 iceberg_table.merge_upsert(spark, upserts, key_cols)
         finally:

@@ -364,12 +364,15 @@ def test_stream_events_with_rollup_mv(spark, tmp_path):
     assert mv2 == full
 
 
-def test_stream_cdc_apply_upserts_and_tombstones(spark, tmp_path):
+@pytest.mark.parametrize("strategy", ["equality", "positional"])
+def test_stream_cdc_apply_upserts_and_tombstones(spark, tmp_path,
+                                                 strategy):
     """Full CDC apply: a change stream with upsert and delete markers,
     collapsed per key per batch, lands as MERGE upserts + merge-on-read
-    tombstone deletes.  Final table state == last-writer-wins over the
-    change log with deleted keys absent; every data file written before
-    the deletes is untouched (tombstones are position entries)."""
+    tombstone deletes — via key-values-only EQUALITY files (the O(keys)
+    fast path) or position files, same final state either way.  Final
+    table state == last-writer-wins over the change log with deleted
+    keys absent; no data file is rewritten by the tombstones."""
     from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
         SqliteCatalog)
     from iceberg_datafusion_arrow_flight_spark.streaming.jobs import (
@@ -397,7 +400,8 @@ def test_stream_cdc_apply_upserts_and_tombstones(spark, tmp_path):
               .schema("id long, val string, seq long, op string")
               .parquet(src_dir))
     q = stream_cdc_apply(stream, t, key_cols=["id"], order_col="seq",
-                         op_col="op", ckpt_dir=str(tmp_path / "ckpt"))
+                         op_col="op", ckpt_dir=str(tmp_path / "ckpt"),
+                         delete_strategy=strategy)
     q.awaitTermination(120)
     got = {r["id"]: (r["val"], r["seq"])
            for r in t.read(spark).collect()}
