@@ -470,3 +470,46 @@ def iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.read(spark)
             .groupBy("o_orderpriority").agg(*_agg_cols())
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "iceberg_upsert_mor",
+    oracle="""
+WITH merged AS (
+  SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderkey % 2 = 1
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="MERGE-ON-READ upsert, the Flink-writer pattern and the exact "
+        "twin of iceberg_merge_upsert (same inputs, same oracle, "
+        "different physics): ONE snapshot adds the source rows plus an "
+        "equality delete over their keys at the same sequence number — "
+        "older rows of updated keys vanish by the strict-sequence "
+        "anti-join, the new rows survive it, and NO data file is read "
+        "or rewritten (O(source) commit vs copy-on-write's O(affected "
+        "files)).  sources/iceberg_lite.py:merge_upsert_mor.",
+    tags=("iceberg", "catalog", "write", "dml"),
+)
+def iceberg_upsert_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    orders = table(spark, sf_dir, "orders")
+    even = orders.where(F.col("o_orderkey") % 2 == 0)
+    t = cat.create_table("sales", "orders_upmor", even)
+    t.append(even)
+    src = (orders.where(F.col("o_orderkey") % 4 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+           .unionByName(orders.where(F.col("o_orderkey") % 2 == 1)))
+    t.merge_upsert_mor(spark, src, ["o_orderkey"])
+    return (t.read(spark)
+            .groupBy("o_orderstatus").agg(*_agg_cols())
+            .orderBy("o_orderstatus"))

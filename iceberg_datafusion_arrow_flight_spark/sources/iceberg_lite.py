@@ -1013,6 +1013,70 @@ class IcebergTable:
                            F.col("__dpos").alias("pos")))
         return self._commit_mor_deletes(base_location, md, snap, matches)
 
+    def merge_upsert_mor(self, spark: SparkSession, source: DataFrame,
+                         key_cols: list[str]) -> dict:
+        """Merge-on-read UPSERT in ONE atomic snapshot — the Flink-
+        writer pattern: the commit adds the source rows as new data
+        files AND an equality-delete file over the source keys, both at
+        the same sequence number.  The strict-sequence rule does the
+        rest: the delete erases any OLDER row of an upserted key while
+        the new rows (same sequence, not strictly older) survive — so
+        update-or-insert needs no table read, no file rewrite, and no
+        second commit.  O(source) end to end vs. copy-on-write MERGE's
+        O(affected files) rewrite; reads pay the key anti-join until
+        compact() folds it.
+
+        Same duplicate-source-key rule as merge_upsert: each target row
+        may match at most one source row."""
+        _, md = self._load_metadata()
+        base_snapshot = md["current-snapshot-id"]
+        names = [f["name"]
+                 for f in _schema_of(md, md["current-schema-id"])]
+        src = source.select(*names).cache()
+        try:
+            no_dups = (src.groupBy(*key_cols)
+                       .agg(F.count(F.lit(1)).alias("n"))
+                       .where(F.col("n") > 1).isEmpty())
+            if not no_dups:
+                raise ValueError(
+                    f"MERGE source has duplicate keys on {key_cols}")
+            if src.isEmpty():
+                return {"snapshot_id": None, "upserted_rows": 0}
+            location = md["location"]
+            write_id = uuid.uuid4().hex[:12]
+            del_dir = os.path.join(location, "data", write_id)
+            (src.select(*key_cols).distinct()
+             .write.mode("errorifexists").parquet(del_dir))
+            import pyarrow.parquet as pq
+            seq = md["last-sequence-number"] + 1
+            eq_files = []
+            for dirpath, _dirs, files in os.walk(del_dir):
+                for fname in sorted(files):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    path = os.path.join(dirpath, fname)
+                    n = pq.ParquetFile(path).metadata.num_rows
+                    if n:
+                        eq_files.append(
+                            {"path": path, "record_count": n,
+                             "equality_cols": list(key_cols),
+                             "sequence": seq})
+            kept = self.plan_files(_metadata=md)
+            prior = ([] if base_snapshot is None else
+                     _snapshot(md, base_snapshot).get("delete-files", []))
+            n_rows = src.count()
+            snapshot_id = self._commit_write(
+                src, operation="overwrite", kept_entries=kept,
+                summary_extra={"merge-mode": "merge-on-read",
+                               "added-equality-deletes":
+                               str(sum(f["record_count"]
+                                       for f in eq_files))},
+                expect_snapshot=base_snapshot,
+                delete_files=prior + eq_files)
+            return {"snapshot_id": snapshot_id, "upserted_rows": n_rows}
+        finally:
+            src.unpersist()
+
     def delete_keys_mor_equality(self, spark: SparkSession,
                                  keys: DataFrame,
                                  key_cols: list[str]) -> dict:

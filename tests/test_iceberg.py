@@ -961,3 +961,37 @@ def test_equality_delete_blocks_schema_evolution_of_key(catalog, spark):
     t.compact(spark, target_files=1)
     t.rename_column("k", "k2")          # folded → free to evolve
     assert {f["name"] for f in t.schema_fields()} == {"rid", "k2"}
+
+
+def test_merge_upsert_mor_single_commit(catalog, spark):
+    """Single-snapshot merge-on-read upsert: one commit adds the source
+    rows AND the equality delete over their keys at the same sequence —
+    updated keys show only the new row, inserts appear, untouched rows
+    survive, no data file is rewritten, and exactly ONE snapshot was
+    created.  A second upsert of the same key keeps only the newest."""
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                               "id long, v string")
+    t = catalog.create_table("ns", "upmor", df)
+    t.append(df)
+    pre_files = {e.file_path for e in t.plan_files()}
+    n_snaps = len(t.snapshots())
+    r = t.merge_upsert_mor(
+        spark, spark.createDataFrame([(2, "B"), (4, "d")],
+                                     "id long, v string"), ["id"])
+    assert r["upserted_rows"] == 2
+    assert len(t.snapshots()) == n_snaps + 1          # ONE commit
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    assert pre_files <= {e.file_path for e in t.plan_files()}  # no rewrite
+    t.merge_upsert_mor(
+        spark, spark.createDataFrame([(2, "BB")], "id long, v string"),
+        ["id"])
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "BB", 3: "c", 4: "d"}
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge_upsert_mor(
+            spark, spark.createDataFrame([(9, "x"), (9, "y")],
+                                         "id long, v string"), ["id"])
+    before = sorted(map(tuple, t.read(spark).collect()))
+    t.compact(spark, target_files=1)
+    assert sorted(map(tuple, t.read(spark).collect())) == before
