@@ -1014,7 +1014,8 @@ class IcebergTable:
         return self._commit_mor_deletes(base_location, md, snap, matches)
 
     def merge_upsert_mor(self, spark: SparkSession, source: DataFrame,
-                         key_cols: list[str]) -> dict:
+                         key_cols: list[str],
+                         delete_keys: DataFrame | None = None) -> dict:
         """Merge-on-read UPSERT in ONE atomic snapshot — the Flink-
         writer pattern: the commit adds the source rows as new data
         files AND an equality-delete file over the source keys, both at
@@ -1025,6 +1026,11 @@ class IcebergTable:
         second commit.  O(source) end to end vs. copy-on-write MERGE's
         O(affected files) rewrite; reads pay the key anti-join until
         compact() folds it.
+
+        ``delete_keys`` folds pure tombstones into the SAME commit (keys
+        to erase without replacement — a CDC batch's deletes): they join
+        the equality file alongside the upsert keys, making a whole
+        change batch one atomic snapshot.
 
         Same duplicate-source-key rule as merge_upsert: each target row
         may match at most one source row."""
@@ -1041,11 +1047,18 @@ class IcebergTable:
                 raise ValueError(
                     f"MERGE source has duplicate keys on {key_cols}")
             if src.isEmpty():
+                if delete_keys is not None and not delete_keys.isEmpty():
+                    return self.delete_keys_mor_equality(
+                        spark, delete_keys, key_cols)
                 return {"snapshot_id": None, "upserted_rows": 0}
+            all_keys = src.select(*key_cols)
+            if delete_keys is not None:
+                all_keys = all_keys.unionByName(
+                    delete_keys.select(*key_cols))
             location = md["location"]
             write_id = uuid.uuid4().hex[:12]
             del_dir = os.path.join(location, "data", write_id)
-            (src.select(*key_cols).distinct()
+            (all_keys.distinct()
              .write.mode("errorifexists").parquet(del_dir))
             import pyarrow.parquet as pq
             seq = md["last-sequence-number"] + 1

@@ -329,22 +329,23 @@ def stream_cdc_apply(df: DataFrame, iceberg_table,
 
     Per micro-batch: collapse to the latest change per key
     (``order_col`` descending), route keys whose final change is a
-    tombstone through a MERGE-ON-READ delete, and MERGE the rest
-    (copy-on-write upsert).  Two snapshots per batch at most, each
+    tombstone through a MERGE-ON-READ delete, and upsert the rest.
+    At most two snapshots per batch (one in equality mode), each
     atomic; a reader always sees a key's state as of some batch
     boundary.  Delete state accumulates until the table's periodic
     compact() folds it — the standard Iceberg CDC-mirror maintenance
     loop.
 
-    ``delete_strategy='equality'`` (default) commits the tombstone KEYS
-    themselves (iceberg_lite.delete_keys_mor_equality): O(keys) per
-    batch with NO table read — the CDC fast path; the strict-sequence
-    rule keeps later re-inserts of a deleted key alive, exactly the
-    delete-then-reinsert pattern change streams produce.
-    ``'positional'`` scans for row positions instead
-    (iceberg_lite.delete_keys_mor) — reads stay cheaper (no key
-    anti-join per read), writes pay the scan; prefer it when deletes
-    are rare and reads dominate.
+    ``delete_strategy='equality'`` (default) applies the WHOLE batch as
+    ONE merge-on-read snapshot (iceberg_lite.merge_upsert_mor): the
+    upsert rows plus one equality-delete file covering upsert AND
+    tombstone keys, all at one sequence number — O(batch) per commit
+    with NO table read; the strict-sequence rule keeps later re-inserts
+    of a deleted key alive, exactly the delete-then-reinsert pattern
+    change streams produce.  ``'positional'`` uses copy-on-write MERGE
+    plus positional tombstones instead — reads stay cheaper (no key
+    anti-join per read), writes pay scans and rewrites; prefer it when
+    changes are rare and reads dominate.
 
     ``order_col`` must order same-key rows uniquely within a batch.
     The checkpoint is caller-owned, same contract as
@@ -368,15 +369,17 @@ def stream_cdc_apply(df: DataFrame, iceberg_table,
             tombstones = latest.where(F.col(op_col) == "delete")
             upserts = (latest.where(F.col(op_col) != "delete")
                        .select(*data_cols))
-            if not tombstones.isEmpty():
-                if delete_strategy == "equality":
-                    iceberg_table.delete_keys_mor_equality(
-                        spark, tombstones, key_cols)
-                else:
+            if delete_strategy == "equality":
+                # the whole batch — upserts AND tombstones — lands as
+                # ONE merge-on-read snapshot with zero table reads
+                iceberg_table.merge_upsert_mor(
+                    spark, upserts, key_cols, delete_keys=tombstones)
+            else:
+                if not tombstones.isEmpty():
                     iceberg_table.delete_keys_mor(spark, tombstones,
                                                   key_cols)
-            if not upserts.isEmpty():
-                iceberg_table.merge_upsert(spark, upserts, key_cols)
+                if not upserts.isEmpty():
+                    iceberg_table.merge_upsert(spark, upserts, key_cols)
         finally:
             latest.unpersist()
 
