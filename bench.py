@@ -44,6 +44,7 @@ HEADLINE = [
     "pipeline_end_to_end",
     "pipeline_boilerplate_coverage",
     "iceberg_merge_upsert",
+    "iceberg_upsert_mor",
     "graph_pagerank_supply_chain",
     "pipeline_semantic_decontaminate",
     "text_quality_score",
