@@ -540,3 +540,33 @@ WHERE p_partkey <= 500 AND regexp_matches(p_name, '[a-z]+ [a-z]+')
 )
 def regex_operators_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_dialect(spark, sf_dir, _REGEX_OPS, ("part",))
+
+
+@register(
+    "dialect_group_order_by_all",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+""",
+    doc="GROUP BY ALL / ORDER BY ALL — the modern-dialect shorthand "
+        "(DuckDB, DataFusion, and Spark 3.4+ all accept it natively, "
+        "so the IDENTICAL statement runs on both engines with no "
+        "rewrite): non-aggregate select items become the grouping "
+        "keys; every select item becomes the sort.  ORDER BY ALL "
+        "totally orders the two key columns, so the rounded float "
+        "column rides a deterministic row order.",
+    tags=("dialect", "aggregate"),
+)
+def dialect_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL""")
