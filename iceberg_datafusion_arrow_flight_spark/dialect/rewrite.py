@@ -464,7 +464,55 @@ def rewrite_regex_operators(sql: str) -> str:
     return _REGEX_OP_RE.sub(repl, sql)
 
 
+# ------------------------------------------------------------------ QUALIFY
+# DuckDB/BigQuery/Snowflake-style ``QUALIFY <pred>`` filters on window
+# results without a subquery.  Spark has no QUALIFY; the exact rewrite
+# wraps the statement and filters OUTSIDE, which resolves the predicate
+# against the SELECT-list aliases — the idiomatic way QUALIFY is
+# written (``QUALIFY rn = 1`` over an aliased row_number()).  A
+# predicate repeating a raw window expression instead of its alias
+# fails Spark's analysis loudly rather than silently mis-filtering.
+# Runs on MASKED sql, so 'QUALIFY' inside string literals never fires.
+
+def _split_top_level(sql: str, keyword: str) -> tuple[str, str] | None:
+    """(before, after) around the LAST depth-0 occurrence of keyword."""
+    depth, upper, pos = 0, sql.upper(), None
+    k = keyword.upper()
+    for i, ch in enumerate(sql):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and upper.startswith(k, i):
+            pre, post = sql[:i], sql[i + len(k):]
+            if ((not pre or not (pre[-1].isalnum() or pre[-1] == "_"))
+                    and (not post or not (post[0].isalnum()
+                                          or post[0] == "_"))):
+                pos = i
+    if pos is None:
+        return None
+    return sql[:pos], sql[pos + len(k):]
+
+
+def rewrite_qualify(sql: str) -> str:
+    split = _split_top_level(sql, "QUALIFY")
+    if split is None:
+        return sql
+    pre, tail = split
+    suffix = ""
+    for kw in (" ORDER BY ", " LIMIT "):
+        cut = _split_top_level(tail, kw)
+        if cut is not None:
+            tail, after = cut
+            suffix = kw + after + suffix
+            # keep scanning the (shrunk) predicate for the other kw
+    pred = tail.strip()
+    return (f"SELECT * FROM ({pre.strip()}) __qualify "
+            f"WHERE {pred}{suffix}")
+
+
 PASSES_MASKED = [
+    rewrite_qualify,
     rewrite_regex_operators,
     rewrite_pg_casts,
     rewrite_params,

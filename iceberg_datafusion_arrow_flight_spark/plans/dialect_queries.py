@@ -570,3 +570,31 @@ def dialect_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY ALL
         ORDER BY ALL""")
+
+
+_QUALIFY = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+QUALIFY rn <= 2
+ORDER BY o_custkey, rn
+LIMIT 500
+"""
+
+
+@register(
+    "dialect_qualify",
+    oracle=_QUALIFY,
+    doc="QUALIFY clause (DuckDB/BigQuery/Snowflake dialect): filter on "
+        "window results without writing the subquery yourself — each "
+        "customer's two most expensive orders.  Spark has no QUALIFY, "
+        "so the rewrite wraps the statement and filters OUTSIDE, "
+        "resolving the predicate against the SELECT-list aliases (the "
+        "idiomatic QUALIFY form); trailing ORDER BY / LIMIT stay on "
+        "the outer block.  DuckDB runs the original text natively as "
+        "the oracle.  dialect/rewrite.py:rewrite_qualify.",
+    tags=("dialect", "window"),
+)
+def dialect_qualify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_dialect(spark, sf_dir, _QUALIFY, ("orders",))
