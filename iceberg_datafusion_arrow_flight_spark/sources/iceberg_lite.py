@@ -1111,6 +1111,13 @@ class IcebergTable:
         positional and equality kinds coexist on one table and
         :meth:`compact` folds both away."""
         base_location, md = self._load_metadata()
+        names = {f["name"]
+                 for f in _schema_of(md, md["current-schema-id"])}
+        missing = [c for c in key_cols if c not in names]
+        if missing:
+            raise ValueError(
+                f"equality delete key column(s) {missing} not in the "
+                f"table schema — a commit would only fail at read time")
         base_snapshot = md["current-snapshot-id"]
         if base_snapshot is None:
             return {"snapshot_id": None, "delete_files": 0,

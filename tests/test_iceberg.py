@@ -995,3 +995,13 @@ def test_merge_upsert_mor_single_commit(catalog, spark):
     before = sorted(map(tuple, t.read(spark).collect()))
     t.compact(spark, target_files=1)
     assert sorted(map(tuple, t.read(spark).collect())) == before
+
+
+def test_equality_delete_unknown_key_column_is_loud(catalog, spark):
+    """Keying an equality delete on a column the table lacks fails at
+    COMMIT time, not at some later read."""
+    t = catalog.create_table("ns", "eq_badkey", _mk(spark))
+    t.append(_mk(spark))
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.delete_keys_mor_equality(
+            spark, spark.createDataFrame([(1,)], "nope long"), ["nope"])
