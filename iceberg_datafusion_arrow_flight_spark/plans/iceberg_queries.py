@@ -513,3 +513,39 @@ def iceberg_upsert_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.read(spark)
             .groupBy("o_orderstatus").agg(*_agg_cols())
             .orderBy("o_orderstatus"))
+
+
+@register(
+    "iceberg_wap_publish",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Write-audit-publish: the even orders land on main, the odd "
+        "orders STAGE on an audit branch (snapshots chain off the "
+        "branch head; main readers see only the evens until the "
+        "audited state fast-forwards in).  After publish the table "
+        "equals the full orders relation — which only holds if branch "
+        "isolation, the branch-parent chain, and the fast-forward all "
+        "composed correctly.  The reference's catalog has refs; the "
+        "WAP workflow is the lakehouse pattern built on them "
+        "(Iceberg's spark.wap.branch). "
+        "sources/iceberg_lite.py:append_to_branch,publish_branch.",
+    tags=("iceberg", "catalog", "write"),
+)
+def iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    orders = table(spark, sf_dir, "orders")
+    even = orders.where(F.col("o_orderkey") % 2 == 0)
+    odd = orders.where(F.col("o_orderkey") % 2 == 1)
+    t = cat.create_table("sales", "orders_wap", orders)
+    t.append(even)
+    t.append_to_branch(odd, "audit")
+    t.publish_branch("audit")
+    return (t.read(spark)
+            .groupBy("o_orderstatus").agg(*_agg_cols())
+            .orderBy("o_orderstatus"))

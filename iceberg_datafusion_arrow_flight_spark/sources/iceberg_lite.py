@@ -268,6 +268,60 @@ class IcebergTable:
         return self._commit_write(df, operation="append",
                                   summary_extra=summary_extra)
 
+    def append_to_branch(self, df: DataFrame, branch: str,
+                         summary_extra: dict[str, str] | None = None
+                         ) -> int:
+        """Write-audit-publish staging (Iceberg's spark.wap.branch
+        workflow): append ONTO a branch ref — the snapshot chains off
+        the branch head (created from the current snapshot on first
+        use) and only the ref moves, so main readers see nothing until
+        :meth:`publish_branch` fast-forwards.  Audit the staged state
+        with ``read(spark, snapshot_id=resolve_ref(branch))``."""
+        return self._commit_write(df, operation="append",
+                                  summary_extra=summary_extra,
+                                  to_branch=branch)
+
+    def publish_branch(self, branch: str, drop_ref: bool = True) -> int:
+        """Publish a staged branch: FAST-FORWARD main to the branch
+        head.  Requires the current snapshot to be an ancestor of the
+        head — if main advanced independently since staging, the
+        histories diverged and this raises (re-stage on a fresh branch
+        instead of silently dropping main's commits).  The branch's
+        snapshots join the main snapshot-log in chain order; the ref is
+        dropped by default once published."""
+        base_location, metadata = self._load_metadata()
+        ref = metadata.get("refs", {}).get(branch)
+        if ref is None or ref["type"] != "branch":
+            raise ValueError(f"no branch named {branch!r}")
+        head = ref["snapshot-id"]
+        cur = metadata["current-snapshot-id"]
+        chain = []
+        walk = head
+        while walk is not None and walk != cur:
+            snap = _snapshot(metadata, walk)
+            chain.append(snap)
+            walk = snap.get("parent-snapshot-id")
+        if walk != cur:
+            raise CommitFailedError(
+                f"branch {branch!r} does not descend from the current "
+                f"snapshot — main advanced since staging; re-stage")
+        now = _now_ms()
+        metadata = dict(metadata)
+        metadata["current-snapshot-id"] = head
+        metadata["snapshot-log"] = metadata["snapshot-log"] + [
+            {"timestamp-ms": now, "snapshot-id": s["snapshot-id"]}
+            for s in reversed(chain)]
+        if drop_ref:
+            refs = dict(metadata["refs"])
+            del refs[branch]
+            metadata["refs"] = refs
+        metadata["last-updated-ms"] = now
+        new_location = _write_metadata(
+            metadata["location"], _next_version(base_location), metadata)
+        self.catalog._swap_pointer(
+            self.namespace, self.name, base_location, new_location)
+        return head
+
     def overwrite(self, df: DataFrame) -> int:
         """INSERT OVERWRITE semantics: new snapshot = new files only."""
         return self._commit_write(df, operation="overwrite")
@@ -278,7 +332,8 @@ class IcebergTable:
                       kept_entries: list[DataFileEntry] | None = None,
                       summary_extra: dict[str, str] | None = None,
                       expect_snapshot=_ANY_BASE,
-                      delete_files: list[dict] | None = None) -> int:
+                      delete_files: list[dict] | None = None,
+                      to_branch: str | None = None) -> int:
         base_location, metadata = self._load_metadata()
         # Row-level DML plans its kept/rewritten file split against a
         # specific base snapshot; if another writer committed since, that
@@ -293,6 +348,19 @@ class IcebergTable:
                 f"{self.namespace}.{self.name}: base snapshot moved "
                 f"({expect_snapshot} -> {metadata['current-snapshot-id']});"
                 " re-plan the operation")
+        # Branch-targeted commit (write-audit-publish): the snapshot
+        # chains off the BRANCH head and only the branch ref moves —
+        # the main history (current-snapshot-id, snapshot-log) is
+        # untouched until publish_branch() fast-forwards it.
+        if to_branch is not None:
+            ref = metadata.get("refs", {}).get(to_branch)
+            if ref is not None and ref["type"] != "branch":
+                raise ValueError(
+                    f"ref {to_branch!r} is a {ref['type']}, not a branch")
+            parent_id = (ref["snapshot-id"] if ref is not None
+                         else metadata["current-snapshot-id"])
+        else:
+            parent_id = metadata["current-snapshot-id"]
         location = metadata["location"]
         write_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(location, "data", write_id)
@@ -319,8 +387,8 @@ class IcebergTable:
         snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
         manifest_path = os.path.join(
             location, "metadata", f"manifest-{snapshot_id}.json")
-        if operation == "append" and metadata["current-snapshot-id"]:
-            parent = _snapshot(metadata, metadata["current-snapshot-id"])
+        if operation == "append" and parent_id:
+            parent = _snapshot(metadata, parent_id)
             prior = _read_manifest_paths(parent)
         else:
             prior = []
@@ -349,14 +417,14 @@ class IcebergTable:
         # positions point into are gone or rewritten with deletes
         # applied), row-level DML passes the carried list itself.
         if delete_files is None:
-            if operation == "append" and metadata["current-snapshot-id"]:
-                parent = _snapshot(metadata, metadata["current-snapshot-id"])
+            if operation == "append" and parent_id:
+                parent = _snapshot(metadata, parent_id)
                 delete_files = parent.get("delete-files", [])
             else:
                 delete_files = []
         snapshot = {
             "snapshot-id": snapshot_id,
-            "parent-snapshot-id": metadata["current-snapshot-id"],
+            "parent-snapshot-id": parent_id,
             "sequence-number": metadata["last-sequence-number"] + 1,
             "timestamp-ms": now,
             "manifest-list": manifest_path,
@@ -368,9 +436,15 @@ class IcebergTable:
         metadata["last-sequence-number"] += 1
         metadata["last-updated-ms"] = now
         metadata["snapshots"] = metadata["snapshots"] + [snapshot]
-        metadata["current-snapshot-id"] = snapshot_id
-        metadata["snapshot-log"] = metadata["snapshot-log"] + [
-            {"timestamp-ms": now, "snapshot-id": snapshot_id}]
+        if to_branch is not None:
+            refs = dict(metadata.get("refs", {}))
+            refs[to_branch] = {"snapshot-id": snapshot_id,
+                               "type": "branch"}
+            metadata["refs"] = refs
+        else:
+            metadata["current-snapshot-id"] = snapshot_id
+            metadata["snapshot-log"] = metadata["snapshot-log"] + [
+                {"timestamp-ms": now, "snapshot-id": snapshot_id}]
         metadata["metadata-log"] = metadata["metadata-log"] + [
             {"timestamp-ms": now, "metadata-file": base_location}]
 

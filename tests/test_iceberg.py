@@ -1005,3 +1005,44 @@ def test_equality_delete_unknown_key_column_is_loud(catalog, spark):
     with pytest.raises(ValueError, match="not in the table schema"):
         t.delete_keys_mor_equality(
             spark, spark.createDataFrame([(1,)], "nope long"), ["nope"])
+
+
+def test_wap_stage_audit_publish(catalog, spark):
+    """Write-audit-publish: branch appends are invisible to main, the
+    branch head is auditable by snapshot id, publish fast-forwards main
+    atomically, and a diverged main refuses the fast-forward."""
+    base = spark.createDataFrame([(1, "a")], "id long, v string")
+    t = catalog.create_table("ns", "wap", base)
+    t.append(base)
+    t.append_to_branch(
+        spark.createDataFrame([(2, "b")], "id long, v string"), "audit")
+    t.append_to_branch(
+        spark.createDataFrame([(3, "c")], "id long, v string"), "audit")
+    assert t.read(spark).count() == 1                 # main untouched
+    staged = t.read(spark, snapshot_id=t.resolve_ref("audit"))
+    assert staged.count() == 3                        # audit sees all
+    t.publish_branch("audit")
+    assert t.read(spark).count() == 3                 # fast-forwarded
+    assert "audit" not in t._load_metadata()[1].get("refs", {})
+    # diverged: stage on a branch, then main advances independently
+    t.append_to_branch(
+        spark.createDataFrame([(4, "d")], "id long, v string"), "audit2")
+    t.append(spark.createDataFrame([(5, "e")], "id long, v string"))
+    with pytest.raises(CommitFailedError, match="descend"):
+        t.publish_branch("audit2")
+    assert t.read(spark).count() == 4                 # main kept its own
+
+
+def test_wap_branch_carries_mor_deletes(catalog, spark):
+    """A branch append inherits the BRANCH head's merge-on-read delete
+    state, and publishing carries it to main intact."""
+    t = catalog.create_table("ns", "wap_mor", _mk(spark))
+    t.append(_mk(spark))
+    t.delete_where_mor(spark, F.col("k") == 3)
+    t.append_to_branch(spark.createDataFrame([(200, 3)],
+                                             "id long, k long"), "b")
+    staged = t.read(spark, snapshot_id=t.resolve_ref("b"))
+    assert staged.where("k = 3").count() == 1         # only the new row
+    t.publish_branch("b")
+    assert t.read(spark).where("k = 3").count() == 1
+    assert t.read(spark).count() == 91
