@@ -109,6 +109,17 @@ def main():
     print(f"compaction folded tombstones: delete files now "
           f"{len(cur['delete-files'])}")
 
+    # write-audit-publish: stage on a branch, audit, fast-forward main
+    n_main = t.read(spark).count()
+    t.append_to_branch(spark.createDataFrame(
+        [(9000, "2024-01-04", 1)], "k long, day string, v long")
+        .withColumn("day", F.to_date("day")), "audit")
+    staged = t.read(spark, snapshot_id=t.resolve_ref("audit")).count()
+    print(f"WAP: staged branch has {staged} rows; main still "
+          f"{t.read(spark).count()} (== {n_main})")
+    t.publish_branch("audit")
+    print(f"WAP publish fast-forwarded main to {t.read(spark).count()}")
+
     old = t.read(spark, snapshot_id=pre_merge).count()
     print(f"time travel to pre-MERGE snapshot: {old} rows (unchanged)")
     spark.stop()
