@@ -531,6 +531,20 @@ class IcebergTable:
                    for r in metadata.get("refs", {}).values()}
         keep_ids = ({s["snapshot-id"] for s in snaps[-keep_last:]}
                     | ref_ids)
+        # ...and a BRANCH keeps its whole unpublished ancestor chain:
+        # publish_branch() fast-forwards by walking head → current, so
+        # expiring an intermediate staged snapshot would strand the
+        # branch unpublishable.  Walk each ref's parents until a kept
+        # snapshot (or the root) and keep everything on the way.
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        for rid in ref_ids:
+            walk = by_id.get(rid)
+            while walk is not None:
+                parent = walk.get("parent-snapshot-id")
+                if parent is None or parent in keep_ids:
+                    break
+                keep_ids.add(parent)
+                walk = by_id.get(parent)
         keep = [s for s in snaps if s["snapshot-id"] in keep_ids]
         expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
         if not expired:

@@ -1046,3 +1046,18 @@ def test_wap_branch_carries_mor_deletes(catalog, spark):
     t.publish_branch("b")
     assert t.read(spark).where("k = 3").count() == 1
     assert t.read(spark).count() == 91
+
+
+def test_expire_keeps_staged_branch_chain_publishable(catalog, spark):
+    """Snapshot expiration must not strand a staged branch: the whole
+    unpublished ancestor chain survives expiry (publish walks it), and
+    the publish still fast-forwards afterwards."""
+    base = spark.createDataFrame([(1,)], "id long")
+    t = catalog.create_table("ns", "wap_exp", base)
+    t.append(base)
+    t.append(spark.createDataFrame([(2,)], "id long"))   # history depth
+    t.append_to_branch(spark.createDataFrame([(3,)], "id long"), "b")
+    t.append_to_branch(spark.createDataFrame([(4,)], "id long"), "b")
+    t.expire_snapshots(keep_last=1)
+    t.publish_branch("b")
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3, 4]
