@@ -1061,3 +1061,33 @@ def test_expire_keeps_staged_branch_chain_publishable(catalog, spark):
     t.expire_snapshots(keep_last=1)
     t.publish_branch("b")
     assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3, 4]
+
+
+def test_delete_strategies_converge_random(catalog, spark):
+    """Randomized convergence of the three delete strategies: the same
+    key-range deletes applied as copy-on-write, positional
+    merge-on-read, and equality merge-on-read keep three tables
+    row-identical through every round."""
+    import random
+    rnd = random.Random(99)
+    df = spark.range(80).select(F.col("id"), (F.col("id") % 20).alias("k"))
+    tables = []
+    for name in ("cow", "pos", "eq"):
+        t = catalog.create_table("conv", name, df)
+        t.append(df)
+        tables.append(t)
+    cow, pos, eq = tables
+    for _ in range(4):
+        lo = rnd.randrange(0, 18)
+        hi = lo + rnd.randrange(0, 4)
+        pred = F.col("k").between(lo, hi)
+        cow.delete_where(spark, pred)
+        pos.delete_where_mor(spark, pred)
+        eq.delete_keys_mor_equality(
+            spark,
+            spark.createDataFrame([(v,) for v in range(lo, hi + 1)],
+                                  "k long"),
+            ["k"])
+        reads = [sorted((r["id"], r["k"]) for r in t.read(spark).collect())
+                 for t in tables]
+        assert reads[0] == reads[1] == reads[2], (lo, hi)
