@@ -70,7 +70,7 @@ from . import tpch            # noqa: E402,F401
 #   window_filtered_aggregate, window_time_range_frame,
 #   iceberg_equality_delete, iceberg_upsert_mor (single-commit MOR
 #   upsert twin of the COW MERGE row), dialect_group_order_by_all,
-#   dialect_qualify, iceberg_wap_publish.
+#   dialect_qualify, iceberg_wap_publish, text_lexical_diversity.
 #   Plus the standing tail: dialect tail (12), io json/csv/partitioned,
 #   catalog_columns, ddl_external_table, events sliding/dedup/anomalies/
 #   trending/gap_fill, text lm_score/langid_confusion, pipeline

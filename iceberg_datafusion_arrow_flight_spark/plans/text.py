@@ -702,3 +702,42 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank",
                               F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= 20))
+
+
+@register(
+    "text_lexical_diversity",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+       ROUND(len(list_distinct(t)) * 1.0 / len(t), 6) AS type_token_ratio,
+       CAST(len(list_filter(list_distinct(t),
+              w -> len(list_filter(t, x -> x = w)) = 1)) AS BIGINT)
+         AS n_hapax
+FROM tok
+""",
+    doc="Per-document lexical diversity: type-token ratio and "
+        "hapax-legomena count — the doc-level repetitiveness signal "
+        "(a TTR near zero is a token loop; corpus-level twins live in "
+        "text_vocab_stats).  Pure array expressions inside codegen, "
+        "zero shuffles, zero explodes — the per-doc hapax count is a "
+        "bounded nested filter over the distinct set, not a grouped "
+        "aggregation.",
+    tags=("text",),
+)
+def text_lexdiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = T.ws_tokens(F.col("text"))
+    dt = F.array_distinct(t)
+    hapax = F.size(F.filter(
+        dt, lambda w: F.size(F.filter(t, lambda x: x == w)) == 1))
+    return d.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(dt).cast("bigint").alias("n_types"),
+        F.round(F.size(dt) * F.lit(1.0) / F.size(t), 6)
+         .alias("type_token_ratio"),
+        hapax.cast("bigint").alias("n_hapax"))
