@@ -31,6 +31,7 @@ from . import dialect_queries # noqa: E402,F401
 from . import ddl_io          # noqa: E402,F401
 from . import iceberg_queries # noqa: E402,F401
 from . import pipeline_queries # noqa: E402,F401
+from . import service_queries # noqa: E402,F401
 from . import relational      # noqa: E402,F401
 from . import tpch            # noqa: E402,F401
 
@@ -49,7 +50,32 @@ from . import tpch            # noqa: E402,F401
 #   knn/centroid, surplus TPC-H composites, window_named_clause, the
 #   text/sketch tail, events tail reps, pipeline tail reps, multimodal
 #   audio/resize, hdr+histogram+pivot aggs, agg_exact_distinct (new).
-#   r04 candidates (the never-driver-checked tail after r03):
+#   r04 window (below): 50 never-checked entries — r03 was 50/50 green,
+#   so no re-verification slots are needed; every slot retires tail.
+#   Leads with the families whose only evidence was local: the 10-entry
+#   Iceberg DML/lifecycle tail (MOR positional + equality deletes, WAP,
+#   single-commit MOR upsert, partitioned scan, sorted compaction,
+#   rename/drop evolution, incremental scan), the four window-gap
+#   emulations, graph_personalized_pagerank, MIPS/BM25/RRF, VARIANT,
+#   QUALIFY + GROUP/ORDER BY ALL, the events/text/pipeline tails, one
+#   rep per untouched io/catalog family, and the TWO new-this-round
+#   entries: sim_ann_recall_report (hash-checkable ANN witness) and
+#   service_flight_roundtrip (TPC-H Q1 through the real gRPC Flight SQL
+#   conversation).  After r04: cumulative 191/233 checked; the ~35
+#   remaining oracled entries + the dialect tail fit in the r05 window.
+#   r05 candidates (never-checked tail after r04): dialect tail
+#   (pg_cast_similar_to, distinct_on, function_aliases, prepared_params,
+#   date_bin_to_char, regexp_flag_to_char, at_time_zone,
+#   trunc_gcd_lcm_nanos, encode_decode, regexp_match_all, arrow_cast,
+#   list_aliases, regex_operators), events_user_anomalies,
+#   events_trending_topk, events_gap_fill, events_dedup_within_time,
+#   events_hll_sketch_merge (rows-only), text_lm_score,
+#   text_langid_confusion, multimodal decode/frame/feature/pixel_dedup,
+#   pipeline repetition/balanced/pii/mixture/profile/constraints/chunk/
+#   boilerplate/seeded, diag_key_skew_profile, tpch q15/q21,
+#   agg_approx... (in r04), sim rows-only family (weaker check by
+#   design).
+#   r04 candidate ledger as written at r03 close (kept for provenance):
 #   NEW this round (prioritize — each carries a fresh operator family):
 #   iceberg_merge_upsert, iceberg_delete_rows, iceberg_partitioned_scan,
 #   iceberg_sorted_compaction, iceberg_rename_drop_evolution,
@@ -81,50 +107,48 @@ from . import tpch            # noqa: E402,F401
 #   family (weaker rows by design).  All new entries return scalar-only
 #   result columns (window guard applies before any rotation).
 _PRIORITY: list[str] = [
-    # --- r02 red rows, now fixed: re-verify first -----------------------
-    # nested results serialized to scalars (to_json / %.4f join)
-    "agg_array_collect", "array_construct_access", "array_higher_order",
-    "struct_access", "dialect_regexp_match", "dialect_array_family",
-    # BIGINT-cast widen fixes (count_if / factorial / ceil / floor / sign)
-    "agg_bool_bit", "func_math",
-    # --- never-driver-checked: 42 slots ---------------------------------
-    # iceberg: evolution + REST catalog (the reference's 2nd binary)
-    "iceberg_schema_evolution", "iceberg_rest_catalog_lifecycle",
-    # COPY TO arrow / avro round-trips (closed GAPS.md rows)
-    "io_copy_to_arrow_roundtrip", "io_copy_to_avro_roundtrip",
-    # dedup tail — every remaining oracled dedup operator
-    "dedup_exact_token_set", "dedup_simhash", "dedup_token_jaccard_ppjoin",
-    "dedup_substring_overlap", "dedup_prune_corpus",
-    "dedup_cluster_components", "dedup_cross_corpus",
-    # similarity (oracled entries; ANN family is rows-only by design)
-    "sim_semantic_dedup", "sim_knn_confusion", "sim_label_centroid_distance",
-    # surplus TPC-H composites (multi-join + agg + subquery compositions)
-    "tpch_q2_minimum_cost_supplier", "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock", "tpch_q16_parts_supplier_relationship",
-    "tpch_q20_potential_part_promotion",
-    # windows: the one family member never checked
-    "window_named_clause",
-    # aggregates: exact-distinct twin (hard row for the HLL family),
-    # HDR quantile sketch, equi-width histogram, pivot
-    "agg_exact_distinct", "agg_hdr_quantile_sketch",
-    "agg_equi_width_histogram", "agg_pivot_lang_by_source",
-    # text + sketch tail
-    "text_language_id", "text_quality_score", "text_fingerprints",
-    "text_tfidf_topk",
-    # graph: new family this round — the iterative-algorithm rep
-    # (text_vocab_stats ceded its slot: the text family already holds
-    # a driver-green row, text_token_counts r02; vocab_stats → r04)
-    "graph_pagerank_supply_chain",
-    "sketch_count_min", "sketch_heavy_hitters",
-    # events tail reps (sliding/dedup/anomalies/trending → r04)
-    "events_tumbling_window", "events_funnel_rates",
-    "events_hypertable_rollup", "events_cohort_retention",
-    # pipeline tail reps (repetition/balanced/pii/mixture/... → r04)
-    "pipeline_quality_filter", "pipeline_sequence_packing",
-    "pipeline_decontaminate", "pipeline_weighted_sample",
-    "pipeline_end_to_end",
-    # multimodal: real-decode siblings of the r02-green row
-    "multimodal_resize_real", "multimodal_audio_features",
+    # --- r04 window: 50 never-driver-checked entries --------------------
+    # iceberg DML/lifecycle tail — the round-3 MOR/equality/WAP work
+    # whose only evidence was the local gate (verdict r3 ask #1 lead)
+    "iceberg_merge_upsert", "iceberg_delete_rows", "iceberg_mor_delete",
+    "iceberg_equality_delete", "iceberg_upsert_mor", "iceberg_wap_publish",
+    "iceberg_partitioned_scan", "iceberg_sorted_compaction",
+    "iceberg_rename_drop_evolution", "iceberg_incremental_scan",
+    # the four engine-gap window emulations (DISTINCT agg, moving median,
+    # FILTER clause, time-interval RANGE frame)
+    "window_distinct_count", "window_moving_median",
+    "window_filtered_aggregate", "window_time_range_frame",
+    # aggregates tail
+    "agg_mode_deterministic", "agg_approx_within_tolerance",
+    # nested tail (scalar-projected results; window guard pre-screens)
+    "json_variant_ops", "map_functions", "array_set_operations",
+    "unnest_posexplode", "json_from_to",
+    # iterative-graph family second member
+    "graph_personalized_pagerank",
+    # similarity: MIPS, hybrid RRF, semantic decontamination, and the
+    # NEW hash-checkable ANN witness (verdict r3 ask #3)
+    "sim_mips_topk", "sim_hybrid_search_rrf",
+    "pipeline_semantic_decontaminate", "sim_ann_recall_report",
+    # NEW: TPC-H Q1 through the real gRPC Flight SQL conversation
+    # (verdict r3 ask #6)
+    "service_flight_roundtrip",
+    # dialect: the two newest rewrite passes
+    "dialect_qualify", "dialect_group_order_by_all",
+    # events tail
+    "events_rollup_incremental_refresh", "events_gap_fill_interpolate",
+    "events_series_correlation", "events_sliding_window",
+    # text tail
+    "text_bm25_topk", "text_zipf_law_fit", "text_chi2_lang_source",
+    "text_pmi_collocations", "text_unigram_kl_by_source",
+    "text_lexical_diversity", "text_vocab_stats",
+    # pipeline tail reps
+    "pipeline_split_leakage", "pipeline_gopher_rules", "pipeline_drift_psi",
+    # io / catalog family reps
+    "io_copy_to_json_roundtrip", "io_copy_to_csv_roundtrip",
+    "io_copy_to_partitioned", "catalog_information_schema_columns",
+    "ddl_external_table",
+    # set-op / projection surpluses
+    "setop_union_by_name", "project_unpivot_measures",
 ]
 
 

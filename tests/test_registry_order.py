@@ -59,11 +59,13 @@ def test_every_family_has_a_priority_row():
                  # in the CURRENT window: tpch/relational block (r01);
                  # json_access, table_func_generate_series,
                  # ddl_ctas_insert_select, catalog_information_schema_tables,
-                 # sketch_bloom_membership (r02).  map: rows-only check —
-                 # weaker driver value, rotates into a later window.
+                 # sketch_bloom_membership (r02); func_math, struct_access,
+                 # the full dedup tail, multimodal resize/audio, sketch
+                 # count-min/heavy-hitters (r03 — CORRECTNESS_r03 50/50).
                  and fam not in ("tpch", "join", "subquery", "cte", "setop",
                                  "sort", "distinct", "values", "filter",
                                  "projection", "map", "json",
                                  "table_function", "ddl", "catalog",
-                                 "sketch")]
+                                 "sketch", "function", "struct", "dedup",
+                                 "multimodal")]
     assert not uncovered, uncovered
