@@ -473,6 +473,10 @@ def rewrite_regex_operators(sql: str) -> str:
 # predicate repeating a raw window expression instead of its alias
 # fails Spark's analysis loudly rather than silently mis-filtering.
 # Runs on MASKED sql, so 'QUALIFY' inside string literals never fires.
+# QUALIFY inside parenthesized blocks (subqueries, CTE bodies, derived
+# tables) is rewritten by recursing into each depth-0 paren group
+# before the top-level split — DuckDB/Snowflake accept it anywhere a
+# SELECT appears, so the pass must too (ADVICE r3).
 
 def _split_top_level(sql: str, keyword: str) -> tuple[str, str] | None:
     """(before, after) around the LAST depth-0 occurrence of keyword."""
@@ -494,7 +498,34 @@ def _split_top_level(sql: str, keyword: str) -> tuple[str, str] | None:
     return sql[:pos], sql[pos + len(k):]
 
 
+def _rewrite_qualify_in_parens(sql: str) -> str:
+    """Recursively apply :func:`rewrite_qualify` inside every depth-0
+    parenthesized block (subquery, CTE body, derived table)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            inner = sql[i + 1:j - 1 if depth == 0 else j]
+            out.append("(" + rewrite_qualify(inner)
+                       + (")" if depth == 0 else ""))
+            i = j
+        else:
+            out.append(sql[i])
+            i += 1
+    return "".join(out)
+
+
 def rewrite_qualify(sql: str) -> str:
+    if "QUALIFY" not in sql.upper():
+        return sql
+    sql = _rewrite_qualify_in_parens(sql)
     split = _split_top_level(sql, "QUALIFY")
     if split is None:
         return sql

@@ -40,9 +40,16 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     seed set is broadcast (seeds are query-sized by contract); ranks
     start at the reset vector.
 
-    Callers wanting undirected centrality symmetrize the edge list
-    first (then every node has out-degree ≥ 1, so there is no dangling
-    mass and the iteration conserves probability exactly).
+    The node universe is src ∪ dst: destination-only nodes (sinks)
+    receive mass and appear in the output.  Dangling mass — the rank
+    sitting on nodes with no out-edges — is redistributed through the
+    teleport vector each round (r_{k+1} gains d·D_k·reset(v), the
+    classic Google-matrix completion), so the iteration conserves
+    probability on ANY directed edge list.  Callers wanting undirected
+    centrality still symmetrize the edge list first (then no node is
+    dangling and the redistribution term is exactly zero — the plan
+    skips it entirely, keeping the arithmetic bit-identical to the
+    sink-free form the oracles unroll).
 
     Plan shape per round: edges ⋈ ranks (hash join on the source key)
     → dst-keyed partial-agg sum → node left-join for zero-indegree
@@ -62,7 +69,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                       F.col(dst).cast("long").alias("b"))
          .localCheckpoint(eager=True))
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
-    nodes = e.select(F.col("a").alias("node")).distinct()
+    nodes = (e.select(F.col("a").alias("node"))
+             .union(e.select(F.col("b").alias("node"))).distinct())
+    # Static dangling set: nodes with no out-edge.  Computed once;
+    # empty for symmetrized graphs, where the per-round redistribution
+    # job is skipped outright.
+    dangling = (nodes.join(deg, nodes["node"] == deg["a"], "left_anti")
+                .localCheckpoint(eager=True))
+    has_dangling = not dangling.isEmpty()
     if reset is None:
         ntot = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
         base = (nodes.crossJoin(F.broadcast(ntot))
@@ -104,11 +118,20 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                    .join(deg, "a")
                    .groupBy(F.col("b"))
                    .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__m")))
-        ranks = (base.join(contrib, base["node"] == contrib["b"], "left")
+        incoming = F.coalesce(F.col("__m"), F.lit(0.0))
+        joined = base.join(contrib, base["node"] == contrib["b"], "left")
+        if has_dangling:
+            # Dangling mass this round: Σ r_k over out-degree-0 nodes —
+            # an O(nodes) semi-join + scalar agg, redistributed ∝ reset.
+            dmass = (ranks.join(dangling.select("node"), "node", "left_semi")
+                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                          .alias("__dm")))
+            joined = joined.crossJoin(F.broadcast(dmass))
+            incoming = incoming + F.col("__dm") * F.col("__reset")
+        ranks = (joined
                  .select("node",
                          F.round(F.lit(1.0 - damping) * F.col("__reset")
-                                 + F.lit(damping)
-                                 * F.coalesce(F.col("__m"), F.lit(0.0)),
+                                 + F.lit(damping) * incoming,
                                  round_digits).alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks

@@ -422,6 +422,18 @@ class IcebergTable:
                 delete_files = parent.get("delete-files", [])
             else:
                 delete_files = []
+        # Delete files committed WITH this snapshot carry sequence=None
+        # as a placeholder; it must be stamped from the SAME metadata
+        # load the snapshot's own sequence derives from.  A caller
+        # pre-computing it from an earlier load can go stale: a
+        # concurrent branch-targeted commit bumps last-sequence-number
+        # without moving current-snapshot-id, so the expect_snapshot
+        # guard passes while the pre-computed value is one low — and a
+        # too-low equality-delete sequence erases rows it must spare.
+        delete_files = [
+            {**f, "sequence": metadata["last-sequence-number"] + 1}
+            if ("sequence" in f and f["sequence"] is None) else f
+            for f in delete_files]
         snapshot = {
             "snapshot-id": snapshot_id,
             "parent-snapshot-id": parent_id,
@@ -1120,6 +1132,16 @@ class IcebergTable:
         the equality file alongside the upsert keys, making a whole
         change batch one atomic snapshot.
 
+        Overlap rule: a key present in BOTH ``source`` and
+        ``delete_keys`` resolves as UPSERT WINS — both land at the same
+        sequence number, and an equality delete only erases strictly
+        OLDER rows, so the new row survives.  That is exactly right for
+        latest-state-per-key CDC batches (stream_cdc_apply compacts each
+        batch to its final per-key state first: a later tombstone never
+        shares a batch with an earlier upsert of the same key), but a
+        direct caller expecting the tombstone to beat the upsert must
+        order the two into separate commits.
+
         Same duplicate-source-key rule as merge_upsert: each target row
         may match at most one source row."""
         _, md = self._load_metadata()
@@ -1149,7 +1171,11 @@ class IcebergTable:
             (all_keys.distinct()
              .write.mode("errorifexists").parquet(del_dir))
             import pyarrow.parquet as pq
-            seq = md["last-sequence-number"] + 1
+            # sequence=None: stamped inside _commit_write from the same
+            # reloaded metadata the snapshot's sequence derives from —
+            # a value computed from THIS load could be one low if a
+            # concurrent branch-targeted commit bumped the counter
+            # without moving current-snapshot-id (ADVICE r3).
             eq_files = []
             for dirpath, _dirs, files in os.walk(del_dir):
                 for fname in sorted(files):
@@ -1161,7 +1187,7 @@ class IcebergTable:
                         eq_files.append(
                             {"path": path, "record_count": n,
                              "equality_cols": list(key_cols),
-                             "sequence": seq})
+                             "sequence": None})
             kept = self.plan_files(_metadata=md)
             prior = ([] if base_snapshot is None else
                      _snapshot(md, base_snapshot).get("delete-files", []))

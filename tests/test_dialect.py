@@ -341,3 +341,36 @@ def test_regex_operators_rewrite_forms():
     assert rewrite_sql("SELECT 'a ~ b' AS s") == "SELECT 'a ~ b' AS s"
     # prefix bitwise NOT is untouched (no operand before the operator)
     assert rewrite_sql("SELECT ~5 AS x") == "SELECT ~5 AS x"
+
+
+def test_qualify_top_level():
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+        rewrite_qualify)
+    out = rewrite_qualify(
+        "SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rn FROM t "
+        "QUALIFY rn = 1 ORDER BY a LIMIT 5")
+    assert out.startswith("SELECT * FROM (")
+    assert "WHERE rn = 1" in out and out.rstrip().endswith("LIMIT 5")
+
+
+def test_qualify_inside_subquery_and_cte(spark):
+    """QUALIFY nested in a derived table and in a CTE body rewrites too
+    (DuckDB/Snowflake accept it anywhere a SELECT appears; previously
+    only depth 0 was handled — ADVICE r3).  End-to-end through Spark."""
+    sub = ("SELECT * FROM (SELECT id, ROW_NUMBER() OVER (ORDER BY id) "
+           "AS rn FROM RANGE(5) QUALIFY rn <= 2) q")
+    got = sorted(r["id"] for r in spark.sql(rewrite_sql(sub)).collect())
+    assert got == [0, 1]
+    cte = ("WITH top AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id DESC) "
+           "AS rn FROM RANGE(5) QUALIFY rn = 1) SELECT id FROM top")
+    assert [r["id"] for r in spark.sql(rewrite_sql(cte)).collect()] == [4]
+
+
+def test_qualify_literal_and_nested_parens_untouched():
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+        rewrite_qualify)
+    # no QUALIFY keyword → byte-identical
+    s = "SELECT 'the QUALIFYING round' AS x FROM (SELECT 1)"
+    # the pass runs on MASKED sql in rewrite_sql; raw call here only
+    # checks the word-boundary guard (QUALIFYING must not fire)
+    assert rewrite_qualify(s) == s

@@ -1091,3 +1091,43 @@ def test_delete_strategies_converge_random(catalog, spark):
         reads = [sorted((r["id"], r["k"]) for r in t.read(spark).collect())
                  for t in tables]
         assert reads[0] == reads[1] == reads[2], (lo, hi)
+
+
+def test_mor_upsert_delete_sequence_survives_branch_race(catalog, spark):
+    """A branch-targeted commit landing between merge_upsert_mor's
+    metadata load and its commit bumps last-sequence-number WITHOUT
+    moving current-snapshot-id, so the expect_snapshot guard passes.
+    The equality-delete file committed with the upsert snapshot must
+    still carry that snapshot's OWN sequence number (the spec invariant
+    the strict-sequence delete rule depends on) — a value pre-computed
+    from the earlier metadata load would be one low (ADVICE r3), and a
+    too-low equality sequence erases rows it must spare."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t = catalog.create_table("ns", "upmor_race", df)
+    orig = t._commit_write
+
+    def race(*a, **k):
+        t._commit_write = orig          # un-patch before the branch write
+        t.append_to_branch(
+            spark.createDataFrame([(9, "z")], "id long, v string"), "audit")
+        return orig(*a, **k)
+
+    t.merge_upsert_mor(spark, df, ["id"])     # seed main data files
+    t._commit_write = race
+    t.merge_upsert_mor(
+        spark, spark.createDataFrame([(2, "B")], "id long, v string"),
+        ["id"])
+    snap = _snapshot_by_id(t, t.current_snapshot_id())
+    parent = _snapshot_by_id(t, snap["parent-snapshot-id"])
+    carried = {f["path"] for f in parent.get("delete-files", [])}
+    new_eq = [f for f in snap["delete-files"]
+              if f.get("equality_cols") and f["path"] not in carried]
+    assert new_eq, "upsert commit must add an equality-delete file"
+    assert all(f["sequence"] == snap["sequence-number"] for f in new_eq), (
+        [(f["sequence"], snap["sequence-number"]) for f in new_eq])
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B"}            # branch row invisible
+
+
+def _snapshot_by_id(t, sid):
+    return next(s for s in t.snapshots() if s["snapshot-id"] == sid)

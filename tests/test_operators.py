@@ -847,6 +847,37 @@ def test_personalized_pagerank_seed_edge_cases(spark):
                  reset=spark.createDataFrame([(99,)], "node long"))
 
 
+def test_pagerank_sink_nodes_get_ranks_and_mass_conserves(spark):
+    """Directed chain 0→1→2 (node 2 is a SINK, appearing only as a
+    destination): the sink is in the output with a rank, and its
+    dangling mass is redistributed through the teleport vector every
+    round so total probability stays 1 (ADVICE r3 — previously sinks
+    were silently absent and their mass vanished).  Values match a
+    plain-Python simulation of the identical recurrence bit-for-bit."""
+    from iceberg_datafusion_arrow_flight_spark.operators.graph import pagerank
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iterations=6).collect()}
+    assert set(got) == {0, 1, 2}                        # sink present
+    assert abs(sum(got.values()) - 1.0) < 1e-6          # conservation
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r10(x):
+        return float(Decimal(x).quantize(Decimal("1e-10"),
+                                         rounding=ROUND_HALF_UP))
+
+    base, damp = 1.0 - 0.85, 0.85
+    reset = {v: r10(1.0 / 3.0) for v in (0, 1, 2)}
+    deg, nbrs = {0: 1, 1: 1}, {0: [], 1: [0], 2: [1]}
+    rank = dict(reset)
+    for _ in range(6):
+        dm = rank[2]                                     # dangling mass
+        rank = {v: r10(base * reset[v]
+                       + damp * (sum(rank[u] / deg[u] for u in nbrs[v])
+                                 + dm * reset[v]))
+                for v in (0, 1, 2)}
+    assert got == rank
+
+
 def test_lsh_tuning_scurve_properties():
     """The banding auto-tuner: midpoints track the target threshold
     directionally; the S-curve is monotone in similarity and steeper
