@@ -73,6 +73,7 @@ from . import tpch            # noqa: E402,F401
 #   text_langid_confusion, multimodal decode/frame/feature/pixel_dedup,
 #   pipeline repetition/balanced/pii/mixture/profile/constraints/chunk/
 #   boilerplate/seeded, diag_key_skew_profile, tpch q15/q21,
+#   iceberg_metadata_tables (new in r04, registered after the window),
 #   agg_approx... (in r04), sim rows-only family (weaker check by
 #   design).
 #   r04 candidate ledger as written at r03 close (kept for provenance):

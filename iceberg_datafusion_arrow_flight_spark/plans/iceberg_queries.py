@@ -549,3 +549,59 @@ def iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.read(spark)
             .groupBy("o_orderstatus").agg(*_agg_cols())
             .orderBy("o_orderstatus"))
+
+
+@register(
+    "iceberg_metadata_tables",
+    oracle="""
+SELECT * FROM (
+  SELECT 1 AS ordinal, 'append' AS operation,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+          WHERE o_orderkey % 2 = 0) AS rows_changed,
+         CAST(1 AS BIGINT) AS sequence_number
+  UNION ALL
+  SELECT 2, 'append',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+          WHERE o_orderkey % 2 = 1),
+         CAST(2 AS BIGINT)
+  UNION ALL
+  SELECT 3, 'delete',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+          WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'F'),
+         CAST(3 AS BIGINT)
+)
+ORDER BY ordinal
+""",
+    doc="METADATA TABLES — the `SELECT * FROM t.snapshots` inspection "
+        "surface every Iceberg engine exposes (Spark's metadata tables; "
+        "DataFusion's iceberg integration reads the same snapshot "
+        "summaries).  After a deterministic commit ledger (append even, "
+        "append odd, MOR-delete odd 'F' rows), emits one row per "
+        "snapshot: ordinal, operation, rows_changed (added-records for "
+        "appends, added-position-deletes for MOR deletes), sequence "
+        "number.  The oracle recomputes each commit's row delta from "
+        "the source relation — equality proves the summaries record "
+        "what actually committed.  Metadata is driver-side by design "
+        "(rows ∝ commits, KBs at any table size — the same shape "
+        "Iceberg's own metadata tables serve from the driver). "
+        "sources/iceberg_lite.py:snapshots.",
+    tags=("iceberg", "catalog", "metadata"),
+)
+def iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    even, odd = _split_orders(spark, sf_dir)
+    t = cat.create_table("sales", "orders_meta", even)
+    t.append(even)
+    t.append(odd)
+    t.delete_where_mor(spark, (F.col("o_orderkey") % 2 == 1)
+                       & (F.col("o_orderstatus") == "F"))
+    rows = []
+    for i, s in enumerate(t.snapshots(), start=1):
+        sm = s["summary"]
+        changed = int(sm.get("added-records") or 0) \
+            or int(sm.get("added-position-deletes") or 0)
+        rows.append((i, sm["operation"], changed,
+                     int(s["sequence-number"])))
+    return spark.createDataFrame(
+        rows, "ordinal INT, operation STRING, rows_changed BIGINT, "
+              "sequence_number BIGINT")
