@@ -85,7 +85,11 @@ def service_flight_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             root=spark,
             session_init=lambda s: load_table(s, sf_dir, "lineitem")
             .createOrReplaceTempView("lineitem"))
-        server = SparkFlightServer(service, "grpc://localhost:0")
+        # tls_domain="" forces a plain endpoint even if the ambient env
+        # sets TLS_DOMAIN — the in-process client dials grpc://, and a
+        # TLS mismatch here would fail the gate for an env reason.
+        server = SparkFlightServer(service, "grpc://localhost:0",
+                                   tls_domain="")
         client = FlightSqlClient(f"grpc://localhost:{server.port}",
                                  "driver", "driver-gate")
         st = client.prepare(_Q1_WIRE_SQL)
