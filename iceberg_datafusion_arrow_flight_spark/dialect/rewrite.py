@@ -186,16 +186,40 @@ def _find_open_paren(s: str, close_idx: int) -> int:
     return 0
 
 
+# Postgres/DuckDB type spellings the reference's parser accepts in casts
+# but Spark's does not (bare VARCHAR needs a length in Spark) or names
+# differently.  Parameterized forms (varchar(10), decimal(p,s)) pass
+# through — Spark accepts those.  Found by the dialect grammar fuzz
+# (tests/test_dialect_fuzz.py): ``x::varchar`` previously translated to
+# the unparseable ``CAST(x AS varchar)``.
+_PG_TYPE_NAMES = {
+    "varchar": "STRING", "text": "STRING", "bpchar": "STRING",
+    "char": "STRING",
+    "int2": "SMALLINT", "int4": "INT", "int8": "BIGINT",
+    "float4": "FLOAT", "float8": "DOUBLE", "real": "FLOAT",
+    "bool": "BOOLEAN",
+}
+
+
+def _normalize_cast_type(type_name: str) -> str:
+    if "(" in type_name:
+        return type_name
+    return _PG_TYPE_NAMES.get(type_name.strip().lower(), type_name)
+
+
 def rewrite_pg_casts(sql: str) -> str:
     prev = None
     while prev != sql:
         prev = sql
-        sql = _CAST_SIMPLE.sub(r"CAST(\1 AS \2)", sql)
+        sql = _CAST_SIMPLE.sub(
+            lambda m: f"CAST({m.group(1)} AS {_normalize_cast_type(m.group(2))})",
+            sql)
         m = _CAST_PAREN.search(sql)
         if m:
             start = _find_open_paren(sql, m.start())
             expr = sql[start:m.start() + 1]
-            sql = (sql[:start] + f"CAST({expr} AS {m.group(1)})"
+            sql = (sql[:start]
+                   + f"CAST({expr} AS {_normalize_cast_type(m.group(1))})"
                    + sql[m.end():])
     return sql
 

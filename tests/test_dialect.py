@@ -25,6 +25,18 @@ def test_pg_cast_literal():
         "SELECT CAST('1995-01-01' AS date)"
 
 
+def test_pg_cast_bare_type_names_normalized():
+    # DataFusion accepts bare VARCHAR/TEXT/INT4/... in casts; Spark's
+    # parser rejects length-less VARCHAR — the rewrite maps the Postgres
+    # spellings to Spark types (found by tests/test_dialect_fuzz.py).
+    out = rewrite_pg_casts("SELECT a::varchar, b::text, c::int4, d::float8")
+    assert out == ("SELECT CAST(a AS STRING), CAST(b AS STRING), "
+                   "CAST(c AS INT), CAST(d AS DOUBLE)")
+    # parameterized forms are already Spark-legal and pass through
+    assert rewrite_pg_casts("SELECT a::varchar(10)") == \
+        "SELECT CAST(a AS varchar(10))"
+
+
 def test_params_named_and_repeated():
     out = rewrite_params("WHERE a = $1 AND b > $2 AND a <> $1")
     assert out == "WHERE a = :p1 AND b > :p2 AND a <> :p1"
