@@ -74,8 +74,9 @@ from . import tpch            # noqa: E402,F401
 #   pipeline repetition/balanced/pii/mixture/profile/constraints/chunk/
 #   boilerplate/seeded, diag_key_skew_profile, tpch q15/q21,
 #   iceberg_metadata_tables (new in r04, registered after the window),
-#   agg_approx... (in r04), sim rows-only family (weaker check by
-#   design).
+#   dedup_edit_distance (new in r04: PassJoin bounded Levenshtein
+#   pairs, two-scale-verified at registration), agg_approx... (in
+#   r04), sim rows-only family (weaker check by design).
 #   r04 candidate ledger as written at r03 close (kept for provenance):
 #   NEW this round (prioritize — each carries a fresh operator family):
 #   iceberg_merge_upsert, iceberg_delete_rows, iceberg_partitioned_scan,

