@@ -605,3 +605,56 @@ def iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "ordinal INT, operation STRING, rows_changed BIGINT, "
               "sequence_number BIGINT")
+
+
+@register(
+    "iceberg_zorder_compaction",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderkey <= (SELECT MIN(o_orderkey) + 999 FROM orders)
+  AND o_custkey  <= (SELECT MIN(o_custkey) + 149 FROM orders)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Z-order clustering rewrite (Iceberg's rewrite_data_files "
+        "zorder strategy): orders land in key-shuffled files (every "
+        "file spans the full range of BOTH o_orderkey and o_custkey, "
+        "so a selective 2-D box read must open all of them), then "
+        "compact(zorder_by=[o_orderkey, o_custkey]) rewrites on the "
+        "bit-interleaved z-value — each file now covers a small "
+        "hyper-rectangle of the key plane, and the SAME two-range "
+        "manifest prune plans a strict subset of files.  A linear sort "
+        "serves only its leading column; the z-layout is what makes "
+        "min/max skipping bite on every filter dimension at once — the "
+        "multi-dimensional-workload layout that matters at 100 TB.  "
+        "The returned aggregate runs over the 2-D-pruned plan; it "
+        "equals the box-filtered source aggregate iff the rewrite "
+        "preserved content and the skip-scan kept every qualifying "
+        "row. sources/iceberg_lite.py:compact,_with_zorder_key.",
+    tags=("iceberg", "catalog", "maintenance"),
+)
+def iceberg_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    orders = table(spark, sf_dir, "orders")
+    t = cat.create_table("sales", "orders_zorder", orders)
+    # hash-shuffled files: each spans ~the full range of both keys
+    t.append(orders.repartition(4, "o_custkey"))
+    mins = orders.agg(F.min("o_orderkey"), F.min("o_custkey")).first()
+    box = [("o_orderkey", mins[0], mins[0] + 999),
+           ("o_custkey", mins[1], mins[1] + 149)]
+    files_before = len(t.plan_files(prune=box))
+    t.compact(spark, target_files=16,
+              zorder_by=["o_orderkey", "o_custkey"])
+    pruned = t.plan_files(prune=box)
+    if not len(pruned) < files_before:   # 2-D clustering must bite
+        raise AssertionError(
+            f"z-order compaction did not tighten 2-D pruning "
+            f"({files_before} -> {len(pruned)})")
+    return (t.read(spark, prune=box)
+            .where((F.col("o_orderkey") <= box[0][2])
+                   & (F.col("o_custkey") <= box[1][2]))
+            .groupBy("o_orderstatus").agg(*_agg_cols())
+            .orderBy("o_orderstatus"))

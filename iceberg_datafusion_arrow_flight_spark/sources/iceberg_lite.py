@@ -635,7 +635,8 @@ class IcebergTable:
                 "deleted_orphan_files": removed_files}
 
     def compact(self, spark: SparkSession, target_files: int = 1,
-                sort_by: list[str] | None = None) -> int:
+                sort_by: list[str] | None = None,
+                zorder_by: list[str] | None = None) -> int:
         """Rewrite the current file set into ``target_files`` files and
         commit as a replace snapshot — Iceberg's rewrite_data_files
         compaction.  Readers pinned to older snapshots are unaffected;
@@ -645,9 +646,31 @@ class IcebergTable:
         rewrite): rows are range-partitioned then sorted on the keys, so
         each output file covers a narrow, disjoint key range and the
         manifest min/max prune skips far more files on selective reads —
-        the skip-scan payoff that matters at 100 TB."""
+        the skip-scan payoff that matters at 100 TB.
+
+        ``zorder_by`` performs Iceberg's Z-ORDER rewrite (the
+        rewrite_data_files(strategy => 'sort', sort_order => zorder(..))
+        spelling): each numeric key is min-max-normalized to a 16-bit
+        rank (one tiny agg for the bounds — 2·d scalars, the k-means-init
+        precedent), the ranks are bit-INTERLEAVED into one z-value as a
+        single codegen'd expression, and the rewrite range-partitions +
+        sorts on that z-value.  Files then cover small hyper-rectangles
+        of the key space instead of slabs along one axis, so manifest
+        min/max pruning bites on EVERY z-dimension at once — the layout
+        a multi-dimensional filter workload needs at 100 TB, where a
+        linear sort serves only its leading column.  Numeric/date/
+        timestamp keys only (rank needs an order-preserving number);
+        strings raise."""
         df = self.read(spark)
-        if sort_by:
+        if zorder_by:
+            if sort_by:
+                raise ValueError("sort_by and zorder_by are exclusive")
+            keyed = _with_zorder_key(df, zorder_by)
+            helper = [c for c in keyed.columns if c not in df.columns]
+            df = (keyed.repartitionByRange(target_files, "__z")
+                  .sortWithinPartitions("__z")
+                  .drop(*helper))
+        elif sort_by:
             df = (df.repartitionByRange(target_files, *sort_by)
                   .sortWithinPartitions(*sort_by))
         else:
@@ -1362,7 +1385,8 @@ class IcebergTable:
 
     def plan_files(self, snapshot_id: int | None = None,
                    as_of_timestamp_ms: int | None = None,
-                   prune: tuple[str, object, object] | None = None,
+                   prune: tuple[str, object, object]
+                   | list[tuple[str, object, object]] | None = None,
                    partition_filter: dict[str, object] | None = None,
                    _metadata: dict | None = None,
                    ) -> list[DataFileEntry]:
@@ -1370,6 +1394,8 @@ class IcebergTable:
 
         ``prune=(col, lo, hi)`` keeps only files whose [min,max] range for
         ``col`` intersects [lo, hi] — Iceberg's manifest-evaluator skip-scan.
+        A LIST of such tuples prunes on every range (AND semantics — the
+        multi-dimensional skip-scan a z-ordered layout exists to serve).
         ``partition_filter={field: value | [values]}`` keeps only files
         whose manifest partition values match — Iceberg's partition
         pruning, exact (not stats-based), applied before the stat prune.
@@ -1399,14 +1425,16 @@ class IcebergTable:
                            if pf_name not in e.partition
                            or e.partition[pf_name] in vals]
         if prune is not None:
-            col, lo, hi = prune
-            entries = [e for e in entries
-                       if _bounds_overlap(e, col, lo, hi)]
+            ranges = [prune] if isinstance(prune, tuple) else list(prune)
+            for col, lo, hi in ranges:
+                entries = [e for e in entries
+                           if _bounds_overlap(e, col, lo, hi)]
         return entries
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
              as_of_timestamp_ms: int | None = None,
-             prune: tuple[str, object, object] | None = None,
+             prune: tuple[str, object, object]
+             | list[tuple[str, object, object]] | None = None,
              partition_filter: dict[str, object] | None = None,
              ) -> DataFrame:
         """Snapshot-pinned read: the returned plan scans exactly the files
@@ -1466,6 +1494,61 @@ def _fill_missing(df: DataFrame, fields: list[dict]) -> DataFrame:
         if f["name"] not in df.columns:
             df = df.withColumn(f["name"], F.lit(None).cast(f["type"]))
     return df
+
+
+_Z_BITS = 16  # rank resolution per z-dimension
+
+
+def _with_zorder_key(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Add a ``__z`` bit-interleaved sort key over ``cols``.
+
+    Each key is mapped to an order-preserving DOUBLE (numerics as-is,
+    date → epoch days, timestamp → epoch micros), min-max-normalized to
+    a 16-bit rank against bounds gathered in ONE tiny aggregate (2·d
+    scalars to the driver), then the ranks' bits are interleaved —
+    bit j of column c lands at position j·d + c — as one flat
+    projection over NAMED rank columns (``__r{c}``), so each rank
+    expression is evaluated once, not 16× per bit term.  NULL keys rank
+    0 (sort first, like NULLS FIRST).  Constant columns contribute rank
+    0 everywhere — harmless, their bits carry no information anyway."""
+    dtypes = dict(df.dtypes)
+    num_sql: list[str] = []
+    for c in cols:
+        t = dtypes.get(c)
+        if t is None:
+            raise ValueError(f"zorder_by: unknown column {c!r}")
+        if t == "date":
+            num_sql.append(f"CAST(datediff(`{c}`, DATE '1970-01-01')"
+                           " AS DOUBLE)")
+        elif t.startswith("timestamp"):
+            num_sql.append(f"CAST(unix_micros(`{c}`) AS DOUBLE)")
+        elif t in ("tinyint", "smallint", "int", "bigint", "float",
+                   "double") or t.startswith("decimal"):
+            num_sql.append(f"CAST(`{c}` AS DOUBLE)")
+        else:
+            raise ValueError(
+                f"zorder_by: column {c!r} has type {t} — z-order needs"
+                " an order-preserving numeric rank (numeric/date/"
+                "timestamp); truncate or hash string keys first")
+    bounds = df.selectExpr(
+        *(f"{e} AS n{i}" for i, e in enumerate(num_sql))).agg(
+        *(f for i in range(len(cols))
+          for f in (F.min(f"n{i}"), F.max(f"n{i}")))).first()
+    d, top = len(cols), (1 << _Z_BITS) - 1
+    ranks = {}
+    for i, e in enumerate(num_sql):
+        lo, hi = bounds[2 * i], bounds[2 * i + 1]
+        if lo is None or hi is None or hi <= lo:
+            ranks[f"__r{i}"] = F.expr("CAST(0 AS BIGINT)")
+        else:
+            ranks[f"__r{i}"] = F.expr(
+                f"CAST(LEAST({top}, GREATEST(0, FLOOR("
+                f"(COALESCE({e}, {lo!r}) - {lo!r}) * {top}.0"
+                f" / ({hi!r} - {lo!r})))) AS BIGINT)")
+    terms = " | ".join(
+        f"(((`__r{c}` >> {j}) & 1) << {j * d + c})"
+        for j in range(_Z_BITS) for c in range(d))
+    return df.withColumns(ranks).withColumn("__z", F.expr(terms))
 
 
 def _bounds_overlap(e: DataFileEntry, col: str, lo, hi) -> bool:

@@ -442,6 +442,67 @@ def test_sorted_compaction_tightens_pruning(catalog, spark):
     assert got.count() == 11
 
 
+def test_zorder_compaction_beats_linear_sort_on_second_dim(catalog, spark):
+    """The z-order payoff: a linear sort on x leaves every file spanning
+    the FULL y range (a y-only or 2-D selective read opens all of them),
+    while the bit-interleaved rewrite gives each file a small (x, y)
+    hyper-rectangle — the same y-range prune then plans a strict subset.
+    Content must survive the rewrite bit-for-bit."""
+    import random
+    rnd = random.Random(11)
+    rows = [(x, y) for x in range(40) for y in range(40)]
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    lin = catalog.create_table("maint", "lin", df)
+    zor = catalog.create_table("maint", "zor", df)
+    for t in (lin, zor):
+        for i in range(4):            # 4 shuffled files, full range each
+            t.append(spark.createDataFrame(
+                rows[i * 400:(i + 1) * 400], "x long, y long").coalesce(1))
+    lin.compact(spark, target_files=16, sort_by=["x"])
+    zor.compact(spark, target_files=16, zorder_by=["x", "y"])
+
+    y_range = ("y", 0, 4)
+    lin_files = len(lin.plan_files(prune=y_range))
+    zor_files = len(zor.plan_files(prune=y_range))
+    assert lin_files == 16            # x-sorted files all span y fully
+    assert zor_files < lin_files      # z-layout prunes the 2nd dimension
+    box = [("x", 0, 4), ("y", 0, 4)]
+    assert len(zor.plan_files(prune=box)) <= zor_files
+    # the pruned read still returns every qualifying row, and the
+    # rewrite preserved the table's content exactly
+    got = zor.read(spark, prune=box).where(
+        (F.col("x") <= 4) & (F.col("y") <= 4))
+    assert got.count() == 25
+    assert sorted(map(tuple, zor.read(spark).collect())) == sorted(rows)
+
+
+def test_plan_files_multi_range_prune_is_and(catalog, spark):
+    """A list of prune ranges applies every range (AND): each added
+    range can only shrink the plan, and a single tuple stays the
+    backward-compatible spelling."""
+    df = spark.createDataFrame([(i, i % 7) for i in range(200)],
+                               "a long, b long")
+    t = catalog.create_table("maint", "multi", df)
+    t.append(df.repartitionByRange(4, "a").sortWithinPartitions("a"))
+    one = t.plan_files(prune=("a", 0, 49))
+    both = t.plan_files(prune=[("a", 0, 49), ("b", 0, 6)])
+    assert len(both) <= len(one) < len(t.plan_files())
+    assert t.plan_files(prune=[("a", 0, 49)]) == one
+
+
+def test_zorder_guards(catalog, spark, orders):
+    """String keys and sort_by+zorder_by are rejected loudly."""
+    t = catalog.create_table("maint", "guards", orders)
+    t.append(orders)
+    with pytest.raises(ValueError, match="order-preserving numeric"):
+        t.compact(spark, zorder_by=["o_orderstatus"])
+    with pytest.raises(ValueError, match="exclusive"):
+        t.compact(spark, sort_by=["o_orderkey"],
+                  zorder_by=["o_orderkey", "o_custkey"])
+
+
 def test_dml_model_based_random_ops(catalog, spark):
     """Randomized merge/delete sequence vs a dict model: after every op
     the table equals the model exactly, and earlier snapshots replay
