@@ -20,9 +20,11 @@ exercises:
   atomic compare-and-swap on ``metadata_location`` — exactly the JDBC
   catalog's optimistic-concurrency protocol; a lost race raises
   :class:`CommitFailedError` instead of corrupting the table.
-- **Metadata**: immutable, versioned ``vN.metadata.json`` files
-  (format-version 2 field names: table-uuid, schemas/schema-id,
-  current-snapshot-id, snapshots, snapshot-log).
+- **Metadata**: immutable, versioned ``vN-<uuid>.metadata.json`` files
+  (uuid-suffixed like Iceberg's own, so concurrent writers racing from
+  the same base can never publish into each other's file; format-version
+  2 field names: table-uuid, schemas/schema-id, current-snapshot-id,
+  snapshots, snapshot-log).
 - **Snapshots**: every ``append``/``overwrite`` writes new Parquet data
   files, a manifest listing them *with per-file row counts and per-column
   min/max stats*, and a new metadata version pointing at the new snapshot.
@@ -1783,21 +1785,34 @@ def _write_new_table(location: str, df: DataFrame,
 
 
 def _write_json(path: str, obj: dict) -> None:
-    tmp = path + ".tmp"
+    # unique tmp name: two writers racing toward the same final path must
+    # never share a staging file (one's os.replace would consume it and
+    # the other would crash — or worse, publish the wrong bytes)
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=1)
     os.replace(tmp, path)  # atomic on POSIX
 
 
 def _write_metadata(location: str, version: int, metadata: dict) -> str:
-    path = os.path.join(location, "metadata", f"v{version}.metadata.json")
+    """Write an immutable metadata file.  The name carries a uuid AFTER
+    the version (Iceberg's own ``00000-<uuid>.metadata.json`` scheme,
+    spec §Table Metadata) because the version alone is NOT unique under
+    concurrency: two writers racing from the same base both derive vN+1,
+    and with bare ``vN.metadata.json`` names the CAS winner's pointer
+    could reference a file whose bytes the LOSER wrote last — a silent
+    lost update.  Distinct names make the race harmless: the loser's
+    file is simply never pointed at (and is orphaned, like its data)."""
+    path = os.path.join(
+        location, "metadata",
+        f"v{version}-{uuid.uuid4().hex[:8]}.metadata.json")
     _write_json(path, metadata)
     return path
 
 
 def _next_version(metadata_location: str) -> int:
-    base = os.path.basename(metadata_location)  # vN.metadata.json
-    return int(base.split(".")[0][1:]) + 1
+    base = os.path.basename(metadata_location)  # vN[-uuid].metadata.json
+    return int(base.split(".")[0].split("-")[0][1:]) + 1
 
 
 def _snapshot(metadata: dict, snapshot_id: int) -> dict:

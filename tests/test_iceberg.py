@@ -117,7 +117,10 @@ def test_metadata_files_are_versioned_immutably(catalog, orders, tmp_path):
                             "orders_meta", "metadata")
     versions = sorted(f for f in os.listdir(meta_dir)
                       if f.endswith(".metadata.json"))
-    assert versions == ["v1.metadata.json", "v2.metadata.json"]
+    # vN-<uuid>.metadata.json: version prefix orders the history, the
+    # uuid suffix keeps concurrent writers out of each other's files
+    assert [v.split("-")[0] for v in versions] == ["v1", "v2"]
+    assert all(len(v.split("-")[1].split(".")[0]) == 8 for v in versions)
 
 
 def test_empty_table_read_has_schema(catalog, spark, orders):
@@ -440,6 +443,55 @@ def test_sorted_compaction_tightens_pruning(catalog, spark):
     got = t.read(spark, prune=("k", 10, 20)).where(
         F.col("k").between(10, 20))
     assert got.count() == 11
+
+
+def test_concurrent_appends_cas_race_yields_linear_history(catalog, spark,
+                                                           orders):
+    """Four threads race appends on ONE table through the real commit
+    path (fresh metadata load → file write → BEGIN IMMEDIATE CAS);
+    losers see CommitFailedError and retry on the new base.  Every row
+    must land exactly once, and the snapshot chain must be LINEAR —
+    each append's parent is its predecessor, no fork, no lost update.
+    This is the multi-writer guarantee the catalog exists to provide."""
+    import threading
+
+    from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+        CommitFailedError,
+    )
+
+    t = catalog.create_table("race", "orders", orders)
+    slices = [orders.where(F.col("o_orderkey") % 4 == i).localCheckpoint()
+              for i in range(4)]
+    errors: list[str] = []
+
+    def worker(df):
+        try:
+            for _ in range(20):
+                try:
+                    t.append(df)
+                    return
+                except CommitFailedError:
+                    continue
+            errors.append("gave up after 20 CAS retries")
+        except Exception as exc:             # noqa: BLE001 — surface it
+            errors.append(repr(exc))
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in slices]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    assert t.read(spark).count() == orders.count()
+    snaps = t.snapshots()
+    assert len(snaps) == 4
+    # linear parent chain in commit order, starting from the empty table
+    assert snaps[0].get("parent-snapshot-id") in (None, 0)
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur["parent-snapshot-id"] == prev["snapshot-id"]
+    # sequence numbers strictly increase along the chain
+    seqs = [int(s["sequence-number"]) for s in snaps]
+    assert seqs == sorted(seqs) and len(set(seqs)) == 4
 
 
 def test_zorder_compaction_beats_linear_sort_on_second_dim(catalog, spark):
