@@ -494,6 +494,63 @@ def test_concurrent_appends_cas_race_yields_linear_history(catalog, spark,
     assert seqs == sorted(seqs) and len(set(seqs)) == 4
 
 
+def test_concurrent_append_vs_delete_linearizes(catalog, spark):
+    """An appender and a COW deleter race the same table; each retries
+    on CommitFailedError (the deleter RE-PLANS from fresh metadata, as
+    the docstring demands).  Whatever interleaving the CAS serialized,
+    replaying the committed snapshot order against a model must
+    reproduce the final table exactly — the linearizability contract:
+    if the delete committed before the append, appended rows matching
+    the predicate survive; if after, they are gone."""
+    import threading
+
+    from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+        CommitFailedError,
+    )
+
+    base = spark.createDataFrame([(k, k) for k in range(100)],
+                                 "k long, v long")
+    extra = spark.createDataFrame([(k, k) for k in range(100, 200)],
+                                  "k long, v long").localCheckpoint()
+    t = catalog.create_table("race", "dml", base)
+    t.append(base)
+    errors: list[str] = []
+
+    def run(fn):
+        try:
+            for _ in range(20):
+                try:
+                    fn()
+                    return
+                except CommitFailedError:
+                    continue
+            errors.append("gave up after 20 CAS retries")
+        except Exception as exc:             # noqa: BLE001 — surface it
+            errors.append(repr(exc))
+
+    ths = [threading.Thread(target=run, args=(lambda: t.append(extra),)),
+           threading.Thread(target=run, args=(
+               lambda: t.delete_where(spark, F.col("k") % 3 == 0),))]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join(timeout=300)
+    assert not errors, errors
+
+    # replay the serialized commit order against a python model
+    model: set[int] = set()
+    for s in t.snapshots():
+        op = s["summary"]["operation"]
+        if op == "append":
+            added = int(s["summary"]["added-records"])
+            model |= set(range(100) if added == 100 and not model
+                         else range(100, 200))
+        else:                                # the COW delete
+            model -= {k for k in model if k % 3 == 0}
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == sorted(model)
+
+
 def test_zorder_compaction_beats_linear_sort_on_second_dim(catalog, spark):
     """The z-order payoff: a linear sort on x leaves every file spanning
     the FULL y range (a y-only or 2-D selective read opens all of them),
