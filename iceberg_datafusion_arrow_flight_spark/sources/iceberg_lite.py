@@ -663,7 +663,15 @@ class IcebergTable:
         linear sort serves only its leading column.  Numeric/date/
         timestamp keys only (rank needs an order-preserving number);
         strings raise."""
-        df = self.read(spark)
+        # Pin the plan AND the commit to the same base snapshot: the
+        # rewrite reads one file set, and if any writer commits between
+        # this load and the CAS, the replace would silently throw that
+        # commit's rows away — the pointer CAS alone cannot catch it
+        # because _commit_write re-reads the pointer.  Same
+        # expect_snapshot contract as row-level DML; losers raise
+        # CommitFailedError and the caller re-runs compact().
+        base_snapshot = self._load_metadata()[1]["current-snapshot-id"]
+        df = self.read(spark, snapshot_id=base_snapshot)
         if zorder_by:
             if sort_by:
                 raise ValueError("sort_by and zorder_by are exclusive")
@@ -677,7 +685,8 @@ class IcebergTable:
                   .sortWithinPartitions(*sort_by))
         else:
             df = df.coalesce(target_files)
-        return self._commit_write(df, operation="replace")
+        return self._commit_write(df, operation="replace",
+                                  expect_snapshot=base_snapshot)
 
     def _commit_schema(self, new_fields: list[dict],
                        respec=None) -> int:

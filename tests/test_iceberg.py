@@ -551,6 +551,52 @@ def test_concurrent_append_vs_delete_linearizes(catalog, spark):
     assert got == sorted(model)
 
 
+def test_concurrent_compact_vs_append_loses_no_rows(catalog, spark):
+    """Maintenance racing ingestion: compact() reads the current file
+    set and commits a replace — if an append lands in between, the CAS
+    must reject the stale rewrite and the retried compaction must carry
+    the appended rows.  Final table = all rows, exactly once, whichever
+    side won each race."""
+    import threading
+
+    from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+        CommitFailedError,
+    )
+
+    df = spark.createDataFrame([(k,) for k in range(300)], "k long")
+    extra = spark.createDataFrame([(k,) for k in range(300, 400)],
+                                  "k long").localCheckpoint()
+    t = catalog.create_table("race", "compact", df)
+    for i in range(3):                       # several small files
+        t.append(df.where((F.col("k") % 3) == i).coalesce(1))
+    errors: list[str] = []
+
+    def run(fn):
+        try:
+            for _ in range(20):
+                try:
+                    fn()
+                    return
+                except CommitFailedError:
+                    continue
+            errors.append("gave up after 20 CAS retries")
+        except Exception as exc:             # noqa: BLE001 — surface it
+            errors.append(repr(exc))
+
+    ths = [threading.Thread(
+               target=run,
+               args=(lambda: t.compact(spark, target_files=2,
+                                       sort_by=["k"]),)),
+           threading.Thread(target=run, args=(lambda: t.append(extra),))]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join(timeout=300)
+    assert not errors, errors
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == list(range(400))
+
+
 def test_zorder_compaction_beats_linear_sort_on_second_dim(catalog, spark):
     """The z-order payoff: a linear sort on x leaves every file spanning
     the FULL y range (a y-only or 2-D selective read opens all of them),
