@@ -603,12 +603,23 @@ class IcebergTable:
                 "deleted_data_files": len(dead_files),
                 "deleted_manifests": len(dead_manifests)}
 
-    def remove_orphan_files(self) -> dict:
+    def remove_orphan_files(self,
+                            older_than_ms: int = 3 * 24 * 3600 * 1000,
+                            ) -> dict:
         """Iceberg's remove_orphan_files: delete data files under the
         table location that NO snapshot (current metadata, any id)
         references — the debris a crashed writer or a CAS-race loser
         leaves behind (_commit_write documents exactly that failure
-        mode).  Metadata is never touched; only unreachable bytes go."""
+        mode).  Metadata is never touched; only unreachable bytes go.
+
+        ``older_than_ms`` is the in-flight-writer guard (Iceberg's
+        ``older_than``, same 3-day default): a concurrent writer's
+        directory exists BEFORE its commit CAS, so an unguarded sweep
+        would delete files whose commit is about to succeed.  Only
+        directories whose newest file is older than the cutoff are
+        candidates; pass 0 to force immediate cleanup when no writer
+        can be live (tests, single-writer maintenance windows)."""
+        cutoff_ms = _now_ms() - older_than_ms
         _, metadata = self._load_metadata()
         referenced: set[str] = set()
         for s in metadata["snapshots"]:
@@ -629,7 +640,11 @@ class IcebergTable:
             parquet = [os.path.join(dp, f)
                        for dp, _d, fs in os.walk(wdir)
                        for f in fs if f.endswith(".parquet")]
-            if parquet and not any(p in referenced for p in parquet):
+            newest_ms = max((os.path.getmtime(os.path.join(dp, f))
+                             for dp, _d, fs in os.walk(wdir)
+                             for f in fs), default=os.path.getmtime(wdir))
+            if (parquet and not any(p in referenced for p in parquet)
+                    and newest_ms * 1000 <= cutoff_ms):
                 removed_files += len(parquet)
                 shutil.rmtree(wdir)
                 removed_dirs += 1

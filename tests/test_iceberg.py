@@ -245,13 +245,19 @@ def test_remove_orphan_files_deletes_only_unreferenced_dirs(spark, tmp_path):
     spark.range(5).write.parquet(orphan_dir)
     live_dirs = {d for d in os.listdir(os.path.join(loc, "data"))
                  if d != "deadbeef0000"}
-    stats = t.remove_orphan_files()
+    # the default 3-day age guard protects what could be an IN-FLIGHT
+    # writer (its directory exists before its commit CAS): fresh
+    # unreferenced files are kept
+    assert t.remove_orphan_files()["deleted_orphan_dirs"] == 0
+    assert os.path.exists(orphan_dir)
+    # forced sweep (no writer can be live): the debris goes
+    stats = t.remove_orphan_files(older_than_ms=0)
     assert stats["deleted_orphan_dirs"] == 1
     assert not os.path.exists(orphan_dir)
     assert {d for d in os.listdir(os.path.join(loc, "data"))} == live_dirs
     assert t.read(spark).count() == pre
     # idempotent
-    assert t.remove_orphan_files()["deleted_orphan_dirs"] == 0
+    assert t.remove_orphan_files(older_than_ms=0)["deleted_orphan_dirs"] == 0
 
 
 def _kv_table(cat, spark, name):
