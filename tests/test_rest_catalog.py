@@ -255,3 +255,46 @@ def test_merge_and_delete_over_http(spark, served):
     got = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert got[3] == -1 and got[99] == -2
     assert set(got) == (set(range(10)) | {13, 14, 15, 16, 17, 18, 19, 99})
+
+
+def test_concurrent_appends_over_http_linearize(spark, served):
+    """The wire version of the multi-writer CAS race: four threads
+    append through the REST catalog (ThreadingHTTPServer, so requests
+    genuinely interleave); losers get HTTP 409 -> CommitFailedError and
+    retry on the fresh base.  Every row lands exactly once and the
+    snapshot chain is linear — the server's BEGIN IMMEDIATE CAS is the
+    only serialization point."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    _, cat = served
+    base = spark.range(0, 200).withColumnRenamed("id", "k")
+    t = cat.create_table("race", "http", base)
+    slices = [base.where(F.col("k") % 4 == i).localCheckpoint()
+              for i in range(4)]
+    errors: list[str] = []
+
+    def worker(df):
+        try:
+            for _ in range(20):
+                try:
+                    t.append(df)
+                    return
+                except CommitFailedError:
+                    continue
+            errors.append("gave up after 20 CAS retries")
+        except Exception as exc:             # noqa: BLE001 — surface it
+            errors.append(repr(exc))
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in slices]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    assert t.read(spark).count() == 200
+    snaps = t.snapshots()
+    assert len(snaps) == 4
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur["parent-snapshot-id"] == prev["snapshot-id"]
