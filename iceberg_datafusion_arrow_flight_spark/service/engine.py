@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 import uuid
 from collections import OrderedDict
 from dataclasses import dataclass, field
@@ -116,6 +117,13 @@ class EngineService:
     # df_settings at lib.rs:92; settings arrive via SessionConfig
     # env/SET).  Keyed token → {datafusion key → value}.
     df_overrides: dict[str, dict[str, str]] = field(default_factory=dict)
+    # The gRPC Flight server dispatches calls from a THREAD POOL, so the
+    # shared maps above mutate concurrently; the results OrderedDict is
+    # the dangerous one (move_to_end/popitem race-corrupt its linked
+    # list).  One lock guards all map mutation — Spark execution itself
+    # stays OUTSIDE the lock, so long queries never serialize sessions.
+    _lock: threading.Lock = field(default_factory=threading.Lock,
+                                  repr=False)
 
     # ------------------------------------------------------------ auth
     def handshake(self, username: str, password: str) -> str:
@@ -370,10 +378,11 @@ class EngineService:
             df = self._dataframe(st, session)
             st.schema = df.schema
             table = df.toArrow()
-        self.results[handle] = table
-        self.results.move_to_end(handle)
-        while len(self.results) > self.max_cached_results:
-            self.results.popitem(last=False)
+        with self._lock:
+            self.results[handle] = table
+            self.results.move_to_end(handle)
+            while len(self.results) > self.max_cached_results:
+                self.results.popitem(last=False)
         return handle
 
     def execute_update(self, token: str, handle: str) -> int:
@@ -405,7 +414,8 @@ class EngineService:
         if handle in self.statements:
             self._owned(token, handle)
         try:
-            return self.results[handle]
+            with self._lock:
+                return self.results[handle]
         except KeyError:
             raise KeyError(f"no cached result for handle {handle}") from None
 
@@ -413,8 +423,9 @@ class EngineService:
     def close_prepared_statement(self, token: str, handle: str) -> None:
         if handle in self.statements:
             self._owned(token, handle)
-        self.statements.pop(handle, None)
-        self.results.pop(handle, None)
+        with self._lock:
+            self.statements.pop(handle, None)
+            self.results.pop(handle, None)
 
     def close_session(self, token: str) -> None:
         self.sessions.pop(token, None)

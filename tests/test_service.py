@@ -333,3 +333,44 @@ def test_describe_statement_shape(table_service):
     assert "o_orderkey" in cols and "o_totalprice" in cols
     assert set(rows[0].keys()) == {"column_name", "data_type",
                                    "is_nullable"}
+
+
+def test_concurrent_clients_stress_cache_and_sessions(service):
+    """The Flight front door dispatches from a gRPC THREAD POOL: eight
+    client threads hammer handshake → prepare → execute → fetch →
+    close concurrently against a 4-entry result cache, so evictions,
+    insertions, and move_to_end interleave constantly.  Every thread
+    must read back ITS OWN correct result every iteration (no
+    cross-contamination, no corrupted cache structure, no exceptions).
+    The results OrderedDict is exactly the structure concurrent
+    move_to_end/popitem would corrupt without the engine lock."""
+    import threading
+
+    errors: list[str] = []
+
+    def client(i: int) -> None:
+        try:
+            token = service.handshake("admin", "secret")
+            for j in range(6):
+                n = 10 + (i * 6 + j) % 17
+                h = service.create_prepared_statement(
+                    token, f"SELECT CAST(SUM(id) AS BIGINT) AS n"
+                           f" FROM range({n})")
+                service.execute(token, h)
+                got = service.fetch(token, h).column("n")[0].as_py()
+                want = n * (n - 1) // 2
+                if got != want:
+                    errors.append(f"client {i} iter {j}: {got} != {want}")
+                service.close_prepared_statement(token, h)
+            service.close_session(token)
+        except Exception as exc:           # noqa: BLE001 — surface it
+            errors.append(f"client {i}: {exc!r}")
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors[:5]
+    assert not service.sessions            # every session closed
+    assert not service.statements
