@@ -1255,6 +1255,76 @@ def test_wap_stage_audit_publish(catalog, spark):
     assert t.read(spark).count() == 4                 # main kept its own
 
 
+def test_concurrent_wap_publish_vs_main_append_never_drops_commits(
+        catalog, spark):
+    """A publisher fast-forwarding a staged branch races a writer
+    appending to main.  Whichever serialization the CAS picks, main
+    must NEVER lose the appender's commit: if the publish landed first
+    the append chains onto the published head (both visible); if the
+    append landed first the histories diverged and the publish must
+    refuse loudly (staged rows stay invisible).  Silent row loss on
+    either side is the bug this guards against."""
+    import threading
+
+    from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+        CommitFailedError,
+    )
+
+    base = spark.createDataFrame([(k,) for k in range(10)], "id long")
+    staged = spark.createDataFrame([(k,) for k in range(100, 110)],
+                                   "id long").localCheckpoint()
+    mextra = spark.createDataFrame([(k,) for k in range(200, 210)],
+                                   "id long").localCheckpoint()
+    t = catalog.create_table("ns", "wap_race", base)
+    t.append(base)
+    t.append_to_branch(staged, "audit")
+    errors: list[str] = []
+    outcome = {"published": False}
+
+    def appender():
+        try:
+            for _ in range(20):
+                try:
+                    t.append(mextra)
+                    return
+                except CommitFailedError:
+                    continue
+            errors.append("appender gave up")
+        except Exception as exc:             # noqa: BLE001
+            errors.append(repr(exc))
+
+    def publisher():
+        try:
+            for _ in range(5):
+                try:
+                    t.publish_branch("audit")
+                    outcome["published"] = True
+                    return
+                except CommitFailedError as e:
+                    if "descend" in str(e):   # diverged: the loud path
+                        return
+            errors.append("publisher: CAS thrash without divergence")
+        except Exception as exc:             # noqa: BLE001
+            errors.append(repr(exc))
+
+    ths = [threading.Thread(target=appender),
+           threading.Thread(target=publisher)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join(timeout=300)
+    assert not errors, errors
+    ids = sorted(r.id for r in t.read(spark).collect())
+    main_expected = list(range(10)) + list(range(200, 210))
+    if outcome["published"]:
+        assert ids == list(range(10)) + list(range(100, 110)) \
+            + list(range(200, 210))
+    else:
+        assert ids == main_expected           # staged rows stayed out
+        # the branch is intact and re-publishable from a fresh base:
+        assert t.resolve_ref("audit") is not None
+
+
 def test_wap_branch_carries_mor_deletes(catalog, spark):
     """A branch append inherits the BRANCH head's merge-on-read delete
     state, and publishing carries it to main intact."""
