@@ -639,6 +639,40 @@ def test_zorder_compaction_beats_linear_sort_on_second_dim(catalog, spark):
     assert sorted(map(tuple, zor.read(spark).collect())) == sorted(rows)
 
 
+def test_zorder_key_bit_layout_matches_reference(spark):
+    """The interleave contract, pinned bit-for-bit against a python
+    model: 16-bit min-max ranks (floor semantics, clamped), bit j of
+    column c at position j·d + c, NULL keys ranked 0.  Any drift in the
+    rank formula or bit placement silently degrades clustering quality
+    — this makes it loud instead."""
+    from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+        _with_zorder_key,
+    )
+
+    rows = [(x, y) for x in [0, 1, 7, 13, 40] for y in [3, None, 29]]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r["x"], r["y"]): r["__z"]
+           for r in _with_zorder_key(df, ["x", "y"]).collect()}
+
+    xs = [x for x, _ in rows]
+    ys = [y for _, y in rows if y is not None]
+    lo_x, hi_x = min(xs), max(xs)
+    lo_y, hi_y = min(ys), max(ys)
+
+    def rank(v, lo, hi):
+        if v is None:
+            v = lo
+        return max(0, min(65535, int((v - lo) * 65535 / (hi - lo))))
+
+    for x, y in rows:
+        rx, ry = rank(x, lo_x, hi_x), rank(y, lo_y, hi_y)
+        want = 0
+        for j in range(16):
+            want |= ((rx >> j) & 1) << (2 * j)      # col 0 at j*d+0
+            want |= ((ry >> j) & 1) << (2 * j + 1)  # col 1 at j*d+1
+        assert got[(x, y)] == want, (x, y, rx, ry)
+
+
 def test_plan_files_multi_range_prune_is_and(catalog, spark):
     """A list of prune ranges applies every range (AND): each added
     range can only shrink the plan, and a single tuple stays the
