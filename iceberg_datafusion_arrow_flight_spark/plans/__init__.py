@@ -65,7 +65,7 @@ from . import tpch            # noqa: E402,F401
 #   remaining oracled entries + the dialect tail fit in the r05 window.
 #   r05 ledger — the EXACT 45 never-checked entries at r04 close
 #   (computed from CORRECTNESS_r01-03 ∪ the r04 window; 50-slot window
-#   fits all 45 + 5 re-check slots for any r04 reds).  Oracled (39):
+#   fits all 45 + 5 re-check slots for any r04 reds).  Oracled (38):
 #   the dialect tail ×13 (pg_cast_similar_to, distinct_on,
 #   function_aliases, prepared_params, date_bin_to_char,
 #   regexp_flag_to_char, at_time_zone, trunc_gcd_lcm_nanos,
@@ -79,7 +79,7 @@ from . import tpch            # noqa: E402,F401
 #   tpch q15 + q21, iceberg_metadata_tables, iceberg_zorder_compaction
 #   (new r04: bit-interleaved clustering rewrite + 2-D manifest prune),
 #   dedup_edit_distance (new r04: PassJoin bounded Levenshtein pairs).
-#   Rows-only by design (6, weaker check): sim_ann_lsh_topk,
+#   Rows-only by design (7, weaker check): sim_ann_lsh_topk,
 #   sim_ann_ivf_topk, sim_ann_ivf_kmeans, sim_ann_pq_topk,
 #   sim_embedding_near_dup_lsh, multimodal_resize, events_hll_sketch_
 #   merge — their hash-checkable witnesses (sim_ann_recall_report,
