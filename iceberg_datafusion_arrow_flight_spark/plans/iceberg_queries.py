@@ -614,8 +614,12 @@ SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        ROUND(SUM(o_totalprice), 2) AS total_price
 FROM orders
-WHERE o_orderkey <= (SELECT MIN(o_orderkey) + 999 FROM orders)
-  AND o_custkey  <= (SELECT MIN(o_custkey) + 149 FROM orders)
+WHERE o_orderkey <= (SELECT MIN(o_orderkey)
+       + CAST(FLOOR((MAX(o_orderkey) - MIN(o_orderkey)) / 8.0) AS BIGINT)
+       FROM orders)
+  AND o_custkey  <= (SELECT MIN(o_custkey)
+       + CAST(FLOOR((MAX(o_custkey) - MIN(o_custkey)) / 8.0) AS BIGINT)
+       FROM orders)
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """,
@@ -642,9 +646,12 @@ def iceberg_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cat.create_table("sales", "orders_zorder", orders)
     # hash-shuffled files: each spans ~the full range of both keys
     t.append(orders.repartition(4, "o_custkey"))
-    mins = orders.agg(F.min("o_orderkey"), F.min("o_custkey")).first()
-    box = [("o_orderkey", mins[0], mins[0] + 999),
-           ("o_custkey", mins[1], mins[1] + 149)]
+    # scale-relative 2-D corner box (1/8 of each key's span — selective
+    # at every fixture SF, same bounds the oracle derives in SQL)
+    b = orders.agg(F.min("o_orderkey"), F.max("o_orderkey"),
+                   F.min("o_custkey"), F.max("o_custkey")).first()
+    box = [("o_orderkey", b[0], b[0] + (b[1] - b[0]) // 8),
+           ("o_custkey", b[2], b[2] + (b[3] - b[2]) // 8)]
     files_before = len(t.plan_files(prune=box))
     t.compact(spark, target_files=16,
               zorder_by=["o_orderkey", "o_custkey"])
