@@ -124,6 +124,11 @@ class EngineService:
     # stays OUTSIDE the lock, so long queries never serialize sessions.
     _lock: threading.Lock = field(default_factory=threading.Lock,
                                   repr=False)
+    # qualified-name → view mapping per token (was a lazy hasattr init —
+    # two concurrent handshakes could both create the dict and one
+    # token's entry would vanish; a dataclass field has no such race)
+    _catalog_names_by_token: dict[str, dict[str, str]] = field(
+        default_factory=dict, repr=False)
 
     # ------------------------------------------------------------ auth
     def handshake(self, username: str, password: str) -> str:
@@ -152,8 +157,6 @@ class EngineService:
         kept PER TOKEN: a table created between two handshakes must not
         leak into the earlier session's rewrites (its session has no
         view for it)."""
-        if not hasattr(self, "_catalog_names_by_token"):
-            self._catalog_names_by_token: dict[str, dict[str, str]] = {}
         names: dict[str, str] = {}
         for ns, name in self.catalog.list_tables():
             view = f"{ns}__{name}"
