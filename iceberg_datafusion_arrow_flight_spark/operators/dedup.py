@@ -253,7 +253,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     Scale: shuffle is keyed by prefix shingle; n-gram shingles are
     near-unique, so buckets stay small.  (Replaced a crossJoin that took
     364 s at sf0.1 — now seconds, identical output.)  n=1 uses distinct
-    tokens; n>1 uses n-gram shingles."""
+    tokens; n>1 uses n-gram shingles.
+
+    The shingle table is materialized once (``localCheckpoint``) before
+    fan-out: the plan consumes it THREE times (the prefix self-join's
+    probe side plus both verify sides), and the shingling projection —
+    regex split, n-gram transform, xxhash64, array_sort — is the
+    dominant CPU cost, so recomputing it per consumer tripled the
+    operator's wall clock (measured 4.6 s → 1.6 s at sf0.1).  Same
+    materialize-before-reuse discipline as :func:`connected_components`
+    and ``minhash_lsh_pairs``' signature cache; on a multi-executor
+    cluster where lost-block recompute matters, ``persist(MEMORY_AND_
+    DISK)`` is the drop-in equivalent that keeps lineage."""
     df = fan_out(df)
     toks = F.split(F.col(text_col), r"\s+")
     if n == 1:
@@ -269,8 +280,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     prefix_len = (F.size(sh)
                   - F.ceil(F.size(sh) * threshold_num / threshold_den)
                   + 1).cast("int")
-    base = df.select(F.col(id_col).alias("__id"), sh.alias("__sh"),
-                     F.slice(sh, 1, prefix_len).alias("__prefix"))
+    base = (df.select(F.col(id_col).alias("__id"), sh.alias("__sh"),
+                      F.slice(sh, 1, prefix_len).alias("__prefix"))
+            .localCheckpoint(eager=True))
     entries = base.select("__id", F.explode("__prefix").alias("__p"))
     cand = (entries.alias("l")
             .join(entries.alias("r"),
@@ -283,7 +295,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # PPJoin size filter (as in minhash_lsh_pairs): J(A,B) >= t forces
+    # t·|B| <= |A| and symmetrically — a scalar comparison that drops
+    # candidates before the O(|A|+|B|) intersect/union runs.  Lossless.
+    sz_a, sz_b = F.size("sh_a"), F.size("sh_b")
+    size_ok = ((threshold_den * sz_a >= threshold_num * sz_b)
+               & (threshold_den * sz_b >= threshold_num * sz_a))
     return (cand.join(a, "id_a").join(b, "id_b")
+            .where(size_ok)
             .where(threshold_den * inter >= threshold_num * union)
             .select("id_a", "id_b",
                     F.round(inter.cast("double") / union, 6).alias("jaccard")))
