@@ -53,6 +53,13 @@ HEADLINE = [
     "agg_grouping_sets",
     "join_non_equi_range",
     "dialect_distinct_on",
+    # r4 additions: the round's new heavy/witness entries, so every
+    # expensive family keeps a per-round bench row (their solo
+    # min-of-2-cold seeds are in PERFORMANCE.md r4 / bench_extra).
+    "dedup_edit_distance",
+    "iceberg_zorder_compaction",
+    "sim_ann_recall_report",
+    "service_flight_roundtrip",
 ]
 
 
@@ -86,7 +93,7 @@ def main() -> None:
                       "dedup_cluster_components", "sim_topk_cosine",
                       "sim_ann_ivf_topk", "sim_ann_pq_topk",
                       "sim_semantic_dedup", "pipeline_decontaminate",
-                      "pipeline_end_to_end")]
+                      "pipeline_end_to_end", "dedup_edit_distance")]
 
     def run(name: str) -> float:
         t0 = time.perf_counter()

@@ -531,7 +531,13 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
 
     - index side: each doc's k+1 segments, keyed (segment#, text);
     - probe side: each doc's substrings at every position a partner
-      segment could land.  Across partner lengths l ∈ [L−k, L+k] the
+      segment could land.  Probing is LENGTH-ORDERED: for a pair with
+      |a| ≤ |b| the pigeonhole argument applies to the SHORTER string's
+      segments (≤ k of a's k+1 segments are touched by the edits, and
+      the survivor lands in b displaced ≤ k), so it suffices for each
+      doc to probe partner lengths l ∈ [L−k, L] — partners no longer
+      than itself; equal-length pairs are generated from both ends and
+      collapse in the pair ``distinct``.  Across that l-range the
       segment start ``seg_start(l, i)`` is monotone in l, so for each
       segment# the reachable (start ± k displacement, seg length)
       windows form a CONTIGUOUS interval sweep — emitted directly as
@@ -540,7 +546,8 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
       per-l enumeration (lossless: extra windows only ADD candidates)
       and sidesteps materializing the raw (2k+1)²·(k+1) struct array
       plus an O(m²) struct ``array_distinct`` per row — fan-out is
-      ~O(k²) windows per doc by construction.
+      ~O(k²) windows per doc by construction, roughly halved by the
+      one-direction sweep vs the symmetric l ∈ [L−k, L+k] form.
 
     Exactness: the filter is lossless (superset of qualifying pairs
     — position-free matching only ADDS candidates), and every candidate
@@ -583,7 +590,10 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
              .select(F.col("__id").alias("id_i"),
                      F.col("e.i"), F.col("e.seg")))
 
-    # --- probe side: candidate windows for every partner length.
+    # --- probe side: candidate windows for every SHORTER-OR-EQUAL
+    # partner length (the pigeonhole lemma pins the shorter string's
+    # segments, so probing l ∈ [L−k, L] finds every pair from its longer
+    # end; equal lengths generate both directions and dedup).
     # seg_start(l, i) is monotone nondecreasing in l, so the union of
     # displaced starts over l ∈ [lmin, lmax] is the single interval
     # [seg_start(lmin, i) − k, seg_start(lmax, i) + k]; seg lengths over
@@ -591,7 +601,7 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
     # sweeps are supersets of the exact per-l set — lossless, and no
     # struct array_distinct (quadratic per row) is ever needed.
     lmin = F.greatest(L - k, F.lit(nseg))
-    lmax = L + k
+    lmax = L
     windows = F.flatten(F.transform(
         iseq,
         lambda i: F.flatten(F.transform(

@@ -945,3 +945,56 @@ def test_edit_distance_pairs_boundary_cases(spark):
     assert got[(2, 3)] == 4 if (2, 3) in got else True
     assert all(4 not in p for p in got)   # k+1-or-worse: absent
     assert all(5 not in p and 6 not in p for p in got)  # short: excluded
+
+
+def test_edit_distance_pairs_matches_exhaustive_random(spark):
+    """PassJoin == the exhaustive O(n²) join on a seeded random corpus
+    whose pairs span every length relation (|a|<|b|, =, >) — the
+    direction the length-ordered probe sweep (lmax = L) must cover from
+    the longer end, plus equal-length pairs that both ends generate."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iceberg_datafusion_arrow_flight_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    rng = random.Random(20260815)
+    alpha = "abcd "
+    k = 4
+    docs = []
+    base_pool = ["".join(rng.choice(alpha) for _ in range(rng.randint(6, 28)))
+                 for _ in range(12)]
+    doc_id = 0
+    for b in base_pool:
+        docs.append((doc_id, b)); doc_id += 1
+        # mutated siblings: substitutions, insertions, deletions in
+        # varying counts so true distances straddle k in both length
+        # directions
+        for _ in range(3):
+            s = list(b)
+            for _ in range(rng.randint(1, k + 2)):
+                op = rng.choice("sid")
+                if op == "s" and s:
+                    s[rng.randrange(len(s))] = rng.choice(alpha)
+                elif op == "i":
+                    s.insert(rng.randrange(len(s) + 1), rng.choice(alpha))
+                elif s:
+                    del s[rng.randrange(len(s))]
+            docs.append((doc_id, "".join(s))); doc_id += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {(r.id_a, r.id_b): r.edit_distance
+           for r in edit_distance_pairs(df, k=k).collect()}
+
+    lowered = [(i, t.lower()) for i, t in docs if len(t) >= k + 1]
+    a = spark.createDataFrame(lowered, "id_a long, sa string")
+    b = spark.createDataFrame(lowered, "id_b long, sb string")
+    exhaustive = {(r.id_a, r.id_b): r.d
+                  for r in a.crossJoin(b)
+                  .where(F.col("id_a") < F.col("id_b"))
+                  .withColumn("d", F.levenshtein("sa", "sb").cast("int"))
+                  .where(F.col("d") <= k)
+                  .select("id_a", "id_b", "d").collect()}
+    assert got == exhaustive
