@@ -63,9 +63,12 @@ from . import tpch            # noqa: E402,F401
 #   service_flight_roundtrip (TPC-H Q1 through the real gRPC Flight SQL
 #   conversation).  After r04: cumulative 191/233 checked; the ~35
 #   remaining oracled entries + the dialect tail fit in the r05 window.
-#   r05 ledger — the EXACT 45 never-checked entries at r04 close
+#   r05 ledger — the EXACT 47 never-checked entries at r04 close
 #   (computed from CORRECTNESS_r01-03 ∪ the r04 window; 50-slot window
-#   fits all 45 + 5 re-check slots for any r04 reds).  Oracled (38):
+#   fits all 47 + 3 re-check slots for any r04 reds).  Oracled (40):
+#   sim_ann_lsh_recall_report + sim_ann_pq_recall_report (late-r04:
+#   the LSH and PQ recall witnesses completing the ANN triple — each
+#   two-scale gate-verified bit-exact on arrival), plus:
 #   the dialect tail ×13 (pg_cast_similar_to, distinct_on,
 #   function_aliases, prepared_params, date_bin_to_char,
 #   regexp_flag_to_char, at_time_zone, trunc_gcd_lcm_nanos,

@@ -36,6 +36,9 @@ R4_LIST = [
     # new this round
     "sim_ann_recall_report",
     "service_flight_roundtrip",
+    # late-r4: the LSH and PQ recall witnesses completing the ANN triple
+    "sim_ann_lsh_recall_report",
+    "sim_ann_pq_recall_report",
 ]
 
 
