@@ -998,3 +998,66 @@ def test_edit_distance_pairs_matches_exhaustive_random(spark):
                   .where(F.col("d") <= k)
                   .select("id_a", "id_b", "d").collect()}
     assert got == exhaustive
+
+
+def test_ngram_jaccard_pairs_matches_exhaustive_random(spark):
+    """The PPJoin prefix filter + size filter + checkpointed shingle
+    table are lossless: ngram_jaccard_pairs == the exhaustive cross-join
+    Jaccard on a seeded random corpus, at both n=1 (token sets) and n=3
+    (shingle sets) and two thresholds."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iceberg_datafusion_arrow_flight_spark.operators import dedup
+
+    rng = random.Random(4407)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    doc_id = 0
+    for _ in range(10):
+        base = [rng.choice(vocab) for _ in range(rng.randint(6, 20))]
+        docs.append((doc_id, " ".join(base))); doc_id += 1
+        # near-duplicate siblings: light token edits so true Jaccard
+        # straddles the thresholds
+        for _ in range(2):
+            s = list(base)
+            for _ in range(rng.randint(0, 4)):
+                op = rng.choice("sid")
+                if op == "s":
+                    s[rng.randrange(len(s))] = rng.choice(vocab)
+                elif op == "i":
+                    s.insert(rng.randrange(len(s) + 1), rng.choice(vocab))
+                elif len(s) > 5:
+                    del s[rng.randrange(len(s))]
+            docs.append((doc_id, " ".join(s))); doc_id += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for n, tn, td in ((1, 8, 10), (3, 7, 10)):
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in dedup.ngram_jaccard_pairs(
+                   df, "doc_id", "text", n=n,
+                   threshold_num=tn, threshold_den=td).collect()}
+
+        # exhaustive twin: the SAME shingle spelling, no prefix filter
+        toks = F.split(F.col("text"), r"\s+")
+        if n == 1:
+            sh = F.array_distinct(toks)
+        else:
+            idx = F.sequence(F.lit(0), F.size(toks) - n)
+            sh = F.array_distinct(F.transform(
+                idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
+        sh = F.array_sort(F.transform(sh, lambda t: F.xxhash64(t)))
+        s = df.select("doc_id", sh.alias("sh"))
+        a = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = s.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        exp = {(r.id_a, r.id_b): r.j
+               for r in a.crossJoin(b)
+               .where(F.col("id_a") < F.col("id_b"))
+               .where(td * inter >= tn * union)
+               .select("id_a", "id_b",
+                       F.round(inter.cast("double") / union, 6).alias("j"))
+               .collect()}
+        assert got == exp, f"n={n} t={tn}/{td}"

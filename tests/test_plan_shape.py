@@ -471,3 +471,15 @@ def test_edit_distance_candidates_equi_join_no_python(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_ann_witness_reports_no_python(spark, sf_dir):
+    """The three ANN recall witnesses (IVF/LSH/PQ) stay JVM-side: bucket
+    and codebook math is literal-folded expression, candidates come from
+    equi-joins (LSH buckets / IVF cells) or the documented broadcast of
+    the query side — never a row-at-a-time Python eval."""
+    for name in ("sim_ann_recall_report", "sim_ann_lsh_recall_report",
+                 "sim_ann_pq_recall_report"):
+        plan = _explain(REGISTRY[name].build(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
