@@ -164,16 +164,33 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
     Scale: each table contributes a bucket-equi-join (shuffle keyed by
     bucket id); candidate multiset is unioned, deduped, reranked.  The
-    query×corpus product never materializes."""
+    query×corpus product never materializes.  All ``n_tables`` corpus
+    bucket ids are computed in ONE projection and the result
+    materialized (``localCheckpoint``) before the per-table self-joins —
+    the union's branches would otherwise each re-scan the corpus and
+    re-run the cast/normalize projection (the same
+    materialize-before-reuse discipline as ``ngram_jaccard_pairs``'
+    shingle table).  At sf0.1 the scan is cheap so the measured gain is
+    modest (min-of-3-cold 5.77 → 5.38 s on the 8-table default); the
+    point is the shape — 1 corpus scan instead of ``n_tables`` — which
+    is what survives when the corpus is the expensive side.  On a
+    multi-executor cluster ``persist(MEMORY_AND_DISK)`` is the drop-in
+    equivalent that keeps lineage."""
     q = queries.select(F.col(query_id).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
     c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
                                _as_double(F.col(vec_col)).alias("cv"))
+    qb = q.select(
+        "query_id", "qv",
+        *[lsh_bucket(F.col("qv"), n_planes, dims, t).alias(f"__b{t}")
+          for t in range(n_tables)])
+    cb = c.select(
+        "corpus_id", "cv",
+        *[lsh_bucket(F.col("cv"), n_planes, dims, t).alias(f"__b{t}")
+          for t in range(n_tables)]).localCheckpoint(eager=False)
     cands = None
     for t in range(n_tables):
-        qb = q.withColumn("bucket", lsh_bucket(F.col("qv"), n_planes, dims, t))
-        cb = c.withColumn("bucket", lsh_bucket(F.col("cv"), n_planes, dims, t))
-        cand = (qb.join(cb, "bucket")
+        cand = (qb.join(cb, qb[f"__b{t}"] == cb[f"__b{t}"])
                 .where(F.col("query_id") != F.col("corpus_id"))
                 .select("query_id", "corpus_id", "qv", "cv"))
         cands = cand if cands is None else cands.unionAll(cand)
