@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .partitioning import fan_out
+from .partitioning import checkpoint_partitioned, fan_out
 
 
 def normalize_text(col: Column) -> Column:
@@ -404,7 +404,13 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     e = (edges.select(F.col(src).cast("long").alias("a"),
                       F.col(dst).cast("long").alias("b"))
          .localCheckpoint(eager=True))
-    und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Materialize the mirrored list hash-partitioned on the GROUP key:
+    # the label side of each round's neighbor join broadcasts (state is
+    # O(nodes)), so the min-agg inherits this partitioning and runs
+    # exchange-free — one up-front shuffle serves every round.
+    und = checkpoint_partitioned(
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))),
+        "a")
     labels = (und.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     prev_sum = None

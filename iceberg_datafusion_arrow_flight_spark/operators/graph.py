@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import checkpoint_partitioned
+
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 5, damping: float = 0.85,
@@ -113,8 +115,15 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     base = base.localCheckpoint(eager=True)
     # Pre-join the out-degree into the edge list ONCE: each round's
     # contribution join then touches a single table keyed on the
-    # source id instead of re-joining deg every iteration.
-    ew = e.join(deg, "a").localCheckpoint(eager=True)
+    # source id instead of re-joining deg every iteration.  The
+    # checkpoint is hash-partitioned on the DESTINATION key: the rank
+    # side of the contribution join broadcasts (state is O(nodes)), a
+    # broadcast join preserves the probe side's partitioning, and the
+    # dst-keyed aggregation then needs no exchange — every round
+    # reuses the one up-front shuffle.  (If ranks ever outgrew
+    # broadcast, partitioning on the SOURCE key to co-locate the join
+    # would be the right trade instead.)
+    ew = checkpoint_partitioned(e.join(deg, "a"), "b")
     ranks = base.select("node", F.col("__reset").alias("rank"))
     # Checkpoint cadence was A/B'd at sf0.1: per-round eager
     # checkpointing beat an every-other-round variant (5.2 s vs 5.8 s

@@ -35,3 +35,32 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def checkpoint_partitioned(df: DataFrame, *keys: str) -> DataFrame:
+    """Eager ``localCheckpoint`` that KEEPS a hash partitioning on
+    ``keys`` visible to the planner.
+
+    ``Dataset.localCheckpoint`` captures the materialized plan's output
+    partitioning into the resulting ``LogicalRDD`` — but only when the
+    plan is not wrapped in ``AdaptiveSparkPlanExec`` (AQE reports
+    ``UnknownPartitioning``, so the capture degrades and every
+    downstream join/agg on ``keys`` re-shuffles).  This helper disables
+    AQE for just the checkpoint materialization and restores it, so a
+    driver-loop operator can pay ONE up-front shuffle of its static
+    table and run every iteration's ``groupBy(keys)`` (or co-located
+    join) exchange-free — verified by plan inspection: the per-round
+    ENSURE_REQUIREMENTS exchange disappears.
+
+    The conf flip is session-wide for its (short) duration: a query
+    planned concurrently in the same session would plan without AQE —
+    a performance nuance, never a correctness one.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.repartition(*[df[k] for k in keys]).localCheckpoint(
+            eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

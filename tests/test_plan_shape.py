@@ -483,3 +483,32 @@ def test_ann_witness_reports_no_python(spark, sf_dir):
         plan = _explain(REGISTRY[name].build(spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_checkpoint_partitioned_round_is_exchange_free(spark):
+    """Iterative driver loops (pagerank, connected_components) pay ONE
+    up-front shuffle of their static edge table via
+    checkpoint_partitioned; every round's broadcast-join + keyed agg
+    must then plan with ZERO non-broadcast exchanges — the captured
+    HashPartitioning survives the localCheckpoint (it would not under
+    AQE, which is why the helper materializes with AQE off)."""
+    from pyspark.sql import functions as F
+    from iceberg_datafusion_arrow_flight_spark.operators.partitioning import (
+        checkpoint_partitioned)
+    e = (spark.range(20000)
+         .select((F.col("id") % 97).alias("a"), (F.col("id") % 131).alias("b"))
+         .localCheckpoint(eager=True))
+    und = checkpoint_partitioned(
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))),
+        "a")
+    labels = (und.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint(eager=True))
+    neigh = (und.join(F.broadcast(labels), und["b"] == labels["node"])
+             .groupBy("a").agg(F.min("label").alias("__nl")))
+    plan = _explain(neigh, mode="simple")
+    import re
+    non_broadcast = [m for m in re.findall(r"\w*Exchange\w*", plan)
+                     if "Broadcast" not in m]
+    assert non_broadcast == [], plan
+    # AQE flag restored after the helper ran
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
