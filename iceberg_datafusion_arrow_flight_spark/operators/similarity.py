@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .partitioning import fan_out
+from .partitioning import checkpoint_partitioned, fan_out
 from pyspark.sql.window import Window
 
 
@@ -450,16 +450,22 @@ def pq_codebooks(corpus: DataFrame, corpus_id: str, vec_col: str,
     books = [[(j + 1, list(r["__nv"][s * d:(s + 1) * d]))
               for j, r in enumerate(init)] for s in range(m)]
     if iters > 0:
-        # explode once, checkpoint flat: every iteration re-reads the
-        # (id, s, sub) rows instead of re-slicing the corpus
-        subs = (base.select(
-                    "__id",
-                    F.explode(F.array(*[
-                        F.struct(F.lit(s).cast("int").alias("s"),
-                                 F.slice("__nv", s * d + 1, d).alias("sub"))
-                        for s in range(m)])).alias("e"))
-                .select("__id", "e.s", "e.sub")
-                .localCheckpoint(eager=True))
+        # explode once, checkpoint flat AND pre-partitioned on the
+        # argmin group key: every iteration re-reads the (id, s, sub)
+        # rows instead of re-slicing the corpus, and because the
+        # codebook join broadcasts, the per-iteration
+        # groupBy(__id, s) min_by — whose exchange would carry the
+        # full n·m exploded subvector volume — plans exchange-free
+        # (see partitioning.checkpoint_partitioned)
+        subs = checkpoint_partitioned(
+            base.select(
+                "__id",
+                F.explode(F.array(*[
+                    F.struct(F.lit(s).cast("int").alias("s"),
+                             F.slice("__nv", s * d + 1, d).alias("sub"))
+                    for s in range(m)])).alias("e"))
+            .select("__id", "e.s", "e.sub"),
+            "__id", "s")
         d2 = F.aggregate(F.zip_with("sub", "cent", lambda a, b: (a - b) * (a - b)),
                          F.lit(0.0), lambda acc, x: acc + x)
         for _ in range(iters):
