@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .partitioning import checkpoint_partitioned, fan_out
+from .partitioning import checkpoint_partitioned, fan_out, fits_broadcast
 
 
 def normalize_text(col: Column) -> Column:
@@ -135,7 +135,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     one pathological bucket can dominate the job).  Leave None for
     exact-oracle parity; set it when approximate recall is acceptable."""
     rows_per_band = max(1, len(range(n_hashes)) // bands)
-    sigs = minhash_signature(fan_out(df), id_col, text_col, n_hashes).cache()
+    # localCheckpoint, not cache(): the signatures feed the returned
+    # lazy plan three times (band table + both verify sides), so a
+    # cache() here could never be unpersisted by this function and
+    # would pin the CacheManager for the session's lifetime; the
+    # checkpoint's blocks are ContextCleaner-reclaimed once the caller
+    # drops the result (see operators/similarity.py:semantic_dedup).
+    sigs = minhash_signature(fan_out(df), id_col, text_col,
+                             n_hashes).localCheckpoint(eager=True)
     band_entries = sigs.select(
         "__id",
         F.explode(F.array(*[
@@ -211,7 +218,10 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     per-bucket size cap as the skew guard."""
     if n_chunks <= max_hamming:
         raise ValueError("need n_chunks > max_hamming for exact recall")
-    sigs = simhash(fan_out(df), id_col, text_col, bits).cache()
+    # localCheckpoint, not cache() — lazily-returned intermediate; see
+    # minhash_lsh_pairs for the unpersist-discipline rationale.
+    sigs = simhash(fan_out(df), id_col, text_col, bits).localCheckpoint(
+        eager=True)
     width = bits // n_chunks
     mask = (1 << width) - 1
     chunks = sigs.select(
@@ -383,7 +393,8 @@ def substring_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
-                         max_iterations: int = 25) -> DataFrame:
+                         max_iterations: int = 25,
+                         broadcast_state: bool | None = None) -> DataFrame:
     """Connected components over an undirected pair list by min-label
     propagation: every node starts labeled with itself; each round takes
     the min of its own and its neighbors' labels; at fixpoint the label
@@ -404,25 +415,45 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     e = (edges.select(F.col(src).cast("long").alias("a"),
                       F.col(dst).cast("long").alias("b"))
          .localCheckpoint(eager=True))
-    # Materialize the mirrored list hash-partitioned on the GROUP key:
-    # the label side of each round's neighbor join broadcasts (state is
-    # O(nodes)), so the min-agg inherits this partitioning and runs
-    # exchange-free — one up-front shuffle serves every round.
-    und = checkpoint_partitioned(
-        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))),
-        "a")
-    labels = (und.select(F.col("a").alias("node")).distinct()
-              .withColumn("label", F.col("node")))
+    # Two round regimes, decided once by whether the O(nodes) label
+    # state fits the broadcast threshold (see operators/graph.py for
+    # the twin decision in pagerank):
+    # broadcast — mirrored edge list hash-partitioned on the GROUP key;
+    # the label side of each round's neighbor join broadcasts (explicit
+    # hint — without it the planner silently picks SMJ above the auto
+    # threshold and re-shuffles the edge table every round), so the
+    # min-agg inherits the up-front partitioning and runs exchange-free.
+    # fallback — edge list partitioned on the JOIN key (b) and labels
+    # checkpointed partitioned on the node id each round: co-partitioned
+    # join (no exchange on the O(edges) side), the min-agg's O(nodes)
+    # partial-agg output is the only per-round shuffle.
+    mirrored = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Init via groupBy, NOT distinct().withColumn("label", node): a
+    # label that is a pure projection alias of node makes the fallback
+    # checkpoint capture its partitioning rewritten onto the ALIAS
+    # (hashpartitioning(label)), and the per-round join on node would
+    # silently re-exchange; min(a) per group is the same value but a
+    # distinct expression, so the captured key stays node.
+    labels0 = (mirrored.groupBy(F.col("a").alias("node"))
+               .agg(F.min("a").alias("label")))
+    if broadcast_state is None:
+        broadcast_state = fits_broadcast(labels0, labels0.count())
+    und = checkpoint_partitioned(mirrored, "a" if broadcast_state else "b")
+    labels = (labels0 if broadcast_state
+              else checkpoint_partitioned(labels0, "node"))
     prev_sum = None
     for _ in range(max_iterations):
-        neigh = (und.join(labels, und["b"] == labels["node"])
+        label_side = F.broadcast(labels) if broadcast_state else labels
+        neigh = (und.join(label_side, und["b"] == labels["node"])
                  .groupBy("a").agg(F.min("label").alias("__nl")))
         labels = (labels.join(neigh, labels["node"] == neigh["a"], "left")
                   .select(F.col("node"),
                           F.least(F.col("label"),
                                   F.coalesce(F.col("__nl"), F.col("label")))
-                          .alias("label"))
-                  .localCheckpoint(eager=True))
+                          .alias("label")))
+        labels = (labels.localCheckpoint(eager=True) if broadcast_state
+                  else checkpoint_partitioned(labels, "node"))
         s = labels.agg(F.sum("label")).first()[0]
         if s == prev_sum:
             return labels
@@ -462,8 +493,10 @@ def minhash_lsh_pairs_cross(left: DataFrame, right: DataFrame,
                 for b in range(bands)])).alias("e")
         ).select(f"{side}_id", f"{side}_tokens", "e.band", "e.bh")
 
-    lb = _bands(fan_out(left), "l").cache()
-    rb = _bands(fan_out(right), "r").cache()
+    # localCheckpoint, not cache() — lazily-returned intermediates; see
+    # minhash_lsh_pairs for the unpersist-discipline rationale.
+    lb = _bands(fan_out(left), "l").localCheckpoint(eager=True)
+    rb = _bands(fan_out(right), "r").localCheckpoint(eager=True)
     cand = (lb.join(rb, ["band", "bh"])
             .select("l_id", "r_id", "l_tokens", "r_tokens")
             .dropDuplicates(["l_id", "r_id"]))

@@ -22,13 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .partitioning import checkpoint_partitioned
+from .partitioning import checkpoint_partitioned, fits_broadcast
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 5, damping: float = 0.85,
              round_digits: int = 10,
-             reset: DataFrame | None = None) -> DataFrame:
+             reset: DataFrame | None = None,
+             broadcast_state: bool | None = None) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list.
 
     r_{k+1}(v) = (1-d)·reset(v) + d * Σ_{u→v} r_k(u) / outdeg(u)
@@ -113,18 +114,31 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                                 .otherwise(F.lit(0.0)),
                                 round_digits).alias("__reset")))
     base = base.localCheckpoint(eager=True)
-    # Pre-join the out-degree into the edge list ONCE: each round's
-    # contribution join then touches a single table keyed on the
-    # source id instead of re-joining deg every iteration.  The
-    # checkpoint is hash-partitioned on the DESTINATION key: the rank
-    # side of the contribution join broadcasts (state is O(nodes)), a
-    # broadcast join preserves the probe side's partitioning, and the
-    # dst-keyed aggregation then needs no exchange — every round
-    # reuses the one up-front shuffle.  (If ranks ever outgrew
-    # broadcast, partitioning on the SOURCE key to co-locate the join
-    # would be the right trade instead.)
-    ew = checkpoint_partitioned(e.join(deg, "a"), "b")
+    # Two per-round regimes, decided once by whether the O(nodes) rank
+    # state fits the session broadcast threshold (overridable):
+    #
+    # broadcast regime — pre-join the out-degree into the edge list
+    # ONCE and checkpoint it hash-partitioned on the DESTINATION key:
+    # the rank side of the contribution join broadcasts (explicit
+    # F.broadcast hint — above the auto threshold the planner would
+    # otherwise silently fall back to SMJ and re-shuffle the edge
+    # table every round), a broadcast join preserves the probe side's
+    # partitioning, and the dst-keyed aggregation then needs no
+    # exchange — zero per-round shuffles after the one up-front.
+    #
+    # fallback regime (state too big to broadcast) — checkpoint the
+    # edge table partitioned on the SOURCE key and each round's ranks
+    # partitioned on the node id: the contribution join is then
+    # co-partitioned (no exchange on the O(edges) side, ever); the
+    # only per-round shuffle is the dst-keyed aggregation's O(nodes)
+    # partial-agg output — the floor for message-passing by key.
+    if broadcast_state is None:
+        broadcast_state = fits_broadcast(nodes, nodes.count())
+    ew = checkpoint_partitioned(e.join(deg, "a"),
+                                "b" if broadcast_state else "a")
     ranks = base.select("node", F.col("__reset").alias("rank"))
+    if not broadcast_state:
+        ranks = checkpoint_partitioned(ranks, "node")
     # Checkpoint cadence was A/B'd at sf0.1: per-round eager
     # checkpointing beat an every-other-round variant (5.2 s vs 5.8 s
     # min-of-2) — skipping a barrier makes the next materialization
@@ -132,7 +146,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # the barrier saved.  Per-round is also what keeps plan depth
     # constant at any iteration count.
     for _ in range(iterations):
-        contrib = (ew.join(ranks, ew["a"] == ranks["node"])
+        rank_side = F.broadcast(ranks) if broadcast_state else ranks
+        contrib = (ew.join(rank_side, ew["a"] == ranks["node"])
                    .groupBy(F.col("b"))
                    .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__m")))
         incoming = F.coalesce(F.col("__m"), F.lit(0.0))
@@ -149,6 +164,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                  .select("node",
                          F.round(F.lit(1.0 - damping) * F.col("__reset")
                                  + F.lit(damping) * incoming,
-                                 round_digits).alias("rank"))
-                 .localCheckpoint(eager=True))
+                                 round_digits).alias("rank")))
+        ranks = (ranks.localCheckpoint(eager=True) if broadcast_state
+                 else checkpoint_partitioned(ranks, "node"))
     return ranks

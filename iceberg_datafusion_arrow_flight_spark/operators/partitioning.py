@@ -19,7 +19,17 @@ anyway; pure scan→project pipelines keep their exchange-free plans.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
+
+# Serializes the AQE conf flip in :func:`checkpoint_partitioned`.  Two
+# concurrent callers could otherwise interleave save/flip/restore so one
+# captures prev='false' (the other's transient state) and "restores" it,
+# leaving AQE disabled session-wide forever.  Materialization blocks the
+# calling thread anyway, so the lock costs nothing beyond serializing
+# concurrent checkpoints — which the conf flip already required.
+_AQE_FLIP_LOCK = threading.Lock()
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -35,6 +45,35 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def _parse_spark_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string ('10485760', '10MB', '1g',
+    '-1') into bytes; negative means broadcast disabled."""
+    v = value.strip().lower()
+    for suffix, mult in (("tb", 2**40), ("gb", 2**30), ("mb", 2**20),
+                         ("kb", 2**10), ("t", 2**40), ("g", 2**30),
+                         ("m", 2**20), ("k", 2**10), ("b", 1)):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)]) * mult)
+    return int(v)
+
+
+def fits_broadcast(df: DataFrame, n_rows: int, bytes_per_row: int = 32
+                   ) -> bool:
+    """True iff an iteration-state side of ``n_rows`` (node, value)
+    rows fits the session's ``autoBroadcastJoinThreshold``.
+
+    Iterative operators (pagerank, connected components, PQ Lloyd)
+    keep O(nodes) state and join it against a checkpointed O(edges)
+    table every round; whether the state side can broadcast decides
+    the whole round shape (see the callers).  ``bytes_per_row`` is a
+    conservative estimate for a (long, double) row in an unsafe-row
+    hash relation."""
+    raw = df.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10MB")
+    threshold = _parse_spark_bytes(raw)
+    return threshold > 0 and n_rows * bytes_per_row <= threshold
 
 
 def checkpoint_partitioned(df: DataFrame, *keys: str) -> DataFrame:
@@ -54,13 +93,17 @@ def checkpoint_partitioned(df: DataFrame, *keys: str) -> DataFrame:
 
     The conf flip is session-wide for its (short) duration: a query
     planned concurrently in the same session would plan without AQE —
-    a performance nuance, never a correctness one.
+    a performance nuance, never a correctness one.  Concurrent
+    *checkpoint* callers are serialized by :data:`_AQE_FLIP_LOCK` so
+    interleaved save/flip/restore can never capture another caller's
+    transient 'false' and persist it past the helper's return.
     """
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return df.repartition(*[df[k] for k in keys]).localCheckpoint(
-            eager=True)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    with _AQE_FLIP_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.repartition(*[df[k] for k in keys]).localCheckpoint(
+                eager=True)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -187,7 +187,7 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     cb = c.select(
         "corpus_id", "cv",
         *[lsh_bucket(F.col("cv"), n_planes, dims, t).alias(f"__b{t}")
-          for t in range(n_tables)]).localCheckpoint(eager=False)
+          for t in range(n_tables)]).localCheckpoint(eager=True)
     cands = None
     for t in range(n_tables):
         cand = (qb.join(cb, qb[f"__b{t}"] == cb[f"__b{t}"])
@@ -588,7 +588,15 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     cents = kmeans_centroids(df, id_col, vec_col, k=n_clusters,
                              iters=train_iters)
     cdf = spark.createDataFrame(cents, "__cell INT, __cent_vec ARRAY<DOUBLE>")
-    assigned = ivf_assign(base, cdf, "__v", nprobe=1).cache()
+    # localCheckpoint, not cache(): the returned plan references this
+    # relation lazily, so a Dataset.cache() could never be unpersisted
+    # by this function and would pin blocks in the CacheManager for the
+    # session's lifetime.  A checkpoint's blocks are reclaimed by the
+    # ContextCleaner once the caller drops the result — the release
+    # discipline available for lazily-returned intermediates (the gate
+    # harness asserts the CacheManager stays empty after every entry).
+    assigned = ivf_assign(base, cdf, "__v", nprobe=1).localCheckpoint(
+        eager=True)
     a = assigned.select(F.col("__cell").alias("cell"),
                         F.col("__id").alias("id_a"),
                         F.col("__v").alias("va"))

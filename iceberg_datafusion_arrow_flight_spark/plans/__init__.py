@@ -119,49 +119,60 @@ from . import tpch            # noqa: E402,F401
 #   agg_approx_within_tolerance, diag_key_skew_profile, rows-only ANN
 #   family (weaker rows by design).  All new entries return scalar-only
 #   result columns (window guard applies before any rotation).
+#   r05 growth note: registry growth resumed AFTER the window was pinned
+#   (the freeze only ever protected the window's 50 slots — _PRIORITY
+#   fixes those regardless of later registrations, which append after
+#   position 50).  New this round, all local-two-scale-gated on arrival,
+#   forming the r06 never-checked pool: iceberg_rest_mor_upsert (MOR
+#   DML through the REST catalog), service_flight_ddl_update (update -1
+#   + session-sticky DDL over the wire), service_flight_describe and
+#   service_flight_explain_contract (DESCRIBE/EXPLAIN surface parity) —
+#   the four candidates named by VERDICT r4 ask #8.
 _PRIORITY: list[str] = [
-    # --- r04 window: 50 never-driver-checked entries --------------------
-    # iceberg DML/lifecycle tail — the round-3 MOR/equality/WAP work
-    # whose only evidence was the local gate (verdict r3 ask #1 lead)
-    "iceberg_merge_upsert", "iceberg_delete_rows", "iceberg_mor_delete",
-    "iceberg_equality_delete", "iceberg_upsert_mor", "iceberg_wap_publish",
-    "iceberg_partitioned_scan", "iceberg_sorted_compaction",
-    "iceberg_rename_drop_evolution", "iceberg_incremental_scan",
-    # the four engine-gap window emulations (DISTINCT agg, moving median,
-    # FILTER clause, time-interval RANGE frame)
-    "window_distinct_count", "window_moving_median",
-    "window_filtered_aggregate", "window_time_range_frame",
-    # aggregates tail
-    "agg_mode_deterministic", "agg_approx_within_tolerance",
-    # nested tail (scalar-projected results; window guard pre-screens)
-    "json_variant_ops", "map_functions", "array_set_operations",
-    "unnest_posexplode", "json_from_to",
-    # iterative-graph family second member
-    "graph_personalized_pagerank",
-    # similarity: MIPS, hybrid RRF, semantic decontamination, and the
-    # NEW hash-checkable ANN witness (verdict r3 ask #3)
-    "sim_mips_topk", "sim_hybrid_search_rrf",
-    "pipeline_semantic_decontaminate", "sim_ann_recall_report",
-    # NEW: TPC-H Q1 through the real gRPC Flight SQL conversation
-    # (verdict r3 ask #6)
-    "service_flight_roundtrip",
-    # dialect: the two newest rewrite passes
-    "dialect_qualify", "dialect_group_order_by_all",
-    # events tail
-    "events_rollup_incremental_refresh", "events_gap_fill_interpolate",
-    "events_series_correlation", "events_sliding_window",
+    # --- r05 window: the EXACT 47 never-driver-checked entries at r04
+    # close (union of CORRECTNESS_r01-r04 = 191 of 238; this list is the
+    # complement, recomputed at r05 open and matching the r05 ledger
+    # above entry-for-entry) + 3 re-check slots.  Retires the entire
+    # rotation tail: after this window, cumulative coverage = 238/238.
+    # dialect rewrite tail ×13 (only evidence so far: local gate + the
+    # end-to-end dialect fuzz suite)
+    "dialect_pg_cast_similar_to", "dialect_distinct_on",
+    "dialect_function_aliases", "dialect_prepared_params",
+    "dialect_date_bin_to_char", "dialect_regexp_flag_to_char",
+    "dialect_at_time_zone", "dialect_trunc_gcd_lcm_nanos",
+    "dialect_encode_decode", "dialect_regexp_match_all",
+    "dialect_arrow_cast", "dialect_list_aliases", "dialect_regex_operators",
+    # new-in-r04 operators (PassJoin edit-distance join; z-order
+    # compaction w/ multi-range manifest prune; metadata tables)
+    "dedup_edit_distance", "iceberg_zorder_compaction",
+    "iceberg_metadata_tables",
+    # the LSH/PQ recall witnesses (late-r04; hash-checkable oracles for
+    # the rows-only ANN family) and the rows-only family itself (7)
+    "sim_ann_lsh_recall_report", "sim_ann_pq_recall_report",
+    "sim_ann_lsh_topk", "sim_ann_ivf_topk", "sim_ann_ivf_kmeans",
+    "sim_ann_pq_topk", "sim_embedding_near_dup_lsh",
+    # multimodal tail (real PPM/BMP/WAV codecs; resize is rows-only)
+    "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_feature_extract", "multimodal_pixel_dedup",
+    # events tail (hll merge is rows-only; exact twin driver-green r03)
+    "events_dedup_within_time", "events_hll_sketch_merge",
+    "events_user_anomalies", "events_trending_topk", "events_gap_fill",
     # text tail
-    "text_bm25_topk", "text_zipf_law_fit", "text_chi2_lang_source",
-    "text_pmi_collocations", "text_unigram_kl_by_source",
-    "text_lexical_diversity", "text_vocab_stats",
-    # pipeline tail reps
-    "pipeline_split_leakage", "pipeline_gopher_rules", "pipeline_drift_psi",
-    # io / catalog family reps
-    "io_copy_to_json_roundtrip", "io_copy_to_csv_roundtrip",
-    "io_copy_to_partitioned", "catalog_information_schema_columns",
-    "ddl_external_table",
-    # set-op / projection surpluses
-    "setop_union_by_name", "project_unpivot_measures",
+    "text_lm_score", "text_langid_confusion",
+    # pipeline tail ×9
+    "pipeline_repetition_filter", "pipeline_balanced_sample",
+    "pipeline_pii_redact", "pipeline_domain_mixture",
+    "pipeline_profile_columns", "pipeline_check_constraints",
+    "pipeline_chunk_documents", "pipeline_boilerplate_coverage",
+    "pipeline_seeded_shuffle_shards",
+    # diagnostics + the two remaining TPC-H composites
+    "diag_key_skew_profile", "tpch_q15_top_supplier",
+    "tpch_q21_suppliers_kept_waiting",
+    # --- 3 re-check slots (r04 was 50/50 green, so these re-pin the
+    # highest-value paths rather than repair reds): the gRPC Flight SQL
+    # round-trip, the ANN recall witness, and the flagship TPC-H Q1.
+    "service_flight_roundtrip", "sim_ann_recall_report",
+    "tpch_q1_pricing_summary",
 ]
 
 

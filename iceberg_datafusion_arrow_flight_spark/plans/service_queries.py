@@ -46,6 +46,44 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _run_flight_conversation(spark: SparkSession, sf_dir: str,
+                             tables: tuple[str, ...], fn):
+    """Boot a real gRPC Flight SQL server on an ephemeral port with the
+    given fixture tables registered per-session, run ``fn(client)``, and
+    tear everything down — the shared chassis for every wire-path
+    registry entry."""
+    from ..service import EngineService
+    from ..service.flight_server import SparkFlightServer
+    from ..service.flightsql_client import FlightSqlClient
+
+    saved = {k: os.environ.get(k) for k in ("FLIGHT_USER", "FLIGHT_PASSWORD")}
+    os.environ["FLIGHT_USER"] = "driver"
+    os.environ["FLIGHT_PASSWORD"] = "driver-gate"
+    server = None
+    try:
+        def _init(s: SparkSession) -> None:
+            for name in tables:
+                load_table(s, sf_dir, name).createOrReplaceTempView(name)
+
+        service = EngineService(root=spark, session_init=_init)
+        # tls_domain="" forces a plain endpoint even if the ambient env
+        # sets TLS_DOMAIN — the in-process client dials grpc://, and a
+        # TLS mismatch here would fail the gate for an env reason.
+        server = SparkFlightServer(service, "grpc://localhost:0",
+                                   tls_domain="")
+        client = FlightSqlClient(f"grpc://localhost:{server.port}",
+                                 "driver", "driver-gate")
+        return fn(client)
+    finally:
+        if server is not None:
+            server.shutdown()
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
 @register(
     "service_flight_roundtrip",
     oracle="""
@@ -72,38 +110,127 @@ GROUP BY l_returnflag, l_linestatus
     tags=("service", "tpch"),
 )
 def service_flight_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..service import EngineService
-    from ..service.flight_server import SparkFlightServer
-    from ..service.flightsql_client import FlightSqlClient
-
-    saved = {k: os.environ.get(k) for k in ("FLIGHT_USER", "FLIGHT_PASSWORD")}
-    os.environ["FLIGHT_USER"] = "driver"
-    os.environ["FLIGHT_PASSWORD"] = "driver-gate"
-    server = None
-    try:
-        service = EngineService(
-            root=spark,
-            session_init=lambda s: load_table(s, sf_dir, "lineitem")
-            .createOrReplaceTempView("lineitem"))
-        # tls_domain="" forces a plain endpoint even if the ambient env
-        # sets TLS_DOMAIN — the in-process client dials grpc://, and a
-        # TLS mismatch here would fail the gate for an env reason.
-        server = SparkFlightServer(service, "grpc://localhost:0",
-                                   tls_domain="")
-        client = FlightSqlClient(f"grpc://localhost:{server.port}",
-                                 "driver", "driver-gate")
+    def conversation(client):
         st = client.prepare(_Q1_WIRE_SQL)
         client.bind(st, ["2001-09-01 00:00:00"])
         fetched = client.execute(st)
         client.close(st)
-    finally:
-        if server is not None:
-            server.shutdown()
-        for k, v in saved.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
+        return fetched
+
+    fetched = _run_flight_conversation(spark, sf_dir, ("lineitem",),
+                                       conversation)
     # Rebuild a DataFrame from the batches that crossed the wire — the
     # gate hashes exactly what a Flight SQL client would have received.
     return spark.createDataFrame(fetched)
+
+
+@register(
+    "service_flight_ddl_update",
+    oracle="""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_custkey
+ORDER BY n_orders DESC, o_custkey
+LIMIT 10
+""",
+    doc="The DDL/update wire leg (VERDICT r4 ask #8): execute_update "
+        "sends CREATE OR REPLACE TEMPORARY VIEW as a "
+        "CommandStatementUpdate over DoPut and must get the "
+        "reference's constant -1 DoPutUpdateResult back "
+        "(lib.rs:560-575 returns -1 for every update); the SAME bearer "
+        "session then queries the view it just created, so the result "
+        "proves session-sticky DDL state plus both wire verbs "
+        "composing.  The helper raises if the update result is not "
+        "-1, turning a protocol regression into a gate ERR. "
+        "service/engine.py:execute_update, plans/service_queries.py.",
+    tags=("service", "ddl"),
+)
+def service_flight_ddl_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def conversation(client):
+        n = client.execute_update(
+            "CREATE OR REPLACE TEMPORARY VIEW flight_cust_orders AS "
+            "SELECT o_custkey, COUNT(*) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS total "
+            "FROM orders GROUP BY o_custkey")
+        if n != -1:
+            raise AssertionError(
+                f"update path must return the reference's -1, got {n}")
+        return client.query(
+            "SELECT o_custkey, n_orders, total FROM flight_cust_orders "
+            "ORDER BY n_orders DESC, o_custkey LIMIT 10")
+
+    fetched = _run_flight_conversation(spark, sf_dir, ("orders",),
+                                       conversation)
+    return spark.createDataFrame(fetched)
+
+
+@register(
+    "service_flight_describe",
+    oracle="""
+SELECT column_name,
+       CASE upper(data_type)
+            WHEN 'BIGINT'    THEN 'bigint'
+            WHEN 'INTEGER'   THEN 'int'
+            WHEN 'DOUBLE'    THEN 'double'
+            WHEN 'VARCHAR'   THEN 'string'
+            WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+            ELSE lower(data_type) END AS data_type,
+       is_nullable
+FROM information_schema.columns
+WHERE table_name = 'lineitem'
+""",
+    doc="DESCRIBE surface parity over the wire (VERDICT r4 ask #8): "
+        "DataFusion executes DESCRIBE as an ordinary statement "
+        "returning (column_name, data_type, is_nullable) rows "
+        "(lib.rs:678 via ctx.sql); the service answers the same shape "
+        "from Catalyst (_materialize_describe).  The oracle reads "
+        "DuckDB's information_schema for the SAME parquet view and "
+        "maps its type names onto Spark's simpleString spellings, so "
+        "the hash pins name, type, and nullability for every column. "
+        "service/engine.py:_materialize_describe.",
+    tags=("service", "catalog"),
+)
+def service_flight_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fetched = _run_flight_conversation(
+        spark, sf_dir, ("lineitem",),
+        lambda client: client.query("DESCRIBE lineitem"))
+    return spark.createDataFrame(fetched)
+
+
+@register(
+    "service_flight_explain_contract",
+    oracle="""
+SELECT 'logical_plan' AS plan_type, TRUE AS non_empty,
+       TRUE AS reads_source, TRUE AS has_aggregate
+UNION ALL
+SELECT 'physical_plan', TRUE, TRUE, TRUE
+""",
+    doc="EXPLAIN surface parity over the wire (VERDICT r4 ask #8): "
+        "DataFusion's EXPLAIN returns exactly two rows — "
+        "('logical_plan', ...), ('physical_plan', ...) — through the "
+        "same statement path (lib.rs:678); the service mirrors that "
+        "shape from Catalyst (_materialize_explain).  Plan TEXT is "
+        "engine-specific by nature, so the entry hashes the CONTRACT: "
+        "the two-row shape plus structural facts that must hold in "
+        "any correct engine — each plan is non-empty, reads the "
+        "scanned source (Relation/Scan node present), and contains "
+        "the aggregate.  service/engine.py:_materialize_explain.",
+    tags=("service", "diagnostics"),
+)
+def service_flight_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    fetched = _run_flight_conversation(
+        spark, sf_dir, ("lineitem",),
+        lambda client: client.query(
+            "EXPLAIN SELECT l_returnflag, SUM(l_extendedprice) AS s "
+            "FROM lineitem GROUP BY l_returnflag"))
+    df = spark.createDataFrame(fetched)
+    return df.select(
+        "plan_type",
+        (F.length("plan") > 0).alias("non_empty"),
+        (F.col("plan").contains("Relation")
+         | F.col("plan").contains("Scan")).alias("reads_source"),
+        F.col("plan").contains("Aggregate").alias("has_aggregate"))

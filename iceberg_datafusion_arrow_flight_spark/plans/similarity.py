@@ -32,6 +32,19 @@ _COS = """
                         (acc, x) -> acc + x)))
 """
 
+# Fixture geometry shared by the ANN witnesses' Spark builders AND
+# their DuckDB oracles.  The Spark operators derive dimensionality from
+# the data (operators/similarity.py:448) while SQL oracles must embed
+# literals — deriving both sides from these constants is what keeps
+# them synchronized if the embeddings fixture ever changes shape
+# (FIXTURES.md: embeddings.embedding is array<float>[_EMB_DIMS]).
+_EMB_DIMS = 64          # embeddings fixture dimensionality
+_PQ_SUBSPACES = 8       # m — PQ witness subspace count
+_PQ_WIDTH = _EMB_DIMS // _PQ_SUBSPACES   # slice width per subspace
+_PQ_CODES = 16          # codebook size per subspace
+_LSH_WIT_PLANES = 4     # recall-oriented witness corner (see its doc)
+_LSH_WIT_TABLES = 8
+
 
 @register(
     "sim_topk_cosine",
@@ -409,7 +422,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_bucket_sql(vexpr: str, table_seed: int,
-                    n_planes: int = 8, dims: int = 64) -> str:
+                    n_planes: int = 8, dims: int = _EMB_DIMS) -> str:
     """DuckDB spelling of :func:`..operators.similarity.lsh_bucket`: the
     SAME md5-derived hyperplane constants (recomputed here with hashlib,
     exactly as ``_plane_component`` does driver-side) embedded as array
@@ -438,12 +451,14 @@ def _lsh_bucket_sql(vexpr: str, table_seed: int,
 _LSH_CAND_UNION = "\n    UNION ALL\n".join(
     f"    SELECT query_id, corpus_id FROM qb JOIN cb ON qb.b{t} = cb.b{t} "
     f"AND query_id != corpus_id"
-    for t in range(8))
+    for t in range(_LSH_WIT_TABLES))
 
 _LSH_QB_COLS = ",\n         ".join(
-    f"{_lsh_bucket_sql('qv', t, n_planes=4)} AS b{t}" for t in range(8))
+    f"{_lsh_bucket_sql('qv', t, n_planes=_LSH_WIT_PLANES)} AS b{t}"
+    for t in range(_LSH_WIT_TABLES))
 _LSH_CB_COLS = ",\n         ".join(
-    f"{_lsh_bucket_sql('v', t, n_planes=4)} AS b{t}" for t in range(8))
+    f"{_lsh_bucket_sql('v', t, n_planes=_LSH_WIT_PLANES)} AS b{t}"
+    for t in range(_LSH_WIT_TABLES))
 
 
 @register(
@@ -514,7 +529,8 @@ FROM q LEFT JOIN hit h ON q.query_id = h.query_id
 def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    ann = S.ann_lsh_topk(queries, emb, k=10, n_planes=4, n_tables=8)
+    ann = S.ann_lsh_topk(queries, emb, k=10, n_planes=_LSH_WIT_PLANES,
+                         dims=_EMB_DIMS, n_tables=_LSH_WIT_TABLES)
     exact = S.topk_cosine(queries, emb, k=10)
     hit = (ann.select("query_id", "corpus_id")
            .join(exact.select("query_id", "corpus_id"),
@@ -554,15 +570,17 @@ nemb AS (
 ), q AS (
   SELECT vec_id AS query_id, v AS qv, nv AS qnv
   FROM nv_t WHERE vec_id % 100 = 0
-), srange AS (SELECT unnest(range(8)) AS s),
+), srange AS (SELECT unnest(range({_PQ_SUBSPACES})) AS s),
 init AS (
   SELECT nv, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS code
-  FROM (SELECT * FROM nv_t ORDER BY vec_id LIMIT 16)
+  FROM (SELECT * FROM nv_t ORDER BY vec_id LIMIT {_PQ_CODES})
 ), books AS (
-  SELECT s, code, list_slice(nv, s * 8 + 1, s * 8 + 8) AS cent
+  SELECT s, code,
+         list_slice(nv, s * {_PQ_WIDTH} + 1, s * {_PQ_WIDTH} + {_PQ_WIDTH}) AS cent
   FROM init CROSS JOIN srange
 ), csubs AS (
-  SELECT vec_id AS corpus_id, s, list_slice(nv, s * 8 + 1, s * 8 + 8) AS sub
+  SELECT vec_id AS corpus_id, s,
+         list_slice(nv, s * {_PQ_WIDTH} + 1, s * {_PQ_WIDTH} + {_PQ_WIDTH}) AS sub
   FROM nv_t CROSS JOIN srange
 ), enc AS (
   SELECT corpus_id, s, code FROM (
@@ -574,7 +592,8 @@ init AS (
   WHERE rn = 1
 ), luts AS (
   SELECT q.query_id, b.s, b.code,
-         {_pq_d2_sql('list_slice(q.qnv, b.s * 8 + 1, b.s * 8 + 8)',
+         {_pq_d2_sql(f'list_slice(q.qnv, b.s * {_PQ_WIDTH} + 1, '
+                     f'b.s * {_PQ_WIDTH} + {_PQ_WIDTH})',
                      'b.cent')} AS d2
   FROM q CROSS JOIN books b
 ), appx AS (
@@ -641,7 +660,8 @@ FROM q LEFT JOIN hit h ON q.query_id = h.query_id
 def sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    ann = S.ann_pq_topk(queries, emb, k=10, train_iters=0)
+    ann = S.ann_pq_topk(queries, emb, k=10, m=_PQ_SUBSPACES,
+                        n_codes=_PQ_CODES, train_iters=0)
     exact = S.topk_cosine(queries, emb, k=10)
     hit = (ann.select("query_id", "corpus_id")
            .join(exact.select("query_id", "corpus_id"),

@@ -197,6 +197,19 @@ def check_query(spark: SparkSession, name: str, sf_dir: str,
     return CheckResult(name, True, "", len(s_rows), len(o_rows))
 
 
+def _cache_manager_empty(spark: SparkSession) -> bool:
+    """True iff no Dataset.cache()/persist() entry is pinned in the SQL
+    CacheManager.  Operators that return lazy plans must NOT cache
+    intermediates (they could never unpersist them) — they use
+    localCheckpoint, whose blocks the ContextCleaner reclaims on GC and
+    which never registers here."""
+    try:
+        return bool(
+            spark._jsparkSession.sharedState().cacheManager().isEmpty())
+    except Exception:  # noqa: BLE001 — py4j surface drift: don't fail the gate
+        return True
+
+
 def run_all(spark: SparkSession, sf_dir: str,
             names: list[str] | None = None) -> list[CheckResult]:
     con = _duck_conn(sf_dir)
@@ -204,7 +217,17 @@ def run_all(spark: SparkSession, sf_dir: str,
     try:
         for name in (names or list(REGISTRY)):
             try:
-                results.append(check_query(spark, name, sf_dir, con))
+                res = check_query(spark, name, sf_dir, con)
+                if res.ok and not _cache_manager_empty(spark):
+                    spark.catalog.clearCache()
+                    res = CheckResult(
+                        name, False,
+                        "leaked Dataset.cache(): entry left a pinned "
+                        "CacheManager relation behind (unpersist "
+                        "discipline — use localCheckpoint for lazily-"
+                        "returned intermediates)",
+                        res.spark_rows, res.oracle_rows)
+                results.append(res)
             except Exception as exc:  # noqa: BLE001 — report, don't abort the sweep
                 results.append(CheckResult(name, False, f"EXCEPTION: {exc}"))
     finally:

@@ -101,8 +101,12 @@ def sql_server(spark, monkeypatch):
     from iceberg_datafusion_arrow_flight_spark.service.flight_server import (
         serve_background)
     service = EngineService(root=spark, max_cached_results=8)
-    server, _ = serve_background(service, port=31340)
-    yield "grpc://localhost:31340"
+    # Ephemeral port (bind 0, read back the real one): a fixed port
+    # made this suite flaky under any concurrent run of itself (the
+    # one failure class ever seen here) — same pattern as the
+    # service_flight_roundtrip registry entry.
+    server, _ = serve_background(service, port=0)
+    yield f"grpc://localhost:{server.port}"
     server.shutdown()
 
 
@@ -148,7 +152,7 @@ def test_flight_sql_unimplemented_surface_mirrors_reference(sql_server):
     import pyarrow.flight as flight
     from iceberg_datafusion_arrow_flight_spark.service.flightsql_client import (
         _BasicAuth)
-    client = flight.FlightClient("grpc://localhost:31340")
+    client = flight.FlightClient(sql_server)
     client.authenticate(_BasicAuth("admin", "secret"))
     with pytest.raises(flight.FlightServerError,
                        match="Implement get_flight_info_statement"):
@@ -166,7 +170,7 @@ def test_flight_sql_invalid_ticket_mirrors_reference(sql_server):
     import pyarrow.flight as flight
     from iceberg_datafusion_arrow_flight_spark.service.flightsql_client import (
         _BasicAuth)
-    client = flight.FlightClient("grpc://localhost:31340")
+    client = flight.FlightClient(sql_server)
     client.authenticate(_BasicAuth("admin", "secret"))
     with pytest.raises(flight.FlightServerError,
                        match="The defined request is invalid"):
@@ -188,11 +192,12 @@ def test_flight_sql_over_tls(spark, monkeypatch):
     from iceberg_datafusion_arrow_flight_spark.service.flightsql_client import (
         FlightSqlClient)
     service = EngineService(root=spark, max_cached_results=8)
-    server = SparkFlightServer(service, "grpc://localhost:31341")
+    server = SparkFlightServer(service, "grpc://localhost:0")
     assert server.tls_certificate is not None
     threading.Thread(target=server.serve, daemon=True).start()
     try:
-        c = FlightSqlClient("grpc+tls://localhost:31341", "admin", "secret",
+        c = FlightSqlClient(f"grpc+tls://localhost:{server.port}",
+                            "admin", "secret",
                             tls_root_certs=server.tls_certificate)
         t = c.query("SELECT 'secure' AS s")
         assert t.column("s").to_pylist() == ["secure"]
@@ -208,6 +213,6 @@ def test_plaintext_without_tls_domain(spark, monkeypatch):
     from iceberg_datafusion_arrow_flight_spark.service.flight_server import (
         SparkFlightServer)
     server = SparkFlightServer(EngineService(root=spark),
-                               "grpc://localhost:31342")
+                               "grpc://localhost:0")
     assert server.tls_certificate is None
     server.shutdown()

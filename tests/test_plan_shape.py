@@ -512,3 +512,126 @@ def test_checkpoint_partitioned_round_is_exchange_free(spark):
     assert non_broadcast == [], plan
     # AQE flag restored after the helper ran
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_fallback_round_join_is_exchange_free_without_broadcast(spark):
+    """The non-broadcast regime (state too big for the broadcast
+    threshold): the edge table is checkpointed partitioned on the JOIN
+    key and the state on the node id, so the per-round join is
+    co-partitioned — NO exchange on the O(edges) side; the only
+    per-round shuffle is the group-key aggregation's O(nodes)
+    partial-agg output.  This is the production round shape
+    connected_components/pagerank build with broadcast_state=False."""
+    import re
+    from pyspark.sql import functions as F
+    from iceberg_datafusion_arrow_flight_spark.operators.partitioning import (
+        checkpoint_partitioned)
+    # Emulate "state too big to broadcast": disable auto-broadcast so
+    # the planner faces the same choice it would with a TB-scale state
+    # side (the fixture relation is tiny and would otherwise broadcast).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = (spark.range(20000)
+             .select((F.col("id") % 97).alias("a"),
+                     (F.col("id") % 131).alias("b"))
+             .localCheckpoint(eager=True))
+        und = checkpoint_partitioned(
+            e.unionAll(e.select(F.col("b").alias("a"),
+                                F.col("a").alias("b"))),
+            "b")
+        # production init shape (operators/dedup.py:connected_components):
+        # groupBy, not distinct+alias — an aliased label would make the
+        # checkpoint capture hashpartitioning(label) and re-exchange here
+        labels = checkpoint_partitioned(
+            und.groupBy(F.col("a").alias("node"))
+            .agg(F.min("a").alias("label")), "node")
+        neigh = (und.join(labels, und["b"] == labels["node"])
+                 .groupBy("a").agg(F.min("label").alias("__nl")))
+        plan = _explain(neigh, mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    exchanges = [m for m in re.findall(r"\w*Exchange\w*", plan)
+                 if "Broadcast" not in m]
+    # exactly ONE shuffle — the dst-keyed aggregation; the join itself
+    # reuses both sides' checkpointed HashPartitioning
+    assert len(exchanges) == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan  # genuinely non-broadcast
+
+
+def test_iterative_graph_ops_agree_across_regimes(spark):
+    """connected_components and pagerank must return identical results
+    whether the state side broadcasts or falls back to co-partitioned
+    joins — the regime is a physical-plan choice, never a semantic one."""
+    from pyspark.sql import functions as F
+    from iceberg_datafusion_arrow_flight_spark.operators.dedup import (
+        connected_components)
+    from iceberg_datafusion_arrow_flight_spark.operators.graph import pagerank
+    edges = (spark.range(600)
+             .select((F.col("id") % 53).alias("id_a"),
+                     ((F.col("id") * 7) % 59).alias("id_b")))
+    cc_b = connected_components(edges, broadcast_state=True)
+    cc_f = connected_components(edges, broadcast_state=False)
+    assert sorted(map(tuple, cc_b.collect())) == \
+        sorted(map(tuple, cc_f.collect()))
+    dir_edges = edges.select(F.col("id_a").alias("src"),
+                             F.col("id_b").alias("dst"))
+    pr_b = pagerank(dir_edges, iterations=3, broadcast_state=True)
+    pr_f = pagerank(dir_edges, iterations=3, broadcast_state=False)
+    assert sorted(map(tuple, pr_b.collect())) == \
+        sorted(map(tuple, pr_f.collect()))
+
+
+def test_checkpoint_partitioned_concurrent_flip_is_serialized(spark):
+    """ADVICE r4: two concurrent checkpoint_partitioned callers could
+    interleave save/flip/restore so one captured the other's transient
+    'false' and restored it, leaving AQE off session-wide.  The
+    module-level lock serializes the flip; after any number of
+    concurrent callers, the session conf must be back to its original
+    value and every checkpoint must still capture its HashPartitioning."""
+    import threading
+    from pyspark.sql import functions as F
+    from iceberg_datafusion_arrow_flight_spark.operators.partitioning import (
+        checkpoint_partitioned)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    results: list = [None] * 8
+    errors: list = []
+
+    def worker(i: int) -> None:
+        try:
+            df = (spark.range(5000)
+                  .select((F.col("id") % (13 + i)).alias("k"),
+                          F.col("id").alias("v")))
+            results[i] = checkpoint_partitioned(df, "k")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    for df in results:
+        part = (df._jdf.queryExecution().executedPlan()
+                .outputPartitioning().toString())
+        assert "hashpartitioning(k" in part, part
+
+
+def test_lazy_return_operators_leave_cache_manager_empty(spark, sf_dir):
+    """Unpersist discipline (VERDICT r4 #6): operators that return lazy
+    plans must not pin Dataset.cache() entries they can never release —
+    they localCheckpoint instead (ContextCleaner-reclaimed).  After
+    materializing each known ex-offender, the SQL CacheManager must be
+    empty.  The DuckDB gate harness enforces the same invariant for
+    every registry entry (testing/oracle.py:run_all)."""
+    from iceberg_datafusion_arrow_flight_spark.testing.oracle import (
+        _cache_manager_empty)
+    spark.catalog.clearCache()
+    for name in ("sim_semantic_dedup", "dedup_minhash_lsh",
+                 "dedup_simhash", "dedup_cross_corpus"):
+        if name not in REGISTRY:
+            continue
+        REGISTRY[name].build(spark, sf_dir).collect()
+        assert _cache_manager_empty(spark), f"{name} leaked a cache() entry"

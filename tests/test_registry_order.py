@@ -61,11 +61,15 @@ def test_every_family_has_a_priority_row():
                  # ddl_ctas_insert_select, catalog_information_schema_tables,
                  # sketch_bloom_membership (r02); func_math, struct_access,
                  # the full dedup tail, multimodal resize/audio, sketch
-                 # count-min/heavy-hitters (r03 — CORRECTNESS_r03 50/50).
+                 # count-min/heavy-hitters (r03 — CORRECTNESS_r03 50/50);
+                 # aggregate mode/approx, window emulations ×4, array
+                 # set-ops, graph personalized-PPR, io copy round-trips ×3
+                 # (r04 — CORRECTNESS_r04 50/50).
                  and fam not in ("tpch", "join", "subquery", "cte", "setop",
                                  "sort", "distinct", "values", "filter",
                                  "projection", "map", "json",
                                  "table_function", "ddl", "catalog",
                                  "sketch", "function", "struct", "dedup",
-                                 "multimodal")]
+                                 "multimodal", "aggregate", "window",
+                                 "array", "graph", "io")]
     assert not uncovered, uncovered
