@@ -81,7 +81,7 @@ def _classify_stderr(path: str) -> dict:
     benign = len(re.findall(
         r"ERROR DAGScheduler: Failed to update accumulator", text))
     other = [ln.strip() for ln in text.splitlines()
-             if " ERROR " in ln
+             if re.search(r"(^|\s)ERROR\s", ln)
              and "Failed to update accumulator" not in ln][:3]
     return {"benign_accumulator_races": benign, "other_errors": other}
 
@@ -195,8 +195,12 @@ def main() -> None:
     total = round(sum(times.values()), 4)
     spark.stop()
     # Restore the real stderr, then classify what the JVM logged.
+    # Detach the crash hook BEFORE closing orig_fd: an exception after
+    # the close (json.dumps/print) would otherwise make the hook dup2 a
+    # closed — or reused — descriptor onto fd 2.
     sys.stderr.flush()
     os.dup2(orig_fd, 2)
+    sys.excepthook = sys.__excepthook__
     os.close(orig_fd)
     print(json.dumps({
         "metric": "headline_query_wall_clock_total",

@@ -59,7 +59,7 @@ def _parse_spark_bytes(value: str) -> int:
     return int(v)
 
 
-def fits_broadcast(df: DataFrame, n_rows: int, bytes_per_row: int = 32
+def fits_broadcast(df: DataFrame, n_rows: int, bytes_per_row: int = 96
                    ) -> bool:
     """True iff an iteration-state side of ``n_rows`` (node, value)
     rows fits the session's ``autoBroadcastJoinThreshold``.
@@ -67,9 +67,14 @@ def fits_broadcast(df: DataFrame, n_rows: int, bytes_per_row: int = 32
     Iterative operators (pagerank, connected components, PQ Lloyd)
     keep O(nodes) state and join it against a checkpointed O(edges)
     table every round; whether the state side can broadcast decides
-    the whole round shape (see the callers).  ``bytes_per_row`` is a
-    conservative estimate for a (long, double) row in an unsafe-row
-    hash relation."""
+    the whole round shape (see the callers).  ``bytes_per_row`` prices a
+    (long, double) row *as a broadcast HashedRelation* — UnsafeRow
+    payload plus LongToUnsafeRowMap bucket/offset overhead, ~50-100 B in
+    practice, not the 16 B of raw field bytes.  Because the callers
+    apply a hard ``F.broadcast`` hint that BYPASSES the planner's own
+    size check, this estimate must err on the fallback side: a
+    wrongly-forced broadcast risks driver OOM at scale, while a wrongly
+    declined one only costs one extra shuffle stage."""
     raw = df.sparkSession.conf.get(
         "spark.sql.autoBroadcastJoinThreshold", "10MB")
     threshold = _parse_spark_bytes(raw)

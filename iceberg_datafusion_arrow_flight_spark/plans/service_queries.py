@@ -234,3 +234,113 @@ def service_flight_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("plan").contains("Relation")
          | F.col("plan").contains("Scan")).alias("reads_source"),
         F.col("plan").contains("Aggregate").alias("has_aggregate"))
+
+
+@register(
+    "service_flight_set_config",
+    oracle="""
+SELECT * FROM (VALUES
+    ('datafusion.execution.batch_size', '2048'),
+    ('datafusion.optimizer.custom_knob', 'hello world')
+) AS t(name, value) ORDER BY name
+""",
+    doc="SET datafusion.* config round-trip over the Flight DDL path "
+        "(VERDICT r5 ask #4): the reference routes SET statements "
+        "through do_put_prepared_statement_update and returns the "
+        "constant -1 (lib.rs:645-654); its SessionConfig then lists the "
+        "value via SHOW ALL / information_schema.df_settings.  The "
+        "conversation sends two SETs as CommandStatementUpdate — one "
+        "MAPPED key (batch_size → a real Spark conf, so the echoed "
+        "value is read back FROM the session conf, proving the map "
+        "round-trip, engine.py:execute_update + DATAFUSION_CONF_MAP) "
+        "and one UNMAPPED key (accepted-and-ignored, faithful to "
+        "DataFusion listing whatever was set) — asserts both return "
+        "-1, then reads information_schema.df_settings through the "
+        "SAME bearer session, pinning session-sticky config state "
+        "end-to-end over the wire.",
+    tags=("service", "config"),
+)
+def service_flight_set_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def conversation(client):
+        for stmt in ("SET datafusion.execution.batch_size = 2048",
+                     "SET datafusion.optimizer.custom_knob = 'hello world'"):
+            n = client.execute_update(stmt)
+            if n != -1:
+                raise AssertionError(
+                    f"SET must return the reference's -1, got {n}")
+        return client.query(
+            "SELECT name, value FROM information_schema.df_settings "
+            "WHERE name IN ('datafusion.execution.batch_size', "
+            "               'datafusion.optimizer.custom_knob') "
+            "ORDER BY name")
+
+    fetched = _run_flight_conversation(spark, sf_dir, (), conversation)
+    return spark.createDataFrame(fetched)
+
+
+@register(
+    "service_flight_statement_error_parity",
+    oracle="""
+SELECT * FROM (VALUES
+    ('get_flight_info_statement',      'Implement get_flight_info_statement'),
+    ('get_flight_info_catalogs',       'Implement get_flight_info_catalogs'),
+    ('get_flight_info_sqlinfo',        'Implement get_flight_info_sqlinfo'),
+    ('do_action_BeginTransaction',     'Implement do_action_BeginTransaction'),
+    ('do_get_invalid_ticket',          'The defined request is invalid')
+) AS t(verb, error_contains) ORDER BY verb
+""",
+    doc="Ad-hoc statement-path ERROR parity over the wire (VERDICT r5 "
+        "ask #4): the reference deliberately leaves the ad-hoc "
+        "CommandStatementQuery path unimplemented — all execution goes "
+        "through prepared statements — returning 'Implement "
+        "get_flight_info_statement' (lib.rs:298-306), ditto the Flight "
+        "SQL catalog verbs (lib.rs:382-427), transactions "
+        "(lib.rs:732-788), and rejects unknown Any tickets with 'The "
+        "defined request is invalid' (lib.rs:266-271).  This entry "
+        "drives each refused verb through a REAL authenticated gRPC "
+        "client against the live server and hashes (verb, matched "
+        "error fragment) — a silent implementation (or a silently "
+        "ACCEPTED ad-hoc statement) would change the result and fail "
+        "the gate.  flight_server.py:get_flight_info,do_get,do_action.",
+    tags=("service", "protocol"),
+)
+def service_flight_statement_error_parity(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    import pyarrow.flight as flight
+
+    from ..service.flightsql_proto import pack_any
+
+    # (verb, expected error fragment, callable(raw FlightClient))
+    probes = [
+        ("get_flight_info_statement", "Implement get_flight_info_statement",
+         lambda c: c.get_flight_info(flight.FlightDescriptor.for_command(
+             pack_any("CommandStatementQuery", query="SELECT 1")))),
+        ("get_flight_info_catalogs", "Implement get_flight_info_catalogs",
+         lambda c: c.get_flight_info(flight.FlightDescriptor.for_command(
+             pack_any("CommandGetCatalogs")))),
+        ("get_flight_info_sqlinfo", "Implement get_flight_info_sqlinfo",
+         lambda c: c.get_flight_info(flight.FlightDescriptor.for_command(
+             pack_any("CommandGetSqlInfo")))),
+        ("do_action_BeginTransaction", "Implement do_action_BeginTransaction",
+         lambda c: list(c.do_action(flight.Action("BeginTransaction", b"")))),
+        ("do_get_invalid_ticket", "The defined request is invalid",
+         lambda c: c.do_get(flight.Ticket(
+             pack_any("CommandStatementQuery", query="SELECT 1")))),
+    ]
+
+    def conversation(client):
+        rows = []
+        for verb, fragment, probe in probes:
+            try:
+                probe(client.client)
+            except flight.FlightError as exc:
+                got = fragment if fragment in str(exc) else str(exc)[:120]
+            else:
+                got = "NO ERROR (verb unexpectedly implemented)"
+            rows.append((verb, got))
+        import pyarrow as pa
+        return pa.table({"verb": [r[0] for r in rows],
+                         "error_contains": [r[1] for r in rows]})
+
+    fetched = _run_flight_conversation(spark, sf_dir, (), conversation)
+    return spark.createDataFrame(fetched).orderBy("verb")

@@ -38,12 +38,21 @@ from ..sources.registry import TABLES
 # requires them to agree column-by-column.  HUGEINT deliberately maps to
 # its own class that matches nothing: the fix is always an explicit
 # BIGINT cast on both sides (the tpch_q12 recipe).
+#
+# DECIMAL is driver-hostile the same way (learned the hard way:
+# CORRECTNESS_r05's only red row, dialect_arrow_cast): DuckDB's pandas
+# conversion widens DECIMAL(p,s) to float64 while Spark's DecimalType
+# collects as decimal.Decimal — equal values, different driver hashes.
+# The local fetchall() path sees Decimal on both sides and is blind to
+# it, so BOTH engines' decimal classes map to side-tagged names that can
+# never match: cast the result column to DOUBLE (or VARCHAR) on both
+# sides instead.
 
 _SPARK_TYPE_CLASS: list[tuple[type, str]] = [
     (T.ByteType, "int"), (T.ShortType, "int"), (T.IntegerType, "int"),
     (T.LongType, "int"),
     (T.FloatType, "float"), (T.DoubleType, "float"),
-    (T.DecimalType, "decimal"),
+    (T.DecimalType, "decimal(spark: cast to DOUBLE/VARCHAR on both sides)"),
     (T.StringType, "string"), (T.BooleanType, "bool"),
     (T.DateType, "date"),
     (T.TimestampType, "timestamp"), (T.TimestampNTZType, "timestamp"),
@@ -72,7 +81,7 @@ def _duck_type_class(type_str: str) -> str:
     if s in ("FLOAT", "REAL", "DOUBLE"):
         return "float"
     if s.startswith("DECIMAL"):
-        return "decimal"
+        return "decimal(duckdb: cast to DOUBLE/VARCHAR on both sides)"
     if s in ("VARCHAR", "JSON"):
         return "string"
     if s == "BOOLEAN":
@@ -218,18 +227,22 @@ def run_all(spark: SparkSession, sf_dir: str,
         for name in (names or list(REGISTRY)):
             try:
                 res = check_query(spark, name, sf_dir, con)
-                if res.ok and not _cache_manager_empty(spark):
-                    spark.catalog.clearCache()
-                    res = CheckResult(
-                        name, False,
-                        "leaked Dataset.cache(): entry left a pinned "
-                        "CacheManager relation behind (unpersist "
-                        "discipline — use localCheckpoint for lazily-"
-                        "returned intermediates)",
-                        res.spark_rows, res.oracle_rows)
-                results.append(res)
             except Exception as exc:  # noqa: BLE001 — report, don't abort the sweep
-                results.append(CheckResult(name, False, f"EXCEPTION: {exc}"))
+                res = CheckResult(name, False, f"EXCEPTION: {exc}")
+            # Leak invariant runs on EVERY path (ok, failed, raised) so a
+            # leaking entry is charged for its own leak — clearing here
+            # also stops the leak from falsely reddening the NEXT entry.
+            if not _cache_manager_empty(spark):
+                spark.catalog.clearCache()
+                res = CheckResult(
+                    name, False,
+                    "leaked Dataset.cache(): entry left a pinned "
+                    "CacheManager relation behind (unpersist "
+                    "discipline — use localCheckpoint for lazily-"
+                    "returned intermediates)"
+                    + ("" if res.ok else f"; also: {res.detail}"),
+                    res.spark_rows, res.oracle_rows)
+            results.append(res)
     finally:
         con.close()
     return results

@@ -9,7 +9,7 @@ driver coverage.
 
 from __future__ import annotations
 
-from pyspark.sql.types import ArrayType, MapType, StructType
+from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
 from iceberg_datafusion_arrow_flight_spark.plans import REGISTRY
 from iceberg_datafusion_arrow_flight_spark.plans import _PRIORITY
@@ -29,7 +29,8 @@ def test_priority_window_fits_driver_cap():
 
 
 def test_priority_window_results_are_scalar_only(spark, sf_dir):
-    """No query in the driver's 50-entry window may return a nested column.
+    """No query in the driver's 50-entry window may return a nested or
+    DECIMAL column.
 
     The driver's canonicalizer pandas-sorts the result and hashes values;
     array/struct/map columns raise ``TypeError: unhashable type`` and the
@@ -37,15 +38,24 @@ def test_priority_window_results_are_scalar_only(spark, sf_dir):
     CORRECTNESS_r02 were exactly this).  Nested values must be projected
     through to_json (ints/strings) or %.4f format+join (doubles) before a
     query enters the window.
+
+    DecimalType is banned for the same driver-hash reason
+    (CORRECTNESS_r05's only red row, dialect_arrow_cast): DuckDB's pandas
+    path widens DECIMAL(p,s) to float64 while Spark collects
+    decimal.Decimal — equal values, different hashes.  Cast decimal
+    results to DOUBLE (or VARCHAR) on both sides; the local gate
+    (testing/oracle.py) now also rejects the class outright.
     """
     offenders = {}
     for name in _PRIORITY:
         df = REGISTRY[name].build(spark, sf_dir)
         bad = [f.name for f in df.schema.fields
-               if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+               if isinstance(f.dataType,
+                             (ArrayType, MapType, StructType, DecimalType))]
         if bad:
             offenders[name] = bad
-    assert not offenders, f"nested result columns in gate window: {offenders}"
+    assert not offenders, (
+        f"nested/decimal result columns in gate window: {offenders}")
 
 
 def test_every_family_has_a_priority_row():
