@@ -407,3 +407,94 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
     return (base.select("__id", F.explode(chunk).alias("c"))
             .select(F.col("__id").alias(id_col),
                     "c.chunk_idx", "c.n_tokens", "c.chunk_text"))
+
+
+def pack_boundary_accounting(df: DataFrame, token_budget: int = 512,
+                             shard_col: str = "lang",
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Tokenizer-aware packing audit: where does each document land in
+    the fixed-length training sequences, and what does the boundary
+    policy cost?
+
+    Uses the BPE-ish subword count (``text.subword_count`` — word
+    fragments <=4 chars + punctuation, the cheap tokenizer-load proxy)
+    rather than whitespace words, because packing decisions in a real
+    pipeline are made in TOKENIZER units.  Within each shard (ordered by
+    id) the running subword offset places a document at
+    ``[start, start + n)``; a document whose span crosses a
+    ``token_budget`` boundary is a *boundary crossing*, and
+    ``boundary_loss`` counts the tokens past the first boundary — the
+    tokens a truncate-at-boundary policy would drop (equivalently, the
+    cross-sequence attention a split policy would sever).
+
+    One window cumsum per shard, pure projections after it — shards
+    audit independently, so window state stays bounded at 100 TB.
+    Emits per-doc (shard, id, n_tokens, start_bin, end_bin, crosses,
+    boundary_loss)."""
+    toks = T.subword_count(F.col(text_col))
+    w = (Window.partitionBy(shard_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(toks).over(w)
+    base = df.select(F.col(shard_col), F.col(id_col),
+                     toks.alias("n_tokens"), cum.alias("cum_tokens"))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    eff = F.greatest(F.col("n_tokens"), F.lit(1))  # 0-token doc: 1 slot
+    start_bin = F.floor(start / token_budget)
+    end_bin = F.floor((start + eff - 1) / token_budget)
+    return (base
+            .withColumn("start_bin", start_bin.cast("bigint"))
+            .withColumn("end_bin", end_bin.cast("bigint"))
+            .withColumn("crosses",
+                        F.col("end_bin") > F.col("start_bin"))
+            .withColumn(
+                "boundary_loss",
+                F.when(F.col("crosses"),
+                       start + F.col("n_tokens")
+                       - (F.col("start_bin") + 1) * token_budget)
+                 .otherwise(F.lit(0)).cast("bigint")))
+
+
+def derive_urls(df: DataFrame, id_col: str = "doc_id",
+                source_col: str = "source",
+                lang_col: str = "lang") -> DataFrame:
+    """Deterministic provenance URL per document (the fixture carries
+    no URL column; a crawl corpus would).  Shape mirrors a real crawl
+    record: scheme + www host derived from the source, path carrying
+    lang and id, and a tracking query string the canonicalizer must
+    strip.  Pure projection."""
+    url = F.concat(F.lit("https://www."), F.col(source_col),
+                   F.lit(".example.com/"), F.col(lang_col),
+                   F.lit("/doc-"), F.col(id_col).cast("string"),
+                   F.lit("?utm_source=crawl&session=42"))
+    return df.withColumn("url", url)
+
+
+def url_domain_filter(df: DataFrame,
+                      blocked_domains: list[str],
+                      blocked_path_terms: list[str],
+                      url_col: str = "url") -> DataFrame:
+    """C4-style URL/domain filtering: parse host + path out of the URL
+    (JVM ``parse_url``), canonicalize the host (lowercase, strip one
+    leading ``www.``), then flag (a) blocklisted registered domains and
+    (b) blocklisted path substrings (C4 dropped pages whose URL hit a
+    banned-word list).  Emits the input plus ``domain``,
+    ``blocked_domain``, ``blocked_path``, ``kept`` — a pure projection
+    (the blocklists ride inside the plan as literals; at a realistic
+    blocklist size they'd broadcast-join instead), so the filter
+    parallelizes with the scan and pushes nothing across the wire."""
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    domain = F.regexp_replace(host, r"^www\.", "")
+    path = F.lower(F.parse_url(F.col(url_col), F.lit("PATH")))
+    bad_dom = F.array_contains(
+        F.array(*[F.lit(d.lower()) for d in blocked_domains]), domain)
+    bad_path = None
+    for t in blocked_path_terms:
+        hit = path.contains(t.lower())
+        bad_path = hit if bad_path is None else (bad_path | hit)
+    if bad_path is None:
+        bad_path = F.lit(False)
+    return (df.withColumn("domain", domain)
+            .withColumn("blocked_domain", bad_dom)
+            .withColumn("blocked_path", bad_path)
+            .withColumn("kept", ~bad_dom & ~bad_path))

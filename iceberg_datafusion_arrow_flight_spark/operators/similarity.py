@@ -713,3 +713,61 @@ def benchmark_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     return (sims.withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") == 1)
             .select("corpus_id", "bench_id", "sim"))
+
+
+def cross_corpus_decontaminate(corpus: DataFrame, other: DataFrame,
+                               threshold: float,
+                               n_planes: int = 4, dims: int = 64,
+                               n_tables: int = 8,
+                               corpus_id: str = "vec_id",
+                               other_id: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Cross-corpus semantic decontamination — the LSH-bucketed twin of
+    :func:`benchmark_decontaminate` for when BOTH sides are corpus-sized
+    and the broadcast regime is off the table (e.g. auditing a new crawl
+    against the entire existing training corpus, not a KB-scale eval
+    suite).
+
+    Candidate generation is multi-table hyperplane LSH exactly as
+    :func:`ann_lsh_topk`: both corpora get ``n_tables`` bucket ids in
+    one projection each, candidates are per-table bucket-equi-joins
+    (shuffle keyed by bucket id — per-key work bounded, never
+    corpus×corpus), then the exact cosine verifies and the per-corpus-id
+    argmax keeps the nearest flagged counterpart.  The candidate set —
+    hence the result — is deterministic: the hyperplanes are md5-derived
+    constants shared with the ANN witnesses, so a SQL oracle can
+    replicate every bucket id bit-for-bit.
+
+    Returns (corpus_id, match_id, sim) for corpus rows whose cosine to
+    some LSH-candidate row of ``other`` reaches ``threshold`` — the
+    removal list the curation pipeline anti-joins against."""
+    c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
+                               _as_double(F.col(vec_col)).alias("cv"))
+    o = fan_out(other).select(F.col(other_id).alias("match_id"),
+                              _as_double(F.col(vec_col)).alias("ov"))
+    cb = c.select(
+        "corpus_id", "cv",
+        *[lsh_bucket(F.col("cv"), n_planes, dims, t).alias(f"__b{t}")
+          for t in range(n_tables)]).localCheckpoint(eager=True)
+    ob = o.select(
+        "match_id", "ov",
+        *[lsh_bucket(F.col("ov"), n_planes, dims, t).alias(f"__b{t}")
+          for t in range(n_tables)]).localCheckpoint(eager=True)
+    cands = None
+    for t in range(n_tables):
+        cand = (cb.join(ob, cb[f"__b{t}"] == ob[f"__b{t}"])
+                .select("corpus_id", "match_id", "cv", "ov"))
+        cands = cand if cands is None else cands.unionAll(cand)
+    cands = cands.dropDuplicates(["corpus_id", "match_id"])
+    sims = (cands.select("corpus_id", "match_id",
+                         F.round(cosine(F.col("cv"), F.col("ov")), 6)
+                          .alias("sim"))
+            .where(F.col("sim") >= F.lit(threshold)))
+    w = Window.partitionBy("corpus_id").orderBy(
+        F.col("sim").desc(), F.col("match_id"))
+    # NOTE: cb/ob are localCheckpoints the returned plan still reads
+    # (unpersisting here would drop blocks the lazy result needs); the
+    # ContextCleaner reclaims them on GC, as in ann_lsh_topk.
+    return (sims.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("corpus_id", "match_id", "sim"))

@@ -721,3 +721,56 @@ def iceberg_rest_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # through the catalog; the scan itself is plain parquet)
         out = out.localCheckpoint(eager=True)
     return out
+
+
+@register(
+    "iceberg_rest_wap_branch",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Write-audit-publish over the REST catalog wire (VERDICT r5 "
+        "ask #4): evens land on main, odds STAGE on an audit branch — "
+        "every branch-head swap is an HTTP CAS against the REST "
+        "pointer endpoint (-rest/src/main.rs:46-90), not a local "
+        "SQLite CAS.  Mid-flight the entry ASSERTS main-reader "
+        "isolation (a staged row leaking to main turns into a gate "
+        "ERR); the audited branch then fast-forwards in through the "
+        "same wire path, and the final read equals the full orders "
+        "relation — which only holds if branch isolation, the "
+        "branch-parent chain, and the publish CAS all composed "
+        "correctly over HTTP.  Only KB pointers cross the wire; data "
+        "files go straight to the store (100 TB-safe commit cost). "
+        "sources/rest_catalog.py + "
+        "sources/iceberg_lite.py:append_to_branch,publish_branch.",
+    tags=("iceberg", "catalog", "rest", "write"),
+)
+def iceberg_rest_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.rest_catalog import RestCatalog, RestCatalogServer
+
+    backing = _fresh_catalog()
+    orders = table(spark, sf_dir, "orders")
+    even = orders.where(F.col("o_orderkey") % 2 == 0)
+    odd = orders.where(F.col("o_orderkey") % 2 == 1)
+    n_even = even.count()
+    with RestCatalogServer(backing, bearer_token="round6") as srv:
+        cat = RestCatalog(srv.url, warehouse=backing.warehouse,
+                          bearer_token="round6")
+        t = cat.create_table("sales", "orders_rest_wap", orders)
+        t.append(even)
+        t.append_to_branch(odd, "audit")
+        staged_main = t.read(spark).count()
+        if staged_main != n_even:
+            raise AssertionError(
+                f"WAP isolation broken over REST: main shows "
+                f"{staged_main} rows while audit is staged, want {n_even}")
+        t.publish_branch("audit")
+        out = (t.read(spark)
+               .groupBy("o_orderstatus").agg(*_agg_cols())
+               .orderBy("o_orderstatus"))
+        out = out.localCheckpoint(eager=True)
+    return out

@@ -800,3 +800,135 @@ def pipeline_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.select(
         "doc_id", "shard",
         F.row_number().over(w).cast("bigint").alias("pos_in_shard"))
+
+
+# BPE-ish subword count — mirrors operators/text.py:subword_count
+# (word fragments of <=4 chars + punctuation marks).
+_N_SUBWORDS = r"len(regexp_extract_all(text, '\w{1,4}|[^\w\s]'))"
+
+
+@register(
+    "pipeline_pack_boundary_loss",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, doc_id, {_N_SUBWORDS} AS n_tokens,
+         SUM({_N_SUBWORDS}) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+), spans AS (
+  SELECT lang, n_tokens, cum - n_tokens AS start,
+         CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS start_bin,
+         CAST(FLOOR((cum - n_tokens + GREATEST(n_tokens, 1) - 1) / 512)
+              AS BIGINT) AS end_bin
+  FROM toks
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)                        AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT)                   AS total_tokens,
+       CAST(MAX(end_bin) + 1 AS BIGINT)                AS n_sequences,
+       CAST(SUM(CASE WHEN end_bin > start_bin THEN 1 ELSE 0 END)
+            AS BIGINT)                                 AS n_crossings,
+       CAST(SUM(CASE WHEN end_bin > start_bin
+                     THEN start + n_tokens - (start_bin + 1) * 512
+                     ELSE 0 END) AS BIGINT)            AS boundary_loss,
+       ROUND(SUM(CASE WHEN end_bin > start_bin
+                      THEN start + n_tokens - (start_bin + 1) * 512
+                      ELSE 0 END) * 100.0
+             / GREATEST(SUM(n_tokens), 1), 6)          AS loss_pct
+FROM spans
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="Tokenizer-aware sequence packing with boundary-loss accounting "
+        "(VERDICT r5 ask #4): packs in BPE-ish subword units "
+        "(text.subword_count — the unit a real tokenizer bills in, not "
+        "whitespace words), places every doc's span in the fixed "
+        "512-token sequence grid, and accounts the boundary policy's "
+        "cost per shard — crossings (docs straddling a sequence edge) "
+        "and boundary_loss (tokens past the first edge: what "
+        "truncate-at-boundary drops, or split-at-boundary severs from "
+        "their context).  One window cumsum per shard, pure projections "
+        "after; shards audit independently (bounded window state at "
+        "100 TB).  operators/pipeline.py:pack_boundary_accounting.",
+    tags=("pipeline", "window"),
+)
+def pipeline_pack_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    audited = P.pack_boundary_accounting(docs, token_budget=512)
+    return (audited.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 (F.max("end_bin") + 1).cast("bigint").alias("n_sequences"),
+                 F.sum(F.col("crosses").cast("int")).cast("bigint")
+                  .alias("n_crossings"),
+                 F.sum("boundary_loss").cast("bigint")
+                  .alias("boundary_loss"),
+                 F.round(F.sum("boundary_loss") * 100.0
+                         / F.greatest(F.sum("n_tokens"), F.lit(1)), 6)
+                  .alias("loss_pct"))
+            .orderBy("lang"))
+
+
+@register(
+    "pipeline_url_domain_filter",
+    oracle="""
+WITH urls AS (
+  SELECT source,
+         'https://www.' || source || '.example.com/' || lang || '/doc-'
+           || CAST(doc_id AS VARCHAR) || '?utm_source=crawl&session=42'
+           AS url
+  FROM documents
+), parsed AS (
+  SELECT source,
+         regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+                        '^www\\.', '') AS domain,
+         lower(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)) AS path
+  FROM urls
+), flagged AS (
+  SELECT source,
+         list_contains(['src3.example.com', 'src7.example.com'], domain)
+           AS blocked_domain,
+         (path LIKE '%/es/%' OR path LIKE '%forbidden%') AS blocked_path
+  FROM parsed
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                                  AS n_docs,
+       CAST(SUM(CASE WHEN blocked_domain THEN 1 ELSE 0 END) AS BIGINT)
+                                                                 AS n_blocked_domain,
+       CAST(SUM(CASE WHEN blocked_path AND NOT blocked_domain
+                     THEN 1 ELSE 0 END) AS BIGINT)               AS n_blocked_path,
+       CAST(SUM(CASE WHEN NOT blocked_domain AND NOT blocked_path
+                     THEN 1 ELSE 0 END) AS BIGINT)               AS n_kept
+FROM flagged
+GROUP BY source
+ORDER BY source
+""",
+    doc="URL/domain-level C4 filtering (VERDICT r5 ask #4): derive the "
+        "crawl provenance URL (fixture has no URL column; shape mirrors "
+        "a crawl record incl. a tracking query string), parse host+path "
+        "with JVM parse_url, canonicalize the host (lowercase, strip "
+        "www.), then drop (a) blocklisted registered domains and (b) "
+        "URLs whose path hits a banned-term list — C4's URL-level "
+        "page-removal rule.  Per-source kept/blocked accounting.  Pure "
+        "projection end-to-end (blocklists are plan literals here; a "
+        "production-sized blocklist broadcast-joins instead), so the "
+        "filter rides the scan at 100 TB. "
+        "operators/pipeline.py:derive_urls,url_domain_filter.",
+    tags=("pipeline", "text"),
+)
+def pipeline_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    flagged = P.url_domain_filter(
+        P.derive_urls(docs),
+        blocked_domains=["src3.example.com", "src7.example.com"],
+        blocked_path_terms=["/es/", "forbidden"])
+    return (flagged.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum(F.col("blocked_domain").cast("int")).cast("bigint")
+                  .alias("n_blocked_domain"),
+                 F.sum((F.col("blocked_path")
+                        & ~F.col("blocked_domain")).cast("int"))
+                  .cast("bigint").alias("n_blocked_path"),
+                 F.sum(F.col("kept").cast("int")).cast("bigint")
+                  .alias("n_kept"))
+            .orderBy("source"))

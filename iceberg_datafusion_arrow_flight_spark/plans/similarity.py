@@ -826,3 +826,71 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
     return (fused.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= 20))
+
+
+_XC_CB_COLS = ",\n         ".join(
+    f"{_lsh_bucket_sql('cv', t, n_planes=_LSH_WIT_PLANES)} AS b{t}"
+    for t in range(_LSH_WIT_TABLES))
+_XC_OB_COLS = ",\n         ".join(
+    f"{_lsh_bucket_sql('ov', t, n_planes=_LSH_WIT_PLANES)} AS b{t}"
+    for t in range(_LSH_WIT_TABLES))
+_XC_CAND_UNION = "\n    UNION ALL\n".join(
+    f"    SELECT corpus_id, match_id, cv, ov "
+    f"FROM cb JOIN ob ON cb.b{t} = ob.b{t}"
+    for t in range(_LSH_WIT_TABLES))
+
+
+@register(
+    "sim_cross_corpus_decontaminate",
+    oracle=f"""
+WITH emb AS ({_EMB}),
+c AS (SELECT vec_id AS corpus_id, v AS cv FROM emb WHERE vec_id % 2 = 0),
+o AS (SELECT vec_id AS match_id, v AS ov FROM emb WHERE vec_id % 2 = 1),
+cb AS (
+  SELECT corpus_id, cv,
+         {_XC_CB_COLS}
+  FROM c
+), ob AS (
+  SELECT match_id, ov,
+         {_XC_OB_COLS}
+  FROM o
+), cand AS (
+  SELECT DISTINCT corpus_id, match_id, cv, ov FROM (
+{_XC_CAND_UNION}
+  )
+), sims AS (
+  SELECT corpus_id, match_id,
+         ROUND({_COS.format(a='cv', b='ov')}, 6) AS sim
+  FROM cand
+), flagged AS (
+  SELECT corpus_id, match_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY corpus_id
+                            ORDER BY sim DESC, match_id) AS r
+  FROM sims WHERE sim >= 0.30
+)
+SELECT corpus_id, match_id, sim FROM flagged WHERE r = 1
+""",
+    doc="Cross-corpus semantic decontamination, LSH-bucketed (VERDICT "
+        "r5 ask #4): the scale twin of pipeline_semantic_decontaminate "
+        "for when BOTH sides are corpus-sized — auditing a new crawl "
+        "against the whole existing training corpus — so the eval-suite "
+        "broadcast regime is off the table.  Candidates come from "
+        "multi-table hyperplane LSH (the ANN witnesses' shared "
+        "md5-derived planes, 4x8 recall-oriented corner), per-table "
+        "bucket-equi-joins keyed on bucket id — never corpus x corpus — "
+        "then exact cosine verifies and the per-id argmax keeps the "
+        "nearest flagged counterpart.  The oracle re-derives the "
+        "identical plane constants and zero-seeded folds, so every "
+        "bucket id, candidate pair, and the value hash pin the LSH "
+        "candidate generation end-to-end. "
+        "operators/similarity.py:cross_corpus_decontaminate.",
+    tags=("similarity", "pipeline"),
+)
+def sim_cross_corpus_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    other = emb.where(F.col("vec_id") % 2 == 1)
+    return S.cross_corpus_decontaminate(
+        corpus, other, threshold=0.30,
+        n_planes=_LSH_WIT_PLANES, dims=_EMB_DIMS,
+        n_tables=_LSH_WIT_TABLES)
