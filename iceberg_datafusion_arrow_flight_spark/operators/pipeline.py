@@ -498,3 +498,19 @@ def url_domain_filter(df: DataFrame,
             .withColumn("blocked_domain", bad_dom)
             .withColumn("blocked_path", bad_path)
             .withColumn("kept", ~bad_dom & ~bad_path))
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical dedup key for a crawl URL: scheme dropped, host
+    lowercased with one leading ``www.`` stripped, query string and
+    fragment removed, trailing slash trimmed.  The key under which
+    ``http://WWW.Site.com/a/?utm=1`` and ``https://site.com/a`` are the
+    same page — the cheapest, highest-yield dedup pass a crawl corpus
+    gets before any content hashing.  Pure string projection."""
+    no_scheme = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    no_qf = F.regexp_replace(no_scheme, r"[?#].*$", "")
+    host = F.lower(F.regexp_extract(no_qf, r"^([^/]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(no_qf, r"^[^/]*(.*)$", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    return F.concat(host, path)

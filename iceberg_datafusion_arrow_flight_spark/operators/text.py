@@ -176,3 +176,23 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
             .where(F.col("rank") <= k)
             .select(F.col(id_col), "term", "tfidf",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def readability(col: Column) -> dict[str, Column]:
+    """Flesch-reading-ease-style readability signals, heuristic grade:
+    words = whitespace tokens, sentences = terminal-punctuation runs
+    (min 1), syllables ≈ vowel-group runs (the classic cheap proxy).
+    ``flesch`` = 206.835 − 1.015·(W/S) − 84.6·(Syl/W).  The constants
+    are Flesch's published 1948 coefficients; the contract here is
+    determinism across engines, not psycholinguistic accuracy.  Pure
+    projections — the score rides the scan."""
+    words = F.greatest(token_count(col), F.lit(1))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(col, F.lit(r"[.!?]+"), 0)), F.lit(1))
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(col), F.lit(r"[aeiouy]+"), 0))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (words.cast("double") / sentences)
+              - F.lit(84.6) * (syllables.cast("double") / words))
+    return {"n_words": words, "n_sentences": sentences,
+            "n_syllables": syllables, "flesch": flesch}

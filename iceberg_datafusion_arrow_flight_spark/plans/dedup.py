@@ -425,3 +425,81 @@ WHERE levenshtein(a.s, b.s) <= 10
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.edit_distance_pairs(table(spark, sf_dir, "documents"),
                                  "doc_id", "text", k=10)
+
+
+@register(
+    "dedup_url_canonicalize",
+    oracle="""
+WITH variants AS (
+  SELECT doc_id, source,
+         unnest([
+           'https://www.' || source || '.example.com/' || lang || '/doc-'
+             || CAST(doc_id AS VARCHAR) || '?utm_source=crawl&session=42',
+           'http://' || upper(source) || '.EXAMPLE.com/' || lang || '/doc-'
+             || CAST(doc_id AS VARCHAR),
+           'https://' || source || '.example.com/' || lang || '/doc-'
+             || CAST(doc_id AS VARCHAR) || '/#section-2'
+         ]) AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, source,
+         lower(regexp_extract(
+             regexp_replace(regexp_replace(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '[?#].*$', ''),
+             '^([^/]*)', 1))
+         || regexp_replace(
+              regexp_extract(
+                regexp_replace(regexp_replace(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '[?#].*$', ''),
+                '^[^/]*(.*)$', 1), '/$', '') AS k0
+  FROM variants
+), canon2 AS (
+  SELECT doc_id, source, regexp_replace(k0, '^www\\.', '') AS key
+  FROM (SELECT doc_id, source,
+               CASE WHEN k0 LIKE 'www.%' THEN regexp_replace(k0, '^www\\.', '')
+                    ELSE k0 END AS k0
+        FROM canon)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_pages,
+       ROUND(1.0 - COUNT(DISTINCT key) * 1.0 / COUNT(*), 6) AS dup_ratio
+FROM canon2
+GROUP BY source
+ORDER BY source
+""",
+    doc="Canonical-URL dedup: three crawl-shaped variants per page "
+        "(https+www+tracking query, http+SHOUTING host, trailing "
+        "slash+fragment) must collapse to ONE canonical key — scheme "
+        "dropped, host lowercased, www. stripped, query/fragment cut, "
+        "trailing slash trimmed.  Per-source variant count vs distinct "
+        "pages vs dup ratio; a canonicalizer miss shows up as n_pages "
+        "> n_docs.  The cheapest dedup pass a crawl corpus gets — pure "
+        "projection + one distinct-count agg. "
+        "operators/pipeline.py:canonicalize_url.",
+    tags=("dedup", "pipeline"),
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pipeline as P
+    docs = table(spark, sf_dir, "documents")
+    mk = lambda s: F.concat(*[F.lit(x) if isinstance(x, str) else x
+                              for x in s])  # noqa: E731
+    did = F.col("doc_id").cast("string")
+    variants = F.array(
+        mk([F.lit("https://www."), F.col("source"),
+            F.lit(".example.com/"), F.col("lang"), F.lit("/doc-"), did,
+            F.lit("?utm_source=crawl&session=42")]),
+        mk([F.lit("http://"), F.upper(F.col("source")),
+            F.lit(".EXAMPLE.com/"), F.col("lang"), F.lit("/doc-"), did]),
+        mk([F.lit("https://"), F.col("source"),
+            F.lit(".example.com/"), F.col("lang"), F.lit("/doc-"), did,
+            F.lit("/#section-2")]))
+    urls = (docs.select("doc_id", "source",
+                        F.explode(variants).alias("url")))
+    keyed = urls.withColumn("key", P.canonicalize_url(F.col("url")))
+    return (keyed.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_urls"),
+                 F.countDistinct("key").cast("bigint").alias("n_pages"),
+                 F.round(1.0 - F.countDistinct("key")
+                         / F.count("*"), 6).alias("dup_ratio"))
+            .orderBy("source"))

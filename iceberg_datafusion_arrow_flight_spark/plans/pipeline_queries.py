@@ -932,3 +932,124 @@ def pipeline_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("kept").cast("int")).cast("bigint")
                   .alias("n_kept"))
             .orderBy("source"))
+
+
+@register(
+    "pipeline_quality_gate_funnel",
+    oracle=f"""
+WITH flags AS (
+  SELECT n_chars BETWEEN 100 AND 10000 AS f1,
+         {_N_TOKENS} >= 10 AS f2,
+         {_QUALITY} >= 0.5 AS f3,
+         length(text) * 1.0 / GREATEST({_N_TOKENS}, 1) BETWEEN 3 AND 12 AS f4
+  FROM documents
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n4
+  FROM flags
+)
+SELECT stage, stage_name, n_in, n_out, n_in - n_out AS n_dropped,
+       ROUND(n_out * 100.0 / GREATEST(n_in, 1), 4) AS pass_pct
+FROM (
+  SELECT 1 AS stage, 'char_band' AS stage_name, n0 AS n_in, n1 AS n_out FROM agg
+  UNION ALL SELECT 2, 'min_tokens', n1, n2 FROM agg
+  UNION ALL SELECT 3, 'quality_score', n2, n3 FROM agg
+  UNION ALL SELECT 4, 'token_len_band', n3, n4 FROM agg
+)
+ORDER BY stage
+""",
+    doc="Quality-gate FUNNEL: the C4/Gopher filter chain instrumented "
+        "per stage — each row reports one gate's input, survivors, "
+        "drops, and pass rate, with gates applied cumulatively (the "
+        "report a curation run publishes so a sudden corpus shift is "
+        "attributable to the gate that ate it).  ONE scan computes all "
+        "stage flags as projections; a single aggregate emits every "
+        "funnel level (conditional sums), so the funnel costs one pass "
+        "regardless of stage count — never one scan per stage. "
+        "operators/pipeline.py:quality_filter (gates 1-3 are its "
+        "exact predicates).",
+    tags=("pipeline", "diagnostics"),
+)
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+    docs = table(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text"))
+    f1 = F.col("n_chars").between(100, 10000)
+    f2 = n_tok >= 10
+    f3 = T.quality_score(F.col("text")) >= 0.5
+    f4 = (F.length("text") / F.greatest(n_tok, F.lit(1))).between(3, 12)
+    agg = docs.agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.sum(f1.cast("int")).cast("bigint").alias("n1"),
+        F.sum((f1 & f2).cast("int")).cast("bigint").alias("n2"),
+        F.sum((f1 & f2 & f3).cast("int")).cast("bigint").alias("n3"),
+        F.sum((f1 & f2 & f3 & f4).cast("int")).cast("bigint").alias("n4"))
+    # one row feeds every funnel level — materialize so the union's
+    # branches don't each re-run the corpus scan
+    agg = agg.localCheckpoint(eager=True)
+    stages = [(1, "char_band", "n0", "n1"), (2, "min_tokens", "n1", "n2"),
+              (3, "quality_score", "n2", "n3"),
+              (4, "token_len_band", "n3", "n4")]
+    rows = None
+    for num, name, cin, cout in stages:
+        r = agg.select(F.lit(num).alias("stage"),
+                       F.lit(name).alias("stage_name"),
+                       F.col(cin).alias("n_in"), F.col(cout).alias("n_out"))
+        rows = r if rows is None else rows.unionAll(r)
+    return (rows
+            .withColumn("n_dropped", F.col("n_in") - F.col("n_out"))
+            .withColumn("pass_pct",
+                        F.round(F.col("n_out") * 100.0
+                                / F.greatest(F.col("n_in"), F.lit(1)), 4))
+            .orderBy("stage"))
+
+
+@register(
+    "pipeline_token_budget_mixture",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, CAST(SUM({_N_TOKENS}) AS BIGINT) AS source_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_sources FROM per_source
+)
+SELECT source, source_tokens,
+       CAST(FLOOR(1000000.0 / t.n_sources) AS BIGINT) AS budget_tokens,
+       ROUND(FLOOR(1000000.0 / t.n_sources)
+             / GREATEST(source_tokens, 1), 6) AS epochs,
+       FLOOR(1000000.0 / t.n_sources)
+         / GREATEST(source_tokens, 1) > 1.0 AS oversampled
+FROM per_source CROSS JOIN tot t
+ORDER BY source
+""",
+    doc="Token-budget mixture allocation: given a total training budget "
+        "(1M tokens here) split uniformly across sources, compute each "
+        "source's epoch count (budget share / available tokens) and "
+        "flag oversampled sources (epochs > 1 — the DoReMi/Pile-style "
+        "repetition signal curators cap).  One keyed agg + a "
+        "scalar-sized cross join; the mixture math is driver-free and "
+        "source-count-sized, so it costs the same at 100 TB. "
+        "Complements pipeline_domain_mixture (observed mix) with the "
+        "PRESCRIBED mix.",
+    tags=("pipeline",),
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+    docs = table(spark, sf_dir, "documents")
+    per_source = (docs.groupBy("source")
+                  .agg(F.sum(T.token_count(F.col("text"))).cast("bigint")
+                       .alias("source_tokens")))
+    tot = per_source.agg(
+        F.count("*").cast("double").alias("n_sources"))
+    share = F.floor(F.lit(1000000.0) / F.col("n_sources"))
+    epochs = share / F.greatest(F.col("source_tokens"), F.lit(1))
+    return (per_source.crossJoin(F.broadcast(tot))
+            .select("source", "source_tokens",
+                    share.cast("bigint").alias("budget_tokens"),
+                    F.round(epochs, 6).alias("epochs"),
+                    (epochs > 1.0).alias("oversampled"))
+            .orderBy("source"))

@@ -741,3 +741,49 @@ def text_lexdiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.size(dt) * F.lit(1.0) / F.size(t), 6)
          .alias("type_token_ratio"),
         hapax.cast("bigint").alias("n_hapax"))
+
+
+@register(
+    "text_readability",
+    oracle=r"""
+WITH sig AS (
+  SELECT lang,
+         GREATEST(len(string_split_regex(trim(text), '\s+')), 1) AS w,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(CAST(w AS DOUBLE) / s), 4) AS avg_words_per_sentence,
+       ROUND(AVG(CAST(syl AS DOUBLE) / w), 4) AS avg_syllables_per_word,
+       ROUND(AVG(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                         - 84.6 * (CAST(syl AS DOUBLE) / w)), 4) AS avg_flesch
+FROM sig
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="Readability scoring (Flesch 1948 reading-ease form): words, "
+        "terminal-punctuation sentence runs, vowel-group syllable proxy "
+        "— the quality-scoring complement corpus curators bin documents "
+        "by before mixing.  Pure projections + one agg; rides the scan "
+        "at 100 TB. operators/text.py:readability.",
+    tags=("text",),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sig = T.readability(F.col("text"))
+    scored = docs.select(
+        "lang",
+        sig["n_words"].alias("w"),
+        sig["n_sentences"].alias("s"),
+        sig["n_syllables"].alias("syl"),
+        sig["flesch"].alias("flesch"))
+    return (scored.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.round(F.avg(F.col("w").cast("double") / F.col("s")), 4)
+                  .alias("avg_words_per_sentence"),
+                 F.round(F.avg(F.col("syl").cast("double") / F.col("w")), 4)
+                  .alias("avg_syllables_per_word"),
+                 F.round(F.avg("flesch"), 4).alias("avg_flesch"))
+            .orderBy("lang"))
