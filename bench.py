@@ -61,6 +61,11 @@ HEADLINE = [
     "iceberg_zorder_compaction",
     "sim_ann_recall_report",
     "service_flight_roundtrip",
+    # r6 additions: the round's new heavies (solo seeds in
+    # PERFORMANCE.md r6) — degree-ordered triangle counting and the
+    # LSH-bucketed cross-corpus decontamination twin.
+    "graph_triangle_count",
+    "sim_cross_corpus_decontaminate",
 ]
 
 
@@ -137,7 +142,9 @@ def main() -> None:
                       "dedup_cluster_components", "sim_topk_cosine",
                       "sim_ann_ivf_topk", "sim_ann_pq_topk",
                       "sim_semantic_dedup", "pipeline_decontaminate",
-                      "pipeline_end_to_end", "dedup_edit_distance")]
+                      "pipeline_end_to_end", "dedup_edit_distance",
+                      "graph_triangle_count",
+                      "sim_cross_corpus_decontaminate")]
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
