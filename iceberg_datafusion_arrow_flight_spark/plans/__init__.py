@@ -160,6 +160,8 @@ _PRIORITY: list[str] = [
     "graph_triangle_count", "graph_degree_distribution",
     "text_readability", "pipeline_quality_gate_funnel",
     "dedup_url_canonicalize", "pipeline_token_budget_mixture",
+    "iceberg_snapshot_expire", "text_char_ngram_entropy",
+    "sim_silhouette_by_label",
     # --- re-pin slots (33): the rotation tail is retired, so the rest
     # of the window re-verifies the highest-value path per family —
     # flagships, bench heavies (incl. the two that moved >1.2x in r05:
@@ -173,13 +175,12 @@ _PRIORITY: list[str] = [
     "pipeline_semantic_decontaminate", "text_tfidf_topk",
     "events_hypertable_rollup", "events_session_window",
     "pipeline_end_to_end", "window_moving_median", "window_range_frame",
-    "agg_grouping_sets", "agg_weighted_percentile", "func_datetime",
+    "agg_grouping_sets", "agg_weighted_percentile",
     "join_skew_salted", "join_asof_events", "subquery_scalar_correlated",
-    "cte_recursive", "setop_intersect_all", "multimodal_decode_real",
+    "cte_recursive", "multimodal_decode_real",
     "multimodal_audio_features", "sketch_count_min", "json_variant_ops",
     "io_copy_to_partitioned", "ddl_external_table",
-    "catalog_information_schema_columns", "graph_pagerank_supply_chain",
-    "diag_key_skew_profile",
+    "graph_pagerank_supply_chain", "diag_key_skew_profile",
 ]
 
 

@@ -774,3 +774,68 @@ def iceberg_rest_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("o_orderstatus"))
         out = out.localCheckpoint(eager=True)
     return out
+
+
+@register(
+    "iceberg_snapshot_expire",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       CAST(1 AS BIGINT) AS snapshots_left,
+       TRUE AS expired_travel_fails,
+       CAST(0 AS BIGINT) AS orphans_after_expire
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Snapshot expiration + orphan sweep — the table-maintenance "
+        "pair every production Iceberg deployment schedules.  Ledger: "
+        "append evens (s1), append odds (s2), expire keep_last=1.  "
+        "The entry asserts the REAL maintenance contract mid-plan "
+        "(each failure becomes a gate ERR): time travel to the "
+        "expired s1 raises; exactly one snapshot remains; an "
+        "immediate remove_orphan_files(older_than=0) finds ZERO "
+        "orphans (expire's reachability sweep deleted precisely the "
+        "unreachable files, no more, no less); and the surviving "
+        "snapshot still reads the FULL relation (expiry drops history, "
+        "never current data — manifests chain, so s2 kept s1's files "
+        "alive).  Metadata-only CAS first, file deletion after the "
+        "pointer swap (crash-safe ordering; a crash leaves harmless "
+        "orphans, never a broken table). "
+        "sources/iceberg_lite.py:expire_snapshots,remove_orphan_files.",
+    tags=("iceberg", "catalog", "maintenance"),
+)
+def iceberg_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg_lite import NoSuchTableError
+
+    cat = _fresh_catalog()
+    even, odd = _split_orders(spark, sf_dir)
+    t = cat.create_table("sales", "orders_expire", even)
+    t.append(even)
+    t.append(odd)
+    snaps = t.snapshots()
+    s1_id = snaps[0]["snapshot-id"]
+    t.expire_snapshots(keep_last=1)
+    left = len(t.snapshots())
+    if left != 1:
+        raise AssertionError(f"expire kept {left} snapshots, want 1")
+    try:
+        t.read(spark, snapshot_id=s1_id)
+        travel_fails = False
+    except NoSuchTableError:
+        travel_fails = True
+    if not travel_fails:
+        raise AssertionError("time travel to an expired snapshot must fail")
+    sweep = t.remove_orphan_files(older_than_ms=0)
+    orphans = int(sweep.get("removed_files", 0))
+    if orphans != 0:
+        raise AssertionError(
+            f"expire left {orphans} unreachable files for the orphan "
+            "sweep — its reachability deletion is leaking")
+    return (t.read(spark)
+            .groupBy("o_orderstatus").agg(*_agg_cols())
+            .withColumn("snapshots_left", F.lit(1).cast("bigint"))
+            .withColumn("expired_travel_fails", F.lit(True))
+            .withColumn("orphans_after_expire", F.lit(0).cast("bigint"))
+            .orderBy("o_orderstatus"))

@@ -894,3 +894,78 @@ def sim_cross_corpus_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, other, threshold=0.30,
         n_planes=_LSH_WIT_PLANES, dims=_EMB_DIMS,
         n_tables=_LSH_WIT_TABLES)
+
+
+@register(
+    "sim_silhouette_by_label",
+    oracle=f"""
+WITH emb AS ({_EMB.replace("vec_id,", "vec_id, label,")}),
+ex AS (SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+       FROM emb),
+per_dim AS (SELECT label, dim, ROUND(AVG(val), 8) AS m
+            FROM ex GROUP BY label, dim),
+cents AS (SELECT label AS clabel, list(m ORDER BY dim) AS cv
+          FROM per_dim GROUP BY label),
+dists AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         1.0 - {_COS.format(a='e.v', b='c.cv')} AS dist
+  FROM emb e CROSS JOIN cents c
+), ab AS (
+  SELECT vec_id, label,
+         MIN(CASE WHEN clabel = label THEN dist END) AS a,
+         MIN(CASE WHEN clabel <> label THEN dist END) AS b
+  FROM dists GROUP BY vec_id, label
+), s AS (
+  SELECT label,
+         CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+              ELSE (b - a) / GREATEST(a, b) END AS sil
+  FROM ab
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(AVG(sil), 6) AS avg_silhouette
+FROM s GROUP BY label ORDER BY label
+""",
+    doc="Centroid-silhouette cluster-quality score per label: a = "
+        "cosine distance to the OWN-label centroid, b = distance to "
+        "the nearest OTHER centroid, s = (b−a)/max(a,b) — the "
+        "embedding-space health check run before trusting labels for "
+        "balanced sampling or semantic dedup cells (s near 0: labels "
+        "don't separate; negative: mislabeled cluster).  Simplified "
+        "silhouette (centroids, not all-pairs — the form that scales: "
+        "vectors × |labels| broadcast, never vector × vector).  "
+        "Per-dim centroid means round to 8 (the sim_label_centroid_"
+        "distance re-sync recipe) so both engines fold identical "
+        "doubles. operators/similarity.py geometry; plans/similarity.py.",
+    tags=("similarity", "eval"),
+)
+def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _as_double, cosine
+    emb = (table(spark, sf_dir, "embeddings")
+           .select("vec_id", "label",
+                   _as_double(F.col("embedding")).alias("v")))
+    ex = emb.select("label", F.posexplode("v").alias("dim", "val"))
+    per_dim = (ex.groupBy("label", "dim")
+               .agg(F.round(F.avg("val"), 8).alias("m")))
+    cents = (per_dim.groupBy("label")
+             .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                  .alias("dm"))
+             .select(F.col("label").alias("clabel"),
+                     F.transform(F.col("dm"),
+                                 lambda s: s.getField("m")).alias("cv")))
+    dists = (emb.crossJoin(F.broadcast(cents))
+             .select("vec_id", "label", "clabel",
+                     (F.lit(1.0) - cosine(F.col("v"), F.col("cv")))
+                     .alias("dist")))
+    ab = (dists.groupBy("vec_id", "label")
+          .agg(F.min(F.when(F.col("clabel") == F.col("label"),
+                            F.col("dist"))).alias("a"),
+               F.min(F.when(F.col("clabel") != F.col("label"),
+                            F.col("dist"))).alias("b")))
+    sil = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"))
+    return (ab.select("label", sil.alias("sil"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                 F.round(F.avg("sil"), 6).alias("avg_silhouette"))
+            .orderBy("label"))

@@ -787,3 +787,55 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("avg_syllables_per_word"),
                  F.round(F.avg("flesch"), 4).alias("avg_flesch"))
             .orderBy("lang"))
+
+
+@register(
+    "text_char_ngram_entropy",
+    oracle=r"""
+WITH grams AS (
+  SELECT source, unnest(list_transform(range(1, length(text)),
+                                       i -> text[i:i+1])) AS g
+  FROM documents WHERE length(text) >= 2
+), counts AS (
+  SELECT source, g, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM grams GROUP BY source, g
+), totals AS (
+  SELECT source, SUM(c) AS n FROM counts GROUP BY source
+)
+SELECT c.source,
+       CAST(t.n AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(-SUM((c.c / t.n) * ln(c.c / t.n)) / ln(2), 6) AS entropy_bits
+FROM counts c JOIN totals t ON t.source = c.source
+GROUP BY c.source, t.n
+ORDER BY c.source
+""",
+    doc="Character-bigram Shannon entropy per source — the cheap "
+        "gibberish / encoding-anomaly / wrong-charset detector (natural "
+        "language sits in a narrow entropy band; base64 blobs and "
+        "mojibake jump out).  One (source, bigram) count shuffle + one "
+        "per-source fold; bigram expansion is a codegen'd projection "
+        "riding the scan.  Both engines compute the identical "
+        "c/n·ln(c/n) doubles; ROUND(...,6) absorbs summation-order "
+        "last-ulp noise (the KL/PMI entries' established recipe).",
+    tags=("text", "monitoring"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.length("text") >= 2)
+    grams = d.select(
+        "source",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length("text") - 1),
+            lambda i: F.substring(F.col("text"), i, F.lit(2)))).alias("g"))
+    counts = (grams.groupBy("source", "g")
+              .agg(F.count(F.lit(1)).cast("double").alias("c")))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (counts.join(totals, "source")
+            .groupBy("source", "n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                 F.round(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 6)
+                  .alias("entropy_bits"))
+            .select("source", F.col("n").cast("bigint").alias("n_bigrams"),
+                    "n_distinct", "entropy_bits")
+            .orderBy("source"))
