@@ -635,3 +635,45 @@ def test_lazy_return_operators_leave_cache_manager_empty(spark, sf_dir):
             continue
         REGISTRY[name].build(spark, sf_dir).collect()
         assert _cache_manager_empty(spark), f"{name} leaked a cache() entry"
+
+
+def test_triangle_count_no_cartesian_and_hashed_wedge_joins(spark, sf_dir):
+    """Triangle counting must close wedges with keyed equi-joins — a
+    CartesianProduct would be the all-pairs disaster at scale — and the
+    wedge joins must take the ShuffledHashJoin path (the wedge stream
+    is ~40x the edge list; sorting it for SMJ is pure waste)."""
+    df = REGISTRY["graph_triangle_count"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_cross_corpus_decontaminate_no_cartesian(spark, sf_dir):
+    """The LSH twin exists precisely so neither corpus-sized side is
+    crossed or broadcast wholesale: candidates come from bucket-keyed
+    equi-joins only."""
+    df = REGISTRY["sim_cross_corpus_decontaminate"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_domain_filter_is_pure_projection(spark, sf_dir):
+    """The C4 URL gate must ride the scan: no shuffle before the final
+    per-source aggregate, no Python in the pipeline."""
+    df = REGISTRY["pipeline_url_domain_filter"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert plan.count("Exchange hashpartitioning") <= 1  # the agg only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_boundary_loss_single_shard_window(spark, sf_dir):
+    """Packing audits shard-locally: exactly one window exchange (by
+    shard), one aggregate exchange — never a global window."""
+    df = REGISTRY["pipeline_pack_boundary_loss"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "Window" in plan
+    # a global (un-partitioned) window would plan Exchange SinglePartition
+    # before the Window node
+    window_section = plan.split("Window", 1)[0]
+    assert "SinglePartition" not in window_section
