@@ -771,3 +771,89 @@ def cross_corpus_decontaminate(corpus: DataFrame, other: DataFrame,
     return (sims.withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") == 1)
             .select("corpus_id", "match_id", "sim"))
+
+
+def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                   n_centroids: int = 32, nprobe: int = 4,
+                   m: int = 8, n_codes: int = 16, n_candidates: int = 64,
+                   train_iters: int = 0,
+                   query_id: str = "vec_id", corpus_id: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ composite ANN — the FAISS-standard index shape: a coarse
+    quantizer routes each query to ``nprobe`` cells, and WITHIN the
+    probed cells distances come from PQ codes via asymmetric distance
+    computation, then exact-cosine rerank of the best ``n_candidates``.
+
+    This is the combination that works at 100 TB: IVF bounds the scan
+    to probed cells (shuffle keyed by cell id, sized by the largest
+    cell), PQ shrinks each resident vector to m·log2(n_codes) bits so a
+    cell's candidate scan is table lookups over compressed codes — the
+    raw-float fold happens only for the reranked tail.  Compared to
+    :func:`ann_pq_topk` the ADC scan drops from corpus-wide to
+    cell-local; compared to :func:`ann_ivf_topk` the in-cell compare is
+    LUT adds, not 64-float folds.
+
+    Deterministic end-to-end with ``train_iters=0`` (lowest-id
+    centroids + lowest-id codebook slices, pinned tie-breaks) so a SQL
+    oracle can replicate every cell id, code, LUT value, and candidate
+    — the witness-entry pattern proven for IVF/LSH/PQ.  With
+    ``train_iters>0`` both quantizers refine by Lloyd (same plan
+    shape; train on a sample at scale)."""
+    books = pq_codebooks(corpus, corpus_id, vec_col,
+                         m=m, k=n_codes, iters=train_iters)
+    d = len(books[0][0][1])
+    nv = _normed(_as_double(F.col(vec_col)))
+
+    c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
+                               _as_double(F.col(vec_col)).alias("cv"),
+                               nv.alias("cnv"))
+    code_cols = []
+    for s, book in enumerate(books):
+        sub_sql = f"slice(cnv,{s * d + 1},{d})"
+        dists = [_sq_l2_sql(sub_sql, cent) for _c, cent in book]
+        code_cols.append(F.expr(_argmin_code_sql(dists)).alias(f"__code{s}"))
+    c = c.select("corpus_id", "cv", *code_cols)
+
+    if train_iters > 0:
+        trained = kmeans_centroids(corpus, corpus_id, vec_col,
+                                   k=n_centroids, iters=train_iters)
+        cents = queries.sparkSession.createDataFrame(
+            trained, "__cell INT, __cent_vec ARRAY<DOUBLE>")
+    else:
+        cents = (fan_out(corpus)
+                 .select(F.col(corpus_id).alias("__cell"),
+                         _as_double(F.col(vec_col)).alias("__cent_vec"))
+                 .orderBy("__cell").limit(n_centroids))
+    c_cells = ivf_assign(c, cents, "cv", nprobe=1)
+
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"),
+                       nv.alias("qnv"))
+    lut_cols = []
+    for s, book in enumerate(books):
+        sub_sql = f"slice(qnv,{s * d + 1},{d})"
+        lut_cols.append(F.expr(
+            "array(" + ",".join(_sq_l2_sql(sub_sql, cent)
+                                for _c, cent in book) + ")").alias(f"__lut{s}"))
+    q = q.select("query_id", "qv", *lut_cols)
+    q_cells = ivf_assign(q, cents, "qv", nprobe=nprobe)
+
+    approx = sum(F.element_at(F.col(f"__lut{s}"), F.col(f"__code{s}"))
+                 for s in range(len(books)))
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("__approx").asc(), F.col("corpus_id"))
+    cands = (q_cells.join(c_cells, "__cell")
+             .where(F.col("query_id") != F.col("corpus_id"))
+             .withColumn("__approx", F.round(approx, 9))
+             .dropDuplicates(["query_id", "corpus_id"])
+             .withColumn("__cr", F.row_number().over(cand_w))
+             .where(F.col("__cr") <= n_candidates))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("corpus_id"))
+    return (cands
+            .select("query_id", "corpus_id",
+                    F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "sim",
+                    F.col("rank").cast("int").alias("rank")))

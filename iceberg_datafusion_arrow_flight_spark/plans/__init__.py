@@ -161,7 +161,7 @@ _PRIORITY: list[str] = [
     "text_readability", "pipeline_quality_gate_funnel",
     "dedup_url_canonicalize", "pipeline_token_budget_mixture",
     "iceberg_snapshot_expire", "text_char_ngram_entropy",
-    "sim_silhouette_by_label",
+    "sim_silhouette_by_label", "sim_ann_ivfpq_recall_report",
     # --- re-pin slots (33): the rotation tail is retired, so the rest
     # of the window re-verifies the highest-value path per family —
     # flagships, bench heavies (incl. the two that moved >1.2x in r05:
@@ -174,7 +174,7 @@ _PRIORITY: list[str] = [
     "sim_ann_recall_report", "sim_topk_cosine",
     "pipeline_semantic_decontaminate", "text_tfidf_topk",
     "events_hypertable_rollup", "events_session_window",
-    "pipeline_end_to_end", "window_moving_median", "window_range_frame",
+    "pipeline_end_to_end", "window_moving_median",
     "agg_grouping_sets", "agg_weighted_percentile",
     "join_skew_salted", "join_asof_events", "subquery_scalar_correlated",
     "cte_recursive", "multimodal_decode_real",
