@@ -165,3 +165,23 @@ def test_cross_corpus_decontaminate_matches_bucketed_brute_force(spark):
             oid, s = max(sims, key=lambda t: (t[1], -t[0]))
             best[(cid, oid)] = s
     assert got == best
+
+
+def test_ivfpq_recall_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F2
+    from iceberg_datafusion_arrow_flight_spark.operators import similarity
+    from iceberg_datafusion_arrow_flight_spark.sources.registry import (
+        load_table)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F2.col("vec_id") % 100 == 0)
+    exact = similarity.topk_cosine(queries, emb, k=10)
+    approx = similarity.ann_ivfpq_topk(queries, emb, k=10, nprobe=8,
+                                       n_candidates=128)
+    e = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    a = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"IVF-PQ recall too low: {recall:.2f}"
+    again = {(r.query_id, r.corpus_id)
+             for r in similarity.ann_ivfpq_topk(
+                 queries, emb, k=10, nprobe=8, n_candidates=128).collect()}
+    assert a == again, "IVF-PQ must be deterministic run-to-run"
