@@ -447,7 +447,54 @@ def rewrite_at_time_zone(sql: str) -> str:
 # run on the raw SQL; literal-blind passes run with literals masked so a
 # '$5', '::', or function-looking substring INSIDE a string can never
 # trigger a rewrite.
+
+# ---------------------------------------------------- CREATE EXTERNAL TABLE
+# DF40 DDL (sqlparser 0.47): CREATE EXTERNAL TABLE [IF NOT EXISTS] name
+# [(cols)] STORED AS fmt [WITH HEADER ROW] [DELIMITER 'c'] LOCATION 'path'
+# — the reference accepts it through ctx.sql (lib.rs:678) and registers an
+# unmanaged listing table.  Spark's spelling of the same thing is
+# CREATE TABLE name [(cols)] USING fmt OPTIONS (path ..., header ...,
+# sep ...).  Runs RAW (its own syntax carries the path/delimiter
+# literals).  Unknown STORED AS formats pass through untouched and fail
+# loudly in Spark — same posture as rewrite_arrow_cast.
+_EXTERNAL_RE = re.compile(
+    r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.]+)\s*(?P<cols>\([^)]*\))?\s*"
+    r"STORED\s+AS\s+(?P<fmt>\w+)\s*"
+    r"(?P<header>WITH\s+HEADER\s+ROW)?\s*"
+    r"(?:DELIMITER\s+'(?P<delim>[^']*)')?\s*"
+    r"LOCATION\s+'(?P<loc>[^']+)'\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_EXTERNAL_FMTS = {"CSV": "csv", "PARQUET": "parquet", "JSON": "json",
+                  "NDJSON": "json", "AVRO": "avro", "ARROW": "arrow"}
+
+
+def rewrite_external_table(sql: str) -> str:
+    m = _EXTERNAL_RE.match(sql)
+    if not m:
+        return sql
+    fmt = _EXTERNAL_FMTS.get(m.group("fmt").upper())
+    if fmt is None:
+        return sql  # unknown format: pass through, fail loudly downstream
+    opts = [f"path '{m.group('loc')}'"]
+    if m.group("header"):
+        opts.append("header 'true'")
+    if m.group("delim"):
+        opts.append(f"sep '{m.group('delim')}'")
+    ine = "IF NOT EXISTS " if m.group("ine") else ""
+    cols = f" {m.group('cols')}" if m.group("cols") else ""
+    # DF/Postgres column types Spark's DDL parser spells differently
+    # (bare VARCHAR/TEXT need no length in DF; Spark wants STRING)
+    cols = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", cols,
+                  flags=re.IGNORECASE)
+    cols = re.sub(r"\bTEXT\b", "STRING", cols, flags=re.IGNORECASE)
+    return (f"CREATE TABLE {ine}{m.group('name')}{cols} USING {fmt} "
+            f"OPTIONS ({', '.join(opts)})")
+
+
 PASSES_RAW = [
+    rewrite_external_table,  # whole-statement DDL, runs first
     rewrite_distinct_on,   # before casts (keys may contain ::)
     rewrite_similar_to,
     rewrite_regexp_flags,

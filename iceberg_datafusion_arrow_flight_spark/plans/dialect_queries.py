@@ -606,3 +606,59 @@ LIMIT 500
 )
 def dialect_qualify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_dialect(spark, sf_dir, _QUALIFY, ("orders",))
+
+
+@register(
+    "dialect_create_external_csv",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderkey <= 2000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="CREATE EXTERNAL TABLE ... STORED AS CSV WITH HEADER ROW "
+        "DELIMITER ';' LOCATION — the DF40 DDL text a reference client "
+        "sends verbatim (sqlparser grammar, registered as a listing "
+        "table via ctx.sql, lib.rs:678), rewritten to Spark's CREATE "
+        "TABLE ... USING csv OPTIONS(path, header, sep) spelling, then "
+        "queried through the catalog.  The fixture subset is first "
+        "COPY'd out as a real semicolon-delimited header CSV, so the "
+        "entry proves the whole loop: DDL translation, header/ "
+        "delimiter options honored, declared column types applied, "
+        "values surviving the text round-trip. "
+        "dialect/rewrite.py:rewrite_external_table.",
+    tags=("dialect", "ddl"),
+)
+def dialect_external_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join("/tmp/spark_graft_scratch",
+                        f"extcsv_{uuid.uuid4().hex[:8]}")
+    (table(spark, sf_dir, "orders")
+     .where(F.col("o_orderkey") <= 2000)
+     .select("o_orderkey", "o_orderstatus", "o_totalprice")
+     .write.mode("overwrite")
+     .option("header", True).option("sep", ";").csv(path))
+    ddl = (f"CREATE EXTERNAL TABLE ext_orders_csv "
+           f"(o_orderkey BIGINT, o_orderstatus VARCHAR, "
+           f"o_totalprice DOUBLE) "
+           f"STORED AS CSV WITH HEADER ROW DELIMITER ';' "
+           f"LOCATION '{path}'")
+    spark.sql("DROP TABLE IF EXISTS ext_orders_csv")
+    spark.sql(rewrite_sql(ddl))
+    out = spark.sql(rewrite_sql(
+        "SELECT o_orderstatus, "
+        "       CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "       ROUND(SUM(o_totalprice), 2) AS total_price "
+        "FROM ext_orders_csv GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+    rows = out.collect()
+    spark.sql("DROP TABLE IF EXISTS ext_orders_csv")
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

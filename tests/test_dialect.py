@@ -386,3 +386,22 @@ def test_qualify_literal_and_nested_parens_untouched():
     # the pass runs on MASKED sql in rewrite_sql; raw call here only
     # checks the word-boundary guard (QUALIFYING must not fire)
     assert rewrite_qualify(s) == s
+
+
+def test_rewrite_external_table_grammar():
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+        rewrite_external_table)
+    got = rewrite_external_table(
+        "CREATE EXTERNAL TABLE t (a BIGINT, s VARCHAR) STORED AS CSV "
+        "WITH HEADER ROW DELIMITER ';' LOCATION '/x'")
+    assert got == ("CREATE TABLE t (a BIGINT, s STRING) USING csv "
+                   "OPTIONS (path '/x', header 'true', sep ';')")
+    assert rewrite_external_table(
+        "CREATE EXTERNAL TABLE IF NOT EXISTS p STORED AS PARQUET "
+        "LOCATION '/y';") == \
+        "CREATE TABLE IF NOT EXISTS p USING parquet OPTIONS (path '/y')"
+    # unknown format and non-DDL text pass through untouched
+    weird = "CREATE EXTERNAL TABLE t STORED AS ORCX LOCATION '/z'"
+    assert rewrite_external_table(weird) == weird
+    plain = "SELECT 'CREATE EXTERNAL TABLE x' AS s"
+    assert rewrite_external_table(plain) == plain
