@@ -1110,3 +1110,24 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("hits"),
                     (F.coalesce(F.col("h"), F.lit(0)).cast("double") / 10.0)
                     .alias("recall")))
+
+
+@register(
+    "sim_ann_ivfpq_topk",
+    oracle=None,  # approximate: recall pinned by its driver-green witness
+    doc="IVF-PQ ANN top-10 as the user-facing retrieval op (FAISS-"
+        "standard composite: coarse cells route the query, ADC lookups "
+        "over PQ codes score inside probed cells, exact rerank of 64). "
+        "Rows-only like the other ANN topk entries; its hash-checkable "
+        "witness sim_ann_ivfpq_recall_report is driver-oracled, and "
+        "recall/determinism are pytest-pinned "
+        "(tests/test_round6_ops.py::test_ivfpq_recall_and_determinism). "
+        "operators/similarity.py:ann_ivfpq_topk.",
+    tags=("similarity",),
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.ann_ivfpq_topk(queries, emb, k=10, n_centroids=32, nprobe=4,
+                            m=_PQ_SUBSPACES, n_codes=_PQ_CODES,
+                            n_candidates=64, train_iters=0)
