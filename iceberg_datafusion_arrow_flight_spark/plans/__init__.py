@@ -179,7 +179,7 @@ _PRIORITY: list[str] = [
     "join_skew_salted", "join_asof_events", "subquery_scalar_correlated",
     "cte_recursive", "multimodal_decode_real",
     "multimodal_audio_features", "sketch_count_min", "json_variant_ops",
-    "io_copy_to_partitioned", "dialect_create_external_csv",
+    "service_flight_show_tables", "dialect_create_external_csv",
     "graph_pagerank_supply_chain", "diag_key_skew_profile",
 ]
 

@@ -344,3 +344,30 @@ def service_flight_statement_error_parity(spark: SparkSession,
 
     fetched = _run_flight_conversation(spark, sf_dir, (), conversation)
     return spark.createDataFrame(fetched).orderBy("verb")
+
+
+@register(
+    "service_flight_show_tables",
+    oracle="""
+SELECT * FROM (VALUES
+    ('datafusion', 'public', 'lineitem', 'VIEW'),
+    ('datafusion', 'public', 'orders',   'VIEW')
+) AS t(table_catalog, table_schema, table_name, table_type)
+ORDER BY table_name
+""",
+    doc="SHOW TABLES over the wire: DataFusion answers it from the "
+        "information_schema enabled at lib.rs:92 through the same "
+        "prepared-statement path as any query; the service mirrors the "
+        "(table_catalog, table_schema, table_name, table_type) shape "
+        "from the Catalyst catalog with the env-driven database/schema "
+        "names.  The conversation registers two session views and must "
+        "get exactly those two rows back — a leak of another session's "
+        "views (or the internal df_* materializations) fails the hash. "
+        "service/engine.py:_materialize_tables_view.",
+    tags=("service", "catalog"),
+)
+def service_flight_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fetched = _run_flight_conversation(
+        spark, sf_dir, ("lineitem", "orders"),
+        lambda client: client.query("SHOW TABLES"))
+    return spark.createDataFrame(fetched).orderBy("table_name")
