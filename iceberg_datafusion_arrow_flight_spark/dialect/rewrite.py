@@ -493,8 +493,35 @@ def rewrite_external_table(sql: str) -> str:
             f"OPTIONS ({', '.join(opts)})")
 
 
+
+# ------------------------------------------------- mixed interval literals
+# DF40/Postgres accept one literal mixing year-month and day-time units
+# (INTERVAL '1 month 2 days'); Spark's interval TYPES are split
+# (YearMonthIntervalType vs DayTimeIntervalType), so the single literal
+# cannot parse.  In ADDITIVE position the literal splits losslessly:
+# ``x + INTERVAL 'ym dt'`` == ``x + INTERVAL 'ym' + INTERVAL 'dt'`` —
+# months first, then days, exactly Postgres' evaluation order — and the
+# subtraction case distributes the sign.  A mixed literal OUTSIDE a +/-
+# context passes through untouched and fails loudly (no silent guess).
+_YM_UNITS = r"(?:years?|months?)"
+_DT_UNITS = r"(?:weeks?|days?|hours?|minutes?|mins?|seconds?|secs?|"            r"milliseconds?|microseconds?)"
+_MIXED_INTERVAL_RE = re.compile(
+    r"([+-])\s*INTERVAL\s+'\s*"
+    r"((?:[+-]?\d+\s+" + _YM_UNITS + r"\s*)+)"
+    r"((?:[+-]?\d+\s+" + _DT_UNITS + r"\s*)+)'",
+    re.IGNORECASE)
+
+
+def rewrite_mixed_interval(sql: str) -> str:
+    def _split(m: re.Match) -> str:
+        sign, ym, dt = m.group(1), m.group(2).strip(), m.group(3).strip()
+        return f"{sign} INTERVAL '{ym}' {sign} INTERVAL '{dt}'"
+    return _MIXED_INTERVAL_RE.sub(_split, sql)
+
+
 PASSES_RAW = [
     rewrite_external_table,  # whole-statement DDL, runs first
+    rewrite_mixed_interval,  # consumes its interval literal
     rewrite_distinct_on,   # before casts (keys may contain ::)
     rewrite_similar_to,
     rewrite_regexp_flags,

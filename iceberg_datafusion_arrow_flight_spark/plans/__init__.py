@@ -178,7 +178,8 @@ _PRIORITY: list[str] = [
     "agg_grouping_sets", "agg_weighted_percentile",
     "join_skew_salted", "join_asof_events", "subquery_scalar_correlated",
     "cte_recursive", "multimodal_decode_real",
-    "multimodal_audio_features", "sketch_count_min", "json_variant_ops",
+    "multimodal_audio_features", "sketch_count_min",
+    "dialect_mixed_interval",
     "service_flight_show_tables", "dialect_create_external_csv",
     "graph_pagerank_supply_chain", "diag_key_skew_profile",
 ]

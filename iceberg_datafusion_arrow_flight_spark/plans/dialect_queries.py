@@ -662,3 +662,32 @@ def dialect_external_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql("DROP TABLE IF EXISTS ext_orders_csv")
     shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# The exact text a DF/Postgres client sends — one literal mixing
+# year-month and day-time units (DuckDB runs it verbatim).
+_MIXED_INTERVAL = """
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL '1 month 10 days' AS TIMESTAMP) AS due,
+       CAST(o_orderdate - INTERVAL '1 year 2 months 3 days' AS TIMESTAMP)
+           AS lookback
+FROM orders
+WHERE o_orderkey <= 1000
+"""
+
+
+@register(
+    "dialect_mixed_interval",
+    oracle=_MIXED_INTERVAL,
+    doc="Mixed-unit interval literals (INTERVAL '1 month 10 days' — "
+        "DF40/Postgres accept one literal spanning year-month AND "
+        "day-time units; Spark's split interval types cannot parse it). "
+        "rewrite_mixed_interval splits the literal in additive position "
+        "— months applied first, then days, Postgres' own evaluation "
+        "order — distributing the sign for subtraction.  Oracle runs "
+        "the original text verbatim. "
+        "dialect/rewrite.py:rewrite_mixed_interval.",
+    tags=("dialect",),
+)
+def mixed_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_dialect(spark, sf_dir, _MIXED_INTERVAL, ("orders",))

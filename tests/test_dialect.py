@@ -405,3 +405,22 @@ def test_rewrite_external_table_grammar():
     assert rewrite_external_table(weird) == weird
     plain = "SELECT 'CREATE EXTERNAL TABLE x' AS s"
     assert rewrite_external_table(plain) == plain
+
+
+def test_rewrite_mixed_interval_split_and_passthrough():
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+        rewrite_mixed_interval)
+    assert rewrite_mixed_interval(
+        "SELECT d + INTERVAL '1 month 2 days' FROM t") == \
+        "SELECT d + INTERVAL '1 month' + INTERVAL '2 days' FROM t"
+    # subtraction distributes the sign (months first, then days — the
+    # Postgres evaluation order)
+    assert rewrite_mixed_interval(
+        "SELECT d - INTERVAL '2 years 3 months 10 days 4 hours' FROM t") == \
+        ("SELECT d - INTERVAL '2 years 3 months' "
+         "- INTERVAL '10 days 4 hours' FROM t")
+    # pure year-month / pure day-time literals are Spark-parsable: untouched
+    for ok in ("SELECT d + INTERVAL '3 days' FROM t",
+               "SELECT d + INTERVAL '1 month' FROM t",
+               "SELECT d + INTERVAL '2 days 3 hours' FROM t"):
+        assert rewrite_mixed_interval(ok) == ok
