@@ -128,6 +128,15 @@ from . import tpch            # noqa: E402,F401
 #   + session-sticky DDL over the wire), service_flight_describe and
 #   service_flight_explain_contract (DESCRIBE/EXPLAIN surface parity) —
 #   the four candidates named by VERDICT r4 ask #8.
+#   r06 growth-after-pin note (same mechanism as r05): entries
+#   registered after the r06 window was pinned append after position 50
+#   and form the r07 never-checked pool: events_burn_rate_alerts,
+#   events_activity_streaks, sim_ann_ivfpq_topk (rows-only; its witness
+#   sim_ann_ivfpq_recall_report IS in the r06 window), io_copy_to_
+#   partitioned / ddl_external_table / json_variant_ops /
+#   window_range_frame / func_datetime / setop_intersect_all /
+#   catalog_information_schema_columns (re-pins ceded to higher-value
+#   new entries mid-round — all already driver-green r1-r4).
 #   r06 ledger: CORRECTNESS_r05 came back 50/50 rows+schema, 49/50 hash
 #   — the one red, dialect_arrow_cast, was the registry's only raw
 #   DECIMAL result column (DuckDB pandas widens DECIMAL to float64,

@@ -634,3 +634,106 @@ def events_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("clicks", "errors"), 6).alias("corr_click_error"),
         F.round(F.corr("purchases", "errors"), 6)
          .alias("corr_purchase_error"))
+
+
+@register(
+    "events_burn_rate_alerts",
+    oracle="""
+WITH buckets AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+), rates AS (
+  SELECT bucket, n, n_err,
+         SUM(n_err) OVER w * 1.0 / SUM(n) OVER w AS rate_1h
+  FROM buckets
+  WINDOW w AS (ORDER BY bucket
+               RANGE BETWEEN INTERVAL '55 minutes' PRECEDING
+                         AND CURRENT ROW)
+)
+SELECT bucket,
+       n, n_err,
+       ROUND(n_err * 1.0 / n, 6)          AS rate_5m,
+       ROUND(rate_1h, 6)                  AS rate_1h,
+       (n_err * 1.0 / n > 0.24 AND rate_1h > 0.21) AS page
+FROM rates
+ORDER BY bucket
+""",
+    doc="Multi-window SLO burn-rate alerting (the Google-SRE pattern): "
+        "per-5-minute error rate AND the trailing 1-hour rate at every "
+        "bucket — a page fires only when BOTH exceed their thresholds, "
+        "so a single noisy bucket cannot page and a slow burn still "
+        "does.  The 1-hour window is a time-RANGE frame over bucket "
+        "timestamps (the window_time_range_frame epoch-micros "
+        "translation: 55 minutes preceding a 5-minute bucket start "
+        "covers exactly the 12-bucket hour).  One bucket aggregate + "
+        "one ordered window over bucket-cardinality rows — at 100 TB "
+        "the windowed series is buckets, not events. plans/events.py.",
+    tags=("events", "window", "monitoring"),
+)
+def events_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    buckets = (e.groupBy(F.window("ts", "5 minutes").alias("w"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum((F.col("event_type") == "error").cast("int"))
+                     .cast("bigint").alias("n_err"))
+               .select(F.col("w.start").alias("bucket"), "n", "n_err"))
+    wr = (Window.orderBy(F.unix_micros(F.col("bucket").cast("timestamp")))
+          .rangeBetween(-55 * 60 * 1_000_000, 0))
+    rate_1h = (F.sum("n_err").over(wr) * 1.0 / F.sum("n").over(wr))
+    rate_5m = F.col("n_err") * 1.0 / F.col("n")
+    return (buckets
+            .select("bucket", "n", "n_err",
+                    F.round(rate_5m, 6).alias("rate_5m"),
+                    F.round(rate_1h, 6).alias("rate_1h"),
+                    ((rate_5m > 0.24) & (rate_1h > 0.21)).alias("page"))
+            .orderBy("bucket"))
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), grouped AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM grouped GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT)  AS n_streaks,
+       CAST(MAX(len) AS BIGINT)  AS longest_streak,
+       CAST(SUM(len) AS BIGINT)  AS active_days
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="Consecutive-day activity streaks per user — the classic "
+        "gaps-and-islands rewrite (date minus per-user row_number is "
+        "constant within a run of consecutive days), the engagement / "
+        "retention primitive.  One distinct, one per-user window, two "
+        "keyed aggs — all partitioned by user, no global state. "
+        "plans/events.py.",
+    tags=("events", "window"),
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = (grouped.groupBy("user_id", "grp")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("len")))
+    return (streaks.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+                 F.max("len").cast("bigint").alias("longest_streak"),
+                 F.sum("len").cast("bigint").alias("active_days"))
+            .orderBy("user_id"))
