@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .base import register
 from ..sources.registry import load_table
@@ -361,13 +362,19 @@ ORDER BY table_name
         "(table_catalog, table_schema, table_name, table_type) shape "
         "from the Catalyst catalog with the env-driven database/schema "
         "names.  The conversation registers two session views and must "
-        "get exactly those two rows back — a leak of another session's "
-        "views (or the internal df_* materializations) fails the hash. "
-        "service/engine.py:_materialize_tables_view.",
+        "get exactly those two VIEW rows back — a leak of another "
+        "session's temp views (or the internal df_* materializations) "
+        "fails the hash.  Permanent BASE TABLEs are shared-catalog by "
+        "design on both engines (DataFusion's catalog is process-wide "
+        "too), so the entry pins the session-view slice and leaves "
+        "whatever permanent tables the environment holds out of the "
+        "comparison. service/engine.py:_materialize_tables_view.",
     tags=("service", "catalog"),
 )
 def service_flight_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetched = _run_flight_conversation(
         spark, sf_dir, ("lineitem", "orders"),
         lambda client: client.query("SHOW TABLES"))
-    return spark.createDataFrame(fetched).orderBy("table_name")
+    return (spark.createDataFrame(fetched)
+            .where(F.col("table_type") == "VIEW")
+            .orderBy("table_name"))
