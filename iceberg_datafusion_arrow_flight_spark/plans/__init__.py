@@ -136,7 +136,8 @@ from . import tpch            # noqa: E402,F401
 #   partitioned / ddl_external_table / json_variant_ops /
 #   window_range_frame / func_datetime / setop_intersect_all /
 #   catalog_information_schema_columns (re-pins ceded to higher-value
-#   new entries mid-round — all already driver-green r1-r4).
+#   new entries mid-round — all already driver-green r1-r4), plus
+#   iceberg_expire_respects_refs (tag survives expiry, new late-r6).
 #   r06 ledger: CORRECTNESS_r05 came back 50/50 rows+schema, 49/50 hash
 #   — the one red, dialect_arrow_cast, was the registry's only raw
 #   DECIMAL result column (DuckDB pandas widens DECIMAL to float64,

@@ -839,3 +839,63 @@ def iceberg_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("expired_travel_fails", F.lit(True))
             .withColumn("orphans_after_expire", F.lit(0).cast("bigint"))
             .orderBy("o_orderstatus"))
+
+
+@register(
+    "iceberg_expire_respects_refs",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       TRUE  AS tagged_travel_ok,
+       FALSE AS untagged_survived
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Retention honors refs — the contract that makes tags safe "
+        "release pointers: append evens (s1, tagged 'baseline'), "
+        "append more (s2), append odds (s3), expire keep_last=1.  The "
+        "entry asserts mid-plan that the UNTAGGED middle snapshot is "
+        "gone (travel raises) while the TAGGED s1 still time-travels, "
+        "then returns s1's aggregate READ THROUGH THE TAG — equality "
+        "with the evens relation proves the tag pinned real data "
+        "through an expiry that removed its younger sibling.  The "
+        "s1-reachable files survive because reachability walks the "
+        "KEPT snapshots' manifest chains, refs included. "
+        "sources/iceberg_lite.py:set_ref,expire_snapshots.",
+    tags=("iceberg", "catalog", "maintenance"),
+)
+def iceberg_expire_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg_lite import NoSuchTableError
+
+    cat = _fresh_catalog()
+    even, odd = _split_orders(spark, sf_dir)
+    t = cat.create_table("sales", "orders_expire_refs", even)
+    t.append(even)
+    s1 = t.snapshots()[-1]["snapshot-id"]
+    t.set_ref("baseline", snapshot_id=s1, kind="tag")
+    t.append(odd.where(F.col("o_orderkey") % 4 == 1))
+    s2 = t.snapshots()[-1]["snapshot-id"]
+    t.append(odd.where(F.col("o_orderkey") % 4 == 3))
+    t.expire_snapshots(keep_last=1)
+    try:
+        t.read(spark, snapshot_id=s2)
+        untagged_survived = True
+    except NoSuchTableError:
+        untagged_survived = False
+    if untagged_survived:
+        raise AssertionError("untagged middle snapshot must expire")
+    try:
+        tagged = t.read(spark, snapshot_id=s1)
+        tagged_travel_ok = True
+    except NoSuchTableError:
+        tagged_travel_ok = False
+    if not tagged_travel_ok:
+        raise AssertionError("tagged snapshot must survive expiry")
+    return (tagged
+            .groupBy("o_orderstatus").agg(*_agg_cols())
+            .withColumn("tagged_travel_ok", F.lit(True))
+            .withColumn("untagged_survived", F.lit(False))
+            .orderBy("o_orderstatus"))

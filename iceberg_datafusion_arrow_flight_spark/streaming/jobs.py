@@ -610,3 +610,56 @@ def stream_events_with_rollup(df: DataFrame, events_table, rollup_table,
             .trigger(availableNow=True)
             .option("checkpointLocation", ckpt_dir)
             .start())
+
+
+def stream_reservoir_sample(stream_df: DataFrame, id_col: str,
+                            state_dir: str, k: int = 100,
+                            seed: str = "reservoir-v1",
+                            query_name: str = "reservoir_stream"):
+    """Streaming uniform reservoir sample of size ``k`` — the mergeable
+    max-hash formulation: an item's priority is ``md5(seed || id)``, and
+    the reservoir is simply the k SMALLEST priorities seen so far.
+    Top-k-by-hash is associative and deterministic, so per batch the job
+    unions the incoming rows' priorities with the persisted reservoir
+    and keeps the global k smallest — no randomness state, no
+    per-item probability bookkeeping, and replaying or re-ordering
+    batches cannot change the result (the invariant the pytest pins:
+    streamed reservoir == batch top-k over the full input).
+
+    Scale: per-batch work is batch + k rows; the reservoir on disk is
+    k rows; a fleet of independent samplers merges by the same top-k —
+    the distributed-sampling property A-Res needs weights for, free
+    here because uniform sampling only needs a uniform priority.
+    Returns the StreamingQuery."""
+    import os
+
+    res_path = os.path.join(state_dir, "reservoir")
+
+    def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        incoming = batch_df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+             .alias("priority")).dropDuplicates(["id"])
+        try:
+            current = spark.read.parquet(res_path)
+        except Exception:  # noqa: BLE001 - first batch: no reservoir yet
+            current = None
+        pool = incoming if current is None else current.unionByName(incoming)
+        kept = (pool.orderBy("priority", "id").limit(k)
+                .coalesce(1))
+        # write-then-swap: the reservoir must never be half-written
+        tmp = res_path + f".tmp{batch_id}"
+        kept.write.mode("overwrite").parquet(tmp)
+        import shutil
+        shutil.rmtree(res_path, ignore_errors=True)
+        os.rename(tmp, res_path)
+
+    return (stream_df.writeStream
+            .foreachBatch(_fold_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{state_dir}/_ckpt")
+            .queryName(query_name)
+            .start())

@@ -458,3 +458,37 @@ def test_stream_stream_left_outer_join(spark, events_stream, events_batch):
                  < wm - datetime.timedelta(hours=24)}
     assert must_emit, "fixture should have old unmatched signups"
     assert must_emit <= got_nulls          # old unmatched all emitted
+
+
+def test_stream_reservoir_sample_equals_batch_topk(spark, events_batch,
+                                                   tmp_path):
+    """Streamed reservoir (fold per micro-batch) must equal the batch
+    top-k-by-hash over the SAME input — the mergeable max-hash sample is
+    deterministic, so the streamed and batch forms are bit-identical."""
+    from pyspark.sql import functions as F
+
+    from iceberg_datafusion_arrow_flight_spark.streaming.jobs import (
+        stream_reservoir_sample)
+
+    src_dir = str(tmp_path / "src")
+    (events_batch.select("event_id", "ts", "user_id", "event_type",
+                         "value", "props")
+     .repartition(4).write.mode("overwrite").parquet(src_dir))
+    stream = (spark.readStream.schema(events_batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    state = str(tmp_path / "state")
+    q = stream_reservoir_sample(stream, "event_id", state, k=50)
+    q.awaitTermination(120)
+
+    got = {(r.id, r.priority)
+           for r in spark.read.parquet(f"{state}/reservoir").collect()}
+    want = {(r.id, r.priority) for r in
+            (events_batch.select(
+                F.col("event_id").cast("long").alias("id"),
+                F.md5(F.concat(F.lit("reservoir-v1"),
+                               F.col("event_id").cast("string")))
+                 .alias("priority"))
+             .dropDuplicates(["id"])
+             .orderBy("priority", "id").limit(50).collect())}
+    assert len(got) == 50
+    assert got == want
