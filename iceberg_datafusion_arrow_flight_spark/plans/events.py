@@ -737,3 +737,59 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("len").cast("bigint").alias("longest_streak"),
                  F.sum("len").cast("bigint").alias("active_days"))
             .orderBy("user_id"))
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, MEDIAN(n) AS m FROM hourly GROUP BY event_type
+), mad AS (
+  SELECT h.event_type, ANY_VALUE(m.m) AS m,
+         MEDIAN(ABS(h.n - m.m)) AS mad
+  FROM hourly h JOIN med m USING (event_type)
+  GROUP BY h.event_type
+)
+SELECT h.event_type, h.h AS hour, h.n,
+       ROUND(m.m, 4) AS median_n,
+       ROUND(0.6745 * (h.n - m.m) / GREATEST(m.mad, 0.5), 4)
+           AS modified_z
+FROM hourly h JOIN mad m ON m.event_type = h.event_type
+WHERE ABS(0.6745 * (h.n - m.m) / GREATEST(m.mad, 0.5)) > 3.5
+ORDER BY h.event_type, hour
+""",
+    doc="Robust anomaly detection on hourly event volumes: modified "
+        "z-score 0.6745·(n−median)/MAD — the median/MAD twin of the "
+        "stddev entry (events_user_anomalies), immune to the exact "
+        "outliers it hunts (one wild hour inflates a stddev and hides "
+        "itself; it cannot move a median).  MAD floor 0.5 guards "
+        "constant series.  Hourly rollup is one keyed agg; the "
+        "median/MAD model is type-cardinality-sized and broadcast "
+        "back — the event stream never re-shuffles.  Medians are "
+        "exact (odd/even handled identically by both engines on "
+        "integer counts; ROUND(...,4) at the compare boundary).",
+    tags=("events", "aggregate", "monitoring"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = (e.groupBy("event_type",
+                        F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    med = (hourly.groupBy("event_type")
+           .agg(F.median("n").alias("m")))
+    mad = (hourly.join(F.broadcast(med), "event_type")
+           .groupBy("event_type")
+           .agg(F.any_value("m").alias("m"),
+                F.median(F.abs(F.col("n") - F.col("m"))).alias("mad")))
+    z = (F.lit(0.6745) * (F.col("n") - F.col("m"))
+         / F.greatest(F.col("mad"), F.lit(0.5)))
+    return (hourly.join(F.broadcast(mad), "event_type")
+            .where(F.abs(z) > 3.5)
+            .select("event_type", "hour", "n",
+                    F.round("m", 4).alias("median_n"),
+                    F.round(z, 4).alias("modified_z"))
+            .orderBy("event_type", "hour"))

@@ -1131,3 +1131,54 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivfpq_topk(queries, emb, k=10, n_centroids=32, nprobe=4,
                             m=_PQ_SUBSPACES, n_codes=_PQ_CODES,
                             n_candidates=64, train_iters=0)
+
+
+@register(
+    "sim_pairwise_distance_histogram",
+    oracle=f"""
+WITH emb AS ({_EMB}),
+sample AS (SELECT vec_id, v FROM emb WHERE vec_id % 10 = 0),
+sims AS (
+  SELECT ROUND({_COS.format(a='a.v', b='b.v')}, 6) AS sim
+  FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+)
+SELECT CAST(FLOOR((sim + 1.0) * 20) AS BIGINT) AS bin,
+       ROUND(CAST(FLOOR((sim + 1.0) * 20) AS BIGINT) / 20.0 - 1.0, 2)
+           AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM sims
+GROUP BY 1, 2
+ORDER BY bin
+""",
+    doc="Pairwise-cosine distribution over a deterministic 10% id "
+        "sample, binned at 0.05 over [−1, 1] — the embedding-space "
+        "health profile read before tuning any ANN index (LSH plane "
+        "count, IVF cell count, and dedup thresholds all key off where "
+        "this histogram's mass sits; a near-uniform blob and a "
+        "clustered corpus need different corners).  Sampling is BY ID "
+        "(reproducible, engine-independent); a distribution estimate "
+        "needs only a BOUNDED sample, so at scale the modulus targets "
+        "a fixed ~5k rows and the pair block stays constant-size "
+        "regardless of corpus growth — the %%10 here is fixture-sized. "
+        "plans/similarity.py:sim_pair_histogram.",
+    tags=("similarity", "diagnostics"),
+)
+def sim_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _as_double, cosine
+    emb = table(spark, sf_dir, "embeddings")
+    sample = (emb.where(F.col("vec_id") % 10 == 0)
+              .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+              .localCheckpoint(eager=True))
+    a = sample.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    b = sample.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
+    sims = (a.join(b, F.col("ida") < F.col("idb"))
+            .select(F.round(cosine(F.col("va"), F.col("vb")), 6)
+                    .alias("sim")))
+    bin_col = F.floor((F.col("sim") + 1.0) * 20).cast("bigint")
+    return (sims.select(bin_col.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+            .select("bin",
+                    F.round(F.col("bin") / 20.0 - 1.0, 2).alias("bin_lo"),
+                    "n_pairs")
+            .orderBy("bin"))
