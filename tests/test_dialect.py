@@ -424,3 +424,28 @@ def test_rewrite_mixed_interval_split_and_passthrough():
                "SELECT d + INTERVAL '1 month' FROM t",
                "SELECT d + INTERVAL '2 days 3 hours' FROM t"):
         assert rewrite_mixed_interval(ok) == ok
+
+
+def test_mixed_interval_grid_matches_duckdb(spark, duck):
+    """Deterministic grid fuzz for the mixed-interval split: every
+    (year-month part) x (day-time part) x sign combination over a fixed
+    anchor date must yield the same instant both engines compute for
+    the ORIGINAL Postgres-style literal."""
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+        rewrite_sql)
+    ym_parts = ["1 year", "2 months", "1 year 3 months"]
+    dt_parts = ["2 days", "5 hours", "10 days 4 hours", "90 minutes"]
+    cases = [f"{ym} {dt}" for ym in ym_parts for dt in dt_parts]
+    exprs, oracle_exprs = [], []
+    for i, lit in enumerate(cases):
+        for sign, tag in (("+", "p"), ("-", "m")):
+            exprs.append(
+                f"CAST(TIMESTAMP '2024-01-31 12:00:00' {sign} "
+                f"INTERVAL '{lit}' AS TIMESTAMP) AS c{i}{tag}")
+            oracle_exprs.append(
+                f"CAST(TIMESTAMP '2024-01-31 12:00:00' {sign} "
+                f"INTERVAL '{lit}' AS TIMESTAMP) AS c{i}{tag}")
+    got = spark.sql(rewrite_sql("SELECT " + ", ".join(exprs))).first()
+    want = duck.sql("SELECT " + ", ".join(oracle_exprs)).fetchone()
+    for idx, (g, w) in enumerate(zip(got, want)):
+        assert g == w, f"case {exprs[idx]}: spark={g} duckdb={w}"
