@@ -492,3 +492,83 @@ def audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return fan_out(df).mapInPandas(feats, schema=AUDIO_SCHEMA)
+
+
+def attach_video_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real video-like fixture: per doc a short frame sequence of actual
+    PPM payloads with deterministic pixels.  Frame ``f`` of doc ``d``
+    draws from seed ``d`` before the midpoint cut and ``d + 1000``
+    after it (pixel = (7·seed + flat) mod 256) — a hard content jump at
+    ``cut_at = n_frames // 2`` that a correct scene-cut detector must
+    find and a wrong decoder/differ cannot fake.  Built executor-side
+    in Arrow batches like :func:`attach_image_payload`."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "n_frames",
+                                    "payload", "meta_width", "meta_height")}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + (did % 8) * 4
+                h = 8 + (did % 5) * 4
+                n_frames = 4 + did % 3
+                cut_at = n_frames // 2
+                for f in range(n_frames):
+                    seed = did + (1000 if f >= cut_at else 0)
+                    flat = (7 * seed + np.arange(w * h * 3)) % 256
+                    px = flat.reshape(h, w, 3)
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(f)
+                    rows["n_frames"].append(n_frames)
+                    rows["payload"].append(_encode_ppm(w, h, px))
+                    rows["meta_width"].append(w)
+                    rows["meta_height"].append(h)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        gen, schema=("doc_id BIGINT, frame_idx INT, n_frames INT, "
+                     "payload BINARY, meta_width INT, meta_height INT"))
+
+
+SCENE_CUT_SCHEMA = ("doc_id BIGINT, frame_idx INT, sad BIGINT, "
+                    "mean_abs_diff DOUBLE, is_cut BOOLEAN")
+
+
+def scene_cut_sad(frames: DataFrame, threshold: float = 8.0) -> DataFrame:
+    """Scene-cut detection over decoded frames: per doc, decode every
+    frame's REAL pixel buffer, order by frame index, and emit the
+    integer sum of absolute pixel differences (SAD) against the
+    previous frame — ``is_cut`` where the per-pixel mean |Δ| crosses
+    ``threshold``.  The video-segmentation primitive (shot boundaries
+    for frame-dedup / caption alignment).
+
+    Implemented with ``applyInPandas`` grouped BY DOC — the per-group
+    batch form this repo's other multimodal stages don't need (they are
+    1→1 or 1→N row-local; frame DIFFERENCES need the whole sequence in
+    one place).  Scale: state per group is one doc's frames (bounded by
+    clip length), groups hash-partition freely; SAD is exact integer
+    math, so the DuckDB oracle recomputes it from the generator
+    formula."""
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frame_idx")
+        out = {k: [] for k in ("doc_id", "frame_idx", "sad",
+                               "mean_abs_diff", "is_cut")}
+        prev = None
+        for _, row in pdf.iterrows():
+            w, h, px = _decode_ppm(bytes(row["payload"]))
+            cur = px.astype(np.int64)
+            if prev is not None:
+                sad = int(np.abs(cur - prev).sum())
+                mad = sad / float(w * h * 3)
+                out["doc_id"].append(int(row["doc_id"]))
+                out["frame_idx"].append(int(row["frame_idx"]))
+                out["sad"].append(sad)
+                out["mean_abs_diff"].append(mad)
+                out["is_cut"].append(mad > threshold)
+            prev = cur
+        return pd.DataFrame(out)
+
+    return (fan_out(frames).groupBy("doc_id")
+            .applyInPandas(per_doc, schema=SCENE_CUT_SCHEMA))

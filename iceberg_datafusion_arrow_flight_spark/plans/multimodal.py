@@ -301,3 +301,62 @@ def multimodal_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("height").cast("int").alias("height"))
             .where(F.col("n_copies") > 1)
             .orderBy("rep_id"))
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8 + (doc_id % 8) * 4 AS w,
+         8 + (doc_id % 5) * 4 AS h,
+         4 + doc_id % 3 AS nf
+  FROM documents WHERE doc_id % 10 = 0
+),
+pairs AS (
+  SELECT doc_id, w, h, nf, (nf // 2) AS cut_at, t.k AS f
+  FROM d, range(1, 6) t(k)
+  WHERE t.k < nf
+),
+cut_sad AS (
+  SELECT p.doc_id, p.f,
+         CAST(SUM(ABS(CAST((7 * (p.doc_id + 1000) + t.k) % 256 AS BIGINT)
+                      - CAST((7 * p.doc_id + t.k) % 256 AS BIGINT)))
+              AS BIGINT) AS sad
+  FROM pairs p, range(0, 2592) t(k)
+  WHERE p.f = p.cut_at AND t.k < p.w * p.h * 3
+  GROUP BY p.doc_id, p.f
+)
+SELECT p.doc_id,
+       CAST(p.f AS INT) AS frame_idx,
+       COALESCE(c.sad, 0) AS sad,
+       ROUND(COALESCE(c.sad, 0) * 1.0 / (p.w * p.h * 3), 6)
+           AS mean_abs_diff,
+       COALESCE(c.sad, 0) * 1.0 / (p.w * p.h * 3) > 8.0 AS is_cut
+FROM pairs p LEFT JOIN cut_sad c ON c.doc_id = p.doc_id AND c.f = p.f
+ORDER BY p.doc_id, frame_idx
+""",
+    doc="Scene-cut detection over REAL decoded frames — the video-"
+        "segmentation primitive (shot boundaries for frame dedup / "
+        "caption alignment).  Executors build each doc's frame sequence "
+        "as actual PPM payloads with a hard content jump at the "
+        "midpoint; applyInPandas groups BY DOC (the per-group batch "
+        "form frame DIFFERENCES need — the repo's other multimodal "
+        "stages are row-local), decodes every pixel buffer, and emits "
+        "exact integer SAD vs the previous frame.  The oracle "
+        "recomputes each SAD from the generator's modular-arithmetic "
+        "formula — only the midpoint pair is nonzero, and its value is "
+        "exact, so the hash pins decode + ordering + differencing "
+        "end-to-end.  Per-group state is one clip's frames; groups "
+        "hash-partition freely at 100 TB. "
+        "operators/multimodal.py:attach_video_frames,scene_cut_sad.",
+    tags=("multimodal",),
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    cuts = M.scene_cut_sad(M.attach_video_frames(docs), threshold=8.0)
+    return (cuts.select("doc_id", "frame_idx", "sad",
+                        F.round("mean_abs_diff", 6).alias("mean_abs_diff"),
+                        "is_cut")
+            .orderBy("doc_id", "frame_idx"))
