@@ -404,3 +404,50 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("n_last_hour"),
                     F.round(F.sum("value").over(w), 4)
                      .alias("value_last_hour")))
+
+
+@register(
+    "window_frame_exclusion",
+    oracle="""
+SELECT o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+            PARTITION BY o_orderpriority ORDER BY o_orderkey
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+            EXCLUDE CURRENT ROW), 2) AS neighbor_sum,
+       CAST(COUNT(*) OVER (
+            PARTITION BY o_orderpriority ORDER BY o_orderkey
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+            EXCLUDE CURRENT ROW) AS BIGINT) AS neighbor_n,
+       ROUND(AVG(o_totalprice) OVER (
+            PARTITION BY o_orderpriority ORDER BY o_orderkey
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+            EXCLUDE CURRENT ROW), 4) AS neighbor_avg
+FROM orders
+WHERE o_orderkey <= 3000
+""",
+    doc="Frame EXCLUDE CURRENT ROW (standard SQL:2011 frame exclusion; "
+        "DuckDB runs it natively as the oracle) — the fifth engine-gap "
+        "window emulation: Spark has no frame-exclusion clause, but "
+        "over a ROWS frame the excluded aggregate is EXACTLY the full-"
+        "frame aggregate minus the current row's contribution — "
+        "sum − x, count − 1, avg = (sum − x)/(count − 1) — all pure "
+        "projections on top of one window pass, so the emulation costs "
+        "nothing extra.  The leave-one-out window is the local-outlier "
+        "primitive ('how do my neighbors look WITHOUT me').  Rounds at "
+        "the compare boundary absorb subtraction-order ulps. "
+        "plans/windows.py:window_frame_exclusion.",
+    tags=("window",),
+)
+def window_frame_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+         .rowsBetween(-3, 3))
+    full_sum = F.sum("o_totalprice").over(w)
+    full_n = F.count(F.lit(1)).over(w)
+    ex_sum = full_sum - F.col("o_totalprice")
+    ex_n = (full_n - 1).cast("bigint")
+    return (table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") <= 3000)
+            .select("o_orderkey",
+                    F.round(ex_sum, 2).alias("neighbor_sum"),
+                    ex_n.alias("neighbor_n"),
+                    F.round(ex_sum / ex_n, 4).alias("neighbor_avg")))
