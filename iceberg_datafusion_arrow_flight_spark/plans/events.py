@@ -793,3 +793,49 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("m", 4).alias("median_n"),
                     F.round(z, 4).alias("modified_z"))
             .orderBy("event_type", "hour"))
+
+
+@register(
+    "events_ohlc_candles",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS bucket,
+       event_type,
+       ROUND(arg_min(value, ts), 4) AS open,
+       ROUND(MAX(value), 4)         AS high,
+       ROUND(MIN(value), 4)         AS low,
+       ROUND(arg_max(value, ts), 4) AS close,
+       ROUND(SUM(value), 4)         AS volume,
+       CAST(COUNT(*) AS BIGINT)     AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket, event_type
+""",
+    doc="OHLC candlestick rollup — open/close are the time-ordered "
+        "FIRST/LAST values per (hour, type), the financial/telemetry "
+        "summary the plain min/max rollup cannot express.  One keyed "
+        "agg (min_by/max_by on the event time — partial-aggregable, so "
+        "map-side combine still applies).  First/last keys on ts alone; "
+        "the entry ASSERTS (ts, type) uniqueness mid-plan, so a future "
+        "fixture with timestamp ties turns into a loud gate ERR rather "
+        "than a cross-engine tie-break hash flake (the fixture has no "
+        "ties at any SF; production code would key on (ts, event_id)). "
+        "plans/events.py:events_ohlc.",
+    tags=("events", "rollup"),
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    dup = (e.groupBy("event_type", "ts").count()
+           .where(F.col("count") > 1).limit(1).count())
+    if dup:
+        raise AssertionError(
+            "events fixture gained (event_type, ts) ties — switch the "
+            "OHLC first/last key to (ts, event_id) on BOTH sides")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("bucket"),
+                      "event_type")
+            .agg(F.round(F.min_by("value", "ts"), 4).alias("open"),
+                 F.round(F.max("value"), 4).alias("high"),
+                 F.round(F.min("value"), 4).alias("low"),
+                 F.round(F.max_by("value", "ts"), 4).alias("close"),
+                 F.round(F.sum("value"), 4).alias("volume"),
+                 F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy("bucket", "event_type"))
