@@ -1182,3 +1182,63 @@ def sim_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("bin") / 20.0 - 1.0, 2).alias("bin_lo"),
                     "n_pairs")
             .orderBy("bin"))
+
+
+@register(
+    "sim_hard_negative_mining",
+    oracle=f"""
+WITH emb AS ({_EMB.replace("vec_id,", "vec_id, label,")}),
+q AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS qv
+      FROM emb WHERE vec_id % 50 = 0),
+sims AS (
+  SELECT anchor_id, anchor_label,
+         e.vec_id AS negative_id, e.label AS negative_label,
+         ROUND({_COS.format(a='qv', b='e.v')}, 6) AS sim
+  FROM q JOIN emb e
+    ON e.vec_id != q.anchor_id AND e.label != q.anchor_label
+), ranked AS (
+  SELECT anchor_id, negative_id, negative_label, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                 ORDER BY sim DESC, negative_id) AS INT)
+             AS rank
+  FROM sims
+)
+SELECT anchor_id, negative_id, negative_label, sim, rank
+FROM ranked WHERE rank <= 5
+""",
+    doc="Hard-negative mining for contrastive/embedding training: per "
+        "anchor, the top-5 most-similar vectors with a DIFFERENT label "
+        "— the negatives that actually teach (random negatives are too "
+        "easy; these sit right at the decision boundary).  Same "
+        "broadcast-anchors x corpus shape as sim_topk_cosine with the "
+        "label-mismatch predicate fused into the join, so mismatches "
+        "never reach the ranker; per-anchor WindowGroupLimit top-k.  "
+        "At corpus-scale anchor sets, swap the broadcast for the LSH "
+        "candidate generator (ann_lsh_topk) with the same predicate — "
+        "plan shape is the established bucketed one. "
+        "plans/similarity.py:sim_hard_negatives.",
+    tags=("similarity", "pipeline"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..operators.similarity import _as_double, cosine, fan_out
+    emb = table(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("anchor_id"),
+                 F.col("label").alias("anchor_label"),
+                 _as_double(F.col("embedding")).alias("qv")))
+    c = fan_out(emb).select(F.col("vec_id").alias("negative_id"),
+                            F.col("label").alias("negative_label"),
+                            _as_double(F.col("embedding")).alias("cv"))
+    sims = (F.broadcast(q).join(
+                c, (F.col("negative_id") != F.col("anchor_id"))
+                   & (F.col("negative_label") != F.col("anchor_label")))
+            .select("anchor_id", "negative_id", "negative_label",
+                    F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                     .alias("sim")))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("negative_id"))
+    return (sims.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 5)
+            .select("anchor_id", "negative_id", "negative_label",
+                    "sim", "rank"))

@@ -839,3 +839,74 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", F.col("n").cast("bigint").alias("n_bigrams"),
                     "n_distinct", "entropy_bits")
             .orderBy("source"))
+
+
+@register(
+    "text_code_detection",
+    oracle=r"""
+WITH sig AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '[{}();=<>\[\]]'))
+           * 1.0 / GREATEST(length(text), 1)          AS sym_density,
+         len(regexp_extract_all(text,
+             '\b(def|return|import|class|function|var|const|if|else|for|while)\b'))
+           AS kw_hits,
+         len(regexp_extract_all(text, '(^|\n)(    |\t)'))
+           AS indented_lines,
+         len(regexp_extract_all(text, '[a-z][A-Z]')) AS camel_humps
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         ROUND(sym_density, 6) AS sym_density,
+         CAST(kw_hits AS BIGINT) AS kw_hits,
+         CAST(indented_lines AS BIGINT) AS indented_lines,
+         CAST(camel_humps AS BIGINT) AS camel_humps,
+         (sym_density > 0.02 AND kw_hits >= 2)
+           OR indented_lines >= 3
+           OR (camel_humps >= 5 AND sym_density > 0.01) AS looks_like_code
+  FROM sig
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN looks_like_code THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_code,
+       ROUND(AVG(sym_density), 6) AS avg_sym_density,
+       CAST(SUM(kw_hits) AS BIGINT) AS total_kw_hits
+FROM scored
+GROUP BY source
+ORDER BY source
+""",
+    doc="Code-vs-prose detection — the curation split every mixed crawl "
+        "needs before routing documents to code- or text-specific "
+        "cleaning (heuristic: structural-symbol density, programming "
+        "keywords, indented-line count, camelCase humps; thresholds "
+        "are arbitrary-but-fixed, the contract is determinism).  Pure "
+        "regex projections + one per-source agg — rides the scan. "
+        "plans/text.py:text_code_detect.",
+    tags=("text", "pipeline"),
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sym_density = (F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"[{}();=<>\[\]]"), 0))
+        / F.greatest(F.length("text"), F.lit(1)))
+    kw = F.size(F.regexp_extract_all(
+        F.col("text"),
+        F.lit(r"\b(def|return|import|class|function|var|const|if|else|for|while)\b"),
+        0))
+    indented = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit("(^|\n)(    |\t)"), 0))
+    humps = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"[a-z][A-Z]"), 0))
+    looks = (((sym_density > 0.02) & (kw >= 2))
+             | (indented >= 3)
+             | ((humps >= 5) & (sym_density > 0.01)))
+    return (d.select("source", sym_density.alias("sd"), kw.alias("kw"),
+                     looks.alias("looks"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.col("looks").cast("int")).cast("bigint")
+                  .alias("n_code"),
+                 F.round(F.avg("sd"), 6).alias("avg_sym_density"),
+                 F.sum("kw").cast("bigint").alias("total_kw_hits"))
+            .orderBy("source"))
