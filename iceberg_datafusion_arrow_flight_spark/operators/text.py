@@ -196,3 +196,65 @@ def readability(col: Column) -> dict[str, Column]:
               - F.lit(84.6) * (syllables.cast("double") / words))
     return {"n_words": words, "n_sentences": sentences,
             "n_syllables": syllables, "flesch": flesch}
+
+
+def bpe_merge_table(df: DataFrame, text_col: str = "text",
+                    n_merges: int = 10, max_word_len: int = 40) -> DataFrame:
+    """Byte-pair-encoding vocabulary training (Sennrich 2016 word-level
+    form): iteratively merge the corpus's most frequent adjacent symbol
+    pair — the tokenizer-learning primitive itself, not just a
+    tokenizer-load proxy.  Returns the MERGE TABLE (round, pair, merged,
+    freq): the learned artifact a tokenizer ships.
+
+    Distributed shape: the state is the DISTINCT-WORD table (vocab-
+    sized, not corpus-sized — the corpus collapses to (word, freq) once
+    and never rescans), each round is one explode + keyed count for the
+    pair statistics and one pure projection for the merge; only the
+    1-row argmax ever reaches the driver (the kmeans-init pattern).
+    Words are held as space-joined symbol STRINGS and pairs merge via
+    literal replace() — left-to-right non-overlapping on both engines,
+    exactly BPE's greedy merge order, so a SQL oracle can unroll the
+    identical rounds.  Ties break (freq DESC, pair ASC).  State is
+    localCheckpoint'd each round (flat lineage, the driver-loop
+    discipline of pagerank/kmeans)."""
+    spark = df.sparkSession
+    words = (df.select(F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"))
+             .where((F.length("w") > 0) & (F.length("w") <= max_word_len))
+             .groupBy("w")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
+    state = (words.select(
+        F.concat(F.concat_ws(" ", F.regexp_extract_all(
+            "w", F.lit("[a-z]"), 0)), F.lit(" </w>")).alias("s"),
+        "freq").localCheckpoint(eager=True))
+    ledger: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        arr = F.split("s", " ")
+        # guard the fully-merged single-symbol word: Spark's
+        # sequence(1, 0) DESCENDS ([1, 0]) instead of yielding empty,
+        # so an unguarded transform would index past the array
+        pair_list = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.concat(F.element_at(arr, i), F.lit(" "),
+                                   F.element_at(arr, i + 1)))
+        ).otherwise(F.array().cast("array<string>"))
+        best_rows = (state.select(F.explode(pair_list).alias("pair"), "freq")
+                     .groupBy("pair")
+                     .agg(F.sum("freq").cast("bigint").alias("f"))
+                     .orderBy(F.col("f").desc(), "pair")
+                     .limit(1).collect())
+        if not best_rows:  # no pairs left (fully merged corpus)
+            break
+        best = best_rows[0]
+        merged = best["pair"].replace(" ", "")
+        ledger.append((rnd, best["pair"], merged, int(best["f"])))
+        state = (state.select(
+            F.trim(F.replace(
+                F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                F.lit(f" {best['pair']} "),
+                F.lit(f" {merged} "))).alias("s"),
+            "freq").localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        ledger, "round INT, pair STRING, merged STRING, freq BIGINT")

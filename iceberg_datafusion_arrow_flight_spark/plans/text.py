@@ -910,3 +910,60 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("sd"), 6).alias("avg_sym_density"),
                  F.sum("kw").cast("bigint").alias("total_kw_hits"))
             .orderBy("source"))
+
+
+def _bpe_oracle(n_merges: int = 10) -> str:
+    """Unrolled-CTE mirror of operators/text.py:bpe_merge_table — the
+    same (word, freq) base, and per round the same pair count, the same
+    (freq DESC, pair ASC) argmax, and the same left-to-right literal
+    replace() merge, so the ledger agrees row-for-row."""
+    sql = """WITH w0 AS (
+  SELECT concat(array_to_string(regexp_extract_all(w, '[a-z]'), ' '),
+                ' </w>') AS s,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+  WHERE length(w) > 0 AND length(w) <= 40
+  GROUP BY w
+)"""
+    for r in range(1, n_merges + 1):
+        sql += f""", p{r} AS (
+  SELECT arr[k] || ' ' || arr[k + 1] AS pair, freq
+  FROM (SELECT string_split(s, ' ') AS arr, freq FROM w{r - 1}),
+       range(1, 61) t(k)
+  WHERE k < len(arr)
+), b{r} AS (
+  SELECT pair, replace(pair, ' ', '') AS merged,
+         CAST(SUM(freq) AS BIGINT) AS f
+  FROM p{r} GROUP BY pair ORDER BY f DESC, pair LIMIT 1
+), w{r} AS (
+  SELECT trim(replace(' ' || s || ' ', ' ' || b.pair || ' ',
+                      ' ' || b.merged || ' ')) AS s, freq
+  FROM w{r - 1}, b{r} b
+)"""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, pair, merged, f AS freq FROM b{r}"
+        for r in range(1, n_merges + 1))
+    return sql + "\n" + unions + "\nORDER BY round"
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle(10),
+    doc="BPE tokenizer TRAINING (Sennrich 2016): ten rounds of "
+        "most-frequent adjacent-symbol-pair merging over the corpus "
+        "vocabulary, emitting the learned merge table — the artifact a "
+        "tokenizer ships, here produced by the cluster itself.  State "
+        "is the distinct-word table (vocab-sized; the corpus collapses "
+        "to (word, freq) once); each round is one keyed count + one "
+        "projection, only the 1-row argmax reaches the driver.  The "
+        "oracle unrolls the identical ten rounds as chained CTEs "
+        "(pagerank's pattern) — same base, same tie-breaks, same "
+        "left-to-right replace() merge — so every learned pair, its "
+        "merged symbol, and its frequency hash-match. "
+        "operators/text.py:bpe_merge_table.",
+    tags=("text", "pipeline"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return T.bpe_merge_table(docs, n_merges=10)

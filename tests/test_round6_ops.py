@@ -185,3 +185,46 @@ def test_ivfpq_recall_and_determinism(spark, sf_dir):
              for r in similarity.ann_ivfpq_topk(
                  queries, emb, k=10, nprobe=8, n_candidates=128).collect()}
     assert a == again, "IVF-PQ must be deterministic run-to-run"
+
+
+def test_bpe_merge_table_matches_python_reference(spark):
+    """The distributed BPE trainer must reproduce a straightforward
+    single-machine Sennrich implementation merge-for-merge."""
+    import collections
+    import re as _re
+
+    from iceberg_datafusion_arrow_flight_spark.operators.text import (
+        bpe_merge_table)
+
+    texts = ["the cat sat on the mat",
+             "the cats sat", "a cat and a mat", "bats bats bats",
+             "the the the them theme"]
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = [(r.round, r.pair, r.merged, r.freq)
+           for r in bpe_merge_table(df, n_merges=8).collect()]
+
+    # pure-Python reference (word-level BPE, greedy left-to-right merge)
+    vocab = collections.Counter()
+    for t in texts:
+        for w in _re.split(r"[^a-z]+", t.lower()):
+            if 0 < len(w) <= 40:
+                vocab[w] += 1
+    state = {" ".join(list(w)) + " </w>": c for w, c in vocab.items()}
+    want = []
+    for rnd in range(1, 9):
+        pairs = collections.Counter()
+        for s, c in state.items():
+            syms = s.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[f"{a} {b}"] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = best[0].replace(" ", "")
+        want.append((rnd, best[0], merged, best[1]))
+        new_state = collections.Counter()
+        for s, c in state.items():
+            ns = (" " + s + " ").replace(f" {best[0]} ", f" {merged} ")
+            new_state[ns.strip()] += c
+        state = dict(new_state)
+    assert got == want
