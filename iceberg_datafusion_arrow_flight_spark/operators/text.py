@@ -199,7 +199,8 @@ def readability(col: Column) -> dict[str, Column]:
 
 
 def bpe_merge_table(df: DataFrame, text_col: str = "text",
-                    n_merges: int = 10, max_word_len: int = 40) -> DataFrame:
+                    n_merges: int = 10, max_word_len: int = 40,
+                    return_state: bool = False):
     """Byte-pair-encoding vocabulary training (Sennrich 2016 word-level
     form): iteratively merge the corpus's most frequent adjacent symbol
     pair — the tokenizer-learning primitive itself, not just a
@@ -256,5 +257,6 @@ def bpe_merge_table(df: DataFrame, text_col: str = "text",
                 F.lit(f" {best['pair']} "),
                 F.lit(f" {merged} "))).alias("s"),
             "freq").localCheckpoint(eager=True))
-    return spark.createDataFrame(
+    ledger_df = spark.createDataFrame(
         ledger, "round INT, pair STRING, merged STRING, freq BIGINT")
+    return (ledger_df, state) if return_state else ledger_df

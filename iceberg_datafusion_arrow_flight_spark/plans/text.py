@@ -917,7 +917,7 @@ def _bpe_oracle(n_merges: int = 10) -> str:
     same (word, freq) base, and per round the same pair count, the same
     (freq DESC, pair ASC) argmax, and the same left-to-right literal
     replace() merge, so the ledger agrees row-for-row."""
-    sql = """WITH w0 AS (
+    sql = """WITH w0 AS MATERIALIZED (
   SELECT concat(array_to_string(regexp_extract_all(w, '[a-z]'), ' '),
                 ' </w>') AS s,
          CAST(COUNT(*) AS BIGINT) AS freq
@@ -927,16 +927,16 @@ def _bpe_oracle(n_merges: int = 10) -> str:
   GROUP BY w
 )"""
     for r in range(1, n_merges + 1):
-        sql += f""", p{r} AS (
+        sql += f""", p{r} AS MATERIALIZED (
   SELECT arr[k] || ' ' || arr[k + 1] AS pair, freq
   FROM (SELECT string_split(s, ' ') AS arr, freq FROM w{r - 1}),
        range(1, 61) t(k)
   WHERE k < len(arr)
-), b{r} AS (
+), b{r} AS MATERIALIZED (
   SELECT pair, replace(pair, ' ', '') AS merged,
          CAST(SUM(freq) AS BIGINT) AS f
   FROM p{r} GROUP BY pair ORDER BY f DESC, pair LIMIT 1
-), w{r} AS (
+), w{r} AS MATERIALIZED (
   SELECT trim(replace(' ' || s || ' ', ' ' || b.pair || ' ',
                       ' ' || b.merged || ' ')) AS s, freq
   FROM w{r - 1}, b{r} b
@@ -967,3 +967,57 @@ def _bpe_oracle(n_merges: int = 10) -> str:
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return T.bpe_merge_table(docs, n_merges=10)
+
+
+@register(
+    "text_bpe_compression",
+    oracle=_bpe_oracle(10).replace(
+        "\nUNION ALL\n".join(
+            f"SELECT CAST({r} AS INT) AS round, pair, merged, f AS freq "
+            f"FROM b{r}" for r in range(1, 11)) + "\nORDER BY round",
+        """SELECT
+  (SELECT CAST(SUM(len(string_split(s, ' ')) * freq) AS BIGINT) FROM w0)
+      AS symbols_before,
+  (SELECT CAST(SUM(len(string_split(s, ' ')) * freq) AS BIGINT) FROM w10)
+      AS symbols_after,
+  (SELECT ROUND(1.0 - SUM(len(string_split(s, ' ')) * freq) * 1.0
+                / (SELECT SUM(len(string_split(s, ' ')) * freq) FROM w0),
+                6) FROM w10) AS compression,
+  (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
+   FROM (SELECT unnest(string_split(s, ' ')) AS sym FROM w10))
+      AS vocab_symbols"""),
+    doc="What the learned BPE vocabulary BUYS: total corpus symbol "
+        "count before vs after applying the 10 trained merges, the "
+        "compression fraction, and the resulting symbol-vocabulary "
+        "size — the train-then-measure loop a tokenizer team runs.  "
+        "Reuses the exact training rounds (same oracle CTE chain as "
+        "text_bpe_train_merges, different final projection); the Spark "
+        "side measures the trainer's actual final state, so the hash "
+        "pins training AND application end-to-end. "
+        "operators/text.py:bpe_merge_table(return_state=True).",
+    tags=("text", "pipeline"),
+)
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    _ledger, state = T.bpe_merge_table(docs, n_merges=10,
+                                       return_state=True)
+    n_sym = F.size(F.split("s", " "))
+    before = (docs.select(F.explode(
+                 F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"))
+              .where((F.length("w") > 0) & (F.length("w") <= 40))
+              .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+              .select(F.sum((F.length("w") + 1) * F.col("freq"))
+                      .cast("bigint").alias("symbols_before")))
+    after = state.select(
+        F.sum(n_sym * F.col("freq")).cast("bigint").alias("symbols_after"))
+    vocab = (state.select(F.explode(F.split("s", " ")).alias("sym"))
+             .agg(F.countDistinct("sym").cast("bigint")
+                  .alias("vocab_symbols")))
+    return (before.crossJoin(after).crossJoin(vocab)
+            .select("symbols_before", "symbols_after",
+                    F.round(1.0 - F.col("symbols_after")
+                            / F.col("symbols_before"), 6)
+                     .alias("compression"),
+                    "vocab_symbols")
+            .select("symbols_before", "symbols_after", "compression",
+                    "vocab_symbols"))
