@@ -185,9 +185,10 @@ _PRIORITY: list[str] = [
     "pipeline_semantic_decontaminate", "text_tfidf_topk",
     "events_hypertable_rollup", "events_session_window",
     "pipeline_end_to_end", "window_moving_median",
-    "agg_grouping_sets", "agg_weighted_percentile",
-    "join_skew_salted", "join_asof_events", "subquery_scalar_correlated",
-    "cte_recursive", "multimodal_decode_real",
+    "agg_grouping_sets", "text_bpe_train_merges",
+    "join_skew_salted", "multimodal_scene_cuts",
+    "sim_hard_negative_mining",
+    "events_ohlc_candles", "multimodal_decode_real",
     "multimodal_audio_features", "sketch_count_min",
     "dialect_mixed_interval",
     "service_flight_show_tables", "dialect_create_external_csv",
