@@ -147,9 +147,15 @@ from . import tpch            # noqa: E402,F401
 #   never match (testing/oracle.py) and the window guard bans
 #   DecimalType result columns (tests/test_registry_order.py).
 #   Cumulative driver coverage at r05 close: 238/238 checked, 237
-#   green-or-rows-only + that 1 red.  The r06 window below = the
-#   repair re-check + the 4 late-r05 entries + every entry NEW in r06
-#   + 33 per-family re-pins (tail fully retired since r05).
+#   green-or-rows-only + that 1 red.  The r06 window below (final
+#   composition after mid-round swaps, each swap re-swept 50/50 at
+#   sf0.01) = the repair re-check + the 4 late-r05 entries + 21
+#   entries NEW in r06 (incl. the flagships: BPE training, scene cuts,
+#   IVF-PQ witness, hard negatives, OHLC, external-table +
+#   mixed-interval dialect, SHOW TABLES wire) + 24 per-family re-pins
+#   (tail fully retired since r05).  Re-pins ceded mid-round to new
+#   entries are listed in the r06 growth note above and form the r07
+#   pool together with the other post-pin registrations.
 _PRIORITY: list[str] = [
     # --- r06 window.  At r05 close cumulative driver coverage was
     # 238/238 (CORRECTNESS_r01-r05 union) with ONE red row:
