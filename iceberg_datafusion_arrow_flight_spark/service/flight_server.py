@@ -277,9 +277,32 @@ class SparkFlightServer(flight.FlightServerBase):
 
 
 def serve_background(service: EngineService, port: int = 31337,
+                     ready_timeout: float = 10.0,
                      ) -> tuple[SparkFlightServer, threading.Thread]:
-    """Start the server on a daemon thread; returns (server, thread)."""
+    """Start the server on a daemon thread; returns (server, thread).
+
+    Blocks until the endpoint actually ACCEPTS a TCP connection (or
+    ``ready_timeout`` elapses, raising): pyarrow's FlightClient does
+    not retry a refused dial, and under a loaded host the gap between
+    construction and a reachable listener was observed once as a
+    Connection refused flake in the full suite — the probe closes the
+    race for every caller instead of each test retrying."""
+    import socket
+    import time
+
     server = SparkFlightServer(service, f"grpc://0.0.0.0:{port}")
     thread = threading.Thread(target=server.serve, daemon=True)
     thread.start()
+    deadline = time.monotonic() + ready_timeout
+    while True:
+        try:
+            with socket.create_connection(("127.0.0.1", server.port),
+                                          timeout=0.5):
+                break
+        except OSError:
+            if time.monotonic() >= deadline:
+                raise RuntimeError(
+                    f"flight server on port {server.port} not accepting "
+                    f"connections after {ready_timeout}s")
+            time.sleep(0.02)
     return server, thread
