@@ -521,3 +521,51 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderpriority")
             .agg(F.mode("o_orderstatus", True).alias("modal_status"))
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         AVG(o_totalprice) AS mu,
+         SUM(o_totalprice * o_totalprice) AS s2,
+         SUM(o_totalprice * o_totalprice * o_totalprice) AS s3,
+         SUM(o_totalprice * o_totalprice * o_totalprice * o_totalprice)
+             AS s4
+  FROM orders GROUP BY o_orderpriority
+), c AS (
+  SELECT o_orderpriority, n, mu,
+         s2 / n - mu * mu                                   AS m2,
+         s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu        AS m3,
+         s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+               - 3 * mu * mu * mu * mu                      AS m4
+  FROM m
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n,
+       ROUND(m3 / pow(m2, 1.5), 6) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+FROM c
+ORDER BY o_orderpriority
+""",
+    doc="Skewness + excess kurtosis per group — the 3rd/4th-moment "
+        "siblings of the variance entry (value-distribution shape "
+        "checks: heavy tails and asymmetry that stddev cannot see).  "
+        "Spark's skewness()/kurtosis() are POPULATION central-moment "
+        "forms (m3/m2^1.5, m4/m2^2 − 3); DuckDB's builtins are "
+        "sample-adjusted and would hash-mismatch, so the oracle "
+        "recomputes Spark's exact definition from raw power sums — "
+        "one partial-aggregable pass on both sides.  ROUND(...,6) "
+        "absorbs the last-ulp difference between the central-moment "
+        "and power-sum evaluation orders.",
+    tags=("aggregate",),
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.skewness("o_totalprice"), 6).alias("skewness"),
+                 F.round(F.kurtosis("o_totalprice"), 6).alias("kurtosis"))
+            .orderBy("o_orderpriority"))

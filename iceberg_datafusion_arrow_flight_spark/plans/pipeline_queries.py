@@ -1053,3 +1053,47 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(epochs, 6).alias("epochs"),
                     (epochs > 1.0).alias("oversampled"))
             .orderBy("source"))
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT)                       AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT)         AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT)           AS n_langs,
+       CAST(SUM({_N_TOKENS}) AS BIGINT)               AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT)                   AS total_chars,
+       CAST(MIN(n_chars) AS BIGINT)                   AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT)                   AS max_chars,
+       ROUND(AVG({_QUALITY}), 6)                      AS mean_quality,
+       ROUND(COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6)
+                                                      AS exact_uniq_ratio
+FROM documents
+""",
+    doc="Dataset card: the one-row corpus summary published alongside a "
+        "training set (docs, sources, languages, token/char volume, "
+        "length band, mean quality score, exact-duplicate ratio via "
+        "content-hash distinct).  ONE aggregate pass — every statistic "
+        "is partial-aggregable (the distinct-counts keyed by their "
+        "value), so the card costs a single scan at any corpus size; "
+        "the near-dup and contamination lines of a full card come from "
+        "the dedicated entries (dedup_*, pipeline_decontaminate). "
+        "plans/pipeline_queries.py:pipeline_dataset_card.",
+    tags=("pipeline", "diagnostics"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+    docs = table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(T.token_count(F.col("text"))).cast("bigint")
+         .alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(F.avg(T.quality_score(F.col("text"))), 6)
+         .alias("mean_quality"),
+        F.round(F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6)
+         .alias("exact_uniq_ratio"))
