@@ -839,3 +839,46 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("volume"),
                  F.count(F.lit(1)).cast("bigint").alias("n"))
             .orderBy("bucket", "event_type"))
+
+
+@register(
+    "events_cumulative_unique_users",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(time_bucket(INTERVAL '1 day', ts)) AS first_day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY first_day
+)
+SELECT CAST(day AS TIMESTAMP) AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumulative_users
+FROM daily
+ORDER BY day
+""",
+    doc="Cumulative unique users over time — the growth curve (daily "
+        "new users + running total).  The scalable rewrite: a running "
+        "COUNT(DISTINCT) over an expanding frame would keep per-row "
+        "distinct state; instead each user contributes once at their "
+        "FIRST day (one keyed min), the per-day news are a second "
+        "keyed count, and the running total is a window over "
+        "day-cardinality rows — distinct state never leaves the keyed "
+        "aggregations.  plans/events.py:events_cumulative_users.",
+    tags=("events", "window"),
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    firsts = (e.groupBy("user_id")
+              .agg(F.min(F.date_trunc("day", "ts")).alias("first_day")))
+    daily = (firsts.groupBy(F.col("first_day").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("new_users")))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (daily.select(
+                "day", "new_users",
+                F.sum("new_users").over(w).cast("bigint")
+                 .alias("cumulative_users"))
+            .orderBy("day"))

@@ -1242,3 +1242,49 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rank") <= 5)
             .select("anchor_id", "negative_id", "negative_label",
                     "sim", "rank"))
+
+
+@register(
+    "sim_embedding_norm_diagnostics",
+    oracle=f"""
+WITH emb AS ({_EMB.replace("vec_id,", "vec_id, label,")}),
+norms AS (
+  SELECT label,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (acc, x) -> acc + x)) AS nrm
+  FROM emb
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(nrm), 6)  AS mean_norm,
+       ROUND(MIN(nrm), 6)  AS min_norm,
+       ROUND(MAX(nrm), 6)  AS max_norm,
+       ROUND(STDDEV_SAMP(nrm), 6) AS std_norm,
+       CAST(SUM(CASE WHEN nrm < 1e-9 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_degenerate
+FROM norms
+GROUP BY label
+ORDER BY label
+""",
+    doc="Embedding-norm diagnostics per label: the encoder-health check "
+        "run before ANY cosine machinery is trusted (collapsed or "
+        "exploding norms and zero vectors silently wreck cosine — a "
+        "zero vector makes every similarity NaN).  One zero-prepended "
+        "fold per row (the shared bit-exact recipe) + one keyed agg. "
+        "plans/similarity.py:sim_norm_diag.",
+    tags=("similarity", "diagnostics"),
+)
+def sim_norm_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _as_double, norm
+    emb = (table(spark, sf_dir, "embeddings")
+           .select("label",
+                   norm(_as_double(F.col("embedding"))).alias("nrm")))
+    return (emb.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.avg("nrm"), 6).alias("mean_norm"),
+                 F.round(F.min("nrm"), 6).alias("min_norm"),
+                 F.round(F.max("nrm"), 6).alias("max_norm"),
+                 F.round(F.stddev_samp("nrm"), 6).alias("std_norm"),
+                 F.sum((F.col("nrm") < 1e-9).cast("int")).cast("bigint")
+                  .alias("n_degenerate"))
+            .orderBy("label"))
