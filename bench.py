@@ -66,6 +66,10 @@ HEADLINE = [
     # LSH-bucketed cross-corpus decontamination twin.
     "graph_triangle_count",
     "sim_cross_corpus_decontaminate",
+    # late-r6 flagships (solo seeds in PERFORMANCE.md r6): distributed
+    # BPE tokenizer training and real-decode scene-cut detection.
+    "text_bpe_train_merges",
+    "multimodal_scene_cuts",
 ]
 
 
