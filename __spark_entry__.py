@@ -12,11 +12,21 @@ this module just adapts the registry to the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_datafusion_arrow_flight_spark.plans import REGISTRY
+
+# Python workers (mapInPandas / applyInPandas entries) must run an
+# interpreter with numpy/pandas; if the driver's environment leaves
+# PYSPARK_PYTHON unset, Spark falls back to a bare `python3` from PATH
+# which may lack them.  This import runs before the driver builds its
+# SparkSession, so the setdefault takes effect for its workers too.
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
 
 _FLAGSHIP = "tpch_q5_local_supplier_volume"
 

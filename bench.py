@@ -148,7 +148,8 @@ def main() -> None:
                       "sim_semantic_dedup", "pipeline_decontaminate",
                       "pipeline_end_to_end", "dedup_edit_distance",
                       "graph_triangle_count",
-                      "sim_cross_corpus_decontaminate")]
+                      "sim_cross_corpus_decontaminate",
+                      "text_bpe_train_merges", "multimodal_scene_cuts")]
 
     def run(name: str) -> float:
         t0 = time.perf_counter()

@@ -85,6 +85,15 @@ def get_spark(app_name: str = "iceberg-datafusion-arrow-flight-spark",
     master is configured; on a real deployment the master comes from
     spark-submit and this argument is ignored.
     """
+    # Python workers (mapInPandas / applyInPandas / Pandas UDFs) must run
+    # THIS interpreter — under a stripped environment Spark falls back to
+    # a bare `python3` from PATH, which may lack numpy/pandas and fails
+    # the first Python-worker stage with ModuleNotFoundError (found by
+    # the bench driver-contract test once a mapInPandas entry joined the
+    # headline).  Only set when the caller hasn't chosen explicitly.
+    import sys
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
