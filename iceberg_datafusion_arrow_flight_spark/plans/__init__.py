@@ -129,15 +129,23 @@ from . import tpch            # noqa: E402,F401
 #   service_flight_explain_contract (DESCRIBE/EXPLAIN surface parity) —
 #   the four candidates named by VERDICT r4 ask #8.
 #   r06 growth-after-pin note (same mechanism as r05): entries
-#   registered after the r06 window was pinned append after position 50
-#   and form the r07 never-checked pool: events_burn_rate_alerts,
-#   events_activity_streaks, sim_ann_ivfpq_topk (rows-only; its witness
-#   sim_ann_ivfpq_recall_report IS in the r06 window), io_copy_to_
-#   partitioned / ddl_external_table / json_variant_ops /
-#   window_range_frame / func_datetime / setop_intersect_all /
-#   catalog_information_schema_columns (re-pins ceded to higher-value
-#   new entries mid-round — all already driver-green r1-r4), plus
-#   iceberg_expire_respects_refs (tag survives expiry, new late-r6).
+#   registered after the r06 window was pinned append after position
+#   50.  The EXACT r07 never-checked pool at r06 close (registry 278;
+#   union of CORRECTNESS_r01-r05 = 238; the 50-slot r06 window covers
+#   the rest) is these 13, all two-scale local-gated on arrival:
+#   agg_higher_moments, window_frame_exclusion, sim_ann_ivfpq_topk
+#   (rows-only; its witness IS in the r06 window),
+#   sim_pairwise_distance_histogram, sim_embedding_norm_diagnostics,
+#   text_code_detection, text_bpe_compression, events_burn_rate_alerts,
+#   events_activity_streaks, events_anomaly_mad,
+#   events_cumulative_unique_users, iceberg_expire_respects_refs,
+#   pipeline_dataset_card.  13 <= 50, so the r07 window can retire the
+#   whole pool plus ~37 re-check slots (re-pins ceded mid-round —
+#   io_copy_to_partitioned, ddl_external_table, json_variant_ops,
+#   window_range_frame, func_datetime, setop_intersect_all,
+#   catalog_information_schema_columns, subquery_scalar_correlated,
+#   cte_recursive, join_asof_events, agg_weighted_percentile — are all
+#   already driver-green r1-r4 and need no slot).
 #   r06 ledger: CORRECTNESS_r05 came back 50/50 rows+schema, 49/50 hash
 #   — the one red, dialect_arrow_cast, was the registry's only raw
 #   DECIMAL result column (DuckDB pandas widens DECIMAL to float64,
