@@ -287,22 +287,17 @@ def serve_background(service: EngineService, port: int = 31337,
     construction and a reachable listener was observed once as a
     Connection refused flake in the full suite — the probe closes the
     race for every caller instead of each test retrying."""
-    import socket
-    import time
-
     server = SparkFlightServer(service, f"grpc://0.0.0.0:{port}")
     thread = threading.Thread(target=server.serve, daemon=True)
     thread.start()
-    deadline = time.monotonic() + ready_timeout
-    while True:
-        try:
-            with socket.create_connection(("127.0.0.1", server.port),
-                                          timeout=0.5):
-                break
-        except OSError:
-            if time.monotonic() >= deadline:
-                raise RuntimeError(
-                    f"flight server on port {server.port} not accepting "
-                    f"connections after {ready_timeout}s")
-            time.sleep(0.02)
+    # pyarrow's official readiness wait: performs real gRPC round-trips
+    # until the service answers (a raw TCP probe proved insufficient —
+    # the acceptor can be up while the gRPC service still refuses).
+    probe = flight.FlightClient(f"grpc://localhost:{server.port}")
+    try:
+        probe.wait_for_available(timeout=int(ready_timeout))
+    except flight.FlightUnauthenticatedError:
+        pass  # service is up and answering (auth is the next layer)
+    finally:
+        probe.close()
     return server, thread
