@@ -459,7 +459,9 @@ def rewrite_at_time_zone(sql: str) -> str:
 # loudly in Spark — same posture as rewrite_arrow_cast.
 _EXTERNAL_RE = re.compile(
     r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<name>[\w.]+)\s*(?P<cols>\([^)]*\))?\s*"
+    # the column list balances ONE nesting level so parenthesized types
+    # (DECIMAL(10,2), VARCHAR(20), CHAR(n)) stay inside the group
+    r"(?P<name>[\w.]+)\s*(?P<cols>\((?:[^()]|\([^()]*\))*\))?\s*"
     r"STORED\s+AS\s+(?P<fmt>\w+)\s*"
     r"(?P<header>WITH\s+HEADER\s+ROW)?\s*"
     r"(?:DELIMITER\s+'(?P<delim>[^']*)')?\s*"

@@ -38,175 +38,63 @@ from . import tpch            # noqa: E402,F401
 # The driver's correctness gate checks exactly the FIRST 50 registry
 # entries in insertion order; the explicit window below hand-picks them.
 # Entries not listed keep their registration order after the window.
-# Rotation ledger for the driver's 50-entry gate window:
-#   r01 checked (green): tpch q1-q22 subset (15), join_* (9), subquery_*/cte
-#   (4+2), setop_* (6), sort/distinct/values/filter/project (8), agg first 4.
-#   r02 checked (CORRECTNESS_r02: 42 green, 8 red): iceberg lifecycle,
-#   aggs tail, windows, funcs, nested reps, family reps, sketch_bloom,
-#   q12 re-check.  The 8 red rows (6 nested-column ERR + 2 uncast-widen
-#   hash) are fixed and re-verify below.
-#   r03 window (below): the 8 fixed r02 rows + 42 never-checked entries —
-#   iceberg evolution/REST, io arrow+avro, the dedup tail, sim semantic/
-#   knn/centroid, surplus TPC-H composites, window_named_clause, the
-#   text/sketch tail, events tail reps, pipeline tail reps, multimodal
-#   audio/resize, hdr+histogram+pivot aggs, agg_exact_distinct (new).
-#   r04 window (below): 50 never-checked entries — r03 was 50/50 green,
-#   so no re-verification slots are needed; every slot retires tail.
-#   Leads with the families whose only evidence was local: the 10-entry
-#   Iceberg DML/lifecycle tail (MOR positional + equality deletes, WAP,
-#   single-commit MOR upsert, partitioned scan, sorted compaction,
-#   rename/drop evolution, incremental scan), the four window-gap
-#   emulations, graph_personalized_pagerank, MIPS/BM25/RRF, VARIANT,
-#   QUALIFY + GROUP/ORDER BY ALL, the events/text/pipeline tails, one
-#   rep per untouched io/catalog family, and the TWO new-this-round
-#   entries: sim_ann_recall_report (hash-checkable ANN witness) and
-#   service_flight_roundtrip (TPC-H Q1 through the real gRPC Flight SQL
-#   conversation).  After r04: cumulative 191/233 checked; the ~35
-#   remaining oracled entries + the dialect tail fit in the r05 window.
-#   r05 ledger — the EXACT 47 never-checked entries at r04 close
-#   (computed from CORRECTNESS_r01-03 ∪ the r04 window; 50-slot window
-#   fits all 47 + 3 re-check slots for any r04 reds).  Oracled (40):
-#   sim_ann_lsh_recall_report + sim_ann_pq_recall_report (late-r04:
-#   the LSH and PQ recall witnesses completing the ANN triple — each
-#   two-scale gate-verified bit-exact on arrival), plus:
-#   the dialect tail ×13 (pg_cast_similar_to, distinct_on,
-#   function_aliases, prepared_params, date_bin_to_char,
-#   regexp_flag_to_char, at_time_zone, trunc_gcd_lcm_nanos,
-#   encode_decode, regexp_match_all, arrow_cast, list_aliases,
-#   regex_operators), events ×4 (dedup_within_time, user_anomalies,
-#   trending_topk, gap_fill), text ×2 (lm_score, langid_confusion),
-#   multimodal ×4 (decode, frame_sample, feature_extract, pixel_dedup),
-#   pipeline ×9 (repetition_filter, balanced_sample, pii_redact,
-#   domain_mixture, profile_columns, check_constraints, chunk_documents,
-#   boilerplate_coverage, seeded_shuffle_shards), diag_key_skew_profile,
-#   tpch q15 + q21, iceberg_metadata_tables, iceberg_zorder_compaction
-#   (new r04: bit-interleaved clustering rewrite + 2-D manifest prune),
-#   dedup_edit_distance (new r04: PassJoin bounded Levenshtein pairs).
-#   Rows-only by design (7, weaker check): sim_ann_lsh_topk,
-#   sim_ann_ivf_topk, sim_ann_ivf_kmeans, sim_ann_pq_topk,
-#   sim_embedding_near_dup_lsh, multimodal_resize, events_hll_sketch_
-#   merge — their hash-checkable witnesses (sim_ann_recall_report,
-#   multimodal_resize_real, agg_exact_distinct) are already
-#   driver-green.  All 45 pass the local two-scale gate (r4 sweep).
-#   r04 candidate ledger as written at r03 close (kept for provenance):
-#   NEW this round (prioritize — each carries a fresh operator family):
-#   iceberg_merge_upsert, iceberg_delete_rows, iceberg_partitioned_scan,
-#   iceberg_sorted_compaction, iceberg_rename_drop_evolution,
-#   pipeline_gopher_rules, pipeline_boilerplate_coverage,
-#   pipeline_split_leakage, multimodal_pixel_dedup, window_distinct_count
-#   (a Spark-gap emulation like GROUPS frames), sim_mips_topk,
-#   pipeline_semantic_decontaminate, text_zipf_law_fit,
-#   text_chi2_lang_source, events_rollup_incremental_refresh,
-#   pipeline_drift_psi, text_vocab_stats (ceded its r03 slot to the
-#   new graph family rep, which entered the window directly),
-#   project_unpivot_measures, iceberg_mor_delete (merge-on-read twin
-#   of the COW delete row), pipeline_seeded_shuffle_shards,
-#   text_pmi_collocations, text_unigram_kl_by_source,
-#   graph_personalized_pagerank, json_variant_ops (Spark-4 VARIANT),
-#   events_gap_fill_interpolate, agg_mode_deterministic,
-#   text_bm25_topk, events_series_correlation, sim_hybrid_search_rrf,
-#   window_moving_median (third engine-gap emulation),
-#   window_filtered_aggregate, window_time_range_frame,
-#   iceberg_equality_delete, iceberg_upsert_mor (single-commit MOR
-#   upsert twin of the COW MERGE row), dialect_group_order_by_all,
-#   dialect_qualify, iceberg_wap_publish, text_lexical_diversity.
-#   Plus the standing tail: dialect tail (12), io json/csv/partitioned,
-#   catalog_columns, ddl_external_table, events sliding/dedup/anomalies/
-#   trending/gap_fill, text lm_score/langid_confusion, pipeline
-#   repetition/balanced/pii/mixture/profile/constraints/chunk, multimodal
-#   decode/frame/feature, unnest_posexplode, json_from_to, map_functions,
-#   array_set_operations, setop_union_by_name, tpch q15/q21,
-#   agg_approx_within_tolerance, diag_key_skew_profile, rows-only ANN
-#   family (weaker rows by design).  All new entries return scalar-only
-#   result columns (window guard applies before any rotation).
-#   r05 growth note: registry growth resumed AFTER the window was pinned
-#   (the freeze only ever protected the window's 50 slots — _PRIORITY
-#   fixes those regardless of later registrations, which append after
-#   position 50).  New this round, all local-two-scale-gated on arrival,
-#   forming the r06 never-checked pool: iceberg_rest_mor_upsert (MOR
-#   DML through the REST catalog), service_flight_ddl_update (update -1
-#   + session-sticky DDL over the wire), service_flight_describe and
-#   service_flight_explain_contract (DESCRIBE/EXPLAIN surface parity) —
-#   the four candidates named by VERDICT r4 ask #8.
-#   r06 growth-after-pin note (same mechanism as r05): entries
-#   registered after the r06 window was pinned append after position
-#   50.  The EXACT r07 never-checked pool at r06 close (registry 278;
-#   union of CORRECTNESS_r01-r05 = 238; the 50-slot r06 window covers
-#   the rest) is these 13, all two-scale local-gated on arrival:
+#
+# Rotation ledger — CURRENT state only; the full r01-r06 rotation
+# history was moved verbatim to PERFORMANCE.md ("Rotation ledger
+# archive") at r7 open.  Rotation state is always re-derivable from the
+# CORRECTNESS_r0*.json keys (union = ever-checked; per-file = that
+# round's window).
+#
+#   State at r06 close: registry 278; CORRECTNESS_r01-r06 union = 265
+#   ever-checked (258 full-green, 7 rows-only by design, 0 red).  The
+#   13 never-checked entries form the r07 pool (all two-scale
+#   local-gated on arrival, re-verified by the r6 judge 13/13):
 #   agg_higher_moments, window_frame_exclusion, sim_ann_ivfpq_topk
-#   (rows-only; its witness IS in the r06 window),
+#   (rows-only; witness sim_ann_ivfpq_recall_report is pass-r6),
 #   sim_pairwise_distance_histogram, sim_embedding_norm_diagnostics,
 #   text_code_detection, text_bpe_compression, events_burn_rate_alerts,
 #   events_activity_streaks, events_anomaly_mad,
 #   events_cumulative_unique_users, iceberg_expire_respects_refs,
-#   pipeline_dataset_card.  13 <= 50, so the r07 window can retire the
-#   whole pool plus ~37 re-check slots (re-pins ceded mid-round —
-#   io_copy_to_partitioned, ddl_external_table, json_variant_ops,
-#   window_range_frame, func_datetime, setop_intersect_all,
-#   catalog_information_schema_columns, subquery_scalar_correlated,
-#   cte_recursive, join_asof_events, agg_weighted_percentile — are all
-#   already driver-green r1-r4 and need no slot).
-#   r06 ledger: CORRECTNESS_r05 came back 50/50 rows+schema, 49/50 hash
-#   — the one red, dialect_arrow_cast, was the registry's only raw
-#   DECIMAL result column (DuckDB pandas widens DECIMAL to float64,
-#   Spark collects decimal.Decimal; equal values, different hashes).
-#   Fixed by casting through to DOUBLE on both sides; the local gate
-#   now maps both engines' decimal classes to side-tagged names that
-#   never match (testing/oracle.py) and the window guard bans
-#   DecimalType result columns (tests/test_registry_order.py).
-#   Cumulative driver coverage at r05 close: 238/238 checked, 237
-#   green-or-rows-only + that 1 red.  The r06 window below (final
-#   composition after mid-round swaps, each swap re-swept 50/50 at
-#   sf0.01) = the repair re-check + the 4 late-r05 entries + 21
-#   entries NEW in r06 (incl. the flagships: BPE training, scene cuts,
-#   IVF-PQ witness, hard negatives, OHLC, external-table +
-#   mixed-interval dialect, SHOW TABLES wire) + 24 per-family re-pins
-#   (tail fully retired since r05).  Re-pins ceded mid-round to new
-#   entries are listed in the r06 growth note above and form the r07
-#   pool together with the other post-pin registrations.
+#   pipeline_dataset_card.
+#
+#   r07 window (below) = those 13 + 37 re-pins drawn from the OLDEST
+#   never-re-checked driver-green entries (all last checked in r01:
+#   the relational core — joins ×9, set ops ×6, subqueries ×4, CTEs
+#   ×2, filters ×3, sorts ×2, distinct ×2, project_star_except,
+#   values_inline, agg cube/rollup/global — plus 4 r01 TPC-H reps
+#   q3/q7/q8/q10).  The 9 r01 TPC-H entries left out
+#   (q4,q5,q6,q13,q14,q17,q18,q19,q22) are the oldest remainder and
+#   lead the r08 re-pin queue.  Entries NEW in r07 cede re-pin slots
+#   mid-round (newest-first swap, window re-swept at sf0.01 after
+#   every edit); ceded re-pins return to the r08 queue.
 _PRIORITY: list[str] = [
-    # --- r06 window.  At r05 close cumulative driver coverage was
-    # 238/238 (CORRECTNESS_r01-r05 union) with ONE red row:
-    # dialect_arrow_cast (hash-only; the DECIMAL result-column pandas
-    # widening — fixed this round by casting through to DOUBLE on both
-    # sides, and the gate/guard now reject bare DECIMAL result columns).
-    # Slot 1 is its repair re-check:
-    "dialect_arrow_cast",
-    # the 4 entries registered late in r05 (local-green, never in a
-    # window — VERDICT r5 ask #3):
-    "iceberg_rest_mor_upsert", "service_flight_ddl_update",
-    "service_flight_describe", "service_flight_explain_contract",
-    # NEW in r06 (each two-scale local-gated on arrival; VERDICT r5
-    # ask #4 names the first six):
-    "service_flight_set_config", "service_flight_statement_error_parity",
-    "iceberg_rest_wap_branch", "pipeline_pack_boundary_loss",
-    "pipeline_url_domain_filter", "sim_cross_corpus_decontaminate",
-    "graph_triangle_count", "graph_degree_distribution",
-    "text_readability", "pipeline_quality_gate_funnel",
-    "dedup_url_canonicalize", "pipeline_token_budget_mixture",
-    "iceberg_snapshot_expire", "text_char_ngram_entropy",
-    "sim_silhouette_by_label", "sim_ann_ivfpq_recall_report",
-    # --- re-pin slots (33): the rotation tail is retired, so the rest
-    # of the window re-verifies the highest-value path per family —
-    # flagships, bench heavies (incl. the two that moved >1.2x in r05:
-    # dedup_minhash_lsh at its solo band edge and
-    # pipeline_semantic_decontaminate), engine-gap emulations, and one
-    # representative per io/catalog/sketch/multimodal family.
-    "tpch_q1_pricing_summary", "tpch_q9_product_type_profit",
-    "service_flight_roundtrip", "iceberg_table_lifecycle",
-    "iceberg_merge_upsert", "dedup_minhash_lsh", "dedup_edit_distance",
-    "sim_ann_recall_report", "sim_topk_cosine",
-    "pipeline_semantic_decontaminate", "text_tfidf_topk",
-    "events_hypertable_rollup", "events_session_window",
-    "pipeline_end_to_end", "window_moving_median",
-    "agg_grouping_sets", "text_bpe_train_merges",
-    "join_skew_salted", "multimodal_scene_cuts",
-    "sim_hard_negative_mining",
-    "events_ohlc_candles", "multimodal_decode_real",
-    "multimodal_audio_features", "sketch_count_min",
-    "dialect_mixed_interval",
-    "service_flight_show_tables", "dialect_create_external_csv",
-    "graph_pagerank_supply_chain", "diag_key_skew_profile",
+    # --- the 13-entry r07 never-checked pool (retires cumulative
+    # driver coverage back to all-checked):
+    "agg_higher_moments", "window_frame_exclusion",
+    "sim_ann_ivfpq_topk", "sim_pairwise_distance_histogram",
+    "sim_embedding_norm_diagnostics", "text_code_detection",
+    "text_bpe_compression", "events_burn_rate_alerts",
+    "events_activity_streaks", "events_anomaly_mad",
+    "events_cumulative_unique_users", "iceberg_expire_respects_refs",
+    "pipeline_dataset_card",
+    # --- 37 re-pins: the oldest never-re-checked driver-green entries
+    # (all last checked r01; see ledger note above):
+    "join_inner_equi", "join_left_outer", "join_right_outer",
+    "join_full_outer", "join_cross", "join_left_semi", "join_left_anti",
+    "join_non_equi_range", "join_range_binned",
+    "setop_union_all", "setop_union_distinct", "setop_intersect",
+    "setop_intersect_all", "setop_except", "setop_except_all",
+    "subquery_scalar_correlated", "subquery_scalar_uncorrelated",
+    "subquery_in", "subquery_not_in",
+    "cte_multi", "cte_recursive",
+    "filter_predicates", "filter_ilike_null_safe",
+    "filter_is_true_unknown",
+    "sort_limit_offset", "sort_nulls_ordering",
+    "distinct_simple", "distinct_on",
+    "project_star_except", "values_inline",
+    "agg_cube", "agg_rollup", "agg_global_stats",
+    "tpch_q3_shipping_priority", "tpch_q7_nation_volume",
+    "tpch_q8_national_market_share", "tpch_q10_returned_items",
 ]
 
 

@@ -443,11 +443,15 @@ def window_frame_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(-3, 3))
     full_sum = F.sum("o_totalprice").over(w)
     full_n = F.count(F.lit(1)).over(w)
-    ex_sum = full_sum - F.col("o_totalprice")
     ex_n = (full_n - 1).cast("bigint")
+    # SQL semantics for an EMPTY excluded frame (single-row partition):
+    # SUM/AVG over zero rows are NULL, not 0 — gate the subtraction form
+    # on ex_n > 0 so the emulation matches DuckDB's native EXCLUDE.
+    ex_sum = F.when(ex_n > 0, full_sum - F.col("o_totalprice"))
     return (table(spark, sf_dir, "orders")
             .where(F.col("o_orderkey") <= 3000)
             .select("o_orderkey",
                     F.round(ex_sum, 2).alias("neighbor_sum"),
                     ex_n.alias("neighbor_n"),
-                    F.round(ex_sum / ex_n, 4).alias("neighbor_avg")))
+                    F.round(F.when(ex_n > 0, ex_sum / ex_n), 4)
+                     .alias("neighbor_avg")))

@@ -631,9 +631,25 @@ def stream_reservoir_sample(stream_df: DataFrame, id_col: str,
     the distributed-sampling property A-Res needs weights for, free
     here because uniform sampling only needs a uniform priority.
     Returns the StreamingQuery."""
+    import glob
     import os
+    import shutil
 
     res_path = os.path.join(state_dir, "reservoir")
+
+    def _read_reservoir(spark):
+        # Recovery order: the live directory, else the newest retired
+        # copy (a `.old*` dir is always a COMPLETE former reservoir —
+        # it was live before being renamed aside; a `.tmp*` dir may be
+        # half-written, so it is never read).
+        candidates = [res_path] + sorted(
+            glob.glob(res_path + ".old*"), reverse=True)
+        for path in candidates:
+            try:
+                return spark.read.parquet(path)
+            except Exception:  # noqa: BLE001 - absent/incomplete copy
+                continue
+        return None
 
     def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -642,20 +658,29 @@ def stream_reservoir_sample(stream_df: DataFrame, id_col: str,
         incoming = batch_df.select(
             F.col(id_col).cast("long").alias("id"),
             F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
-             .alias("priority")).dropDuplicates(["id"])
-        try:
-            current = spark.read.parquet(res_path)
-        except Exception:  # noqa: BLE001 - first batch: no reservoir yet
-            current = None
+             .alias("priority"))
+        current = _read_reservoir(spark)
         pool = incoming if current is None else current.unionByName(incoming)
-        kept = (pool.orderBy("priority", "id").limit(k)
+        # Dedup the UNION, not just the incoming rows: an id that recurs
+        # across micro-batches (or a replayed at-least-once batch) would
+        # otherwise occupy two of the k slots and shrink the distinct
+        # reservoir — the replay-invariance the pytest pins.
+        kept = (pool.dropDuplicates(["id"])
+                .orderBy("priority", "id").limit(k)
                 .coalesce(1))
-        # write-then-swap: the reservoir must never be half-written
+        # Recoverable swap: write the new copy, retire the old one by
+        # RENAME (never delete-then-rename — a crash between those two
+        # loses the reservoir and committed batches will not replay),
+        # promote the new copy, and only then delete retired/tmp dirs.
         tmp = res_path + f".tmp{batch_id}"
         kept.write.mode("overwrite").parquet(tmp)
-        import shutil
-        shutil.rmtree(res_path, ignore_errors=True)
+        old = res_path + f".old{batch_id:012d}"
+        if os.path.exists(res_path):
+            os.rename(res_path, old)
         os.rename(tmp, res_path)
+        for stale in glob.glob(res_path + ".old*") + glob.glob(
+                res_path + ".tmp*"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     return (stream_df.writeStream
             .foreachBatch(_fold_batch)

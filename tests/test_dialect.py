@@ -405,6 +405,13 @@ def test_rewrite_external_table_grammar():
     assert rewrite_external_table(weird) == weird
     plain = "SELECT 'CREATE EXTERNAL TABLE x' AS s"
     assert rewrite_external_table(plain) == plain
+    # parenthesized column types stay inside the column-list group
+    # (one balanced nesting level): DECIMAL(p,s)/VARCHAR(n)/CHAR(n)
+    got = rewrite_external_table(
+        "CREATE EXTERNAL TABLE m (a DECIMAL(10,2), b VARCHAR(20), "
+        "c CHAR(3)) STORED AS PARQUET LOCATION '/m'")
+    assert got == ("CREATE TABLE m (a DECIMAL(10,2), b VARCHAR(20), "
+                   "c CHAR(3)) USING parquet OPTIONS (path '/m')")
 
 
 def test_rewrite_mixed_interval_split_and_passthrough():

@@ -492,3 +492,43 @@ def test_stream_reservoir_sample_equals_batch_topk(spark, events_batch,
              .orderBy("priority", "id").limit(50).collect())}
     assert len(got) == 50
     assert got == want
+
+
+def test_stream_reservoir_dedups_ids_across_batches(spark, events_batch,
+                                                    tmp_path):
+    """An id that recurs ACROSS micro-batches (or arrives again via an
+    at-least-once replay) must occupy at most one of the k slots — the
+    fold dedups the union of reservoir+incoming, not just the incoming
+    batch, so the reservoir always holds k DISTINCT ids."""
+    from pyspark.sql import functions as F
+
+    from iceberg_datafusion_arrow_flight_spark.streaming.jobs import (
+        stream_reservoir_sample)
+
+    base = events_batch.select("event_id", "ts", "user_id", "event_type",
+                               "value", "props").limit(200).cache()
+    src_dir = str(tmp_path / "src")
+    # file 1 and file 2 share ALL 200 ids; file 3 adds nothing new either:
+    # with maxFilesPerTrigger=1 every id is seen in 2-3 separate batches.
+    base.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    base.coalesce(1).write.mode("append").parquet(src_dir)
+    base.limit(80).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (spark.readStream.schema(events_batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    state = str(tmp_path / "state")
+    q = stream_reservoir_sample(stream, "event_id", state, k=50)
+    q.awaitTermination(120)
+
+    res = spark.read.parquet(f"{state}/reservoir").collect()
+    ids = [r.id for r in res]
+    assert len(ids) == 50 and len(set(ids)) == 50  # k DISTINCT ids
+    want = {(r.id, r.priority) for r in
+            (base.select(
+                F.col("event_id").cast("long").alias("id"),
+                F.md5(F.concat(F.lit("reservoir-v1"),
+                               F.col("event_id").cast("string")))
+                 .alias("priority"))
+             .dropDuplicates(["id"])
+             .orderBy("priority", "id").limit(50).collect())}
+    assert {(r.id, r.priority) for r in res} == want
