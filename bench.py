@@ -151,6 +151,11 @@ def main() -> None:
                       "sim_cross_corpus_decontaminate",
                       "text_bpe_train_merges", "multimodal_scene_cuts")]
 
+    # Output cardinality per query, recorded alongside seconds in the
+    # artifact: drift-vs-noise adjudication needs "same rows, slower" in
+    # ONE artifact instead of cross-referencing PERFORMANCE.md prose.
+    rows: dict[str, int] = {}
+
     def run(name: str) -> float:
         t0 = time.perf_counter()
         df = REGISTRY[name].build(spark, sf_dir)
@@ -162,7 +167,8 @@ def main() -> None:
         # ~1M rows on the wide-output operators (dedup_minhash_lsh),
         # which is driver-side noise the reference never pays — it
         # inflated that entry 26s -> 50s with high variance.
-        df.toArrow()
+        tbl = df.toArrow()
+        rows[name] = tbl.num_rows
         return round(time.perf_counter() - t0, 4)
 
     # This host shares CPUs with invisible neighbors (load avg swings
@@ -219,6 +225,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        # Per-query output row counts at this SF (deterministic plans →
+        # a changed count means the query or data changed, not noise).
+        "rows": {n: rows[n] for n in names},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # 1/5/15-min load averages bracketing the run: this host shares
         # CPUs with invisible neighbors (PERFORMANCE.md), so the judge

@@ -21,4 +21,9 @@ def test_bench_emits_single_json_line():
     assert isinstance(payload["value"], (int, float))
     assert payload["queries"] and all(
         isinstance(v, (int, float)) for v in payload["queries"].values())
+    # per-query output cardinality: same keys as "queries", int counts,
+    # so drift-vs-noise adjudication lives in the artifact itself
+    assert set(payload["rows"]) == set(payload["queries"])
+    assert all(isinstance(v, int) and v >= 0
+               for v in payload["rows"].values())
     assert payload["sf"] == 0.001
