@@ -1021,3 +1021,68 @@ def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vocab_symbols")
             .select("symbols_before", "symbols_after", "compression",
                     "vocab_symbols"))
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_oracle(10).replace(
+        "\nUNION ALL\n".join(
+            f"SELECT CAST({r} AS INT) AS round, pair, merged, f AS freq "
+            f"FROM b{r}" for r in range(1, 11)) + "\nORDER BY round",
+        """SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_word_types,
+       CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * n_sym) AS BIGINT) AS n_tokens,
+       ROUND(SUM(freq * n_sym) * 1.0 / SUM(freq), 6) AS tokens_per_word
+FROM (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT source,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents)
+      WHERE length(w) > 0 AND length(w) <= 40
+      GROUP BY source, w) ps
+JOIN (SELECT replace(replace(s, ' ', ''), '</w>', '') AS w,
+             len(string_split(s, ' ')) AS n_sym
+      FROM w10) seg USING (w)
+GROUP BY source
+ORDER BY source"""),
+    doc="BPE tokenizer APPLICATION — the natural twin of the training "
+        "flagship: tokenize the corpus with the learned merge table and "
+        "account tokens per source (word types, words, tokens, "
+        "tokens-per-word).  A user trains merges precisely to apply "
+        "them; this entry pins the apply path.  Encoding rides the "
+        "TRAINED STATE itself: the final state table IS every distinct "
+        "word's segmentation under the full merge sequence, so apply = "
+        "one vocab-sized equi-join from the per-(source, word) counts "
+        "to the segmentations (the original word reconstructs from the "
+        "segmentation by dropping spaces and the </w> marker) — the "
+        "corpus is never re-scanned per merge round.  The oracle reuses "
+        "the training chain's final CTE state (same rounds, same "
+        "tie-breaks) and joins identically, so the hash pins train AND "
+        "encode end-to-end.  operators/text.py:bpe_merge_table.",
+    tags=("text", "pipeline"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    _ledger, state = T.bpe_merge_table(docs, n_merges=10,
+                                       return_state=True)
+    seg = state.select(
+        F.replace(F.replace(F.col("s"), F.lit(" "), F.lit("")),
+                  F.lit("</w>"), F.lit("")).alias("w"),
+        F.size(F.split("s", " ")).alias("n_sym"))
+    per_src = (docs.select(
+                  "source",
+                  F.explode(F.split(F.lower(F.col("text")),
+                                    "[^a-z]+")).alias("w"))
+               .where((F.length("w") > 0) & (F.length("w") <= 40))
+               .groupBy("source", "w")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
+    return (per_src.join(seg, "w")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+                 F.sum("freq").cast("bigint").alias("n_words"),
+                 F.sum(F.col("freq") * F.col("n_sym")).cast("bigint")
+                  .alias("n_tokens"))
+            .select("source", "n_word_types", "n_words", "n_tokens",
+                    F.round(F.col("n_tokens") / F.col("n_words"), 6)
+                     .alias("tokens_per_word"))
+            .orderBy("source"))
