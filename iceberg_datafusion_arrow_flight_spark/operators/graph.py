@@ -209,24 +209,36 @@ def degree_orient(und: DataFrame) -> DataFrame:
 
 def triangles(oriented: DataFrame) -> DataFrame:
     """All triangles of a degree-oriented edge list, one row per
-    triangle as (a, b, c) in orientation order: wedges a→b, b→c joined,
-    closed by the a→c edge.  Each triangle appears exactly once — its
-    three vertices have a unique orientation-order.  Two shuffled
-    equi-joins; with degree orientation the wedge build is the bounded
-    step (out-degree ≤ O(sqrt(2m))), which is what survives a 100 TB
-    edge list where the raw degree distribution is power-law.
+    triangle as (a, b, c) in orientation order — the EDGE-ITERATOR
+    form: for each oriented edge (a, b), every common out-neighbor
+    c ∈ N⁺(a) ∩ N⁺(b) closes a triangle (a→b, b→c, a→c all present).
+    Each triangle appears exactly once — its three vertices have a
+    unique orientation order.
 
-    The oriented list feeds all three join legs, so it is materialized
-    once (localCheckpoint) instead of re-deriving the orientation —
-    and its whole upstream — per leg.  Both joins carry a
-    shuffle_hash hint: the sides are same-sized edge lists (sort-merge
-    buys nothing) and the wedge stream is ~40x larger than the edge
-    list, so hashing the small build side and streaming the wedges
-    through it measured 2.4x faster than SMJ at sf0.1."""
+    Why this shape beats the wedge-join form it replaced (two
+    shuffle_hash equi-joins, r6): the 49.2 M-row wedge stream at sf0.1
+    never materializes — the adjacency lists ship as PACKED ARRAYS on
+    edge-list-sized shuffles (same total entries, a fraction of the
+    per-row overhead) and the closing "join" becomes a JVM-side
+    array_intersect inside one codegen stage.  Same-conditions
+    min-of-2-cold A/B at sf0.1: 5.13/5.23 s → 3.64/4.04 s (~25%),
+    output bit-identical (25 rows / 1,884,488 triangles; two-scale
+    DuckDB gate re-run).  Degree orientation still does the heavy
+    lifting: out-degree ≤ O(sqrt(2m)), so a per-edge row carries at
+    most 2·sqrt(2m) packed entries even on power-law graphs — the
+    same wedge bound as before, just without the row explosion.
+
+    The oriented list feeds the edge leg and both adjacency legs, so
+    it is materialized once (localCheckpoint; persist(MEMORY_AND_DISK)
+    is the multi-executor drop-in).  shuffle_hash hints: the adjacency
+    table is the build side and sorting either side buys nothing."""
     oriented = oriented.localCheckpoint(eager=True)
-    e1 = oriented.select(F.col("s").alias("a"), F.col("d").alias("b"))
-    e2 = oriented.select(F.col("s").alias("b"), F.col("d").alias("c"))
-    e3 = oriented.select(F.col("s").alias("a"), F.col("d").alias("c"))
-    return (e1.join(e2.hint("shuffle_hash"), "b")
-            .join(e3.hint("shuffle_hash"), ["a", "c"])
-            .select("a", "b", "c"))
+    adj = oriented.groupBy("s").agg(F.collect_list("d").alias("nb"))
+    a_adj = adj.select(F.col("s").alias("a"), F.col("nb").alias("nb_a"))
+    b_adj = adj.select(F.col("s").alias("b"), F.col("nb").alias("nb_b"))
+    return (oriented.select(F.col("s").alias("a"), F.col("d").alias("b"))
+            .join(a_adj.hint("shuffle_hash"), "a")
+            .join(b_adj.hint("shuffle_hash"), "b")
+            .select("a", "b",
+                    F.explode(F.array_intersect("nb_a", "nb_b"))
+                     .alias("c")))

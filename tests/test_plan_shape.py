@@ -638,10 +638,13 @@ def test_lazy_return_operators_leave_cache_manager_empty(spark, sf_dir):
 
 
 def test_triangle_count_no_cartesian_and_hashed_wedge_joins(spark, sf_dir):
-    """Triangle counting must close wedges with keyed equi-joins — a
-    CartesianProduct would be the all-pairs disaster at scale — and the
-    wedge joins must take the ShuffledHashJoin path (the wedge stream
-    is ~40x the edge list; sorting it for SMJ is pure waste)."""
+    """Triangle counting must stay keyed — a CartesianProduct would be
+    the all-pairs disaster at scale — and the adjacency joins of the
+    edge-iterator form must take the ShuffledHashJoin path (both sides
+    are edge-list-sized; sorting for SMJ is pure waste).  The wedge
+    stream itself never materializes: triangles close via JVM-side
+    array_intersect over packed adjacency arrays (operators/graph.py:
+    triangles, r7 rewrite)."""
     df = REGISTRY["graph_triangle_count"].build(spark, sf_dir)
     plan = _explain(df)
     assert "CartesianProduct" not in plan
