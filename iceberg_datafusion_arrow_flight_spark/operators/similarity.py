@@ -857,3 +857,122 @@ def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .where(F.col("rank") <= k)
             .select("query_id", "corpus_id", "sim",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def mmr_diverse_topk(corpus: DataFrame, query_id_val: int = 0,
+                     pool_size: int = 50, k: int = 5,
+                     lam: float = 0.7, mu: float = 0.3,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick ``k`` items that are RELEVANT to the query but
+    DIVERSE among themselves — round r selects
+    ``argmax lam*sim(q, d) - mu*max_{s in selected} sim(d, s)`` — the
+    diversity-sampling primitive for curating training batches /
+    retrieval contexts where near-identical top hits waste slots.
+
+    ``lam`` and ``mu`` are INDEPENDENT literals (never derived as
+    1-lam: Python's ``1.0 - 0.7`` is 0.30000000000000004 while a SQL
+    ``0.3`` literal is a different double — deriving one from the
+    other breaks bit-parity with a SQL oracle).
+
+    Distributed shape: one corpus-wide relevance top-``pool_size`` scan
+    (the only shuffle), then ``k`` driver rounds over the POOL-sized
+    state — each round collects exactly the 1-row argmax (kmeans-init
+    pattern), re-broadcasts the winner as a literal vector, and folds
+    a running ``max_sim_selected`` column.  Work per round is
+    pool-sized; the corpus is scanned once.  Floats: relevance and the
+    per-winner cosines round to 9 digits BEFORE max/compare, so
+    ordering and the learned state replicate bit-for-bit in SQL.
+
+    Returns the selection ledger: (round, vec_id, relevance,
+    max_sim_selected, mmr_score)."""
+    spark = corpus.sparkSession
+    emb = fan_out(corpus).select(F.col(id_col).alias("cid"),
+                                 _as_double(F.col(vec_col)).alias("v"))
+    qv = emb.where(F.col("cid") == query_id_val).select("v").collect()[0]["v"]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    pool = (emb.where(F.col("cid") != query_id_val)
+            .select("cid", "v",
+                    F.round(cosine(F.col("v"), qlit), 9).alias("rel"))
+            .orderBy(F.col("rel").desc(), "cid").limit(pool_size)
+            .withColumn("maxsim", F.lit(0.0))
+            .localCheckpoint(eager=True))
+    ledger: list[tuple[int, int, float, float, float]] = []
+    for rnd in range(1, k + 1):
+        score = F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim")
+        # order on the 9-digit rounding, emit the 6-digit one — BOTH
+        # computed engine-side (Python's round() is half-even; SQL
+        # ROUND is not — never round on the driver)
+        best = (pool.select("cid", "v", "rel", "maxsim",
+                            F.round(score, 9).alias("score9"),
+                            F.round(score, 6).alias("score6"))
+                .orderBy(F.col("score9").desc(), "cid").limit(1).collect())
+        if not best:  # pool exhausted (k > pool_size)
+            break
+        b = best[0]
+        ledger.append((rnd, int(b["cid"]), float(b["rel"]),
+                       float(b["maxsim"]), float(b["score6"])))
+        slit = F.array(*[F.lit(float(x)) for x in b["v"]])
+        pool = (pool.where(F.col("cid") != b["cid"])
+                .select("cid", "v", "rel",
+                        F.greatest(
+                            "maxsim",
+                            F.round(cosine(F.col("v"), slit), 9))
+                        .alias("maxsim"))
+                .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        ledger, "round INT, vec_id BIGINT, relevance DOUBLE, "
+                "max_sim_selected DOUBLE, mmr_score DOUBLE")
+
+
+def kcenter_coreset(corpus: DataFrame, k: int = 5,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal,
+    Gonzalez 1985 — the 2-approximation for the k-center objective):
+    seed with the lowest-id point, then repeatedly add the point
+    FARTHEST from the selected set under cosine distance (1 - cos).
+    The classic coreset / diverse-subset primitive for training-data
+    curation: the selected points cover the corpus within the reported
+    radius, so they summarize its geometry with k rows.
+
+    Distributed shape: corpus-sized state carries ONE running
+    ``min_dist``-to-selected column; each of the k rounds is a pure
+    projection (LEAST-fold against the new center, broadcast as a
+    literal vector) plus a 1-row argmax collect (kmeans-init pattern).
+    No round shuffles; the state is checkpointed per round (flat
+    lineage).  Distances round to 9 digits before every LEAST/compare
+    so the argmax and folded state replicate bit-for-bit in SQL.
+
+    Returns the selection ledger (round, vec_id, coverage_radius):
+    the radius at round r is the selected point's distance to the
+    previous centers — the max-min coverage bound after r-1 centers."""
+    spark = corpus.sparkSession
+    emb = fan_out(corpus).select(F.col(id_col).alias("cid"),
+                                 _as_double(F.col(vec_col)).alias("v"))
+    seed = (emb.orderBy("cid").limit(1).collect())[0]
+    ledger: list[tuple[int, int, float]] = [(1, int(seed["cid"]), 0.0)]
+    slit = F.array(*[F.lit(float(x)) for x in seed["v"]])
+    state = (emb.where(F.col("cid") != int(seed["cid"]))
+             .select("cid", "v",
+                     F.round(F.lit(1.0) - cosine(F.col("v"), slit), 9)
+                      .alias("mind"))
+             .localCheckpoint(eager=True))
+    for rnd in range(2, k + 1):
+        best = (state.orderBy(F.col("mind").desc(), "cid")
+                .limit(1).collect())
+        if not best:  # corpus smaller than k
+            break
+        b = best[0]
+        ledger.append((rnd, int(b["cid"]), float(b["mind"])))
+        clit = F.array(*[F.lit(float(x)) for x in b["v"]])
+        state = (state.where(F.col("cid") != int(b["cid"]))
+                 .select("cid", "v",
+                         F.least(
+                             "mind",
+                             F.round(F.lit(1.0) - cosine(F.col("v"), clit),
+                                     9)).alias("mind"))
+                 .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        ledger, "round INT, vec_id BIGINT, coverage_radius DOUBLE")

@@ -93,11 +93,11 @@ _PRIORITY: list[str] = [
     "distinct_simple", "distinct_on",
     "project_star_except", "values_inline",
     "agg_cube", "agg_rollup", "agg_global_stats",
-    "tpch_q3_shipping_priority", "tpch_q7_nation_volume",
-    "tpch_q8_national_market_share",
+    "tpch_q3_shipping_priority",
     # --- NEW in r07 (two-scale local-gated on arrival; each ceded one
-    # re-pin slot — ceded so far: tpch_q10_returned_items):
-    "text_bpe_encode",
+    # re-pin slot — ceded so far: tpch_q10_returned_items,
+    # tpch_q8_national_market_share, tpch_q7_nation_volume):
+    "text_bpe_encode", "sim_mmr_diverse_topk", "sim_kcenter_coreset",
 ]
 
 

@@ -1288,3 +1288,112 @@ def sim_norm_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((F.col("nrm") < 1e-9).cast("int")).cast("bigint")
                   .alias("n_degenerate"))
             .orderBy("label"))
+
+
+def _mmr_oracle(k: int = 5, pool: int = 50) -> str:
+    """Unrolled-CTE mirror of operators/similarity.py:mmr_diverse_topk —
+    same relevance pool (9-digit-rounded cosines, id tie-breaks), and
+    per round the same (score9 DESC, cid) argmax, the same selected-row
+    removal, and the same GREATEST-folded max-sim-to-selected state, so
+    the 5-row selection ledger agrees bit-for-bit."""
+    sql = f"""WITH emb AS ({_EMB}),
+q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+pool0 AS MATERIALIZED (
+  SELECT e.vec_id AS cid, e.v,
+         ROUND({_COS.format(a='e.v', b='q.qv')}, 9) AS rel,
+         0.0 AS maxsim
+  FROM emb e, q WHERE e.vec_id != 0
+  ORDER BY rel DESC, cid LIMIT {pool}
+)"""
+    for r in range(1, k + 1):
+        sql += f""", s{r} AS MATERIALIZED (
+  SELECT cid, v, rel, maxsim,
+         ROUND(0.7 * rel - 0.3 * maxsim, 9) AS score9,
+         ROUND(0.7 * rel - 0.3 * maxsim, 6) AS score6
+  FROM pool{r - 1} ORDER BY score9 DESC, cid LIMIT 1
+), pool{r} AS MATERIALIZED (
+  SELECT p.cid, p.v, p.rel,
+         GREATEST(p.maxsim,
+                  ROUND({_COS.format(a='p.v', b='s.v')}, 9)) AS maxsim
+  FROM pool{r - 1} p, s{r} s WHERE p.cid != s.cid
+)"""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, CAST(cid AS BIGINT) AS vec_id, "
+        f"rel AS relevance, maxsim AS max_sim_selected, "
+        f"score6 AS mmr_score FROM s{r}"
+        for r in range(1, k + 1))
+    return sql + "\n" + unions + "\nORDER BY round"
+
+
+@register(
+    "sim_mmr_diverse_topk",
+    oracle=_mmr_oracle(5, 50),
+    doc="Maximal Marginal Relevance selection (Carbonell & Goldstein "
+        "1998): greedily pick 5 items relevant to the query vector "
+        "(vec_id 0) but diverse among themselves — round r takes "
+        "argmax 0.7*sim(q,d) - 0.3*max_selected sim(d,s).  The "
+        "diversity-sampling primitive for training-batch curation and "
+        "retrieval contexts where near-identical top hits waste slots. "
+        "ONE corpus-wide top-50 relevance scan (the only shuffle), then "
+        "5 pool-sized driver rounds collecting a 1-row argmax each "
+        "(kmeans-init pattern); the winner re-enters as a literal "
+        "vector.  9-digit rounds before every compare keep both "
+        "engines' argmax and folded max-sim state identical; lam/mu "
+        "are independent literals (1-0.7 != 0.3 in doubles). "
+        "operators/similarity.py:mmr_diverse_topk.",
+    tags=("similarity", "pipeline"),
+)
+def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.mmr_diverse_topk(table(spark, sf_dir, "embeddings"),
+                              query_id_val=0, pool_size=50, k=5)
+
+
+def _kcenter_oracle(k: int = 5) -> str:
+    """Unrolled-CTE mirror of operators/similarity.py:kcenter_coreset —
+    same lowest-id seed, per round the same (min_dist DESC, cid) argmax,
+    selected-row removal, and LEAST-folded distance state."""
+    dist = "ROUND(1.0 - " + _COS.format(a='p.v', b='s.v') + ", 9)"
+    sql = f"""WITH emb AS ({_EMB}),
+seed AS (SELECT vec_id AS cid, v FROM emb ORDER BY vec_id LIMIT 1),
+state1 AS MATERIALIZED (
+  SELECT p.cid, p.v,
+         ROUND(1.0 - {_COS.format(a='p.v', b='s.v')}, 9) AS mind
+  FROM (SELECT vec_id AS cid, v FROM emb) p, seed s
+  WHERE p.cid != s.cid
+)"""
+    for r in range(2, k + 1):
+        sql += f""", s{r} AS MATERIALIZED (
+  SELECT cid, v, mind FROM state{r - 1}
+  ORDER BY mind DESC, cid LIMIT 1
+), state{r} AS MATERIALIZED (
+  SELECT p.cid, p.v, LEAST(p.mind, {dist}) AS mind
+  FROM state{r - 1} p, s{r} s WHERE p.cid != s.cid
+)"""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, CAST(cid AS BIGINT) AS vec_id, "
+        f"mind AS coverage_radius FROM s{r}"
+        for r in range(2, k + 1))
+    return (sql
+            + "\nSELECT CAST(1 AS INT) AS round, CAST(cid AS BIGINT) AS "
+              "vec_id, 0.0 AS coverage_radius FROM seed\nUNION ALL\n"
+            + unions + "\nORDER BY round")
+
+
+@register(
+    "sim_kcenter_coreset",
+    oracle=_kcenter_oracle(5),
+    doc="Greedy k-center coreset (Gonzalez 1985 farthest-point "
+        "traversal, the 2-approximation): seed at the lowest-id vector, "
+        "then 4 rounds of 'add the point farthest from the selected "
+        "set' under cosine distance — the coreset primitive that "
+        "summarizes corpus geometry with k rows and a coverage radius. "
+        "Corpus-sized state carries one LEAST-folded min-dist column; "
+        "each round is a projection against the new center (literal "
+        "vector) + a 1-row argmax collect; no per-round shuffle. "
+        "9-digit rounds before every compare keep both engines' "
+        "argmax and folds identical. "
+        "operators/similarity.py:kcenter_coreset.",
+    tags=("similarity", "pipeline"),
+)
+def sim_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.kcenter_coreset(table(spark, sf_dir, "embeddings"), k=5)
