@@ -260,3 +260,77 @@ def bpe_merge_table(df: DataFrame, text_col: str = "text",
     ledger_df = spark.createDataFrame(
         ledger, "round INT, pair STRING, merged STRING, freq BIGINT")
     return (ledger_df, state) if return_state else ledger_df
+
+
+RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "are", "was", "at", "by", "be")
+
+
+def rake_keywords(df: DataFrame, text_col: str = "text",
+                  k: int = 10) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free word runs; a word scores
+    degree/frequency where degree sums the lengths of every phrase
+    containing it; a phrase scores the sum of its words' scores.
+    Corpus-level top-``k`` phrases by (score DESC, phrase ASC).
+
+    Phrase splitting is ARRAY-POSITION based (posexplode + a running
+    stopword count as the phrase id), not regex-boundary based —
+    regex lookarounds differ across engines and multi-stopword runs
+    defeat replace-based splitting, while the running-count form is
+    exact and identical in SQL (lateral range + SUM window).
+
+    Float discipline: word scores go through integer MICRO-units
+    (round(degree*1e6/freq) — degree and freq are exact ints), so the
+    per-phrase score is an order-independent integer sum; the double
+    only reappears at the final rounded projection.
+
+    Scale: one (doc, position) explode (the token stream), one window
+    per doc for phrase ids, keyed aggregates for word stats (vocab-
+    sized, broadcast back), one phrase-keyed aggregate.  No joins
+    bigger than the token stream."""
+    from pyspark.sql import Window
+
+    toks = (fan_out(df).select(
+                F.col("doc_id"),
+                F.posexplode(F.split(F.lower(F.col(text_col)), "[^a-z]+"))
+                 .alias("i", "w"))
+            .where(F.length("w") > 0))
+    is_stop = F.col("w").isin(*RAKE_STOPWORDS)
+    wdoc = Window.partitionBy("doc_id").orderBy("i") \
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = toks.select(
+        "doc_id", "i", "w",
+        F.sum(is_stop.cast("int")).over(wdoc).alias("pid"))
+    pw = marked.where(~is_stop)
+    plen_w = Window.partitionBy("doc_id", "pid")
+    pw = pw.withColumn("plen", F.count(F.lit(1)).over(plen_w))
+    stats = (pw.groupBy("w")
+             .agg(F.count(F.lit(1)).alias("freq"),
+                  F.sum("plen").alias("degree")))
+    wscore = stats.select(
+        "w", F.round(F.col("degree") * 1000000.0 / F.col("freq"))
+              .cast("bigint").alias("ws_micro"))
+    phrases = (pw.join(F.broadcast(wscore), "w")
+               .groupBy("doc_id", "pid")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("i", "w"))),
+                            lambda s: s["w"]), " ").alias("phrase"),
+                    F.sum("ws_micro").alias("score_micro"),
+                    F.count(F.lit(1)).alias("n_words")))
+    agg = (phrases.groupBy("phrase")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+                F.max("score_micro").alias("score_micro"),
+                F.max("n_words").cast("int").alias("n_words")))
+    wrank = Window.orderBy(F.col("score_micro").desc(), "phrase")
+    return (agg.withColumn("rank", F.row_number().over(wrank))
+            .where(F.col("rank") <= k)
+            .select("phrase",
+                    F.round(F.col("score_micro") / 1000000.0, 4)
+                     .alias("rake_score"),
+                    "n_words", "n_occurrences",
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("rank"))

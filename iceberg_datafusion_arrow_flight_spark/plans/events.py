@@ -882,3 +882,68 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("new_users").over(w).cast("bigint")
                  .alias("cumulative_users"))
             .orderBy("day"))
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                         THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch_ts
+  FROM events
+)
+SELECT CASE WHEN last_touch_ts >= ts - INTERVAL 7 DAY THEN last_touch
+            ELSE 'direct' END AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY channel
+ORDER BY channel
+""",
+    doc="Last-touch marketing attribution: each purchase is credited "
+        "to the user's most recent prior click/view within a 7-day "
+        "lookback, else 'direct' — the classic attribution query a "
+        "product-analytics engine runs.  One window pass per user "
+        "(LAST_VALUE IGNORE NULLS over the preceding frame carries the "
+        "latest touch forward — no self-join against the touch "
+        "history), then a channel-keyed aggregate.  Revenue sums in "
+        "integer CENTS (values are 2-decimal), so the aggregate is "
+        "order-independent — no float-summation ulps to round away. "
+        "plans/events.py:events_attribution.",
+    tags=("events", "window"),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    touch = F.when(F.col("event_type").isin("click", "view"),
+                   F.col("event_type"))
+    touch_ts = F.when(F.col("event_type").isin("click", "view"),
+                      F.col("ts"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    tagged = e.select(
+        "event_type", "ts", "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("last_touch_ts"))
+    channel = F.when(
+        F.col("last_touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY"),
+        F.col("last_touch")).otherwise(F.lit("direct"))
+    return (tagged.where(F.col("event_type") == "purchase")
+            .select(channel.alias("channel"),
+                    F.round(F.col("value") * 100).cast("bigint")
+                     .alias("cents"))
+            .groupBy("channel")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+                 F.sum("cents").cast("bigint").alias("revenue_cents"))
+            .orderBy("channel"))

@@ -1097,3 +1097,86 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("mean_quality"),
         F.round(F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6)
          .alias("exact_uniq_ratio"))
+
+
+@register(
+    "pipeline_perplexity_buckets",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+           list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+         ELSE [] END) AS g
+  FROM tok
+), words AS (
+  SELECT unnest(t) AS w FROM tok
+), big_counts AS (
+  SELECT g, COUNT(*) AS c12 FROM grams GROUP BY g
+), uni_counts AS (
+  SELECT w, COUNT(*) AS c1 FROM words GROUP BY w
+), vocab AS (
+  SELECT COUNT(DISTINCT w) AS v FROM words
+), lm AS (
+  SELECT doc_id, ROUND(AVG(ln((c12 + 1) * 1.0 / (c1 + v))), 4) AS lp
+  FROM grams
+  JOIN big_counts USING (g)
+  JOIN uni_counts ON string_split(g, ' ')[1] = w
+  CROSS JOIN vocab
+  GROUP BY doc_id
+), bucketed AS (
+  SELECT d.doc_id, d.source, lp,
+         len(string_split_regex(trim(d.text), '\s+')) AS n_tokens,
+         NTILE(5) OVER (ORDER BY lp DESC, d.doc_id) AS bucket
+  FROM documents d JOIN lm USING (doc_id)
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(MIN(lp), 4) AS min_logprob,
+       ROUND(MAX(lp), 4) AS max_logprob,
+       ROUND(SUM(CAST(ROUND(lp * 10000) AS BIGINT))
+             / (COUNT(*) * 10000.0), 4) AS mean_logprob,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+""",
+    doc="CCNet-style perplexity bucketing: score every doc with the "
+        "in-corpus bigram LM (same model as text_lm_score), split the "
+        "corpus into 5 quality quintiles (NTILE over score, id "
+        "tie-break), and report each bucket's doc/token mass and "
+        "source diversity — the head/middle/tail partition CCNet uses "
+        "to decide what to keep.  Bucket means go through integer "
+        "1e-4 units (scores are 4-decimal), so every aggregate is "
+        "summation-order-independent.  At 100 TB the quintile "
+        "boundary comes from one approx-quantile pass and docs bucket "
+        "by threshold — the NTILE total order here is the "
+        "oracle-exact form of the same partition (doc-level rows, "
+        "not token-level).  operators/text.py:lm_score + "
+        "plans/pipeline_queries.py:pipeline_perplexity_buckets.",
+    tags=("pipeline", "text", "window"),
+)
+def pipeline_perplexity_buckets(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..operators import text as T
+    d = table(spark, sf_dir, "documents")
+    lm = T.lm_score(d).select("doc_id", F.col("avg_logprob").alias("lp"))
+    joined = (d.select("doc_id", "source",
+                       T.token_count(F.col("text")).alias("n_tokens"))
+              .join(lm, "doc_id"))
+    w = Window.orderBy(F.col("lp").desc(), "doc_id")
+    b = joined.withColumn("bucket", F.ntile(5).over(w))
+    return (b.groupBy(F.col("bucket").cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.round(F.min("lp"), 4).alias("min_logprob"),
+                 F.round(F.max("lp"), 4).alias("max_logprob"),
+                 F.round(F.sum(F.round(F.col("lp") * 10000)
+                               .cast("bigint"))
+                         / (F.count(F.lit(1)) * 10000.0), 4)
+                  .alias("mean_logprob"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 F.countDistinct("source").cast("bigint")
+                  .alias("n_sources"))
+            .orderBy("bucket"))

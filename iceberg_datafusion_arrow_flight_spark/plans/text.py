@@ -1086,3 +1086,70 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_tokens") / F.col("n_words"), 6)
                      .alias("tokens_per_word"))
             .orderBy("source"))
+
+
+@register(
+    "text_rake_keywords",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, z.w, z.i,
+         z.w IN ('the','a','an','and','or','of','to','in','is','it',
+                 'that','for','on','with','as','are','was','at','by',
+                 'be') AS is_stop
+  FROM tok, LATERAL (SELECT unnest(t) AS w,
+                            unnest(range(1, len(t) + 1)) AS i) z
+  WHERE length(z.w) > 0
+), marked AS (
+  SELECT doc_id, i, w, is_stop,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS pid
+  FROM pos
+), pw AS (
+  SELECT doc_id, i, w, pid,
+         COUNT(*) OVER (PARTITION BY doc_id, pid) AS plen
+  FROM marked WHERE NOT is_stop
+), stats AS (
+  SELECT w, COUNT(*) AS freq, SUM(plen) AS degree FROM pw GROUP BY w
+), wscore AS (
+  SELECT w, CAST(ROUND(degree * 1000000.0 / freq) AS BIGINT) AS ws_micro
+  FROM stats
+), phrases AS (
+  SELECT doc_id, pid,
+         string_agg(w, ' ' ORDER BY i) AS phrase,
+         SUM(ws_micro) AS score_micro,
+         COUNT(*) AS n_words
+  FROM pw JOIN wscore USING (w)
+  GROUP BY doc_id, pid
+), agg AS (
+  SELECT phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         MAX(score_micro) AS score_micro,
+         CAST(MAX(n_words) AS INT) AS n_words
+  FROM phrases GROUP BY phrase
+), ranked AS (
+  SELECT phrase, score_micro, n_words, n_occurrences,
+         ROW_NUMBER() OVER (ORDER BY score_micro DESC, phrase) AS rank
+  FROM agg
+)
+SELECT phrase, ROUND(score_micro / 1000000.0, 4) AS rake_score,
+       n_words, n_occurrences, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY rank
+""",
+    doc="RAKE keyword extraction (Rose et al. 2010): corpus top-10 "
+        "candidate phrases (maximal stopword-free runs) scored by "
+        "summed word degree/frequency.  Phrase splitting is "
+        "array-position based — posexplode + a running stopword-count "
+        "window as the phrase id — because regex lookarounds differ "
+        "across engines and replace-based splitting breaks on "
+        "multi-stopword runs.  Word scores travel as integer "
+        "micro-units (degree and freq are exact ints), so phrase "
+        "scores are order-independent integer sums on both engines. "
+        "operators/text.py:rake_keywords.",
+    tags=("text", "pipeline"),
+)
+def text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.rake_keywords(table(spark, sf_dir, "documents"), k=10)
