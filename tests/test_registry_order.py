@@ -74,5 +74,8 @@ def test_every_family_has_a_priority_row():
                  and fam not in ("map", "json", "table_function", "ddl",
                                  "catalog", "sketch", "function", "struct",
                                  "dedup", "multimodal", "array", "graph",
-                                 "io", "dialect", "service")]
+                                 "io", "dialect", "service",
+                                 # ceded their r07 re-pin slots to new
+                                 # entries mid-round (driver-green r01-r06)
+                                 "tpch", "values")]
     assert not uncovered, uncovered
