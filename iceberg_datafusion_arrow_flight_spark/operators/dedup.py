@@ -685,3 +685,63 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                         F.levenshtein("__sa", "__sb").cast("int"))
             .where(F.col("edit_distance") <= k)
             .select("id_a", "id_b", "edit_distance"))
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 2,
+                      threshold_num: int = 8,
+                      threshold_den: int = 10) -> DataFrame:
+    """EXACT directed containment join: pairs where
+    ``|A ∩ B| / |A| >= t`` over n-gram shingle sets — the ASYMMETRIC
+    twin of :func:`ngram_jaccard_pairs`.  Containment is what catches
+    excerpts, quotes, and near-subsets: a short doc embedded in a long
+    one has tiny Jaccard (the union is dominated by B) but containment
+    ~1, so symmetric dedup never sees it.
+
+    Prefix filter, containment form: order A's shingles by the global
+    xxhash64 order; if ``|A ∩ B| >= ceil(t*|A|)`` then A's first
+    ``|A| - ceil(t*|A|) + 1`` shingles must hit B (pigeonhole).  The
+    probe side explodes only that prefix; the INDEX side must carry
+    B's full shingle set (asymmetry has no prefix on the container).
+    Bucket sizes are the shingle document frequencies — n=2 bigram
+    shingles keep postings near-unique, which is what bounds the
+    candidate join at corpus scale.  A lossless size filter
+    (``|B| >= t*|A|``, integer form) drops candidates before the
+    O(|A|+|B|) intersect verify."""
+    df = fan_out(df)
+    toks = F.split(F.col(text_col), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
+    ).otherwise(F.array().cast("array<string>"))
+    sh = F.array_sort(F.transform(grams, lambda t: F.xxhash64(t)))
+    prefix_len = (F.size(sh)
+                  - F.ceil(F.size(sh) * threshold_num / threshold_den)
+                  + 1).cast("int")
+    base = (df.select(F.col(id_col).alias("__id"), sh.alias("__sh"),
+                      F.slice(sh, 1, prefix_len).alias("__prefix"))
+            .where(F.size("__sh") > 0)
+            .localCheckpoint(eager=True))
+    probe = base.select(F.col("__id").alias("contained_id"),
+                        F.explode("__prefix").alias("__p"))
+    index = base.select(F.col("__id").alias("container_id"),
+                        F.explode("__sh").alias("__p"))
+    cand = (probe.join(index,
+                       (probe["__p"] == index["__p"])
+                       & (F.col("contained_id") != F.col("container_id")))
+            .select("contained_id", "container_id").distinct())
+    a = base.select(F.col("__id").alias("contained_id"),
+                    F.col("__sh").alias("sh_a"))
+    b = base.select(F.col("__id").alias("container_id"),
+                    F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    size_ok = (threshold_den * F.size("sh_b")
+               >= threshold_num * F.size("sh_a"))
+    return (cand.join(a, "contained_id").join(b, "container_id")
+            .where(size_ok)
+            .where(threshold_den * inter >= threshold_num * F.size("sh_a"))
+            .select("contained_id", "container_id",
+                    F.round(inter.cast("double") / F.size("sh_a"), 6)
+                     .alias("containment")))

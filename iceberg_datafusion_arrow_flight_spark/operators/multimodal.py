@@ -572,3 +572,53 @@ def scene_cut_sad(frames: DataFrame, threshold: float = 8.0) -> DataFrame:
 
     return (fan_out(frames).groupBy("doc_id")
             .applyInPandas(per_doc, schema=SCENE_CUT_SCHEMA))
+
+
+AHASH_SCHEMA = ("doc_id BIGINT, width INT, height INT, "
+                "ahash_hi BIGINT, ahash_lo BIGINT, n_set_bits INT")
+
+
+def ahash_signatures(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) of the DECODED image: integer
+    grayscale (r+g+b)//3, an 8x8 block grid (pixel row r maps to block
+    row (r*8)//h — exact for any size), and bit i set when block i's
+    mean EXCEEDS the global mean.  The threshold compares
+    ``block_sum * n_pixels > gray_total * block_count`` — pure int64
+    products, so there is NO float anywhere and a SQL oracle can
+    recompute every bit from the pixel generator formula.  (Variant
+    note: the global-mean threshold replaces the classic
+    mean-of-block-means, whose 64-double summation order would differ
+    across engines.)
+
+    The 64-bit hash ships as two 32-bit halves (bit 63 would overflow
+    signed BIGINT).  Near-dup usage: band the halves for candidates,
+    verify by Hamming distance — same banded shape as SimHash dedup.
+
+    Scale: hashes are computed executor-side per Arrow batch; only
+    (id, 2xint) rows shuffle — payload bytes never move."""
+
+    def hashit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "ahash_hi", "ahash_lo", "n_set_bits")}
+            for did, fmt, payload in zip(pdf["doc_id"], pdf["fmt"],
+                                         pdf["payload"]):
+                w, h, px = _REAL_DECODERS[fmt](bytes(payload))
+                gray = px.reshape(-1, 3).astype(np.int64).sum(axis=1) // 3
+                k = np.arange(w * h)
+                b = ((k // w) * 8 // h) * 8 + ((k % w) * 8 // w)
+                bs = np.zeros(64, dtype=np.int64)
+                np.add.at(bs, b, gray)
+                cnt = np.bincount(b, minlength=64).astype(np.int64)
+                bits = (bs * (w * h) > int(gray.sum()) * cnt)
+                lo = int(sum(int(bits[i]) << i for i in range(32)))
+                hi = int(sum(int(bits[i + 32]) << i for i in range(32)))
+                rows["doc_id"].append(did)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["ahash_hi"].append(hi)
+                rows["ahash_lo"].append(lo)
+                rows["n_set_bits"].append(int(bits.sum()))
+            yield pd.DataFrame(rows)
+
+    return fan_out(df).mapInPandas(hashit, schema=AHASH_SCHEMA)

@@ -90,16 +90,17 @@ _PRIORITY: list[str] = [
     "filter_predicates", "filter_ilike_null_safe",
     "filter_is_true_unknown",
     "sort_limit_offset", "sort_nulls_ordering",
-    "distinct_simple", "distinct_on",
+    "distinct_simple",
     "project_star_except",
-    "agg_cube", "agg_rollup",
+    "agg_cube",
     # --- NEW in r07 (two-scale local-gated on arrival; each ceded one
     # re-pin slot — ceded so far: tpch_q10_returned_items,
     # tpch_q8_national_market_share, tpch_q7_nation_volume,
-    # tpch_q3_shipping_priority, agg_global_stats, values_inline):
+    # tpch_q3_shipping_priority, agg_global_stats, values_inline,
+    # agg_rollup, distinct_on):
     "text_bpe_encode", "sim_mmr_diverse_topk", "sim_kcenter_coreset",
     "events_attribution_last_touch", "pipeline_perplexity_buckets",
-    "text_rake_keywords",
+    "text_rake_keywords", "multimodal_image_ahash", "dedup_containment",
 ]
 
 

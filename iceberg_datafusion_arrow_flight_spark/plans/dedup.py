@@ -503,3 +503,41 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(1.0 - F.countDistinct("key")
                          / F.count("*"), 6).alias("dup_ratio"))
             .orderBy("source"))
+
+
+@register(
+    "dedup_containment",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           range(1, len(t)),
+           i -> array_to_string(t[i:i+1], ' ')))) AS s
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+        FROM documents)
+  WHERE len(t) >= 2
+)
+SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+       ROUND(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6)
+           AS containment
+FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+WHERE 10 * len(list_intersect(a.s, b.s)) >= 8 * len(a.s)
+ORDER BY contained_id, container_id
+""",
+    doc="Directed containment pairs at |A∩B|/|A| >= 0.8 over bigram "
+        "shingles — the asymmetric twin of the PPJoin entry.  "
+        "Containment catches excerpts and near-subsets that symmetric "
+        "Jaccard structurally misses (a short doc inside a long one "
+        "has union-dominated Jaccard ~0 but containment ~1).  EXACT "
+        "via the containment prefix filter: probe = each doc's "
+        "pigeonhole prefix in global hash order, index = full shingle "
+        "sets (the asymmetric side), keyed equi-join only — the "
+        "oracle brute-forces the same directed predicate over string "
+        "shingles. operators/dedup.py:containment_pairs.",
+    tags=("dedup",),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (D.containment_pairs(table(spark, sf_dir, "documents"),
+                                "doc_id", "text", n=2,
+                                threshold_num=8, threshold_den=10)
+            .orderBy("contained_id", "container_id"))

@@ -360,3 +360,62 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("mean_abs_diff", 6).alias("mean_abs_diff"),
                         "is_cut")
             .orderBy("doc_id", "frame_idx"))
+
+
+@register(
+    "multimodal_image_ahash",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8 + (doc_id % 8) * 4 AS w,
+         8 + (doc_id % 5) * 4 AS h
+  FROM documents WHERE doc_id % 10 = 0
+), px AS (
+  SELECT doc_id, w, h, k,
+         ((7 * doc_id + k * 3) % 256
+          + (7 * doc_id + k * 3 + 1) % 256
+          + (7 * doc_id + k * 3 + 2) % 256) // 3 AS gray,
+         (((k // w) * 8) // h) * 8 + (((k % w) * 8) // w) AS b
+  FROM d, range(0, 1024) t(k)          -- static range; max w*h is 864
+  WHERE k < w * h
+), blocks AS (
+  SELECT doc_id, w, h, b,
+         CAST(SUM(gray) AS BIGINT) AS bs,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM px GROUP BY doc_id, w, h, b
+), tot AS (
+  SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS gt FROM px GROUP BY doc_id
+), bits AS (
+  SELECT doc_id, w, h, b,
+         CASE WHEN bs * (w * h) > gt * cnt
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+  FROM blocks JOIN tot USING (doc_id)
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END)
+            AS BIGINT) AS ahash_hi,
+       CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END)
+            AS BIGINT) AS ahash_lo,
+       CAST(SUM(bit) AS INT) AS n_set_bits
+FROM bits
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    doc="Perceptual average-hash over REAL decoded pixels: integer "
+        "grayscale, exact 8x8 block grid for any image size, bit set "
+        "when block_sum*n_pixels > gray_total*block_count — all-int64 "
+        "math, zero floats, so DuckDB re-derives every hash bit from "
+        "the pixel generator formula and the hash only matches if the "
+        "binary parse AND the block geometry are bit-correct.  The "
+        "64-bit hash ships as two 32-bit halves (bit 63 would overflow "
+        "signed BIGINT); near-dup search bands the halves like SimHash. "
+        "operators/multimodal.py:ahash_signatures.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return (M.ahash_signatures(M.attach_image_payload(docs))
+            .orderBy("doc_id"))

@@ -651,6 +651,15 @@ def test_triangle_count_no_cartesian_and_hashed_wedge_joins(spark, sf_dir):
     assert "ShuffledHashJoin" in plan
 
 
+def test_containment_pairs_no_cartesian(spark, sf_dir):
+    """The asymmetric containment join must stay keyed: candidates come
+    from the prefix-vs-full-index equi-join, never doc×doc."""
+    df = REGISTRY["dedup_containment"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_cross_corpus_decontaminate_no_cartesian(spark, sf_dir):
     """The LSH twin exists precisely so neither corpus-sized side is
     crossed or broadcast wholesale: candidates come from bucket-keyed
