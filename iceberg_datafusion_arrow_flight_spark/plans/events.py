@@ -947,3 +947,109 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
                  F.sum("cents").cast("bigint").alias("revenue_cents"))
             .orderBy("channel"))
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+), pairs AS (
+  SELECT src, dst FROM seq WHERE dst IS NOT NULL
+), counts AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM pairs
+  GROUP BY src, dst
+), totals AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS row_total FROM counts GROUP BY src
+)
+SELECT c.src, c.dst, c.n,
+       ROUND(c.n * 1.0 / t.row_total, 6) AS p
+FROM counts c JOIN totals t USING (src)
+ORDER BY src, dst
+""",
+    doc="User-journey Markov transition matrix: P(next event_type | "
+        "current) from each user's time-ordered event sequence — the "
+        "behavioral-model primitive behind funnel simulation and "
+        "next-action prediction.  One LEAD window pass per user, then "
+        "a (src,dst)-keyed count (25 cells here, state-space-sized "
+        "anywhere); probabilities are exact integer ratios rounded at "
+        "the boundary.  plans/events.py:events_markov.",
+    tags=("events", "window"),
+)
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(F.col("event_type").alias("src"),
+                   F.lead("event_type").over(w).alias("dst"))
+    counts = (seq.where(F.col("dst").isNotNull())
+              .groupBy("src", "dst")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    totals = (counts.groupBy("src")
+              .agg(F.sum("n").cast("bigint").alias("row_total")))
+    return (counts.join(totals, "src")
+            .select("src", "dst", "n",
+                    F.round(F.col("n") / F.col("row_total"), 6).alias("p"))
+            .orderBy("src", "dst"))
+
+
+@register(
+    "events_power_users_pareto",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+), deciled AS (
+  SELECT user_id, n_events,
+         NTILE(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+  FROM per_user
+), per_decile AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(n_events) AS BIGINT) AS n_events
+  FROM deciled GROUP BY decile
+), tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM per_user
+)
+SELECT CAST(decile AS INT) AS decile, n_users, n_events,
+       ROUND(n_events * 1.0 / total, 6) AS share,
+       ROUND(SUM(n_events) OVER (ORDER BY decile
+                                 ROWS UNBOUNDED PRECEDING)
+             * 1.0 / total, 6) AS cumulative_share
+FROM per_decile, tot
+ORDER BY decile
+""",
+    doc="Power-user concentration (Pareto/80-20 profile): users ranked "
+        "by activity into deciles, each decile's event share and the "
+        "running cumulative share — the one-look answer to 'how "
+        "concentrated is my traffic', which also predicts key skew for "
+        "every user-keyed shuffle (see diag_key_skew_profile).  One "
+        "user-keyed count, a user-cardinality NTILE, a 10-row window; "
+        "shares are exact integer ratios rounded at the boundary. "
+        "plans/events.py:events_pareto.",
+    tags=("events", "window"),
+)
+def events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    per_user = (e.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    wd = Window.orderBy(F.col("n_events").desc(), "user_id")
+    deciled = per_user.withColumn("decile", F.ntile(10).over(wd))
+    per_decile = (deciled.groupBy(F.col("decile").cast("int")
+                                  .alias("decile"))
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                       F.sum("n_events").cast("bigint").alias("n_events")))
+    total = per_user.agg(F.sum("n_events").cast("bigint").alias("total"))
+    wc = (Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (per_decile.crossJoin(F.broadcast(total))
+            .select("decile", "n_users", "n_events",
+                    F.round(F.col("n_events") / F.col("total"), 6)
+                     .alias("share"),
+                    F.round(F.sum("n_events").over(wc) / F.col("total"), 6)
+                     .alias("cumulative_share"))
+            .orderBy("decile"))
