@@ -541,3 +541,88 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "doc_id", "text", n=2,
                                 threshold_num=8, threshold_den=10)
             .orderBy("contained_id", "container_id"))
+
+
+@register(
+    "dedup_cascade_report",
+    oracle=r"""
+WITH keys AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]',
+                                                '', 'g'),
+                                 '\s+', ' ', 'g'))) AS k1,
+         md5(array_to_string(list_sort(string_split_regex(text, '\s+')),
+                             ' ')) AS k2,
+         md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(text, '\s+'))), ' ')) AS k3
+  FROM documents
+), s1 AS (
+  SELECT doc_id, k2, k3 FROM (
+    SELECT doc_id, k2, k3,
+           ROW_NUMBER() OVER (PARTITION BY k1 ORDER BY doc_id) AS rn
+    FROM keys) WHERE rn = 1
+), s2 AS (
+  SELECT doc_id, k3 FROM (
+    SELECT doc_id, k3,
+           ROW_NUMBER() OVER (PARTITION BY k2 ORDER BY doc_id) AS rn
+    FROM s1) WHERE rn = 1
+), s3 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY k3 ORDER BY doc_id) AS rn
+    FROM s2) WHERE rn = 1
+)
+SELECT * FROM (
+  SELECT CAST(1 AS INT) AS stage, 'exact_text' AS stage_name,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM keys) AS n_input,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_survivors
+  UNION ALL
+  SELECT CAST(2 AS INT), 'token_multiset',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s1),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+  UNION ALL
+  SELECT CAST(3 AS INT), 'token_set',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+)
+ORDER BY stage
+""",
+    doc="Exact-dedup CASCADE accounting: three progressively coarser "
+        "canonicalizations applied in sequence — normalized text, "
+        "sorted token multiset (collapses word-order shuffles), sorted "
+        "distinct token set (collapses repetition too) — with input/"
+        "survivor counts per stage, min-id representative rule.  The "
+        "stage ordering mirrors a production pipeline (cheapest, "
+        "highest-precision key first); all three keys come from ONE "
+        "corpus scan, each stage is a keyed first-row window over the "
+        "previous stage's survivors.  plans/dedup.py:dedup_cascade.",
+    tags=("dedup", "pipeline"),
+)
+def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    keys = d.select(
+        "doc_id",
+        F.md5(D.normalize_text(F.col("text")).cast("binary")).alias("k1"),
+        F.md5(F.array_join(F.array_sort(toks), " ").cast("binary"))
+         .alias("k2"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+              .cast("binary")).alias("k3")).localCheckpoint(eager=True)
+
+    def survivors(df, key):
+        w = Window.partitionBy(key).orderBy("doc_id")
+        return (df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1).drop("__rn"))
+
+    s1 = survivors(keys, "k1").localCheckpoint(eager=True)
+    s2 = survivors(s1, "k2").localCheckpoint(eager=True)
+    s3 = survivors(s2, "k3")
+    counts = [keys.count(), s1.count(), s2.count(), s3.count()]
+    rows = [(i + 1, name, counts[i], counts[i + 1])
+            for i, name in enumerate(
+                ["exact_text", "token_multiset", "token_set"])]
+    return spark.createDataFrame(
+        rows, "stage INT, stage_name STRING, n_input BIGINT, "
+              "n_survivors BIGINT").orderBy("stage")
