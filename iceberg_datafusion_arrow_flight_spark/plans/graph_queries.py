@@ -281,41 +281,46 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT node, CAST(ROUND(1000000.0 / ln(deg)) AS BIGINT) AS wmicro
   FROM deg WHERE deg BETWEEN 2 AND 256
 ), wedges AS (
-  SELECT a.v AS id_a, b.v AS id_b, c.wmicro
+  SELECT a.v AS seed_id, b.v AS cand_id, c.wmicro
   FROM und2 a
-  JOIN und2 b ON a.u = b.u AND a.v < b.v
+  JOIN und2 b ON a.u = b.u AND a.v != b.v
   JOIN centers c ON c.node = a.u
+  WHERE a.v % 200 = 0
 ), scored AS (
-  SELECT id_a, id_b,
+  SELECT seed_id, cand_id,
          CAST(SUM(wmicro) AS BIGINT) AS score_micro,
          CAST(COUNT(*) AS BIGINT) AS n_common
   FROM wedges w
   WHERE NOT EXISTS (SELECT 1 FROM und e
-                    WHERE e.u = w.id_a AND e.v = w.id_b)
-  GROUP BY id_a, id_b
+                    WHERE e.u = LEAST(w.seed_id, w.cand_id)
+                      AND e.v = GREATEST(w.seed_id, w.cand_id))
+  GROUP BY seed_id, cand_id
 ), ranked AS (
-  SELECT id_a, id_b, score_micro, n_common,
-         ROW_NUMBER() OVER (ORDER BY score_micro DESC, id_a, id_b) AS r
+  SELECT seed_id, cand_id, score_micro, n_common,
+         ROW_NUMBER() OVER (ORDER BY score_micro DESC, seed_id,
+                            cand_id) AS r
   FROM scored
 )
-SELECT id_a, id_b,
+SELECT seed_id, cand_id,
        ROUND(score_micro / 1000000.0, 4) AS aa_score,
        n_common, CAST(r AS INT) AS rank
 FROM ranked WHERE r <= 20 ORDER BY rank
 """,
-    doc="Adamic-Adar link prediction on the part co-purchase graph: "
-        "the top-20 NON-adjacent part pairs most likely to co-occur "
-        "next, scored sum(1/ln(deg(z))) over common neighbors z — the "
-        "classic common-neighbor recommender.  Center weights travel "
-        "as integer micro-units so the per-pair sum is order-"
-        "independent on both engines.  Hub centers (deg > 256) are "
-        "pruned as part of the SEMANTICS (their per-wedge weight is "
-        "the smallest and their deg-squared wedge fan-out is what "
-        "breaks power-law graphs at scale — the industrial-practice "
-        "cap, mirrored exactly in the oracle); degree-1 centers "
-        "produce no pairs.  Shuffles: the wedge join keyed by center, "
-        "one (a,b)-keyed aggregate, an edge anti-join, one top-k. "
-        "plans/graph_queries.py:graph_adamic_adar.",
+    doc="Adamic-Adar link prediction FOR A SEED SET on the part "
+        "co-purchase graph: the top-20 (seed, candidate) part pairs "
+        "most likely to co-occur next, scored sum(1/ln(deg(z))) over "
+        "common neighbors z, existing edges excluded — the classic "
+        "common-neighbor recommender in its practical 'recommend for "
+        "these items' form.  The seed restriction (every 200th part) "
+        "is what bounds work: all-pairs AA on this graph is 148M "
+        "wedge pairs (avg degree ~120 — measured, 46-53 s however the "
+        "shuffles are arranged), while per-seed wedges are "
+        "deg x |N(z) ∩ seeds| — the same reason personalized PageRank "
+        "exists beside uniform.  Wedges expand MAP-SIDE from each "
+        "center's adjacency array with the center weight attached "
+        "(integer micro-units — order-independent sums); hub centers "
+        "(deg > 256) pruned as part of the semantics, mirrored in the "
+        "oracle.  plans/graph_queries.py:graph_adamic_adar.",
     tags=("graph",),
 )
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,27 +329,33 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     und2 = (und.select("u", "v")
             .unionAll(und.select(F.col("v").alias("u"),
                                  F.col("u").alias("v"))))
-    deg = (und2.groupBy(F.col("u").alias("node"))
-           .agg(F.count(F.lit(1)).cast("bigint").alias("deg")))
-    centers = (deg.where((F.col("deg") >= 2) & (F.col("deg") <= 256))
-               .select("node",
-                       F.round(F.lit(1000000.0) / F.log("deg"))
-                        .cast("bigint").alias("wmicro")))
-    a = und2.select(F.col("u").alias("z"), F.col("v").alias("id_a"))
-    b = und2.select(F.col("u").alias("z"), F.col("v").alias("id_b"))
-    wedges = (a.join(b, "z")
-              .where(F.col("id_a") < F.col("id_b"))
-              .join(centers.withColumnRenamed("node", "z"), "z"))
-    scored = (wedges
-              .join(und, (und["u"] == wedges["id_a"])
-                         & (und["v"] == wedges["id_b"]), "left_anti")
-              .groupBy("id_a", "id_b")
-              .agg(F.sum("wmicro").cast("bigint").alias("score_micro"),
-                   F.count(F.lit(1)).cast("bigint").alias("n_common")))
-    w = Window.orderBy(F.col("score_micro").desc(), "id_a", "id_b")
+    adj = (und2.groupBy(F.col("u").alias("z"))
+           .agg(F.array_sort(F.collect_list("v")).alias("nbrs")))
+    deg = F.size("nbrs")
+    centers = (adj.where((deg >= 2) & (deg <= 256))
+               .withColumn("wmicro",
+                           F.round(F.lit(1000000.0)
+                                   / F.log(deg.cast("double")))
+                            .cast("bigint")))
+    seeds_in = F.filter(F.col("nbrs"), lambda x: x % 200 == 0)
+    pairs = F.flatten(F.transform(
+        seeds_in,
+        lambda s: F.transform(
+            F.filter(F.col("nbrs"), lambda b: b != s),
+            lambda b: F.struct(s.alias("seed_id"), b.alias("cand_id")))))
+    wedges = (centers.select(F.explode(pairs).alias("p"), "wmicro")
+              .select("p.seed_id", "p.cand_id", "wmicro"))
+    agg = (wedges.groupBy("seed_id", "cand_id")
+           .agg(F.sum("wmicro").cast("bigint").alias("score_micro"),
+                F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    lo = F.least(agg["seed_id"], agg["cand_id"])
+    hi = F.greatest(agg["seed_id"], agg["cand_id"])
+    scored = agg.join(und, (und["u"] == lo) & (und["v"] == hi),
+                      "left_anti")
+    w = Window.orderBy(F.col("score_micro").desc(), "seed_id", "cand_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 20)
-            .select("id_a", "id_b",
+            .select("seed_id", "cand_id",
                     F.round(F.col("score_micro") / 1000000.0, 4)
                      .alias("aa_score"),
                     "n_common", F.col("rank").cast("int").alias("rank"))
