@@ -70,6 +70,11 @@ HEADLINE = [
     # BPE tokenizer training and real-decode scene-cut detection.
     "text_bpe_train_merges",
     "multimodal_scene_cuts",
+    # r7 additions (solo seeds in PERFORMANCE.md r7): directed
+    # containment dedup (the round's heavy) and seed-set Adamic-Adar
+    # link prediction.
+    "dedup_containment",
+    "graph_adamic_adar",
 ]
 
 
@@ -149,7 +154,8 @@ def main() -> None:
                       "pipeline_end_to_end", "dedup_edit_distance",
                       "graph_triangle_count",
                       "sim_cross_corpus_decontaminate",
-                      "text_bpe_train_merges", "multimodal_scene_cuts")]
+                      "text_bpe_train_merges", "multimodal_scene_cuts",
+                      "dedup_containment", "graph_adamic_adar")]
 
     # Output cardinality per query, recorded alongside seconds in the
     # artifact: drift-vs-noise adjudication needs "same rows, slower" in

@@ -899,3 +899,67 @@ def iceberg_expire_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("tagged_travel_ok", F.lit(True))
             .withColumn("untagged_survived", F.lit(False))
             .orderBy("o_orderstatus"))
+
+
+@register(
+    "iceberg_rest_snapshot_expire",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       CAST(1 AS BIGINT) AS snapshots_left,
+       TRUE AS expired_travel_fails
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Snapshot expiration driven THROUGH the REST catalog: the "
+        "same append-evens / append-odds / expire keep_last=1 ledger "
+        "as iceberg_snapshot_expire, but every metadata swap — "
+        "including the expire commit itself — is an HTTP CAS against "
+        "the REST pointer endpoint (-rest/src/main.rs:46-90).  "
+        "Maintenance over the wire is the piece a multi-writer "
+        "deployment actually runs (a scheduler process expiring a "
+        "table it does not own locally); the entry asserts mid-plan "
+        "that exactly one snapshot survives, that time travel to the "
+        "expired snapshot raises, and that the surviving snapshot "
+        "still reads the full relation.  KB-sized pointers on the "
+        "wire; the reachability sweep deletes files directly in the "
+        "store.  sources/rest_catalog.py + "
+        "sources/iceberg_lite.py:expire_snapshots.",
+    tags=("iceberg", "catalog", "rest", "maintenance"),
+)
+def iceberg_rest_snapshot_expire(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..sources.iceberg_lite import NoSuchTableError
+    from ..sources.rest_catalog import RestCatalog, RestCatalogServer
+
+    backing = _fresh_catalog()
+    even, odd = _split_orders(spark, sf_dir)
+    with RestCatalogServer(backing, bearer_token="round7") as srv:
+        cat = RestCatalog(srv.url, warehouse=backing.warehouse,
+                          bearer_token="round7")
+        t = cat.create_table("sales", "orders_rest_expire", even)
+        t.append(even)
+        t.append(odd)
+        s1_id = t.snapshots()[0]["snapshot-id"]
+        t.expire_snapshots(keep_last=1)
+        left = len(t.snapshots())
+        if left != 1:
+            raise AssertionError(
+                f"REST expire kept {left} snapshots, want 1")
+        try:
+            t.read(spark, snapshot_id=s1_id)
+            travel_fails = False
+        except NoSuchTableError:
+            travel_fails = True
+        if not travel_fails:
+            raise AssertionError(
+                "time travel to a REST-expired snapshot must fail")
+        out = (t.read(spark)
+               .groupBy("o_orderstatus").agg(*_agg_cols())
+               .withColumn("snapshots_left", F.lit(1).cast("bigint"))
+               .withColumn("expired_travel_fails", F.lit(True))
+               .orderBy("o_orderstatus"))
+        out = out.localCheckpoint(eager=True)
+    return out
