@@ -116,3 +116,43 @@ def bloom_probe(bloom: DataFrame, probes: DataFrame, value_col: str,
             .select(value_col,
                     (F.coalesce(F.col("__hits"), F.lit(0)) == k)
                     .alias("maybe_present")))
+
+
+def kmv_hash(value: Column, seed: str = "kmv") -> Column:
+    """60-bit md5-derived KMV priority — portable (both engines spell
+    the identical integer), uniform over [0, 2^60)."""
+    h = F.md5(F.concat(F.lit(f"{seed}|"), value.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_distinct(df: DataFrame, value_col: str, group_cols: list[str],
+                 k: int = 64, seed: str = "kmv") -> DataFrame:
+    """K-Minimum-Values distinct-count sketch (Bar-Yossef 2002): keep
+    the k smallest distinct hash values per group; estimate
+    N ≈ (k−1) · 2^60 / h_k where h_k is the k-th smallest.  When fewer
+    than k distinct hashes exist the count is EXACT (the sketch holds
+    every value).  Like the count-min/Bloom siblings the whole sketch
+    is deterministic md5 integer arithmetic, so a SQL oracle replicates
+    the estimate bit-for-bit — no other engine's HLL can promise that.
+
+    Mergeable by construction: the k smallest of a union are a subset
+    of the union of each side's k smallest (tested).  Shuffle: one
+    distinct + one keyed top-k window; state per group is k longs."""
+    from pyspark.sql.window import Window
+
+    hashes = (df.select(*group_cols,
+                        kmv_hash(F.col(value_col), seed).alias("h"))
+              .distinct())
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    topk = (hashes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k))
+    kk = (topk.groupBy(*group_cols)
+          .agg(F.max("h").alias("hk"),
+               F.count(F.lit(1)).cast("bigint").alias("n_le_k")))
+    est = F.when(
+        F.col("n_le_k") < k, F.col("n_le_k")
+    ).otherwise(
+        F.round(F.lit(float(k - 1))
+                * (F.lit(1152921504606846976.0) / F.col("hk"))))
+    return kk.select(*group_cols,
+                     est.cast("bigint").alias("kmv_estimate"))

@@ -87,7 +87,6 @@ _PRIORITY: list[str] = [
     "subquery_scalar_correlated", "subquery_in",
     "cte_multi", "cte_recursive",
     "filter_predicates", "filter_ilike_null_safe",
-    "filter_is_true_unknown",
     "sort_limit_offset",
     "distinct_simple",
     "project_star_except",
@@ -98,13 +97,13 @@ _PRIORITY: list[str] = [
     # tpch_q3_shipping_priority, agg_global_stats, values_inline,
     # agg_rollup, distinct_on, join_range_binned, setop_except_all,
     # subquery_not_in, subquery_scalar_uncorrelated,
-    # sort_nulls_ordering):
+    # sort_nulls_ordering, filter_is_true_unknown):
     "text_bpe_encode", "sim_mmr_diverse_topk", "sim_kcenter_coreset",
     "events_attribution_last_touch", "pipeline_perplexity_buckets",
     "text_rake_keywords", "multimodal_image_ahash", "dedup_containment",
     "graph_adamic_adar", "events_markov_transitions",
     "events_power_users_pareto", "dedup_cascade_report",
-    "iceberg_rest_snapshot_expire",
+    "iceberg_rest_snapshot_expire", "sketch_kmv_distinct_users",
 ]
 
 

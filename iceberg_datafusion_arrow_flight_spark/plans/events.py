@@ -1053,3 +1053,65 @@ def events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.sum("n_events").over(wc) / F.col("total"), 6)
                      .alias("cumulative_share"))
             .orderBy("decile"))
+
+
+@register(
+    "sketch_kmv_distinct_users",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5('kmv|' || CAST(user_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS h
+  FROM events
+), topk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), kk AS (
+  SELECT event_type, MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS n_le_k
+  FROM topk WHERE rn <= 64 GROUP BY event_type
+), ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+             AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT k.event_type,
+       CAST(CASE WHEN n_le_k < 64 THEN n_le_k
+            ELSE ROUND(63.0 * (1152921504606846976.0 / hk))
+            END AS BIGINT) AS kmv_estimate,
+       exact_distinct,
+       ROUND(ABS(CAST(CASE WHEN n_le_k < 64 THEN n_le_k
+                      ELSE ROUND(63.0 * (1152921504606846976.0 / hk))
+                      END AS BIGINT) - exact_distinct) * 1.0
+             / exact_distinct, 4) AS rel_err
+FROM kk k JOIN ex USING (event_type)
+ORDER BY event_type
+""",
+    doc="K-Minimum-Values distinct-user sketch per event type, with "
+        "its exact twin and relative error in one result — the fourth "
+        "mergeable sketch family (count-min, Bloom, HDR, now KMV).  "
+        "Estimate (k-1)*2^60/h_k from the k=64 smallest md5-derived "
+        "hash priorities; below k distinct values the sketch is EXACT "
+        "by construction.  Everything is deterministic integer/double "
+        "arithmetic both engines spell identically, so unlike any "
+        "native HLL the ESTIMATE itself is oracle-checkable "
+        "bit-for-bit, not just its error bound.  One distinct + one "
+        "keyed top-k window; per-group state is k longs (mergeable: "
+        "k-smallest of a union ⊆ union of k-smallests — pytest). "
+        "operators/countmin.py:kmv_distinct.",
+    tags=("sketch", "events", "aggregate"),
+)
+def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.countmin import kmv_distinct
+    e = table(spark, sf_dir, "events")
+    est = kmv_distinct(e, "user_id", ["event_type"], k=64)
+    exact = (e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").cast("bigint")
+                  .alias("exact_distinct")))
+    return (est.join(exact, "event_type")
+            .select("event_type", "kmv_estimate", "exact_distinct",
+                    F.round(F.abs(F.col("kmv_estimate")
+                                  - F.col("exact_distinct"))
+                            / F.col("exact_distinct"), 4)
+                     .alias("rel_err"))
+            .orderBy("event_type"))

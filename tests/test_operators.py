@@ -1089,3 +1089,165 @@ def test_ngram_jaccard_pairs_matches_exhaustive_random(spark):
                        F.round(inter.cast("double") / union, 6).alias("j"))
                .collect()}
         assert got == exp, f"n={n} t={tn}/{td}"
+
+
+def test_containment_pairs_matches_exhaustive_random(spark):
+    """The containment prefix filter (probe prefix vs full index) and
+    size filter are lossless: containment_pairs == the exhaustive
+    directed cross-join on a seeded random corpus with planted
+    excerpts (short docs cut out of long ones — the case symmetric
+    Jaccard misses and containment must catch)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iceberg_datafusion_arrow_flight_spark.operators import dedup
+
+    rng = random.Random(7907)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    doc_id = 0
+    for _ in range(8):
+        base = [rng.choice(vocab) for _ in range(rng.randint(15, 30))]
+        docs.append((doc_id, " ".join(base))); doc_id += 1
+        # planted excerpt: a contiguous cut of the base doc
+        lo = rng.randrange(0, len(base) - 6)
+        cut = base[lo:lo + rng.randint(5, len(base) - lo)]
+        docs.append((doc_id, " ".join(cut))); doc_id += 1
+        # perturbed excerpt: may straddle the threshold
+        s = list(cut)
+        for _ in range(rng.randint(0, 3)):
+            s[rng.randrange(len(s))] = rng.choice(vocab)
+        docs.append((doc_id, " ".join(s))); doc_id += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {(r.contained_id, r.container_id): r.containment
+           for r in dedup.containment_pairs(
+               df, "doc_id", "text", n=2,
+               threshold_num=8, threshold_den=10).collect()}
+
+    # exhaustive twin: same shingle spelling, full directed cross join
+    toks = F.split(F.col("text"), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " ")))
+    ).otherwise(F.array().cast("array<string>"))
+    sh = F.array_sort(F.transform(grams, lambda t: F.xxhash64(t)))
+    s = df.select("doc_id", sh.alias("sh")).where(F.size("sh") > 0)
+    a = s.select(F.col("doc_id").alias("contained_id"),
+                 F.col("sh").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("container_id"),
+                 F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    exhaustive = {(r.contained_id, r.container_id): r.c
+                  for r in a.crossJoin(b)
+                  .where(F.col("contained_id") != F.col("container_id"))
+                  .where(10 * inter >= 8 * F.size("sh_a"))
+                  .select("contained_id", "container_id",
+                          F.round(inter.cast("double")
+                                  / F.size("sh_a"), 6).alias("c"))
+                  .collect()}
+    assert got == exhaustive
+    assert got  # the planted excerpts must actually surface
+
+
+def test_mmr_and_kcenter_are_deterministic_and_sane(spark, sf_dir):
+    """Selection ledgers re-run identically; MMR's first pick is the
+    relevance argmax; k-center coverage radius is non-increasing
+    (greedy max-min can only shrink the farthest distance)."""
+    from iceberg_datafusion_arrow_flight_spark.operators import similarity
+    from iceberg_datafusion_arrow_flight_spark.sources.registry import (
+        load_table)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m1 = similarity.mmr_diverse_topk(emb, k=5).collect()
+    m2 = similarity.mmr_diverse_topk(emb, k=5).collect()
+    assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
+    assert len(m1) == 5 and len({r.vec_id for r in m1}) == 5
+    # round 1 has no diversity penalty: max relevance, zero max_sim
+    assert m1[0].max_sim_selected == 0.0
+    assert m1[0].relevance == max(r.relevance for r in m1)
+
+    k1 = similarity.kcenter_coreset(emb, k=5).collect()
+    k2 = similarity.kcenter_coreset(emb, k=5).collect()
+    assert [tuple(r) for r in k1] == [tuple(r) for r in k2]
+    radii = [r.coverage_radius for r in k1][1:]  # round 1 is the seed
+    assert all(radii[i] >= radii[i + 1] for i in range(len(radii) - 1))
+
+
+def test_ahash_flags_near_identical_images():
+    """A one-pixel perturbation keeps the aHash within a few bits;
+    structurally different images differ in many bits — the property
+    banded near-dup search relies on."""
+    import numpy as np
+
+    from iceberg_datafusion_arrow_flight_spark.operators import multimodal
+
+    w, h = 16, 16
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    near = px.copy()
+    near[3, 3] = (int(px[3, 3][0]) + 40) % 256  # one pixel nudged
+    other = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+    def ahash_bits(arr):
+        gray = arr.reshape(-1, 3).astype(np.int64).sum(axis=1) // 3
+        k = np.arange(w * h)
+        b = ((k // w) * 8 // h) * 8 + ((k % w) * 8 // w)
+        bs = np.zeros(64, dtype=np.int64)
+        np.add.at(bs, b, gray)
+        cnt = np.bincount(b, minlength=64).astype(np.int64)
+        return bs * (w * h) > int(gray.sum()) * cnt
+
+    base, nearb, otherb = ahash_bits(px), ahash_bits(near), ahash_bits(other)
+    assert int(np.sum(base != nearb)) <= 2
+    assert int(np.sum(base != otherb)) >= 10
+
+
+def test_kmv_sketch_merges_and_bounds_error(spark, sf_dir):
+    """KMV mergeability: the k smallest hashes of a UNION equal the k
+    smallest of the union of each shard's k smallest — so per-shard
+    sketches fold without rescanning.  And with k=64 the estimate
+    lands within 30% of exact on the fixture (KMV's ~1/sqrt(k)
+    relative error)."""
+    from pyspark.sql.window import Window
+
+    from iceberg_datafusion_arrow_flight_spark.operators.countmin import (
+        kmv_distinct, kmv_hash)
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    k = 64
+    # shard by parity, sketch each, merge, compare to whole-input sketch
+    shards = [e.where(F.col("user_id") % 2 == i) for i in (0, 1)]
+    per_shard_topk = []
+    for s in shards:
+        h = (s.select("event_type",
+                      kmv_hash(F.col("user_id")).alias("h")).distinct())
+        w = Window.partitionBy("event_type").orderBy("h")
+        per_shard_topk.append(
+            h.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") <= k).select("event_type", "h"))
+    merged = per_shard_topk[0].unionByName(per_shard_topk[1]).distinct()
+    wm = Window.partitionBy("event_type").orderBy("h")
+    merged_topk = {(r.event_type, r.h)
+                   for r in merged.withColumn("rn", F.row_number().over(wm))
+                   .where(F.col("rn") <= k).select("event_type", "h")
+                   .collect()}
+    whole = (e.select("event_type",
+                      kmv_hash(F.col("user_id")).alias("h")).distinct())
+    whole_topk = {(r.event_type, r.h)
+                  for r in whole.withColumn("rn", F.row_number().over(wm))
+                  .where(F.col("rn") <= k).select("event_type", "h")
+                  .collect()}
+    assert merged_topk == whole_topk
+
+    est = {r.event_type: r.kmv_estimate
+           for r in kmv_distinct(e, "user_id", ["event_type"], k=k)
+           .collect()}
+    exact = {r.event_type: r.n for r in
+             e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for t, n in exact.items():
+        assert abs(est[t] - n) / n <= 0.30, (t, est[t], n)
