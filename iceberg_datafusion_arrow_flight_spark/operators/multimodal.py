@@ -622,3 +622,43 @@ def ahash_signatures(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return fan_out(df).mapInPandas(hashit, schema=AHASH_SCHEMA)
+
+
+SILENCE_SCHEMA = ("doc_id BIGINT, n_samples BIGINT, n_segments BIGINT, "
+                  "longest_silence BIGINT, silent_samples BIGINT")
+
+
+def audio_silence_segments(df: DataFrame, threshold: int = 256,
+                           min_run: int = 16) -> DataFrame:
+    """Silence segmentation over REAL parsed waveforms: a silent
+    segment is a run of >= ``min_run`` consecutive samples with
+    |amplitude| < ``threshold`` — the trim/VAD-lite primitive an audio
+    curation pipeline runs before feature extraction (drop dead air,
+    split on pauses).  Run-length encoding happens in numpy per Arrow
+    batch; only (id, 4 ints) rows shuffle.  All-integer, so a SQL
+    oracle rebuilds the exact segments from the waveform formula via
+    gaps-and-islands."""
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_samples", "n_segments",
+                                    "longest_silence", "silent_samples")}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, s = _decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                mask = (np.abs(s64) < threshold).astype(np.int8)
+                edges = np.flatnonzero(np.diff(np.concatenate(
+                    ([0], mask, [0]))))
+                starts, ends = edges[::2], edges[1::2]
+                runs = (ends - starts)
+                runs = runs[runs >= min_run]
+                rows["doc_id"].append(did)
+                rows["n_samples"].append(len(s64))
+                rows["n_segments"].append(int(len(runs)))
+                rows["longest_silence"].append(
+                    int(runs.max()) if len(runs) else 0)
+                rows["silent_samples"].append(
+                    int(runs.sum()) if len(runs) else 0)
+            yield pd.DataFrame(rows)
+
+    return fan_out(df).mapInPandas(seg, schema=SILENCE_SCHEMA)

@@ -1115,3 +1115,57 @@ def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("exact_distinct"), 4)
                      .alias("rel_err"))
             .orderBy("event_type"))
+
+
+@register(
+    "events_pattern_funnel_ordered",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+             AS path
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN regexp_matches(path, 'v.*c.*p')
+                THEN 1 ELSE 0 END) AS BIGINT) AS vcp_ordered,
+       CAST(SUM(CASE WHEN regexp_matches(path, 'v.*c')
+                THEN 1 ELSE 0 END) AS BIGINT) AS vc_ordered,
+       CAST(SUM(CASE WHEN regexp_matches(path, 's[^p]*e')
+                THEN 1 ELSE 0 END) AS BIGINT) AS error_after_signup_before_purchase,
+       CAST(SUM(CASE WHEN NOT regexp_matches(path, 'v|c|p')
+                THEN 1 ELSE 0 END) AS BIGINT) AS never_engaged
+FROM seq
+""",
+    doc="Ordered sequence-pattern funnel (MATCH_RECOGNIZE-style "
+        "semantics Spark lacks): each user's journey collapses to an "
+        "ordered event-initial string (one string_agg per user — "
+        "events are 'signup/view/click/purchase/error', initials are "
+        "unambiguous), and funnel stages become REGEXES over the path "
+        "— view-then-click-then-purchase IN ORDER, view-then-click, "
+        "error after signup with no purchase yet, never-engaged.  "
+        "Ordered-ness is what plain per-stage EXISTS funnels "
+        "(events_funnel_rates) cannot express.  One user-keyed "
+        "aggregate + pure regex projections; path length is a user's "
+        "event count (bounded per key, no cross-user state). "
+        "plans/events.py:events_pattern_funnel.",
+    tags=("events", "pipeline"),
+)
+def events_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("ts", "event_id",
+                         F.substring("event_type", 1, 1).alias("c")))),
+            lambda s: s["c"]), "")
+    seq = e.groupBy("user_id").agg(path.alias("path"))
+    hit = lambda p: F.sum(  # noqa: E731 - local predicate counter
+        F.col("path").rlike(p).cast("int")).cast("bigint")
+    return seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        hit("v.*c.*p").alias("vcp_ordered"),
+        hit("v.*c").alias("vc_ordered"),
+        hit("s[^p]*e").alias("error_after_signup_before_purchase"),
+        F.sum((~F.col("path").rlike("v|c|p")).cast("int")).cast("bigint")
+         .alias("never_engaged"))

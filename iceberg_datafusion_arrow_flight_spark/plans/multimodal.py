@@ -419,3 +419,55 @@ def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     return (M.ahash_signatures(M.attach_image_payload(docs))
             .orderBy("doc_id"))
+
+
+@register(
+    "multimodal_audio_silence",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents
+  WHERE doc_id % 10 = 0
+), s AS (
+  SELECT doc_id, n, i,
+         ((doc_id * 31 + i * 7) % 4096) - 2048 AS v
+  FROM base, range(0, 1440) r(i)
+  WHERE i < n
+), sil AS (
+  SELECT doc_id, i,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM s WHERE ABS(v) < 256
+), runs AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM (SELECT doc_id, i - rn AS island, i FROM sil)
+  GROUP BY doc_id, island
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(MAX(run_len) AS BIGINT) AS longest_silence,
+         CAST(SUM(run_len) AS BIGINT) AS silent_samples
+  FROM runs WHERE run_len >= 16 GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_samples,
+       COALESCE(a.n_segments, 0) AS n_segments,
+       COALESCE(a.longest_silence, 0) AS longest_silence,
+       COALESCE(a.silent_samples, 0) AS silent_samples
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY b.doc_id
+""",
+    doc="Silence segmentation over REAL parsed WAV payloads (VAD-lite: "
+        "runs of >= 16 consecutive samples under amplitude 256 — the "
+        "dead-air trim / pause-split pass an audio curation pipeline "
+        "runs first).  Run-length encoding in numpy per Arrow batch; "
+        "the oracle rebuilds the exact segments from the waveform "
+        "formula with gaps-and-islands, so the hash matches only if "
+        "the WAV chunk parse AND the segmentation agree sample-for-"
+        "sample.  All-integer output. "
+        "operators/multimodal.py:audio_silence_segments.",
+    tags=("multimodal",),
+)
+def multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return (M.audio_silence_segments(M.attach_audio_payload(docs))
+            .orderBy("doc_id"))
