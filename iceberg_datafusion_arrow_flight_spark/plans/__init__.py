@@ -80,7 +80,7 @@ _PRIORITY: list[str] = [
     # --- 37 re-pins: the oldest never-re-checked driver-green entries
     # (all last checked r01; see ledger note above):
     "join_inner_equi", "join_left_outer", "join_right_outer",
-    "join_full_outer", "join_left_semi", "join_left_anti",
+    "join_full_outer", "join_left_semi",
     "join_non_equi_range",
     "setop_union_all", "setop_intersect",
     "setop_intersect_all", "setop_except",
@@ -98,7 +98,7 @@ _PRIORITY: list[str] = [
     # agg_rollup, distinct_on, join_range_binned, setop_except_all,
     # subquery_not_in, subquery_scalar_uncorrelated,
     # sort_nulls_ordering, filter_is_true_unknown, join_cross,
-    # setop_union_distinct):
+    # setop_union_distinct, join_left_anti):
     "text_bpe_encode", "sim_mmr_diverse_topk", "sim_kcenter_coreset",
     "events_attribution_last_touch", "pipeline_perplexity_buckets",
     "text_rake_keywords", "multimodal_image_ahash", "dedup_containment",
@@ -106,6 +106,7 @@ _PRIORITY: list[str] = [
     "events_power_users_pareto", "dedup_cascade_report",
     "iceberg_rest_snapshot_expire", "sketch_kmv_distinct_users",
     "events_pattern_funnel_ordered", "multimodal_audio_silence",
+    "events_conversion_latency",
 ]
 
 

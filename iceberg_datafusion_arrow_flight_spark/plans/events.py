@@ -1169,3 +1169,70 @@ def events_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit("s[^p]*e").alias("error_after_signup_before_purchase"),
         F.sum((~F.col("path").rlike("v|c|p")).cast("int")).cast("bigint")
          .alias("never_engaged"))
+
+
+@register(
+    "events_conversion_latency",
+    oracle="""
+WITH signup AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT s.user_id,
+         CAST(date_diff('second', s.s_ts, MIN(e.ts)) AS BIGINT) AS lat_s
+  FROM signup s
+  JOIN events e ON e.user_id = s.user_id
+               AND e.event_type = 'purchase' AND e.ts > s.s_ts
+  GROUP BY s.user_id, s.s_ts
+), ranked AS (
+  SELECT lat_s,
+         ROW_NUMBER() OVER (ORDER BY lat_s, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM conv
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN lat_s END) AS BIGINT)
+           AS median_latency_s,
+       CAST(MIN(CASE WHEN rn = (n * 9 + 9) // 10 THEN lat_s END)
+            AS BIGINT) AS p90_latency_s,
+       CAST(SUM(lat_s) AS BIGINT) AS total_latency_s
+FROM ranked
+""",
+    doc="Signup-to-first-purchase conversion latency: per converted "
+        "user the seconds from first signup to the first purchase "
+        "after it, summarized as DISCRETE median and p90 (the exact "
+        "rank element selected by row_number — engines interpolate "
+        "continuous percentiles differently, discrete ranks cannot "
+        "disagree) plus the exact integer total.  One keyed min per "
+        "side, one keyed join, one rank window over "
+        "converted-user-cardinality rows. "
+        "plans/events.py:events_conversion_latency.",
+    tags=("events", "window"),
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    signup = (e.where(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    pur = e.where(F.col("event_type") == "purchase") \
+           .select("user_id", F.col("ts").alias("p_ts"))
+    conv = (signup.join(pur, "user_id")
+            .where(F.col("p_ts") > F.col("s_ts"))
+            .groupBy("user_id", "s_ts")
+            .agg(F.min("p_ts").alias("p_ts"))
+            .select("user_id",
+                    (F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts"))
+                    .cast("bigint").alias("lat_s")))
+    w = Window.orderBy("lat_s", "user_id")
+    ranked = (conv.withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy())))
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.min(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                     F.col("lat_s"))).cast("bigint")
+         .alias("median_latency_s"),
+        F.min(F.when(F.col("rn") == F.floor((F.col("n") * 9 + 9) / 10),
+                     F.col("lat_s"))).cast("bigint")
+         .alias("p90_latency_s"),
+        F.sum("lat_s").cast("bigint").alias("total_latency_s"))
