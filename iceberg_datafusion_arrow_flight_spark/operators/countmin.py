@@ -156,3 +156,61 @@ def kmv_distinct(df: DataFrame, value_col: str, group_cols: list[str],
                 * (F.lit(1152921504606846976.0) / F.col("hk"))))
     return kk.select(*group_cols,
                      est.cast("bigint").alias("kmv_estimate"))
+
+
+def kmv_intersect_pairs(df: DataFrame, value_col: str, set_col: str,
+                        pairs: list[tuple[str, str]], k: int = 64,
+                        seed: str = "kmv") -> DataFrame:
+    """Theta-sketch-style KMV INTERSECTION estimate for named set pairs.
+
+    Build each set's k-smallest-hash sketch (kmv_distinct's state),
+    then for a pair (a, b): theta = min of the sides' thresholds — a
+    side with fewer than k distinct hashes is complete, its threshold
+    is the full hash range 2^60 — and the estimate is
+    ``round(|{h in sk_a ∩ sk_b : h < theta}| * 2^60 / theta)``.  With
+    both sides exact the formula degenerates to the plain common count
+    (theta = 2^60), so one spelling covers both regimes.
+
+    Scale: the sketches are k longs per set; the pair join touches
+    only sketch rows (|pairs| * k), never the corpus — sketch set
+    algebra is the whole point at 100 TB.  Deterministic md5 integer
+    arithmetic, so a SQL oracle reproduces the estimate bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    full = F.lit(1152921504606846976)  # 2^60
+    hashes = (df.select(set_col,
+                        kmv_hash(F.col(value_col), seed).alias("h"))
+              .distinct())
+    w = Window.partitionBy(set_col).orderBy("h")
+    sk = (hashes.withColumn("__rn", F.row_number().over(w))
+          .where(F.col("__rn") <= k).drop("__rn"))
+    theta = (sk.groupBy(set_col)
+             .agg(F.max("h").alias("hk"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_le_k"))
+             .select(set_col,
+                     F.when(F.col("n_le_k") < k, full)
+                      .otherwise(F.col("hk")).alias("th")))
+    pdf = spark.createDataFrame(pairs, "type_a string, type_b string")
+    both = (pdf
+            .join(theta.select(F.col(set_col).alias("type_a"),
+                               F.col("th").alias("th_a")), "type_a")
+            .join(theta.select(F.col(set_col).alias("type_b"),
+                               F.col("th").alias("th_b")), "type_b")
+            .select("type_a", "type_b",
+                    F.least("th_a", "th_b").alias("th")))
+    common = (both
+              .join(sk.select(F.col(set_col).alias("type_a"), "h"),
+                    "type_a")
+              .join(sk.select(F.col(set_col).alias("type_b"), "h"),
+                    ["type_b", "h"])
+              .where(F.col("h") < F.col("th"))
+              .groupBy("type_a", "type_b", "th")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    est = (both.join(common, ["type_a", "type_b", "th"], "left")
+           .select("type_a", "type_b",
+                   F.round(F.coalesce(F.col("n_common"), F.lit(0))
+                           * (F.lit(1152921504606846976.0)
+                              / F.col("th")))
+                    .cast("bigint").alias("kmv_inter_estimate")))
+    return est

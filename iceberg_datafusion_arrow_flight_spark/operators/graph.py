@@ -242,3 +242,59 @@ def triangles(oriented: DataFrame) -> DataFrame:
             .select("a", "b",
                     F.explode(F.array_intersect("nb_a", "nb_b"))
                      .alias("c")))
+
+
+def bfs_layers(und: DataFrame, seeds: DataFrame,
+               max_depth: int = 3) -> DataFrame:
+    """Multi-source BFS to a bounded depth: min-hop distance from ANY
+    seed over an undirected edge list ``und(u, v)``; returns one row
+    per BFS layer ``(depth, n_nodes)`` plus a ``depth = -1`` row for
+    incident nodes no seed reaches within ``max_depth``.
+
+    The canonical frontier-expansion shape every distributed graph
+    engine uses (Pregel/GraphX supersteps re-expressed as DataFrame
+    rounds): per round, one equi-join of the CURRENT frontier against
+    the edge list plus one anti-join against the visited set — work is
+    O(frontier-adjacent edges), never O(all edges × depth), and the
+    round count is the SEMANTIC depth cap, not a convergence fudge.
+    Each layer is checkpointed so lineage stays flat (the
+    multi-executor drop-in is persist(MEMORY_AND_DISK)).  Nothing ever
+    reaches the driver — layers stay distributed and only the
+    per-depth counts are aggregated at the end."""
+    sym = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+           .unionByName(und.select(F.col("v").alias("a"),
+                                   F.col("u").alias("b"))))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    visited = (seeds.select("node").distinct()
+               .withColumn("depth", F.lit(0))
+               .localCheckpoint(eager=True))
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nbrs = (frontier.join(sym, frontier["node"] == sym["a"])
+                .select(F.col("b").alias("node")).distinct())
+        new = (nbrs.join(visited.select("node"), "node", "left_anti")
+               .withColumn("depth", F.lit(d))
+               .localCheckpoint(eager=True))
+        visited = visited.unionByName(new)
+        frontier = new.select("node")
+    layer_counts = (visited.groupBy("depth")
+                    .agg(F.count(F.lit(1)).cast("bigint")
+                         .alias("n_nodes")))
+    unreached = (nodes.join(visited.select("node"), "node", "left_anti")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+                 .select(F.lit(-1).alias("depth"), "n_nodes"))
+    # Emit EVERY depth row even when a layer is empty (a dense graph
+    # exhausts itself before the cap): join counts onto a literal
+    # depth spine so the report's shape is depth-cap-determined, not
+    # data-determined.
+    spine = (und.sparkSession.range(1)
+             .select(F.explode(F.array(
+                 *[F.lit(d) for d in range(0, max_depth + 1)]))
+                 .alias("depth")))
+    filled = (spine.join(layer_counts, "depth", "left")
+              .select("depth",
+                      F.coalesce(F.col("n_nodes"), F.lit(0))
+                       .cast("bigint").alias("n_nodes")))
+    return (filled.unionByName(unreached)
+            .select(F.col("depth").cast("int").alias("depth"), "n_nodes")
+            .orderBy("depth"))

@@ -79,18 +79,16 @@ _PRIORITY: list[str] = [
     "pipeline_dataset_card",
     # --- 37 re-pins: the oldest never-re-checked driver-green entries
     # (all last checked r01; see ledger note above):
-    "join_inner_equi", "join_left_outer", "join_right_outer",
+    "join_inner_equi", "join_left_outer",
     "join_full_outer", "join_left_semi",
     "join_non_equi_range",
     "setop_union_all", "setop_intersect",
-    "setop_intersect_all", "setop_except",
-    "subquery_scalar_correlated", "subquery_in",
+    "setop_except",
+    "subquery_in",
     "cte_multi", "cte_recursive",
     "filter_predicates", "filter_ilike_null_safe",
     "sort_limit_offset",
     "distinct_simple",
-    "project_star_except",
-    "agg_cube",
     # --- NEW in r07 (two-scale local-gated on arrival; each ceded one
     # re-pin slot — ceded so far: tpch_q10_returned_items,
     # tpch_q8_national_market_share, tpch_q7_nation_volume,
@@ -98,7 +96,9 @@ _PRIORITY: list[str] = [
     # agg_rollup, distinct_on, join_range_binned, setop_except_all,
     # subquery_not_in, subquery_scalar_uncorrelated,
     # sort_nulls_ordering, filter_is_true_unknown, join_cross,
-    # setop_union_distinct, join_left_anti):
+    # setop_union_distinct, join_left_anti, project_star_except,
+    # agg_cube, join_right_outer, setop_intersect_all,
+    # subquery_scalar_correlated):
     "text_bpe_encode", "sim_mmr_diverse_topk", "sim_kcenter_coreset",
     "events_attribution_last_touch", "pipeline_perplexity_buckets",
     "text_rake_keywords", "multimodal_image_ahash", "dedup_containment",
@@ -106,7 +106,9 @@ _PRIORITY: list[str] = [
     "events_power_users_pareto", "dedup_cascade_report",
     "iceberg_rest_snapshot_expire", "sketch_kmv_distinct_users",
     "events_pattern_funnel_ordered", "multimodal_audio_silence",
-    "events_conversion_latency",
+    "events_conversion_latency", "events_ab_test_ztest",
+    "sketch_kmv_intersection", "sim_scalar_quantization_error",
+    "sim_random_projection_jl", "graph_bfs_reach",
 ]
 
 

@@ -1236,3 +1236,181 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("lat_s"))).cast("bigint")
          .alias("p90_latency_s"),
         F.sum("lat_s").cast("bigint").alias("total_latency_s"))
+
+
+@register(
+    "events_ab_test_ztest",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN CAST(concat('0x', substr(md5('ab|' || CAST(user_id
+                   AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN n_purchases >= 14 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_converted
+  FROM assigned GROUP BY arm
+), wide AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN n_users END) AS n_a,
+         MAX(CASE WHEN arm = 'B' THEN n_users END) AS n_b,
+         MAX(CASE WHEN arm = 'A' THEN n_converted END) AS conv_a,
+         MAX(CASE WHEN arm = 'B' THEN n_converted END) AS conv_b
+  FROM arms
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       conv_a / (n_a * 1.0) AS rate_a,
+       conv_b / (n_b * 1.0) AS rate_b,
+       (conv_a / (n_a * 1.0) - conv_b / (n_b * 1.0))
+         / sqrt(((conv_a + conv_b) / ((n_a + n_b) * 1.0))
+                * (1.0 - (conv_a + conv_b) / ((n_a + n_b) * 1.0))
+                * (1.0 / n_a + 1.0 / n_b)) AS z_score,
+       CASE WHEN ABS((conv_a / (n_a * 1.0) - conv_b / (n_b * 1.0))
+              / sqrt(((conv_a + conv_b) / ((n_a + n_b) * 1.0))
+                     * (1.0 - (conv_a + conv_b) / ((n_a + n_b) * 1.0))
+                     * (1.0 / n_a + 1.0 / n_b))) > 1.96
+            THEN TRUE ELSE FALSE END AS significant
+FROM wide
+""",
+    doc="Two-proportion z-test A/B experiment readout: users are "
+        "deterministically hash-split into arms (md5 parity — the "
+        "assignment IS the experiment infrastructure, reproducible "
+        "across engines and runs, no stored assignment table), "
+        "conversion = 14+ purchase events, and the pooled two-"
+        "proportion z-score + 1.96 significance flag come out of ONE "
+        "keyed per-user aggregate and a 2-row arm rollup.  Every "
+        "float derives from the same four integers through an "
+        "identical expression tree, so rates and z are bit-exact "
+        "across engines with no rounding.  Scale: per-user partial "
+        "aggregate then 2-row state — nothing grows with event "
+        "volume. plans/events.py:events_ab_test.",
+    tags=("events", "aggregate", "stats"),
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab|"),
+                                          F.col("user_id").cast("string"))),
+                           1, 15), 16, 10).cast("bigint") % 2 == 0,
+        F.lit("A")).otherwise(F.lit("B"))
+    assigned = (e.groupBy("user_id")
+                .agg(F.sum((F.col("event_type") == "purchase").cast("int"))
+                      .cast("bigint").alias("n_purchases"))
+                .select(arm.alias("arm"), "n_purchases"))
+    arms = (assigned.groupBy("arm")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.sum((F.col("n_purchases") >= 14).cast("int"))
+                  .cast("bigint").alias("n_converted")))
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted")))
+         .alias("conv_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted")))
+         .alias("conv_b"))
+    rate_a = F.col("conv_a") / (F.col("n_a") * F.lit(1.0))
+    rate_b = F.col("conv_b") / (F.col("n_b") * F.lit(1.0))
+    pooled = ((F.col("conv_a") + F.col("conv_b"))
+              / ((F.col("n_a") + F.col("n_b")) * F.lit(1.0)))
+    z = ((rate_a - rate_b)
+         / F.sqrt(pooled * (F.lit(1.0) - pooled)
+                  * (F.lit(1.0) / F.col("n_a")
+                     + F.lit(1.0) / F.col("n_b"))))
+    return wide.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        rate_a.alias("rate_a"), rate_b.alias("rate_b"),
+        z.alias("z_score"),
+        F.when(F.abs(z) > 1.96, F.lit(True)).otherwise(F.lit(False))
+         .alias("significant"))
+
+
+@register(
+    "sketch_kmv_intersection",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5('kmv|' || CAST(user_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS h
+  FROM events
+), topk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), sk AS (
+  SELECT event_type, h FROM topk WHERE rn <= 64
+), theta AS (
+  SELECT event_type,
+         CASE WHEN CAST(COUNT(*) AS BIGINT) < 64
+              THEN 1152921504606846976 ELSE MAX(h) END AS th
+  FROM sk GROUP BY event_type
+), pairs(type_a, type_b) AS (
+  VALUES ('click', 'purchase'), ('error', 'purchase'), ('view', 'signup')
+), est AS (
+  SELECT p.type_a, p.type_b, LEAST(ta.th, tb.th) AS th,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM sk a JOIN sk b ON a.h = b.h
+           WHERE a.event_type = p.type_a AND b.event_type = p.type_b
+             AND a.h < LEAST(ta.th, tb.th)) AS n_common
+  FROM pairs p
+  JOIN theta ta ON ta.event_type = p.type_a
+  JOIN theta tb ON tb.event_type = p.type_b
+), ex AS (
+  SELECT p.type_a, p.type_b,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT DISTINCT user_id FROM events
+              WHERE event_type = p.type_a
+             INTERSECT
+             SELECT DISTINCT user_id FROM events
+              WHERE event_type = p.type_b)) AS exact_intersection
+  FROM pairs p
+)
+SELECT e.type_a, e.type_b,
+       CAST(ROUND(n_common * (1152921504606846976.0 / th)) AS BIGINT)
+           AS kmv_inter_estimate,
+       exact_intersection,
+       ROUND(ABS(CAST(ROUND(n_common * (1152921504606846976.0 / th))
+                      AS BIGINT) - exact_intersection) * 1.0
+             / exact_intersection, 4) AS rel_err
+FROM est e JOIN ex ON e.type_a = ex.type_a AND e.type_b = ex.type_b
+ORDER BY e.type_a, e.type_b
+""",
+    doc="Theta-style KMV sketch INTERSECTION: |users(a) AND users(b)| "
+        "estimated from the two per-type k=64 KMV sketches alone — "
+        "theta = min of the sides' thresholds (2^60 when a side is "
+        "exact), count common hashes below theta, scale by 2^60/theta "
+        "(the one formula covers the exact regime too: theta=2^60 "
+        "makes it the plain common count).  THE reason sketches beat "
+        "exact distinct at 100 TB: set operations compose on k-long "
+        "states without ever re-touching the corpus, and the exact "
+        "twin beside it shows the error honestly.  Deterministic md5 "
+        "integer arithmetic end-to-end, so the estimate itself "
+        "hash-matches across engines. "
+        "operators/countmin.py:kmv_intersect_pairs.",
+    tags=("sketch", "events", "aggregate"),
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.countmin import kmv_intersect_pairs
+    e = table(spark, sf_dir, "events")
+    pairs = [("click", "purchase"), ("error", "purchase"),
+             ("view", "signup")]
+    est = kmv_intersect_pairs(e, "user_id", "event_type", pairs, k=64)
+    ua = e.select(F.col("event_type").alias("type_a"),
+                  F.col("user_id")).distinct()
+    ub = e.select(F.col("event_type").alias("type_b"),
+                  F.col("user_id")).distinct()
+    pdf = spark.createDataFrame(pairs, "type_a string, type_b string")
+    exact = (pdf.join(ua, "type_a").join(ub, ["type_b", "user_id"])
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).cast("bigint")
+                  .alias("exact_intersection")))
+    return (est.join(exact, ["type_a", "type_b"])
+            .select("type_a", "type_b", "kmv_inter_estimate",
+                    "exact_intersection",
+                    F.round(F.abs(F.col("kmv_inter_estimate")
+                                  - F.col("exact_intersection"))
+                            / F.col("exact_intersection"), 4)
+                     .alias("rel_err"))
+            .orderBy("type_a", "type_b"))

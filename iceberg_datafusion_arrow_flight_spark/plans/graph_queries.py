@@ -360,3 +360,64 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("aa_score"),
                     "n_common", F.col("rank").cast("int").alias("rank"))
             .orderBy("rank"))
+
+
+@register(
+    "graph_bfs_reach",
+    oracle=f"""
+{_COPURCHASE_CTE}, sym AS (
+  SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und
+), d0 AS (
+  SELECT node FROM deg WHERE node % 200 = 0
+), d1 AS (
+  SELECT DISTINCT s.b AS node FROM sym s JOIN d0 ON d0.node = s.a
+  WHERE s.b NOT IN (SELECT node FROM d0)
+), d2 AS (
+  SELECT DISTINCT s.b AS node FROM sym s JOIN d1 ON d1.node = s.a
+  WHERE s.b NOT IN (SELECT node FROM d0)
+    AND s.b NOT IN (SELECT node FROM d1)
+), d3 AS (
+  SELECT DISTINCT s.b AS node FROM sym s JOIN d2 ON d2.node = s.a
+  WHERE s.b NOT IN (SELECT node FROM d0)
+    AND s.b NOT IN (SELECT node FROM d1)
+    AND s.b NOT IN (SELECT node FROM d2)
+)
+SELECT * FROM (
+  SELECT CAST(-1 AS INT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg WHERE node NOT IN (SELECT node FROM d0)
+             AND node NOT IN (SELECT node FROM d1)
+             AND node NOT IN (SELECT node FROM d2)
+             AND node NOT IN (SELECT node FROM d3)
+  UNION ALL
+  SELECT CAST(0 AS INT), CAST(COUNT(*) AS BIGINT) FROM d0
+  UNION ALL
+  SELECT CAST(1 AS INT), CAST(COUNT(*) AS BIGINT) FROM d1
+  UNION ALL
+  SELECT CAST(2 AS INT), CAST(COUNT(*) AS BIGINT) FROM d2
+  UNION ALL
+  SELECT CAST(3 AS INT), CAST(COUNT(*) AS BIGINT) FROM d3
+)
+ORDER BY depth
+""",
+    doc="Multi-source BFS layers on the part co-purchase graph: "
+        "min-hop distance from the every-200th-part seed set (the "
+        "Adamic-Adar entry's seeds) to depth 3, one row per layer "
+        "plus an unreached row — blast-radius / neighborhood-size "
+        "profiling, the frontier-expansion primitive under every "
+        "'within N hops' product question.  Per round: ONE frontier-"
+        "edge equi-join + ONE anti-join against the visited set "
+        "(work ∝ frontier-adjacent edges, rounds = the semantic depth "
+        "cap); layers are checkpointed, counts aggregate at the end, "
+        "nothing reaches the driver.  The oracle unrolls the three "
+        "rounds as chained CTEs — set semantics, no floats, so the "
+        "layer cardinalities cannot drift. "
+        "operators/graph.py:bfs_layers.",
+    tags=("graph", "iterative"),
+)
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _copurchase_edges(spark, sf_dir)
+    nodes = (und.select(F.col("u").alias("node"))
+             .unionByName(und.select(F.col("v").alias("node")))
+             .distinct())
+    seeds = nodes.where(F.col("node") % 200 == 0)
+    return G.bfs_layers(und, seeds, max_depth=3)

@@ -1397,3 +1397,213 @@ state1 AS MATERIALIZED (
 )
 def sim_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kcenter_coreset(table(spark, sf_dir, "embeddings"), k=5)
+
+
+def _sq_oracle() -> str:
+    """Oracle for the int8 scalar-quantization report: the dequantize
+    expression is built ONCE here and interpolated twice (squared-error
+    term), so the nesting cannot drift out of balance and both uses are
+    guaranteed to be the same spelling the Spark builder mirrors."""
+    x, m = "p[1]", "p[2]"
+    qabs = f"LEAST(floor(ABS({x}) * 127.0 / {m} + 0.5), 127.0)"
+    sgn = f"(CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END)"
+    dq = (f"(CASE WHEN {m} > 0 THEN "
+          f"(CASE WHEN {qabs} = 0 THEN 0.0 "
+          f"ELSE {qabs} * {sgn} * {m} / 127.0 END) "
+          f"ELSE 0.0 END)")
+    e2 = (f"CAST(floor(({x} - {dq}) * ({x} - {dq}) * 1e12 + 0.5) "
+          f"AS BIGINT)")
+    sat = (f"CAST(CASE WHEN {m} > 0 AND "
+           f"floor(ABS({x}) * 127.0 / {m} + 0.5) > 127.0 "
+           f"THEN 1 ELSE 0 END AS BIGINT)")
+    emb = _EMB.replace("vec_id,", "vec_id, label,")
+    return f"""
+WITH emb AS ({emb}),
+mx AS (
+  SELECT d, MAX(ABS(v[d])) AS m
+  FROM emb, range(1, {_EMB_DIMS + 1}) t(d)
+  GROUP BY d
+), sc AS (
+  SELECT list(m ORDER BY d) AS scales FROM mx
+), per_row AS (
+  SELECT label,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_zip(v, scales), p -> {e2})),
+           (acc, x) -> acc + x) AS row_e2,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_zip(v, scales), p -> {sat})),
+           (acc, x) -> acc + x) AS row_sat
+  FROM emb, sc
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(row_sat) AS BIGINT) AS n_saturated,
+       CAST(SUM(row_e2) AS BIGINT) AS sum_sq_err_pico,
+       SUM(row_e2) / (COUNT(*) * {_EMB_DIMS}.0) AS mse_pico
+FROM per_row
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register(
+    "sim_scalar_quantization_error",
+    oracle=_sq_oracle(),
+    doc="Int8 scalar-quantization error accounting per label (the "
+        "FAISS-SQ pre-flight: quantize each dimension symmetrically to "
+        "int8 with a per-dimension max-abs scale, dequantize, and "
+        "report reconstruction error + saturation counts BEFORE "
+        "trusting the compressed index).  Per-dim scales are a "
+        "64-double state built by one partial-aggregable MAX pass and "
+        "broadcast back; squared errors are folded per row into exact "
+        "integer pico-units so group sums are order-independent and "
+        "the whole report hash-matches across engines.  Scale: one "
+        "corpus scan + one 64-row agg — nothing grows with corpus "
+        "size. plans/similarity.py:sim_sq_error.",
+    tags=("similarity", "diagnostics"),
+)
+def sim_sq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _as_double
+    emb = (table(spark, sf_dir, "embeddings")
+           .select("label", _as_double(F.col("embedding")).alias("v")))
+    exploded = emb.select(F.posexplode("v").alias("d", "x"))
+    scales = (exploded.groupBy("d").agg(F.max(F.abs("x")).alias("m"))
+              .agg(F.array_sort(F.collect_list(F.struct("d", "m")))
+                   .alias("dm"))
+              .select(F.transform("dm", lambda s: s.m).alias("scales")))
+
+    def dq(x, m):
+        qabs = F.least(F.floor(F.abs(x) * 127.0 / m + 0.5), F.lit(127.0))
+        q = (F.when(qabs == 0, F.lit(0.0))
+             .otherwise(qabs * F.when(x < 0, F.lit(-1.0))
+                                .otherwise(F.lit(1.0)) * m / 127.0))
+        return F.when(m > 0, q).otherwise(F.lit(0.0))
+
+    def e2p(x, m):
+        err = x - dq(x, m)
+        return F.floor(err * err * 1e12 + 0.5).cast("bigint")
+
+    def satf(x, m):
+        return F.when((m > 0)
+                      & (F.floor(F.abs(x) * 127.0 / m + 0.5) > 127.0),
+                      F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+
+    zero = F.lit(0).cast("bigint")
+    per_row = (emb.crossJoin(F.broadcast(scales))
+               .select("label",
+                       F.aggregate(F.zip_with("v", "scales", e2p), zero,
+                                   lambda a, x: a + x).alias("row_e2"),
+                       F.aggregate(F.zip_with("v", "scales", satf), zero,
+                                   lambda a, x: a + x).alias("row_sat")))
+    return (per_row.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 F.sum("row_sat").cast("bigint").alias("n_saturated"),
+                 F.sum("row_e2").cast("bigint").alias("sum_sq_err_pico"),
+                 (F.sum("row_e2")
+                  / (F.count(F.lit(1)) * F.lit(float(_EMB_DIMS))))
+                 .alias("mse_pico"))
+            .orderBy("label"))
+
+
+_JL_PROJ = 16           # JL target dimensionality (64 -> 16)
+
+
+def _jl_signs() -> list[list[float]]:
+    """Deterministic ±1 JL sign matrix (Achlioptas 2003 database-
+    friendly projection): sign(j, d) = parity of the md5 integer of
+    'jl|j|d'.  Computed HERE once and embedded as literals in both the
+    Spark builder and the SQL oracle, so the two engines are
+    synchronized by construction (same trick as the LSH hyperplanes)."""
+    import hashlib
+    return [[1.0 if int(hashlib.md5(f"jl|{j}|{d}".encode())
+                        .hexdigest()[:15], 16) % 2 == 0 else -1.0
+             for d in range(_EMB_DIMS)]
+            for j in range(_JL_PROJ)]
+
+
+def _jl_fold_sql(signs_j: list[float]) -> str:
+    lit = "[" + ", ".join(f"{s:.1f}" for s in signs_j) + "]"
+    return (f"list_reduce(list_prepend(0.0, "
+            f"list_transform(list_zip(v, {lit}), p -> p[1] * p[2])), "
+            f"(acc, x) -> acc + x)")
+
+
+def _jl_oracle() -> str:
+    proj = "[" + ",\n         ".join(_jl_fold_sql(sj) for sj in _jl_signs()) + "]"
+    return f"""
+WITH emb AS ({_EMB}),
+sample AS (SELECT vec_id, v FROM emb WHERE vec_id % 10 = 0),
+projected AS (
+  SELECT vec_id, v,
+         {proj} AS w
+  FROM sample
+), pairs AS (
+  SELECT {_COS.format(a='a.v', b='b.v')} AS co,
+         {_COS.format(a='a.w', b='b.w')} AS cp
+  FROM projected a JOIN projected b ON a.vec_id < b.vec_id
+)
+SELECT CAST(FLOOR((co + 1.0) * 10) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(FLOOR(ABS(co - cp) * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_abs_err_micro,
+       SUM(CAST(FLOOR(ABS(co - cp) * 1e6 + 0.5) AS BIGINT))
+         / (COUNT(*) * 1.0) AS mean_abs_err_micro
+FROM pairs
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+@register(
+    "sim_random_projection_jl",
+    oracle=_jl_oracle(),
+    doc="Johnson-Lindenstrauss ±1 random-projection audit (Achlioptas "
+        "2003): project 64-d embeddings to 16-d through a "
+        "deterministic md5-parity sign matrix, then report, per "
+        "original-cosine decile bin over the reproducible 10% "
+        "id-sample's pairs, how much pairwise cosine moved "
+        "(micro-unit mean absolute error).  THE dimensionality-"
+        "reduction pre-flight before swapping a cheap projected index "
+        "into an ANN stack — the JL lemma promises distortion bounds, "
+        "this measures the actual ones.  Projection is 16 JVM-side "
+        "folds per row (one scan, no shuffle); the pair block is "
+        "bounded by the sample exactly like the distance-histogram "
+        "sibling.  Sign literals embed in BOTH engines from one "
+        "Python source, and errors fold to integer micro-units, so "
+        "the report hash-matches bit-for-bit. "
+        "plans/similarity.py:sim_jl_projection.",
+    tags=("similarity", "diagnostics"),
+)
+def sim_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _as_double, cosine
+    signs = _jl_signs()
+    emb = table(spark, sf_dir, "embeddings")
+    projs = [
+        F.expr("aggregate(zip_with(v, array({}), (x, s) -> x * s), "
+               "0D, (acc, x) -> acc + x)".format(
+                   ", ".join(f"{s:.1f}D" for s in signs[j])))
+        for j in range(_JL_PROJ)
+    ]
+    sample = (emb.where(F.col("vec_id") % 10 == 0)
+              .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+              .select("vec_id", "v", F.array(*projs).alias("w"))
+              .localCheckpoint(eager=True))
+    a = sample.select(F.col("vec_id").alias("ida"),
+                      F.col("v").alias("va"), F.col("w").alias("wa"))
+    b = sample.select(F.col("vec_id").alias("idb"),
+                      F.col("v").alias("vb"), F.col("w").alias("wb"))
+    pairs = (a.join(b, F.col("ida") < F.col("idb"))
+             .select(cosine(F.col("va"), F.col("vb")).alias("co"),
+                     cosine(F.col("wa"), F.col("wb")).alias("cp")))
+    err_micro = F.floor(F.abs(F.col("co") - F.col("cp")) * 1e6 + 0.5) \
+                 .cast("bigint")
+    return (pairs
+            .select(F.floor((F.col("co") + 1.0) * 10).cast("bigint")
+                    .alias("bin"),
+                    err_micro.alias("em"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.sum("em").cast("bigint").alias("sum_abs_err_micro"),
+                 (F.sum("em") / (F.count(F.lit(1)) * F.lit(1.0)))
+                 .alias("mean_abs_err_micro"))
+            .orderBy("bin"))

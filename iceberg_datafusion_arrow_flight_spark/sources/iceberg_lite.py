@@ -651,6 +651,80 @@ class IcebergTable:
         return {"deleted_orphan_dirs": removed_dirs,
                 "deleted_orphan_files": removed_files}
 
+    def rewrite_manifests(self) -> dict:
+        """Iceberg's rewriteManifests: fold the current snapshot's
+        append-chained manifest list into ONE consolidated manifest and
+        commit it as a METADATA-ONLY replace snapshot — zero data or
+        delete files move, scan results are bit-identical, history and
+        refs are untouched.  The third standard maintenance verb next
+        to rewrite_data_files (compact) and expire_snapshots: N small
+        appends leave a chain of N manifests that every scan planning
+        pass must walk; at 100 TB with thousands of commits the chain
+        IS the planning bottleneck, and folding it restores O(1)
+        manifest reads without paying a data rewrite.
+
+        Entries keep their original per-entry schema_id and
+        sequence_number (so schema evolution reads and strict-sequence
+        equality deletes keep working across the fold), and the
+        parent's delete-files carry verbatim — positional deletes point
+        at untouched paths, equality deletes compare against unchanged
+        entry sequences.  Same CAS commit contract as every other
+        write: a concurrent committer makes the pointer swap raise and
+        the rewrite must re-read and re-apply."""
+        base_location, metadata = self._load_metadata()
+        current = metadata.get("current-snapshot-id")
+        if current is None:
+            return {"manifests_before": 0, "manifests_after": 0,
+                    "rewritten": False}
+        snap = _snapshot(metadata, current)
+        n_before = len(_read_manifest_paths(snap))
+        if n_before <= 1:
+            return {"manifests_before": n_before,
+                    "manifests_after": n_before, "rewritten": False}
+        entries = _read_all_entries(snap)
+        location = metadata["location"]
+        snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+        manifest_path = os.path.join(
+            location, "metadata", f"manifest-{snapshot_id}.json")
+        _write_json(manifest_path, {
+            "schema-id": metadata["current-schema-id"],
+            "content": "data",
+            "entries": [e.__dict__ for e in entries],
+            "prior-manifests": [],
+        })
+        now = _now_ms()
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": current,
+            "sequence-number": metadata["last-sequence-number"] + 1,
+            "timestamp-ms": now,
+            "manifest-list": manifest_path,
+            "summary": {
+                "operation": "replace",
+                "rewritten-manifests": str(n_before),
+                "added-manifests": "1",
+                "added-data-files": "0",
+                "added-records": "0",
+            },
+            "schema-id": metadata["current-schema-id"],
+            "delete-files": snap.get("delete-files", []),
+        }
+        metadata = dict(metadata)
+        metadata["last-sequence-number"] += 1
+        metadata["last-updated-ms"] = now
+        metadata["snapshots"] = metadata["snapshots"] + [snapshot]
+        metadata["current-snapshot-id"] = snapshot_id
+        metadata["snapshot-log"] = metadata["snapshot-log"] + [
+            {"timestamp-ms": now, "snapshot-id": snapshot_id}]
+        metadata["metadata-log"] = metadata["metadata-log"] + [
+            {"timestamp-ms": now, "metadata-file": base_location}]
+        new_location = _write_metadata(
+            location, _next_version(base_location), metadata)
+        self.catalog._swap_pointer(
+            self.namespace, self.name, base_location, new_location)
+        return {"manifests_before": n_before, "manifests_after": 1,
+                "rewritten": True}
+
     def compact(self, spark: SparkSession, target_files: int = 1,
                 sort_by: list[str] | None = None,
                 zorder_by: list[str] | None = None) -> int:

@@ -1251,3 +1251,61 @@ def test_kmv_sketch_merges_and_bounds_error(spark, sf_dir):
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     for t, n in exact.items():
         assert abs(est[t] - n) / n <= 0.30, (t, est[t], n)
+
+
+def test_kmv_intersection_exact_regime_and_error(spark, sf_dir):
+    """Theta-style KMV intersection: when BOTH sides hold fewer than k
+    distinct hashes the sketches are complete sets and the estimate
+    must equal the exact intersection (theta = 2^60 degenerates the
+    formula to the plain common count).  In the estimation regime
+    (k below the set sizes) the estimate stays within 50% of exact —
+    intersection error compounds two sketches' noise, so the band is
+    looser than the single-set 30%."""
+    from iceberg_datafusion_arrow_flight_spark.operators.countmin import (
+        kmv_intersect_pairs)
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    pairs = [("click", "purchase"), ("view", "signup")]
+    exact = {}
+    for a, b in pairs:
+        ua = {r.user_id for r in
+              e.where(F.col("event_type") == a).distinct().collect()}
+        ub = {r.user_id for r in
+              e.where(F.col("event_type") == b).distinct().collect()}
+        exact[(a, b)] = len(ua & ub)
+
+    # exact regime: k far above every per-type distinct count
+    big = {(r.type_a, r.type_b): r.kmv_inter_estimate
+           for r in kmv_intersect_pairs(e, "user_id", "event_type",
+                                        pairs, k=100000).collect()}
+    for p, n in exact.items():
+        assert big[p] == n, (p, big[p], n)
+
+    # estimation regime: k=32 under the ~150 distinct users per type
+    est = {(r.type_a, r.type_b): r.kmv_inter_estimate
+           for r in kmv_intersect_pairs(e, "user_id", "event_type",
+                                        pairs, k=32).collect()}
+    for p, n in exact.items():
+        assert abs(est[p] - n) / max(n, 1) <= 0.50, (p, est[p], n)
+
+
+def test_bfs_layers_path_graph(spark):
+    """Hand-checkable BFS invariants on the path 1-2-3-4-5 with seed
+    {1}: layer d holds exactly node d+1 for d in 0..3, node 5 is
+    unreached at the depth-3 cap, and every depth row is emitted even
+    for this minimal graph."""
+    from iceberg_datafusion_arrow_flight_spark.operators.graph import (
+        bfs_layers)
+
+    und = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u bigint, v bigint")
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {r.depth: r.n_nodes
+           for r in bfs_layers(und, seeds, max_depth=3).collect()}
+    assert got == {-1: 1, 0: 1, 1: 1, 2: 1, 3: 1}
+
+    # seed in the middle: both directions expand (undirected edges)
+    seeds_mid = spark.createDataFrame([(3,)], "node bigint")
+    got_mid = {r.depth: r.n_nodes
+               for r in bfs_layers(und, seeds_mid, max_depth=3).collect()}
+    assert got_mid == {-1: 0, 0: 1, 1: 2, 2: 2, 3: 0}
