@@ -81,12 +81,11 @@ _PRIORITY: list[str] = [
     # (all last checked r01; see ledger note above):
     "join_inner_equi", "join_left_outer",
     "join_full_outer", "join_left_semi",
-    "join_non_equi_range",
-    "setop_union_all", "setop_intersect",
+    "setop_intersect",
     "setop_except",
     "subquery_in",
-    "cte_multi", "cte_recursive",
-    "filter_predicates", "filter_ilike_null_safe",
+    "cte_recursive",
+    "filter_predicates",
     "sort_limit_offset",
     "distinct_simple",
     # --- NEW in r07 (two-scale local-gated on arrival; each ceded one
@@ -98,7 +97,9 @@ _PRIORITY: list[str] = [
     # sort_nulls_ordering, filter_is_true_unknown, join_cross,
     # setop_union_distinct, join_left_anti, project_star_except,
     # agg_cube, join_right_outer, setop_intersect_all,
-    # subquery_scalar_correlated):
+    # subquery_scalar_correlated, cte_multi,
+    # filter_ilike_null_safe, setop_union_all,
+    # join_non_equi_range):
     "text_bpe_encode", "sim_mmr_diverse_topk", "sim_kcenter_coreset",
     "events_attribution_last_touch", "pipeline_perplexity_buckets",
     "text_rake_keywords", "multimodal_image_ahash", "dedup_containment",
@@ -109,6 +110,8 @@ _PRIORITY: list[str] = [
     "events_conversion_latency", "events_ab_test_ztest",
     "sketch_kmv_intersection", "sim_scalar_quantization_error",
     "sim_random_projection_jl", "graph_bfs_reach",
+    "iceberg_rewrite_manifests", "events_ewma_daily",
+    "dedup_minhash_estimator_calibration", "sim_ann_ivf_nprobe_profile",
 ]
 
 

@@ -626,3 +626,97 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stage INT, stage_name STRING, n_input BIGINT, "
               "n_survivors BIGINT").orderBy("stage")
+
+
+def _minhash_calibration_oracle(n_hashes: int = 64, seed0: int = 7000) -> str:
+    """Mirror of the portable-md5 MinHash signature: sig_i = min over
+    tokens of hash_expr(t, seed0 + i) (operators/dedup.py:hash_expr —
+    the same 's<seed>|' spelling the SimHash oracle re-derives)."""
+    return f"""
+WITH toks AS ({_TOKS}),
+sample AS (SELECT doc_id, ts FROM toks WHERE doc_id % 10 = 0),
+sigs AS (
+  SELECT doc_id, ts,
+         list_transform(generate_series(0, {n_hashes - 1}), i ->
+           list_min(list_transform(ts, t ->
+             CAST(concat('0x', substr(md5('s' || ({seed0} + i) || '|' || t),
+                                      1, 15)) AS BIGINT)))) AS sig
+  FROM sample
+), pairs AS (
+  SELECT len(list_filter(list_zip(a.sig, b.sig), p -> p[1] = p[2]))
+           / {n_hashes}.0 AS est,
+         len(list_intersect(a.ts, b.ts)) * 1.0
+           / len(list_distinct(list_concat(a.ts, b.ts))) AS j
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+)
+SELECT CAST(FLOOR(j * 10) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(FLOOR((est - j) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_signed_err_micro,
+       CAST(SUM(CAST(FLOOR(ABS(est - j) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_abs_err_micro,
+       SUM(CAST(FLOOR(ABS(est - j) * 1e6 + 0.5) AS BIGINT))
+         / (COUNT(*) * 1.0) AS mean_abs_err_micro
+FROM pairs
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+@register(
+    "dedup_minhash_estimator_calibration",
+    oracle=_minhash_calibration_oracle(),
+    doc="MinHash ESTIMATOR calibration: estimated Jaccard (matching "
+        "signature components / 64) vs exact token-set Jaccard over "
+        "the reproducible 10% doc sample's pairs, binned by exact-"
+        "Jaccard decile with signed and absolute micro-unit error "
+        "sums — the accuracy audit run before trusting any MinHash "
+        "threshold (the production LSH entry verifies candidates "
+        "exactly, so IT is estimator-independent; THIS measures the "
+        "estimator the thresholds are derived from).  Signatures here "
+        "use the portable md5 family (hash_expr) so both engines "
+        "derive bit-identical minima; errors fold to integer "
+        "micro-units.  Scale: a calibration needs only a BOUNDED "
+        "sample — the pair block is constant-size at any corpus "
+        "(swap the modulus to target ~5k docs). "
+        "plans/dedup.py:dedup_minhash_calibration.",
+    tags=("dedup", "diagnostics"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hash_expr, tokens
+    n_hashes, seed0 = 64, 7000
+    docs = table(spark, sf_dir, "documents")
+
+    def _h(i):
+        return lambda t: hash_expr(t, seed0 + i)
+
+    sig = F.array(*[F.array_min(F.transform(F.col("ts"), _h(i)))
+                    for i in range(n_hashes)])
+    sample = (docs.where(F.col("doc_id") % 10 == 0)
+              .select("doc_id", tokens(F.col("text")).alias("ts"))
+              .select("doc_id", "ts", sig.alias("sig"))
+              .localCheckpoint(eager=True))
+    a = sample.select(F.col("doc_id").alias("ida"),
+                      F.col("ts").alias("ta"), F.col("sig").alias("sa"))
+    b = sample.select(F.col("doc_id").alias("idb"),
+                      F.col("ts").alias("tb"), F.col("sig").alias("sb"))
+    est = (F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, x: acc + x) / F.lit(float(n_hashes)))
+    j = (F.size(F.array_intersect("ta", "tb")) * F.lit(1.0)
+         / F.size(F.array_union("ta", "tb")))
+    pairs = (a.join(b, F.col("ida") < F.col("idb"))
+             .select(est.alias("est"), j.alias("j")))
+    signed = F.floor((F.col("est") - F.col("j")) * 1e6 + 0.5).cast("bigint")
+    absd = F.floor(F.abs(F.col("est") - F.col("j")) * 1e6 + 0.5) \
+            .cast("bigint")
+    return (pairs
+            .select(F.floor(F.col("j") * 10).cast("bigint").alias("bin"),
+                    signed.alias("se"), absd.alias("ae"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.sum("se").cast("bigint").alias("sum_signed_err_micro"),
+                 F.sum("ae").cast("bigint").alias("sum_abs_err_micro"),
+                 (F.sum("ae") / (F.count(F.lit(1)) * F.lit(1.0)))
+                 .alias("mean_abs_err_micro"))
+            .orderBy("bin"))

@@ -1414,3 +1414,77 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("exact_intersection"), 4)
                      .alias("rel_err"))
             .orderBy("type_a", "type_b"))
+
+
+@register(
+    "events_ewma_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), series AS (
+  SELECT event_type,
+         list(day ORDER BY day) AS days,
+         list(CAST(n_events AS DOUBLE) ORDER BY day) AS cnts,
+         list(n_events ORDER BY day) AS raw
+  FROM daily GROUP BY event_type
+), smoothed AS (
+  SELECT event_type, days, raw,
+         list_transform(generate_series(1, len(cnts)), i ->
+           list_reduce(list_prepend(0.0, list_slice(cnts, 1, i)),
+                       (acc, x) -> acc * 0.7 + x * 0.3)) AS ewmas
+  FROM series
+)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events, ewma
+FROM (
+  SELECT event_type,
+         unnest(days) AS day,
+         unnest(raw) AS n_events,
+         unnest(ewmas) AS ewma
+  FROM smoothed
+)
+ORDER BY event_type, day
+""",
+    doc="Daily-volume EWMA smoothing per event type (alpha = 0.3, "
+        "zero-initialized: s_i = 0.3*x_i + 0.7*s_{i-1}) — the "
+        "telemetry baseline every alerting rule compares against, as "
+        "a per-bucket smoothed SERIES, not just the final value.  "
+        "EWMA is inherently sequential, so each bucket's value is a "
+        "deterministic left FOLD over its ordered prefix — the ONE "
+        "float-summation shape both engines spell identically "
+        "(the shared zero-prepended-reduce recipe), making the whole "
+        "smoothed series bit-exact with no rounding.  Scale: state is "
+        "bucket-cardinality per key (30 days here), never event-"
+        "cardinality — the corpus collapses to (key, day, count) in "
+        "one partial-aggregable pass and the O(n²) prefix folds run "
+        "on that tiny series JVM-side. plans/events.py:events_ewma.",
+    tags=("events", "window"),
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    series = (daily.groupBy("event_type")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("day", "n_events"))).alias("dc"))
+              .select("event_type",
+                      F.transform("dc", lambda s: s.day).alias("days"),
+                      F.transform("dc", lambda s: s.n_events
+                                  .cast("double")).alias("cnts"),
+                      F.transform("dc", lambda s: s.n_events)
+                       .alias("raw")))
+    ewmas = F.transform(
+        F.sequence(F.lit(1), F.size("cnts")),
+        lambda i: F.aggregate(F.slice(F.col("cnts"), F.lit(1), i),
+                              F.lit(0.0),
+                              lambda acc, x: acc * 0.7 + x * 0.3))
+    rows = (series.withColumn("ewmas", ewmas)
+            .select("event_type",
+                    F.posexplode(F.arrays_zip("days", "raw", "ewmas"))
+                    .alias("_i", "z")))
+    return (rows.select("event_type",
+                        F.col("z.days").alias("day"),
+                        F.col("z.raw").cast("bigint").alias("n_events"),
+                        F.col("z.ewmas").alias("ewma"))
+            .orderBy("event_type", "day"))

@@ -963,3 +963,64 @@ def iceberg_rest_snapshot_expire(spark: SparkSession,
                .orderBy("o_orderstatus"))
         out = out.localCheckpoint(eager=True)
     return out
+
+
+@register(
+    "iceberg_rewrite_manifests",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       CAST(4 AS BIGINT) AS manifests_before,
+       CAST(1 AS BIGINT) AS manifests_after,
+       TRUE AS file_set_unchanged,
+       TRUE AS pre_rewrite_travel_ok
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Manifest rewrite (Iceberg rewriteManifests) — the third "
+        "standard maintenance verb beside compaction and expiration: "
+        "4 small appends chain 4 manifests that every scan planning "
+        "pass must walk; the rewrite folds them into ONE consolidated "
+        "manifest in a METADATA-ONLY replace commit.  Mid-plan "
+        "contract assertions: the planned data-file set is IDENTICAL "
+        "pre/post (zero data bytes moved), manifest count drops 4 -> "
+        "1, time travel to the pre-rewrite snapshot still reads its "
+        "own chain, and the final scan is the full relation.  At "
+        "100 TB with thousands of commits the manifest chain IS the "
+        "planning bottleneck; folding it restores O(1) planning reads "
+        "without paying a data rewrite. "
+        "sources/iceberg_lite.py:rewrite_manifests.",
+    tags=("iceberg", "catalog", "maintenance"),
+)
+def iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    orders = table(spark, sf_dir, "orders")
+    chunks = [orders.where(F.col("o_orderkey") % 4 == i) for i in range(4)]
+    t = cat.create_table("sales", "orders_manifests", chunks[0])
+    t.append(chunks[0])
+    for c in chunks[1:]:
+        t.append(c)
+    pre_snap = t.snapshots()[-1]["snapshot-id"]
+    pre_files = sorted(e.file_path for e in t.plan_files())
+    stats = t.rewrite_manifests()
+    if (stats["manifests_before"], stats["manifests_after"]) != (4, 1):
+        raise AssertionError(f"manifest fold mismatch: {stats}")
+    post_files = sorted(e.file_path for e in t.plan_files())
+    if pre_files != post_files:
+        raise AssertionError(
+            "rewrite_manifests changed the planned file set — it must "
+            "be metadata-only")
+    n_travel = t.read(spark, snapshot_id=pre_snap).count()
+    n_now = t.read(spark).count()
+    if n_travel != n_now:
+        raise AssertionError(
+            f"pre-rewrite travel rows {n_travel} != current {n_now}")
+    return (t.read(spark)
+            .groupBy("o_orderstatus").agg(*_agg_cols())
+            .withColumn("manifests_before", F.lit(4).cast("bigint"))
+            .withColumn("manifests_after", F.lit(1).cast("bigint"))
+            .withColumn("file_set_unchanged", F.lit(True))
+            .withColumn("pre_rewrite_travel_ok", F.lit(True))
+            .orderBy("o_orderstatus"))

@@ -1607,3 +1607,106 @@ def sim_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum("em") / (F.count(F.lit(1)) * F.lit(1.0)))
                  .alias("mean_abs_err_micro"))
             .orderBy("bin"))
+
+
+def _nprobe_profile_oracle(probes: tuple[int, ...] = (1, 2, 4, 8)) -> str:
+    """Per-nprobe mirror of the IVF recall witness: the SAME untrained
+    quantizer (32 lowest-id centroids), the SAME tie-break spellings
+    (q_cells: unrounded cos DESC then cell; ann: 6-digit-rounded cos
+    DESC then corpus_id), one q_cells/ann/hit chain per probed depth."""
+    head = f"""
+WITH emb AS ({_EMB}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+cent AS (
+  SELECT vec_id AS cell, v AS cv
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 32)
+), c_cells AS (
+  SELECT corpus_id, cvv, cell FROM (
+    SELECT e.vec_id AS corpus_id, e.v AS cvv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS.format(a='c.cv', b='e.v')} DESC,
+                                       c.cell) AS r
+    FROM emb e CROSS JOIN cent c)
+  WHERE r = 1
+), exact AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.query_id, e.vec_id AS corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND({_COS.format(a='q.qv', b='e.v')}, 6) DESC,
+                                       e.vec_id) AS rnk
+    FROM q JOIN emb e ON e.vec_id != q.query_id)
+  WHERE rnk <= 10
+), qc AS (
+  SELECT query_id, qv, cell,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY qcos DESC, cell) AS r
+  FROM (SELECT q.query_id, q.qv, c.cell,
+               {_COS.format(a='c.cv', b='q.qv')} AS qcos
+        FROM q CROSS JOIN cent c)
+)"""
+    parts = []
+    for p in probes:
+        parts.append(f""", ann{p} AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT qc.query_id, cc.corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY qc.query_id
+                              ORDER BY ROUND({_COS.format(a='qc.qv', b='cc.cvv')}, 6) DESC,
+                                       cc.corpus_id) AS rnk
+    FROM qc JOIN c_cells cc USING (cell)
+    WHERE qc.r <= {p} AND qc.query_id != cc.corpus_id)
+  WHERE rnk <= 10
+)""")
+    selects = []
+    for p in probes:
+        selects.append(f"""
+SELECT CAST({p} AS INT) AS nprobe,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ann{p} a JOIN exact x
+          ON a.query_id = x.query_id AND a.corpus_id = x.corpus_id)
+           AS total_hits,
+       (SELECT COUNT(*) FROM ann{p} a JOIN exact x
+          ON a.query_id = x.query_id AND a.corpus_id = x.corpus_id)
+         / (10.0 * (SELECT COUNT(*) FROM q)) AS mean_recall
+""")
+    return head + "".join(parts) + "\nUNION ALL".join(selects) \
+        + "ORDER BY nprobe"
+
+
+@register(
+    "sim_ann_ivf_nprobe_profile",
+    oracle=_nprobe_profile_oracle(),
+    doc="IVF nprobe sweep — the recall-vs-work tuning TABLE behind "
+        "every IVF deployment: for nprobe in (1, 2, 4, 8), total and "
+        "mean recall@10 of the untrained deterministic quantizer "
+        "against the in-plan exact top-10 (the witness's machinery, "
+        "swept across probe depths in one result).  Probing more "
+        "cells costs proportionally more candidate rerank work; this "
+        "entry measures exactly what each extra probe buys, which is "
+        "THE knob a 100 TB IVF index is tuned by.  Corpus cell "
+        "assignment is nprobe-independent (computed once in the "
+        "oracle; the operator recomputes per sweep point at fixture "
+        "scale — at 100 TB assign once, reuse).  All recalls are "
+        "ratios of identical integers → bit-exact. "
+        "plans/similarity.py:sim_ivf_nprobe_profile.",
+    tags=("similarity", "eval"),
+)
+def sim_ivf_nprobe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = (S.topk_cosine(queries, emb, k=10)
+             .select("query_id", "corpus_id").localCheckpoint(eager=True))
+    nq = queries.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    out = None
+    for p in (1, 2, 4, 8):
+        ann = (S.ann_ivf_topk(queries, emb, k=10, nprobe=p)
+               .select("query_id", "corpus_id"))
+        hits = (ann.join(exact, ["query_id", "corpus_id"])
+                .agg(F.count(F.lit(1)).cast("bigint").alias("total_hits")))
+        row = (nq.crossJoin(hits)
+               .select(F.lit(p).cast("int").alias("nprobe"),
+                       "n_queries", "total_hits",
+                       (F.col("total_hits")
+                        / (F.lit(10.0) * F.col("n_queries")))
+                       .alias("mean_recall")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")

@@ -1457,3 +1457,50 @@ def test_mor_upsert_delete_sequence_survives_branch_race(catalog, spark):
 
 def _snapshot_by_id(t, sid):
     return next(s for s in t.snapshots() if s["snapshot-id"] == sid)
+
+
+def test_rewrite_manifests_folds_chain_preserves_mor_and_history(
+        catalog, spark, orders):
+    """rewrite_manifests is metadata-only: the planned file set is
+    identical, MOR delete files (positional AND the rows they hide)
+    survive the fold with their sequences intact, time travel still
+    walks the OLD chain, and a later expire can finally drop the old
+    manifests without touching data the consolidated manifest
+    references."""
+    t = catalog.create_table("sales", "orders_rm", orders)
+    for i in range(3):
+        t.append(orders.where(F.col("o_orderkey") % 3 == i))
+    # hide some rows via merge-on-read BEFORE the fold: the fold must
+    # not resurrect them (delete files and entry sequences carry)
+    t.delete_where_mor(spark, "o_orderkey % 10 = 0")
+    pre_rows = sorted(r.o_orderkey for r in
+                      t.read(spark).select("o_orderkey").collect())
+    assert pre_rows and all(k % 10 != 0 for k in pre_rows)
+    pre_files = sorted(e.file_path for e in t.plan_files())
+    pre_snap = t.current_snapshot_id()
+
+    stats = t.rewrite_manifests()
+    assert stats["rewritten"] and stats["manifests_after"] == 1
+    assert stats["manifests_before"] > 1
+
+    post_rows = sorted(r.o_orderkey for r in
+                       t.read(spark).select("o_orderkey").collect())
+    assert post_rows == pre_rows            # MOR deletes still apply
+    assert sorted(e.file_path for e in t.plan_files()) == pre_files
+    # pre-fold snapshot still readable (its own manifest chain intact)
+    travel = sorted(r.o_orderkey for r in
+                    t.read(spark, snapshot_id=pre_snap)
+                    .select("o_orderkey").collect())
+    assert travel == pre_rows
+
+    # idempotence: a second call is a no-op (already one manifest)
+    again = t.rewrite_manifests()
+    assert again == {"manifests_before": 1, "manifests_after": 1,
+                     "rewritten": False}
+
+    # expire now drops the old chain; data must still read in full
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r.o_orderkey for r in
+                  t.read(spark).select("o_orderkey").collect()) == pre_rows
+    sweep = t.remove_orphan_files(older_than_ms=0)
+    assert sweep["deleted_orphan_files"] == 0
