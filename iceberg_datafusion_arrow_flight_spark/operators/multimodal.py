@@ -662,3 +662,38 @@ def audio_silence_segments(df: DataFrame, threshold: int = 256,
             yield pd.DataFrame(rows)
 
     return fan_out(df).mapInPandas(seg, schema=SILENCE_SCHEMA)
+
+
+HIST_SCHEMA = "doc_id BIGINT, bin INT, n_pixels BIGINT"
+
+
+def intensity_histogram(df: DataFrame, bins: int = 8) -> DataFrame:
+    """Per-image intensity histogram over REAL decoded pixels: decode
+    the PPM/BMP payload, bucket every channel value into
+    ``bins`` equal-width bins (256/bins wide), emit (doc_id, bin,
+    n_pixels) — the exposure/contrast profile a vision-data curation
+    pass filters on (all-dark, blown-out, and synthetic-flat images
+    show up as mass concentrated in one bin).
+
+    numpy bincount per Arrow batch; only (id, bin, count) rows leave
+    the executor — payload bytes never shuffle.  Counts are exact
+    integers, so the corpus rollup is order-independent and the whole
+    report is SQL-oracle-checkable against the pixel generator."""
+    width = 256 // bins
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bs, ns = [], [], []
+            for did, fmt, payload in zip(pdf["doc_id"], pdf["fmt"],
+                                         pdf["payload"]):
+                _w, _h, px = _REAL_DECODERS[fmt](bytes(payload))
+                counts = np.bincount(px.reshape(-1) // width,
+                                     minlength=bins)
+                for b in range(bins):
+                    if counts[b]:
+                        ids.append(did)
+                        bs.append(b)
+                        ns.append(int(counts[b]))
+            yield pd.DataFrame({"doc_id": ids, "bin": bs, "n_pixels": ns})
+
+    return fan_out(df).mapInPandas(hist, schema=HIST_SCHEMA)

@@ -57,7 +57,8 @@ from . import tpch            # noqa: E402,F401
 #   events_cumulative_unique_users, iceberg_expire_respects_refs,
 #   pipeline_dataset_card.
 #
-#   r07 window (below) = those 13 + 37 re-pins drawn from the OLDEST
+#   r07 window (below) = those 13 + re-pins (37 at round open, 8
+#   after mid-round cessions to new entries) drawn from the OLDEST
 #   never-re-checked driver-green entries (all last checked in r01:
 #   the relational core — joins ×9, set ops ×6, subqueries ×4, CTEs
 #   ×2, filters ×3, sorts ×2, distinct ×2, project_star_except,
@@ -77,16 +78,15 @@ _PRIORITY: list[str] = [
     "events_activity_streaks", "events_anomaly_mad",
     "events_cumulative_unique_users", "iceberg_expire_respects_refs",
     "pipeline_dataset_card",
-    # --- 37 re-pins: the oldest never-re-checked driver-green entries
-    # (all last checked r01; see ledger note above):
+    # --- re-pins (8 remain of the 37 at round open): the oldest
+    # never-re-checked driver-green entries (all last checked r01;
+    # see ledger note above):
     "join_inner_equi", "join_left_outer",
-    "join_full_outer", "join_left_semi",
-    "setop_intersect",
+    "join_left_semi",
     "setop_except",
     "subquery_in",
     "cte_recursive",
     "filter_predicates",
-    "sort_limit_offset",
     "distinct_simple",
     # --- NEW in r07 (two-scale local-gated on arrival; each ceded one
     # re-pin slot — ceded so far: tpch_q10_returned_items,
@@ -99,7 +99,8 @@ _PRIORITY: list[str] = [
     # agg_cube, join_right_outer, setop_intersect_all,
     # subquery_scalar_correlated, cte_multi,
     # filter_ilike_null_safe, setop_union_all,
-    # join_non_equi_range):
+    # join_non_equi_range, join_full_outer, setop_intersect,
+    # sort_limit_offset):
     "text_bpe_encode", "sim_mmr_diverse_topk", "sim_kcenter_coreset",
     "events_attribution_last_touch", "pipeline_perplexity_buckets",
     "text_rake_keywords", "multimodal_image_ahash", "dedup_containment",
@@ -112,6 +113,8 @@ _PRIORITY: list[str] = [
     "sim_random_projection_jl", "graph_bfs_reach",
     "iceberg_rewrite_manifests", "events_ewma_daily",
     "dedup_minhash_estimator_calibration", "sim_ann_ivf_nprobe_profile",
+    "events_ab_test_welch", "dedup_cross_source_matrix",
+    "multimodal_intensity_histogram",
 ]
 
 

@@ -720,3 +720,60 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum("ae") / (F.count(F.lit(1)) * F.lit(1.0)))
                  .alias("mean_abs_err_micro"))
             .orderBy("bin"))
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+WITH toks AS ({_TOKS}),
+src AS (SELECT doc_id, source FROM documents),
+pairs AS (
+  SELECT LEAST(sa.source, sb.source) AS source_a,
+         GREATEST(sa.source, sb.source) AS source_b,
+         ROUND(len(list_intersect(a.ts, b.ts)) * 1.0
+               / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS j
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  JOIN src sa ON sa.doc_id = a.doc_id
+  JOIN src sb ON sb.doc_id = b.doc_id
+  WHERE 10 * len(list_intersect(a.ts, b.ts))
+        >= 9 * len(list_distinct(list_concat(a.ts, b.ts)))
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(FLOOR(j * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_jaccard_micro
+FROM pairs
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+""",
+    doc="Cross-source near-duplicate FLOW MATRIX: the verified "
+        "MinHash-LSH pair set (token Jaccard >= 0.9, the production "
+        "dedup entry's machinery) rolled up by unordered source pair — "
+        "the provenance question behind every dedup run ('which feeds "
+        "re-publish which?'), deciding crawl priorities and licensing "
+        "exposure.  Diagonal cells are intra-source churn, off-"
+        "diagonal cells are syndication flows.  Candidate generation "
+        "stays banded-LSH (never doc×doc); the rollup adds one "
+        "broadcast-sized join to attach sources and a matrix-sized "
+        "agg.  Jaccards fold to integer micro-units for order-proof "
+        "sums. plans/dedup.py:dedup_cross_source.",
+    tags=("dedup", "pipeline"),
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text")
+    src = docs.select("doc_id", "source")
+    flows = (pairs
+             .join(src.select(F.col("doc_id").alias("id_a"),
+                              F.col("source").alias("sa")), "id_a")
+             .join(src.select(F.col("doc_id").alias("id_b"),
+                              F.col("source").alias("sb")), "id_b")
+             .select(F.least("sa", "sb").alias("source_a"),
+                     F.greatest("sa", "sb").alias("source_b"),
+                     F.floor(F.col("jaccard") * 1e6 + 0.5).cast("bigint")
+                     .alias("jm")))
+    return (flows.groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.sum("jm").cast("bigint").alias("sum_jaccard_micro"))
+            .orderBy("source_a", "source_b"))

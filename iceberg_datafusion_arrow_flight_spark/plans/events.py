@@ -1488,3 +1488,108 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("z.raw").cast("bigint").alias("n_events"),
                         F.col("z.ewmas").alias("ewma"))
             .orderBy("event_type", "day"))
+
+
+@register(
+    "events_ab_test_welch",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN CAST(concat('0x', substr(md5('ab|' || CAST(user_id
+                   AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS DOUBLE) AS s2
+  FROM per_user GROUP BY arm
+), wide AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+         MAX(CASE WHEN arm = 'A' THEN s1 END) AS s1_a,
+         MAX(CASE WHEN arm = 'B' THEN s1 END) AS s1_b,
+         MAX(CASE WHEN arm = 'A' THEN s2 END) AS s2_a,
+         MAX(CASE WHEN arm = 'B' THEN s2 END) AS s2_b
+  FROM arms
+), stats AS (
+  SELECT n_a, n_b,
+         s1_a / (n_a * 1.0) AS mean_a,
+         s1_b / (n_b * 1.0) AS mean_b,
+         (s2_a - (s1_a / (n_a * 1.0)) * s1_a) / ((n_a - 1) * 1.0) AS var_a,
+         (s2_b - (s1_b / (n_b * 1.0)) * s1_b) / ((n_b - 1) * 1.0) AS var_b
+  FROM wide
+)
+SELECT n_a, n_b, mean_a AS mean_a_centi, mean_b AS mean_b_centi,
+       (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+       (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+         / ((var_a / n_a) * (var_a / n_a) / (n_a - 1.0)
+            + (var_b / n_b) * (var_b / n_b) / (n_b - 1.0)) AS welch_df,
+       CASE WHEN ABS((mean_a - mean_b)
+                     / sqrt(var_a / n_a + var_b / n_b)) > 1.96
+            THEN TRUE ELSE FALSE END AS significant
+FROM stats
+""",
+    doc="Welch unequal-variance t-test on a CONTINUOUS A/B metric "
+        "(per-user total purchase value), the companion of the "
+        "two-proportion z entry: same md5-parity arm assignment, "
+        "per-user values folded to exact integer centi-units so the "
+        "arm sums are order-independent, then mean/variance/t and the "
+        "Welch-Satterthwaite df all derive from the same five exact "
+        "numbers through identical expression trees — bit-exact with "
+        "zero rounding.  (x² accumulates in DOUBLE and stays EXACT — "
+        "hence order-independent — while the running sum is below "
+        "2^53: centi-units put the sf0.1 total at ~7.6e12, a 1000x "
+        "margin, measured; shrink the unit again if the metric ever "
+        "grows three orders.)  Scale: one per-user "
+        "partial agg, then 2-row state. plans/events.py:events_welch.",
+    tags=("events", "aggregate", "stats"),
+)
+def events_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab|"),
+                                          F.col("user_id").cast("string"))),
+                           1, 15), 16, 10).cast("bigint") % 2 == 0,
+        F.lit("A")).otherwise(F.lit("B"))
+    xi = F.when(F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")) \
+          .otherwise(F.lit(0).cast("bigint"))
+    per_user = (e.groupBy("user_id")
+                .agg(F.sum(xi).cast("bigint").alias("x"))
+                .select(arm.alias("arm"), "x"))
+    arms = (per_user.groupBy("arm")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("x").cast("bigint").alias("s1"),
+                 F.sum(F.col("x").cast("double")
+                       * F.col("x").cast("double")).alias("s2")))
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("s1"))).alias("s1_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("s1"))).alias("s1_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("s2"))).alias("s2_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("s2"))).alias("s2_b"))
+    mean_a = F.col("s1_a") / (F.col("n_a") * F.lit(1.0))
+    mean_b = F.col("s1_b") / (F.col("n_b") * F.lit(1.0))
+    var_a = ((F.col("s2_a") - mean_a * F.col("s1_a"))
+             / ((F.col("n_a") - 1) * F.lit(1.0)))
+    var_b = ((F.col("s2_b") - mean_b * F.col("s1_b"))
+             / ((F.col("n_b") - 1) * F.lit(1.0)))
+    se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
+    t = (mean_a - mean_b) / F.sqrt(se2)
+    df = (se2 * se2
+          / ((var_a / F.col("n_a")) * (var_a / F.col("n_a"))
+             / (F.col("n_a") - F.lit(1.0))
+             + (var_b / F.col("n_b")) * (var_b / F.col("n_b"))
+             / (F.col("n_b") - F.lit(1.0))))
+    return wide.select(
+        "n_a", "n_b",
+        mean_a.alias("mean_a_centi"), mean_b.alias("mean_b_centi"),
+        t.alias("t_stat"), df.alias("welch_df"),
+        F.when(F.abs(t) > 1.96, F.lit(True)).otherwise(F.lit(False))
+         .alias("significant"))

@@ -471,3 +471,54 @@ def multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     return (M.audio_silence_segments(M.attach_audio_payload(docs))
             .orderBy("doc_id"))
+
+
+@register(
+    "multimodal_intensity_histogram",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8 + (doc_id % 8) * 4 AS w,
+         8 + (doc_id % 5) * 4 AS h
+  FROM documents WHERE doc_id % 5 = 0
+), px AS (
+  SELECT doc_id, CAST(((7 * doc_id + k) % 256) // 32 AS INT) AS bin
+  FROM d, range(0, 2592) t(k)          -- static bound: 3 * max(w*h)
+  WHERE k < 3 * w * h
+)
+SELECT bin,
+       CAST(SUM(cnt) AS BIGINT) AS n_pixels,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(cnt) AS BIGINT) AS min_per_doc,
+       CAST(MAX(cnt) AS BIGINT) AS max_per_doc
+FROM (
+  SELECT doc_id, bin, COUNT(*) AS cnt FROM px GROUP BY doc_id, bin
+)
+GROUP BY bin
+ORDER BY bin
+""",
+    doc="Corpus exposure profile over REAL decoded pixels: per-image "
+        "8-bin intensity histograms (every channel value bucketed at "
+        "width 32) rolled up per bin with doc counts and per-doc "
+        "min/max — the vision-curation pre-filter that flags all-dark, "
+        "blown-out, and synthetic-flat images as mass piled into one "
+        "bin.  The Spark side DECODES the actual PPM/BMP payloads "
+        "(numpy bincount per Arrow batch; only (id, bin, count) rows "
+        "leave the executor); the oracle re-derives every count from "
+        "the pixel generator formula, so a single mis-parsed header "
+        "byte anywhere breaks the hash.  Exact integer counts "
+        "end-to-end. operators/multimodal.py:intensity_histogram.",
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_intensity_histogram(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 5 == 0).select("doc_id"))
+    per_doc = M.intensity_histogram(M.attach_image_payload(docs))
+    return (per_doc.groupBy("bin")
+            .agg(F.sum("n_pixels").cast("bigint").alias("n_pixels"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.min("n_pixels").cast("bigint").alias("min_per_doc"),
+                 F.max("n_pixels").cast("bigint").alias("max_per_doc"))
+            .orderBy("bin"))

@@ -77,5 +77,5 @@ def test_every_family_has_a_priority_row():
                                  "io", "dialect", "service",
                                  # ceded their r07 re-pin slots to new
                                  # entries mid-round (driver-green r01-r06)
-                                 "tpch", "values", "projection")]
+                                 "tpch", "values", "projection", "sort")]
     assert not uncovered, uncovered
