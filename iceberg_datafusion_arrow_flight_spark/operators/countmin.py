@@ -199,10 +199,15 @@ def kmv_intersect_pairs(df: DataFrame, value_col: str, set_col: str,
                                F.col("th").alias("th_b")), "type_b")
             .select("type_a", "type_b",
                     F.least("th_a", "th_b").alias("th")))
+    # Sketch relations are k longs per set BY CONSTRUCTION — broadcast
+    # them so the pair algebra never shuffles, however big the corpus
+    # that built them was.
     common = (both
-              .join(sk.select(F.col(set_col).alias("type_a"), "h"),
+              .join(F.broadcast(
+                        sk.select(F.col(set_col).alias("type_a"), "h")),
                     "type_a")
-              .join(sk.select(F.col(set_col).alias("type_b"), "h"),
+              .join(F.broadcast(
+                        sk.select(F.col(set_col).alias("type_b"), "h")),
                     ["type_b", "h"])
               .where(F.col("h") < F.col("th"))
               .groupBy("type_a", "type_b", "th")

@@ -1700,7 +1700,9 @@ def sim_ivf_nprobe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in (1, 2, 4, 8):
         ann = (S.ann_ivf_topk(queries, emb, k=10, nprobe=p)
                .select("query_id", "corpus_id"))
-        hits = (ann.join(exact, ["query_id", "corpus_id"])
+        # exact is 10 rows per query — broadcast it so each sweep
+        # point's hit join is shuffle-free
+        hits = (ann.join(F.broadcast(exact), ["query_id", "corpus_id"])
                 .agg(F.count(F.lit(1)).cast("bigint").alias("total_hits")))
         row = (nq.crossJoin(hits)
                .select(F.lit(p).cast("int").alias("nprobe"),
