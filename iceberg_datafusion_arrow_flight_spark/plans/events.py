@@ -1593,3 +1593,89 @@ def events_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("t_stat"), df.alias("welch_df"),
         F.when(F.abs(t) > 1.96, F.lit(True)).otherwise(F.lit(False))
          .alias("significant"))
+
+
+@register(
+    "events_seasonal_naive_mase",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS t0,
+         date_trunc('hour', MAX(ts)) AS t1
+  FROM events
+), spine AS (
+  SELECT t.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+        FROM bounds) s
+), cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), series AS (
+  SELECT sp.event_type, sp.h, COALESCE(c.c, 0) AS x,
+         ROW_NUMBER() OVER (PARTITION BY sp.event_type
+                            ORDER BY sp.h) AS rn,
+         LAG(COALESCE(c.c, 0), 24) OVER (PARTITION BY sp.event_type
+                                         ORDER BY sp.h) AS x24,
+         LAG(COALESCE(c.c, 0), 1) OVER (PARTITION BY sp.event_type
+                                        ORDER BY sp.h) AS x1
+  FROM spine sp LEFT JOIN cnt c
+    ON c.event_type = sp.event_type AND c.h = sp.h
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_buckets,
+       CAST(SUM(ABS(x - x24)) AS BIGINT) AS sum_abs_err_seasonal,
+       CAST(SUM(ABS(x - x1)) AS BIGINT) AS sum_abs_err_naive1,
+       SUM(ABS(x - x24)) / (SUM(ABS(x - x1)) * 1.0) AS mase
+FROM series
+WHERE rn > 24
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Seasonal-naive forecast error (MASE, Hyndman-Koehler): "
+        "predict each hour's volume by the SAME HOUR YESTERDAY, scale "
+        "its MAE by the one-step naive baseline's — the standard "
+        "'is there even daily seasonality worth modeling' gate run "
+        "before any real forecaster, and the denominator convention "
+        "that makes error comparable across series of different "
+        "volume.  Counts land on a COMPLETE hourly spine (missing "
+        "hours are real zeros — lagging over existing rows only "
+        "would silently misalign the season); both lags are one "
+        "window pass; absolute errors are exact integers, so MASE is "
+        "a ratio of identical sums.  Scale: state is spine-"
+        "cardinality per key, one shuffle. "
+        "plans/events.py:events_mase.",
+    tags=("events", "window", "stats"),
+)
+def events_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"))
+    hours = bounds.select(F.explode(F.sequence(
+        "t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    cnt = (e.groupBy("event_type",
+                     F.date_trunc("hour", F.col("ts")).alias("h"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    series = (spine.join(cnt, ["event_type", "h"], "left")
+              .select("event_type", "h",
+                      F.coalesce(F.col("c"), F.lit(0)).alias("x")))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = (series
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("x24", F.lag("x", 24).over(w))
+              .withColumn("x1", F.lag("x", 1).over(w))
+              .where(F.col("rn") > 24))
+    return (lagged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_buckets"),
+                 F.sum(F.abs(F.col("x") - F.col("x24"))).cast("bigint")
+                  .alias("sum_abs_err_seasonal"),
+                 F.sum(F.abs(F.col("x") - F.col("x1"))).cast("bigint")
+                  .alias("sum_abs_err_naive1"),
+                 (F.sum(F.abs(F.col("x") - F.col("x24")))
+                  / (F.sum(F.abs(F.col("x") - F.col("x1")))
+                     * F.lit(1.0))).alias("mase"))
+            .orderBy("event_type"))

@@ -1024,3 +1024,53 @@ def iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("file_set_unchanged", F.lit(True))
             .withColumn("pre_rewrite_travel_ok", F.lit(True))
             .orderBy("o_orderstatus"))
+
+
+@register(
+    "iceberg_partition_stats",
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS ts_day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+GROUP BY CAST(ts AS DATE)
+ORDER BY ts_day
+""",
+    doc="Partition statistics from METADATA ONLY: per-partition row "
+        "counts assembled purely from manifest entries (partition "
+        "values + parquet footer record counts) — zero data bytes "
+        "read, planning-cost-sized work however large the table; the "
+        "report every maintenance scheduler and skew diagnosis starts "
+        "from ('which partitions are hot / tiny / missing').  The "
+        "oracle recomputes the same counts FROM THE DATA, so the hash "
+        "certifies that partition transform values and footer stats in "
+        "the manifests agree exactly with reality.  Mid-plan asserts "
+        "pin the file-level invariants (every partition has >= 1 "
+        "file; metadata total equals the commit's added-records). "
+        "sources/iceberg_lite.py:plan_files.",
+    tags=("iceberg", "catalog", "partition"),
+)
+def iceberg_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    events = table(spark, sf_dir, "events")
+    t = cat.create_table("stream", "events_pstats", events,
+                         partition_by=["day(ts)"])
+    t.append(events)
+    entries = t.plan_files()
+    if not entries:
+        raise AssertionError("partitioned append produced no entries")
+    per_part: dict[str, list[int]] = {}
+    total = 0
+    for e in entries:
+        day = e.partition["ts_day"]
+        per_part.setdefault(day, []).append(e.record_count)
+        total += e.record_count
+    added = int(t.snapshots()[-1]["summary"]["added-records"])
+    if total != added:
+        raise AssertionError(
+            f"manifest record_count sum {total} != committed "
+            f"added-records {added}")
+    if any(len(v) < 1 for v in per_part.values()):
+        raise AssertionError("a partition with zero files is impossible")
+    rows = [(day, sum(v)) for day, v in sorted(per_part.items())]
+    return (spark.createDataFrame(rows, "ts_day string, n_rows bigint")
+            .orderBy("ts_day"))
