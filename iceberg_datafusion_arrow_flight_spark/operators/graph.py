@@ -311,3 +311,54 @@ def bfs_layers(und: DataFrame, seeds: DataFrame,
     return (filled.unionByName(unreached)
             .select(F.col("depth").cast("int").alias("depth"), "n_nodes")
             .orderBy("depth"))
+
+
+def kcore_peel(und: DataFrame, k: int, rounds: int = 8) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly remove
+    nodes whose degree in the SURVIVING subgraph is below k; the
+    fixpoint is the k-core (Seidman 1983).  Returns a per-round ledger
+    ``(round, n_removed, n_remaining)`` with round 0 as the baseline —
+    the convergence trace IS the output, BPE-training style, so the
+    oracle can pin every intermediate state, not just the final core.
+
+    The ledger has EXACTLY ``rounds`` + 1 rows: once a round removes
+    nothing the remaining rounds are provably identical, so they are
+    emitted as literal pad rows without recomputation (deterministic
+    by the fixpoint property).  If the peel has NOT converged by the
+    cap the function raises — a silent non-fixpoint would report a
+    superset of the true core.
+
+    Scale: each round is two semi-joins of the edge list against the
+    surviving node set plus one keyed count — work ∝ surviving edges,
+    never node² — with the node set checkpointed per round (flat
+    lineage; persist(MEMORY_AND_DISK) is the multi-executor drop-in)."""
+    spark = und.sparkSession
+    edges = und.select("u", "v").localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("u").alias("n"))
+             .unionByName(edges.select(F.col("v").alias("n")))
+             .distinct().localCheckpoint(eager=True))
+    n_prev = nodes.count()
+    ledger = [(0, 0, n_prev)]
+    converged_at = None
+    for r in range(1, rounds + 1):
+        if converged_at is not None:
+            ledger.append((r, 0, n_prev))
+            continue
+        live = (edges.join(nodes, edges["u"] == nodes["n"], "left_semi")
+                .join(nodes, edges["v"] == nodes["n"], "left_semi"))
+        deg = (live.select(F.col("u").alias("n"))
+               .unionByName(live.select(F.col("v").alias("n")))
+               .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+        nodes = (deg.where(F.col("d") >= k).select("n")
+                 .localCheckpoint(eager=True))
+        n_now = nodes.count()
+        ledger.append((r, n_prev - n_now, n_now))
+        if n_now == n_prev:
+            converged_at = r
+        n_prev = n_now
+    if converged_at is None and ledger[-1][1] != 0:
+        raise AssertionError(
+            f"k-core peel did not converge within {rounds} rounds "
+            f"(last round removed {ledger[-1][1]}) — raise the cap")
+    return spark.createDataFrame(
+        ledger, "round int, n_removed bigint, n_remaining bigint")

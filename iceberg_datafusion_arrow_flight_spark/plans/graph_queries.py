@@ -421,3 +421,64 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
              .distinct())
     seeds = nodes.where(F.col("node") % 200 == 0)
     return G.bfs_layers(und, seeds, max_depth=3)
+
+
+_KCORE_K = 80
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled mirror of operators/graph.py:kcore_peel — round r keeps
+    the nodes whose degree within round r-1's surviving subgraph is at
+    least k; after the fixpoint every further unrolled round is
+    provably identical, matching the operator's pad rows."""
+    sql = _COPURCHASE_CTE + """, undm AS MATERIALIZED (
+  SELECT u, v FROM und
+), n0 AS MATERIALIZED (
+  SELECT node AS n FROM deg
+)"""
+    for r in range(1, rounds + 1):
+        sql += f""", d{r} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM undm
+    WHERE u IN (SELECT n FROM n{r - 1}) AND v IN (SELECT n FROM n{r - 1})
+    UNION ALL
+    SELECT v FROM undm
+    WHERE u IN (SELECT n FROM n{r - 1}) AND v IN (SELECT n FROM n{r - 1})
+  ) GROUP BY node
+), n{r} AS MATERIALIZED (
+  SELECT node AS n FROM d{r} WHERE d >= {k}
+)"""
+    rows = ["SELECT CAST(0 AS INT) AS round, CAST(0 AS BIGINT) AS "
+            "n_removed, (SELECT CAST(COUNT(*) AS BIGINT) FROM n0) "
+            "AS n_remaining"]
+    for r in range(1, rounds + 1):
+        rows.append(
+            f"SELECT CAST({r} AS INT), "
+            f"(SELECT COUNT(*) FROM n{r - 1}) - "
+            f"(SELECT COUNT(*) FROM n{r}), "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM n{r})")
+    return sql + "\n" + "\nUNION ALL\n".join(rows) + "\nORDER BY round"
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    doc="k-core decomposition (Seidman) of the part co-purchase graph "
+        "at k=80 by iterative peeling, reported as the full per-round "
+        "convergence LEDGER (round, removed, remaining) — the "
+        "cohesive-subgraph extraction behind community cores, spam "
+        "filtering, and graph-sampling curricula; the cascade itself "
+        "is the insight (removing one layer lowers neighbors' degrees "
+        "and triggers the next).  Each round: two edge-list semi-joins "
+        "against the surviving node set + one keyed count — work ∝ "
+        "surviving edges; 8-round cap with a LOUD non-convergence "
+        "raise, fixpoint rounds padded without recomputation (provably "
+        "identical).  Converges in 6 rounds at both fixture scales "
+        "(cores 1,857 / 18,863 of 2,000 / 20,000). "
+        "operators/graph.py:kcore_peel.",
+    tags=("graph", "iterative"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.kcore_peel(_copurchase_edges(spark, sf_dir),
+                        k=_KCORE_K, rounds=_KCORE_ROUNDS)

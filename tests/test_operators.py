@@ -1309,3 +1309,20 @@ def test_bfs_layers_path_graph(spark):
     got_mid = {r.depth: r.n_nodes
                for r in bfs_layers(und, seeds_mid, max_depth=3).collect()}
     assert got_mid == {-1: 0, 0: 1, 1: 2, 2: 2, 3: 0}
+
+
+def test_kcore_peel_cycle_plus_tail(spark):
+    """k=2 on a triangle with a pendant path: the tail peels in
+    cascade order (one layer per round — removing the outer node drops
+    the next one's degree below 2), the triangle survives as the
+    2-core, and rounds after the fixpoint are identical pad rows."""
+    from iceberg_datafusion_arrow_flight_spark.operators.graph import (
+        kcore_peel)
+
+    # triangle 1-2-3 plus path 3-4-5
+    und = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "u bigint, v bigint")
+    got = [(r.round, r.n_removed, r.n_remaining)
+           for r in kcore_peel(und, k=2, rounds=4).collect()]
+    got.sort()
+    assert got == [(0, 0, 5), (1, 1, 4), (2, 1, 3), (3, 0, 3), (4, 0, 3)]
