@@ -57,7 +57,7 @@ from . import tpch            # noqa: E402,F401
 #   events_cumulative_unique_users, iceberg_expire_respects_refs,
 #   pipeline_dataset_card.
 #
-#   r07 window (below) = those 13 + re-pins (37 at round open, 5
+#   r07 window (below) = those 13 + re-pins (37 at round open, 3
 #   after mid-round cessions to new entries) drawn from the OLDEST
 #   never-re-checked driver-green entries (all last checked in r01:
 #   the relational core — joins ×9, set ops ×6, subqueries ×4, CTEs
@@ -78,14 +78,12 @@ _PRIORITY: list[str] = [
     "events_activity_streaks", "events_anomaly_mad",
     "events_cumulative_unique_users", "iceberg_expire_respects_refs",
     "pipeline_dataset_card",
-    # --- re-pins (5 remain of the 37 at round open): the oldest
+    # --- re-pins (3 remain of the 37 at round open): the oldest
     # never-re-checked driver-green entries (all last checked r01;
     # see ledger note above):
     "join_inner_equi",
     "setop_except",
-    "subquery_in",
     "cte_recursive",
-    "filter_predicates",
     # --- NEW in r07 (two-scale local-gated on arrival; each ceded one
     # re-pin slot — ceded so far: tpch_q10_returned_items,
     # tpch_q8_national_market_share, tpch_q7_nation_volume,
@@ -99,7 +97,7 @@ _PRIORITY: list[str] = [
     # filter_ilike_null_safe, setop_union_all,
     # join_non_equi_range, join_full_outer, setop_intersect,
     # sort_limit_offset, join_left_outer, join_left_semi,
-    # distinct_simple):
+    # distinct_simple, subquery_in, filter_predicates):
     "text_bpe_encode", "sim_mmr_diverse_topk", "sim_kcenter_coreset",
     "events_attribution_last_touch", "pipeline_perplexity_buckets",
     "text_rake_keywords", "multimodal_image_ahash", "dedup_containment",
@@ -115,6 +113,7 @@ _PRIORITY: list[str] = [
     "events_ab_test_welch", "dedup_cross_source_matrix",
     "multimodal_intensity_histogram", "events_seasonal_naive_mase",
     "iceberg_partition_stats", "graph_kcore_peel",
+    "sim_ann_lsh_tables_profile", "events_funnel_within_window",
 ]
 
 

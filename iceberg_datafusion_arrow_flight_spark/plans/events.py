@@ -1679,3 +1679,83 @@ def events_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / (F.sum(F.abs(F.col("x") - F.col("x1")))
                      * F.lit(1.0))).alias("mase"))
             .orderBy("event_type"))
+
+
+@register(
+    "events_funnel_within_window",
+    oracle="""
+WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'view'),
+c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'purchase'),
+vc2 AS (
+  -- greedy reduction (provably equivalent to the EXISTS-triple form):
+  -- the EARLIEST click after a view maximizes the remaining purchase
+  -- window, so a chain exists iff one exists through cstar.  Ranges
+  -- live in WHERE, not ON: the user-equality hash join + filter shape
+  -- runs in 0.3 s where the inequality-join classification took 247 s.
+  SELECT v.user_id, v.t AS tv, MIN(c.t) AS cstar
+  FROM v JOIN c ON c.user_id = v.user_id
+  WHERE c.t > v.t AND c.t <= v.t + 3600000000
+  GROUP BY v.user_id, v.t
+), vcp AS (
+  SELECT DISTINCT vc2.user_id
+  FROM vc2 JOIN p ON p.user_id = vc2.user_id
+  WHERE p.t > vc2.cstar AND p.t <= vc2.tv + 3600000000
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT DISTINCT user_id FROM v)) AS n_users_view,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT DISTINCT user_id FROM vc2)) AS n_users_vc_1h,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM vcp) AS n_users_vcp_1h,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM vc2)) * 1.0
+         / (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM v))
+           AS rate_vc,
+       (SELECT COUNT(*) FROM vcp) * 1.0
+         / (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM v))
+           AS rate_vcp
+""",
+    doc="TIME-CONSTRAINED ordered funnel: view → click → purchase "
+        "where the whole chain completes within ONE HOUR of the view "
+        "— the conversion question product teams actually ask (the "
+        "unconstrained pattern-funnel entry counts a purchase weeks "
+        "later as converted; this one does not).  Expressed as "
+        "user-keyed interval joins — EXISTS a (v,c,p) triple with "
+        "tv < tc <= tv+1h and tc < tp <= tv+1h — which no regex over "
+        "event-initial strings can encode (MATCH_RECOGNIZE-with-"
+        "MEASURES territory).  Per-user stage volumes are bounded "
+        "(events per user per type), so the triple join is user-"
+        "keyed and partial; counts and rates are exact integers and "
+        "their ratios. plans/events.py:events_funnel_window.",
+    tags=("events", "window"),
+)
+def events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    v = (e.where(F.col("event_type") == "view")
+         .select("user_id", F.col("ts").alias("tv")))
+    c = (e.where(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("cu"), F.col("ts").alias("tc")))
+    p = (e.where(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("pu"), F.col("ts").alias("tp")))
+    vu = v.select("user_id").distinct() \
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_view"))
+    vc_join = v.join(c, (F.col("cu") == F.col("user_id"))
+                     & (F.col("tc") > F.col("tv"))
+                     & (F.col("tc") <= F.col("tv") + hour))
+    vc = (vc_join.select("user_id").distinct()
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_vc_1h")))
+    vcp = (vc_join
+           .join(p, (F.col("pu") == F.col("user_id"))
+                 & (F.col("tp") > F.col("tc"))
+                 & (F.col("tp") <= F.col("tv") + hour))
+           .select("user_id").distinct()
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_vcp_1h")))
+    return (vu.crossJoin(vc).crossJoin(vcp)
+            .select("n_users_view", "n_users_vc_1h", "n_users_vcp_1h",
+                    (F.col("n_users_vc_1h") * F.lit(1.0)
+                     / F.col("n_users_view")).alias("rate_vc"),
+                    (F.col("n_users_vcp_1h") * F.lit(1.0)
+                     / F.col("n_users_view")).alias("rate_vcp")))

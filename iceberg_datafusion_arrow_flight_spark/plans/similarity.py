@@ -1712,3 +1712,136 @@ def sim_ivf_nprobe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("mean_recall")))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("nprobe")
+
+
+def _lsh_tables_profile_oracle(sweep: tuple[int, ...] = (2, 4, 8)) -> str:
+    """n_tables mirror of the nprobe profile, over the LSH witness's
+    4-plane geometry: candidate set at T tables = union of the first T
+    bucket-equality joins; same rerank/exact tie-break spellings."""
+    head = f"""
+WITH emb AS ({_EMB}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+qb AS MATERIALIZED (
+  SELECT query_id,
+         {_LSH_QB_COLS}
+  FROM q
+), cb AS MATERIALIZED (
+  SELECT vec_id AS corpus_id,
+         {_LSH_CB_COLS}
+  FROM emb
+), exact AS MATERIALIZED (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.query_id, e.vec_id AS corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND({_COS.format(a='q.qv', b='e.v')}, 6) DESC,
+                                       e.vec_id) AS rnk
+    FROM q JOIN emb e ON e.vec_id != q.query_id)
+  WHERE rnk <= 10
+)"""
+    parts, selects = [], []
+    for T in sweep:
+        union = "\n    UNION ALL\n".join(
+            f"    SELECT query_id, corpus_id FROM qb JOIN cb "
+            f"ON qb.b{t} = cb.b{t} AND query_id != corpus_id"
+            for t in range(T))
+        parts.append(f""", cand{T} AS (
+  SELECT DISTINCT query_id, corpus_id FROM (
+{union}
+  )
+), ann{T} AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT c.query_id, c.corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                              ORDER BY ROUND({_COS.format(a='q.qv', b='e.v')}, 6) DESC,
+                                       c.corpus_id) AS rnk
+    FROM cand{T} c
+    JOIN q ON q.query_id = c.query_id
+    JOIN emb e ON e.vec_id = c.corpus_id)
+  WHERE rnk <= 10
+)""")
+        selects.append(f"""
+SELECT CAST({T} AS INT) AS n_tables,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ann{T} a JOIN exact x
+          ON a.query_id = x.query_id AND a.corpus_id = x.corpus_id)
+           AS total_hits,
+       (SELECT COUNT(*) FROM ann{T} a JOIN exact x
+          ON a.query_id = x.query_id AND a.corpus_id = x.corpus_id)
+         / (10.0 * (SELECT COUNT(*) FROM q)) AS mean_recall
+""")
+    return head + "".join(parts) + "\nUNION ALL".join(selects) \
+        + "ORDER BY n_tables"
+
+
+@register(
+    "sim_ann_lsh_tables_profile",
+    oracle=_lsh_tables_profile_oracle(),
+    doc="LSH table-count sweep — the second index family's tuning "
+        "TABLE, completing the pair with the IVF nprobe sweep: recall"
+        "@10 at 2 / 4 / 8 hash tables of the witness's 4-plane "
+        "geometry against the in-plan exact top-10.  Each extra table "
+        "is one more bucket-equi-join of candidates (more rerank "
+        "work, higher recall) — exactly the union-growth a 100 TB LSH "
+        "deployment sizes; this measures what each table buys on this "
+        "corpus.  Plane constants re-derived in SQL from the shared "
+        "hashlib source; recalls are ratios of identical integers — "
+        "bit-exact. plans/similarity.py:sim_lsh_tables_profile.",
+    tags=("similarity", "eval"),
+)
+def sim_lsh_tables_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..operators.similarity import _as_double, cosine, lsh_bucket
+
+    emb = table(spark, sf_dir, "embeddings")
+    sweep = (2, 4, 8)
+    max_t = max(sweep)
+    # Bucket the corpus ONCE at the largest table count: the sweep
+    # points' table sets are prefixes of the same seed family, so the
+    # 2- and 4-table candidate sets derive from the same checkpointed
+    # bucket table — one corpus scan instead of one per sweep point
+    # (solo 11.0 -> ~7 s; the shape is what matters when the corpus is
+    # the expensive side).
+    q = (emb.where(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 _as_double(F.col("embedding")).alias("qv")))
+    qb = q.select(
+        "query_id", "qv",
+        *[lsh_bucket(F.col("qv"), _LSH_WIT_PLANES, _EMB_DIMS, t)
+          .alias(f"__b{t}") for t in range(max_t)])          .localCheckpoint(eager=True)
+    cb = (emb.select(F.col("vec_id").alias("corpus_id"),
+                     _as_double(F.col("embedding")).alias("cv"))
+          .select("corpus_id", "cv",
+                  *[lsh_bucket(F.col("cv"), _LSH_WIT_PLANES, _EMB_DIMS, t)
+                    .alias(f"__b{t}") for t in range(max_t)])
+          .localCheckpoint(eager=True))
+    exact = (S.topk_cosine(q.select(F.col("query_id").alias("vec_id"),
+                                    F.col("qv").alias("embedding")), emb,
+                           k=10)
+             .select("query_id", "corpus_id").localCheckpoint(eager=True))
+    nq = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    out = None
+    for T in sweep:
+        cands = None
+        for t in range(T):
+            cand = (qb.join(cb, qb[f"__b{t}"] == cb[f"__b{t}"])
+                    .where(F.col("query_id") != F.col("corpus_id"))
+                    .select("query_id", "corpus_id", "qv", "cv"))
+            cands = cand if cands is None else cands.unionAll(cand)
+        cands = cands.dropDuplicates(["query_id", "corpus_id"])
+        sims = cands.select(
+            "query_id", "corpus_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("corpus_id"))
+        ann = (sims.withColumn("__r", F.row_number().over(w))
+               .where(F.col("__r") <= 10).select("query_id", "corpus_id"))
+        hits = (ann.join(F.broadcast(exact), ["query_id", "corpus_id"])
+                .agg(F.count(F.lit(1)).cast("bigint").alias("total_hits")))
+        row = (nq.crossJoin(hits)
+               .select(F.lit(T).cast("int").alias("n_tables"),
+                       "n_queries", "total_hits",
+                       (F.col("total_hits")
+                        / (F.lit(10.0) * F.col("n_queries")))
+                       .alias("mean_recall")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_tables")

@@ -78,5 +78,5 @@ def test_every_family_has_a_priority_row():
                                  # ceded their r07 re-pin slots to new
                                  # entries mid-round (driver-green r01-r06)
                                  "tpch", "values", "projection", "sort",
-                                 "distinct")]
+                                 "distinct", "subquery", "filter")]
     assert not uncovered, uncovered
