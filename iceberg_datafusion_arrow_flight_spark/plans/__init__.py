@@ -116,6 +116,11 @@ _PRIORITY: list[str] = [
     "sim_ann_lsh_tables_profile", "events_funnel_within_window",
 ]
 
+# r08 never-checked pool (registered AFTER the window filled to 50 —
+# 13-pool + 3 re-pins + 34 new; both two-scale local-gated on arrival):
+# iceberg_time_travel_timestamp, dedup_threshold_sensitivity.  They
+# lead the r08 window together with the 34 ceded re-pins queued above.
+
 
 def _apply_priority() -> None:
     missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -1074,3 +1074,56 @@ def iceberg_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(day, sum(v)) for day, v in sorted(per_part.items())]
     return (spark.createDataFrame(rows, "ts_day string, n_rows bigint")
             .orderBy("ts_day"))
+
+
+@register(
+    "iceberg_time_travel_timestamp",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       TRUE AS pre_table_travel_fails
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Time travel BY TIMESTAMP (the `FOR SYSTEM_TIME AS OF` / "
+        "as-of-timestamp half of the travel contract; the snapshot-id "
+        "half is iceberg_time_travel): after two appends, reading AS "
+        "OF the first snapshot's own commit timestamp must resolve to "
+        "s1's content exactly — the 'what did the table look like "
+        "when that report ran' question, resolved through the "
+        "snapshot-log without naming ids.  Mid-plan asserts: a "
+        "timestamp BEFORE table creation raises (no snapshot "
+        "existed), and the timestamp read returns s1's row count. "
+        "sources/iceberg_lite.py:plan_files(as_of_timestamp_ms).",
+    tags=("iceberg", "catalog"),
+)
+def iceberg_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg_lite import NoSuchTableError
+
+    cat = _fresh_catalog()
+    even, odd = _split_orders(spark, sf_dir)
+    t = cat.create_table("sales", "orders_ts_travel", even)
+    t.append(even)
+    s1 = t.snapshots()[-1]
+    t.append(odd)
+    try:
+        t.read(spark, as_of_timestamp_ms=s1["timestamp-ms"] - 3600_000)
+        pre_fails = False
+    except NoSuchTableError:
+        pre_fails = True
+    if not pre_fails:
+        raise AssertionError(
+            "as-of-timestamp before table creation must raise")
+    asof = t.read(spark, as_of_timestamp_ms=s1["timestamp-ms"])
+    n_even = even.count()
+    n_asof = asof.count()
+    if n_asof != n_even:
+        raise AssertionError(
+            f"timestamp travel returned {n_asof} rows, want s1's "
+            f"{n_even}")
+    return (asof.groupBy("o_orderstatus").agg(*_agg_cols())
+            .withColumn("pre_table_travel_fails", F.lit(True))
+            .orderBy("o_orderstatus"))
