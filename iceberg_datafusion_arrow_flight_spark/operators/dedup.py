@@ -724,23 +724,31 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                       F.slice(sh, 1, prefix_len).alias("__prefix"))
             .where(F.size("__sh") > 0)
             .localCheckpoint(eager=True))
+    # The lossless size filter (|B| >= t*|A|) rides INSIDE the
+    # candidate join as two int columns, not after it: on a shared-
+    # template corpus the posting join emits ~40% of all ordered pairs,
+    # so pruning before the distinct + the array-carrying verify joins
+    # is where the filter actually earns (A/B at sf0.1: 10.6 M -> 7.1 M
+    # candidates, end-to-end 9.61 -> 7.40 s solo, output identical at
+    # both scales).
     probe = base.select(F.col("__id").alias("contained_id"),
+                        F.size("__sh").alias("__na"),
                         F.explode("__prefix").alias("__p"))
     index = base.select(F.col("__id").alias("container_id"),
+                        F.size("__sh").alias("__nb"),
                         F.explode("__sh").alias("__p"))
     cand = (probe.join(index,
                        (probe["__p"] == index["__p"])
-                       & (F.col("contained_id") != F.col("container_id")))
+                       & (F.col("contained_id") != F.col("container_id"))
+                       & (threshold_den * F.col("__nb")
+                          >= threshold_num * F.col("__na")))
             .select("contained_id", "container_id").distinct())
     a = base.select(F.col("__id").alias("contained_id"),
                     F.col("__sh").alias("sh_a"))
     b = base.select(F.col("__id").alias("container_id"),
                     F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    size_ok = (threshold_den * F.size("sh_b")
-               >= threshold_num * F.size("sh_a"))
     return (cand.join(a, "contained_id").join(b, "container_id")
-            .where(size_ok)
             .where(threshold_den * inter >= threshold_num * F.size("sh_a"))
             .select("contained_id", "container_id",
                     F.round(inter.cast("double") / F.size("sh_a"), 6)
