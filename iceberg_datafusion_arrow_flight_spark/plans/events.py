@@ -1759,3 +1759,66 @@ def events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.col("n_users_view")).alias("rate_vc"),
                     (F.col("n_users_vcp_1h") * F.lit(1.0)
                      / F.col("n_users_view")).alias("rate_vcp")))
+
+
+@register(
+    "events_intervisit_gap_histogram",
+    oracle="""
+WITH gaps AS (
+  SELECT CAST(date_diff('second',
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+              ts) AS BIGINT) AS gap_s
+  FROM events
+), binned AS (
+  SELECT CASE WHEN gap_s < 60 THEN '00_under_1m'
+              WHEN gap_s < 300 THEN '01_1m_5m'
+              WHEN gap_s < 1800 THEN '02_5m_30m'
+              WHEN gap_s < 3600 THEN '03_30m_1h'
+              WHEN gap_s < 14400 THEN '04_1h_4h'
+              WHEN gap_s < 86400 THEN '05_4h_1d'
+              ELSE '06_over_1d' END AS bin
+  FROM gaps WHERE gap_s IS NOT NULL
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       COUNT(*) / (SELECT COUNT(*) * 1.0 FROM binned) AS share
+FROM binned
+GROUP BY bin
+ORDER BY bin
+""",
+    doc="Inter-event gap distribution per user (fixed integer-second "
+        "bands from under-a-minute to over-a-day) — the DATA-DRIVEN "
+        "basis for the session-window gap parameter: the 30-minute "
+        "gap every sessionization entry hard-codes should sit in a "
+        "valley of THIS histogram, and the histogram is how you check "
+        "(bands are explicit CASE ranges, not log2 — transcendental "
+        "binning is not bit-specified across engines).  One LAG pass "
+        "over (user, time)-sorted events, exact integer gaps and "
+        "counts; shares are ratios of identical integers. "
+        "plans/events.py:events_gap_histogram.",
+    tags=("events", "window", "diagnostics"),
+)
+def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (e.select((F.unix_timestamp("ts")
+                      - F.unix_timestamp(F.lag("ts").over(w)))
+                     .cast("bigint").alias("gap_s"))
+            .where(F.col("gap_s").isNotNull()))
+    bin_col = (F.when(F.col("gap_s") < 60, "00_under_1m")
+               .when(F.col("gap_s") < 300, "01_1m_5m")
+               .when(F.col("gap_s") < 1800, "02_5m_30m")
+               .when(F.col("gap_s") < 3600, "03_30m_1h")
+               .when(F.col("gap_s") < 14400, "04_1h_4h")
+               .when(F.col("gap_s") < 86400, "05_4h_1d")
+               .otherwise("06_over_1d"))
+    binned = gaps.select(bin_col.alias("bin")).localCheckpoint(eager=True)
+    total = binned.agg(F.count(F.lit(1)).alias("__n"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
+            .crossJoin(F.broadcast(total))
+            .select("bin", "n_gaps",
+                    (F.col("n_gaps") / (F.col("__n") * F.lit(1.0)))
+                    .alias("share"))
+            .orderBy("bin"))

@@ -1153,3 +1153,77 @@ FROM ranked WHERE rank <= 10 ORDER BY rank
 )
 def text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.rake_keywords(table(spark, sf_dir, "documents"), k=10)
+
+
+@register(
+    "sketch_bloom_fpr_calibration",
+    oracle=r"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), bloom AS (
+  SELECT DISTINCT kk,
+         CAST(('0x' || substr(md5('cm' || CAST(kk AS VARCHAR) || '|'
+                              || CAST(k AS VARCHAR)),
+                              1, 8))::UBIGINT % 4096 AS BIGINT) AS bit
+  FROM members CROSS JOIN (SELECT unnest([0,1,2,3]) AS kk)
+), non_members AS (
+  SELECT c_custkey FROM customer
+  WHERE c_custkey NOT IN (SELECT k FROM members)
+), probe AS (
+  SELECT c_custkey, kk,
+         CAST(('0x' || substr(md5('cm' || CAST(kk AS VARCHAR) || '|'
+                              || CAST(c_custkey AS VARCHAR)),
+                              1, 8))::UBIGINT % 4096 AS BIGINT) AS bit
+  FROM non_members CROSS JOIN (SELECT unnest([0,1,2,3]) AS kk)
+), verdicts AS (
+  SELECT c_custkey,
+         (COUNT(*) FILTER (WHERE b.bit IS NOT NULL) = 4) AS fp
+  FROM probe p
+  LEFT JOIN bloom b ON b.kk = p.kk AND b.bit = p.bit
+  GROUP BY c_custkey
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+       CAST(COUNT(*) AS BIGINT) AS n_non_member_probes,
+       CAST(SUM(CASE WHEN fp THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_positives,
+       SUM(CASE WHEN fp THEN 1 ELSE 0 END) / (COUNT(*) * 1.0)
+           AS measured_fpr
+FROM verdicts
+""",
+    doc="Bloom-filter FALSE-POSITIVE-RATE calibration: probe the k=4 x "
+        "m=4096 filter (built over urgent-order customers) with every "
+        "customer key that is provably NOT a member and report the "
+        "measured FPR beside the exact member/probe counts — the "
+        "measured counterpart of the analytic bound (1-e^{-kn/m})^k, "
+        "which stays in this docstring rather than the hashed result "
+        "because exp() is not bit-specified across engines.  No false "
+        "negatives is a THEOREM for Bloom filters; the FPR is the "
+        "empirical half every capacity plan needs measured, not "
+        "assumed.  Deterministic md5 bits end-to-end; the rate is a "
+        "ratio of identical integers. "
+        "operators/countmin.py:bloom_build/bloom_probe.",
+    tags=("sketch", "approx", "eval"),
+)
+def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import countmin as CM
+    orders = table(spark, sf_dir, "orders")
+    members = (orders.where(F.col("o_orderpriority") == "1-URGENT")
+               .select(F.col("o_custkey")).distinct())
+    bloom = CM.bloom_build(
+        orders.where(F.col("o_orderpriority") == "1-URGENT"), "o_custkey")
+    non_members = (table(spark, sf_dir, "customer")
+                   .select("c_custkey")
+                   .join(members,
+                         F.col("c_custkey") == F.col("o_custkey"),
+                         "left_anti"))
+    verdicts = CM.bloom_probe(bloom, non_members, "c_custkey")
+    n_members = members.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    return (n_members.crossJoin(
+        verdicts.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_non_member_probes"),
+            F.sum(F.col("maybe_present").cast("int")).cast("bigint")
+             .alias("n_false_positives"),
+            (F.sum(F.col("maybe_present").cast("int"))
+             / (F.count(F.lit(1)) * F.lit(1.0))).alias("measured_fpr"))))
