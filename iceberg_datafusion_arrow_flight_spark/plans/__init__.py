@@ -119,7 +119,8 @@ _PRIORITY: list[str] = [
 # r08 never-checked pool (registered AFTER the window filled to 50 —
 # 13-pool + 3 re-pins + 34 new; each two-scale local-gated on arrival):
 # iceberg_time_travel_timestamp, dedup_threshold_sensitivity,
-# sketch_bloom_fpr_calibration, events_intervisit_gap_histogram.  They
+# sketch_bloom_fpr_calibration, events_intervisit_gap_histogram,
+# events_new_vs_returning, pipeline_decontaminate_ngram_sizes.  They
 # lead the r08 window together with the 34 ceded re-pins queued above.
 
 

@@ -1822,3 +1822,57 @@ def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_gaps") / (F.col("__n") * F.lit(1.0)))
                     .alias("share"))
             .orderBy("bin"))
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT CAST(e.ts AS DATE) AS day, e.user_id,
+         MIN(CASE WHEN CAST(e.ts AS DATE) = f.first_day
+             THEN 1 ELSE 0 END) AS is_new
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+  GROUP BY CAST(e.ts AS DATE), e.user_id
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(SUM(is_new) AS BIGINT) AS new_users,
+       CAST(SUM(1 - is_new) AS BIGINT) AS returning_users,
+       SUM(1 - is_new) / (COUNT(*) * 1.0) AS returning_share
+FROM daily
+GROUP BY day
+ORDER BY day
+""",
+    doc="Daily NEW vs RETURNING active-user split (a user is new on "
+        "exactly their first-seen day) — the growth-accounting "
+        "decomposition under every DAU chart: the same DAU can be a "
+        "healthy retained base or a leaky bucket of one-day users, "
+        "and only this split tells them apart.  First-seen is one "
+        "keyed MIN (never an expanding-window DISTINCT state — the "
+        "same first-touch shape as the cumulative-uniques entry); "
+        "the day classification is a broadcast-sized join back.  "
+        "Exact integer counts; shares are ratios of identical "
+        "integers. plans/events.py:events_new_returning.",
+    tags=("events", "aggregate"),
+)
+def events_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    first_seen = (e.groupBy("user_id")
+                  .agg(F.min(F.col("ts").cast("date")).alias("first_day")))
+    daily = (e.select(F.col("ts").cast("date").alias("day"), "user_id")
+             .join(first_seen, "user_id")
+             .groupBy("day", "user_id")
+             .agg(F.min(F.when(F.col("day") == F.col("first_day"), 1)
+                        .otherwise(0)).alias("is_new")))
+    return (daily.groupBy("day")
+            .agg(F.sum("is_new").cast("bigint").alias("new_users"),
+                 F.sum(1 - F.col("is_new")).cast("bigint")
+                  .alias("returning_users"),
+                 (F.sum(1 - F.col("is_new"))
+                  / (F.count(F.lit(1)) * F.lit(1.0)))
+                 .alias("returning_share"))
+            .select(F.col("day").cast("string").alias("day"),
+                    "new_users", "returning_users", "returning_share")
+            .orderBy("day"))

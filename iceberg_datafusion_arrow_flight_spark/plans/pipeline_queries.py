@@ -1180,3 +1180,82 @@ def pipeline_perplexity_buckets(spark: SparkSession,
                  F.countDistinct("source").cast("bigint")
                   .alias("n_sources"))
             .orderBy("bucket"))
+
+
+def _decontam_size_oracle(sizes: tuple[int, ...] = (2, 3, 5)) -> str:
+    """Per-n mirror of pipeline_decontaminate's corpus rollup: the same
+    distinct-gram hit accounting at each shingle size, one summary row
+    per n."""
+    parts, selects = [], []
+    for n in sizes:
+        parts.append(f""", grams{n} AS (
+  SELECT doc_id, source, unnest({_DUCK_GRAMS(n)}) AS g FROM tok
+), bg{n} AS (
+  SELECT DISTINCT g FROM grams{n} WHERE source = 'src0'
+), hit{n} AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN g IN (SELECT g FROM bg{n}) THEN 1 ELSE 0 END)
+             AS n_hit
+  FROM (SELECT DISTINCT doc_id, g FROM grams{n} WHERE source <> 'src0')
+  GROUP BY doc_id
+)""")
+        selects.append(f"""
+SELECT CAST({n} AS INT) AS n,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hit{n} WHERE n_hit > 0)
+           AS n_flagged_docs,
+       (SELECT CAST(COALESCE(SUM(n_hit), 0) AS BIGINT) FROM hit{n}
+         WHERE n_hit > 0) AS sum_hits,
+       (SELECT CAST(COALESCE(SUM(n_grams), 0) AS BIGINT) FROM hit{n}
+         WHERE n_hit > 0) AS sum_grams_flagged,
+       (SELECT COUNT(*) FROM hit{n} WHERE n_hit > 0)
+         / ((SELECT COUNT(DISTINCT doc_id) FROM documents
+              WHERE source <> 'src0') * 1.0) AS flagged_share
+""")
+    return ("""
+WITH tok AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+)""" + "".join(parts) + "\nUNION ALL".join(selects) + "ORDER BY n")
+
+
+@register(
+    "pipeline_decontaminate_ngram_sizes",
+    oracle=_decontam_size_oracle(),
+    doc="Decontamination SHINGLE-SIZE sensitivity: the corpus-level "
+        "flag accounting (flagged docs, hit/gram sums, flagged share) "
+        "at n = 2 / 3 / 5 — the n-size tuning table behind every "
+        "contamination policy: short shingles flag natural phrase "
+        "reuse (false positives), long ones miss paraphrase overlap "
+        "(false negatives), and the policy n should be chosen off "
+        "THIS curve, not folklore (the production entry uses 3).  "
+        "Each sweep point keeps the scale shape of the production "
+        "entry: benchmark grams broadcast, corpus never self-joined, "
+        "one per-doc aggregate exchange.  Exact integer accounting; "
+        "shares are ratios of identical integers. "
+        "plans/pipeline_queries.py:pipeline_decontam_sizes.",
+    tags=("pipeline", "dedup", "text", "diagnostics"),
+)
+def pipeline_decontam_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pipeline import decontaminate
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src0")
+    bench = docs.where(F.col("source") == "src0")
+    n_corpus = corpus.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("__n"))
+    out = None
+    for n in (2, 3, 5):
+        flagged = decontaminate(corpus, bench, n=n)
+        row = (flagged.agg(
+                   F.count(F.lit(1)).cast("bigint").alias("n_flagged_docs"),
+                   F.coalesce(F.sum("n_hit"), F.lit(0)).cast("bigint")
+                    .alias("sum_hits"),
+                   F.coalesce(F.sum("n_grams"), F.lit(0)).cast("bigint")
+                    .alias("sum_grams_flagged"))
+               .crossJoin(F.broadcast(n_corpus))
+               .select(F.lit(n).cast("int").alias("n"),
+                       "n_flagged_docs", "sum_hits", "sum_grams_flagged",
+                       (F.col("n_flagged_docs")
+                        / (F.col("__n") * F.lit(1.0)))
+                       .alias("flagged_share")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n")
