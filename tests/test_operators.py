@@ -1326,3 +1326,80 @@ def test_kcore_peel_cycle_plus_tail(spark):
            for r in kcore_peel(und, k=2, rounds=4).collect()]
     got.sort()
     assert got == [(0, 0, 5), (1, 1, 4), (2, 1, 3), (3, 0, 3), (4, 0, 3)]
+
+
+def test_intensity_histogram_matches_generator_formula(spark):
+    """Per-image histogram counts recomputed in plain Python from the
+    pixel generator formula (value = (7*id + k) % 256): bins must agree
+    exactly and per-doc counts must sum to 3*w*h."""
+    from iceberg_datafusion_arrow_flight_spark.operators.multimodal import (
+        attach_image_payload, intensity_histogram)
+
+    ids = [0, 3, 7, 12]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {}
+    for r in intensity_histogram(attach_image_payload(docs)).collect():
+        got[(r.doc_id, r.bin)] = r.n_pixels
+    for did in ids:
+        w, h = 8 + (did % 8) * 4, 8 + (did % 5) * 4
+        expect = [0] * 8
+        for k in range(3 * w * h):
+            expect[((7 * did + k) % 256) // 32] += 1
+        for b in range(8):
+            assert got.get((did, b), 0) == expect[b], (did, b)
+        assert sum(expect) == 3 * w * h
+
+
+def test_ewma_daily_matches_python_fold(spark, sf_dir):
+    """The EWMA series entry's folds re-run as a plain Python loop over
+    the same ordered daily counts — every smoothed value must be
+    bit-identical (same left fold, same IEEE doubles)."""
+    from iceberg_datafusion_arrow_flight_spark.plans import REGISTRY
+
+    rows = REGISTRY["events_ewma_daily"].build(spark, sf_dir).collect()
+    series: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        series.setdefault(r.event_type, []).append(r)
+    for typ, rs in series.items():
+        s = 0.0
+        for r in rs:
+            s = s * 0.7 + float(r.n_events) * 0.3
+            assert r.ewma == s, (typ, r.day, r.ewma, s)
+
+
+def test_welch_ttest_matches_python(spark, sf_dir):
+    """The Welch entry's t statistic and df recomputed in plain Python
+    from the collected per-user integer metric — identical expression
+    tree on identical integers means bit-identical doubles."""
+    import math
+
+    from iceberg_datafusion_arrow_flight_spark.plans import REGISTRY
+    from iceberg_datafusion_arrow_flight_spark.plans.events import (
+        events_welch)
+
+    row = events_welch(spark, sf_dir).collect()[0]
+    # recompute the per-user integer metric + arms independently
+    import hashlib
+    e = load_table(spark, sf_dir, "events") \
+        .select("user_id", "event_type", "value").collect()
+    per_user: dict[int, int] = {}
+    for r in e:
+        x = (math.floor(r.value * 100 + 0.5)
+             if r.event_type == "purchase" else 0)
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + x
+    arms: dict[str, list[int]] = {"A": [], "B": []}
+    for uid, x in per_user.items():
+        h = int(hashlib.md5(f"ab|{uid}".encode()).hexdigest()[:15], 16)
+        arms["A" if h % 2 == 0 else "B"].append(x)
+    n_a, n_b = len(arms["A"]), len(arms["B"])
+    s1a, s1b = sum(arms["A"]), sum(arms["B"])
+    s2a = sum(float(x) * float(x) for x in arms["A"])
+    s2b = sum(float(x) * float(x) for x in arms["B"])
+    ma, mb = s1a / (n_a * 1.0), s1b / (n_b * 1.0)
+    va = (s2a - ma * s1a) / ((n_a - 1) * 1.0)
+    vb = (s2b - mb * s1b) / ((n_b - 1) * 1.0)
+    se2 = va / n_a + vb / n_b
+    t = (ma - mb) / math.sqrt(se2)
+    assert (row.n_a, row.n_b) == (n_a, n_b)
+    assert row.mean_a_centi == ma and row.mean_b_centi == mb
+    assert abs(row.t_stat - t) < 1e-12, (row.t_stat, t)
