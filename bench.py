@@ -9,11 +9,23 @@ target is within 2x of the recorded per-query baseline).
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
 import re
 import sys
 import time
+
+# The driver captures the LAST 2000 bytes of stdout and parses the JSON
+# line out of that tail.  BENCH_r07 landed unparseable ("parsed": null)
+# because adding the per-query rows map pushed the single line past the
+# capture, cutting off the head.  Contract: the printed line stays under
+# this ceiling (tests/test_bench_contract.py pins it against the
+# worst-case HEADLINE rendering); the full per-query detail (4-dp times,
+# row counts, load triples, stderr classes) goes to a committed
+# BENCH_DETAIL_r{N}.json whose sha256 prefix is echoed in the line.
+LINE_BYTE_CEILING = 1900
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -98,6 +110,21 @@ def _classify_stderr(path: str) -> dict:
              if re.search(r"(^|\s)ERROR\s", ln)
              and "Failed to update accumulator" not in ln][:3]
     return {"benign_accumulator_races": benign, "other_errors": other}
+
+
+def _detail_path() -> str:
+    """Committed detail-file path for THIS round: the driver writes
+    BENCH_r{N}.json after running bench, so the round being measured is
+    one past the highest recorded artifact; the driver's round-close
+    commit then picks the detail file up alongside the artifact."""
+    override = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    if override:
+        return override
+    repo = os.path.dirname(os.path.abspath(__file__))
+    prior = [int(m.group(1)) for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+             if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+    n = (max(prior) + 1) if prior else 1
+    return os.path.join(repo, f"BENCH_DETAIL_r{n:02d}.json")
 
 
 def main() -> None:
@@ -226,22 +253,49 @@ def main() -> None:
     os.dup2(orig_fd, 2)
     sys.excepthook = sys.__excepthook__
     os.close(orig_fd)
-    print(json.dumps({
+    stderr_classes = _classify_stderr(stderr_log)
+    load_end = os.getloadavg()
+    # Full detail — 4-dp times, row counts, load triples, stderr
+    # classification — goes to the committed detail file; the printed
+    # line carries the total, 2-dp per-query times, and the detail
+    # file's hash so the judge can bind line <-> file.
+    detail_path = _detail_path()
+    detail = json.dumps({
         "metric": "headline_query_wall_clock_total",
         "value": total,
         "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "queries": times,
         # Per-query output row counts at this SF (deterministic plans →
         # a changed count means the query or data changed, not noise).
         "rows": {n: rows[n] for n in names},
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # 1/5/15-min load averages bracketing the run: this host shares
         # CPUs with invisible neighbors (PERFORMANCE.md), so the judge
         # can separate host noise from regression in one look.
         "load_avg_start": [round(x, 2) for x in load_start],
-        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
-        "stderr": _classify_stderr(stderr_log),
-    }))
+        "load_avg_end": [round(x, 2) for x in load_end],
+        "stderr": stderr_classes,
+    }, indent=1)
+    with open(detail_path, "w") as f:
+        f.write(detail + "\n")
+    line_obj = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in times.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load1": [round(load_start[0], 2), round(load_end[0], 2)],
+        "errs": [stderr_classes.get("benign_accumulator_races", 0),
+                 len(stderr_classes.get("other_errors", []))],
+        "detail": os.path.basename(detail_path),
+        "detail_sha256": hashlib.sha256(detail.encode()).hexdigest()[:12],
+    }
+    line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > LINE_BYTE_CEILING:  # degrade, never truncate mid-JSON
+        line_obj.pop("queries")
+        line_obj["queries_in_detail"] = True
+        line = json.dumps(line_obj, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1541,12 +1541,19 @@ FROM stats
         "arm sums are order-independent, then mean/variance/t and the "
         "Welch-Satterthwaite df all derive from the same five exact "
         "numbers through identical expression trees — bit-exact with "
-        "zero rounding.  (x² accumulates in DOUBLE and stays EXACT — "
-        "hence order-independent — while the running sum is below "
-        "2^53: centi-units put the sf0.1 total at ~7.6e12, a 1000x "
-        "margin, measured; shrink the unit again if the metric ever "
-        "grows three orders.)  Scale: one per-user "
-        "partial agg, then 2-row state. plans/events.py:events_welch.",
+        "zero rounding.  The BINDING exactness accumulator is s2 = "
+        "SUM(x²), which grows quadratically with the metric: measured "
+        "s2 totals are 6.8e11 at sf0.01 and 7.57e12 at sf0.1 (~1189x "
+        "below 2^53), and each addend x² <= (1.85e5)² = 3.4e10 is "
+        "itself exactly representable — so every partial sum is an "
+        "exact integer in DOUBLE and the summation is order-"
+        "independent (the linear s1, at 9.95e7, is nowhere near "
+        "binding).  tests/test_operators.py::"
+        "test_welch_s2_exactness_margin re-measures both margins in "
+        "exact HUGEINT and fails if scale growth eats them; shrink the "
+        "centi-unit if the metric ever grows two orders.  Scale: one "
+        "per-user partial agg, then 2-row state. "
+        "plans/events.py:events_welch.",
     tags=("events", "aggregate", "stats"),
 )
 def events_welch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1422,6 +1422,7 @@ WITH emb AS ({emb}),
 mx AS (
   SELECT d, MAX(ABS(v[d])) AS m
   FROM emb, range(1, {_EMB_DIMS + 1}) t(d)
+  WHERE vec_id % 10 = 0
   GROUP BY d
 ), sc AS (
   SELECT list(m ORDER BY d) AS scales FROM mx
@@ -1453,20 +1454,29 @@ ORDER BY label
         "FAISS-SQ pre-flight: quantize each dimension symmetrically to "
         "int8 with a per-dimension max-abs scale, dequantize, and "
         "report reconstruction error + saturation counts BEFORE "
-        "trusting the compressed index).  Per-dim scales are a "
-        "64-double state built by one partial-aggregable MAX pass and "
-        "broadcast back; squared errors are folded per row into exact "
-        "integer pico-units so group sums are order-independent and "
-        "the whole report hash-matches across engines.  Scale: one "
-        "corpus scan + one 64-row agg — nothing grows with corpus "
-        "size. plans/similarity.py:sim_sq_error.",
+        "trusting the compressed index).  Per-dim scales are trained on "
+        "the deterministic 10% sample vec_id % 10 = 0 (the FAISS "
+        "train-on-a-sample shape) — so out-of-sample vectors whose "
+        "magnitude exceeds the trained per-dim max genuinely CLIP at "
+        "±127 and n_saturated measures real saturation, not a dead "
+        "diagnostic (scales from the full corpus max-abs can never "
+        "saturate by construction).  Sample-MAX keeps both engines "
+        "bit-identical where a quantile would not.  The 64-double "
+        "state is one partial-aggregable MAX pass broadcast back; "
+        "squared errors fold per row into exact integer pico-units so "
+        "group sums are order-independent and the whole report "
+        "hash-matches across engines.  Scale: one corpus scan + one "
+        "64-row agg — nothing grows with corpus size. "
+        "plans/similarity.py:sim_sq_error.",
     tags=("similarity", "diagnostics"),
 )
 def sim_sq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _as_double
     emb = (table(spark, sf_dir, "embeddings")
-           .select("label", _as_double(F.col("embedding")).alias("v")))
-    exploded = emb.select(F.posexplode("v").alias("d", "x"))
+           .select("vec_id", "label",
+                   _as_double(F.col("embedding")).alias("v")))
+    exploded = (emb.filter(F.col("vec_id") % 10 == 0)
+                .select(F.posexplode("v").alias("d", "x")))
     scales = (exploded.groupBy("d").agg(F.max(F.abs("x")).alias("m"))
               .agg(F.array_sort(F.collect_list(F.struct("d", "m")))
                    .alias("dm"))
@@ -1804,10 +1814,11 @@ def sim_lsh_tables_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (emb.where(F.col("vec_id") % 100 == 0)
          .select(F.col("vec_id").alias("query_id"),
                  _as_double(F.col("embedding")).alias("qv")))
-    qb = q.select(
-        "query_id", "qv",
-        *[lsh_bucket(F.col("qv"), _LSH_WIT_PLANES, _EMB_DIMS, t)
-          .alias(f"__b{t}") for t in range(max_t)])          .localCheckpoint(eager=True)
+    qb = (q.select(
+              "query_id", "qv",
+              *[lsh_bucket(F.col("qv"), _LSH_WIT_PLANES, _EMB_DIMS, t)
+                .alias(f"__b{t}") for t in range(max_t)])
+          .localCheckpoint(eager=True))
     cb = (emb.select(F.col("vec_id").alias("corpus_id"),
                      _as_double(F.col("embedding")).alias("cv"))
           .select("corpus_id", "cv",

@@ -1403,3 +1403,33 @@ def test_welch_ttest_matches_python(spark, sf_dir):
     assert (row.n_a, row.n_b) == (n_a, n_b)
     assert row.mean_a_centi == ma and row.mean_b_centi == mb
     assert abs(row.t_stat - t) < 1e-12, (row.t_stat, t)
+
+
+def test_welch_s2_exactness_margin(sf_dir):
+    """The Welch entry's bit-exactness argument rests on the QUADRATIC
+    accumulator s2 = SUM(x²), not the linear s1 (r7 advice): each
+    addend x² and every running partial sum must stay below 2^53 for
+    the DOUBLE summation to be exact and hence order-independent
+    across engines.  Re-measure both in exact HUGEINT arithmetic and
+    fail with 8x of margin to spare, so data-scale growth trips this
+    test long before the oracle hash turns flaky."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    s2_total, x_max = con.execute("""
+        WITH per_user AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                          THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS x
+          FROM events GROUP BY user_id)
+        SELECT SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)), MAX(x)
+        FROM per_user""").fetchone()
+    margin = 2.0 ** 53 / 8.0
+    assert float(s2_total) < margin, (
+        f"s2 total {float(s2_total):.3e} within 8x of 2^53 — shrink the "
+        f"centi-unit in events_ab_test_welch before exactness breaks")
+    assert float(x_max) ** 2 < margin, (
+        f"largest per-user x² {float(x_max)**2:.3e} within 8x of 2^53")
