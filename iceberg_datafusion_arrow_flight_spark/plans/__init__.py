@@ -41,87 +41,58 @@ from . import tpch            # noqa: E402,F401
 #
 # Rotation ledger — CURRENT state only; the full r01-r06 rotation
 # history was moved verbatim to PERFORMANCE.md ("Rotation ledger
-# archive") at r7 open.  Rotation state is always re-derivable from the
-# CORRECTNESS_r0*.json keys (union = ever-checked; per-file = that
-# round's window).
+# archive") at r7 open; r07's window composition is archived there too.
+# Rotation state is always re-derivable from the CORRECTNESS_r0*.json
+# keys (union = ever-checked; per-file = that round's window).
 #
-#   State at r06 close: registry 278; CORRECTNESS_r01-r06 union = 265
-#   ever-checked (258 full-green, 7 rows-only by design, 0 red).  The
-#   13 never-checked entries form the r07 pool (all two-scale
-#   local-gated on arrival, re-verified by the r6 judge 13/13):
-#   agg_higher_moments, window_frame_exclusion, sim_ann_ivfpq_topk
-#   (rows-only; witness sim_ann_ivfpq_recall_report is pass-r6),
-#   sim_pairwise_distance_histogram, sim_embedding_norm_diagnostics,
-#   text_code_detection, text_bpe_compression, events_burn_rate_alerts,
-#   events_activity_streaks, events_anomaly_mad,
-#   events_cumulative_unique_users, iceberg_expire_respects_refs,
-#   pipeline_dataset_card.
+#   State at r07 close: registry 318; CORRECTNESS_r01-r07 union = 312
+#   ever-checked (304 full-green, 8 rows-only by design with oracled
+#   witnesses, 0 red).  The 6 never-checked entries (all added late r7,
+#   all two-scale local-gated on arrival AND re-verified 6/6 by the r7
+#   judge) form the r08 pool.
 #
-#   r07 window (below) = those 13 + re-pins (37 at round open, 3
-#   after mid-round cessions to new entries) drawn from the OLDEST
-#   never-re-checked driver-green entries (all last checked in r01:
-#   the relational core — joins ×9, set ops ×6, subqueries ×4, CTEs
-#   ×2, filters ×3, sorts ×2, distinct ×2, project_star_except,
-#   values_inline, agg cube/rollup/global — plus 4 r01 TPC-H reps
-#   q3/q7/q8/q10).  The 9 r01 TPC-H entries left out
-#   (q4,q5,q6,q13,q14,q17,q18,q19,q22) are the oldest remainder and
-#   lead the r08 re-pin queue.  Entries NEW in r07 cede re-pin slots
-#   mid-round (newest-first swap, window re-swept at sf0.01 after
-#   every edit); ceded re-pins return to the r08 queue.
+#   r08 window (below) = that 6-entry pool + 44 re-pins drawn from the
+#   OLDEST never-re-checked driver-green entries, staleness computed
+#   from the CORRECTNESS artifacts: the 43 remaining last-checked-r01
+#   entries (relational core joins/setops/subqueries/filters/sorts/
+#   distinct/CTE/agg-rollup block + all 13 r01 TPC-H entries) and the
+#   single oldest r02 entry (agg_having_filter_distinct).  Entries NEW
+#   in r08 cede re-pin slots mid-round (newest-first swap, window
+#   re-swept at sf0.01 after every edit); ceded re-pins return to the
+#   r09 queue.
 _PRIORITY: list[str] = [
-    # --- the 13-entry r07 never-checked pool (retires cumulative
-    # driver coverage back to all-checked):
-    "agg_higher_moments", "window_frame_exclusion",
-    "sim_ann_ivfpq_topk", "sim_pairwise_distance_histogram",
-    "sim_embedding_norm_diagnostics", "text_code_detection",
-    "text_bpe_compression", "events_burn_rate_alerts",
-    "events_activity_streaks", "events_anomaly_mad",
-    "events_cumulative_unique_users", "iceberg_expire_respects_refs",
-    "pipeline_dataset_card",
-    # --- re-pins (3 remain of the 37 at round open): the oldest
-    # never-re-checked driver-green entries (all last checked r01;
-    # see ledger note above):
-    "join_inner_equi",
-    "setop_except",
-    "cte_recursive",
-    # --- NEW in r07 (two-scale local-gated on arrival; each ceded one
-    # re-pin slot — ceded so far: tpch_q10_returned_items,
-    # tpch_q8_national_market_share, tpch_q7_nation_volume,
-    # tpch_q3_shipping_priority, agg_global_stats, values_inline,
-    # agg_rollup, distinct_on, join_range_binned, setop_except_all,
-    # subquery_not_in, subquery_scalar_uncorrelated,
-    # sort_nulls_ordering, filter_is_true_unknown, join_cross,
-    # setop_union_distinct, join_left_anti, project_star_except,
-    # agg_cube, join_right_outer, setop_intersect_all,
-    # subquery_scalar_correlated, cte_multi,
-    # filter_ilike_null_safe, setop_union_all,
-    # join_non_equi_range, join_full_outer, setop_intersect,
-    # sort_limit_offset, join_left_outer, join_left_semi,
-    # distinct_simple, subquery_in, filter_predicates):
-    "text_bpe_encode", "sim_mmr_diverse_topk", "sim_kcenter_coreset",
-    "events_attribution_last_touch", "pipeline_perplexity_buckets",
-    "text_rake_keywords", "multimodal_image_ahash", "dedup_containment",
-    "graph_adamic_adar", "events_markov_transitions",
-    "events_power_users_pareto", "dedup_cascade_report",
-    "iceberg_rest_snapshot_expire", "sketch_kmv_distinct_users",
-    "events_pattern_funnel_ordered", "multimodal_audio_silence",
-    "events_conversion_latency", "events_ab_test_ztest",
-    "sketch_kmv_intersection", "sim_scalar_quantization_error",
-    "sim_random_projection_jl", "graph_bfs_reach",
-    "iceberg_rewrite_manifests", "events_ewma_daily",
-    "dedup_minhash_estimator_calibration", "sim_ann_ivf_nprobe_profile",
-    "events_ab_test_welch", "dedup_cross_source_matrix",
-    "multimodal_intensity_histogram", "events_seasonal_naive_mase",
-    "iceberg_partition_stats", "graph_kcore_peel",
-    "sim_ann_lsh_tables_profile", "events_funnel_within_window",
+    # --- the 6-entry r08 never-checked pool (retires cumulative
+    # driver coverage back to all-checked 318/318):
+    "iceberg_time_travel_timestamp", "dedup_threshold_sensitivity",
+    "sketch_bloom_fpr_calibration", "events_intervisit_gap_histogram",
+    "events_new_vs_returning", "pipeline_decontaminate_ngram_sizes",
+    # --- re-pins: the 43 last-checked-r01 entries (oldest first in
+    # registration order) ...
+    "agg_global_stats", "agg_cube", "agg_rollup",
+    "join_left_outer", "join_right_outer", "join_full_outer",
+    "join_cross", "join_left_semi", "join_left_anti",
+    "join_non_equi_range",
+    "subquery_scalar_uncorrelated", "subquery_scalar_correlated",
+    "subquery_in", "subquery_not_in",
+    "cte_multi",
+    "setop_union_all", "setop_union_distinct", "setop_intersect",
+    "setop_intersect_all", "setop_except_all",
+    "sort_limit_offset", "sort_nulls_ordering",
+    "distinct_simple", "distinct_on",
+    "values_inline",
+    "filter_predicates", "filter_ilike_null_safe",
+    "filter_is_true_unknown",
+    "join_range_binned", "project_star_except",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
+    "tpch_q10_returned_items", "tpch_q14_promo_effect",
+    "tpch_q19_discounted_revenue", "tpch_q18_large_volume_customer",
+    "tpch_q8_national_market_share", "tpch_q4_order_priority",
+    "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
+    # --- ... plus the single oldest r02 entry:
+    "agg_having_filter_distinct",
 ]
-
-# r08 never-checked pool (registered AFTER the window filled to 50 —
-# 13-pool + 3 re-pins + 34 new; each two-scale local-gated on arrival):
-# iceberg_time_travel_timestamp, dedup_threshold_sensitivity,
-# sketch_bloom_fpr_calibration, events_intervisit_gap_histogram,
-# events_new_vs_returning, pipeline_decontaminate_ngram_sizes.  They
-# lead the r08 window together with the 34 ceded re-pins queued above.
 
 
 def _apply_priority() -> None:
