@@ -642,8 +642,260 @@ def rewrite_qualify(sql: str) -> str:
             f"WHERE {pred}{suffix}")
 
 
+# ------------------------------------------- GROUPING SETS over empty input
+# Engine divergence (GAPS.md, found by the grouping-set fuzz): over an
+# EMPTY input, a grouping-set list containing the grand-total () set —
+# explicitly, or implicitly via CUBE/ROLLUP — yields one row per () set
+# (COUNT=0, other aggregates NULL; SQL-standard / Postgres / DuckDB /
+# DataFusion-40 via lib.rs:678), but Spark's Expand-based implementation
+# yields ZERO rows.  The exact shim: UNION ALL the statement with a
+# GLOBAL-aggregate twin of itself guarded by HAVING COUNT(*) = 0.  Over
+# a non-empty input the guard filters the twin's one row out; over an
+# empty input the global aggregate produces exactly the standard's
+# grand-total row — COUNT(*)=0, every other aggregate NULL, every
+# grouping column NULL (grouping-column references in the twin are
+# substituted with NULL, which is also their standard value in the ()
+# row), GROUPING(col)=1.  The pass is deliberately conservative: any
+# shape it cannot prove it rewrites correctly (set operations, window
+# functions, GROUPING_ID, non-column grouping expressions nested inside
+# other select items, ungrouped references it cannot attribute to an
+# aggregate) is returned unchanged, preserving Spark's behavior there.
+
+_AGG_HEADS = frozenset((
+    "sum", "count", "min", "max", "avg", "mean", "stddev", "stddev_samp",
+    "stddev_pop", "variance", "var_samp", "var_pop", "corr", "covar_samp",
+    "covar_pop", "skewness", "kurtosis", "first", "last", "any_value",
+    "collect_list", "collect_set", "array_agg", "string_agg", "listagg",
+    "approx_count_distinct", "approx_percentile", "percentile",
+    "percentile_approx", "median", "mode", "bit_and", "bit_or", "bit_xor",
+    "bool_and", "bool_or", "every", "some", "count_if", "max_by", "min_by",
+    "regr_slope", "regr_intercept", "regr_r2", "regr_avgx", "regr_avgy",
+    "regr_count", "regr_sxx", "regr_syy", "regr_sxy",
+))
+
+_EXPR_KEYWORDS = frozenset((
+    "null", "true", "false", "and", "or", "not", "case", "when", "then",
+    "else", "end", "in", "is", "between", "like", "ilike", "rlike",
+    "distinct", "interval", "over", "filter", "where", "asc", "desc",
+    "nulls", "first", "last", "escape", "all", "any", "exists", "as",
+    "by", "partition", "order", "group", "day", "month", "year",
+    "hour", "minute", "second", "week", "quarter",
+))
+
+
+def _split_depth0_commas(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p for p in parts]
+
+
+_IDENT_OR_CALL_RE = re.compile(r"[A-Za-z_][\w.]*|\(|\)")
+
+
+def _has_unattributed_ident(expr: str) -> bool:
+    """True if expr contains an identifier that is neither a function
+    head nor enclosed (at any depth) in an aggregate call nor a keyword
+    — i.e. a column reference a global aggregate cannot resolve."""
+    stack: list[str] = []
+    prev_kw = ""
+    pos = 0
+    while True:
+        m = _IDENT_OR_CALL_RE.search(expr, pos)
+        if m is None:
+            return False
+        tok = m.group(0)
+        pos = m.end()
+        if tok == "(":
+            stack.append("")
+            continue
+        if tok == ")":
+            if stack:
+                stack.pop()
+            continue
+        nxt = expr[pos:pos + 2].lstrip()[:1]
+        low = tok.lower()
+        if nxt == "(":
+            # function head: remember it for the paren we're about to push
+            m2 = _IDENT_OR_CALL_RE.search(expr, pos)
+            if m2 is not None and m2.group(0) == "(":
+                pos = m2.end()
+                stack.append(low)
+            prev_kw = low
+            continue
+        if low in _EXPR_KEYWORDS or low.startswith("\x00"):
+            prev_kw = low
+            continue
+        if prev_kw in ("as", "cast", "try_cast"):  # cast target type name
+            prev_kw = low
+            continue
+        if not any(h in _AGG_HEADS for h in stack):
+            return True
+        prev_kw = low
+    return False
+
+
+def _find_first_top_level(sql: str, keyword: str) -> int | None:
+    depth, upper = 0, sql.upper()
+    k = keyword.upper()
+    for i, ch in enumerate(sql):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and upper.startswith(k, i):
+            pre, post = sql[:i], sql[i + len(k):]
+            if ((not pre or not (pre[-1].isalnum() or pre[-1] == "_"))
+                    and (not post or not (post[0].isalnum()
+                                          or post[0] == "_"))):
+                return i
+    return None
+
+
+_GSPEC_RE = re.compile(r"^\s*(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(", re.I)
+_GROUPING_CALL_RE = re.compile(r"^GROUPING\s*\((?P<inner>[^()]*)\)$",
+                               re.I | re.S)
+_SELECT_ALIAS_RE = re.compile(
+    r"^(?P<e>.*?)\s+AS\s+(?P<a>[A-Za-z_]\w*)\s*$", re.I | re.S)
+
+
+def rewrite_grouping_sets_empty(sql: str) -> str:
+    up = sql.upper()
+    if ("GROUPING SETS" not in up and "CUBE" not in up
+            and "ROLLUP" not in up):
+        return sql
+    # Top-level set operations make "which branch owns the GROUP BY"
+    # ambiguous for a text pass — and an already-shimmed statement
+    # contains our own UNION ALL; both bail.
+    for kw in ("UNION", "INTERSECT", "EXCEPT"):
+        if _find_first_top_level(sql, kw) is not None:
+            return sql
+    gb = _find_first_top_level(sql, "GROUP BY")
+    if gb is None:
+        return sql
+    pre, post = sql[:gb], sql[gb + len("GROUP BY"):]
+    m = _GSPEC_RE.match(post)
+    if m is None:
+        return sql
+    kind = re.sub(r"\s+", " ", m.group(1).upper())
+    depth, j = 1, m.end()
+    while j < len(post) and depth:
+        if post[j] == "(":
+            depth += 1
+        elif post[j] == ")":
+            depth -= 1
+        j += 1
+    if depth:
+        return sql
+    body, tail = post[m.end():j - 1], post[j:]
+
+    def flatten(member: str) -> list[str]:
+        member = member.strip()
+        if member.startswith("(") and member.endswith(")"):
+            inner = member[1:-1].strip()
+            return ([] if not inner
+                    else [e.strip() for e in _split_depth0_commas(inner)])
+        return [member] if member else []
+
+    if kind == "GROUPING SETS":
+        sets = [s.strip() for s in _split_depth0_commas(body)]
+        n_empty = sum(1 for s in sets if s in ("()", "( )")
+                      or (s.startswith("(") and s.endswith(")")
+                          and not s[1:-1].strip()))
+        group_exprs = [e for s in sets for e in flatten(s)]
+    else:  # CUBE / ROLLUP always include the grand-total set once
+        n_empty = 1
+        group_exprs = [e for s in _split_depth0_commas(body)
+                       for e in flatten(s)]
+    if n_empty == 0:
+        return sql
+
+    norm = lambda s: re.sub(r"\s+", "", s).lower()  # noqa: E731
+    g_norms = {norm(e) for e in group_exprs}
+    g_idents = [e.strip() for e in group_exprs
+                if re.fullmatch(r"[A-Za-z_][\w.]*", e.strip())]
+    g_nonident = [e for e in group_exprs
+                  if not re.fullmatch(r"[A-Za-z_][\w.]*", e.strip())]
+
+    # Split pre into head (CTEs) + SELECT list + FROM part.
+    sel = _find_first_top_level(pre, "SELECT")
+    if sel is None:
+        return sql
+    rest = pre[sel + len("SELECT"):]
+    frm = _find_first_top_level(rest, "FROM")
+    if frm is None:
+        return sql
+    select_list, from_part = rest[:frm], rest[frm + len("FROM"):]
+
+    def substitute(expr: str) -> str | None:
+        """Rewrite one expression for the grand-total twin; None = the
+        pass cannot prove the rewrite, caller bails."""
+        e = expr.strip()
+        gm = _GROUPING_CALL_RE.match(e)
+        if gm is not None:
+            return "1" if norm(gm.group("inner")) in g_norms else None
+        if norm(e) in g_norms:
+            return "NULL"
+        if "GROUPING_ID" in e.upper() or re.search(r"\bOVER\b", e, re.I):
+            return None
+        t = e
+        for g in g_idents:
+            t = re.sub(rf"(?<![\w.]){re.escape(g)}(?![\w.(])", "NULL", t)
+        if any(norm(g) in norm(t) for g in g_nonident if g.strip()):
+            return None  # non-column grouping expr nested somewhere
+        if _has_unattributed_ident(t):
+            return None
+        return t
+
+    twin_items = []
+    for item in _split_depth0_commas(select_list):
+        am = _SELECT_ALIAS_RE.match(item.strip())
+        expr = am.group("e") if am is not None else item.strip()
+        sub = substitute(expr)
+        if sub is None:
+            return sql
+        twin_items.append(sub)
+
+    # Tail: [HAVING pred] [ORDER BY ... / LIMIT ... / OFFSET ...]
+    suffix_at = len(tail)
+    for kw in ("ORDER BY", "LIMIT", "OFFSET"):
+        p = _find_first_top_level(tail, kw)
+        if p is not None:
+            suffix_at = min(suffix_at, p)
+    clause_part, suffix = tail[:suffix_at], tail[suffix_at:]
+    hv = _find_first_top_level(clause_part, "HAVING")
+    twin_having = "COUNT(*) = 0"
+    if hv is not None:
+        pred = clause_part[hv + len("HAVING"):].strip()
+        if clause_part[:hv].strip():
+            return sql  # unexpected clause between GROUP BY and HAVING
+        sub = substitute(pred)
+        if sub is None:
+            return sql
+        twin_having += f" AND ({sub})"
+    elif clause_part.strip():
+        return sql  # unrecognized trailing clause
+
+    # head (the WITH-clause prefix, if any) is already part of `pre`;
+    # the twin goes AFTER the original branch, so CTEs stay visible to
+    # both sides of the union.
+    base = pre + "GROUP BY" + post[:j] + clause_part
+    twin = (f"SELECT {', '.join(twin_items)} FROM{from_part} "
+            f"HAVING {twin_having}")
+    return (base + ("\nUNION ALL\n" + twin) * n_empty
+            + ("\n" + suffix if suffix.strip() else suffix))
+
+
 PASSES_MASKED = [
     rewrite_qualify,
+    rewrite_grouping_sets_empty,
     rewrite_regex_operators,
     rewrite_pg_casts,
     rewrite_params,

@@ -90,8 +90,10 @@ _PRIORITY: list[str] = [
     "tpch_q8_national_market_share", "tpch_q4_order_priority",
     "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
     "tpch_q22_global_sales_opportunity",
-    # --- ... plus the single oldest r02 entry:
-    "agg_having_filter_distinct",
+    # --- NEW in r08 (two-scale local-gated on arrival; each ceded one
+    # re-pin slot, youngest-staleness first — ceded so far:
+    # agg_having_filter_distinct [r02]):
+    "agg_grouping_sets_empty",
 ]
 
 

@@ -691,3 +691,44 @@ WHERE o_orderkey <= 1000
 )
 def mixed_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_dialect(spark, sf_dir, _MIXED_INTERVAL, ("orders",))
+
+
+# The exact pinned-divergence shape (GAPS.md; DuckDB runs it verbatim):
+# a grouping-set list containing the grand-total () set over an input
+# the filter provably empties.  Standard (Postgres/DuckDB/DF40 via
+# lib.rs:678): one row per () set, COUNT=0, everything else NULL.
+_GROUPING_SETS_EMPTY = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS s,
+       AVG(o_totalprice) AS avg_price
+FROM orders
+WHERE o_orderkey < 0
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+"""
+
+
+@register(
+    "agg_grouping_sets_empty",
+    oracle=_GROUPING_SETS_EMPTY,
+    doc="GROUPING SETS with the grand-total () set over an EMPTY input "
+        "— the engine divergence GAPS.md used to pin (Spark's Expand "
+        "emits 0 rows where the standard and the reference emit the "
+        "() row), now CLOSED by rewrite_grouping_sets_empty: the "
+        "dialect layer unions the statement with a global-aggregate "
+        "twin of itself guarded by HAVING COUNT(*) = 0, which "
+        "contributes exactly the standard's grand-total row on empty "
+        "input and nothing otherwise.  Conservative by construction — "
+        "shapes the pass cannot prove (set ops, windows, GROUPING_ID, "
+        "nested non-column grouping exprs) fall back to Spark "
+        "semantics loudly documented in GAPS.md.  Scale: the twin is "
+        "one extra global partial-agg over the same (empty-after-"
+        "pushdown) scan — the filter prunes at the source, so the "
+        "sentinel costs a metadata-only pass at any corpus size. "
+        "dialect/rewrite.py:rewrite_grouping_sets_empty.",
+    tags=("aggregate", "dialect"),
+)
+def grouping_sets_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_dialect(spark, sf_dir, _GROUPING_SETS_EMPTY, ("orders",))

@@ -456,3 +456,71 @@ def test_mixed_interval_grid_matches_duckdb(spark, duck):
     want = duck.sql("SELECT " + ", ".join(oracle_exprs)).fetchone()
     for idx, (g, w) in enumerate(zip(got, want)):
         assert g == w, f"case {exprs[idx]}: spark={g} duckdb={w}"
+
+
+def test_grouping_sets_empty_shim_shapes():
+    """rewrite_grouping_sets_empty text-level contract: shapes with a
+    grand-total set gain the HAVING COUNT(*)=0 sentinel union (one per
+    () occurrence), shapes without one — or that the pass cannot prove
+    — are byte-identical passthrough."""
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+        rewrite_grouping_sets_empty as rw)
+
+    # explicit () set: one sentinel, WHERE preserved, alias dropped in
+    # the twin (UNION ALL names come from the first branch)
+    out = rw("SELECT a, COUNT(*) AS n FROM t WHERE b > 0 "
+             "GROUP BY GROUPING SETS ((a), ())")
+    assert out.count("UNION ALL") == 1
+    assert "HAVING COUNT(*) = 0" in out
+    assert "SELECT NULL, COUNT(*) FROM t WHERE b > 0" in out.replace("  ", " ")
+    # CUBE and ROLLUP imply (): one sentinel each
+    assert rw("SELECT a, SUM(x) AS s FROM t GROUP BY CUBE (a)").count(
+        "UNION ALL") == 1
+    assert rw("SELECT a, SUM(x) AS s FROM t GROUP BY ROLLUP (a)").count(
+        "UNION ALL") == 1
+    # duplicated () set: one sentinel per occurrence
+    assert rw("SELECT COUNT(*) AS n FROM t "
+              "GROUP BY GROUPING SETS ((), ())").count("UNION ALL") == 2
+    # GROUPING(col) -> literal 1 in the twin
+    assert "SELECT NULL, 1, COUNT(*)" in rw(
+        "SELECT a, GROUPING(a) AS ga, COUNT(*) AS n FROM t "
+        "GROUP BY GROUPING SETS ((a), ())")
+    # ORDER BY / LIMIT move after the union
+    out = rw("SELECT a, SUM(x) AS s FROM t GROUP BY ROLLUP (a) "
+             "ORDER BY a NULLS LAST LIMIT 5")
+    assert out.rstrip().endswith("ORDER BY a NULLS LAST LIMIT 5")
+    assert out.index("UNION ALL") < out.index("ORDER BY")
+    # HAVING is AND-merged into the sentinel guard
+    out = rw("SELECT a, SUM(x) AS s FROM t "
+             "GROUP BY GROUPING SETS ((a), ()) HAVING SUM(x) IS NULL")
+    assert "HAVING COUNT(*) = 0 AND (SUM(x) IS NULL)" in out
+
+
+def test_grouping_sets_empty_shim_conservative_bails():
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+        rewrite_grouping_sets_empty as rw)
+
+    passthrough = [
+        # no grand-total set
+        "SELECT a, b, COUNT(*) AS n FROM t GROUP BY GROUPING SETS ((a), (b))",
+        # plain group by
+        "SELECT a, COUNT(*) AS n FROM t GROUP BY a",
+        # window function in the select list
+        "SELECT a, SUM(x) OVER () AS s FROM t GROUP BY GROUPING SETS ((a), ())",
+        # GROUPING_ID (twin value would need bit math the pass doesn't do)
+        "SELECT a, GROUPING_ID(a) AS g FROM t GROUP BY GROUPING SETS ((a), ())",
+        # top-level set operation
+        "SELECT a, COUNT(*) AS n FROM t GROUP BY GROUPING SETS ((a), ()) "
+        "UNION ALL SELECT a, 0 FROM u",
+        # non-column grouping expr nested inside another select item
+        "SELECT upper(a) || 'x' AS ux, COUNT(*) AS n FROM t "
+        "GROUP BY GROUPING SETS ((upper(a)), ())",
+        # ungrouped bare column the twin could not resolve
+        "SELECT b, COUNT(*) AS n FROM t GROUP BY GROUPING SETS ((a), ())",
+    ]
+    for sql in passthrough:
+        assert rw(sql) == sql, sql
+    # exact-match non-column grouping expr IS handled (whole-item match)
+    out = rw("SELECT upper(a) AS ua, COUNT(*) AS n FROM t "
+             "GROUP BY GROUPING SETS ((upper(a)), ())")
+    assert "UNION ALL" in out and "SELECT NULL, COUNT(*)" in out
