@@ -31,6 +31,7 @@ from . import dialect_queries # noqa: E402,F401
 from . import ddl_io          # noqa: E402,F401
 from . import iceberg_queries # noqa: E402,F401
 from . import pipeline_queries # noqa: E402,F401
+from . import streaming_queries # noqa: E402,F401
 from . import service_queries # noqa: E402,F401
 from . import relational      # noqa: E402,F401
 from . import tpch            # noqa: E402,F401
@@ -88,12 +89,15 @@ _PRIORITY: list[str] = [
     "tpch_q10_returned_items", "tpch_q14_promo_effect",
     "tpch_q19_discounted_revenue", "tpch_q18_large_volume_customer",
     "tpch_q8_national_market_share", "tpch_q4_order_priority",
-    "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
-    "tpch_q22_global_sales_opportunity",
     # --- NEW in r08 (two-scale local-gated on arrival; each ceded one
-    # re-pin slot, youngest-staleness first — ceded so far:
-    # agg_having_filter_distinct [r02]):
+    # re-pin slot, youngest-staleness-then-list-tail first — ceded so
+    # far: agg_having_filter_distinct [r02],
+    # tpch_q22_global_sales_opportunity, tpch_q17_small_quantity_revenue,
+    # tpch_q13_customer_distribution [r01 tail]):
     "agg_grouping_sets_empty",
+    "stream_reservoir_vs_batch_topk",
+    "stream_mv_hourly_rollup",
+    "stream_cdc_last_writer_wins",
 ]
 
 

@@ -1,0 +1,246 @@
+"""Driver-visible streaming correctness rows (VERDICT r7 ask #6).
+
+The streaming surface (streaming/jobs.py) is invariant-pytested, but
+pytests are not driver-checkable.  Each entry here runs a REAL
+Structured Streaming job inside ``build()`` — deterministic
+micro-batched fixture in a temp dir, availableNow trigger, drained to
+completion — and returns the job's FINAL STATE as a DataFrame whose
+DuckDB oracle is the batch recompute over the same parquet input.  The
+batch-equivalence invariant each job is designed around (mergeable
+max-hash reservoir, incremental-MV refresh identity, CDC
+last-writer-wins collapse) is what makes a one-plan SQL oracle possible.
+
+Same in-build-orchestration precedent as ``service_flight_roundtrip``
+(a real gRPC server inside build()); results are materialized BEFORE
+the temp fixture is deleted and returned via createDataFrame so the
+driver's collect never touches removed paths.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+
+def _drain(query, timeout: int = 300) -> None:
+    query.awaitTermination(timeout)
+    if query.isActive:  # pragma: no cover - hang guard
+        query.stop()
+        raise TimeoutError("streaming query did not drain")
+
+
+def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
+    rows = df.collect()
+    return spark.createDataFrame(rows, df.schema)
+
+
+@register(
+    "stream_reservoir_vs_batch_topk",
+    oracle="""
+SELECT id, priority FROM (
+  SELECT DISTINCT CAST(event_id AS BIGINT) AS id,
+         md5('reservoir-v1' || CAST(event_id AS VARCHAR)) AS priority
+  FROM events)
+ORDER BY priority, id
+LIMIT 100
+""",
+    doc="Streamed uniform reservoir sample == batch top-k-by-hash over "
+        "the same input, as a driver-oracled row: the events table is "
+        "re-written as a 4-file fixture, streamed one file per "
+        "micro-batch through streaming.stream_reservoir_sample (the "
+        "mergeable max-hash formulation: priority = md5(seed||id), "
+        "reservoir = k smallest, folded per batch against the persisted "
+        "reservoir with a crash-recoverable rename-aside swap), and the "
+        "final on-disk reservoir is returned.  Because top-k-by-hash is "
+        "associative, commutative, and duplicate-idempotent, the result "
+        "is bit-identical to the one-shot batch top-k DuckDB computes — "
+        "independent of batch boundaries, ordering, or at-least-once "
+        "replays.  Scale: per-batch work is batch+k rows, state is k "
+        "rows; a sampler fleet merges by the same top-k. "
+        "streaming/jobs.py:stream_reservoir_sample.",
+    tags=("streaming", "dedup"),
+)
+def stream_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import stream_reservoir_sample
+
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    work = tempfile.mkdtemp(prefix="stream_reservoir_")
+    try:
+        src = os.path.join(work, "src")
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        state = os.path.join(work, "state")
+        _drain(stream_reservoir_sample(stream, "event_id", state, k=100))
+        final = (spark.read.parquet(os.path.join(state, "reservoir"))
+                 .orderBy("priority", "id")
+                 .select("id", "priority"))
+        return _materialize(spark, final)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_mv_hourly_rollup",
+    oracle="""
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_centi,
+       CAST(MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS min_centi,
+       CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS max_centi
+FROM events
+GROUP BY bucket, event_type
+ORDER BY bucket, event_type
+""",
+    doc="Streaming materialized view == full recompute, as a "
+        "driver-oracled row: events stream micro-batched (3 files, one "
+        "per trigger) through streaming.stream_events_with_rollup — per "
+        "batch one exactly-once append snapshot into an iceberg_lite "
+        "events table plus one incremental hourly-rollup MERGE that "
+        "reads ONLY the batch's delta (the TimescaleDB continuous-"
+        "aggregate refresh shape) — then the final rollup table is "
+        "returned and must equal DuckDB's one-shot hourly aggregate "
+        "over the raw input.  value is folded to exact integer "
+        "centi-units BEFORE streaming so the incremental merge's "
+        "re-additions are order-independent and the comparison is "
+        "bit-exact (sums stay far below 2^53).  Scale: raw rows are "
+        "touched once per batch; refresh work is the batch's touched "
+        "buckets, never table history. "
+        "streaming/jobs.py:stream_events_with_rollup, "
+        "operators/rollup_ts.py:refresh_rollup_incremental.",
+    tags=("streaming", "events", "iceberg"),
+)
+def stream_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg_lite import SqliteCatalog
+    from ..streaming.jobs import stream_events_with_rollup
+
+    events = (table(spark, sf_dir, "events")
+              .select("event_id", "ts", "event_type",
+                      F.floor(F.col("value") * 100 + 0.5).cast("double")
+                       .alias("value")))
+    work = tempfile.mkdtemp(prefix="stream_mv_")
+    try:
+        src = os.path.join(work, "src")
+        events.repartition(3).write.mode("overwrite").parquet(src)
+        cat = SqliteCatalog(os.path.join(work, "cat.db"),
+                            warehouse=os.path.join(work, "wh"))
+        ev = cat.create_table("mv", "events", events)
+        from ..operators.rollup_ts import bucket_aggregate
+        agg = cat.create_table(
+            "mv", "hourly",
+            bucket_aggregate(events, "ts", "1 hour", ["event_type"]))
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        _drain(stream_events_with_rollup(
+            stream, ev, agg, ckpt_dir=os.path.join(work, "ckpt"),
+            keys=["event_type"]))
+        final = (agg.read(spark)
+                 .select("bucket", "event_type",
+                         F.col("n").cast("bigint").alias("n"),
+                         F.col("sum_value").cast("bigint")
+                          .alias("sum_centi"),
+                         F.col("min_value").cast("bigint")
+                          .alias("min_centi"),
+                         F.col("max_value").cast("bigint")
+                          .alias("max_centi"))
+                 .orderBy("bucket", "event_type"))
+        return _materialize(spark, final)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_cdc_last_writer_wins",
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END AS INT)
+           AS version,
+       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+            ELSE o_totalprice END AS val
+FROM orders
+WHERE o_orderkey <= 4000 AND o_orderkey % 5 <> 0
+ORDER BY okey
+""",
+    doc="CDC apply == last-writer-wins, as a driver-oracled row: a "
+        "deterministic two-batch change feed derived from orders "
+        "(batch 1 inserts version-1 rows for every key <= 4000; batch "
+        "2 upserts version-2 doubled values for even keys and "
+        "tombstones every key % 5 == 0) streams through "
+        "streaming.stream_cdc_apply in equality-delete mode — per "
+        "batch ONE merge-on-read snapshot carrying the upsert rows "
+        "plus one equality-delete file, strict-sequence so "
+        "delete-then-reinsert stays correct — and the final table "
+        "state must equal the SQL last-writer-wins collapse DuckDB "
+        "computes directly.  Batch order is pinned by explicit file "
+        "mtimes (the file source orders by modification time).  val*2 "
+        "is an exponent bump on the double — bit-exact in both "
+        "engines.  Scale: per batch O(batch) with zero table reads; "
+        "delete state folds at the periodic compact. "
+        "streaming/jobs.py:stream_cdc_apply.",
+    tags=("streaming", "iceberg"),
+)
+def stream_cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg_lite import SqliteCatalog
+    from ..streaming.jobs import stream_cdc_apply
+
+    base = (table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") <= 4000)
+            .select(F.col("o_orderkey").cast("bigint").alias("okey"),
+                    F.col("o_totalprice").alias("price")))
+    b1 = base.select(
+        "okey", F.lit(1).cast("int").alias("version"),
+        F.col("price").alias("val"),
+        F.lit(1).cast("long").alias("seq"), F.lit("upsert").alias("op"))
+    b2_up = (base.where((F.col("okey") % 2 == 0) & (F.col("okey") % 5 != 0))
+             .select("okey", F.lit(2).cast("int").alias("version"),
+                     (F.col("price") * 2).alias("val"),
+                     F.lit(2).cast("long").alias("seq"),
+                     F.lit("upsert").alias("op")))
+    b2_del = (base.where(F.col("okey") % 5 == 0)
+              .select("okey", F.lit(0).cast("int").alias("version"),
+                      F.lit(None).cast("double").alias("val"),
+                      F.lit(2).cast("long").alias("seq"),
+                      F.lit("delete").alias("op")))
+    work = tempfile.mkdtemp(prefix="stream_cdc_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+
+        # The file source orders new files by modification time; stamp
+        # each change batch's files with an explicit strictly-increasing
+        # mtime so the batches replay in feed order deterministically
+        # (uuid part-file names carry no order).
+        def _write_batch(df: DataFrame, t: int) -> None:
+            before = set(os.listdir(src))
+            df.coalesce(1).write.mode("append").parquet(src)
+            for f in set(os.listdir(src)) - before:
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(src, f), (t, t))
+
+        _write_batch(b1, 1_700_000_000)
+        _write_batch(b2_up.unionByName(b2_del), 1_700_000_100)
+        cat = SqliteCatalog(os.path.join(work, "cat.db"),
+                            warehouse=os.path.join(work, "wh"))
+        mirror = cat.create_table(
+            "cdc", "orders_mirror",
+            b1.select("okey", "version", "val", "seq"))
+        stream = (spark.readStream.schema(b1.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        _drain(stream_cdc_apply(stream, mirror, key_cols=["okey"],
+                                order_col="seq", op_col="op",
+                                ckpt_dir=os.path.join(work, "ckpt")))
+        final = (mirror.read(spark)
+                 .select("okey", "version", "val").orderBy("okey"))
+        return _materialize(spark, final)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
