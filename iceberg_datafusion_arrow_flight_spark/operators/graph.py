@@ -362,3 +362,42 @@ def kcore_peel(und: DataFrame, k: int, rounds: int = 8) -> DataFrame:
             f"(last round removed {ledger[-1][1]}) — raise the cap")
     return spark.createDataFrame(
         ledger, "round int, n_removed bigint, n_remaining bigint")
+
+
+def label_propagation(und: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made fully
+    deterministic: every node starts as its own label; per round, each
+    node adopts the label most frequent among its NEIGHBORS, ties
+    broken by smallest label — the argmax is one keyed count plus one
+    max(struct(count, -label)) fold, so no window sort and no
+    randomness anywhere.  Synchronous update (all nodes flip on the
+    same snapshot) with a FIXED round count: async/convergence variants
+    are order-dependent by construction and cannot be oracle-checked.
+
+    Per round: one edge⋈labels equi-join + two keyed aggs — work is
+    O(edges), state is O(nodes); each round's labels are checkpointed
+    so lineage stays flat (persist(MEMORY_AND_DISK) is the
+    multi-executor drop-in).  Scale: identical shape to one PageRank
+    round; label skew (a giant community's label on many keys) sits in
+    the (node,label) count whose key includes the node — never a
+    single hot key."""
+    sym = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+           .unionByName(und.select(F.col("v").alias("a"),
+                                   F.col("u").alias("b")))
+           .localCheckpoint(eager=True))
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        votes = (sym.join(labels.withColumnRenamed("node", "b"), "b")
+                 .select(F.col("a").alias("node"), "label"))
+        counts = (votes.groupBy("node", "label")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+        new = (counts
+               .groupBy("node")
+               .agg(F.max(F.struct(F.col("cnt"),
+                                   (-F.col("label")).alias("neg")))
+                    .alias("m"))
+               .select("node", (-F.col("m.neg")).alias("label")))
+        labels = new.localCheckpoint(eager=True)
+    return labels

@@ -697,3 +697,68 @@ def intensity_histogram(df: DataFrame, bins: int = 8) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "bin": bs, "n_pixels": ns})
 
     return fan_out(df).mapInPandas(hist, schema=HIST_SCHEMA)
+
+
+# ----------------------------------------------------------------- pHash
+_PHASH_GRID = 32      # sampled grid (nearest-neighbor, exact int math)
+_PHASH_BLOCK = 8      # low-frequency DCT block kept
+_PHASH_SCALE = 14     # cosine fixed-point: round(cos * 2^14)
+
+
+def phash_basis() -> list[int]:
+    """Fixed-point DCT-II cosine basis, row-major ``u * 32 + i``:
+    ``round(cos((2i+1) u π / 64) * 2^14)`` for u < 8, i < 32.  Computed
+    ONCE here (plain math.cos) and embedded as literals in BOTH the
+    numpy operator below and the SQL oracle — the same synchronize-by-
+    construction trick as the JL sign matrix and the LSH hyperplanes
+    (plans/similarity.py): transcendentals are never evaluated inside
+    either engine, so cross-engine bit-exactness needs no float
+    contract.  Unscaled DCT-II (no α(u) orthonormal factors): a
+    perceptual hash only needs A fixed linear transform, and integer
+    weights keep every accumulator exact (|coef| <= 765·2^28·1024
+    ≈ 2.1e14 < 2^53 < 2^63)."""
+    import math
+    return [round(math.cos((2 * i + 1) * u * math.pi
+                           / (2 * _PHASH_GRID)) * (1 << _PHASH_SCALE))
+            for u in range(_PHASH_BLOCK) for i in range(_PHASH_GRID)]
+
+
+def image_phash(df: DataFrame) -> DataFrame:
+    """DCT perceptual hash (pHash family) over REAL decoded pixels, in
+    EXACT integer arithmetic end-to-end: decode the PPM/BMP payload,
+    nearest-neighbor-sample a 32×32 grid (x = i·w div 32 — integer
+    upsampling for small images, downsampling for large), grayscale as
+    the exact channel sum r+g+b, separable fixed-point 8×8 low-band
+    DCT-II with the shared :func:`phash_basis` weights, then threshold
+    the 63 AC coefficients at their LOWER MEDIAN (32nd smallest —
+    deterministic under ties) into a 63-bit BIGINT.  Near-duplicate
+    images agree on most bits even across resizes and containers —
+    the standard image-dedup fingerprint, unlike ahash robust to
+    global brightness ramps because DCT coefficients ignore the DC
+    level.
+
+    numpy int64 matmuls per Arrow batch; only (doc_id, phash) leaves
+    the executor.  Scale: O(pixels) decode + two 32×8 integer matmuls
+    per image, embarrassingly parallel, no shuffle."""
+    g, blk = _PHASH_GRID, _PHASH_BLOCK
+    basis = np.array(phash_basis(), dtype=np.int64).reshape(blk, g)
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hv = [], []
+            for did, fmt, payload in zip(pdf["doc_id"], pdf["fmt"],
+                                         pdf["payload"]):
+                w, h, px = _REAL_DECODERS[fmt](bytes(payload))
+                xi = (np.arange(g) * w) // g
+                yj = (np.arange(g) * h) // g
+                gray = px[np.ix_(yj, xi)].astype(np.int64).sum(axis=2)
+                coef = basis @ gray.T @ basis.T   # (8, 8) int64, exact
+                ac = np.delete(coef.reshape(-1), 0)          # drop DC
+                med = np.partition(ac, 31)[31]               # 32nd smallest
+                bits = (ac > med).astype(np.int64)
+                ids.append(did)
+                hv.append(int((bits << np.arange(63)).sum()))
+            yield pd.DataFrame({"doc_id": ids, "phash": hv})
+
+    return fan_out(df).mapInPandas(hashes,
+                                   schema="doc_id BIGINT, phash BIGINT")

@@ -1883,3 +1883,73 @@ def events_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("day").cast("string").alias("day"),
                     "new_users", "returning_users", "returning_share")
             .orderBy("day"))
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(ts) AS last_ts,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS monetary_centi
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT user_id, monetary_centi,
+         CAST(NTILE(4) OVER (ORDER BY last_ts DESC, user_id) AS INT)
+             AS r_score,
+         CAST(NTILE(4) OVER (ORDER BY freq DESC, user_id) AS INT)
+             AS f_score,
+         CAST(NTILE(4) OVER (ORDER BY monetary_centi DESC, user_id) AS INT)
+             AS m_score
+  FROM per_user
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(monetary_centi) AS BIGINT) AS monetary_centi_total
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+    doc="RFM segmentation (the classic CRM quartile grid): per user, "
+        "recency = latest event time, frequency = event count, "
+        "monetary = exact centi-unit purchase total; each dimension "
+        "scored 1-4 by NTILE(4) with a user_id tie-break (NTILE's "
+        "floor-division distribution is SQL-standard and identical in "
+        "Spark and DuckDB, and the unique ordering makes every "
+        "assignment deterministic), then the 64-cell segment grid with "
+        "user counts and exact monetary totals.  Scale: one per-user "
+        "partial agg; the three rankings are over the (already "
+        "aggregated) user table — at 100 TB of events the windows run "
+        "over users, not events, and a sort-based NTILE over users is "
+        "a single exchange each.  plans/events.py:events_rfm.",
+    tags=("events", "aggregate"),
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    xi = F.when(F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")) \
+          .otherwise(F.lit(0).cast("bigint"))
+    per_user = (e.groupBy("user_id")
+                .agg(F.max("ts").alias("last_ts"),
+                     F.count(F.lit(1)).cast("bigint").alias("freq"),
+                     F.sum(xi).cast("bigint").alias("monetary_centi")))
+    scored = per_user.select(
+        "monetary_centi",
+        F.ntile(4).over(Window.orderBy(F.col("last_ts").desc(),
+                                       F.col("user_id")))
+         .cast("int").alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.col("freq").desc(),
+                                       F.col("user_id")))
+         .cast("int").alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary_centi").desc(),
+                                       F.col("user_id")))
+         .cast("int").alias("m_score"))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.sum("monetary_centi").cast("bigint")
+                  .alias("monetary_centi_total"))
+            .orderBy("r_score", "f_score", "m_score"))

@@ -482,3 +482,58 @@ def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.kcore_peel(_copurchase_edges(spark, sf_dir),
                         k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    sql = _COPURCHASE_CTE + """, sym AS (
+  SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und
+), l0 AS (
+  SELECT node, node AS label FROM (SELECT DISTINCT a AS node FROM sym)
+)"""
+    for r in range(1, rounds + 1):
+        sql += f""", l{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label) AS rn
+    FROM (
+      SELECT s.a AS node, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM sym s JOIN l{r - 1} l ON l.node = s.b
+      GROUP BY s.a, l.label))
+  WHERE rn = 1
+)"""
+    return sql + f"""
+SELECT CAST(label AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l{rounds}
+GROUP BY label
+ORDER BY n_members DESC, community
+LIMIT 20
+"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(2),
+    doc="Community detection on the part co-purchase graph by "
+        "SYNCHRONOUS label propagation (Raghavan 2007), 2 fixed "
+        "rounds, reported as the top-20 communities by size (2 rounds "
+        "resolve 42 communities at sf0.01; by round 3 the dense "
+        "co-purchase graph collapses to 3 — the diagnostic value is in "
+        "the pre-collapse structure).  Fully "
+        "deterministic where textbook LPA is not: synchronous "
+        "snapshot updates, argmax by (count DESC, label ASC) via one "
+        "max(struct(cnt, -label)) fold — no randomized tie-break, no "
+        "async sweep order — which is exactly what makes a SQL oracle "
+        "possible (3 chained CTE rounds of the same argmax).  Per "
+        "round one edge-join + two keyed aggs, O(edges) work, "
+        "O(nodes) checkpointed state. "
+        "operators/graph.py:label_propagation.",
+    tags=("graph", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = G.label_propagation(_copurchase_edges(spark, sf_dir), rounds=2)
+    return (labels.groupBy(F.col("label").cast("bigint").alias("community"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+            .orderBy(F.col("n_members").desc(), "community")
+            .limit(20))

@@ -522,3 +522,89 @@ def multimodal_intensity_histogram(spark: SparkSession,
                  F.min("n_pixels").cast("bigint").alias("min_per_doc"),
                  F.max("n_pixels").cast("bigint").alias("max_per_doc"))
             .orderBy("bin"))
+
+
+def _phash_oracle() -> str:
+    """pHash oracle: re-derives every sampled pixel from the generator
+    formula and runs the SAME fixed-point separable DCT as the numpy
+    operator, with the shared Python-computed cosine basis embedded as
+    literals (the JL-signs / LSH-hyperplanes synchronization trick —
+    neither engine ever evaluates a transcendental)."""
+    from ..operators.multimodal import phash_basis
+    basis = "[" + ", ".join(str(v) for v in phash_basis()) + "]"
+    return f"""
+WITH bt AS (SELECT {basis} AS basis),
+b AS (
+  SELECT u, i, basis[u * 32 + i + 1] AS c
+  FROM bt, range(0, 8) tu(u), range(0, 32) ti(i)
+),
+d AS (
+  SELECT doc_id, 8 + (doc_id % 8) * 4 AS w, 8 + (doc_id % 5) * 4 AS h
+  FROM documents WHERE doc_id % 5 = 0
+),
+gray AS (
+  SELECT doc_id, i, j,
+         (7 * doc_id + 3 * (((j * h) // 32) * w + ((i * w) // 32))) % 256
+       + (7 * doc_id + 3 * (((j * h) // 32) * w + ((i * w) // 32)) + 1) % 256
+       + (7 * doc_id + 3 * (((j * h) // 32) * w + ((i * w) // 32)) + 2) % 256
+           AS gv
+  FROM d, range(0, 32) ti(i), range(0, 32) tj(j)
+),
+rs AS (
+  SELECT gray.doc_id, bu.u AS u, gray.j, SUM(gv * bu.c) AS s
+  FROM gray JOIN b bu ON bu.i = gray.i
+  GROUP BY gray.doc_id, bu.u, gray.j
+),
+co AS (
+  SELECT rs.doc_id, rs.u, bv.u AS v, CAST(SUM(s * bv.c) AS BIGINT) AS coef
+  FROM rs JOIN b bv ON bv.i = rs.j
+  GROUP BY rs.doc_id, rs.u, bv.u
+),
+ac AS (
+  SELECT doc_id, u * 8 + v - 1 AS k, coef
+  FROM co WHERE NOT (u = 0 AND v = 0)
+),
+med AS (
+  SELECT doc_id, coef AS m
+  FROM (SELECT doc_id, coef,
+               row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+        FROM ac)
+  WHERE rn = 32
+)
+SELECT ac.doc_id,
+       CAST(SUM(CASE WHEN coef > m
+                THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
+           AS phash
+FROM ac JOIN med ON med.doc_id = ac.doc_id
+GROUP BY ac.doc_id
+ORDER BY ac.doc_id
+"""
+
+
+@register(
+    "multimodal_image_phash",
+    oracle=_phash_oracle(),
+    doc="DCT perceptual hash (pHash family) over REAL decoded pixels in "
+        "exact integer arithmetic: decode the PPM/BMP payload, "
+        "nearest-neighbor-sample a 32x32 grid (integer x = i*w div 32), "
+        "grayscale as the exact channel sum, separable 8x8 low-band "
+        "fixed-point DCT-II (cosines precomputed in Python to 2^14 "
+        "fixed point and embedded as literals in BOTH engines), "
+        "threshold the 63 AC coefficients at their lower median into a "
+        "63-bit BIGINT — the standard image-dedup fingerprint, robust "
+        "to resizes and container changes where ahash is not (DCT "
+        "drops the DC level).  Every accumulator stays below 2^53, so "
+        "numpy int64 matmuls and DuckDB HUGEINT sums agree bit-for-"
+        "bit.  The oracle re-derives the sampled pixels from the "
+        "generator formula, so one mis-parsed header byte anywhere "
+        "breaks the hash.  Scale: O(pixels) decode + two 32x8 integer "
+        "matmuls per image, no shuffle. "
+        "operators/multimodal.py:image_phash.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 5 == 0).select("doc_id"))
+    return (M.image_phash(M.attach_image_payload(docs))
+            .orderBy("doc_id"))

@@ -1433,3 +1433,35 @@ def test_welch_s2_exactness_margin(sf_dir):
         f"centi-unit in events_ab_test_welch before exactness breaks")
     assert float(x_max) ** 2 < margin, (
         f"largest per-user x² {float(x_max)**2:.3e} within 8x of 2^53")
+
+
+def test_image_phash_matches_python_reference(spark, sf_dir):
+    """The fixed-point DCT pHash recomputed with PLAIN Python loops (no
+    numpy) from the pixel generator formula — every 63-bit hash must be
+    identical: same grid sampling, same integer basis, same lower
+    median, same bit order."""
+    from iceberg_datafusion_arrow_flight_spark.operators.multimodal import (
+        attach_image_payload, image_phash, phash_basis)
+
+    ids = [0, 5, 15, 40, 1280, 2555]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.phash
+           for r in image_phash(attach_image_payload(docs)).collect()}
+    basis = phash_basis()
+
+    def cu(u, i):
+        return basis[u * 32 + i]
+
+    for did in ids:
+        w, h = 8 + (did % 8) * 4, 8 + (did % 5) * 4
+        gray = [[sum((7 * did + 3 * (((j * h) // 32) * w + (i * w) // 32)
+                      + c) % 256 for c in range(3))
+                 for i in range(32)] for j in range(32)]
+        coef = [[sum(gray[j][i] * cu(u, i) * cu(v, j)
+                     for i in range(32) for j in range(32))
+                 for v in range(8)] for u in range(8)]
+        ac = [coef[u][v] for u in range(8) for v in range(8)
+              if not (u == 0 and v == 0)]
+        med = sorted(ac)[31]
+        want = sum(1 << k for k, c in enumerate(ac) if c > med)
+        assert got[did] == want, did
