@@ -514,3 +514,49 @@ def canonicalize_url(url: Column) -> Column:
     path = F.regexp_extract(no_qf, r"^[^/]*(.*)$", 1)
     path = F.regexp_replace(path, r"/$", "")
     return F.concat(host, path)
+
+
+def stratified_allocation(df: DataFrame, strata_col: str, id_col: str,
+                          budget: int) -> DataFrame:
+    """Exact proportional stratified sample to a FIXED total budget via
+    the largest-remainder (Hamilton) method, all in integer arithmetic:
+    stratum s with c_s of T rows gets base_s = floor(budget·c_s / T);
+    the leftover budget − Σ base_s seats go to the strata with the
+    largest integer remainders budget·c_s mod T (ties by stratum value
+    ascending) — so allocations always sum EXACTLY to the budget, the
+    property per-stratum rounding cannot give.  Within each stratum the
+    kept rows are the allocation-smallest by Knuth hash of the id
+    (tie-broken by id) — deterministic across runs, engines, and
+    partitionings.
+
+    Scale shape: the allocation is computed on the stratum-count table
+    (tiny — one row per stratum) and broadcast back; the per-row work
+    is one window rank per stratum, the shuffle a stratified sample
+    fundamentally needs.  No fractions anywhere: remainder comparison
+    uses budget·c_s mod T, avoiding float division entirely."""
+    counts = (df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__c")))
+    total = counts.agg(F.sum("__c").alias("__t"))
+    # Spark's `div` is true INTEGER division — exact at any stratum
+    # size, where a double round-trip would lose exactness past 2^53:
+    alloc = (counts.join(F.broadcast(total))
+             .select(strata_col, "__c", "__t",
+                     F.expr(f"(__c * {budget}) div __t")
+                     .cast("bigint").alias("__base"),
+                     ((F.col("__c") * budget) % F.col("__t"))
+                     .alias("__rem")))
+    leftover = (alloc.agg((F.lit(budget) - F.sum("__base"))
+                          .alias("__left")))
+    w_rem = Window.orderBy(F.col("__rem").desc(), F.col(strata_col))
+    final = (alloc.join(F.broadcast(leftover))
+             .withColumn("__rk", F.row_number().over(w_rem))
+             .select(strata_col,
+                     (F.col("__base")
+                      + F.when(F.col("__rk") <= F.col("__left"), 1)
+                         .otherwise(0)).alias("__alloc")))
+    w = Window.partitionBy(strata_col).orderBy(
+        split_bucket(F.col(id_col), _MOD), F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .join(F.broadcast(final), strata_col)
+            .where(F.col("__rn") <= F.col("__alloc"))
+            .drop("__rn")
+            .withColumnRenamed("__alloc", "allocation"))

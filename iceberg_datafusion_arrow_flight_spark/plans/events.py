@@ -1953,3 +1953,109 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("monetary_centi").cast("bigint")
                   .alias("monetary_centi_total"))
             .orderBy("r_score", "f_score", "m_score"))
+
+
+@register(
+    "events_holt_linear",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), series AS (
+  SELECT event_type,
+         list(day ORDER BY day) AS days,
+         list(CAST(n_events AS DOUBLE) ORDER BY day) AS cnts,
+         list(n_events ORDER BY day) AS raw
+  FROM daily GROUP BY event_type
+), smoothed AS (
+  SELECT event_type, days, raw,
+         list_transform(generate_series(1, len(cnts)), i ->
+           list_reduce(
+             list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+               list_transform(list_slice(cnts, 1, i),
+                              x -> [x, CAST(0.0 AS DOUBLE)])),
+             (acc, e) -> [
+               e[1] * 0.3 + (acc[1] + acc[2]) * 0.7,
+               ((e[1] * 0.3 + (acc[1] + acc[2]) * 0.7) - acc[1]) * 0.2
+               + acc[2] * 0.8])) AS st
+  FROM series
+)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+       lvl AS level, trend
+FROM (
+  SELECT event_type,
+         unnest(days) AS day,
+         unnest(raw) AS n_events,
+         unnest(list_transform(st, s -> s[1])) AS lvl,
+         unnest(list_transform(st, s -> s[2])) AS trend
+  FROM smoothed
+)
+ORDER BY event_type, day
+""",
+    doc="Holt linear-trend double exponential smoothing per event type "
+        "(alpha = 0.3 level, beta = 0.2 trend, zero-initialized): "
+        "l_t = 0.3 x_t + 0.7 (l + b), b_t = 0.2 (l_t - l) + 0.8 b — "
+        "the trend-aware upgrade of the EWMA baseline that alerting "
+        "uses when volume has a slope (EWMA lags a ramp by design).  "
+        "Sequential by nature, so each day's (level, trend) is a left "
+        "fold over the ordered prefix with a STRUCT accumulator; the "
+        "update expression — including l_t inlined twice in the trend "
+        "term — is spelled identically in both engines, so the whole "
+        "series is bit-exact with zero rounding (the same shared-fold "
+        "recipe as events_ewma_daily, extended to 2-component state).  "
+        "The oracle's accumulator is a 2-element LIST, not a struct: "
+        "DuckDB 1.0.0's list_reduce mutates a STRUCT accumulator "
+        "field-by-field (a later field's acc.l sees the new value — "
+        "pinned by tests/test_operators.py::"
+        "test_duckdb_struct_fold_hazard), while list accumulators fold "
+        "honestly.  "
+        "Scale: state is bucket-cardinality per key (30 days), never "
+        "event-cardinality; the O(n²) prefix folds run JVM-side on the "
+        "collapsed (key, day, count) series. "
+        "plans/events.py:events_holt.",
+    tags=("events", "window"),
+)
+def events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    series = (daily.groupBy("event_type")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("day", "n_events"))).alias("dc"))
+              .select("event_type",
+                      F.transform("dc", lambda s: s.day).alias("days"),
+                      F.transform("dc", lambda s: s.n_events
+                                  .cast("double")).alias("cnts"),
+                      F.transform("dc", lambda s: s.n_events)
+                       .alias("raw")))
+
+    def step(acc, x):
+        lvl = x * F.lit(0.3) + (acc.getField("l") + acc.getField("b")) \
+            * F.lit(0.7)
+        lvl2 = x * F.lit(0.3) + (acc.getField("l") + acc.getField("b")) \
+            * F.lit(0.7)          # l_t inlined twice, same tree as oracle
+        trend = (lvl2 - acc.getField("l")) * F.lit(0.2) \
+            + acc.getField("b") * F.lit(0.8)
+        return F.struct(lvl.alias("l"), trend.alias("b"))
+
+    st = F.transform(
+        F.sequence(F.lit(1), F.size("cnts")),
+        lambda i: F.aggregate(
+            F.slice(F.col("cnts"), F.lit(1), i),
+            F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("b")),
+            step))
+    rows = (series.withColumn("lvls",
+                              F.transform(st, lambda s: s.getField("l")))
+            .withColumn("trends",
+                        F.transform(st, lambda s: s.getField("b")))
+            .select("event_type",
+                    F.posexplode(F.arrays_zip("days", "raw",
+                                              "lvls", "trends"))
+                    .alias("_i", "z")))
+    return (rows.select("event_type",
+                        F.col("z.days").alias("day"),
+                        F.col("z.raw").cast("bigint").alias("n_events"),
+                        F.col("z.lvls").alias("level"),
+                        F.col("z.trends").alias("trend"))
+            .orderBy("event_type", "day"))

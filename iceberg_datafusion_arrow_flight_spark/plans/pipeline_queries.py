@@ -1259,3 +1259,63 @@ def pipeline_decontam_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("flagged_share")))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("n")
+
+
+@register(
+    "pipeline_stratified_allocation",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang || '|' || source AS stratum FROM documents
+), c AS (
+  SELECT stratum, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY stratum
+), t AS (SELECT SUM(c) AS t FROM c),
+a AS (
+  SELECT stratum, (c * 500) // t AS base, (c * 500) % t AS rem FROM c, t
+), lo AS (SELECT CAST(500 - SUM(base) AS BIGINT) AS leftover FROM a),
+fin AS (
+  SELECT stratum,
+         CAST(base + CASE WHEN row_number()
+                               OVER (ORDER BY rem DESC, stratum)
+                          <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+  FROM a, lo
+), ranked AS (
+  SELECT stratum, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY stratum
+                            ORDER BY doc_id * 2654435761 % 4294967296,
+                                     doc_id) AS rn
+  FROM s
+)
+SELECT r.stratum, CAST(f.alloc AS BIGINT) AS allocation,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS ids_checksum
+FROM ranked r JOIN fin f ON f.stratum = r.stratum
+WHERE rn <= f.alloc
+GROUP BY r.stratum, f.alloc
+ORDER BY r.stratum
+""",
+    doc="Exact proportional stratified sampling to a FIXED 500-doc "
+        "budget over (lang, source) strata by the largest-remainder "
+        "(Hamilton) method — the domain-mixture allocation a training-"
+        "data pipeline runs when the token budget is fixed and "
+        "per-stratum rounding must still sum EXACTLY to the budget.  "
+        "All integer arithmetic: base = floor-div on BIGINTs (Spark "
+        "`div`), remainder seats by (budget*c mod T) descending with a "
+        "stratum-name tie-break, kept rows are the allocation-smallest "
+        "by Knuth id-hash per stratum.  The checksum pins WHICH docs "
+        "were kept.  Scale: the allocation runs on the one-row-per-"
+        "stratum count table (broadcast back); per-row work is the one "
+        "window rank a stratified sample fundamentally needs. "
+        "operators/pipeline.py:stratified_allocation.",
+    tags=("pipeline", "sampling"),
+)
+def pipeline_stratified_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.concat_ws("|", "lang", "source").alias("stratum")))
+    kept = P.stratified_allocation(docs, "stratum", "doc_id", budget=500)
+    return (kept.groupBy("stratum",
+                         F.col("allocation").cast("bigint")
+                          .alias("allocation"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                 F.sum("doc_id").cast("bigint").alias("ids_checksum"))
+            .orderBy("stratum"))

@@ -1856,3 +1856,103 @@ def sim_lsh_tables_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("mean_recall")))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("n_tables")
+
+
+def _matryoshka_oracle(prefixes=(8, 16, 32), k: int = 10) -> str:
+    """Per-prefix recall oracle: exact full-dim top-k once, then one
+    truncated-prefix top-k per size, intersected per query."""
+    exact = f"""
+exact AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.query_id, e.vec_id AS corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND({_COS.format(a='q.qv', b='e.v')}, 6) DESC,
+                                       e.vec_id) AS rnk
+    FROM q JOIN emb e ON e.vec_id != q.query_id)
+  WHERE rnk <= {k}
+)"""
+    parts = []
+    for p in prefixes:
+        a, b = f"list_slice(q.qv, 1, {p})", f"list_slice(e.v, 1, {p})"
+        parts.append(f"""
+SELECT CAST({p} AS INT) AS prefix_dims, q2.query_id,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.h, 0) AS DOUBLE) / {k}.0 AS recall
+FROM q q2 LEFT JOIN (
+  SELECT a.query_id, COUNT(*) AS h
+  FROM (
+    SELECT query_id, corpus_id FROM (
+      SELECT q.query_id, e.vec_id AS corpus_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY ROUND({_COS.format(a=a, b=b)}, 6) DESC,
+                                         e.vec_id) AS rnk
+      FROM q JOIN emb e ON e.vec_id != q.query_id)
+    WHERE rnk <= {k}) a
+  JOIN exact x ON a.query_id = x.query_id AND a.corpus_id = x.corpus_id
+  GROUP BY a.query_id) h ON q2.query_id = h.query_id""")
+    return (f"WITH emb AS ({_EMB}),\n"
+            f"q AS (SELECT vec_id AS query_id, v AS qv FROM emb "
+            f"WHERE vec_id % 100 = 0),\n" + exact
+            + "\nUNION ALL".join(parts)
+            + "\nORDER BY prefix_dims, query_id")
+
+
+@register(
+    "sim_matryoshka_prefix_recall",
+    oracle=_matryoshka_oracle(),
+    doc="Matryoshka (MRL) prefix-truncation audit: recall@10 of exact "
+        "cosine top-10 computed on the FIRST 8/16/32 dimensions vs the "
+        "full 64-dim top-10, per query — the measurement that decides "
+        "how far a Matryoshka-style embedding can be truncated for "
+        "cheap first-stage retrieval before reranking (Kusupati et al. "
+        "2022).  All four searches are exact brute force in ONE plan "
+        "(broadcast queries x corpus, JVM-side folds on sliced arrays, "
+        "6-digit rounding + corpus-id tie-breaks pinning every rank), "
+        "so the report is fully deterministic and hash-oracled — the "
+        "same witness discipline as sim_ann_recall_report.  Scale: "
+        "prefix slicing cuts the dot-product work proportionally; at "
+        "corpus scale each prefix search drops into the SAME IVF/LSH "
+        "bucketed paths the ANN entries use, with this report as its "
+        "quality gate.  plans/similarity.py:sim_matryoshka.",
+    tags=("similarity", "diagnostics"),
+)
+def sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _as_double
+    emb = (table(spark, sf_dir, "embeddings")
+           .select("vec_id", _as_double(F.col("embedding")).alias("v")))
+    q = emb.where(F.col("vec_id") % 100 == 0)
+
+    def topk(qdf, cdf, vec_expr_q, vec_expr_c, k=10):
+        from ..operators.similarity import cosine
+        sims = (F.broadcast(qdf.select(F.col("vec_id").alias("query_id"),
+                                       vec_expr_q.alias("qv")))
+                .crossJoin(cdf.select(F.col("vec_id").alias("corpus_id"),
+                                      vec_expr_c.alias("cv")))
+                .where(F.col("query_id") != F.col("corpus_id"))
+                .select("query_id", "corpus_id",
+                        F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                         .alias("sim")))
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                                   F.col("corpus_id"))
+        return (sims.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "corpus_id"))
+
+    exact = topk(q, emb, F.col("v"), F.col("v")).localCheckpoint(eager=True)
+    out = None
+    for p in (8, 16, 32):
+        ann = topk(q, emb, F.slice(F.col("v"), 1, p),
+                   F.slice(F.col("v"), 1, p))
+        hits = (ann.join(exact, ["query_id", "corpus_id"])
+                .groupBy("query_id").agg(F.count(F.lit(1)).alias("h")))
+        rep = (q.select(F.col("vec_id").alias("query_id"))
+               .join(hits, "query_id", "left")
+               .select(F.lit(p).cast("int").alias("prefix_dims"),
+                       "query_id",
+                       F.coalesce(F.col("h"), F.lit(0)).cast("bigint")
+                        .alias("hits"),
+                       (F.coalesce(F.col("h"), F.lit(0)).cast("double")
+                        / F.lit(10.0)).alias("recall")))
+        out = rep if out is None else out.unionByName(rep)
+    return out.orderBy("prefix_dims", "query_id")

@@ -1465,3 +1465,52 @@ def test_image_phash_matches_python_reference(spark, sf_dir):
         med = sorted(ac)[31]
         want = sum(1 << k for k, c in enumerate(ac) if c > med)
         assert got[did] == want, did
+
+
+def test_duckdb_struct_fold_hazard():
+    """Pins the DuckDB 1.0.0 footgun events_holt_linear's oracle works
+    around: list_reduce with a STRUCT accumulator evaluates the result
+    struct field-by-field IN PLACE, so a later field's acc.<f> sees the
+    value just computed for <f> this step — while a LIST accumulator
+    folds honestly.  If a DuckDB upgrade fixes struct folds, this test
+    fails and the oracle can be simplified back to structs."""
+    import duckdb
+
+    struct_r = duckdb.sql("""
+        SELECT list_reduce(
+          [{'l': CAST(1.0 AS DOUBLE), 'b': CAST(0.0 AS DOUBLE)},
+           {'l': CAST(2.0 AS DOUBLE), 'b': CAST(0.0 AS DOUBLE)},
+           {'l': CAST(3.0 AS DOUBLE), 'b': CAST(0.0 AS DOUBLE)}],
+          (acc, e) -> {'l': acc.l * 10 + e.l, 'b': acc.l})
+    """).fetchone()[0]
+    # honest left fold would give b = 12 (the PRE-update l)
+    assert struct_r == {"l": 123.0, "b": 123.0}, struct_r
+    list_r = duckdb.sql("""
+        SELECT list_reduce(
+          [[CAST(1.0 AS DOUBLE), 0.0],
+           [CAST(2.0 AS DOUBLE), 0.0],
+           [CAST(3.0 AS DOUBLE), 0.0]],
+          (acc, e) -> [acc[1] * 10 + e[1], acc[1]])
+    """).fetchone()[0]
+    assert list_r == [123.0, 12.0], list_r
+
+
+def test_holt_linear_matches_python_fold(spark, sf_dir):
+    """The Holt entry's (level, trend) series re-run as a plain Python
+    loop over the same ordered daily counts — bit-identical doubles
+    (same fold, same inlined l_t expression)."""
+    from iceberg_datafusion_arrow_flight_spark.plans import REGISTRY
+
+    rows = REGISTRY["events_holt_linear"].build(spark, sf_dir).collect()
+    series: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        series.setdefault(r.event_type, []).append(r)
+    for typ, rs in series.items():
+        lvl, trend = 0.0, 0.0
+        for r in rs:
+            x = float(r.n_events)
+            new_lvl = x * 0.3 + (lvl + trend) * 0.7
+            trend = ((x * 0.3 + (lvl + trend) * 0.7) - lvl) * 0.2 \
+                + trend * 0.8
+            lvl = new_lvl
+            assert r.level == lvl and r.trend == trend, (typ, r.day)
