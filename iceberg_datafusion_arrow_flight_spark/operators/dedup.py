@@ -753,3 +753,65 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("contained_id", "container_id",
                     F.round(inter.cast("double") / F.size("sh_a"), 6)
                      .alias("containment")))
+
+
+def winnowing_pairs(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8, w: int = 4,
+                    max_df: int = 20, min_shared: int = 5) -> DataFrame:
+    """Robust-winnowing fingerprint dedup (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every k-gram of the lowercased
+    text, slide a w-gram window selecting each window's MINIMUM hash
+    with the RIGHTMOST-position tie-break (the "robust" rule that makes
+    the selection local: any shared substring of length >= k + w - 1
+    guarantees at least one shared fingerprint), drop fingerprints in
+    more than ``max_df`` docs (MOSS's boilerplate rule — a template
+    gram shared corpus-wide carries no dedup signal and would blow the
+    index join quadratic), then report pairs sharing >= ``min_shared``
+    surviving fingerprints via the standard inverted-index join.
+
+    Window argmins are computed EXPLICITLY (each gram expands to its
+    <= w covering windows, one row_number per window) rather than via
+    run-length shortcuts — w·grams rows, the identical spelling both
+    engines agree on.  Docs shorter than k + w - 1 chars have no full
+    window and are excluded (both engines).
+
+    Scale: grams and window rows are narrow in-stage expansions; the
+    heavy keys are (doc, window) for the argmin and hash for the df
+    count + pair join — the df cap bounds per-hash fan-out to
+    C(max_df, 2) exactly like the LSH band-bucket guard."""
+    n_min = k + w - 1
+    d = (df.select(F.col(id_col).alias("doc_id"),
+                   F.lower(F.col(text_col)).alias("t"),
+                   F.length(text_col).alias("n"))
+         .where(F.col("n") >= n_min))
+    grams = (fan_out(d)
+             .select("doc_id", (F.col("n") - k + 1).alias("ng"),
+                     F.explode(F.sequence(F.lit(1),
+                                          F.col("n") - k + 1)).alias("i"),
+                     "t")
+             .select("doc_id", "ng", "i",
+                     F.conv(F.substring(
+                         F.md5(F.expr(f"substring(t, i, {k})")), 1, 15),
+                         16, 10).cast("bigint").alias("h")))
+    wins = grams.select(
+        "doc_id", "h", "i",
+        F.explode(F.sequence(
+            F.greatest(F.lit(1), F.col("i") - (w - 1)),
+            F.least(F.col("i"), F.col("ng") - (w - 1)))).alias("j"))
+    win_rank = Window.partitionBy("doc_id", "j").orderBy(
+        F.col("h"), F.col("i").desc())
+    sel = (wins.withColumn("rn", F.row_number().over(win_rank))
+           .where(F.col("rn") == 1)
+           .select("doc_id", "h").distinct())
+    kept = (sel.withColumn("df", F.count(F.lit(1))
+                           .over(Window.partitionBy("h")))
+            .where(F.col("df") <= max_df)
+            .select("doc_id", "h"))
+    right = kept.select(F.col("doc_id").alias("doc_b"),
+                        F.col("h").alias("h2"))
+    return (kept.join(right, (F.col("h") == F.col("h2"))
+                      & (F.col("doc_id") < F.col("doc_b")))
+            .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared)
+            .orderBy("doc_a", "doc_b"))

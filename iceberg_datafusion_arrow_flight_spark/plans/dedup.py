@@ -835,3 +835,60 @@ def dedup_threshold_sensitivity(spark: SparkSession,
                .select(F.lit(thr).alias("threshold"), "n_pairs"))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("threshold")
+
+
+@register(
+    "dedup_winnowing_fingerprints",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lower(text) AS t, length(text) AS n
+  FROM documents WHERE length(text) >= 11
+), grams AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(md5(substr(t, CAST(i AS INT), 8)),
+                                  1, 15)) AS BIGINT) AS h,
+         n - 8 + 1 AS ng
+  FROM d, range(1, 600) r(i)
+  WHERE i <= n - 8 + 1
+), wins AS (
+  SELECT doc_id, j, h, i
+  FROM grams, range(1, 600) w(j)
+  WHERE j BETWEEN greatest(1, i - 3) AND least(i, ng - 3)
+), sel AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, j, h,
+           row_number() OVER (PARTITION BY doc_id, j
+                              ORDER BY h, i DESC) AS rn
+    FROM wins) WHERE rn = 1
+), df AS (
+  SELECT h, COUNT(*) AS c FROM sel GROUP BY h
+), kept AS (
+  SELECT s.doc_id, s.h FROM sel s JOIN df ON df.h = s.h WHERE df.c <= 20
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b HAVING COUNT(*) >= 5
+ORDER BY doc_a, doc_b
+""",
+    doc="Robust-winnowing fingerprint near-dup pairs (Schleimer, "
+        "Wilkerson & Aiken 2003 — the MOSS algorithm): 8-gram md5 "
+        "hashes, 4-gram windows each selecting their minimum hash with "
+        "the rightmost tie-break (guarantee: any shared substring of "
+        "length >= 11 yields a shared fingerprint — the detection "
+        "floor MinHash cannot promise), MOSS's boilerplate rule "
+        "dropping fingerprints in > 20 docs, pairs sharing >= 5 "
+        "survivors via the inverted-index join.  Window argmins are "
+        "explicit (gram x <= 4 covering windows + one row_number per "
+        "window), spelled identically in both engines; the df cap "
+        "bounds per-hash join fan-out exactly like the LSH "
+        "band-bucket guard.  Complements the gapped-gram substring-"
+        "overlap entry: winnowing selects a provably-dense fingerprint "
+        "SUBSET (w-fold smaller index, the property that matters at "
+        "100 TB).  operators/dedup.py:winnowing_pairs.",
+    tags=("dedup", "text"),
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.winnowing_pairs(docs, "doc_id", "text",
+                             k=8, w=4, max_df=20, min_shared=5)

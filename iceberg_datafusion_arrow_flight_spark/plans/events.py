@@ -2059,3 +2059,96 @@ def events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("z.lvls").alias("level"),
                         F.col("z.trends").alias("trend"))
             .orderBy("event_type", "day"))
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), series AS (
+  SELECT event_type,
+         list(day ORDER BY day) AS days,
+         list(n_events ORDER BY day) AS raw
+  FROM daily GROUP BY event_type
+), base AS (
+  SELECT event_type, days, raw,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                  list_slice(raw, 1, 7)),
+                     (acc, x) -> acc + x) AS sum7
+  FROM series
+), folded AS (
+  SELECT event_type, days, raw, sum7,
+         list_transform(generate_series(1, len(raw)), i ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                    list_slice(raw, 1, i)),
+             (acc, x) -> greatest(CAST(0 AS BIGINT),
+                                  acc + 7 * x - sum7 - sum7 // 2)))
+           AS cusums
+  FROM base
+)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+       CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+       cusum_scaled > 3 * sum7 AS alarm
+FROM (
+  SELECT event_type, sum7,
+         unnest(days) AS day,
+         unnest(raw) AS n_events,
+         unnest(cusums) AS cusum_scaled
+  FROM folded
+)
+ORDER BY event_type, day
+""",
+    doc="One-sided CUSUM changepoint detection on daily volumes per "
+        "event type, in EXACT integer arithmetic: baseline = first-"
+        "7-day total (sum7), everything scaled by 7 so the target "
+        "mean never becomes a fraction — s_t = max(0, s_{t-1} + 7·x_t "
+        "− sum7 − sum7//2) with allowance half a baseline mean, alarm "
+        "when s exceeds 3 baseline-days of drift.  The page-one "
+        "upward-shift detector behind burn-rate alerting, as a per-day "
+        "SERIES with the running statistic exposed (the analyst needs "
+        "the trajectory, not just the flag).  Same shared prefix-fold "
+        "recipe as EWMA/Holt but entirely on BIGINTs — max(0,·) folds "
+        "are order-sensitive and integer state makes bit-exactness "
+        "unconditional.  Scale: state is bucket-cardinality per key; "
+        "folds run JVM-side on the collapsed series. "
+        "plans/events.py:events_cusum.",
+    tags=("events", "window"),
+)
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    series = (daily.groupBy("event_type")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("day", "n_events"))).alias("dc"))
+              .select("event_type",
+                      F.transform("dc", lambda s: s.day).alias("days"),
+                      F.transform("dc", lambda s: s.n_events)
+                       .alias("raw")))
+    zero = F.lit(0).cast("bigint")
+    sum7 = F.aggregate(F.slice(F.col("raw"), 1, 7), zero,
+                       lambda acc, x: acc + x)
+    base = series.withColumn("sum7", sum7)
+    cusums = F.transform(
+        F.sequence(F.lit(1), F.size("raw")),
+        lambda i: F.aggregate(
+            F.slice(F.col("raw"), F.lit(1), i), zero,
+            lambda acc, x: F.greatest(
+                zero,
+                acc + F.lit(7) * x - F.col("sum7")
+                - F.expr("sum7 div 2"))))
+    rows = (base.withColumn("cusums", cusums)
+            .select("event_type", "sum7",
+                    F.posexplode(F.arrays_zip("days", "raw", "cusums"))
+                    .alias("_i", "z")))
+    return (rows.select("event_type",
+                        F.col("z.days").alias("day"),
+                        F.col("z.raw").cast("bigint").alias("n_events"),
+                        F.col("z.cusums").cast("bigint")
+                         .alias("cusum_scaled"),
+                        (F.col("z.cusums") > F.lit(3) * F.col("sum7"))
+                        .alias("alarm"))
+            .orderBy("event_type", "day"))

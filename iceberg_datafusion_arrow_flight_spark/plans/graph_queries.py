@@ -484,7 +484,10 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                         k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 
-def _lpa_oracle(rounds: int = 3) -> str:
+def _lpa_cte(rounds: int) -> str:
+    """WITH-prefix ending at CTE l{rounds} = the converged-so-far label
+    assignment; shared by the LPA communities entry and the modularity
+    scorer so the two stay on the identical label state."""
     sql = _COPURCHASE_CTE + """, sym AS (
   SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und
 ), l0 AS (
@@ -502,7 +505,11 @@ def _lpa_oracle(rounds: int = 3) -> str:
       GROUP BY s.a, l.label))
   WHERE rn = 1
 )"""
-    return sql + f"""
+    return sql
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    return _lpa_cte(rounds) + f"""
 SELECT CAST(label AS BIGINT) AS community,
        CAST(COUNT(*) AS BIGINT) AS n_members
 FROM l{rounds}
@@ -535,5 +542,84 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = G.label_propagation(_copurchase_edges(spark, sf_dir), rounds=2)
     return (labels.groupBy(F.col("label").cast("bigint").alias("community"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+            .orderBy(F.col("n_members").desc(), "community")
+            .limit(20))
+
+
+def _modularity_oracle(rounds: int = 2) -> str:
+    return _lpa_cte(rounds) + f""", m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und
+), internal AS (
+  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS ie
+  FROM und e
+  JOIN l{rounds} la ON la.node = e.u
+  JOIN l{rounds} lb ON lb.node = e.v
+  WHERE la.label = lb.label
+  GROUP BY la.label
+), degtot AS (
+  SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS dt,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM deg d JOIN l{rounds} l ON l.node = d.node
+  GROUP BY l.label
+)
+SELECT CAST(dg.label AS BIGINT) AS community,
+       dg.n_members,
+       CAST(COALESCE(i.ie, 0) AS BIGINT) AS internal_edges,
+       dg.dt AS degree_total,
+       CAST(COALESCE(i.ie, 0) AS DOUBLE) / m.m
+         - (CAST(dg.dt AS DOUBLE) / (2 * m.m))
+           * (CAST(dg.dt AS DOUBLE) / (2 * m.m)) AS modularity_term
+FROM degtot dg LEFT JOIN internal i ON i.label = dg.label, m
+ORDER BY dg.n_members DESC, community
+LIMIT 20
+"""
+
+
+@register(
+    "graph_modularity",
+    oracle=_modularity_oracle(2),
+    doc="Newman modularity accounting of the label-propagation "
+        "communities (same 2-round deterministic LPA state as "
+        "graph_label_propagation — the oracles share one CTE builder "
+        "so the two entries can never drift apart): per community, "
+        "member count, internal edge count, total degree, and the "
+        "modularity term e_c/m - (d_c/2m)², top-20 by size.  The "
+        "quality gate for ANY community assignment — LPA without a "
+        "modularity readout is a partition you can't compare to the "
+        "next round's.  All inputs are exact integers; each term is "
+        "one float expression over three integers (never a float "
+        "SUM across communities), so the report is bit-exact.  "
+        "Scale: two label joins over the edge list + one degree "
+        "join, all O(edges). operators/graph.py:label_propagation.",
+    tags=("graph", "iterative"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    labels = G.label_propagation(und, rounds=2)
+    m = und.count()
+    la = labels.select(F.col("node").alias("u"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("v"), F.col("label").alias("lb"))
+    internal = (und.join(la, "u").join(lb, "v")
+                .where(F.col("la") == F.col("lb"))
+                .groupBy(F.col("la").alias("label"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("ie")))
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).cast("bigint")
+                                .alias("deg")))
+    degtot = (deg.join(labels, "node")
+              .groupBy("label")
+              .agg(F.sum("deg").cast("bigint").alias("dt"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_members")))
+    ie = F.coalesce(F.col("ie"), F.lit(0)).cast("bigint")
+    term = (ie.cast("double") / F.lit(float(m))
+            - (F.col("dt").cast("double") / F.lit(float(2 * m)))
+            * (F.col("dt").cast("double") / F.lit(float(2 * m))))
+    return (degtot.join(internal, "label", "left")
+            .select(F.col("label").cast("bigint").alias("community"),
+                    "n_members",
+                    ie.alias("internal_edges"),
+                    F.col("dt").alias("degree_total"),
+                    term.alias("modularity_term"))
             .orderBy(F.col("n_members").desc(), "community")
             .limit(20))
