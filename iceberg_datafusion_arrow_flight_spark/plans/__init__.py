@@ -84,7 +84,6 @@ _PRIORITY: list[str] = [
     "filter_predicates", "filter_ilike_null_safe",
     "filter_is_true_unknown",
     "join_range_binned", "project_star_except",
-    "tpch_q3_shipping_priority",
     # --- NEW in r08 (two-scale local-gated on arrival; each ceded one
     # re-pin slot, youngest-staleness-then-list-tail first — ceded so
     # far: agg_having_filter_distinct [r02],
@@ -93,7 +92,9 @@ _PRIORITY: list[str] = [
     # tpch_q8_national_market_share, tpch_q18_large_volume_customer,
     # tpch_q19_discounted_revenue, tpch_q14_promo_effect,
     # tpch_q10_returned_items, tpch_q7_nation_volume,
-    # tpch_q6_forecast_revenue, tpch_q5_local_supplier_volume [r01 tail]):
+    # tpch_q6_forecast_revenue, tpch_q5_local_supplier_volume,
+    # tpch_q3_shipping_priority [r01 tail; the whole r01 TPC-H block
+    # now leads the r09 re-pin queue]):
     "agg_grouping_sets_empty",
     "stream_reservoir_vs_batch_topk",
     "stream_mv_hourly_rollup",
@@ -107,6 +108,7 @@ _PRIORITY: list[str] = [
     "dedup_winnowing_fingerprints",
     "graph_modularity",
     "events_changepoint_cusum",
+    "multimodal_audio_spectrogram",
 ]
 
 

@@ -608,3 +608,71 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("doc_id") % 5 == 0).select("doc_id"))
     return (M.image_phash(M.attach_image_payload(docs))
             .orderBy("doc_id"))
+
+
+def _spectrogram_oracle() -> str:
+    """Re-derives every sample from the waveform formula and runs the
+    identical fixed-point framed DFT with the shared literal basis."""
+    from ..operators.multimodal import dft_basis
+    cos_t, sin_t = dft_basis()
+    cb = "[" + ", ".join(str(v) for v in cos_t) + "]"
+    sb = "[" + ", ".join(str(v) for v in sin_t) + "]"
+    return f"""
+WITH bt AS (SELECT {cb} AS cb, {sb} AS sb),
+b AS (
+  SELECT bin, t,
+         cb[(bin - 1) * 64 + t + 1] AS c,
+         sb[(bin - 1) * 64 + t + 1] AS s
+  FROM bt, range(1, 9) tb(bin), range(0, 64) tt(t)
+),
+d AS (
+  SELECT doc_id, 800 + (doc_id % 5) * 160 AS n
+  FROM documents WHERE doc_id % 5 = 0
+),
+smp AS (
+  SELECT doc_id, i // 64 AS frame, i % 64 AS t,
+         ((doc_id * 31 + 7 * i) % 4096) - 2048 AS v
+  FROM d, range(0, 1440) r(i)
+  WHERE i < (n // 64) * 64
+),
+comp AS (
+  SELECT smp.doc_id, smp.frame, b.bin,
+         CAST(SUM(v * c) AS BIGINT) AS re,
+         CAST(SUM(v * s) AS BIGINT) AS im
+  FROM smp JOIN b ON b.t = smp.t
+  GROUP BY smp.doc_id, smp.frame, b.bin
+)
+SELECT doc_id, CAST(bin AS INT) AS bin,
+       CAST(SUM(re * re + im * im) AS BIGINT) AS energy
+FROM comp
+GROUP BY doc_id, bin
+ORDER BY doc_id, bin
+"""
+
+
+@register(
+    "multimodal_audio_spectrogram",
+    oracle=_spectrogram_oracle(),
+    doc="Framed fixed-point spectrogram energy over REAL parsed WAV "
+        "payloads: RIFF chunk walk, 64-sample frames (tail dropped), "
+        "8-bin DFT with a Python-precomputed 2^6 fixed-point basis "
+        "embedded as literals in BOTH engines, per-(doc, bin) exact "
+        "integer energy Σ(re² + im²) — the band-energy profile audio "
+        "curation filters on, and the second literal-basis transform "
+        "witness beside the pHash DCT.  The deliberately low trig "
+        "precision keeps the largest accumulator (~3.1e15) under 2^53 "
+        "with margin, so numpy int64 and DuckDB HUGEINT sums agree "
+        "bit-for-bit; the oracle re-derives samples from the waveform "
+        "formula, so one mis-walked RIFF chunk breaks the hash.  "
+        "Scale: O(samples) decode + two small integer matmuls per "
+        "frame, no shuffle. "
+        "operators/multimodal.py:audio_spectrogram_energy.",
+    tags=("multimodal", "events"),
+)
+def multimodal_audio_spectrogram(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 5 == 0).select("doc_id"))
+    return (M.audio_spectrogram_energy(M.attach_audio_payload(docs))
+            .orderBy("doc_id", "bin"))

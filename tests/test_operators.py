@@ -1514,3 +1514,31 @@ def test_holt_linear_matches_python_fold(spark, sf_dir):
                 + trend * 0.8
             lvl = new_lvl
             assert r.level == lvl and r.trend == trend, (typ, r.day)
+
+
+def test_audio_spectrogram_matches_python_reference(spark, sf_dir):
+    """The framed fixed-point DFT recomputed with PLAIN Python loops
+    (no numpy) from the waveform formula — every (doc, bin) energy must
+    be identical: same framing, same integer basis, same squares."""
+    from iceberg_datafusion_arrow_flight_spark.operators.multimodal import (
+        attach_audio_payload, audio_spectrogram_energy, dft_basis)
+
+    ids = [0, 5, 10, 15, 20, 2555]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {(r.doc_id, r.bin): r.energy
+           for r in audio_spectrogram_energy(
+               attach_audio_payload(docs)).collect()}
+    cos_t, sin_t = dft_basis()
+    for did in ids:
+        n = 800 + (did % 5) * 160
+        samples = [((did * 31 + 7 * i) % 4096) - 2048 for i in range(n)]
+        for b in range(1, 9):
+            total = 0
+            for f in range(n // 64):
+                re = sum(samples[f * 64 + t] * cos_t[(b - 1) * 64 + t]
+                         for t in range(64))
+                im = sum(samples[f * 64 + t] * sin_t[(b - 1) * 64 + t]
+                         for t in range(64))
+                total += re * re + im * im
+            assert got[(did, b)] == total, (did, b)
+            assert total < 2 ** 53  # the exactness budget, measured
