@@ -87,6 +87,14 @@ HEADLINE = [
     # link prediction.
     "dedup_containment",
     "graph_adamic_adar",
+    # r8 additions (solo seeds in PERFORMANCE.md r8): MOSS winnowing
+    # fingerprint dedup, deterministic label-propagation communities,
+    # Matryoshka prefix-recall audit, and the framed fixed-point audio
+    # spectrogram over real WAV parsing.
+    "dedup_winnowing_fingerprints",
+    "graph_label_propagation",
+    "sim_matryoshka_prefix_recall",
+    "multimodal_audio_spectrogram",
 ]
 
 
@@ -182,7 +190,11 @@ def main() -> None:
                       "graph_triangle_count",
                       "sim_cross_corpus_decontaminate",
                       "text_bpe_train_merges", "multimodal_scene_cuts",
-                      "dedup_containment", "graph_adamic_adar")]
+                      "dedup_containment", "graph_adamic_adar",
+                      "dedup_winnowing_fingerprints",
+                      "graph_label_propagation",
+                      "sim_matryoshka_prefix_recall",
+                      "multimodal_audio_spectrogram")]
 
     # Output cardinality per query, recorded alongside seconds in the
     # artifact: drift-vs-noise adjudication needs "same rows, slower" in
