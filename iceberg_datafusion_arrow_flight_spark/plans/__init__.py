@@ -83,7 +83,6 @@ _PRIORITY: list[str] = [
     "values_inline",
     "filter_predicates", "filter_ilike_null_safe",
     "filter_is_true_unknown",
-    "join_range_binned", "project_star_except",
     # --- NEW in r08 (two-scale local-gated on arrival; each ceded one
     # re-pin slot, youngest-staleness-then-list-tail first — ceded so
     # far: agg_having_filter_distinct [r02],
@@ -93,8 +92,8 @@ _PRIORITY: list[str] = [
     # tpch_q19_discounted_revenue, tpch_q14_promo_effect,
     # tpch_q10_returned_items, tpch_q7_nation_volume,
     # tpch_q6_forecast_revenue, tpch_q5_local_supplier_volume,
-    # tpch_q3_shipping_priority [r01 tail; the whole r01 TPC-H block
-    # now leads the r09 re-pin queue]):
+    # tpch_q3_shipping_priority [the whole r01 TPC-H block now leads
+    # the r09 re-pin queue], project_star_except, join_range_binned):
     "agg_grouping_sets_empty",
     "stream_reservoir_vs_batch_topk",
     "stream_mv_hourly_rollup",
@@ -109,6 +108,8 @@ _PRIORITY: list[str] = [
     "graph_modularity",
     "events_changepoint_cusum",
     "multimodal_audio_spectrogram",
+    "join_interval_overlap",
+    "events_diff_in_diff",
 ]
 
 

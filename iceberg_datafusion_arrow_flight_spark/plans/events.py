@@ -2152,3 +2152,88 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("z.cusums") > F.lit(3) * F.col("sum7"))
                         .alias("alarm"))
             .orderBy("event_type", "day"))
+
+
+@register(
+    "events_diff_in_diff",
+    oracle="""
+WITH per_cell AS (
+  SELECT CASE WHEN CAST(concat('0x', substr(md5('ab|' || CAST(user_id
+                    AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+              THEN 'before' ELSE 'after' END AS period,
+         user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2, user_id
+), cells AS (
+  SELECT arm, period,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s
+  FROM per_cell GROUP BY arm, period
+), wide AS (
+  SELECT MAX(CASE WHEN arm = 'A' AND period = 'before' THEN s END)
+             * 1.0 / MAX(CASE WHEN arm = 'A' AND period = 'before'
+                              THEN n END) AS a_before,
+         MAX(CASE WHEN arm = 'A' AND period = 'after' THEN s END)
+             * 1.0 / MAX(CASE WHEN arm = 'A' AND period = 'after'
+                              THEN n END) AS a_after,
+         MAX(CASE WHEN arm = 'B' AND period = 'before' THEN s END)
+             * 1.0 / MAX(CASE WHEN arm = 'B' AND period = 'before'
+                              THEN n END) AS b_before,
+         MAX(CASE WHEN arm = 'B' AND period = 'after' THEN s END)
+             * 1.0 / MAX(CASE WHEN arm = 'B' AND period = 'after'
+                              THEN n END) AS b_after
+  FROM cells
+)
+SELECT a_before, a_after, b_before, b_after,
+       (b_after - b_before) - (a_after - a_before) AS did_estimate
+FROM wide
+""",
+    doc="Difference-in-differences readout on the A/B fixture: md5-"
+        "parity arms x before/after Jan 16 periods, cell means of "
+        "per-user-period purchase totals in exact integer centi-units, "
+        "DiD = (B_after - B_before) - (A_after - A_before) — the "
+        "quasi-experimental companion of the z/Welch entries for when "
+        "assignment isn't randomized per-exposure and a parallel-"
+        "trends baseline must be differenced out.  Every mean is one "
+        "division of two exact integers and the estimate one "
+        "expression over the four — bit-exact, zero rounding.  Scale: "
+        "one per-(user, period) partial agg then 4-row state. "
+        "plans/events.py:events_did.",
+    tags=("events", "aggregate", "stats"),
+)
+def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab|"),
+                                          F.col("user_id").cast("string"))),
+                           1, 15), 16, 10).cast("bigint") % 2 == 0,
+        F.lit("A")).otherwise(F.lit("B"))
+    period = F.when(F.col("ts").cast("date") < F.lit("2024-01-16")
+                    .cast("date"), F.lit("before")).otherwise(F.lit("after"))
+    xi = F.when(F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")) \
+          .otherwise(F.lit(0).cast("bigint"))
+    per_cell = (e.groupBy(arm.alias("arm"), period.alias("period"),
+                          "user_id")
+                .agg(F.sum(xi).cast("bigint").alias("x")))
+    cells = (per_cell.groupBy("arm", "period")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                  F.sum("x").cast("bigint").alias("s")))
+
+    def cell(a, p):
+        cond = (F.col("arm") == a) & (F.col("period") == p)
+        return (F.max(F.when(cond, F.col("s"))) * F.lit(1.0)
+                / F.max(F.when(cond, F.col("n"))))
+
+    wide = cells.agg(cell("A", "before").alias("a_before"),
+                     cell("A", "after").alias("a_after"),
+                     cell("B", "before").alias("b_before"),
+                     cell("B", "after").alias("b_after"))
+    return wide.select(
+        "a_before", "a_after", "b_before", "b_after",
+        ((F.col("b_after") - F.col("b_before"))
+         - (F.col("a_after") - F.col("a_before"))).alias("did_estimate"))

@@ -713,3 +713,71 @@ def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "l_tax"],
                 variableColumnName="measure",
                 valueColumnName="val"))
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH spans AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS s_start,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) AS s_end
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), promos AS (
+  SELECT promo_id,
+         CAST(epoch(TIMESTAMP '2024-01-01 00:00:00')
+              + (promo_id - 1) * 259200 AS BIGINT) AS p_start,
+         CAST(epoch(TIMESTAMP '2024-01-01 00:00:00')
+              + (promo_id - 1) * 259200 + 172800 AS BIGINT) AS p_end
+  FROM range(1, 11) t(promo_id)
+)
+SELECT promo_id,
+       CAST(COUNT(*) AS BIGINT) AS n_overlapping_spans,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(s_end - s_start) AS BIGINT) AS span_seconds_total
+FROM spans JOIN promos
+  ON s_start <= p_end AND p_start <= s_end
+GROUP BY promo_id
+ORDER BY promo_id
+""",
+    doc="INTERVAL x INTERVAL overlap join: per-user-day activity spans "
+        "(min/max event time) against ten 48-hour promo windows every "
+        "3 days — the campaign-exposure join every attribution system "
+        "runs.  Spark side executes the scale path: both interval sets "
+        "explode onto a 6-hour bin grid, equi-join on bin id, exact "
+        "overlap residual, and each pair is emitted ONCE at the bin of "
+        "the overlap start (floor(max(starts)/w) — a filter inside the "
+        "join stage, so NO dedup shuffle; the trick Databricks' "
+        "range-join optimization uses).  The oracle runs the naive "
+        "theta join — value-identical by construction.  Epoch-second "
+        "integers end-to-end. operators/range_join.py:"
+        "interval_overlap_join.",
+    tags=("join", "range"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import interval_overlap_join
+    e = table(spark, sf_dir, "events")
+    spans = (e.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+             .agg(F.unix_timestamp(F.min("ts")).cast("bigint")
+                  .alias("s_start"),
+                  F.unix_timestamp(F.max("ts")).cast("bigint")
+                  .alias("s_end")))
+    base = F.unix_timestamp(F.lit("2024-01-01 00:00:00")
+                            .cast("timestamp")).cast("bigint")
+    promos = (spark.range(1, 11)
+              .select(F.col("id").cast("int").alias("promo_id"))
+              .select("promo_id",
+                      (base + (F.col("promo_id") - 1) * 259200)
+                      .alias("p_start"),
+                      (base + (F.col("promo_id") - 1) * 259200 + 172800)
+                      .alias("p_end")))
+    joined = interval_overlap_join(spans, promos, "s_start", "s_end",
+                                   "p_start", "p_end", bin_width=21600.0)
+    return (joined.groupBy("promo_id")
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_overlapping_spans"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("n_users"),
+                 F.sum(F.col("s_end") - F.col("s_start")).cast("bigint")
+                 .alias("span_seconds_total"))
+            .orderBy("promo_id"))
