@@ -401,3 +401,38 @@ def label_propagation(und: DataFrame, rounds: int = 3) -> DataFrame:
                .select("node", (-F.col("m.neg")).alias("label")))
         labels = new.localCheckpoint(eager=True)
     return labels
+
+
+def multi_seed_bfs_distances(und: DataFrame, seeds: DataFrame,
+                             max_depth: int = 4) -> DataFrame:
+    """Per-seed BFS distances to a bounded depth: ``(seed, node,
+    depth)`` with depth = the min-hop distance from THAT seed (unlike
+    :func:`bfs_layers`, which folds all seeds into one frontier).  The
+    frontier/visited state is keyed by (seed, node), so k seeds cost
+    one traversal with k-striped state, not k traversals — per round
+    one frontier⋈edges equi-join plus one (seed, node) anti-join, work
+    ∝ per-seed frontier-adjacent edges, checkpointed per round.
+
+    The closeness-centrality primitive (and the landmark-distance
+    sketch: at corpus scale pick O(log n) landmark seeds and
+    approximate all-pairs distances through them)."""
+    sym = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+           .unionByName(und.select(F.col("v").alias("a"),
+                                   F.col("u").alias("b")))
+           .localCheckpoint(eager=True))
+    visited = (seeds.select(F.col("seed"), F.col("seed").alias("node"))
+               .withColumn("depth", F.lit(0))
+               .localCheckpoint(eager=True))
+    frontier = visited.select("seed", "node")
+    for d in range(1, max_depth + 1):
+        nbrs = (frontier.join(sym, frontier["node"] == sym["a"])
+                .select("seed", F.col("b").alias("node")).distinct())
+        new = (nbrs.join(visited.select("seed", "node"),
+                         ["seed", "node"], "left_anti")
+               .withColumn("depth", F.lit(d))
+               .localCheckpoint(eager=True))
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("seed", "node")
+    return visited

@@ -827,3 +827,41 @@ def audio_spectrogram_energy(df: DataFrame) -> DataFrame:
 
     return fan_out(df).mapInPandas(
         spec, schema="doc_id BIGINT, bin INT, energy BIGINT")
+
+
+def image_edge_density(df: DataFrame, threshold: int = 256) -> DataFrame:
+    """Sobel edge-density over REAL decoded pixels, exact integers
+    end-to-end: grayscale as the channel sum r+g+b, 3×3 integer Sobel
+    gradients over interior pixels, edge when |gx| + |gy| >= threshold
+    — the sharpness/flatness screen a vision curation pass runs
+    (synthetic flats and heavy blur score near zero; texture and text
+    renders score high).  Emits per doc: interior pixel count, edge
+    count, and the exact total gradient magnitude Σ(|gx| + |gy|).
+
+    numpy integer convolution per Arrow batch; |gx| <= 4·765·... every
+    per-pixel magnitude <= 8·765·4 and the per-doc sum <= ~2.5e7 —
+    nowhere near any exactness edge.  The oracle rebuilds the same
+    gradients from the pixel generator via a 9-row kernel join."""
+    def edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, n_int, n_edge, gsum = [], [], [], []
+            for did, fmt, payload in zip(pdf["doc_id"], pdf["fmt"],
+                                         pdf["payload"]):
+                w, h, px = _REAL_DECODERS[fmt](bytes(payload))
+                g = px.astype(np.int64).sum(axis=2)  # (h, w) gray
+                gx = (g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:]
+                      - g[:-2, :-2] - 2 * g[1:-1, :-2] - g[2:, :-2])
+                gy = (g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:]
+                      - g[:-2, :-2] - 2 * g[:-2, 1:-1] - g[:-2, 2:])
+                mag = np.abs(gx) + np.abs(gy)
+                ids.append(did)
+                n_int.append(int(mag.size))
+                n_edge.append(int((mag >= threshold).sum()))
+                gsum.append(int(mag.sum()))
+            yield pd.DataFrame({"doc_id": ids, "n_interior": n_int,
+                                "n_edges": n_edge,
+                                "gradient_total": gsum})
+
+    return fan_out(df).mapInPandas(
+        edges, schema=("doc_id BIGINT, n_interior BIGINT, "
+                       "n_edges BIGINT, gradient_total BIGINT"))

@@ -81,8 +81,7 @@ _PRIORITY: list[str] = [
     "sort_limit_offset", "sort_nulls_ordering",
     "distinct_simple", "distinct_on",
     "values_inline",
-    "filter_predicates", "filter_ilike_null_safe",
-    "filter_is_true_unknown",
+    "filter_predicates",
     # --- NEW in r08 (two-scale local-gated on arrival; each ceded one
     # re-pin slot, youngest-staleness-then-list-tail first — ceded so
     # far: agg_having_filter_distinct [r02],
@@ -93,7 +92,8 @@ _PRIORITY: list[str] = [
     # tpch_q10_returned_items, tpch_q7_nation_volume,
     # tpch_q6_forecast_revenue, tpch_q5_local_supplier_volume,
     # tpch_q3_shipping_priority [the whole r01 TPC-H block now leads
-    # the r09 re-pin queue], project_star_except, join_range_binned):
+    # the r09 re-pin queue], project_star_except, join_range_binned,
+    # filter_is_true_unknown, filter_ilike_null_safe):
     "agg_grouping_sets_empty",
     "stream_reservoir_vs_batch_topk",
     "stream_mv_hourly_rollup",
@@ -110,6 +110,8 @@ _PRIORITY: list[str] = [
     "multimodal_audio_spectrogram",
     "join_interval_overlap",
     "events_diff_in_diff",
+    "multimodal_image_edge_density",
+    "graph_closeness_centrality",
 ]
 
 

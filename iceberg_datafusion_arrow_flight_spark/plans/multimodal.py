@@ -676,3 +676,67 @@ def multimodal_audio_spectrogram(spark: SparkSession,
             .where(F.col("doc_id") % 5 == 0).select("doc_id"))
     return (M.audio_spectrogram_energy(M.attach_audio_payload(docs))
             .orderBy("doc_id", "bin"))
+
+
+@register(
+    "multimodal_image_edge_density",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 8 + (doc_id % 8) * 4 AS w, 8 + (doc_id % 5) * 4 AS h
+  FROM documents WHERE doc_id % 5 = 0
+),
+kernel AS (
+  SELECT * FROM (VALUES
+    (-1, -1, -1, -1), (0, -1, -2, 0), (1, -1, -1, 1),
+    (-1,  0,  0, -2), (1,  0,  0, 2),
+    (-1,  1,  1, -1), (0,  1,  2, 0), (1,  1,  1, 1)
+  ) k(dy, dx, wy, wx)
+),
+inner_px AS (
+  SELECT doc_id, w, h, x, y
+  FROM d, range(1, 36) tx(x), range(1, 24) ty(y)
+  WHERE x < w - 1 AND y < h - 1
+),
+grads AS (
+  SELECT p.doc_id, p.x, p.y,
+         SUM(k.wx * (
+             (7 * p.doc_id + 3 * ((p.y + k.dy) * p.w + p.x + k.dx)) % 256
+           + (7 * p.doc_id + 3 * ((p.y + k.dy) * p.w + p.x + k.dx) + 1) % 256
+           + (7 * p.doc_id + 3 * ((p.y + k.dy) * p.w + p.x + k.dx) + 2) % 256
+         )) AS gx,
+         SUM(k.wy * (
+             (7 * p.doc_id + 3 * ((p.y + k.dy) * p.w + p.x + k.dx)) % 256
+           + (7 * p.doc_id + 3 * ((p.y + k.dy) * p.w + p.x + k.dx) + 1) % 256
+           + (7 * p.doc_id + 3 * ((p.y + k.dy) * p.w + p.x + k.dx) + 2) % 256
+         )) AS gy
+  FROM inner_px p, kernel k
+  GROUP BY p.doc_id, p.x, p.y
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(CASE WHEN ABS(gx) + ABS(gy) >= 256 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_edges,
+       CAST(SUM(ABS(gx) + ABS(gy)) AS BIGINT) AS gradient_total
+FROM grads
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    doc="Sobel edge-density screen over REAL decoded pixels (exact "
+        "integer 3x3 gradients on the r+g+b grayscale; edge when "
+        "|gx|+|gy| >= 256): per doc, interior pixel count, edge count, "
+        "and exact total gradient magnitude — the sharpness/flatness "
+        "filter beside the intensity-histogram exposure profile.  The "
+        "oracle rebuilds every gradient from the pixel generator via "
+        "an 8-row kernel join (the center tap has weight 0 in both "
+        "Sobel kernels), so one mis-decoded pixel anywhere breaks the "
+        "hash.  Scale: O(pixels) per image, no shuffle. "
+        "operators/multimodal.py:image_edge_density.",
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_image_edge_density(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 5 == 0).select("doc_id"))
+    return (M.image_edge_density(M.attach_image_payload(docs))
+            .orderBy("doc_id"))
