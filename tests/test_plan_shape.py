@@ -689,3 +689,28 @@ def test_pack_boundary_loss_single_shard_window(spark, sf_dir):
     # before the Window node
     window_section = plan.split("Window", 1)[0]
     assert "SinglePartition" not in window_section
+
+
+def test_interval_overlap_join_is_hash_join_on_bin(spark, sf_dir):
+    """The interval×interval overlap join must plan as an EQUI (hash)
+    join keyed on the bin id with the exact overlap predicate as a
+    residual — never a nested-loop/cartesian (the naive theta-join
+    plan that dies at scale).  The once-per-pair emission is a filter
+    INSIDE the join condition, so no dedup aggregation appears between
+    the join and the final rollup."""
+    df = REGISTRY["join_interval_overlap"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__bin" in plan  # the bin equi-key reached the join
+    assert "HashJoin" in plan
+
+
+def test_winnowing_has_no_nested_loop(spark, sf_dir):
+    """Winnowing's fingerprint-pair join is an inverted-index equi-join
+    on the hash — the df cap bounds fan-out; the plan must contain only
+    hash/sort-merge joins."""
+    df = REGISTRY["dedup_winnowing_fingerprints"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
