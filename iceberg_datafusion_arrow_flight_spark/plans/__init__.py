@@ -78,9 +78,8 @@ _PRIORITY: list[str] = [
     "cte_multi",
     "setop_union_all", "setop_union_distinct", "setop_intersect",
     "setop_intersect_all", "setop_except_all",
-    "sort_limit_offset", "sort_nulls_ordering",
-    "distinct_simple", "distinct_on",
-    "values_inline",
+    "sort_limit_offset",
+    "distinct_simple",
     "filter_predicates",
     # --- NEW in r08 (two-scale local-gated on arrival; each ceded one
     # re-pin slot, youngest-staleness-then-list-tail first — ceded so
@@ -93,7 +92,8 @@ _PRIORITY: list[str] = [
     # tpch_q6_forecast_revenue, tpch_q5_local_supplier_volume,
     # tpch_q3_shipping_priority [the whole r01 TPC-H block now leads
     # the r09 re-pin queue], project_star_except, join_range_binned,
-    # filter_is_true_unknown, filter_ilike_null_safe):
+    # filter_is_true_unknown, filter_ilike_null_safe, values_inline,
+    # distinct_on, sort_nulls_ordering):
     "agg_grouping_sets_empty",
     "stream_reservoir_vs_batch_topk",
     "stream_mv_hourly_rollup",
@@ -112,6 +112,9 @@ _PRIORITY: list[str] = [
     "events_diff_in_diff",
     "multimodal_image_edge_density",
     "graph_closeness_centrality",
+    "events_survival_km",
+    "events_lift_matrix",
+    "graph_degree_assortativity",
 ]
 
 

@@ -2237,3 +2237,170 @@ def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_before", "a_after", "b_before", "b_after",
         ((F.col("b_after") - F.col("b_before"))
          - (F.col("a_after") - F.col("a_before"))).alias("did_estimate"))
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(ts) AS first_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_p
+  FROM events GROUP BY user_id
+), horizon AS (SELECT MAX(ts) AS h FROM events),
+obs AS (
+  SELECT user_id,
+         CASE WHEN first_p IS NOT NULL
+              THEN CAST(floor((floor(epoch(first_p))
+                               - floor(epoch(first_ts))) / 3600)
+                        AS BIGINT)
+              ELSE CAST(floor((floor(epoch((SELECT h FROM horizon)))
+                               - floor(epoch(first_ts))) / 3600)
+                        AS BIGINT) END AS t,
+         CASE WHEN first_p IS NOT NULL THEN 1 ELSE 0 END AS converted
+  FROM per_user
+), by_t AS (
+  SELECT t,
+         CAST(SUM(converted) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM obs GROUP BY t
+), risk AS (
+  SELECT t, d,
+         CAST(SUM(leaving) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_risk
+  FROM by_t
+), ordered AS (
+  SELECT t, d, n_risk,
+         list(1.0 - CAST(d AS DOUBLE) / n_risk)
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS factors
+  FROM risk
+)
+SELECT CAST(t AS BIGINT) AS t_hours, d AS n_converted, n_risk,
+       list_reduce(list_prepend(1.0, factors), (acc, x) -> acc * x)
+           AS survival
+FROM ordered
+WHERE d > 0
+ORDER BY t_hours
+""",
+    doc="Kaplan-Meier time-to-first-purchase curve in hours since a "
+        "user's first event, with users who never purchase CENSORED at "
+        "the corpus horizon — the estimator that makes censored "
+        "conversion data honest where a naive mean time-to-convert is "
+        "biased low.  S(t) = Π_{i<=t} (1 − d_i/n_i): d_i exact "
+        "conversion counts, n_i the exact at-risk set (reverse "
+        "cumulative sum including censored exits), the product a left "
+        "fold over ordered factors (the shared EWMA/Holt fold recipe "
+        "applied to multiplication) — the whole curve bit-exact across "
+        "engines.  Emitted at event times only (d > 0), KM convention. "
+        "Scale: the corpus collapses to one row per distinct hour in "
+        "one partial agg; folds run on that small series. "
+        "plans/events.py:events_km.",
+    tags=("events", "stats"),
+)
+def events_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    per_user = (e.groupBy("user_id")
+                .agg(F.min("ts").alias("first_ts"),
+                     F.min(F.when(F.col("event_type") == "purchase",
+                                  F.col("ts"))).alias("first_p")))
+    horizon = e.agg(F.max("ts").alias("h"))
+    secs = lambda a, b: (F.unix_timestamp(a) - F.unix_timestamp(b))  # noqa: E731
+    obs = (per_user.crossJoin(F.broadcast(horizon))
+           .select(
+               F.when(F.col("first_p").isNotNull(),
+                      F.floor(secs(F.col("first_p"), F.col("first_ts"))
+                              / 3600))
+                .otherwise(F.floor(secs(F.col("h"), F.col("first_ts"))
+                                   / 3600))
+                .cast("bigint").alias("t"),
+               F.when(F.col("first_p").isNotNull(), 1).otherwise(0)
+                .alias("converted")))
+    by_t = (obs.groupBy("t")
+            .agg(F.sum("converted").cast("bigint").alias("d"),
+                 F.count(F.lit(1)).cast("bigint").alias("leaving")))
+    w_desc = (Window.orderBy(F.col("t").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = by_t.withColumn("n_risk",
+                           F.sum("leaving").over(w_desc).cast("bigint"))
+    w_asc = (Window.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ordered = risk.withColumn(
+        "factors",
+        F.collect_list(F.lit(1.0) - F.col("d").cast("double")
+                       / F.col("n_risk")).over(w_asc))
+    return (ordered.where(F.col("d") > 0)
+            .select(F.col("t").cast("bigint").alias("t_hours"),
+                    F.col("d").alias("n_converted"), "n_risk",
+                    F.aggregate("factors", F.lit(1.0),
+                                lambda acc, x: acc * x).alias("survival"))
+            .orderBy("t_hours"))
+
+
+@register(
+    "events_lift_matrix",
+    oracle="""
+WITH per_user AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), totals AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events
+), singles AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM per_user GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM per_user a JOIN per_user b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, sa.c AS n_a, sb.c AS n_b, n_both,
+       CAST(n_both AS DOUBLE) / t.n AS support,
+       CAST(n_both AS DOUBLE) / sa.c AS confidence_a_to_b,
+       CAST(n_both AS DOUBLE) * t.n / (sa.c * sb.c) AS lift
+FROM pairs
+JOIN singles sa ON sa.event_type = type_a
+JOIN singles sb ON sb.event_type = type_b, totals t
+ORDER BY type_a, type_b
+""",
+    doc="Market-basket lift matrix over event types (basket = user): "
+        "for every unordered type pair, exact co-occurrence counts and "
+        "the support / confidence / lift ratios — the association-rule "
+        "screen behind 'users who X also Y'.  Lift > 1 flags genuine "
+        "affinity; the md5-free all-integer inputs make every ratio "
+        "one expression over exact counts, bit-identical across "
+        "engines.  Scale: one distinct (user, type) projection "
+        "(state-space sized), one self-join on user_id whose fan-out "
+        "is bounded by types-per-user (<= 5 here), then a types²-sized "
+        "rollup — never events². plans/events.py:events_lift.",
+    tags=("events", "aggregate"),
+)
+def events_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per_user = e.select("user_id", "event_type").distinct()
+    totals = e.agg(F.countDistinct("user_id").cast("bigint").alias("n"))
+    singles = (per_user.groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    b = per_user.select(F.col("user_id").alias("uid2"),
+                        F.col("event_type").alias("type_b"))
+    pairs = (per_user.join(b, (F.col("user_id") == F.col("uid2"))
+                           & (F.col("event_type") < F.col("type_b")))
+             .groupBy(F.col("event_type").alias("type_a"), "type_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_both")))
+    sa = singles.select(F.col("event_type").alias("type_a"),
+                        F.col("c").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"),
+                        F.col("c").alias("n_b"))
+    return (pairs.join(F.broadcast(sa), "type_a")
+            .join(F.broadcast(sb), "type_b")
+            .crossJoin(F.broadcast(totals))
+            .select("type_a", "type_b", "n_a", "n_b", "n_both",
+                    (F.col("n_both").cast("double") / F.col("n"))
+                    .alias("support"),
+                    (F.col("n_both").cast("double") / F.col("n_a"))
+                    .alias("confidence_a_to_b"),
+                    (F.col("n_both").cast("double") * F.col("n")
+                     / (F.col("n_a") * F.col("n_b"))).alias("lift"))
+            .orderBy("type_a", "type_b"))

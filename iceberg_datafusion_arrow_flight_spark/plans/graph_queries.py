@@ -695,3 +695,69 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_reached").cast("double")
                      / F.col("dist_total")).alias("closeness"))
             .orderBy("seed"))
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=_COPURCHASE_CTE + """, sym AS (
+  SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und
+), dd AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM sym JOIN deg da ON da.node = sym.a
+           JOIN deg db ON db.node = sym.b
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM dd
+)
+SELECT m AS n_directed_edges, sx AS deg_sum, sxy AS deg_prod_sum,
+       (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           AS assortativity
+FROM sums
+""",
+    doc="Degree assortativity of the co-purchase graph (Newman 2002): "
+        "Pearson correlation of endpoint degrees over the symmetrized "
+        "edge list — one number separating hub-attracts-hub networks "
+        "(r > 0, social) from hub-spoke ones (r < 0, technological/"
+        "catalog), deciding whether degree-based sampling or salting "
+        "is needed downstream.  Five integer sums in one partial-"
+        "aggregable pass (largest ~ sum(deg²·...) well below 2^53 at "
+        "fixture scale and bounded by m·max_deg² generally); r is one "
+        "float expression over six exact integers — bit-identical "
+        "across engines.  Scale: two broadcast-sized degree joins + "
+        "one global agg, O(edges). plans/graph_queries.py.",
+    tags=("graph",),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sym = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+           .unionByName(und.select(F.col("v").alias("a"),
+                                   F.col("u").alias("b"))))
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("bigint").alias("deg")))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("x"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("y"))
+    dd = sym.join(da, "a").join(db, "b")
+    sums = dd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"))
+    md = F.col("m").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = ((md * F.col("sxy") - sxd * F.col("sy"))
+         / (F.sqrt(md * F.col("sxx") - sxd * F.col("sx"))
+            * F.sqrt(md * F.col("syy") - syd * F.col("sy"))))
+    return sums.select(F.col("m").alias("n_directed_edges"),
+                       F.col("sx").alias("deg_sum"),
+                       F.col("sxy").alias("deg_prod_sum"),
+                       r.alias("assortativity"))
