@@ -1127,3 +1127,66 @@ def iceberg_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (asof.groupBy("o_orderstatus").agg(*_agg_cols())
             .withColumn("pre_table_travel_fails", F.lit(True))
             .orderBy("o_orderstatus"))
+
+
+@register(
+    "iceberg_rollback_to_snapshot",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       CAST(2 AS BIGINT) AS snapshots_kept,
+       TRUE AS forward_travel_works,
+       TRUE AS timestamp_travel_restored
+FROM orders WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Rollback to an earlier snapshot (Iceberg SetSnapshotOperation "
+        "— the 'undo the bad write NOW' verb beside expire/compact/"
+        "rewrite in the maintenance set): append evens (s1), append "
+        "odds (s2), roll current back to s1 in a metadata-only CAS "
+        "commit.  Mid-plan contract asserts (each failure a gate ERR): "
+        "the current read equals the s1 state (the oracle recomputes "
+        "it from raw orders); BOTH snapshots survive — rollback moves "
+        "the pointer, never deletes history, so forward time travel to "
+        "the rolled-past s2 still reads the full relation; and "
+        "timestamp-travel at now resolves to the RESTORED state "
+        "because rollback appends a snapshot-log entry (exactly how "
+        "real Iceberg's history table records it). "
+        "sources/iceberg_lite.py:rollback_to.",
+    tags=("iceberg", "catalog", "maintenance"),
+)
+def iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog()
+    even, odd = _split_orders(spark, sf_dir)
+    t = cat.create_table("sales", "orders_rollback", even)
+    t.append(even)
+    t.append(odd)
+    snaps = t.snapshots()
+    s1_id, s2_id = snaps[0]["snapshot-id"], snaps[1]["snapshot-id"]
+    n_even, n_all = even.count(), even.count() + odd.count()
+    t.rollback_to(s1_id)
+    if len(t.snapshots()) != 2:
+        raise AssertionError("rollback must keep all snapshots")
+    if t.read(spark).count() != n_even:
+        raise AssertionError("rollback did not restore the s1 state")
+    fwd = t.read(spark, snapshot_id=s2_id).count()
+    if fwd != n_all:
+        raise AssertionError(
+            f"forward travel to rolled-past s2 reads {fwd}, want {n_all}")
+    import time as _time
+    ts_now = t.read(spark,
+                    as_of_timestamp_ms=int(_time.time() * 1000)).count()
+    restored = ts_now == n_even
+    if not restored:
+        raise AssertionError(
+            f"timestamp travel after rollback reads {ts_now}, "
+            f"want {n_even}")
+    return (t.read(spark)
+            .groupBy("o_orderstatus").agg(*_agg_cols())
+            .withColumn("snapshots_kept",
+                        F.lit(len(t.snapshots())).cast("bigint"))
+            .withColumn("forward_travel_works", F.lit(fwd == n_all))
+            .withColumn("timestamp_travel_restored", F.lit(restored))
+            .orderBy("o_orderstatus"))

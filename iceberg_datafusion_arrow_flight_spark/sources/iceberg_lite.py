@@ -902,6 +902,29 @@ class IcebergTable:
             raise NoSuchTableError(f"ref {name!r} not found")
         return refs[name]["snapshot-id"]
 
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Iceberg rollback (SetSnapshotOperation semantics): move
+        ``current-snapshot-id`` back to an EXISTING snapshot in a
+        metadata-only CAS commit.  No snapshot is created or deleted —
+        the rolled-past snapshots stay in ``snapshots`` (time travel to
+        them keeps working, and ``expire_snapshots`` remains the one
+        way history is ever dropped) and the snapshot-log gains one
+        entry pointing at the target, so timestamp-travel after the
+        rollback resolves to the restored state exactly as real
+        Iceberg's history table shows it."""
+        base_location, metadata = self._load_metadata()
+        _snapshot(metadata, snapshot_id)  # loud if unknown
+        now = _now_ms()
+        metadata = dict(metadata)
+        metadata["current-snapshot-id"] = snapshot_id
+        metadata["last-updated-ms"] = now
+        metadata["snapshot-log"] = metadata["snapshot-log"] + [
+            {"timestamp-ms": now, "snapshot-id": snapshot_id}]
+        new_location = _write_metadata(
+            metadata["location"], _next_version(base_location), metadata)
+        self.catalog._swap_pointer(
+            self.namespace, self.name, base_location, new_location)
+
     # -- incremental scan ---------------------------------------------------
 
     def read_incremental(self, spark: SparkSession,
@@ -1669,15 +1692,23 @@ def _bounds_overlap(e: DataFileEntry, col: str, lo, hi) -> bool:
 def _resolve_sid(metadata: dict, snapshot_id: int | None,
                  as_of_timestamp_ms: int | None) -> int | None:
     """Snapshot-id resolution shared by plan_files and read: explicit id
-    wins, else newest snapshot at-or-before the timestamp, else current."""
+    wins, else the SNAPSHOT-LOG entry at-or-before the timestamp, else
+    current.  The log is the table-STATE history, not the snapshot
+    creation times — the distinction real Iceberg's FOR SYSTEM_TIME AS
+    OF makes and that only shows after a rollback: rolling back appends
+    a log entry pointing at the restored snapshot, so a later timestamp
+    resolves to the restored state, while the rolled-past snapshot's
+    own (newer) creation time no longer decides anything.  For tables
+    that never rolled back the two resolutions coincide (one log entry
+    per commit)."""
     sid = snapshot_id
     if sid is None and as_of_timestamp_ms is not None:
-        eligible = [s for s in metadata["snapshots"]
-                    if s["timestamp-ms"] <= as_of_timestamp_ms]
+        eligible = [h for h in metadata["snapshot-log"]
+                    if h["timestamp-ms"] <= as_of_timestamp_ms]
         if not eligible:
             raise NoSuchTableError(
                 f"no snapshot at or before {as_of_timestamp_ms}")
-        sid = max(eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
+        sid = max(eligible, key=lambda h: h["timestamp-ms"])["snapshot-id"]
     return metadata["current-snapshot-id"] if sid is None else sid
 
 

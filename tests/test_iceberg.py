@@ -1504,3 +1504,37 @@ def test_rewrite_manifests_folds_chain_preserves_mor_and_history(
                   t.read(spark).select("o_orderkey").collect()) == pre_rows
     sweep = t.remove_orphan_files(older_than_ms=0)
     assert sweep["deleted_orphan_files"] == 0
+
+
+def test_rollback_restores_state_and_log_resolution(spark, tmp_path):
+    """rollback_to: pointer moves back in a metadata-only commit, all
+    snapshots survive (forward travel still works), and timestamp
+    travel resolves through the SNAPSHOT-LOG — after the rollback a
+    now-timestamp reads the restored state, not the rolled-past
+    snapshot whose creation time is newer (the real-Iceberg
+    FOR SYSTEM_TIME AS OF contract)."""
+    import time
+
+    from iceberg_datafusion_arrow_flight_spark.sources.iceberg_lite import (
+        SqliteCatalog)
+
+    cat = SqliteCatalog(str(tmp_path / "cat.db"),
+                        warehouse=str(tmp_path / "wh"))
+    df1 = spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+    df2 = spark.range(10, 15).selectExpr("id AS k", "id * 2 AS v")
+    t = cat.create_table("ns", "rb", df1)
+    t.append(df1)
+    t.append(df2)
+    s1, s2 = [s["snapshot-id"] for s in t.snapshots()]
+    t.rollback_to(s1)
+    assert t.read(spark).count() == 10          # restored state
+    assert len(t.snapshots()) == 2              # history intact
+    assert t.read(spark, snapshot_id=s2).count() == 15  # forward travel
+    now_ms = int(time.time() * 1000) + 1000
+    assert t.read(spark, as_of_timestamp_ms=now_ms).count() == 10
+    # the log gained exactly one entry, pointing at s1
+    assert t.history()[-1]["snapshot-id"] == s1
+    # rolling back to an unknown id raises loudly
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        t.rollback_to(999999)
