@@ -77,7 +77,6 @@ _PRIORITY: list[str] = [
     "subquery_in", "subquery_not_in",
     "cte_multi",
     "setop_union_all", "setop_union_distinct", "setop_intersect",
-    "setop_intersect_all",
     "sort_limit_offset",
     "distinct_simple",
     "filter_predicates",
@@ -93,7 +92,8 @@ _PRIORITY: list[str] = [
     # tpch_q3_shipping_priority [the whole r01 TPC-H block now leads
     # the r09 re-pin queue], project_star_except, join_range_binned,
     # filter_is_true_unknown, filter_ilike_null_safe, values_inline,
-    # distinct_on, sort_nulls_ordering, setop_except_all):
+    # distinct_on, sort_nulls_ordering, setop_except_all,
+    # setop_intersect_all):
     "agg_grouping_sets_empty",
     "stream_reservoir_vs_batch_topk",
     "stream_mv_hourly_rollup",
@@ -116,6 +116,7 @@ _PRIORITY: list[str] = [
     "events_lift_matrix",
     "graph_degree_assortativity",
     "iceberg_rollback_to_snapshot",
+    "events_behavior_gini",
 ]
 
 

@@ -2404,3 +2404,66 @@ def events_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_both").cast("double") * F.col("n")
                      / (F.col("n_a") * F.col("n_b"))).alias("lift"))
             .orderBy("type_a", "type_b"))
+
+
+@register(
+    "events_behavior_gini",
+    oracle="""
+WITH per_type AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+), per_user AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * c) AS BIGINT) AS ssq
+  FROM per_type GROUP BY user_id
+), banded AS (
+  SELECT user_id, n,
+         -- Gini impurity in exact micro-units: 1e6*(n² − Σc²)/n²
+         CAST((1000000 * (n * n - ssq)) // (n * n) AS BIGINT) AS gini_micro
+  FROM per_user
+)
+SELECT CAST(gini_micro // 5000 AS INT) AS gini_band,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MIN(gini_micro) AS BIGINT) AS min_gini_micro,
+       CAST(MAX(gini_micro) AS BIGINT) AS max_gini_micro
+FROM banded
+GROUP BY gini_band
+ORDER BY gini_band
+""",
+    doc="Behavioral-diversity profile: per-user Gini impurity of the "
+        "event-type distribution — 1 − Σp² as the EXACT integer ratio "
+        "(n² − Σc²)/n² floored to micro-units, so the whole report is "
+        "integer arithmetic end-to-end (the entropy twin needs log(), "
+        "which is not bit-specified across engines; Gini measures the "
+        "same single-behavior-vs-diverse axis with zero "
+        "transcendentals).  Users roll up into ten impurity bands "
+        "with exact extremes — the segmentation input for bot "
+        "screening (gini≈0 = one-action accounts) and engagement "
+        "tiers; 5000-micro-unit bands resolve the fixture's "
+        "764k-799k impurity range into a real histogram.  Scale: two "
+        "partial-aggregable keyed counts, then a band rollup. "
+        "plans/events.py:events_gini.",
+    tags=("events", "aggregate"),
+)
+def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per_type = (e.groupBy("user_id", "event_type")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    per_user = (per_type.groupBy("user_id")
+                .agg(F.sum("c").cast("bigint").alias("n"),
+                     F.sum(F.col("c") * F.col("c")).cast("bigint")
+                      .alias("ssq")))
+    gini = F.expr("(1000000 * (n * n - ssq)) div (n * n)")
+    banded = per_user.select(
+        "n", gini.cast("bigint").alias("gini_micro"))
+    return (banded.groupBy(F.expr("gini_micro div 5000").cast("int")
+                           .alias("gini_band"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.sum("n").cast("bigint").alias("n_events"),
+                 F.min("gini_micro").cast("bigint")
+                  .alias("min_gini_micro"),
+                 F.max("gini_micro").cast("bigint")
+                  .alias("max_gini_micro"))
+            .orderBy("gini_band"))
