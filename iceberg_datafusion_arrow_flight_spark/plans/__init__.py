@@ -75,7 +75,6 @@ _PRIORITY: list[str] = [
     "join_non_equi_range",
     "subquery_scalar_uncorrelated", "subquery_scalar_correlated",
     "subquery_in", "subquery_not_in",
-    "cte_multi",
     "setop_union_all", "setop_union_distinct", "setop_intersect",
     "sort_limit_offset",
     "distinct_simple",
@@ -93,7 +92,7 @@ _PRIORITY: list[str] = [
     # the r09 re-pin queue], project_star_except, join_range_binned,
     # filter_is_true_unknown, filter_ilike_null_safe, values_inline,
     # distinct_on, sort_nulls_ordering, setop_except_all,
-    # setop_intersect_all):
+    # setop_intersect_all, cte_multi):
     "agg_grouping_sets_empty",
     "stream_reservoir_vs_batch_topk",
     "stream_mv_hourly_rollup",
@@ -117,6 +116,7 @@ _PRIORITY: list[str] = [
     "graph_degree_assortativity",
     "iceberg_rollback_to_snapshot",
     "events_behavior_gini",
+    "io_copy_to_orc_roundtrip",
 ]
 
 

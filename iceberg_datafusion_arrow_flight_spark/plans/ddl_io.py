@@ -357,3 +357,32 @@ def copy_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.extend(part)
     shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "io_copy_to_orc_roundtrip",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="COPY (query) TO ... FORMAT orc — a format the reference's "
+        "DF40 COPY does not offer (its set is parquet/csv/json/arrow/"
+        "avro, all covered by the sibling entries); Spark writes ORC "
+        "natively, so the lakehouse interchange matrix gains the "
+        "remaining columnar format for free.  Write via the JVM ORC "
+        "writer (zlib default), read back through Spark's vectorized "
+        "ORC reader, verify against the original aggregate. "
+        "plans/ddl_io.py:copy_orc_roundtrip.",
+    tags=("io",),
+)
+def copy_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (table(spark, sf_dir, "orders")
+           .groupBy("o_orderstatus")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total")))
+    path = os.path.join(_SCRATCH, f"copy_orc_{uuid.uuid4().hex[:8]}")
+    out.write.mode("overwrite").orc(path)
+    readback = spark.read.orc(path)
+    result = spark.createDataFrame(readback.collect(), readback.schema)
+    shutil.rmtree(path, ignore_errors=True)
+    return result

@@ -80,5 +80,5 @@ def test_every_family_has_a_priority_row():
                                  # r01 re-pins that ceded their slots to
                                  # r08's new entries (driver-green r01;
                                  # they lead the r09 re-pin queue)
-                                 "tpch", "projection", "values")]
+                                 "tpch", "projection", "values", "cte")]
     assert not uncovered, uncovered
