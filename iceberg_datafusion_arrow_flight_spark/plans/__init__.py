@@ -48,19 +48,22 @@ from . import tpch            # noqa: E402,F401
 #
 #   State at r07 close: registry 318; CORRECTNESS_r01-r07 union = 312
 #   ever-checked (304 full-green, 8 rows-only by design with oracled
-#   witnesses, 0 red).  The 6 never-checked entries (all added late r7,
-#   all two-scale local-gated on arrival AND re-verified 6/6 by the r7
-#   judge) form the r08 pool.
+#   witnesses, 0 red).  The 6 never-checked entries (all added late r7)
+#   form the r08 pool below.
 #
-#   r08 window (below) = that 6-entry pool + 44 re-pins drawn from the
-#   OLDEST never-re-checked driver-green entries, staleness computed
-#   from the CORRECTNESS artifacts: the 43 remaining last-checked-r01
-#   entries (relational core joins/setops/subqueries/filters/sorts/
-#   distinct/CTE/agg-rollup block + all 13 r01 TPC-H entries) and the
-#   single oldest r02 entry (agg_having_filter_distinct).  Entries NEW
-#   in r08 cede re-pin slots mid-round (newest-first swap, window
-#   re-swept at sf0.01 after every edit); ceded re-pins return to the
-#   r09 queue.
+#   r08 window (below) = that 6-entry pool + re-pins drawn from the
+#   OLDEST never-re-checked driver-green entries (the last-checked-r01
+#   relational/TPC-H block + agg_having_filter_distinct [r02]), with 26
+#   of the re-pin slots ceded mid-round to entries NEW in r08 (each
+#   two-scale local-gated on arrival; full ceded list in the NEW
+#   section's comment; window re-swept 50/50 at sf0.01 after every
+#   edit; round-close full-registry sweep 340/340).
+#
+#   r09 never-checked pool (registered AFTER the r08 window filled;
+#   both two-scale local-gated on arrival): events_benford_deviation,
+#   events_ab_srm_check.  They lead the r09 window together with the
+#   26 ceded re-pins listed below (oldest block: the 13 r01 TPC-H
+#   entries).
 _PRIORITY: list[str] = [
     # --- the 6-entry r08 never-checked pool (retires cumulative
     # driver coverage back to all-checked 318/318):

@@ -2467,3 +2467,127 @@ def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("gini_micro").cast("bigint")
                   .alias("max_gini_micro"))
             .orderBy("gini_band"))
+
+
+# Benford first-digit shares in exact micro-units, precomputed in
+# Python (round(log10(1 + 1/d) * 1e6); they sum to exactly 1,000,000)
+# and embedded as literals in BOTH engines — log10 is never evaluated
+# inside either engine (the literal-table discipline of the LSH planes
+# and DCT bases).
+_BENFORD_MICRO = (301030, 176091, 124939, 96910, 79181, 66947,
+                  57992, 51153, 45757)
+
+
+@register(
+    "events_benford_deviation",
+    oracle=f"""
+WITH exp AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"({d}, {s})" for d, s in enumerate(_BENFORD_MICRO, 1))}
+  ) e(digit, share_micro)
+), digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+), total AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+SELECT e.digit,
+       COALESCE(c.n, 0) AS n_observed,
+       CAST((t.t * e.share_micro) // 1000000 AS BIGINT) AS n_expected,
+       CAST(ABS(COALESCE(c.n, 0) * 1000000 - t.t * e.share_micro)
+            AS BIGINT) AS abs_dev_micro
+FROM exp e LEFT JOIN counts c ON c.digit = e.digit, total t
+ORDER BY e.digit
+""",
+    doc="Benford first-digit deviation screen on order totals — the "
+        "forensic-accounting test for fabricated or systematically "
+        "capped numeric data: observed first-significant-digit counts "
+        "vs Benford expectation, with the log10 shares PRECOMPUTED in "
+        "Python to exact micro-units summing to 1,000,000 and embedded "
+        "as literals in both engines (transcendentals never evaluated "
+        "in-engine — the LSH-plane/DCT-basis discipline), so the "
+        "per-digit absolute deviation n·1e6 − t·share is EXACT integer "
+        "arithmetic end-to-end.  Scale: one 9-group partial agg over "
+        "the scan. plans/events.py:events_benford.",
+    tags=("events", "stats"),
+)
+def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    digits = (o.where(F.col("o_totalprice") >= 1)
+              .select(F.substring(F.floor("o_totalprice").cast("bigint")
+                                  .cast("string"), 1, 1).cast("int")
+                      .alias("digit")))
+    counts = (digits.groupBy("digit")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    total = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    exp = spark.createDataFrame(
+        [(d, s) for d, s in enumerate(_BENFORD_MICRO, 1)],
+        "digit int, share_micro bigint")
+    return (exp.join(counts, "digit", "left")
+            .crossJoin(F.broadcast(total))
+            .select("digit",
+                    F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+                     .alias("n_observed"),
+                    F.expr("(t * share_micro) div 1000000").cast("bigint")
+                     .alias("n_expected"),
+                    F.abs(F.coalesce(F.col("n"), F.lit(0))
+                          * F.lit(1000000)
+                          - F.col("t") * F.col("share_micro"))
+                     .cast("bigint").alias("abs_dev_micro"))
+            .orderBy("digit"))
+
+
+@register(
+    "events_ab_srm_check",
+    oracle="""
+WITH arms AS (
+  SELECT CASE WHEN CAST(concat('0x', substr(md5('ab|' || CAST(user_id
+                    AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         user_id
+  FROM events GROUP BY 1, user_id
+), counts AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b
+  FROM arms
+)
+SELECT n_a, n_b,
+       (n_a - (n_a + n_b) / 2.0) / sqrt((n_a + n_b) / 4.0) AS srm_z,
+       CASE WHEN ABS((n_a - (n_a + n_b) / 2.0)
+                     / sqrt((n_a + n_b) / 4.0)) > 3.0
+            THEN TRUE ELSE FALSE END AS srm_flag
+FROM counts
+""",
+    doc="Sample-ratio-mismatch check for the A/B assignment — the "
+        "experiment-infrastructure health gate run BEFORE any readout "
+        "(an SRM means the assignment or logging pipeline is broken "
+        "and every downstream p-value is garbage): z-test of the "
+        "observed arm split against the designed 50/50 under the "
+        "md5-parity assignment the z/Welch/DiD entries share.  z and "
+        "the |z| > 3 flag derive from two exact integers through one "
+        "expression tree — bit-exact.  Scale: one distinct-user "
+        "partial agg, then 1-row state. plans/events.py:events_srm.",
+    tags=("events", "stats"),
+)
+def events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab|"),
+                                          F.col("user_id").cast("string"))),
+                           1, 15), 16, 10).cast("bigint") % 2 == 0,
+        F.lit("A")).otherwise(F.lit("B"))
+    arms = e.select(arm.alias("arm"), "user_id").distinct()
+    counts = arms.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("bigint")
+         .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("bigint")
+         .alias("n_b"))
+    z = ((F.col("n_a") - (F.col("n_a") + F.col("n_b")) / F.lit(2.0))
+         / F.sqrt((F.col("n_a") + F.col("n_b")) / F.lit(4.0)))
+    return counts.select(
+        "n_a", "n_b", z.alias("srm_z"),
+        F.when(F.abs(z) > 3.0, F.lit(True)).otherwise(F.lit(False))
+         .alias("srm_flag"))
