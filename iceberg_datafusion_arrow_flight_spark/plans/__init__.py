@@ -60,10 +60,10 @@ from . import tpch            # noqa: E402,F401
 #   edit; round-close full-registry sweep 340/340).
 #
 #   r09 never-checked pool (registered AFTER the r08 window filled;
-#   both two-scale local-gated on arrival): events_benford_deviation,
-#   events_ab_srm_check.  They lead the r09 window together with the
-#   26 ceded re-pins listed below (oldest block: the 13 r01 TPC-H
-#   entries).
+#   each two-scale local-gated on arrival): events_benford_deviation,
+#   events_ab_srm_check, multimodal_phash_near_dup_pairs.  They lead
+#   the r09 window together with the 26 ceded re-pins listed below
+#   (oldest block: the 13 r01 TPC-H entries).
 _PRIORITY: list[str] = [
     # --- the 6-entry r08 never-checked pool (retires cumulative
     # driver coverage back to all-checked 318/318):

@@ -524,12 +524,14 @@ def multimodal_intensity_histogram(spark: SparkSession,
             .orderBy("bin"))
 
 
-def _phash_oracle() -> str:
-    """pHash oracle: re-derives every sampled pixel from the generator
-    formula and runs the SAME fixed-point separable DCT as the numpy
-    operator, with the shared Python-computed cosine basis embedded as
-    literals (the JL-signs / LSH-hyperplanes synchronization trick —
-    neither engine ever evaluates a transcendental)."""
+def _phash_cte() -> str:
+    """The (doc_id, phash) relation as reusable SQL — re-derives every
+    sampled pixel from the generator formula and runs the SAME
+    fixed-point separable DCT as the numpy operator, with the shared
+    Python-computed cosine basis embedded as literals (the JL-signs /
+    LSH-hyperplanes synchronization trick — neither engine ever
+    evaluates a transcendental).  Shared by the per-doc pHash entry and
+    the Hamming-pair dedup twin."""
     from ..operators.multimodal import phash_basis
     basis = "[" + ", ".join(str(v) for v in phash_basis()) + "]"
     return f"""
@@ -570,20 +572,22 @@ med AS (
                row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
         FROM ac)
   WHERE rn = 32
+),
+ph AS (
+  SELECT ac.doc_id,
+         CAST(SUM(CASE WHEN coef > m
+                  THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
+             AS phash
+  FROM ac JOIN med ON med.doc_id = ac.doc_id
+  GROUP BY ac.doc_id
 )
-SELECT ac.doc_id,
-       CAST(SUM(CASE WHEN coef > m
-                THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
-           AS phash
-FROM ac JOIN med ON med.doc_id = ac.doc_id
-GROUP BY ac.doc_id
-ORDER BY ac.doc_id
 """
 
 
 @register(
     "multimodal_image_phash",
-    oracle=_phash_oracle(),
+    oracle=_phash_cte()
+    + "SELECT doc_id, phash FROM ph ORDER BY doc_id",
     doc="DCT perceptual hash (pHash family) over REAL decoded pixels in "
         "exact integer arithmetic: decode the PPM/BMP payload, "
         "nearest-neighbor-sample a 32x32 grid (integer x = i*w div 32), "
@@ -740,3 +744,58 @@ def multimodal_image_edge_density(spark: SparkSession,
             .where(F.col("doc_id") % 5 == 0).select("doc_id"))
     return (M.image_edge_density(M.attach_image_payload(docs))
             .orderBy("doc_id"))
+
+
+@register(
+    "multimodal_phash_near_dup_pairs",
+    oracle=_phash_cte()
+    + """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 5
+ORDER BY doc_a, doc_b""",
+    doc="Perceptual near-duplicate IMAGE pairs by pHash Hamming "
+        "distance <= 5, found at scale by pigeonhole band blocking: "
+        "the 63-bit hash splits into 6 bands, and any pair within "
+        "distance 5 must agree exactly on at least one band (6 bands > "
+        "5 flipped bits — the SimHash chunk argument applied to the "
+        "DCT hash), so candidates come from 6 band-keyed equi-joins "
+        "and only candidates pay the bit_count verify.  Closes the "
+        "multimodal dedup loop: pixel-exact dup detection "
+        "(multimodal_pixel_dedup) catches re-encodes, pHash Hamming "
+        "catches near-misses.  The oracle verifies EXHAUSTIVELY "
+        "(O(n²/2) bit_counts over the recomputed hashes) — the banded "
+        "plan must find exactly the same pairs, which is the "
+        "completeness guarantee itself.  Scale: band join fan-out "
+        "bounded per band value; verify O(candidates). "
+        "operators/multimodal.py:image_phash + band blocking.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 5 == 0).select("doc_id"))
+    ph = (M.image_phash(M.attach_image_payload(docs))
+          .localCheckpoint(eager=True))
+    # 6 pigeonhole bands over the 63 bits: 5 x 11 bits + 1 x 8 bits
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.expr(f"(phash >> {i * 11}) & "
+                        f"{(1 << (11 if i < 5 else 8)) - 1}")
+                  .alias("val"))
+        for i in range(6)])
+    keyed = (ph.select("doc_id", "phash", F.explode(bands).alias("bk"))
+             .select("doc_id", "phash",
+                     F.col("bk.band").alias("band"),
+                     F.col("bk.val").alias("val")))
+    right = keyed.select(F.col("doc_id").alias("doc_b"),
+                         F.col("phash").alias("phash_b"),
+                         "band", "val")
+    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("phash_b")))
+    return (keyed.join(right, ["band", "val"])
+            .where(F.col("doc_id") < F.col("doc_b"))
+            .select(F.col("doc_id").alias("doc_a"), "doc_b",
+                    ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= 5)
+            .distinct()
+            .orderBy("doc_a", "doc_b"))
