@@ -569,3 +569,52 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.skewness("o_totalprice"), 6).alias("skewness"),
                  F.round(F.kurtosis("o_totalprice"), 6).alias("kurtosis"))
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "agg_equi_depth_histogram",
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_centi
+FROM ranked
+GROUP BY bin
+ORDER BY bin
+""",
+    doc="Exact equi-DEPTH histogram of order totals (10 bins of "
+        "near-equal row count via NTILE with an id tie-break — the "
+        "SQL-standard floor-division distribution both engines share), "
+        "with exact per-bin extremes and centi-unit sums — the "
+        "selectivity-estimation summary equi-width histograms get "
+        "wrong on skewed value distributions (a heavy tail collapses "
+        "into one overloaded width bin; depth bins track quantiles by "
+        "construction).  Complements agg_equi_width_histogram and the "
+        "HDR sketch: exact depths vs fixed widths vs mergeable "
+        "approximation.  Scale: one global sort exchange (what an "
+        "exact quantile fundamentally costs — the approximate path is "
+        "the HDR entry), then a 10-group rollup. "
+        "plans/aggregates.py:agg_equi_depth.",
+    tags=("aggregate",),
+)
+def agg_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    o = table(spark, sf_dir, "orders")
+    ranked = o.select(
+        "o_totalprice",
+        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey"))
+         .alias("bin"))
+    return (ranked.groupBy(F.col("bin").cast("int").alias("bin"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                       .cast("bigint")).cast("bigint").alias("sum_centi"))
+            .orderBy("bin"))
