@@ -62,7 +62,8 @@ from . import tpch            # noqa: E402,F401
 #   r09 never-checked pool (registered AFTER the r08 window filled;
 #   each two-scale local-gated on arrival): events_benford_deviation,
 #   events_ab_srm_check, multimodal_phash_near_dup_pairs,
-#   agg_equi_depth_histogram, stream_tumbling_finalized_vs_batch.
+#   agg_equi_depth_histogram, stream_tumbling_finalized_vs_batch,
+#   graph_harmonic_centrality, text_term_burstiness.
 #   They lead
 #   the r09 window together with the 26 ceded re-pins listed below
 #   (oldest block: the 13 r01 TPC-H entries).

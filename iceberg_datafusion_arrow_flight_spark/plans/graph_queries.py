@@ -625,11 +625,13 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
-def _closeness_oracle(max_depth: int = 4, n_seeds: int = 10) -> str:
-    """Min-depth formulation: round r generates ALL (seed, node, r)
-    pairs reachable by expanding round r-1's full set; distance =
-    MIN(depth).  Redundant tuples are harmless under MIN and keep the
-    CTE chain trivially correct."""
+def _bfs_dist_cte(max_depth: int = 4, n_seeds: int = 10) -> str:
+    """WITH-prefix ending at CTE alldist(seed, node, depth) — min-hop
+    distances from the n_seeds lowest-id nodes, in the redundant
+    min-depth formulation: round r generates ALL (seed, node, r) pairs
+    reachable by expanding round r-1's full set; distance = MIN(depth).
+    Redundant tuples are harmless under MIN and keep the CTE chain
+    trivially correct.  Shared by the closeness and harmonic entries."""
     sql = _COPURCHASE_CTE + f""", sym AS (
   SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und
 ), seeds AS (
@@ -651,6 +653,11 @@ def _closeness_oracle(max_depth: int = 4, n_seeds: int = 10) -> str:
     UNION ALL
 {unions}) GROUP BY seed, node
 )
+"""
+
+
+def _closeness_oracle(max_depth: int = 4, n_seeds: int = 10) -> str:
+    return _bfs_dist_cte(max_depth, n_seeds) + """
 SELECT CAST(seed AS BIGINT) AS seed,
        CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
        CAST(SUM(depth) AS BIGINT) AS dist_total,
@@ -761,3 +768,54 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("sx").alias("deg_sum"),
                        F.col("sxy").alias("deg_prod_sum"),
                        r.alias("assortativity"))
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=_bfs_dist_cte(4, 10) + """
+SELECT CAST(seed AS BIGINT) AS seed,
+       CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(SUM(CASE WHEN depth = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       CAST(SUM(CASE WHEN depth = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       CAST(SUM(CASE WHEN depth = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+       CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         + CAST(SUM(CASE WHEN depth = 2 THEN 1 ELSE 0 END) AS DOUBLE) / 2
+         + CAST(SUM(CASE WHEN depth = 3 THEN 1 ELSE 0 END) AS DOUBLE) / 3
+         + CAST(SUM(CASE WHEN depth = 4 THEN 1 ELSE 0 END) AS DOUBLE) / 4
+           AS harmonic
+FROM alldist
+GROUP BY seed
+ORDER BY seed
+""",
+    doc="Harmonic centrality of the same 10 landmark seeds (Σ 1/d over "
+        "reached nodes, 4-hop bound) — the disconnected-graph-safe "
+        "twin of closeness (unreached nodes contribute 0 instead of "
+        "poisoning the mean; Boldi & Vigna's axiomatically preferred "
+        "form).  Shares the (seed,node)-keyed multi-source BFS with "
+        "the closeness entry — one traversal, two centralities — and "
+        "its oracle shares the alldist CTE builder so the entries "
+        "cannot drift.  The harmonic sum is a FIXED 4-term expression "
+        "over per-depth integer counts (n1 + n2/2 + n3/3 + n4/4), "
+        "never a float fold over nodes — bit-exact by construction. "
+        "operators/graph.py:multi_seed_bfs_distances.",
+    tags=("graph", "iterative"),
+)
+def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg_nodes = (und.select(F.col("u").alias("node"))
+                 .unionAll(und.select(F.col("v").alias("node")))
+                 .distinct())
+    seeds = (deg_nodes.orderBy("node").limit(10)
+             .select(F.col("node").alias("seed")))
+    dist = G.multi_seed_bfs_distances(und, seeds, max_depth=4)
+    nd = [F.sum(F.when(F.col("depth") == d, 1).otherwise(0))
+          .cast("bigint").alias(f"n{d}") for d in (1, 2, 3, 4)]
+    agg = dist.groupBy("seed").agg(*nd)
+    harmonic = (F.col("n1").cast("double")
+                + F.col("n2").cast("double") / F.lit(2)
+                + F.col("n3").cast("double") / F.lit(3)
+                + F.col("n4").cast("double") / F.lit(4))
+    return (agg.select(F.col("seed").cast("bigint").alias("seed"),
+                       "n1", "n2", "n3", "n4",
+                       harmonic.alias("harmonic"))
+            .orderBy("seed"))

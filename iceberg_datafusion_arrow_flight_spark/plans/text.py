@@ -1227,3 +1227,64 @@ def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("n_false_positives"),
             (F.sum(F.col("maybe_present").cast("int"))
              / (F.count(F.lit(1)) * F.lit(1.0))).alias("measured_fpr"))))
+
+
+@register(
+    "text_term_burstiness",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents
+), per_doc AS (
+  SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM tok GROUP BY t, doc_id
+), stats AS (
+  SELECT t,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS df
+  FROM per_doc GROUP BY t
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+top AS (
+  SELECT t, s1, s2, df FROM stats ORDER BY s1 DESC, t LIMIT 20
+)
+SELECT t AS term, s1 AS total_count, df AS doc_freq,
+       CAST(n.n * s2 - s1 * s1 AS DOUBLE) / (n.n * s1) AS vmr
+FROM top, n
+ORDER BY total_count DESC, term
+""",
+    doc="Term burstiness audit: variance-to-mean ratio (Fisher "
+        "dispersion index) of per-doc counts for the 20 most frequent "
+        "whitespace tokens, zeros included — VMR ~ 1 flags Poisson-"
+        "scattered function words, VMR >> 1 flags bursty content/"
+        "boilerplate terms that concentrate in few docs (the signal "
+        "behind stopword lists and template detection; Church & Gale "
+        "1995).  Population VMR = (N·Σx² − (Σx)²)/(N·Σx) — one float "
+        "expression over three exact integers per term, zero-count "
+        "docs contributing only through N, so no sparse-row "
+        "materialization and the report is bit-exact.  Scale: one "
+        "(term, doc) keyed count + one term rollup; the top-k is a "
+        "global WindowGroupLimit-eligible sort over the term table. "
+        "plans/text.py:text_burstiness.",
+    tags=("text",),
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    per_doc = (d.select("doc_id",
+                        F.explode(T.ws_tokens(F.col("text"))).alias("t"))
+               .groupBy("t", "doc_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("x")))
+    stats = (per_doc.groupBy("t")
+             .agg(F.sum("x").cast("bigint").alias("s1"),
+                  F.sum(F.col("x") * F.col("x")).cast("bigint")
+                   .alias("s2"),
+                  F.count(F.lit(1)).cast("bigint").alias("df")))
+    top = stats.orderBy(F.col("s1").desc(), "t").limit(20)
+    vmr = ((F.lit(n_docs) * F.col("s2") - F.col("s1") * F.col("s1"))
+           .cast("double") / (F.lit(n_docs) * F.col("s1")))
+    return (top.select(F.col("t").alias("term"),
+                       F.col("s1").alias("total_count"),
+                       F.col("df").alias("doc_freq"),
+                       vmr.alias("vmr"))
+            .orderBy(F.col("total_count").desc(), "term"))
