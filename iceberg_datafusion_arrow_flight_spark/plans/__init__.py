@@ -63,7 +63,8 @@ from . import tpch            # noqa: E402,F401
 #   each two-scale local-gated on arrival): events_benford_deviation,
 #   events_ab_srm_check, multimodal_phash_near_dup_pairs,
 #   agg_equi_depth_histogram, stream_tumbling_finalized_vs_batch,
-#   graph_harmonic_centrality, text_term_burstiness.
+#   graph_harmonic_centrality, text_term_burstiness,
+#   iceberg_rest_rollback.
 #   They lead
 #   the r09 window together with the 26 ceded re-pins listed below
 #   (oldest block: the 13 r01 TPC-H entries).

@@ -1190,3 +1190,63 @@ def iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("forward_travel_works", F.lit(fwd == n_all))
             .withColumn("timestamp_travel_restored", F.lit(restored))
             .orderBy("o_orderstatus"))
+
+
+@register(
+    "iceberg_rest_rollback",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       CAST(2 AS BIGINT) AS snapshots_kept,
+       TRUE AS forward_travel_works
+FROM orders WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Snapshot rollback driven THROUGH the REST catalog: the same "
+        "append-evens / append-odds / rollback-to-s1 ledger as "
+        "iceberg_rollback_to_snapshot, but the rollback's metadata-only "
+        "pointer move is an HTTP CAS against the REST endpoint — the "
+        "incident-response path a deployment actually uses ('ops "
+        "rolls back the poisoned table NOW', from a process that owns "
+        "no local catalog).  Works with zero REST-specific code "
+        "because rollback_to commits through the same two pointer "
+        "primitives every other table op uses — the seam the REST "
+        "mode was designed around.  Mid-plan asserts: restored state, "
+        "both snapshots alive, forward travel to the rolled-past "
+        "snapshot intact.  sources/rest_catalog.py + "
+        "sources/iceberg_lite.py:rollback_to.",
+    tags=("iceberg", "catalog", "rest", "maintenance"),
+)
+def iceberg_rest_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.rest_catalog import RestCatalog, RestCatalogServer
+
+    backing = _fresh_catalog()
+    even, odd = _split_orders(spark, sf_dir)
+    with RestCatalogServer(backing, bearer_token="round8") as srv:
+        cat = RestCatalog(srv.url, warehouse=backing.warehouse,
+                          bearer_token="round8")
+        t = cat.create_table("sales", "orders_rest_rollback", even)
+        t.append(even)
+        t.append(odd)
+        snaps = t.snapshots()
+        s1_id, s2_id = snaps[0]["snapshot-id"], snaps[1]["snapshot-id"]
+        n_even, n_all = even.count(), even.count() + odd.count()
+        t.rollback_to(s1_id)
+        if t.read(spark).count() != n_even:
+            raise AssertionError("REST rollback did not restore s1")
+        if len(t.snapshots()) != 2:
+            raise AssertionError("REST rollback must keep all snapshots")
+        fwd = t.read(spark, snapshot_id=s2_id).count()
+        if fwd != n_all:
+            raise AssertionError(
+                f"forward travel after REST rollback reads {fwd}, "
+                f"want {n_all}")
+        out = (t.read(spark)
+               .groupBy("o_orderstatus").agg(*_agg_cols())
+               .withColumn("snapshots_kept", F.lit(2).cast("bigint"))
+               .withColumn("forward_travel_works", F.lit(True))
+               .orderBy("o_orderstatus"))
+        out = out.localCheckpoint(eager=True)
+    return out
