@@ -1,0 +1,82 @@
+"""Distributed exact global ranking / NTILE — no single-partition window.
+
+A window with no PARTITION BY (``ROW_NUMBER() OVER (ORDER BY ...)``,
+``NTILE(n) OVER (ORDER BY ...)``) moves EVERY row into one partition in
+Spark's physical plan — correct, but a one-task sort that dies at scale.
+The standard distributed replacement (what zipWithIndex does for RDDs,
+re-expressed on DataFrames):
+
+1. range-repartition on the order keys (ordered, parallel partitions);
+2. partition-LOCAL ranks via a window keyed by the stable partition id —
+   every partition sorts in parallel;
+3. per-partition row counts → cumulative offsets (one tiny collect,
+   bounded by the partition count, never by the data);
+4. global rank = partition offset + local rank, NTILE from the rank by
+   the SQL-standard floor-division formula.
+
+The output is EXACTLY the single-window result for any total order
+(unique tie-break keys required): range boundaries vary run to run, but
+ranks depend only on the order, not on where partitions split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_global_rank(df: DataFrame, order_cols: list[Column],
+                     rank_col: str = "__rank",
+                     num_partitions: int | None = None) -> DataFrame:
+    """Add a 1-based exact global rank by ``order_cols`` (which must be
+    a total order — include a unique tie-break) without a
+    single-partition window."""
+    spark = df.sparkSession
+    n_parts = int(num_partitions
+                  or spark.sparkContext.defaultParallelism)
+    ranged = (df.repartitionByRange(n_parts, *order_cols)
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))  # pin the pid assignment
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = ranged.withColumn("__lrank", F.row_number().over(w))
+    sizes = (ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+             .orderBy("__pid").collect())
+    offset, offsets = 0, {}
+    for r in sizes:
+        offsets[r["__pid"]] = offset
+        offset += r["__n"]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "__pid int, __off bigint")
+    return (local.join(F.broadcast(off_df), "__pid")
+            .withColumn(rank_col,
+                        (F.col("__off") + F.col("__lrank")).cast("bigint"))
+            .drop("__pid", "__lrank", "__off"))
+
+
+def ntile_expr(rank_col: str, total: int, n: int) -> Column:
+    """SQL-standard NTILE from a 1-based global rank: the first
+    ``total mod n`` tiles hold ``total div n + 1`` rows, the rest
+    ``total div n`` — identical to Spark's and DuckDB's NTILE
+    distribution, computed as a pure expression."""
+    size, rem = total // n, total % n
+    big = rem * (size + 1)
+    if size == 0:  # fewer rows than tiles: tile = rank
+        return F.col(rank_col).cast("int")
+    # integer `div`, exact at any scale (a double round-trip is not)
+    return (F.when(F.col(rank_col) - 1 < big,
+                   F.expr(f"({rank_col} - 1) div {size + 1}"))
+            .otherwise(rem + F.expr(f"(({rank_col} - 1) - {big})"
+                                    f" div {size}"))
+            .cast("int") + 1)
+
+
+def distributed_ntile(df: DataFrame, order_cols: list[Column], n: int,
+                      out_col: str) -> DataFrame:
+    """NTILE(n) OVER (ORDER BY order_cols) without a single-partition
+    window; bit-identical to the window form for any total order."""
+    total = df.count()
+    ranked = with_global_rank(df, order_cols)
+    return (ranked.withColumn(out_col, ntile_expr("__rank", total, n))
+            .drop("__rank"))

@@ -598,19 +598,23 @@ ORDER BY bin
         "into one overloaded width bin; depth bins track quantiles by "
         "construction).  Complements agg_equi_width_histogram and the "
         "HDR sketch: exact depths vs fixed widths vs mergeable "
-        "approximation.  Scale: one global sort exchange (what an "
-        "exact quantile fundamentally costs — the approximate path is "
-        "the HDR entry), then a 10-group rollup. "
+        "approximation.  Scale: a DISTRIBUTED exact NTILE — range "
+        "partition + parallel per-partition ranks + broadcast offsets "
+        "(operators/ranking.py), never the single-partition global "
+        "window; the approximate path is the HDR entry.  Then a "
+        "10-group rollup. "
         "plans/aggregates.py:agg_equi_depth.",
     tags=("aggregate",),
 )
 def agg_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.ranking import distributed_ntile
     o = table(spark, sf_dir, "orders")
-    ranked = o.select(
-        "o_totalprice",
-        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey"))
-         .alias("bin"))
+    # DISTRIBUTED exact NTILE (operators/ranking.py) — a global window
+    # would single-partition the whole table; range partition + offset
+    # keeps the sort parallel and is bit-identical.
+    ranked = distributed_ntile(
+        o.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice"), F.col("o_orderkey")], 10, "bin")
     return (ranked.groupBy(F.col("bin").cast("int").alias("bin"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                  F.min("o_totalprice").alias("lo"),

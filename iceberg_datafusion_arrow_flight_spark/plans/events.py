@@ -1921,14 +1921,15 @@ ORDER BY r_score, f_score, m_score
         "Spark and DuckDB, and the unique ordering makes every "
         "assignment deterministic), then the 64-cell segment grid with "
         "user counts and exact monetary totals.  Scale: one per-user "
-        "partial agg; the three rankings are over the (already "
-        "aggregated) user table — at 100 TB of events the windows run "
-        "over users, not events, and a sort-based NTILE over users is "
-        "a single exchange each.  plans/events.py:events_rfm.",
+        "partial agg, then three DISTRIBUTED exact NTILEs "
+        "(operators/ranking.py: range-partition + parallel local ranks "
+        "+ broadcast offsets — bit-identical to the window form, which "
+        "would single-partition the user table). "
+        "plans/events.py:events_rfm.",
     tags=("events", "aggregate"),
 )
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.ranking import distributed_ntile
     e = table(spark, sf_dir, "events")
     xi = F.when(F.col("event_type") == "purchase",
                 F.floor(F.col("value") * 100 + 0.5).cast("bigint")) \
@@ -1936,18 +1937,21 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = (e.groupBy("user_id")
                 .agg(F.max("ts").alias("last_ts"),
                      F.count(F.lit(1)).cast("bigint").alias("freq"),
-                     F.sum(xi).cast("bigint").alias("monetary_centi")))
-    scored = per_user.select(
-        "monetary_centi",
-        F.ntile(4).over(Window.orderBy(F.col("last_ts").desc(),
-                                       F.col("user_id")))
-         .cast("int").alias("r_score"),
-        F.ntile(4).over(Window.orderBy(F.col("freq").desc(),
-                                       F.col("user_id")))
-         .cast("int").alias("f_score"),
-        F.ntile(4).over(Window.orderBy(F.col("monetary_centi").desc(),
-                                       F.col("user_id")))
-         .cast("int").alias("m_score"))
+                     F.sum(xi).cast("bigint").alias("monetary_centi"))
+                .localCheckpoint(eager=True))  # feeds three rankings
+    # Three DISTRIBUTED exact NTILEs (operators/ranking.py): a global
+    # window would single-partition the user table; the range-partition
+    # + offset form keeps every sort parallel and is bit-identical.
+    scored = distributed_ntile(
+        per_user, [F.col("last_ts").desc(), F.col("user_id")], 4,
+        "r_score")
+    scored = distributed_ntile(
+        scored, [F.col("freq").desc(), F.col("user_id")], 4, "f_score")
+    scored = distributed_ntile(
+        scored, [F.col("monetary_centi").desc(), F.col("user_id")], 4,
+        "m_score")
+    scored = scored.select("monetary_centi", "r_score", "f_score",
+                           "m_score")
     return (scored.groupBy("r_score", "f_score", "m_score")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
                  F.sum("monetary_centi").cast("bigint")

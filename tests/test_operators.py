@@ -1542,3 +1542,41 @@ def test_audio_spectrogram_matches_python_reference(spark, sf_dir):
                 total += re * re + im * im
             assert got[(did, b)] == total, (did, b)
             assert total < 2 ** 53  # the exactness budget, measured
+
+
+def test_distributed_ntile_matches_window_form(spark):
+    """distributed_ntile (range partition + parallel local ranks +
+    broadcast offsets) must be BIT-IDENTICAL to the single-partition
+    window NTILE for any total order — checked across tile counts that
+    divide, underfill, and straggle the row count."""
+    from pyspark.sql.window import Window
+
+    from iceberg_datafusion_arrow_flight_spark.operators.ranking import (
+        distributed_ntile)
+
+    df = (spark.range(997)
+          .select(F.col("id"),
+                  ((F.col("id") * 2654435761) % 104729).alias("v"))
+          .cache())
+    for n in (4, 10, 7, 997, 1500):
+        want = {r.id: r.t for r in df.select(
+            "id", F.ntile(n).over(Window.orderBy("v", "id")).alias("t"))
+            .collect()}
+        got = {r.id: r.t for r in distributed_ntile(
+            df, [F.col("v"), F.col("id")], n, "t").collect()}
+        assert got == want, f"ntile({n}) diverged"
+
+
+def test_rfm_and_equi_depth_have_no_single_partition_window(spark, sf_dir):
+    """The RFM and equi-depth plans must not contain the
+    Exchange SinglePartition a global window would force — the
+    distributed-ntile rewrite is the point."""
+    from iceberg_datafusion_arrow_flight_spark.plans import REGISTRY
+
+    for name in ("events_rfm_segmentation", "agg_equi_depth_histogram"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        jvm = df.sparkSession._jvm
+        em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+        plan = df._jdf.queryExecution().explainString(em)
+        assert "SinglePartition" not in plan, name
