@@ -1034,11 +1034,15 @@ ORDER BY decile
 )
 def events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
+    from ..operators.ranking import distributed_ntile
     e = table(spark, sf_dir, "events")
     per_user = (e.groupBy("user_id")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
-    wd = Window.orderBy(F.col("n_events").desc(), "user_id")
-    deciled = per_user.withColumn("decile", F.ntile(10).over(wd))
+    # distributed exact NTILE over the user table (operators/ranking.py)
+    # — the global-window form would single-partition it
+    deciled = distributed_ntile(
+        per_user, [F.col("n_events").desc(), F.col("user_id")], 10,
+        "decile")
     per_decile = (deciled.groupBy(F.col("decile").cast("int")
                                   .alias("decile"))
                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
@@ -1210,7 +1214,6 @@ FROM ranked
     tags=("events", "window"),
 )
 def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
     e = table(spark, sf_dir, "events")
     signup = (e.where(F.col("event_type") == "signup")
               .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
@@ -1223,10 +1226,14 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id",
                     (F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts"))
                     .cast("bigint").alias("lat_s")))
-    w = Window.orderBy("lat_s", "user_id")
-    ranked = (conv.withColumn("rn", F.row_number().over(w))
-              .withColumn("n", F.count(F.lit(1)).over(
-                  Window.partitionBy())))
+    # distributed exact global rank (operators/ranking.py) — the
+    # window form would single-partition the converted-user table
+    from ..operators.ranking import with_global_rank
+    conv = conv.localCheckpoint(eager=True)   # rank + count, one compute
+    n_conv = conv.count()
+    ranked = (with_global_rank(conv, [F.col("lat_s"), F.col("user_id")],
+                               "rn")
+              .withColumn("n", F.lit(n_conv).cast("bigint")))
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_converted"),
         F.min(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2),

@@ -1166,8 +1166,10 @@ def pipeline_perplexity_buckets(spark: SparkSession,
     joined = (d.select("doc_id", "source",
                        T.token_count(F.col("text")).alias("n_tokens"))
               .join(lm, "doc_id"))
-    w = Window.orderBy(F.col("lp").desc(), "doc_id")
-    b = joined.withColumn("bucket", F.ntile(5).over(w))
+    from ..operators.ranking import distributed_ntile
+    # distributed exact NTILE over the doc table (operators/ranking.py)
+    b = distributed_ntile(joined, [F.col("lp").desc(), F.col("doc_id")],
+                          5, "bucket")
     return (b.groupBy(F.col("bucket").cast("int").alias("bucket"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.round(F.min("lp"), 4).alias("min_logprob"),
