@@ -80,3 +80,18 @@ def distributed_ntile(df: DataFrame, order_cols: list[Column], n: int,
     ranked = with_global_rank(df, order_cols)
     return (ranked.withColumn(out_col, ntile_expr("__rank", total, n))
             .drop("__rank"))
+
+
+def topk_with_rank(df: DataFrame, order_cols: list[Column], k: int,
+                   rank_col: str = "rank") -> DataFrame:
+    """Global top-k WITH a rank column, without ranking the whole
+    relation: a distributed TakeOrdered (`orderBy().limit(k)`) prunes
+    to k rows per partition before the single-partition step, then the
+    rank window runs over exactly k rows.  Bit-identical to
+    `row_number() OVER (ORDER BY ...) <= k` for any total order — the
+    window form shuffles EVERY row to one partition first (Spark does
+    not WindowGroupLimit-prune empty-partition windows)."""
+    top = df.orderBy(*order_cols).limit(k)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn(rank_col,
+                          F.row_number().over(w).cast("int"))

@@ -124,14 +124,15 @@ def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _top20(pr: DataFrame) -> DataFrame:
-    w = Window.orderBy(F.col("rank").desc(), F.col("node"))
-    return (pr.select(
-                "node",
-                F.when(F.col("node") % 2 == 0, F.lit("supplier"))
-                 .otherwise(F.lit("part")).alias("node_type"),
-                F.round(F.col("rank"), 8).alias("pagerank"),
-                F.row_number().over(w).cast("int").alias("pos"))
-            .where(F.col("pos") <= 20))
+    from ..operators.ranking import topk_with_rank
+    # TakeOrdered prunes per partition before the 20-row rank window
+    # (operators/ranking.py) — no whole-node-set single-partition shuffle
+    return topk_with_rank(
+        pr.select("node",
+                  F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+                   .otherwise(F.lit("part")).alias("node_type"),
+                  F.round(F.col("rank"), 8).alias("pagerank")),
+        [F.col("pagerank").desc(), F.col("node")], 20, "pos")
 
 
 @register(

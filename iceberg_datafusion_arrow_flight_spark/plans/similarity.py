@@ -798,10 +798,13 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("part"))
                   .groupBy("doc_id")
                   .agg(F.round(F.sum("part"), 6).alias("bm25")))
-    lex = lex_scored.select(
-        "doc_id", F.row_number().over(
-            Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
-        .alias("lrank"))
+    from ..operators.ranking import topk_with_rank, with_global_rank
+    # FULL rankings feed the fusion, so these are distributed global
+    # ranks (operators/ranking.py), not single-partition windows
+    lex = (with_global_rank(lex_scored,
+                            [F.col("bm25").desc(), F.col("doc_id")],
+                            "lrank")
+           .select("doc_id", F.col("lrank").cast("int").alias("lrank")))
     emb = table(spark, sf_dir, "embeddings")
     qv = (emb.where(F.col("vec_id") == 0)
           .select(S._as_double(F.col("embedding")).alias("q")))
@@ -813,19 +816,18 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.round(S.cosine(
                               S._as_double(F.col("embedding")),
                               F.col("q")), 6).alias("sim")))
-    sem = sem_scored.select(
-        "doc_id", F.row_number().over(
-            Window.orderBy(F.col("sim").desc(), F.col("doc_id")))
-        .alias("srank"))
+    sem = (with_global_rank(sem_scored,
+                            [F.col("sim").desc(), F.col("doc_id")],
+                            "srank")
+           .select("doc_id", F.col("srank").cast("int").alias("srank")))
     fused = (lex.join(sem, "doc_id", "full_outer")
              .select("doc_id",
                      F.round(F.coalesce(1.0 / (60 + F.col("lrank")),
                                         F.lit(0.0))
                              + F.coalesce(1.0 / (60 + F.col("srank")),
                                           F.lit(0.0)), 8).alias("rrf")))
-    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
-    return (fused.withColumn("rank", F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= 20))
+    return topk_with_rank(
+        fused, [F.col("rrf").desc(), F.col("doc_id")], 20)
 
 
 _XC_CB_COLS = ",\n         ".join(

@@ -698,10 +698,12 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("part")))
     scored = (parts.groupBy("doc_id")
               .agg(F.round(F.sum("part"), 6).alias("bm25")))
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    return (scored.withColumn("rank",
-                              F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= 20))
+    from ..operators.ranking import topk_with_rank
+    # TakeOrdered prunes per partition BEFORE the k-row rank window —
+    # the rank-then-filter window form would shuffle every doc to one
+    # partition (operators/ranking.py)
+    return topk_with_rank(
+        scored, [F.col("bm25").desc(), F.col("doc_id")], 20)
 
 
 @register(
