@@ -2602,3 +2602,89 @@ def events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a", "n_b", z.alias("srm_z"),
         F.when(F.abs(z) > 3.0, F.lit(True)).otherwise(F.lit(False))
          .alias("srm_flag"))
+
+
+@register(
+    "events_attribution_linear",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), counted AS (
+  SELECT user_id, event_type, cents,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+           AS n_click,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+           AS n_view
+  FROM e
+), credited AS (
+  SELECT COALESCE(n_click, 0) AS nc, COALESCE(n_view, 0) AS nv, cents
+  FROM counted WHERE event_type = 'purchase'
+)
+SELECT
+  CAST(SUM(CASE WHEN nc + nv = 0 THEN cents ELSE 0 END) AS BIGINT)
+      AS direct_cents,
+  CAST(SUM(CASE WHEN nc + nv > 0
+           THEN (cents * 10000 * nc) // (nc + nv) ELSE 0 END) AS BIGINT)
+      AS click_credit_microcents,
+  CAST(SUM(CASE WHEN nc + nv > 0
+           THEN (cents * 10000 * nv) // (nc + nv) ELSE 0 END) AS BIGINT)
+      AS view_credit_microcents,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(CASE WHEN nc + nv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_direct
+FROM credited
+""",
+    doc="Linear (equal-weight) multi-touch attribution — the "
+        "companion of the last-touch entry for the other end of the "
+        "attribution-model spectrum: each purchase's revenue splits "
+        "across ALL prior click/view touches inside a 7-day lookback, "
+        "proportionally to each channel's touch count; no touch = "
+        "'direct'.  The lookback counts come from ONE time-RANGE "
+        "window frame per channel (range [-604800 s, -1 s] on epoch "
+        "seconds — the frame spelling both engines share); credits "
+        "fold to exact integer micro-cents with floor division per "
+        "purchase, so the report is bit-exact despite the division.  "
+        "Scale: one user-keyed window pass over events, then a 1-row "
+        "rollup. plans/events.py:events_attr_linear.",
+    tags=("events", "window"),
+)
+def events_attr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("sec"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(-604800, -1))
+    counted = e.select(
+        "event_type", "cents",
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+         .over(w).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+         .over(w).alias("n_view"))
+    credited = (counted.where(F.col("event_type") == "purchase")
+                .select(F.coalesce("n_click", F.lit(0)).alias("nc"),
+                        F.coalesce("n_view", F.lit(0)).alias("nv"),
+                        "cents"))
+    touched = F.col("nc") + F.col("nv") > 0
+    return credited.agg(
+        F.sum(F.when(~touched, F.col("cents")).otherwise(0))
+         .cast("bigint").alias("direct_cents"),
+        F.sum(F.when(touched,
+                     F.expr("(cents * 10000 * nc) div (nc + nv)"))
+              .otherwise(0)).cast("bigint")
+         .alias("click_credit_microcents"),
+        F.sum(F.when(touched,
+                     F.expr("(cents * 10000 * nv) div (nc + nv)"))
+              .otherwise(0)).cast("bigint")
+         .alias("view_credit_microcents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(F.when(~touched, 1).otherwise(0)).cast("bigint")
+         .alias("n_direct"))

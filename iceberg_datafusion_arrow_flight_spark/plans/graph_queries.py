@@ -820,3 +820,71 @@ def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n1", "n2", "n3", "n4",
                        harmonic.alias("harmonic"))
             .orderBy("seed"))
+
+
+@register(
+    "graph_rich_club",
+    oracle=_COPURCHASE_CTE + """
+, bands AS (SELECT unnest([40, 80, 120, 160]) AS k),
+rich AS (
+  SELECT b.k, d.node
+  FROM bands b JOIN deg d ON d.deg > b.k
+), rc_nodes AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM rich GROUP BY k
+), rc_edges AS (
+  SELECT b.k, CAST(COUNT(*) AS BIGINT) AS e_k
+  FROM bands b
+  JOIN und e ON TRUE
+  JOIN deg du ON du.node = e.u AND du.deg > b.k
+  JOIN deg dv ON dv.node = e.v AND dv.deg > b.k
+  GROUP BY b.k
+)
+SELECT n.k AS k, n.n_k, COALESCE(e.e_k, 0) AS e_k,
+       CASE WHEN n.n_k >= 2
+            THEN 2.0 * COALESCE(e.e_k, 0) / (n.n_k * (n.n_k - 1))
+            ELSE 0.0 END AS phi
+FROM rc_nodes n LEFT JOIN rc_edges e ON e.k = n.k
+ORDER BY k
+""",
+    doc="Rich-club coefficient of the co-purchase graph (Colizza et "
+        "al. 2006): for degree thresholds k in {40, 80, 120, 160}, "
+        "phi(k) = 2·E_k / (N_k·(N_k−1)) — how densely the hubs "
+        "interconnect relative to a complete graph, the structural "
+        "question behind 'do the head entities form a core the "
+        "sampler must treat specially?'.  Pairs with assortativity: "
+        "r gives the correlation, phi(k) the actual core density "
+        "profile.  Exact integer node/edge counts per band (edge "
+        "membership = two degree-join filters); phi one float "
+        "expression over two ints.  Scale: the degree table is "
+        "broadcast-sized; per band one filtered edge count, O(edges). "
+        "plans/graph_queries.py:graph_rich_club.",
+    tags=("graph",),
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))
+           .localCheckpoint(eager=True))
+    bands = spark.createDataFrame([(k,) for k in (40, 80, 120, 160)],
+                                  "k int")
+    rc_nodes = (bands.join(deg, deg["deg"] > bands["k"])
+                .groupBy("k").agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("n_k")))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = und.join(du, "u").join(dv, "v")
+    rc_edges = (F.broadcast(bands)
+                .join(ed, (ed["du"] > bands["k"]) & (ed["dv"] > bands["k"]))
+                .groupBy("k").agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("e_k")))
+    phi = (F.when(F.col("n_k") >= 2,
+                  F.lit(2.0) * F.coalesce(F.col("e_k"), F.lit(0))
+                  / (F.col("n_k") * (F.col("n_k") - 1)))
+           .otherwise(F.lit(0.0)))
+    return (rc_nodes.join(rc_edges, "k", "left")
+            .select("k", "n_k",
+                    F.coalesce(F.col("e_k"), F.lit(0)).cast("bigint")
+                     .alias("e_k"),
+                    phi.alias("phi"))
+            .orderBy("k"))
