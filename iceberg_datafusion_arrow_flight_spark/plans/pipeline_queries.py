@@ -1321,3 +1321,104 @@ def pipeline_stratified_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"),
                  F.sum("doc_id").cast("bigint").alias("ids_checksum"))
             .orderBy("stratum"))
+
+
+@register(
+    "pipeline_decontaminate_bloom",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, unnest({{grams}}) AS g FROM tok
+), bg AS (
+  SELECT DISTINCT g FROM grams WHERE source = 'src0'
+), bloom AS (
+  SELECT DISTINCT kk,
+         CAST(('0x' || substr(md5('cm' || CAST(kk AS VARCHAR) || '|'
+                              || g), 1, 8))::UBIGINT % 65536 AS BIGINT)
+             AS bit
+  FROM bg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS kk)
+), cg AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'
+), probed AS (
+  SELECT doc_id, g,
+         MAX(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END)
+             AS hit_exact,
+         CASE WHEN COUNT(*) FILTER (WHERE b.bit IS NOT NULL) = 4
+              THEN 1 ELSE 0 END AS hit_bloom
+  FROM (SELECT doc_id, g, kk,
+               CAST(('0x' || substr(md5('cm' || CAST(kk AS VARCHAR)
+                                    || '|' || g), 1, 8))::UBIGINT
+                    % 65536 AS BIGINT) AS bit
+        FROM cg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS kk)) p
+  LEFT JOIN bloom b ON b.kk = p.kk AND b.bit = p.bit
+  GROUP BY doc_id, g
+), per_doc AS (
+  SELECT doc_id,
+         MAX(hit_exact) AS any_exact, MAX(hit_bloom) AS any_bloom,
+         SUM(hit_exact) AS ge, SUM(hit_bloom) AS gb
+  FROM probed GROUP BY doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_checked,
+       CAST(SUM(any_exact) AS BIGINT) AS docs_flagged_exact,
+       CAST(SUM(any_bloom) AS BIGINT) AS docs_flagged_bloom,
+       CAST(SUM(ge) AS BIGINT) AS gram_hits_exact,
+       CAST(SUM(gb) AS BIGINT) AS gram_hits_bloom,
+       CAST(SUM(gb) - SUM(ge) AS BIGINT) AS gram_false_positives
+FROM per_doc
+""".replace("{grams}", _DUCK_GRAMS(3)),
+    doc="Decontamination via a BROADCAST Bloom filter vs the exact "
+        "gram join, in one report — the audit for THE 100 TB "
+        "decontamination play: a benchmark suite's gram set may be "
+        "MBs, but a k=4/m=65536 Bloom is a fixed 64 K bits that "
+        "broadcasts to every executor and filters map-side with zero "
+        "gram shuffle; the price is false positives, and this entry "
+        "MEASURES them against the exact join (no false negatives by "
+        "construction — the gate would catch any).  Same md5 bucket "
+        "family as the count-min/Bloom sketch entries, so the filter "
+        "is bit-reproducible in both engines and the whole report is "
+        "exact integers.  plans/pipeline_queries.py + "
+        "operators/countmin.py:bloom_build/cm_bucket.",
+    tags=("pipeline", "sketch", "dedup"),
+)
+def pipeline_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import countmin as CM
+    from ..operators import text as T
+    from ..operators.partitioning import fan_out
+    docs = table(spark, sf_dir, "documents")
+    g = T.token_ngrams(F.col("text"), 3)
+    bench = (docs.where(F.col("source") == "src0")
+             .select(F.explode(g).alias("g")).distinct())
+    bloom = CM.bloom_build(bench, "g", k=4, m=65536) \
+        .localCheckpoint(eager=True)
+    corpus = (fan_out(docs.where(F.col("source") != "src0"))
+              .select("doc_id", F.explode(g).alias("g")).distinct())
+    probes = corpus.select(
+        "doc_id", "g",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("kk"))
+    probes = probes.withColumn(
+        "bit", CM.cm_bucket(F.col("g"), F.col("kk"), 65536))
+    probed = (probes.join(F.broadcast(bloom.withColumn("__s", F.lit(1))),
+                          ["kk", "bit"], "left")
+              .groupBy("doc_id", "g")
+              .agg((F.count(F.when(F.col("__s").isNotNull(), 1)) == 4)
+                   .cast("int").alias("hit_bloom")))
+    exact = (corpus.join(F.broadcast(bench.withColumn("__h", F.lit(1))),
+                         "g", "left")
+             .select("doc_id", "g",
+                     F.coalesce(F.col("__h"), F.lit(0)).alias("hit_exact")))
+    per_doc = (probed.join(exact, ["doc_id", "g"])
+               .groupBy("doc_id")
+               .agg(F.max("hit_exact").alias("any_exact"),
+                    F.max("hit_bloom").alias("any_bloom"),
+                    F.sum("hit_exact").alias("ge"),
+                    F.sum("hit_bloom").alias("gb")))
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_checked"),
+        F.sum("any_exact").cast("bigint").alias("docs_flagged_exact"),
+        F.sum("any_bloom").cast("bigint").alias("docs_flagged_bloom"),
+        F.sum("ge").cast("bigint").alias("gram_hits_exact"),
+        F.sum("gb").cast("bigint").alias("gram_hits_bloom"),
+        (F.sum("gb") - F.sum("ge")).cast("bigint")
+         .alias("gram_false_positives"))
