@@ -1958,3 +1958,98 @@ def sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.lit(10.0)).alias("recall")))
         out = rep if out is None else out.unionByName(rep)
     return out.orderBy("prefix_dims", "query_id")
+
+
+@register(
+    "sim_ann_recall_by_label",
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, label, v AS qv FROM emb
+      WHERE vec_id % 100 = 0),
+cent AS (
+  SELECT vec_id AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 32)
+), q_cells AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS.format(a='c.cv', b='q.qv')} DESC,
+                                       c.cell) AS r
+    FROM q CROSS JOIN cent c)
+  WHERE r <= 4
+), c_cells AS (
+  SELECT corpus_id, cvv, cell FROM (
+    SELECT e.vec_id AS corpus_id, e.v AS cvv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS.format(a='c.cv', b='e.v')} DESC,
+                                       c.cell) AS r
+    FROM emb e CROSS JOIN cent c)
+  WHERE r = 1
+), ann AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT qc.query_id, cc.corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY qc.query_id
+                              ORDER BY ROUND({_COS.format(a='qc.qv', b='cc.cvv')}, 6) DESC,
+                                       cc.corpus_id) AS rnk
+    FROM q_cells qc JOIN c_cells cc USING (cell)
+    WHERE qc.query_id != cc.corpus_id)
+  WHERE rnk <= 10
+), exact AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.query_id, e.vec_id AS corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND({_COS.format(a='q.qv', b='e.v')}, 6) DESC,
+                                       e.vec_id) AS rnk
+    FROM q JOIN emb e ON e.vec_id != q.query_id)
+  WHERE rnk <= 10
+), hit AS (
+  SELECT a.query_id, COUNT(*) AS h
+  FROM ann a JOIN exact x
+    ON a.query_id = x.query_id AND a.corpus_id = x.corpus_id
+  GROUP BY a.query_id
+)
+SELECT q.label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(COALESCE(h.h, 0)) AS BIGINT) AS total_hits,
+       CAST(SUM(COALESCE(h.h, 0)) AS DOUBLE) / (10.0 * COUNT(*))
+           AS recall
+FROM q LEFT JOIN hit h ON q.query_id = h.query_id
+GROUP BY q.label
+ORDER BY q.label
+""",
+    doc="ANN recall FAIRNESS audit: the sim_ann_recall_report witness "
+        "(deterministic IVF candidates vs in-plan exact top-10) "
+        "broken down BY QUERY LABEL — the disparity measurement a "
+        "retrieval deployment needs before trusting one global recall "
+        "number, because IVF recall degrades unevenly when some "
+        "classes sit near centroid boundaries; the per-label table is "
+        "what decides whether nprobe must rise for everyone or the "
+        "quantizer must be retrained.  Same pinned tie-breaks and "
+        "rounding as the global witness; recall per label is a ratio "
+        "of exact integers.  Scale: identical plan to the global "
+        "report plus one broadcast label join and a labels-sized "
+        "rollup.  plans/similarity.py:sim_ann_recall_by_label.",
+    tags=("similarity", "diagnostics"),
+)
+def sim_ann_recall_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    ann = S.ann_ivf_topk(queries, emb, k=10)
+    exact = S.topk_cosine(queries, emb, k=10)
+    hit = (ann.select("query_id", "corpus_id")
+           .join(exact.select("query_id", "corpus_id"),
+                 ["query_id", "corpus_id"])
+           .groupBy("query_id")
+           .agg(F.count(F.lit(1)).alias("h")))
+    allq = queries.select(F.col("vec_id").alias("query_id"), "label")
+    return (allq.join(hit, "query_id", "left")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+                 F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("bigint")
+                  .alias("total_hits"),
+                 (F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
+                  / (F.lit(10.0) * F.count(F.lit(1)))).alias("recall"))
+            .orderBy("label"))
