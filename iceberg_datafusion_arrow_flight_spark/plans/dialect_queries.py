@@ -732,3 +732,33 @@ ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
 )
 def grouping_sets_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_dialect(spark, sf_dir, _GROUPING_SETS_EMPTY, ("orders",))
+
+
+_CUBE_EMPTY = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_totalprice < 0
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+"""
+
+
+@register(
+    "agg_cube_empty",
+    oracle=_CUBE_EMPTY,
+    doc="CUBE over an EMPTY input — the IMPLICIT grand-total half of "
+        "the grouping-sets empty-input contract (CUBE and ROLLUP "
+        "always contain the () set, so the standard emits exactly one "
+        "all-NULL row with COUNT=0 where raw Spark emits none): the "
+        "driver-visible witness that rewrite_grouping_sets_empty "
+        "detects the implicit () in CUBE/ROLLUP spellings, not just "
+        "the literal GROUPING SETS (()) form its sibling entry "
+        "agg_grouping_sets_empty covers.  A filter no row satisfies "
+        "(negative total price) empties the input at ANY corpus "
+        "scale.  dialect/rewrite.py:rewrite_grouping_sets_empty.",
+    tags=("aggregate", "dialect"),
+)
+def agg_cube_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_dialect(spark, sf_dir, _CUBE_EMPTY, ("orders",))

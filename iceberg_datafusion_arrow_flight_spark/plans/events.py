@@ -2688,3 +2688,64 @@ def events_attr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
         F.sum(F.when(~touched, 1).otherwise(0)).cast("bigint")
          .alias("n_direct"))
+
+
+@register(
+    "events_bounce_rate_daily",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), sessions AS (
+  SELECT user_id, session_id,
+         CAST(MIN(ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS bounce_rate,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY day
+ORDER BY day
+""",
+    doc="Daily bounce rate over 30-minute sessions (a bounce = a "
+        "single-event session, keyed to the session's START day) — the "
+        "canonical engagement-quality metric on top of sessionization, "
+        "computed from the same session machinery the session-window "
+        "entry pins (Spark session_window() ≡ the oracle's gaps-and-"
+        "islands).  Counts exact; the rate one ratio of two integers "
+        "per day.  Scale: the sessionization pass is the one "
+        "user-keyed sort sessionizing fundamentally needs; the rollup "
+        "is days-sized. plans/events.py:events_bounce.",
+    tags=("events", "window", "session"),
+)
+def events_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    sessions = (e.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                          "user_id")
+                .agg(F.count("*").cast("bigint").alias("n_events"))
+                .select(F.col("w.start").cast("date").alias("day"),
+                        "n_events"))
+    return (sessions.groupBy("day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                 F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                  .cast("bigint").alias("n_bounces"),
+                 (F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                  .cast("double") / F.count(F.lit(1)))
+                  .alias("bounce_rate"),
+                 F.sum("n_events").cast("bigint").alias("n_events"))
+            .orderBy("day"))
