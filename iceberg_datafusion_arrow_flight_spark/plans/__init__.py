@@ -66,7 +66,7 @@ from . import tpch            # noqa: E402,F401
 #   graph_harmonic_centrality, text_term_burstiness,
 #   iceberg_rest_rollback, events_attribution_linear, graph_rich_club,
 #   pipeline_decontaminate_bloom, sim_ann_recall_by_label,
-#   agg_cube_empty, events_bounce_rate_daily.
+#   agg_cube_empty, events_bounce_rate_daily, events_dau_wau_mau.
 #   They lead
 #   the r09 window together with the 26 ceded re-pins listed below
 #   (oldest block: the 13 r01 TPC-H entries).

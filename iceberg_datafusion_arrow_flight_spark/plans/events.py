@@ -2749,3 +2749,63 @@ def events_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("bounce_rate"),
                  F.sum("n_events").cast("bigint").alias("n_events"))
             .orderBy("day"))
+
+
+@register(
+    "events_dau_wau_mau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), spine AS (
+  SELECT DISTINCT day FROM ud
+)
+SELECT s.day,
+       CAST(COUNT(DISTINCT CASE WHEN u.day = s.day
+                                THEN u.user_id END) AS BIGINT) AS dau,
+       CAST(COUNT(DISTINCT CASE WHEN u.day > s.day - 7
+                                THEN u.user_id END) AS BIGINT) AS wau,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau,
+       CAST(COUNT(DISTINCT CASE WHEN u.day = s.day
+                                THEN u.user_id END) AS DOUBLE)
+         / COUNT(DISTINCT CASE WHEN u.day > s.day - 7
+                               THEN u.user_id END) AS dau_wau_ratio
+FROM spine s
+JOIN ud u ON u.day <= s.day AND u.day > s.day - 30
+GROUP BY s.day
+ORDER BY s.day
+""",
+    doc="DAU / trailing-7-day WAU / trailing-30-day MAU per day, with "
+        "the DAU/WAU stickiness ratio — the canonical product-health "
+        "dashboard row.  EXACT distinct counts (no HLL): the corpus "
+        "first collapses to DISTINCT (user, day) pairs — the "
+        "state-space-sized table every rolling-active metric should be "
+        "computed from — then a day-spine range join fans each pair "
+        "onto at most 30 spine days and one distinct-agg per day does "
+        "the rest; work is days x active-users-per-window, never "
+        "events x days.  Counts exact; the ratio one integer "
+        "quotient.  (The sketch path for when even the pair table is "
+        "too hot is events_hll_sketch_merge / sketch_kmv_distinct_"
+        "users.)  plans/events.py:events_dau_wau_mau.",
+    tags=("events", "aggregate"),
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ud = (e.select("user_id", F.col("ts").cast("date").alias("day"))
+          .distinct().localCheckpoint(eager=True))
+    spine = ud.select("day").distinct()
+    j = spine.alias("s").join(
+        ud.alias("u"),
+        (F.col("u.day") <= F.col("s.day"))
+        & (F.col("u.day") > F.date_sub(F.col("s.day"), 30)))
+    dau = F.countDistinct(F.when(F.col("u.day") == F.col("s.day"),
+                                 F.col("u.user_id")))
+    wau = F.countDistinct(F.when(F.col("u.day")
+                                 > F.date_sub(F.col("s.day"), 7),
+                                 F.col("u.user_id")))
+    mau = F.countDistinct(F.col("u.user_id"))
+    return (j.groupBy(F.col("s.day").alias("day"))
+            .agg(dau.cast("bigint").alias("dau"),
+                 wau.cast("bigint").alias("wau"),
+                 mau.cast("bigint").alias("mau"),
+                 (dau.cast("double") / wau).alias("dau_wau_ratio"))
+            .orderBy("day"))
