@@ -82,6 +82,66 @@ def distributed_ntile(df: DataFrame, order_cols: list[Column], n: int,
             .drop("__rank"))
 
 
+def with_range_frame_count(df: DataFrame, value_col: str, id_cols: list[str],
+                           lo: float, hi: float,
+                           out_col: str = "__n_within",
+                           num_partitions: int | None = None) -> DataFrame:
+    """``COUNT(*) OVER (ORDER BY value RANGE BETWEEN |lo| PRECEDING AND
+    hi FOLLOWING)`` without a single-partition window.
+
+    The value-RANGE frame count is a pure CDF difference —
+    ``cnt_le(v + hi) - cnt_lt(v + lo)`` — so it reduces to distributed
+    global prefix-sums: union the data points (weight 1) with two query
+    points per row (weight 0, tagged ``le``/``lt``), range-repartition on
+    the merged sort key, run partition-local running sums in parallel,
+    and lift them to global sums with the partition-count-bounded offset
+    collect (same discipline as :func:`with_global_rank`).  Tie-break:
+    ``lt`` queries sort BEFORE data at an equal value (strict <), ``le``
+    queries AFTER (inclusive <=) — boundary arithmetic is the identical
+    IEEE ``v + const`` both Spark's and DuckDB's window operators
+    evaluate, so results are bit-equal to the single-window form.
+
+    ``id_cols`` must uniquely key ``df`` rows; work is O(n log n) across
+    ALL partitions (3 rows per input row), never a one-task sort.
+    """
+    spark = df.sparkSession
+    n_parts = int(num_partitions or spark.sparkContext.defaultParallelism)
+    v = F.col(value_col).cast("double")
+    base = df.select(*id_cols, v.alias("__v")).localCheckpoint(eager=True)
+    data = base.select(
+        *[F.lit(None).cast(base.schema[c].dataType).alias(c)
+          for c in id_cols],
+        F.col("__v"), F.lit(0).alias("__tb"), F.lit(1).alias("__w"))
+    q_lt = base.select(*id_cols, (F.col("__v") + F.lit(float(lo))).alias("__v"),
+                       F.lit(-1).alias("__tb"), F.lit(0).alias("__w"))
+    q_le = base.select(*id_cols, (F.col("__v") + F.lit(float(hi))).alias("__v"),
+                       F.lit(1).alias("__tb"), F.lit(0).alias("__w"))
+    merged = (data.unionByName(q_lt).unionByName(q_le)
+              .repartitionByRange(n_parts, F.col("__v"), F.col("__tb"))
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))  # pin the pid assignment
+    w = (Window.partitionBy("__pid").orderBy("__v", "__tb")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = merged.withColumn("__csum", F.sum("__w").over(w))
+    sizes = (merged.groupBy("__pid").agg(F.sum("__w").alias("__n"))
+             .orderBy("__pid").collect())
+    offset, offsets = 0, {}
+    for r in sizes:
+        offsets[r["__pid"]] = offset
+        offset += int(r["__n"] or 0)
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "__pid int, __off bigint")
+    counts = (local.where(F.col("__tb") != 0)
+              .join(F.broadcast(off_df), "__pid")
+              .withColumn("__cnt", F.col("__off") + F.col("__csum"))
+              .groupBy(*id_cols)
+              .agg(F.sum(F.when(F.col("__tb") == 1, F.col("__cnt"))
+                         .otherwise(-F.col("__cnt")))
+                   .cast("bigint").alias(out_col)))
+    return df.join(counts, id_cols)
+
+
 def topk_with_rank(df: DataFrame, order_cols: list[Column], k: int,
                    rank_col: str = "rank") -> DataFrame:
     """Global top-k WITH a rank column, without ranking the whole

@@ -59,73 +59,48 @@ from . import tpch            # noqa: E402,F401
 #   section's comment; window re-swept 50/50 at sf0.01 after every
 #   edit; round-close full-registry sweep 340/340).
 #
-#   r09 never-checked pool (registered AFTER the r08 window filled;
-#   each two-scale local-gated on arrival): events_benford_deviation,
-#   events_ab_srm_check, multimodal_phash_near_dup_pairs,
-#   agg_equi_depth_histogram, stream_tumbling_finalized_vs_batch,
-#   graph_harmonic_centrality, text_term_burstiness,
-#   iceberg_rest_rollback, events_attribution_linear, graph_rich_club,
-#   pipeline_decontaminate_bloom, sim_ann_recall_by_label,
-#   agg_cube_empty, events_bounce_rate_daily, events_dau_wau_mau.
-#   They lead
-#   the r09 window together with the 26 ceded re-pins listed below
-#   (oldest block: the 13 r01 TPC-H entries).
+#   State at r08 close: registry 357; CORRECTNESS_r01-r08 union = 342
+#   ever-checked (334 full-green, 8 rows-only by design with oracled
+#   witnesses, 0 red).  The 15 never-checked entries (all added late
+#   r8) form the r09 pool below.
+#
+#   r09 window (below) = that 15-entry pool + re-pins drawn from the
+#   OLDEST never-re-checked driver-green entries: the 23
+#   last-checked-r01 entries (relational tail + the 13 TPC-H queries
+#   ceded from the r08 window) followed by the oldest r02 block.
+#   Entries NEW in r09 cede re-pin slots from the list TAIL
+#   (youngest-staleness-first), exactly the r08 policy.
 _PRIORITY: list[str] = [
-    # --- the 6-entry r08 never-checked pool (retires cumulative
-    # driver coverage back to all-checked 318/318):
-    "iceberg_time_travel_timestamp", "dedup_threshold_sensitivity",
-    "sketch_bloom_fpr_calibration", "events_intervisit_gap_histogram",
-    "events_new_vs_returning", "pipeline_decontaminate_ngram_sizes",
-    # --- re-pins: the 43 last-checked-r01 entries (oldest first in
-    # registration order) ...
-    "agg_global_stats", "agg_cube", "agg_rollup",
-    "join_left_outer", "join_right_outer", "join_full_outer",
-    "join_cross", "join_left_semi", "join_left_anti",
-    "join_non_equi_range",
-    "subquery_scalar_uncorrelated", "subquery_scalar_correlated",
-    "subquery_in", "subquery_not_in",
-    "setop_union_all", "setop_union_distinct", "setop_intersect",
-    "sort_limit_offset",
-    "distinct_simple",
-    "filter_predicates",
-    # --- NEW in r08 (two-scale local-gated on arrival; each ceded one
-    # re-pin slot, youngest-staleness-then-list-tail first — ceded so
-    # far: agg_having_filter_distinct [r02],
-    # tpch_q22_global_sales_opportunity, tpch_q17_small_quantity_revenue,
-    # tpch_q13_customer_distribution, tpch_q4_order_priority,
-    # tpch_q8_national_market_share, tpch_q18_large_volume_customer,
-    # tpch_q19_discounted_revenue, tpch_q14_promo_effect,
-    # tpch_q10_returned_items, tpch_q7_nation_volume,
-    # tpch_q6_forecast_revenue, tpch_q5_local_supplier_volume,
-    # tpch_q3_shipping_priority [the whole r01 TPC-H block now leads
-    # the r09 re-pin queue], project_star_except, join_range_binned,
-    # filter_is_true_unknown, filter_ilike_null_safe, values_inline,
-    # distinct_on, sort_nulls_ordering, setop_except_all,
-    # setop_intersect_all, cte_multi):
-    "agg_grouping_sets_empty",
-    "stream_reservoir_vs_batch_topk",
-    "stream_mv_hourly_rollup",
-    "stream_cdc_last_writer_wins",
-    "multimodal_image_phash",
-    "events_rfm_segmentation",
-    "graph_label_propagation",
-    "pipeline_stratified_allocation",
-    "events_holt_linear",
-    "sim_matryoshka_prefix_recall",
-    "dedup_winnowing_fingerprints",
-    "graph_modularity",
-    "events_changepoint_cusum",
-    "multimodal_audio_spectrogram",
-    "join_interval_overlap",
-    "events_diff_in_diff",
-    "multimodal_image_edge_density",
-    "graph_closeness_centrality",
-    "events_survival_km",
-    "events_lift_matrix",
-    "graph_degree_assortativity",
-    "iceberg_rollback_to_snapshot",
-    "events_behavior_gini",
-    "io_copy_to_orc_roundtrip",
+    # --- the 15-entry r09 never-checked pool (retires cumulative
+    # driver coverage back to all-checked 357/357):
+    "events_benford_deviation", "events_ab_srm_check",
+    "multimodal_phash_near_dup_pairs", "agg_equi_depth_histogram",
+    "stream_tumbling_finalized_vs_batch", "graph_harmonic_centrality",
+    "text_term_burstiness", "iceberg_rest_rollback",
+    "events_attribution_linear", "graph_rich_club",
+    "pipeline_decontaminate_bloom", "sim_ann_recall_by_label",
+    "agg_cube_empty", "events_bounce_rate_daily", "events_dau_wau_mau",
+    # --- re-pins: the 23 last-checked-r01 entries (oldest first in
+    # registration order):
+    "cte_multi", "setop_intersect_all", "setop_except_all",
+    "sort_nulls_ordering", "distinct_on", "values_inline",
+    "filter_ilike_null_safe", "filter_is_true_unknown",
+    "join_range_binned", "project_star_except",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
+    "tpch_q10_returned_items", "tpch_q14_promo_effect",
+    "tpch_q19_discounted_revenue", "tpch_q18_large_volume_customer",
+    "tpch_q8_national_market_share", "tpch_q4_order_priority",
+    "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
+    # --- re-pins: the oldest r02 block (12 slots; these are the cede
+    # candidates for entries NEW in r09, tail-first):
+    "agg_having_filter_distinct", "agg_variance_stddev",
+    "agg_corr_covar_regr", "agg_min_max_by", "agg_string_agg",
+    "agg_median_percentile", "agg_weighted_percentile",
+    "window_ranking", "window_offset_lag_lead",
+    "window_value_functions", "window_sales_running",
+    "window_range_frame",
 ]
 
 

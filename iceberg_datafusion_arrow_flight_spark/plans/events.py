@@ -2779,13 +2779,19 @@ ORDER BY s.day
         "dashboard row.  EXACT distinct counts (no HLL): the corpus "
         "first collapses to DISTINCT (user, day) pairs — the "
         "state-space-sized table every rolling-active metric should be "
-        "computed from — then a day-spine range join fans each pair "
-        "onto at most 30 spine days and one distinct-agg per day does "
-        "the rest; work is days x active-users-per-window, never "
-        "events x days.  Counts exact; the ratio one integer "
-        "quotient.  (The sketch path for when even the pair table is "
-        "too hot is events_hll_sketch_merge / sketch_kmv_distinct_"
-        "users.)  plans/events.py:events_dau_wau_mau.",
+        "computed from — then each pair EXPLODES onto exactly the 30 "
+        "spine days it contributes to (explode(sequence(day, day+29))) "
+        "and an EQUI-join against the day spine keeps the observed "
+        "days; one distinct-agg per day does the rest.  Work is "
+        "pairs x 30, independent of history length — the r8 plan's "
+        "no-equi-key range join planned a BroadcastNestedLoopJoin "
+        "(pairs x TOTAL-days, a 30-100x multiplier at years of "
+        "history); the bin-grid discipline of operators/range_join.py "
+        "applied here makes it a shuffled hash/sort-merge equi-join "
+        "(no-BNLJ pinned by tests/test_plan_shape.py).  Counts exact; "
+        "the ratio one integer quotient.  (The sketch path for when "
+        "even the pair table is too hot is events_hll_sketch_merge / "
+        "sketch_kmv_distinct_users.)  plans/events.py:events_dau_wau_mau.",
     tags=("events", "aggregate"),
 )
 def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2793,17 +2799,23 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = (e.select("user_id", F.col("ts").cast("date").alias("day"))
           .distinct().localCheckpoint(eager=True))
     spine = ud.select("day").distinct()
-    j = spine.alias("s").join(
-        ud.alias("u"),
-        (F.col("u.day") <= F.col("s.day"))
-        & (F.col("u.day") > F.date_sub(F.col("s.day"), 30)))
-    dau = F.countDistinct(F.when(F.col("u.day") == F.col("s.day"),
-                                 F.col("u.user_id")))
-    wau = F.countDistinct(F.when(F.col("u.day")
-                                 > F.date_sub(F.col("s.day"), 7),
-                                 F.col("u.user_id")))
-    mau = F.countDistinct(F.col("u.user_id"))
-    return (j.groupBy(F.col("s.day").alias("day"))
+    # Fan each (user, active-day) pair onto the 30 consecutive spine
+    # days whose trailing-30 window contains it: spine_day in
+    # [u.day, u.day+29]  <=>  u.day in (spine_day-30, spine_day].
+    fanned = ud.select(
+        "user_id", F.col("day").alias("u_day"),
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 29)))
+         .alias("day"))
+    # Equi-join on the spine day (spine is days-sized -> broadcast);
+    # drops fabricated days after the last observed day.
+    j = fanned.join(F.broadcast(spine), "day")
+    dau = F.countDistinct(F.when(F.col("u_day") == F.col("day"),
+                                 F.col("user_id")))
+    wau = F.countDistinct(F.when(F.col("u_day")
+                                 > F.date_sub(F.col("day"), 7),
+                                 F.col("user_id")))
+    mau = F.countDistinct(F.col("user_id"))
+    return (j.groupBy("day")
             .agg(dau.cast("bigint").alias("dau"),
                  wau.cast("bigint").alias("wau"),
                  mau.cast("bigint").alias("mau"),

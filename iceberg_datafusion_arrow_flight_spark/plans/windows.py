@@ -152,16 +152,28 @@ SELECT o_orderkey, o_totalprice_r,
 FROM (SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice_r
       FROM orders WHERE o_custkey % 100 = 0) t
 """,
-    doc="RANGE frame with numeric offsets (value-based window bounds).",
+    doc="RANGE frame with numeric offsets (value-based window bounds). "
+        "NOT the naive single-partition window (the input is a fixed "
+        "FRACTION of orders, so it grows with the table): the value-"
+        "RANGE count is the CDF difference cnt_le(v+1000) - "
+        "cnt_lt(v-1000), computed by operators/ranking.py:"
+        "with_range_frame_count — range-repartitioned parallel prefix "
+        "sums over data+query points, offsets lifted by a partition-"
+        "count-bounded collect; bit-equal to the window form (identical "
+        "IEEE v+const boundary arithmetic to Spark's and DuckDB's RANGE "
+        "operators).  Swept by tests/test_plan_shape.py's registry-wide "
+        "no-global-window audit.",
     tags=("window",),
 )
 def window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import with_range_frame_count
     ords = (table(spark, sf_dir, "orders")
             .where(F.col("o_custkey") % 100 == 0)
             .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice_r")))
-    w = Window.orderBy("o_totalprice_r").rangeBetween(-1000, 1000)
-    return ords.select("o_orderkey", "o_totalprice_r",
-                       F.count("*").over(w).alias("n_within_1k"))
+    return (with_range_frame_count(ords, "o_totalprice_r",
+                                   ["o_orderkey"], -1000.0, 1000.0,
+                                   out_col="n_within_1k")
+            .select("o_orderkey", "o_totalprice_r", "n_within_1k"))
 
 
 @register(

@@ -714,3 +714,71 @@ def test_winnowing_has_no_nested_loop(spark, sf_dir):
     plan = _explain(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dau_wau_mau_spine_join_is_equi(spark, sf_dir):
+    """The day-spine join must be an EQUI join on the exploded spine
+    day — the r8 shape (no-equi-key range predicate) planned a
+    BroadcastNestedLoopJoin, making the work pairs x TOTAL-days
+    instead of pairs x 30 (a 30-100x multiplier at years of history)."""
+    df = REGISTRY["events_dau_wau_mau"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "explode" in plan.lower()  # the sequence fan-out reached the plan
+    assert "HashJoin" in plan
+
+
+def test_range_frame_count_no_single_partition_window(spark, sf_dir):
+    """window_range_frame's distributed CDF replacement must never move
+    the (table-fraction-sized) input through a one-task sort."""
+    df = REGISTRY["window_range_frame"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "Exchange SinglePartition" not in plan
+
+
+def _iter_logical_nodes(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _iter_logical_nodes(node.children().apply(i))
+
+
+def _window_input_is_reduced(w) -> bool:
+    """True when the global window's input subtree contains a node that
+    collapses cardinality (Aggregate / GlobalLimit / Deduplicate) — the
+    documented tiny-intermediate exemption."""
+    for i in range(w.children().size()):
+        for c in _iter_logical_nodes(w.children().apply(i)):
+            if c.getClass().getSimpleName() in (
+                    "Aggregate", "GlobalLimit", "Deduplicate"):
+                return True
+    return False
+
+
+# Entries whose empty-partition window is documented-tiny for a reason
+# the Aggregate/GlobalLimit heuristic can't see.  EMPTY as of r9: the
+# r8 purge plus the r9 window_range_frame fix removed every instance.
+_GLOBAL_WINDOW_ALLOWLIST: frozenset[str] = frozenset()
+
+
+def test_registry_has_no_global_window_over_unreduced_input(spark, sf_dir):
+    """Registry-wide guard for the single-partition-window class (the r8
+    purge fixed 9 instances; this sweep keeps r9+ entries from
+    reintroducing it): every entry's ANALYZED plan must contain no
+    Window with an empty partitionSpec over an input that has not been
+    collapsed by an aggregation / global limit / dedup first."""
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if name in _GLOBAL_WINDOW_ALLOWLIST:
+            continue
+        df = spec.build(spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed()
+        for node in _iter_logical_nodes(analyzed):
+            if (node.getClass().getSimpleName() == "Window"
+                    and node.partitionSpec().isEmpty()
+                    and not _window_input_is_reduced(node)):
+                offenders.setdefault(name, 0)
+                offenders[name] += 1
+    assert not offenders, (
+        f"global (empty-partition) windows over table-sized input: "
+        f"{offenders}")

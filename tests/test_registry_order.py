@@ -67,18 +67,17 @@ def test_every_family_has_a_priority_row():
                  if not any(n in _PRIORITY for n in names)
                  # Families with a cumulative driver-green row need no slot
                  # in the CURRENT window (every family below has 100%
-                 # driver coverage through r07 — CORRECTNESS_r01-r07 union
-                 # 312/312 ever-registered-then checked, 0 red; the r08
-                 # window spends its re-pin slots on the OLDEST entries,
-                 # which concentrates in the r01 relational/TPC-H block,
-                 # so the recently-checked extension families sit out):
+                 # driver coverage through r08 — CORRECTNESS_r01-r08 union
+                 # 342 ever-checked, 0 red; the r09 window spends its
+                 # re-pin slots on the OLDEST entries — the r01
+                 # relational/TPC-H block + the oldest r02 agg/window
+                 # rows — so the recently-checked (r07/r08-green)
+                 # dedup/sketch/subquery families and the extension
+                 # families sit out this rotation):
                  and fam not in ("map", "json", "table_function", "ddl",
                                  "catalog", "function", "struct",
                                  "multimodal", "array", "graph",
                                  "io", "dialect", "service",
-                                 "similarity", "text", "window",
-                                 # r01 re-pins that ceded their slots to
-                                 # r08's new entries (driver-green r01;
-                                 # they lead the r09 re-pin queue)
-                                 "tpch", "projection", "values", "cte")]
+                                 "similarity", "text",
+                                 "dedup", "sketch", "subquery")]
     assert not uncovered, uncovered
