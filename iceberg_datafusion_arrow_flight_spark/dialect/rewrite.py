@@ -766,6 +766,40 @@ _SELECT_ALIAS_RE = re.compile(
     r"^(?P<e>.*?)\s+AS\s+(?P<a>[A-Za-z_]\w*)\s*$", re.I | re.S)
 
 
+def _order_by_resolves_against_output(suffix: str,
+                                      select_list: str) -> bool:
+    """True when every ORDER BY item in ``suffix`` still resolves after
+    the statement is wrapped in a UNION ALL — i.e. it is an integer
+    position or an identifier naming one of the select list's OUTPUT
+    columns (the alias when aliased, the bare column name otherwise)."""
+    ob = _find_first_top_level(suffix, "ORDER BY")
+    if ob is None:
+        return True
+    rest = suffix[ob + len("ORDER BY"):]
+    end = len(rest)
+    for kw in ("LIMIT", "OFFSET"):
+        p = _find_first_top_level(rest, kw)
+        if p is not None:
+            end = min(end, p)
+    out_names = set()
+    for item in _split_depth0_commas(select_list):
+        am = _SELECT_ALIAS_RE.match(item.strip())
+        if am is not None:
+            out_names.add(am.group("a").lower())
+        elif re.fullmatch(r"[A-Za-z_][\w.]*", item.strip()):
+            out_names.add(item.strip().split(".")[-1].lower())
+    for item in _split_depth0_commas(rest[:end]):
+        t = re.sub(r"\s+(ASC|DESC)\b", "", item, flags=re.I)
+        t = re.sub(r"\s+NULLS\s+(FIRST|LAST)\b", "", t, flags=re.I).strip()
+        if re.fullmatch(r"\d+", t):
+            continue
+        if (re.fullmatch(r"[A-Za-z_]\w*", t)
+                and t.lower() in out_names):
+            continue
+        return False
+    return True
+
+
 def rewrite_grouping_sets_empty(sql: str) -> str:
     up = sql.upper()
     if ("GROUPING SETS" not in up and "CUBE" not in up
@@ -806,6 +840,13 @@ def rewrite_grouping_sets_empty(sql: str) -> str:
 
     if kind == "GROUPING SETS":
         sets = [s.strip() for s in _split_depth0_commas(body)]
+        # A nested CUBE/ROLLUP/GROUPING SETS member contributes its OWN
+        # grand-total set(s) — e.g. GROUPING SETS (ROLLUP(a), ()) is TWO
+        # ()-sets, not one.  Treating it as a plain grouping expression
+        # undercounts n_empty and silently emits too few sentinel rows;
+        # the pass's contract is bail-if-unprovable, so bail.
+        if any(_GSPEC_RE.match(s) for s in sets):
+            return sql
         n_empty = sum(1 for s in sets if s in ("()", "( )")
                       or (s.startswith("(") and s.endswith(")")
                           and not s[1:-1].strip()))
@@ -882,6 +923,14 @@ def rewrite_grouping_sets_empty(sql: str) -> str:
         twin_having += f" AND ({sub})"
     elif clause_part.strip():
         return sql  # unrecognized trailing clause
+
+    # The injected UNION ALL moves the original ORDER BY after the set
+    # operation, where Spark resolves it against the union's OUTPUT
+    # columns only — 'SELECT a AS x ... ORDER BY a' is valid raw Spark
+    # but fails analysis post-rewrite.  Bail unless every ORDER BY item
+    # is an integer position or an identifier naming an output column.
+    if not _order_by_resolves_against_output(suffix, select_list):
+        return sql
 
     # head (the WITH-clause prefix, if any) is already part of `pre`;
     # the twin goes AFTER the original branch, so CTEs stay visible to

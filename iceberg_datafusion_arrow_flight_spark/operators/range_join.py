@@ -32,7 +32,17 @@ def point_interval_range_join(points: DataFrame, intervals: DataFrame,
     """Join each point row to every interval row with
     ``start <= point <= end`` via bin-bucketed equi-join + residual.
 
-    Numeric or epoch-second columns; for timestamps pass unix seconds."""
+    Numeric or epoch-second columns; for timestamps pass unix seconds.
+
+    Inner-join only: the residual BETWEEN runs as a post-join filter,
+    which would silently drop the null-extended rows of any outer
+    variant (turning it back into an inner join) — refuse rather than
+    mis-answer."""
+    if how != "inner":
+        raise ValueError(
+            "point_interval_range_join supports how='inner' only: the "
+            "residual interval predicate is applied after the join and "
+            "would drop outer-join null-extended rows")
     p_bin = F.floor(F.col(point_col) / F.lit(bin_width)).cast("bigint")
     p = points.withColumn("__bin", p_bin)
     i_bins = F.sequence(

@@ -1,31 +1,38 @@
-"""Contract tests for the bench artifact (VERDICT r7 ask #1).
+"""Contract tests for the bench artifact (VERDICT r7 ask #1, re-margined r9).
 
 The driver captures the LAST 2000 bytes of bench.py's stdout and parses
 the JSON line out of that tail; BENCH_r07 landed unparseable because the
-line outgrew the capture.  These tests pin the contract without starting
-Spark: the worst-case rendering of the printed line — every HEADLINE
-name present, every field at its widest plausible width — must fit under
-bench.LINE_BYTE_CEILING, which itself must sit under the 2000-byte
-capture with margin for the trailing newline.
+line outgrew the capture.  r9 moved per-query times to a centisecond int
+array (names live in the sha-bound detail file's `queries` map, same
+order), which keeps >=30% slack even at the r12-projected headline size.
+These tests pin the byte contract statically AND run the real main()
+end-to-end on a 2-query subset so a runtime crash (e.g. a HEADLINE name
+referencing a renamed registry entry) fails CI instead of surfacing at
+round close (ADVICE r8).
 """
 
+import hashlib
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench
+from iceberg_datafusion_arrow_flight_spark.plans import REGISTRY
 
 
-def _worst_case_line(names):
-    # Widest plausible rendering: 5-digit 2-dp times, a 4-digit total
-    # would be absurdly slow but harmless to assume, max-width loads.
+def _worst_case_line(n_queries):
+    # Widest plausible rendering: 5-digit total, every per-query time at
+    # 999.99s (=99999 centiseconds), max-width loads.
     obj = {
         "metric": "headline_query_wall_clock_total",
         "value": 99999.9999,
         "unit": "sec",
-        "queries": {n: 999.99 for n in names},
+        "n_queries": n_queries,
+        "q_cs": [99999] * n_queries,
+        "q_names": "detail:queries (same order)",
         "sf": 0.1,
         "load1": [99.99, 99.99],
         "errs": [99999, 99],
@@ -35,8 +42,15 @@ def _worst_case_line(names):
     return json.dumps(obj, separators=(",", ":"))
 
 
+def test_headline_names_all_registered():
+    """Every HEADLINE entry must resolve in the registry — a rename that
+    silently drops a bench row is a contract break, not a skip."""
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, missing
+
+
 def test_line_fits_driver_capture():
-    line = _worst_case_line(bench.HEADLINE)
+    line = _worst_case_line(len(bench.HEADLINE))
     assert len(line) <= bench.LINE_BYTE_CEILING, (
         f"worst-case bench line is {len(line)} bytes — over the "
         f"{bench.LINE_BYTE_CEILING} ceiling; move fields to the detail "
@@ -48,19 +62,20 @@ def test_ceiling_under_driver_capture():
     assert bench.LINE_BYTE_CEILING <= 1950
 
 
-def test_headroom_for_growth():
-    # Each new headline entry costs ~35 bytes on the line; require room
-    # for at least 4 more before the ceiling bites, so adding a round's
-    # heavies doesn't silently trip the degrade path.
-    line = _worst_case_line(bench.HEADLINE + [f"future_round_heavy_{i}" for i in range(4)])
-    assert len(line) <= bench.LINE_BYTE_CEILING
+def test_headroom_at_projected_r12_size():
+    # +4 headline entries/round through r12 (VERDICT r8 ask #8): the
+    # worst-case line at that size must leave >=30% slack under the
+    # ceiling so growth can't silently trip the degrade path.
+    line = _worst_case_line(len(bench.HEADLINE) + 12)
+    assert len(line) <= 0.70 * bench.LINE_BYTE_CEILING, (
+        f"{len(line)} bytes at projected r12 size — under 30% slack")
 
 
 def test_degrade_path_is_valid_json():
-    # If the line ever exceeds the ceiling, bench drops the queries map
+    # If the line ever exceeds the ceiling, bench drops the q_cs array
     # rather than truncating mid-JSON.  Simulate that rendering.
-    obj = json.loads(_worst_case_line(bench.HEADLINE))
-    obj.pop("queries")
+    obj = json.loads(_worst_case_line(len(bench.HEADLINE)))
+    obj.pop("q_cs")
     obj["queries_in_detail"] = True
     line = json.dumps(obj, separators=(",", ":"))
     assert len(line) < 400
@@ -69,9 +84,9 @@ def test_degrade_path_is_valid_json():
 
 def test_detail_path_infers_next_round(tmp_path, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_BENCH_DETAIL", raising=False)
-    # The repo root holds BENCH_r01..r07 right now; the detail file must
-    # target the NEXT round so the driver's round-close commit pairs it
-    # with the artifact it writes after running bench.
+    # The repo root holds BENCH_r01..rNN; the detail file must target
+    # the NEXT round so the driver's round-close commit pairs it with
+    # the artifact it writes after running bench.
     path = bench._detail_path()
     import glob
     import re
@@ -81,3 +96,38 @@ def test_detail_path_infers_next_round(tmp_path, monkeypatch):
     assert path.endswith(f"BENCH_DETAIL_r{prior + 1:02d}.json")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(tmp_path / "d.json"))
     assert bench._detail_path() == str(tmp_path / "d.json")
+
+
+def test_bench_main_runs_end_to_end(tmp_path):
+    """Execute the REAL bench.py as a subprocess on two cheap queries at
+    sf0.001: the printed tail must parse as the contract line, the
+    detail file must exist, and the echoed sha must equal the sha256 of
+    the exact file bytes (the r8 convention hashed pre-newline content
+    and cost a false-alarm cycle)."""
+    detail = tmp_path / "detail.json"
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY="tpch_q6_forecast_revenue,dialect_distinct_on",
+        SPARK_GRAFT_BENCH_DETAIL=str(detail),
+        SPARK_GRAFT_BENCH_LOG=str(tmp_path / "stderr.log"),
+    )
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    r = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
+                       capture_output=True, text=True, env=env,
+                       timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # The driver parses the LAST 2000 bytes of stdout.
+    tail = r.stdout[-2000:]
+    line = [ln for ln in tail.splitlines() if ln.strip().startswith("{")][-1]
+    obj = json.loads(line)
+    assert obj["metric"] == "headline_query_wall_clock_total"
+    assert obj["n_queries"] == 2
+    assert len(obj["q_cs"]) == 2
+    assert obj["value"] > 0
+    assert len(line.encode()) <= bench.LINE_BYTE_CEILING
+    raw = detail.read_bytes()
+    assert hashlib.sha256(raw).hexdigest()[:12] == obj["detail_sha256"]
+    dobj = json.loads(raw)
+    assert list(dobj["queries"]) == ["tpch_q6_forecast_revenue",
+                                     "dialect_distinct_on"]

@@ -524,3 +524,57 @@ def test_grouping_sets_empty_shim_conservative_bails():
     out = rw("SELECT upper(a) AS ua, COUNT(*) AS n FROM t "
              "GROUP BY GROUPING SETS ((upper(a)), ())")
     assert "UNION ALL" in out and "SELECT NULL, COUNT(*)" in out
+
+
+def test_grouping_sets_empty_shim_r9_bails():
+    """ADVICE r8 regressions: (1) a nested CUBE/ROLLUP/GROUPING SETS
+    member contributes its OWN grand-total set(s) — treating it as a
+    plain grouping expression undercounts the sentinel rows, so the
+    pass must bail; (2) the injected UNION ALL moves ORDER BY to where
+    it resolves against OUTPUT columns only — 'ORDER BY a' with 'a AS
+    x' in the select list is valid raw Spark but fails post-rewrite, so
+    the pass must bail unless every order item is a position or an
+    output-column identifier."""
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+        rewrite_grouping_sets_empty as rw)
+
+    nested = [
+        "SELECT COUNT(*) AS n FROM t GROUP BY GROUPING SETS (ROLLUP(a), ())",
+        "SELECT COUNT(*) AS n FROM t GROUP BY GROUPING SETS (CUBE(a), ())",
+        "SELECT COUNT(*) AS n FROM t "
+        "GROUP BY GROUPING SETS (GROUPING SETS ((a), ()), ())",
+    ]
+    for sql in nested:
+        assert rw(sql) == sql, sql
+
+    # ORDER BY referencing a grouping column that is ALIASED away in
+    # the select list: bail (post-union resolution would fail).
+    sql = ("SELECT a AS x, COUNT(*) AS n FROM t "
+           "GROUP BY CUBE(a) ORDER BY a")
+    assert rw(sql) == sql
+    # ORDER BY an expression: bail (post-union ORDER BY COUNT(*) does
+    # not resolve).
+    sql = ("SELECT a, COUNT(*) AS n FROM t "
+           "GROUP BY CUBE(a) ORDER BY COUNT(*) DESC")
+    assert rw(sql) == sql
+    # Still rewritten: ORDER BY an output alias, a bare select column,
+    # or an integer position.
+    for ob in ("ORDER BY x", "ORDER BY n DESC", "ORDER BY 1",
+               "ORDER BY x NULLS LAST, 2"):
+        out = rw(f"SELECT a AS x, COUNT(*) AS n FROM t GROUP BY CUBE(a) {ob}")
+        assert "UNION ALL" in out, ob
+
+
+def test_grouping_sets_empty_shim_order_by_alias_runs_on_spark(spark):
+    """The alias-scoped rewrite must actually analyze on Spark: the r8
+    shim emitted 'ORDER BY a' after the union for 'a AS x' shapes,
+    which raised UNRESOLVED_COLUMN (ADVICE r8 #2) — now it bails, and
+    the alias form rewrites AND runs."""
+    from iceberg_datafusion_arrow_flight_spark.dialect.rewrite import (
+        rewrite_sql)
+    spark.range(0).selectExpr("CAST(id AS INT) AS a") \
+         .createOrReplaceTempView("gs_empty_r9")
+    out = rewrite_sql("SELECT a AS x, COUNT(*) AS n FROM gs_empty_r9 "
+                      "GROUP BY CUBE(a) ORDER BY x")
+    rows = spark.sql(out).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 0  # the sentinel row

@@ -244,6 +244,13 @@ def test_binned_range_join_equals_naive(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("simple"))
     assert "NestedLoop" not in plan
+    # Outer variants are refused loudly (ADVICE r8): the residual
+    # BETWEEN runs post-join and would silently drop null-extended
+    # rows, turning any outer join back into an inner one.
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner"):
+        point_interval_range_join(orders, bands, "pt", "lo", "hi",
+                                  bin_width=25000.0, how="left")
 
 
 def test_embedding_near_dup_lsh_recall(spark, sf_dir):
