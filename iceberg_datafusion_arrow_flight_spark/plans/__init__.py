@@ -93,14 +93,24 @@ _PRIORITY: list[str] = [
     "tpch_q8_national_market_share", "tpch_q4_order_priority",
     "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
     "tpch_q22_global_sales_opportunity",
-    # --- re-pins: the oldest r02 block (12 slots; these are the cede
-    # candidates for entries NEW in r09, tail-first):
+    # --- re-pins: the oldest r02 block (cede candidates for entries
+    # NEW in r09, tail-first — ceded so far: window_sales_running,
+    # window_value_functions, window_offset_lag_lead, window_ranking,
+    # agg_weighted_percentile, agg_median_percentile, agg_string_agg.
+    # window_range_frame is NOT cedeable this round: its implementation
+    # was REWRITTEN r9 (distributed CDF replacement for the single-
+    # partition RANGE window) and needs the driver re-pin:
     "agg_having_filter_distinct", "agg_variance_stddev",
-    "agg_corr_covar_regr", "agg_min_max_by", "agg_string_agg",
-    "agg_median_percentile", "agg_weighted_percentile",
-    "window_ranking", "window_offset_lag_lead",
-    "window_value_functions", "window_sales_running",
+    "agg_corr_covar_regr", "agg_min_max_by",
     "window_range_frame",
+    # --- NEW in r09 (two-scale local-gated on arrival):
+    "stream_countmin_partials_merge",
+    "stream_dedup_ingest_kept_set",
+    "graph_common_neighbors_jaccard",
+    "window_cume_dist_percent_rank",
+    "sketch_countmin_heavy_hitters",
+    "events_seasonality_dow_profile",
+    "pipeline_dedup_rate_by_source",
 ]
 
 

@@ -2821,3 +2821,46 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
                  mau.cast("bigint").alias("mau"),
                  (dau.cast("double") / wau).alias("dau_wau_ratio"))
             .orderBy("day"))
+
+
+@register(
+    "events_seasonality_dow_profile",
+    oracle="""
+WITH base AS (
+  SELECT event_type, CAST(isodow(ts) AS INT) AS dow FROM events
+), cells AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY event_type, dow
+), totals AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM cells
+  GROUP BY event_type
+)
+SELECT c.event_type, c.dow, c.n,
+       ROUND(7.0 * c.n / t.total, 6) AS seasonal_index
+FROM cells c JOIN totals t USING (event_type)
+ORDER BY c.event_type, c.dow
+""",
+    doc="Day-of-week seasonality profile per event type: ISO weekday "
+        "cell counts and the seasonal index 7*n/total (1.0 = flat) — "
+        "the first chart every ops dashboard draws, and the "
+        "normalization a weekly-seasonal forecaster (Holt-Winters "
+        "sibling entries) starts from.  Portable weekday arithmetic: "
+        "Spark weekday()+1 == DuckDB isodow (1=Mon..7=Sun); counts "
+        "exact, index one integer ratio.  Scale: one (type, dow) "
+        "partial-agg shuffle — 7*|types| cells out, input-size "
+        "invariant. plans/events.py:events_seasonality_dow.",
+    tags=("events", "aggregate"),
+)
+def events_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cells = (e.select("event_type",
+                      (F.weekday("ts") + 1).cast("int").alias("dow"))
+             .groupBy("event_type", "dow")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    totals = (cells.groupBy("event_type")
+              .agg(F.sum("n").cast("bigint").alias("total")))
+    return (cells.join(totals, "event_type")
+            .select("event_type", "dow", "n",
+                    F.round(F.lit(7.0) * F.col("n") / F.col("total"), 6)
+                     .alias("seasonal_index"))
+            .orderBy("event_type", "dow"))

@@ -888,3 +888,96 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("e_k"),
                     phi.alias("phi"))
             .orderBy("k"))
+
+
+@register(
+    "graph_common_neighbors_jaccard",
+    oracle=f"""
+{_COPURCHASE_CTE}, und2 AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), centers AS (
+  SELECT node FROM deg WHERE deg BETWEEN 2 AND 256
+), wedges AS (
+  SELECT a.v AS seed_id, b.v AS cand_id,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM und2 a
+  JOIN und2 b ON a.u = b.u AND a.v != b.v
+  JOIN centers c ON c.node = a.u
+  WHERE a.v % 200 = 0
+  GROUP BY 1, 2
+), scored AS (
+  SELECT w.seed_id, w.cand_id, w.n_common,
+         ds.deg + dc.deg - w.n_common AS union_sz
+  FROM wedges w
+  JOIN deg ds ON ds.node = w.seed_id
+  JOIN deg dc ON dc.node = w.cand_id
+  WHERE NOT EXISTS (SELECT 1 FROM und e
+                    WHERE e.u = LEAST(w.seed_id, w.cand_id)
+                      AND e.v = GREATEST(w.seed_id, w.cand_id))
+), ranked AS (
+  SELECT seed_id, cand_id, n_common,
+         ROUND(n_common * 1.0 / union_sz, 6) AS jaccard,
+         ROW_NUMBER() OVER (
+           ORDER BY (1000000000 * n_common) // union_sz DESC,
+                    seed_id, cand_id) AS r
+  FROM scored
+)
+SELECT seed_id, cand_id, n_common, jaccard, CAST(r AS INT) AS rank
+FROM ranked WHERE r <= 20 ORDER BY rank
+""",
+    doc="Common-neighbor JACCARD link prediction for the same seed set "
+        "as graph_adamic_adar (every 200th part on the co-purchase "
+        "graph): J(s,c) = |N(s) ∩ N(c)| / |N(s) ∪ N(c)| with existing "
+        "edges excluded, top-20 — the normalized companion of AA "
+        "(degree-corrected, so hubs stop dominating).  Same map-side "
+        "wedge expansion from center adjacency arrays (hub centers "
+        "deg > 256 pruned as semantics, mirrored in the oracle); the "
+        "union size comes from two degree joins and the COUNT itself — "
+        "all integers, so the rank key is the exact integer quotient "
+        "(1e9·common) div union, never a float compare.  Scale: wedge "
+        "work is the seed-restricted fan-out, identical to AA; the "
+        "top-20 window runs over the aggregated pair table. "
+        "plans/graph_queries.py:graph_cn_jaccard.",
+    tags=("graph",),
+)
+def graph_cn_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und2 = (und.select("u", "v")
+            .unionAll(und.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v"))))
+    adj = (und2.groupBy(F.col("u").alias("z"))
+           .agg(F.array_sort(F.collect_list("v")).alias("nbrs")))
+    deg = adj.select(F.col("z").alias("node"),
+                     F.size("nbrs").cast("bigint").alias("deg"))
+    centers = adj.where((F.size("nbrs") >= 2) & (F.size("nbrs") <= 256))
+    seeds_in = F.filter(F.col("nbrs"), lambda x: x % 200 == 0)
+    pairs = F.flatten(F.transform(
+        seeds_in,
+        lambda s: F.transform(
+            F.filter(F.col("nbrs"), lambda b: b != s),
+            lambda b: F.struct(s.alias("seed_id"), b.alias("cand_id")))))
+    wedges = (centers.select(F.explode(pairs).alias("p"))
+              .select("p.seed_id", "p.cand_id"))
+    agg = (wedges.groupBy("seed_id", "cand_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    ds = deg.select(F.col("node").alias("seed_id"),
+                    F.col("deg").alias("__ds"))
+    dc = deg.select(F.col("node").alias("cand_id"),
+                    F.col("deg").alias("__dc"))
+    scored = (agg.join(ds, "seed_id").join(dc, "cand_id")
+              .withColumn("__union",
+                          F.col("__ds") + F.col("__dc") - F.col("n_common")))
+    lo = F.least(scored["seed_id"], scored["cand_id"])
+    hi = F.greatest(scored["seed_id"], scored["cand_id"])
+    new_only = scored.join(und, (und["u"] == lo) & (und["v"] == hi),
+                           "left_anti")
+    key = F.expr("(1000000000 * n_common) div __union")
+    w = Window.orderBy(key.desc(), "seed_id", "cand_id")
+    return (new_only.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 20)
+            .select("seed_id", "cand_id", "n_common",
+                    F.round(F.col("n_common").cast("double")
+                            / F.col("__union"), 6).alias("jaccard"),
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("rank"))

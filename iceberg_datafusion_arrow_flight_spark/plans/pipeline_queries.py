@@ -1422,3 +1422,44 @@ def pipeline_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gb").cast("bigint").alias("gram_hits_bloom"),
         (F.sum("gb") - F.sum("ge")).cast("bigint")
          .alias("gram_false_positives"))
+
+
+@register(
+    "pipeline_dedup_rate_by_source",
+    oracle="""
+WITH per_text AS (
+  SELECT source, md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS copies
+  FROM documents GROUP BY source, md5(text)
+)
+SELECT source,
+       CAST(SUM(copies) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_redundant,
+       ROUND(1.0 - COUNT(*) * 1.0 / SUM(copies), 6) AS dup_rate,
+       CAST(MAX(copies) AS BIGINT) AS max_cluster
+FROM per_text GROUP BY source ORDER BY source
+""",
+    doc="Exact-duplication observability per source: docs, distinct "
+        "texts (md5 identity — portable and constant-width however "
+        "long the docs), redundant copies, dup rate, and the largest "
+        "clone cluster — the per-feed scorecard a crawl operator "
+        "watches to catch a mirror or a scraper loop BEFORE the dedup "
+        "stage pays for it.  Counts exact; the rate one integer "
+        "ratio.  Scale: one (source, md5) partial-agg shuffle with "
+        "constant-width keys (never the raw text), then a sources-"
+        "sized rollup. plans/pipeline_queries.py:pipeline_dedup_rate.",
+    tags=("pipeline", "dedup"),
+)
+def pipeline_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per_text = (d.groupBy("source", F.md5("text").alias("h"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("copies")))
+    return (per_text.groupBy("source")
+            .agg(F.sum("copies").cast("bigint").alias("n_docs"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                 (F.sum("copies") - F.count(F.lit(1))).cast("bigint")
+                  .alias("n_redundant"),
+                 F.round(F.lit(1.0) - F.count(F.lit(1))
+                         / F.sum("copies"), 6).alias("dup_rate"),
+                 F.max("copies").cast("bigint").alias("max_cluster"))
+            .orderBy("source"))

@@ -334,3 +334,171 @@ def stream_tumbling_finalized(spark: SparkSession,
         spark.catalog.dropTempView(name) if name in [
             t.name for t in spark.catalog.listTables()] else None
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_countmin_partials_merge",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS v FROM documents
+), rows_ AS (
+  SELECT d, v FROM tok CROSS JOIN (SELECT unnest([0,1,2,3]) AS d)
+)
+SELECT d,
+       CAST(('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || '|' || v),
+                            1, 8))::UBIGINT % 256 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM rows_
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="Folded streaming count-min partials == the one-shot batch "
+        "sketch, BIT-FOR-BIT, as a driver-oracled row: document tokens "
+        "stream in 4 micro-batches through "
+        "streaming.stream_countmin_partials (each batch appends its own "
+        "4x256 partial sketch; no per-key state in the job at all), the "
+        "partials fold by bin addition (merged_countmin), and because "
+        "sketch merge is cell-wise addition — associative, commutative "
+        "— the fold equals the sketch of the union regardless of batch "
+        "boundaries.  The md5-derived bucket hash computes identically "
+        "in DuckDB, so the oracle checks the full d*w table, not just "
+        "error bounds.  Scale: per-batch shuffle volume is d*w; a "
+        "100 TB/day fleet appends partials and a periodic compact folds "
+        "them with this exact groupBy-sum. "
+        "streaming/jobs.py:stream_countmin_partials,merged_countmin.",
+    tags=("streaming", "sketch", "approx"),
+)
+def stream_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+    from ..streaming.jobs import merged_countmin, stream_countmin_partials
+
+    toks = (table(spark, sf_dir, "documents")
+            .select(F.explode(T.ws_tokens(F.col("text"))).alias("v")))
+    work = tempfile.mkdtemp(prefix="stream_cm_")
+    try:
+        src = os.path.join(work, "src")
+        toks.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(toks.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = os.path.join(work, "partials")
+        _drain(stream_countmin_partials(stream, "v", out,
+                                        depth=4, width=256))
+        final = (merged_countmin(spark, out)
+                 .select("d", "bucket", F.col("c").cast("bigint").alias("c"))
+                 .orderBy("d", "bucket"))
+        return _materialize(spark, final)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_dedup_ingest_kept_set",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_sort(list_distinct(string_split_regex(text, '\s+'))) AS ts
+  FROM documents
+), pairs AS MATERIALIZED (
+  -- lossless PPJoin size filter first: J >= 9/10 forces
+  -- 10*|A| >= 9*|B| both ways, a cheap length compare that prunes
+  -- most of the quadratic space before the list_intersect runs
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  WHERE 10 * len(a.ts) >= 9 * len(b.ts)
+    AND 10 * len(b.ts) >= 9 * len(a.ts)
+    AND 10 * len(list_intersect(a.ts, b.ts))
+        >= 9 * len(list_distinct(list_concat(a.ts, b.ts)))
+), edges AS MATERIALIZED (
+  -- symmetrized pair graph: every witness check below is then a pure
+  -- EQUI semi/anti join (an OR-of-directions join condition forces a
+  -- nested-loop plan that never finishes at sf0.1)
+  SELECT ia AS x, ib AS y FROM pairs
+  UNION ALL
+  SELECT ib AS x, ia AS y FROM pairs
+), b0 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+   b1 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1),
+   b2 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2),
+   b3 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+k0 AS (
+  SELECT doc_id FROM b0 d WHERE NOT EXISTS (
+    SELECT 1 FROM pairs p JOIN b0 w ON p.ia = w.doc_id
+    WHERE p.ib = d.doc_id)
+), k1 AS (
+  SELECT doc_id FROM b1 d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e JOIN k0 w ON e.x = w.doc_id
+    WHERE e.y = d.doc_id)
+  AND NOT EXISTS (
+    SELECT 1 FROM pairs p JOIN b1 w ON p.ia = w.doc_id
+    WHERE p.ib = d.doc_id)
+), k01 AS (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1),
+k2 AS (
+  SELECT doc_id FROM b2 d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e JOIN k01 w ON e.x = w.doc_id
+    WHERE e.y = d.doc_id)
+  AND NOT EXISTS (
+    SELECT 1 FROM pairs p JOIN b2 w ON p.ia = w.doc_id
+    WHERE p.ib = d.doc_id)
+), k012 AS (SELECT doc_id FROM k01 UNION ALL SELECT doc_id FROM k2),
+k3 AS (
+  SELECT doc_id FROM b3 d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e JOIN k012 w ON e.x = w.doc_id
+    WHERE e.y = d.doc_id)
+  AND NOT EXISTS (
+    SELECT 1 FROM pairs p JOIN b3 w ON p.ia = w.doc_id
+    WHERE p.ib = d.doc_id)
+), kept AS (SELECT doc_id FROM k012 UNION ALL SELECT doc_id FROM k3)
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN kept USING (doc_id)
+ORDER BY d.doc_id
+""",
+    doc="Dedup-at-ingest kept set == the sequential pair-free collapse, "
+        "as a driver-oracled row: documents stream in 4 deterministic "
+        "micro-batches (doc_id %% 4, replayed in order via explicit "
+        "file mtimes) through streaming.stream_dedup_ingest — each "
+        "batch minhashes ONLY its own docs, probes the accumulated LSH "
+        "band index, exact-verifies (token Jaccard >= 0.9), drops "
+        "within-batch larger-ids and any doc matching an indexed doc, "
+        "appends the novel remainder — and the final kept/ table must "
+        "equal DuckDB's unrolled 4-step simulation over the EXHAUSTIVE "
+        "verified-pair graph (LSH(16x4) finds every qualifying pair "
+        "with P[miss] ~ 4e-8, the same identity dedup_minhash_lsh "
+        "pins; spurious band-hash collisions only ADD candidates that "
+        "exact-verify, so they cannot diverge).  Scale: per-batch work "
+        "is batch + collisions, never corpus history; the index is the "
+        "only state and lives in a table. "
+        "streaming/jobs.py:stream_dedup_ingest.",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_ingest_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import stream_dedup_ingest
+
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id", "text",
+                    F.col("n_chars").cast("bigint").alias("n_chars")))
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+
+        # One file per doc_id-residue bucket, mtime-stamped so the file
+        # source replays the batches in bucket order deterministically.
+        def _write_batch(df: DataFrame, t: int) -> None:
+            before = set(os.listdir(src))
+            df.coalesce(1).write.mode("append").parquet(src)
+            for f in set(os.listdir(src)) - before:
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(src, f), (t, t))
+
+        for b in range(4):
+            _write_batch(docs.where(F.col("doc_id") % 4 == b),
+                         1_700_000_000 + b)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        state = os.path.join(work, "state")
+        _drain(stream_dedup_ingest(stream, state))
+        final = (spark.read.parquet(os.path.join(state, "kept"))
+                 .select("doc_id", "n_chars").orderBy("doc_id"))
+        return _materialize(spark, final)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1290,3 +1290,64 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("df").alias("doc_freq"),
                        vmr.alias("vmr"))
             .orderBy(F.col("total_count").desc(), "term"))
+
+
+@register(
+    "sketch_countmin_heavy_hitters",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS v FROM documents
+), exact_ AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY v
+), top AS (
+  SELECT v, c FROM exact_
+  QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, v) <= 20
+), sketch AS (
+  SELECT d,
+         CAST(('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || '|' || v),
+                              1, 8))::UBIGINT % 256 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok CROSS JOIN (SELECT unnest([0,1,2,3]) AS d)
+  GROUP BY 1, 2
+)
+SELECT t.v AS token, t.c AS exact_c,
+       CAST(MIN(s.c) AS BIGINT) AS est_c,
+       CAST(MIN(s.c) - t.c AS BIGINT) AS overest
+FROM top t
+CROSS JOIN (SELECT unnest([0,1,2,3]) AS d) dd
+JOIN sketch s
+  ON s.d = dd.d
+ AND s.bucket = CAST(('0x' || substr(md5('cm' || CAST(dd.d AS VARCHAR)
+                                     || '|' || t.v), 1, 8))::UBIGINT
+                     % 256 AS BIGINT)
+GROUP BY 1, 2
+ORDER BY exact_c DESC, token
+""",
+    doc="Heavy hitters through the count-min sketch: the exact top-20 "
+        "tokens (deterministic tie-break) probed against the 4x256 "
+        "md5-bucket sketch, reporting estimate and overestimate per "
+        "hitter — the accuracy readout that decides whether a sketch "
+        "deployment's width is adequate (CM never underestimates; "
+        "overest <= n/width w.h.p.).  Bit-for-bit oracled: both the "
+        "sketch cells and the min-probe compute identically in DuckDB. "
+        "Scale: exact counts are one token shuffle; top-20 is a "
+        "TakeOrdered; the probe broadcasts the d*w sketch, never "
+        "shuffling the hitters. operators/countmin.py:countmin_"
+        "estimate.",
+    tags=("text", "sketch", "approx"),
+)
+def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import countmin as CM
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.ws_tokens(F.col("text"))).alias("v"))
+    exact = (toks.groupBy("v")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("exact_c")))
+    top = exact.orderBy(F.col("exact_c").desc(), "v").limit(20)
+    sketch = CM.countmin_sketch(toks, "v", depth=4, width=256)
+    est = CM.countmin_estimate(sketch, top, "v", depth=4, width=256)
+    return (top.join(est, "v")
+            .select(F.col("v").alias("token"), "exact_c",
+                    F.col("cm_estimate").alias("est_c"),
+                    (F.col("cm_estimate") - F.col("exact_c"))
+                    .cast("bigint").alias("overest"))
+            .orderBy(F.col("exact_c").desc(), "token"))

@@ -467,3 +467,44 @@ def window_frame_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ex_n.alias("neighbor_n"),
                     F.round(F.when(ex_n > 0, ex_sum / ex_n), 4)
                      .alias("neighbor_avg")))
+
+
+@register(
+    "window_cume_dist_percent_rank",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+                                  ORDER BY EXTRACT(year FROM o_orderdate)),
+             6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+                               ORDER BY EXTRACT(year FROM o_orderdate)),
+             6) AS cume
+FROM orders WHERE o_custkey % 50 = 0
+ORDER BY o_custkey, o_orderkey
+""",
+    doc="PERCENT_RANK + CUME_DIST relative-rank window functions "
+        "(DF40 window surface, datafusion-functions-window) over a "
+        "HIGH-CARDINALITY partition key (per-customer order-year "
+        "ranking) — deliberately ordered by a coarse key so peer "
+        "groups are real: CUME_DIST counts peers-inclusive, "
+        "PERCENT_RANK (rank-1)/(n-1) with the n=1 partition yielding "
+        "0.  Scale: partition count grows with customers, per-"
+        "partition cardinality stays orders-per-customer — the shape "
+        "that keeps relative-rank windows parallel at 100 TB (the "
+        "global form is banned by the plan-sweep test). "
+        "plans/windows.py:window_cume_pct.",
+    tags=("window",),
+)
+def window_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = (table(spark, sf_dir, "orders")
+            .where(F.col("o_custkey") % 50 == 0)
+            .select("o_custkey", "o_orderkey",
+                    F.year("o_orderdate").alias("yr")))
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    return (ords.select("o_custkey", "o_orderkey",
+                        F.col("yr").cast("int").alias("yr"),
+                        F.round(F.percent_rank().over(w), 6)
+                         .alias("pct_rank"),
+                        F.round(F.cume_dist().over(w), 6).alias("cume"))
+            .orderBy("o_custkey", "o_orderkey"))

@@ -1587,3 +1587,173 @@ def test_rfm_and_equi_depth_have_no_single_partition_window(spark, sf_dir):
             "formatted")
         plan = df._jdf.queryExecution().explainString(em)
         assert "SinglePartition" not in plan, name
+
+
+def _jaccard_brute(token_sets: dict, num: int, den: int):
+    """Exhaustive token-set Jaccard pairs (id_a < id_b) at >= num/den."""
+    ids = sorted(token_sets)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(token_sets[a] & token_sets[b])
+            union = len(token_sets[a] | token_sets[b])
+            if union and den * inter >= num * union:
+                out.add((a, b))
+    return out
+
+
+def test_minhash_lsh_skew_guard_under_hot_template(spark):
+    """Adversarial-skew fixture (VERDICT r8 ask #5): one template
+    dominates the corpus, so its band buckets go pathologically hot —
+    the exact shape that makes unguarded LSH quadratic at 100 TB.  Pins
+    that (a) the pathology is real (an unguarded bucket holds most of
+    the hot docs, candidate volume collapses >=20x under the cap),
+    (b) max_bucket_size bounds every surviving bucket, and (c) the
+    guarded output still equals the exhaustive pair set, because true
+    near-dups live in cold buckets while hot buckets hold only
+    below-threshold template kin (the guard is recall-safe whenever
+    capped buckets contain no qualifying pairs)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from iceberg_datafusion_arrow_flight_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_signature)
+
+    template = [f"tmpl{i}" for i in range(60)]
+    rows, toksets = [], {}
+    did = 0
+    for _ in range(120):  # hot group: pairwise J = 60/68 ≈ 0.88 < 0.9
+        extra = [f"u{did}_{j}" for j in range(4)]
+        rows.append((did, " ".join(template + extra)))
+        toksets[did] = set(template) | set(extra)
+        did += 1
+    for k in range(30):  # true dups, disjoint vocab per pair: J = 30/31
+        base = [f"p{k}_{j}" for j in range(30)]
+        rows.append((did, " ".join(base)))
+        toksets[did] = set(base)
+        rows.append((did + 1, " ".join(base + [f"x{k}"])))
+        toksets[did + 1] = set(base) | {f"x{k}"}
+        did += 2
+    for _ in range(40):  # unrelated noise
+        uniq = [f"n{did}_{j}" for j in range(25)]
+        rows.append((did, " ".join(uniq)))
+        toksets[did] = set(uniq)
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    want = _jaccard_brute(toksets, 9, 10)
+    assert len(want) == 30  # hot-group kin must NOT qualify
+
+    got_uncapped = {(r.id_a, r.id_b)
+                    for r in minhash_lsh_pairs(df, "doc_id", "text").collect()}
+    got_capped = {(r.id_a, r.id_b)
+                  for r in minhash_lsh_pairs(df, "doc_id", "text",
+                                             max_bucket_size=10).collect()}
+    assert got_uncapped == want
+    assert got_capped == want  # the guard dropped no qualifying pair
+
+    # Reconstruct the documented banding (16 bands x 4 sig rows) to
+    # measure the pathology and the bound the guard enforces.
+    sigs = minhash_signature(df, "doc_id", "text", 64)
+    bands = sigs.select(
+        "__id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.hash(*[F.element_at("__sig", b * 4 + r + 1)
+                              for r in range(4)]).alias("bh"))
+            for b in range(16)])).alias("e")
+    ).select("__id", "e.band", "e.bh")
+    sizes = (bands.groupBy("band", "bh").count()
+             .agg(F.max("count").alias("mx"),
+                  F.sum(F.expr("count * (count - 1) / 2")).alias("cand"))
+             .first())
+    assert sizes.mx >= 50, "fixture not pathological — hot bucket too small"
+    capped_cand = (bands.groupBy("band", "bh").count()
+                   .where(F.col("count") <= 10)
+                   .agg(F.sum(F.expr("count * (count - 1) / 2"))).first()[0])
+    assert capped_cand * 20 <= sizes.cand, (
+        f"guard saved too little: {capped_cand} vs {sizes.cand}")
+    # every surviving bucket emits at most C(cap,2) pairs
+    assert capped_cand <= 45 * bands.select("band", "bh").distinct().count()
+
+
+def test_containment_skew_bounded_under_hot_shingle(spark):
+    """Containment twin of the hot-template test: EVERY doc shares one
+    leading bigram (a boilerplate header), so one posting list covers
+    the whole corpus — unguarded, the probe join would touch all
+    ordered pairs.  Pins that (a) the pathology is real (the hot
+    shingle's posting list == corpus size), (b) the prefix + lossless
+    size filters keep the candidate join at a fraction of the ordered-
+    pair space, and (c) the output still equals exhaustive directed
+    containment."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from iceberg_datafusion_arrow_flight_spark.operators.dedup import (
+        containment_pairs)
+
+    rows, shsets = [], {}
+
+    def _bigrams(tokens):
+        return {" ".join(tokens[i:i + 2]) for i in range(len(tokens) - 1)}
+
+    did = 0
+    for k in range(60):  # contained/container pairs with shared header
+        core = [f"c{k}_{j}" for j in range(12)]
+        small = ["hdr", "common"] + core
+        big = small + [f"pad{k}_{j}" for j in range(30)]
+        rows.append((did, " ".join(small)))
+        shsets[did] = _bigrams(small)
+        rows.append((did + 1, " ".join(big)))
+        shsets[did + 1] = _bigrams(big)
+        did += 2
+    for _ in range(80):  # header-only kin: share just the hot bigram
+        uniq = ["hdr", "common"] + [f"z{did}_{j}" for j in range(20)]
+        rows.append((did, " ".join(uniq)))
+        shsets[did] = _bigrams(uniq)
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    n_docs = len(rows)
+
+    want = set()
+    for a in shsets:
+        for b in shsets:
+            if a == b:
+                continue
+            inter = len(shsets[a] & shsets[b])
+            if 10 * inter >= 8 * len(shsets[a]):
+                want.add((a, b))
+    got = {(r.contained_id, r.container_id)
+           for r in containment_pairs(df, "doc_id", "text",
+                                      n=2, threshold_num=8,
+                                      threshold_den=10).collect()}
+    assert got == want and len(want) >= 60
+
+    # Pathology + bound: replicate the documented probe/index shape to
+    # count candidates the exact-verify join would receive.
+    toks = F.split(F.col("text"), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    grams = F.array_distinct(F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " ")))
+    sh = F.array_sort(F.transform(grams, lambda t: F.xxhash64(t)))
+    plen = (F.size(sh) - F.ceil(F.size(sh) * 8 / 10) + 1).cast("int")
+    base = df.select(F.col("doc_id").alias("__id"), sh.alias("__sh"),
+                     F.slice(sh, 1, plen).alias("__prefix"))
+    hot_postings = (base.select(F.explode("__sh").alias("g"))
+                    .groupBy("g").count().agg(F.max("count")).first()[0])
+    assert hot_postings == n_docs  # the hot shingle reaches every doc
+    probe = base.select(F.col("__id").alias("ca"),
+                        F.size("__sh").alias("na"),
+                        F.explode("__prefix").alias("g"))
+    index = base.select(F.col("__id").alias("cb"),
+                        F.size("__sh").alias("nb"),
+                        F.explode("__sh").alias("g"))
+    n_cand = (probe.join(index, (probe["g"] == index["g"])
+                         & (F.col("ca") != F.col("cb"))
+                         & (10 * F.col("nb") >= 8 * F.col("na")))
+              .select("ca", "cb").distinct().count())
+    assert n_cand <= 0.4 * n_docs * (n_docs - 1), (
+        f"candidate join saw {n_cand} of {n_docs * (n_docs - 1)} "
+        f"ordered pairs — prefix/size filters not bounding the hot key")
