@@ -95,6 +95,17 @@ HEADLINE = [
     "graph_label_propagation",
     "sim_matryoshka_prefix_recall",
     "multimodal_audio_spectrogram",
+    # r9 additions (solo seeds in PERFORMANCE.md r9): the folded
+    # streaming count-min row, common-neighbor Jaccard link prediction,
+    # the rewritten distributed RANGE-frame count, and the fixed
+    # explode-equi-join DAU/WAU/MAU dashboard row.  The heavy
+    # stream_dedup_ingest_kept_set row stays OUT of the headline (44 s
+    # at sf0.1 would dominate the total); its seed band lives in
+    # PERFORMANCE.md r9, same policy as graph_modularity in r8.
+    "stream_countmin_partials_merge",
+    "graph_common_neighbors_jaccard",
+    "window_range_frame",
+    "events_dau_wau_mau",
 ]
 
 
@@ -200,7 +211,9 @@ def main() -> None:
                       "dedup_winnowing_fingerprints",
                       "graph_label_propagation",
                       "sim_matryoshka_prefix_recall",
-                      "multimodal_audio_spectrogram")]
+                      "multimodal_audio_spectrogram",
+                      "stream_countmin_partials_merge",
+                      "graph_common_neighbors_jaccard")]
 
     # Output cardinality per query, recorded alongside seconds in the
     # artifact: drift-vs-noise adjudication needs "same rows, slower" in
