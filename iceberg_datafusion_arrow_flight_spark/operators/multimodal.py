@@ -865,3 +865,38 @@ def image_edge_density(df: DataFrame, threshold: int = 256) -> DataFrame:
     return fan_out(df).mapInPandas(
         edges, schema=("doc_id BIGINT, n_interior BIGINT, "
                        "n_edges BIGINT, gradient_total BIGINT"))
+
+
+MOMENTS_SCHEMA = ("doc_id long, channel int, n_px long, "
+                  "sum_v long, sum_v2 long")
+
+
+def color_moments(df: DataFrame) -> DataFrame:
+    """Per-image per-channel color moments over REAL decoded pixels:
+    exact integer count / sum / sum-of-squares for each RGB channel —
+    the color-cast and contrast screen of a vision curation pass (a
+    grayscale-duplicated channel shows as three identical moment rows;
+    a blown channel as a mean pinned near 255).
+
+    numpy per Arrow batch; only (id, channel, 3 ints) rows leave the
+    executor.  All-integer output (v <= 255, v^2 <= 65025, n <= w*h),
+    so means/variances derive exactly in SQL and the whole report is
+    oracle-checkable against the pixel generator formula."""
+
+    def mom(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cs, ns, sv, sv2 = [], [], [], [], []
+            for did, fmt, payload in zip(pdf["doc_id"], pdf["fmt"],
+                                         pdf["payload"]):
+                _w, _h, px = _REAL_DECODERS[fmt](bytes(payload))
+                for c in range(3):
+                    ch = px[:, :, c].astype(np.int64)
+                    ids.append(did)
+                    cs.append(c)
+                    ns.append(int(ch.size))
+                    sv.append(int(ch.sum()))
+                    sv2.append(int((ch * ch).sum()))
+            yield pd.DataFrame({"doc_id": ids, "channel": cs, "n_px": ns,
+                                "sum_v": sv, "sum_v2": sv2})
+
+    return fan_out(df).mapInPandas(mom, schema=MOMENTS_SCHEMA)

@@ -99,9 +99,10 @@ _PRIORITY: list[str] = [
     # agg_weighted_percentile, agg_median_percentile, agg_string_agg.
     # window_range_frame is NOT cedeable this round: its implementation
     # was REWRITTEN r9 (distributed CDF replacement for the single-
-    # partition RANGE window) and needs the driver re-pin:
-    "agg_having_filter_distinct", "agg_variance_stddev",
-    "agg_corr_covar_regr", "agg_min_max_by",
+    # partition RANGE window) and needs the driver re-pin.  Further
+    # cedes for the second r09 batch: agg_variance_stddev,
+    # agg_corr_covar_regr, agg_min_max_by, then
+    # agg_having_filter_distinct for the Holt-Winters flagship:
     "window_range_frame",
     # --- NEW in r09 (two-scale local-gated on arrival):
     "stream_countmin_partials_merge",
@@ -111,6 +112,10 @@ _PRIORITY: list[str] = [
     "sketch_countmin_heavy_hitters",
     "events_seasonality_dow_profile",
     "pipeline_dedup_rate_by_source",
+    "multimodal_color_moments",
+    "graph_local_clustering_coefficient",
+    "events_cohort_ltv_curve",
+    "events_holt_winters_seasonal",
 ]
 
 

@@ -2864,3 +2864,208 @@ def events_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.lit(7.0) * F.col("n") / F.col("total"), 6)
                      .alias("seasonal_index"))
             .orderBy("event_type", "dow"))
+
+
+@register(
+    "events_cohort_ltv_curve",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, date_trunc('week', ts) AS wk,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS centi
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id
+), cohort_size AS (
+  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM cohort GROUP BY cohort_wk
+), weekly AS (
+  SELECT c.cohort_wk,
+         CAST((epoch(e.wk) - epoch(c.cohort_wk)) / 604800 AS INT)
+             AS weeks_since,
+         CAST(SUM(e.centi) AS BIGINT) AS wk_centi
+  FROM ev e JOIN cohort c USING (user_id)
+  GROUP BY c.cohort_wk, weeks_since
+), curve AS (
+  SELECT cohort_wk, weeks_since, wk_centi,
+         CAST(SUM(wk_centi) OVER (PARTITION BY cohort_wk
+                                  ORDER BY weeks_since) AS BIGINT)
+             AS cum_centi
+  FROM weekly
+)
+SELECT CAST(c.cohort_wk AS TIMESTAMP) AS cohort_week,
+       c.weeks_since, s.n_users, c.wk_centi, c.cum_centi,
+       ROUND(c.cum_centi * 1.0 / (100 * s.n_users), 6) AS ltv_per_user
+FROM curve c JOIN cohort_size s USING (cohort_wk)
+ORDER BY cohort_week, weeks_since
+""",
+    doc="Cohort LTV curve: cumulative value per first-active-week "
+        "cohort by week offset, normalized per cohort user — the "
+        "revenue companion of events_cohort_retention (same cohort "
+        "keying), the curve a growth team reads payback periods off. "
+        "Values fold to exact integer centi-units BEFORE any "
+        "aggregation, so weekly sums, the running cumulative, and the "
+        "final per-user ratio are order-independent and bit-exact.  "
+        "Scale: events collapse to (user, week) sums first, the "
+        "cumulative window runs over the aggregated cohort x offset "
+        "grid (weeks-sized partitions), and cohort sizes broadcast. "
+        "plans/events.py:events_cohort_ltv.",
+    tags=("events", "aggregate", "window"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    ev = e.select("user_id", F.date_trunc("week", "ts").alias("wk"),
+                  F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                   .alias("centi"))
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    size = (cohort.groupBy("cohort_wk")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+    weeks_since = ((F.unix_timestamp("wk")
+                    - F.unix_timestamp("cohort_wk")) / 604800).cast("int")
+    weekly = (ev.join(cohort, "user_id")
+              .select("cohort_wk", weeks_since.alias("weeks_since"),
+                      "centi")
+              .groupBy("cohort_wk", "weeks_since")
+              .agg(F.sum("centi").cast("bigint").alias("wk_centi")))
+    w = Window.partitionBy("cohort_wk").orderBy("weeks_since")
+    curve = weekly.withColumn(
+        "cum_centi", F.sum("wk_centi").over(w).cast("bigint"))
+    return (curve.join(F.broadcast(size), "cohort_wk")
+            .select(F.col("cohort_wk").cast("timestamp_ntz")
+                     .alias("cohort_week"),
+                    "weeks_since", "n_users", "wk_centi", "cum_centi",
+                    F.round(F.col("cum_centi").cast("double")
+                            / (F.lit(100) * F.col("n_users")), 6)
+                     .alias("ltv_per_user"))
+            .orderBy("cohort_week", "weeks_since"))
+
+
+@register(
+    "events_holt_winters_seasonal",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), series AS (
+  SELECT event_type,
+         list(day ORDER BY day) AS days,
+         list(CAST(n_events AS DOUBLE) ORDER BY day) AS cnts,
+         list(n_events ORDER BY day) AS raw
+  FROM daily GROUP BY event_type
+), smoothed AS (
+  SELECT event_type, days, raw,
+         list_transform(generate_series(1, len(cnts)), i ->
+           list_reduce(
+             list_prepend(
+               [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                CAST(0.0 AS DOUBLE)],
+               list_transform(list_slice(cnts, 1, i), x ->
+                 [x, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+             (acc, e) -> [
+               (e[1] - acc[3]) * 0.3 + (acc[1] + acc[2]) * 0.7,
+               ((e[1] - acc[3]) * 0.3 + (acc[1] + acc[2]) * 0.7
+                - acc[1]) * 0.2 + acc[2] * 0.8,
+               acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+               (e[1] - ((e[1] - acc[3]) * 0.3
+                        + (acc[1] + acc[2]) * 0.7)) * 0.1
+               + acc[3] * 0.9])) AS st
+  FROM series
+)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+       lvl AS level, trend, seasonal
+FROM (
+  SELECT event_type,
+         unnest(days) AS day,
+         unnest(raw) AS n_events,
+         unnest(list_transform(st, s -> s[1])) AS lvl,
+         unnest(list_transform(st, s -> s[2])) AS trend,
+         unnest(list_transform(st, s -> s[9])) AS seasonal
+  FROM smoothed
+)
+ORDER BY event_type, day
+""",
+    doc="Additive Holt-Winters triple exponential smoothing per event "
+        "type (alpha=0.3 level, beta=0.2 trend, gamma=0.1 seasonal, "
+        "period 7, zero-initialized): l_t = 0.3(x_t - s_{t-7}) + "
+        "0.7(l + b); b_t = 0.2(l_t - l) + 0.8 b; s_t = 0.1(x_t - l_t) "
+        "+ 0.9 s_{t-7} — the weekly-seasonal upgrade of events_holt_"
+        "linear for series the seasonality-dow entry shows are not "
+        "flat.  State is a 9-component (l, b, s_{t-7}..s_{t-1}) vector "
+        "that ROTATES each step; every update — including l_t inlined "
+        "three times — is spelled identically in both engines, so the "
+        "whole series is bit-exact with zero rounding (the shared-fold "
+        "recipe of events_holt_linear extended from 2-state to "
+        "9-state).  The oracle accumulator is a 9-element LIST (the "
+        "DuckDB 1.0.0 struct-fold hazard, pinned by pytest); the Spark "
+        "accumulator a 9-field struct folded by F.aggregate (honest).  "
+        "Scale: state is bucket-cardinality per key, never events; the "
+        "O(n^2) prefix folds run JVM-side on the collapsed series. "
+        "plans/events.py:events_holt_winters.",
+    tags=("events", "window"),
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    series = (daily.groupBy("event_type")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("day", "n_events"))).alias("dc"))
+              .select("event_type",
+                      F.transform("dc", lambda s: s.day).alias("days"),
+                      F.transform("dc", lambda s: s.n_events
+                                  .cast("double")).alias("cnts"),
+                      F.transform("dc", lambda s: s.n_events)
+                       .alias("raw")))
+
+    def step(acc, x):
+        l, b = acc.getField("l"), acc.getField("b")
+        s1 = acc.getField("s1")
+        lvl = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
+        # l_t inlined again for the trend term — same tree as oracle
+        lvl2 = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
+        trend = (lvl2 - l) * F.lit(0.2) + b * F.lit(0.8)
+        lvl3 = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
+        snew = (x - lvl3) * F.lit(0.1) + s1 * F.lit(0.9)
+        return F.struct(
+            lvl.alias("l"), trend.alias("b"),
+            acc.getField("s2").alias("s1"),
+            acc.getField("s3").alias("s2"),
+            acc.getField("s4").alias("s3"),
+            acc.getField("s5").alias("s4"),
+            acc.getField("s6").alias("s5"),
+            acc.getField("s7").alias("s6"),
+            snew.alias("s7"))
+
+    zero = F.lit(0.0)
+    init = F.struct(zero.alias("l"), zero.alias("b"),
+                    zero.alias("s1"), zero.alias("s2"), zero.alias("s3"),
+                    zero.alias("s4"), zero.alias("s5"), zero.alias("s6"),
+                    zero.alias("s7"))
+    st = F.transform(
+        F.sequence(F.lit(1), F.size("cnts")),
+        lambda i: F.aggregate(F.slice(F.col("cnts"), F.lit(1), i),
+                              init, step))
+    rows = (series
+            .withColumn("lvls", F.transform(st, lambda s: s.getField("l")))
+            .withColumn("trends",
+                        F.transform(st, lambda s: s.getField("b")))
+            .withColumn("seas",
+                        F.transform(st, lambda s: s.getField("s7")))
+            .select("event_type",
+                    F.posexplode(F.arrays_zip("days", "raw", "lvls",
+                                              "trends", "seas"))
+                    .alias("_i", "z")))
+    return (rows.select("event_type",
+                        F.col("z.days").alias("day"),
+                        F.col("z.raw").cast("bigint").alias("n_events"),
+                        F.col("z.lvls").alias("level"),
+                        F.col("z.trends").alias("trend"),
+                        F.col("z.seas").alias("seasonal"))
+            .orderBy("event_type", "day"))

@@ -981,3 +981,75 @@ def graph_cn_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("__union"), 6).alias("jaccard"),
                     F.col("rank").cast("int").alias("rank"))
             .orderBy("rank"))
+
+
+@register(
+    "graph_local_clustering_coefficient",
+    oracle=f"""
+{_COPURCHASE_CTE}, und2 AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), seeds AS (
+  SELECT node, deg FROM deg
+  WHERE node % 100 = 0 AND deg BETWEEN 2 AND 256
+), nbr_pairs AS (
+  SELECT a.u AS node, a.v AS x, b.v AS y
+  FROM und2 a JOIN und2 b ON a.u = b.u AND a.v < b.v
+  JOIN seeds s ON s.node = a.u
+), tri AS (
+  SELECT p.node, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM nbr_pairs p
+  JOIN und e ON e.u = p.x AND e.v = p.y
+  GROUP BY p.node
+)
+SELECT s.node, s.deg,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+       ROUND(2.0 * COALESCE(t.n_tri, 0) / (s.deg * (s.deg - 1)), 6)
+           AS clustering
+FROM seeds s LEFT JOIN tri t ON t.node = s.node
+ORDER BY s.node
+""",
+    doc="Local clustering coefficient for a seed set (every 100th part "
+        "on the co-purchase graph, hub nodes deg > 256 pruned as "
+        "semantics): cc(v) = closed-wedge fraction = edges among N(v) "
+        "over C(deg,2) — the per-node community-tightness readout "
+        "beside the corpus-wide triangle count.  Neighbor pairs expand "
+        "MAP-SIDE from each seed's adjacency array (x < y canonical), "
+        "then ONE equi-join against the undirected edge list closes "
+        "the wedges — work is sum of C(deg,2) over the bounded-degree "
+        "seed set, never all-pairs; the undirected edge list is "
+        "materialized once and probed hash-partitioned.  Counts exact; "
+        "cc one integer ratio. plans/graph_queries.py:graph_local_cc.",
+    tags=("graph",),
+)
+def graph_local_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und2 = (und.select("u", "v")
+            .unionAll(und.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v"))))
+    adj = (und2.groupBy(F.col("u").alias("node"))
+           .agg(F.array_sort(F.collect_list("v")).alias("nbrs")))
+    seeds = (adj.where((F.col("node") % 100 == 0)
+                       & (F.size("nbrs") >= 2) & (F.size("nbrs") <= 256))
+             .select("node", "nbrs",
+                     F.size("nbrs").cast("bigint").alias("deg")))
+    # canonical x < y pairs, map-side from the sorted adjacency array
+    pairs = F.flatten(F.transform(
+        F.col("nbrs"),
+        lambda x: F.transform(
+            F.filter(F.col("nbrs"), lambda y: y > x),
+            lambda y: F.struct(x.alias("x"), y.alias("y")))))
+    wedges = (seeds.select("node", F.explode(pairs).alias("p"))
+              .select("node", "p.x", "p.y"))
+    tri = (wedges.join(und, (und["u"] == wedges["x"])
+                       & (und["v"] == wedges["y"]))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri")))
+    return (seeds.join(tri, "node", "left")
+            .select("node", "deg",
+                    F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
+                     .alias("n_tri"),
+                    F.round(F.lit(2.0)
+                            * F.coalesce(F.col("n_tri"), F.lit(0))
+                            / (F.col("deg") * (F.col("deg") - 1)), 6)
+                     .alias("clustering"))
+            .orderBy("node"))

@@ -799,3 +799,50 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("hamming") <= 5)
             .distinct()
             .orderBy("doc_a", "doc_b"))
+
+
+@register(
+    "multimodal_color_moments",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8 + (doc_id % 8) * 4 AS w,
+         8 + (doc_id % 5) * 4 AS h
+  FROM documents WHERE doc_id % 5 = 0
+), px AS (
+  SELECT doc_id, CAST(k % 3 AS INT) AS channel,
+         (7 * doc_id + k) % 256 AS v
+  FROM d, range(0, 2592) t(k)          -- static bound: 3 * max(w*h)
+  WHERE k < 3 * w * h
+)
+SELECT doc_id, channel,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(v * v) AS BIGINT) AS sum_v2,
+       ROUND(SUM(v) * 1.0 / COUNT(*), 6) AS mean_v
+FROM px GROUP BY doc_id, channel
+ORDER BY doc_id, channel
+""",
+    doc="Per-image per-RGB-channel color moments over REAL decoded "
+        "pixels: exact integer count / sum / sum-of-squares plus the "
+        "derived mean — the color-cast and contrast screen of a vision "
+        "curation pass (grayscale triplication, blown channels, and "
+        "synthetic-flat fills all read directly off the moment rows). "
+        "The Spark side decodes the actual PPM/BMP payloads (channel-"
+        "sliced numpy sums per Arrow batch; only (id, channel, 3 ints) "
+        "leave the executor); the oracle re-derives every moment from "
+        "the pixel generator formula with channel = flat_index mod 3, "
+        "so a mis-parsed header or a BGR/RGB swap anywhere breaks the "
+        "hash.  All-integer till the final ratio. "
+        "operators/multimodal.py:color_moments.",
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_color_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 5 == 0).select("doc_id"))
+    per = M.color_moments(M.attach_image_payload(docs))
+    return (per.select("doc_id", "channel", "n_px", "sum_v", "sum_v2",
+                       F.round(F.col("sum_v").cast("double")
+                               / F.col("n_px"), 6).alias("mean_v"))
+            .orderBy("doc_id", "channel"))
