@@ -68,3 +68,63 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     return out.select(
         *[F.col("__lrow")[c].alias(c) for c in left.columns],
         f"asof_{right_ts}", *[f"asof_{c}" for c in right_cols])
+
+
+def asof_join_forward(left: DataFrame, right: DataFrame, key: str,
+                      left_ts: str, right_ts: str,
+                      right_cols: list[str] | None = None,
+                      tolerance_seconds: int | None = None) -> DataFrame:
+    """FORWARD as-of: for each left row, attach the EARLIEST right row
+    with ``right_ts >= left_ts`` and the same key, optionally only when
+    it falls within ``tolerance_seconds`` (matches outside the bound
+    null out — left-outer semantics, like pandas merge_asof's
+    direction='forward' + tolerance).
+
+    Same union + window plan as :func:`asof_join` with the order
+    REVERSED (ts DESC; right-before-left at equal ts so the >= bound
+    includes exact hits): one shuffle on the key, one per-partition
+    sort, zero join fan-out — hot-key-immune.  Right rows must be
+    unique per (key, right_ts) for deterministic payloads (true of any
+    snapshot/rollup table)."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, right_ts)]
+    l_tag, r_tag = 1, 0   # right first at equal ts ⇒ inclusive >=
+    l = left.select(
+        F.col(key).alias("__k"), F.col(left_ts).alias("__ts"),
+        F.lit(l_tag).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__rts"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}")
+          for c in right_cols])
+    r = right.select(
+        F.col(key).alias("__k"), F.col(right_ts).alias("__ts"),
+        F.lit(r_tag).alias("__side"),
+        F.lit(None).cast(l.schema["__lrow"].dataType).alias("__lrow"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols])
+    unioned = l.unionByName(r)
+    w = (Window.partitionBy("__k")
+         .orderBy(F.col("__ts").desc(), "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = unioned.select(
+        "__side", "__lrow",
+        F.last("__rts", ignorenulls=True).over(w).alias("__ats"),
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+          for c in right_cols])
+    out = carried.where(F.col("__side") == l_tag).drop("__side")
+    if tolerance_seconds is not None:
+        # interval arithmetic, not an epoch cast: TIMESTAMP_NTZ (what a
+        # plain driver session reads from parquet) cannot cast to long
+        lts = F.col("__lrow").getField(left_ts)
+        ok = (F.col("__ats")
+              <= lts + F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS"))
+        out = out.select(
+            "__lrow",
+            F.when(ok, F.col("__ats")).alias(f"asof_{right_ts}"),
+            *[F.when(ok, F.col(f"asof_{c}")).alias(f"asof_{c}")
+              for c in right_cols])
+    else:
+        out = out.withColumnRenamed("__ats", f"asof_{right_ts}")
+    return out.select(
+        *[F.col("__lrow")[c].alias(c) for c in left.columns],
+        f"asof_{right_ts}", *[f"asof_{c}" for c in right_cols])

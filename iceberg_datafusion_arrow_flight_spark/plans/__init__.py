@@ -70,6 +70,15 @@ from . import tpch            # noqa: E402,F401
 #   ceded from the r08 window) followed by the oldest r02 block.
 #   Entries NEW in r09 cede re-pin slots from the list TAIL
 #   (youngest-staleness-first), exactly the r08 policy.
+#
+#   Window declared FULL after the 14th r09 addition (only the
+#   protected window_range_frame re-pin remains beside the r01 block):
+#   entries registered after that form the r10 never-checked pool
+#   (each two-scale local-gated on arrival): join_asof_forward_tolerance,
+#   pipeline_temperature_mixture, events_time_to_convert.
+#   They lead the r10 window together with re-pins from the oldest
+#   never-re-checked block (the 23 r01 entries below, if their r9
+#   re-pin is superseded, else the r02 cedes listed in the comments).
 _PRIORITY: list[str] = [
     # --- the 15-entry r09 never-checked pool (retires cumulative
     # driver coverage back to all-checked 357/357):

@@ -3069,3 +3069,136 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("z.trends").alias("trend"),
                         F.col("z.seas").alias("seasonal"))
             .orderBy("event_type", "day"))
+
+
+@register(
+    "join_asof_forward_tolerance",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS snap_ts,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+), lft AS (
+  SELECT event_id, user_id, ts FROM events WHERE user_id % 97 = 0
+), matched AS (
+  SELECT l.event_id, h.snap_ts, h.n,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+                            ORDER BY h.snap_ts) AS rn
+  FROM lft l JOIN hourly h
+    ON h.user_id = l.user_id
+   AND h.snap_ts >= l.ts
+   AND h.snap_ts <= l.ts + INTERVAL 2 HOUR
+)
+SELECT l.event_id, l.user_id, l.ts,
+       m.snap_ts AS asof_snap_ts, m.n AS asof_n
+FROM lft l LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
+  USING (event_id)
+ORDER BY event_id
+""",
+    doc="FORWARD as-of join with a tolerance bound (pandas merge_asof "
+        "direction='forward' + tolerance, the look-ahead twin of the "
+        "backward entry): each sampled event attaches the EARLIEST "
+        "per-user hourly snapshot at-or-after its timestamp, nulled "
+        "when the next snapshot is more than 2 hours out — the "
+        "label-joining shape of every 'outcome within horizon' "
+        "training-set build.  Union + reversed window (ts DESC, right-"
+        "before-left at equal ts so >= includes exact hits): one "
+        "shuffle on the high-cardinality user key, per-partition sort, "
+        "zero join fan-out — hot-key-immune where the naive range join "
+        "explodes.  Snapshot rows are unique per (user, hour) so "
+        "payloads are deterministic. "
+        "operators/asof.py:asof_join_forward.",
+    tags=("join", "events"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_forward
+    e = table(spark, sf_dir, "events")
+    hourly = (e.groupBy("user_id",
+                        F.date_trunc("hour", "ts").alias("snap_ts"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    lft = (e.where(F.col("user_id") % 97 == 0)
+           .select("event_id", "user_id", "ts"))
+    out = asof_join_forward(lft, hourly, "user_id", "ts", "snap_ts",
+                            right_cols=["n"],
+                            tolerance_seconds=7200)
+    return (out.select("event_id", "user_id", "ts",
+                       F.col("asof_snap_ts"),
+                       F.col("asof_n").alias("asof_n"))
+            .orderBy("event_id"))
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+WITH su AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), pu AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN su ON su.user_id = e.user_id AND e.ts >= su.s_ts
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+), lat AS (
+  SELECT CAST(date_diff('second', su.s_ts, pu.p_ts) AS BIGINT) AS lat_s
+  FROM su JOIN pu USING (user_id)
+), binned AS (
+  SELECT CASE WHEN lat_s < 60 THEN '00_under_1m'
+              WHEN lat_s < 1800 THEN '01_1m_30m'
+              WHEN lat_s < 14400 THEN '02_30m_4h'
+              WHEN lat_s < 86400 THEN '03_4h_1d'
+              ELSE '04_over_1d' END AS bin,
+         lat_s
+  FROM lat
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM binned), 6) AS share,
+       CAST(MIN(lat_s) AS BIGINT) AS min_s,
+       CAST(MAX(lat_s) AS BIGINT) AS max_s,
+       CAST(SUM(lat_s) AS BIGINT) AS sum_s
+FROM binned GROUP BY bin ORDER BY bin
+""",
+    doc="Conversion-latency distribution: first signup to first "
+        "at-or-after purchase per user, bucketed into fixed integer-"
+        "second bands with exact per-band min/max/sum — the "
+        "time-to-convert histogram a funnel dashboard draws next to "
+        "the conversion rate (and the data-driven basis for the "
+        "attribution windows the funnel entries hard-code).  Whole-"
+        "second boundary-crossing diffs match date_diff('second') "
+        "exactly (the gap-histogram discipline); all counts and sums "
+        "exact integers, shares one ratio.  Scale: two user-keyed "
+        "aggregates and one user-keyed join; nothing is event-"
+        "cardinality after the first groupBy. "
+        "plans/events.py:events_time_to_convert.",
+    tags=("events", "aggregate"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    su = (e.where(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    pu = (e.where(F.col("event_type") == "purchase")
+          .join(su, "user_id")
+          .where(F.col("ts") >= F.col("s_ts"))
+          .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    lat = (su.join(pu, "user_id")
+           .select((F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts"))
+                   .cast("bigint").alias("lat_s")))
+    bin_col = (F.when(F.col("lat_s") < 60, "00_under_1m")
+               .when(F.col("lat_s") < 1800, "01_1m_30m")
+               .when(F.col("lat_s") < 14400, "02_30m_4h")
+               .when(F.col("lat_s") < 86400, "03_4h_1d")
+               .otherwise("04_over_1d"))
+    binned = (lat.select(bin_col.alias("bin"), "lat_s")
+              .localCheckpoint(eager=True))
+    total = binned.agg(F.count(F.lit(1)).alias("__n"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.min("lat_s").cast("bigint").alias("min_s"),
+                 F.max("lat_s").cast("bigint").alias("max_s"),
+                 F.sum("lat_s").cast("bigint").alias("sum_s"))
+            .crossJoin(F.broadcast(total))
+            .select("bin", "n_users",
+                    F.round(F.col("n_users") * F.lit(1.0)
+                            / F.col("__n"), 6).alias("share"),
+                    "min_s", "max_s", "sum_s")
+            .orderBy("bin"))

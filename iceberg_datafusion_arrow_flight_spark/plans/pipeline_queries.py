@@ -1463,3 +1463,83 @@ def pipeline_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.sum("copies"), 6).alias("dup_rate"),
                  F.max("copies").cast("bigint").alias("max_cluster"))
             .orderBy("source"))
+
+
+@register(
+    "pipeline_temperature_mixture",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, CAST(SUM({_N_TOKENS}) AS BIGINT) AS n
+  FROM documents GROUP BY source
+), fp AS (
+  SELECT source, n,
+         CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS s
+  FROM per_source
+), tot AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS st FROM fp
+), base AS (
+  SELECT source, n, s,
+         (1000000 * s) // t.st AS base_alloc,
+         (1000000 * s) % t.st AS rem
+  FROM fp CROSS JOIN tot t
+), leftover AS (
+  SELECT CAST(1000000 - SUM(base_alloc) AS BIGINT) AS k FROM base
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS r FROM base
+)
+SELECT b.source, b.n AS source_tokens, b.s AS sqrt_fp,
+       CAST(b.base_alloc + CASE WHEN b.r <= l.k THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_tokens,
+       ROUND(b.s * 1.0 / (SELECT st FROM tot), 6) AS temp_share,
+       ROUND((b.base_alloc + CASE WHEN b.r <= l.k THEN 1 ELSE 0 END)
+             * 1.0 / GREATEST(b.n, 1), 6) AS epochs
+FROM ranked b CROSS JOIN leftover l
+ORDER BY b.source
+""",
+    doc="Temperature-weighted mixture allocation (tau = 0.5): each "
+        "source's share of a 1M-token budget is proportional to "
+        "n_tokens^0.5 — the mT5/XLM-R up-sampling rule that keeps "
+        "low-resource sources from vanishing — allocated EXACTLY to "
+        "the budget by largest-remainder (Hamilton) arithmetic.  "
+        "Cross-engine exactness: sqrt is IEEE-correctly-rounded and "
+        "identical in both engines, frozen to integer micro-units "
+        "(floor(sqrt(n) x 1e6)) BEFORE any summation so the share "
+        "fractions, integer quotients, and remainder ranking never "
+        "touch an order-dependent float sum (the stratified-allocation "
+        "discipline applied to the mixture problem).  Scale: one keyed "
+        "agg; everything after is source-count-sized. "
+        "plans/pipeline_queries.py:pipeline_temperature_mixture.",
+    tags=("pipeline",),
+)
+def pipeline_temperature_mixture(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..operators import text as T
+    docs = table(spark, sf_dir, "documents")
+    per_source = (docs.groupBy("source")
+                  .agg(F.sum(T.token_count(F.col("text"))).cast("bigint")
+                       .alias("n")))
+    fp = per_source.withColumn(
+        "s", F.floor(F.sqrt(F.col("n").cast("double")) * 1000000)
+              .cast("bigint"))
+    tot = fp.agg(F.sum("s").cast("bigint").alias("st"))
+    base = (fp.crossJoin(F.broadcast(tot))
+            .withColumn("base_alloc", F.expr("(1000000 * s) div st"))
+            .withColumn("rem", (F.lit(1000000) * F.col("s")) % F.col("st")))
+    leftover = base.agg((F.lit(1000000) - F.sum("base_alloc"))
+                        .cast("bigint").alias("k"))
+    ranked = base.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("rem").desc(),
+                                                "source")))
+    extra = F.when(F.col("r") <= F.col("k"), 1).otherwise(0)
+    return (ranked.crossJoin(F.broadcast(leftover))
+            .select("source", F.col("n").alias("source_tokens"),
+                    F.col("s").alias("sqrt_fp"),
+                    (F.col("base_alloc") + extra).cast("bigint")
+                     .alias("alloc_tokens"),
+                    F.round(F.col("s").cast("double") / F.col("st"), 6)
+                     .alias("temp_share"),
+                    F.round((F.col("base_alloc") + extra).cast("double")
+                            / F.greatest(F.col("n"), F.lit(1)), 6)
+                     .alias("epochs"))
+            .orderBy("source"))
