@@ -1757,3 +1757,39 @@ def test_containment_skew_bounded_under_hot_shingle(spark):
     assert n_cand <= 0.4 * n_docs * (n_docs - 1), (
         f"candidate join saw {n_cand} of {n_docs * (n_docs - 1)} "
         f"ordered pairs — prefix/size filters not bounding the hot key")
+
+
+def test_asof_forward_tolerance_matches_naive(spark):
+    """Forward as-of semantics pinned against a naive join: earliest
+    right row at-or-after (>= includes exact-equal timestamps), nulls
+    past the tolerance, left-outer rows preserved."""
+    from pyspark.sql import functions as F
+
+    from iceberg_datafusion_arrow_flight_spark.operators.asof import (
+        asof_join_forward)
+
+    left = spark.createDataFrame(
+        [(1, "a", "2024-01-01 10:00:00"),
+         (2, "a", "2024-01-01 11:30:00"),
+         (3, "a", "2024-01-01 23:00:00"),   # next snap beyond tolerance
+         (4, "b", "2024-01-01 10:00:00"),   # no right rows for key b2
+         (5, "c", "2024-01-01 10:00:00")],  # exact-equal ts match
+        "id int, k string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 10:15:00", 100),
+         ("a", "2024-01-01 12:00:00", 200),
+         ("a", "2024-01-02 09:00:00", 300),
+         ("c", "2024-01-01 10:00:00", 400)],
+        "k string, rts string, v int").withColumn(
+            "rts", F.col("rts").cast("timestamp"))
+    out = {r.id: (r.asof_rts, r.asof_v)
+           for r in asof_join_forward(left, right, "k", "ts", "rts",
+                                      right_cols=["v"],
+                                      tolerance_seconds=3600).collect()}
+    assert out[1][1] == 100          # nearest following within 1h
+    assert out[2][1] == 200
+    assert out[3] == (None, None)    # 10h gap > tolerance -> nulled
+    assert out[4] == (None, None)    # no right rows at all
+    assert out[5][1] == 400          # ts == rts counts (>= bound)
+    assert len(out) == 5             # left-outer: every left row kept
