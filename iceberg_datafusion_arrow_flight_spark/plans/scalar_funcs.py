@@ -367,3 +367,42 @@ def func_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_number(F.lit("oops"), F.lit("999")).cast("int").alias("bad_i"),
         F.expr("try_cast('2024-13-99' AS timestamp_ntz)").alias("bad_ts"),
         F.col("l_quantity").cast("decimal(10,2)").cast("double").alias("dec_rt"))
+
+
+@register(
+    "func_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_orderkey & l_partkey AS BIGINT)   AS b_and,
+       CAST(l_orderkey | l_linenumber AS BIGINT) AS b_or,
+       CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS b_xor,
+       CAST(l_linenumber << 3 AS BIGINT)         AS b_shl,
+       CAST(l_partkey >> 2 AS BIGINT)            AS b_shr,
+       CAST(bit_count(l_orderkey) AS INT)        AS b_pop,
+       CAST(~l_orderkey AS BIGINT)               AS b_not
+FROM lineitem WHERE l_orderkey <= 200
+ORDER BY l_orderkey, l_linenumber
+""",
+    doc="Bitwise operator family (DF40 scalar surface: AND/OR/XOR, "
+        "shifts, popcount, complement) over integer keys — the bit-"
+        "manipulation kit flag-packed telemetry and the repo's own "
+        "z-order/simhash machinery rely on.  Spelling map pinned by "
+        "the oracle: Spark ^ == DuckDB xor(), shiftleft/shiftright == "
+        "<</>>, bit_count and ~ same-name.  Pure projection, "
+        "whole-stage codegen, zero shuffles. "
+        "plans/scalar_funcs.py:func_bitwise.",
+    tags=("function",),
+)
+def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (table(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey") <= 200))
+    return (li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr("l_orderkey & l_partkey").cast("bigint").alias("b_and"),
+        F.expr("l_orderkey | l_linenumber").cast("bigint").alias("b_or"),
+        F.expr("l_orderkey ^ l_partkey").cast("bigint").alias("b_xor"),
+        F.shiftleft(F.col("l_linenumber"), 3).cast("bigint").alias("b_shl"),
+        F.shiftright(F.col("l_partkey"), 2).cast("bigint").alias("b_shr"),
+        F.bit_count(F.col("l_orderkey")).cast("int").alias("b_pop"),
+        F.expr("~l_orderkey").cast("bigint").alias("b_not"))
+        .orderBy("l_orderkey", "l_linenumber"))

@@ -502,3 +502,75 @@ def stream_dedup_ingest_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, final)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_join_purchase_after_signup",
+    oracle="""
+SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events s
+JOIN events p
+  ON p.user_id = s.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+ORDER BY s.user_id, signup_ts, purchase_ts
+""",
+    doc="Stream-stream INNER self-join == the batch join, as a driver-"
+        "oracled row: the events table streams in 3 chronological "
+        "micro-batches through streaming.purchase_after_signup (both "
+        "sides watermarked 2 h; the time-range predicate bounds join "
+        "state) and the matched set must equal DuckDB's one-shot "
+        "interval self-join.  For an INNER stream-stream join the "
+        "matched set is batch-boundary-INVARIANT — each match emits in "
+        "whichever micro-batch delivers the later side, so by backlog "
+        "drain the output equals the batch join regardless of splits; "
+        "watermarks only bound state, never the result (the OUTER "
+        "variant's null-padding is watermark-dependent and stays "
+        "invariant-pytested).  Scale: state is the in-horizon window "
+        "per side, evicted as the watermark passes signup_ts + "
+        "horizon. streaming/jobs.py:purchase_after_signup.",
+    tags=("streaming", "join", "events"),
+)
+def stream_join_pas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import purchase_after_signup
+
+    events = (table(spark, sf_dir, "events")
+              .select("event_id", "ts", "user_id", "event_type", "value"))
+    work = tempfile.mkdtemp(prefix="stream_join_")
+    name = "pas_" + os.path.basename(work)[-8:]
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+
+        def _write_batch(df: DataFrame, t: int) -> None:
+            before = set(os.listdir(src))
+            df.coalesce(1).write.mode("append").parquet(src)
+            for f in set(os.listdir(src)) - before:
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(src, f), (t, t))
+
+        for i, (lo, hi) in enumerate((("2024-01-01", "2024-01-11"),
+                                      ("2024-01-11", "2024-01-21"),
+                                      ("2024-01-21", "2024-02-01"))):
+            _write_batch(events.where((F.col("ts") >= lo)
+                                      & (F.col("ts") < hi)),
+                         1_700_000_000 + i)
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        joined = purchase_after_signup(stream, horizon="1 hour")
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .start())
+        _drain(q)
+        final = (spark.table(name)
+                 .select("user_id",
+                         F.col("signup_ts").cast("timestamp_ntz"),
+                         F.col("purchase_ts").cast("timestamp_ntz"),
+                         "purchase_value")
+                 .orderBy("user_id", "signup_ts", "purchase_ts"))
+        return _materialize(spark, final)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

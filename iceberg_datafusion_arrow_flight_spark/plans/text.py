@@ -1351,3 +1351,51 @@ def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("cm_estimate") - F.col("exact_c"))
                     .cast("bigint").alias("overest"))
             .orderBy(F.col("exact_c").desc(), "token"))
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=r"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_words,
+         CAST(len(regexp_extract_all(text, '\w{1,4}|[^\w\s]')) AS BIGINT)
+             AS n_subwords
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+       ROUND(SUM(n_subwords) * 1.0 / GREATEST(SUM(n_words), 1), 6)
+           AS fertility
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
+    doc="Tokenizer fertility by language: subword units per whitespace "
+        "word (the multilingual-tokenizer quality metric — high "
+        "fertility means a language pays more sequence length per word "
+        "and trains worse; the readout that drives vocabulary "
+        "rebalancing alongside the temperature-mixture entry).  Uses "
+        "the same BPE-ish subword regex as text_token_counts so the "
+        "two entries cannot drift.  Exact integer sums, one ratio per "
+        "language; a single (lang) partial-agg shuffle. "
+        "operators/text.py:subword_count,token_count.",
+    tags=("text", "pipeline"),
+)
+def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per = d.select("lang",
+                   T.token_count(F.col("text")).cast("bigint")
+                    .alias("n_words"),
+                   T.subword_count(F.col("text")).cast("bigint")
+                    .alias("n_subwords"))
+    return (per.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_words").cast("bigint").alias("total_words"),
+                 F.sum("n_subwords").cast("bigint")
+                  .alias("total_subwords"),
+                 F.round(F.sum("n_subwords")
+                         / F.greatest(F.sum("n_words"), F.lit(1)), 6)
+                  .alias("fertility"))
+            .orderBy("lang"))
