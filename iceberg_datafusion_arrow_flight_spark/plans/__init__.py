@@ -76,7 +76,8 @@ from . import tpch            # noqa: E402,F401
 #   entries registered after that form the r10 never-checked pool
 #   (each two-scale local-gated on arrival): join_asof_forward_tolerance,
 #   pipeline_temperature_mixture, events_time_to_convert, func_bitwise,
-#   stream_join_purchase_after_signup, text_tokenizer_fertility.
+#   stream_join_purchase_after_signup, text_tokenizer_fertility,
+#   stream_stateful_running_totals.
 #   They lead the r10 window together with re-pins from the oldest
 #   never-re-checked block (the 23 r01 entries below, if their r9
 #   re-pin is superseded, else the r02 cedes listed in the comments).

@@ -574,3 +574,68 @@ def stream_join_pas(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, final)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_stateful_running_totals",
+    oracle="""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(COALESCE(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0))
+            AS BIGINT) AS total_centi
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    doc="Custom stateful operator == batch aggregate, as a driver-"
+        "oracled row (the 8th and final streaming job to gain one): "
+        "events stream in 3 micro-batches through "
+        "streaming.user_running_totals_stateful "
+        "(applyInPandasWithState, update mode — per-user (count, sum) "
+        "state in the state store, one updated row per key per batch) "
+        "and the LAST emitted row per user — selected by max n_events, "
+        "monotone by construction — must equal DuckDB's one-shot "
+        "per-user aggregate.  value is folded to exact integer "
+        "centi-units BEFORE streaming so the state's float accumulator "
+        "only ever holds integers (< 2^53): accumulation order across "
+        "batches cannot perturb it, which is what makes the stateful "
+        "path hash-oracle-able at all.  Scale: state is one row per "
+        "live user, Arrow-batched per key group; a production variant "
+        "adds an event-time timeout for eviction (documented in the "
+        "job). streaming/jobs.py:user_running_totals_stateful.",
+    tags=("streaming", "events", "aggregate"),
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import user_running_totals_stateful
+
+    events = (table(spark, sf_dir, "events")
+              .select("event_id", "ts", "user_id",
+                      F.floor(F.col("value") * 100 + 0.5).cast("double")
+                       .alias("value")))
+    work = tempfile.mkdtemp(prefix="stream_state_")
+    name = "totals_" + os.path.basename(work)[-8:]
+    try:
+        src = os.path.join(work, "src")
+        events.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        q = (user_running_totals_stateful(stream)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .start())
+        _drain(q)
+        # update mode: one row per (user, batch-it-appeared-in); the
+        # final totals are the row with the largest n_events (monotone).
+        final = (spark.table(name)
+                 .groupBy("user_id")
+                 .agg(F.max(F.struct("n_events", "total_value"))
+                      .alias("m"))
+                 .select(F.col("user_id").cast("bigint").alias("user_id"),
+                         F.col("m.n_events").cast("bigint")
+                          .alias("n_events"),
+                         F.col("m.total_value").cast("bigint")
+                          .alias("total_centi"))
+                 .orderBy("user_id"))
+        return _materialize(spark, final)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
