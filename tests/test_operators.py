@@ -1793,3 +1793,50 @@ def test_asof_forward_tolerance_matches_naive(spark):
     assert out[4] == (None, None)    # no right rows at all
     assert out[5][1] == 400          # ts == rts counts (>= bound)
     assert len(out) == 5             # left-outer: every left row kept
+
+
+def test_range_frame_count_matches_window_form(spark):
+    """with_range_frame_count must be BIT-IDENTICAL to the single-
+    partition RANGE window it replaces, across randomized values
+    (duplicates included) and asymmetric bounds."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iceberg_datafusion_arrow_flight_spark.operators.ranking import (
+        with_range_frame_count)
+
+    rng = random.Random(7)
+    for lo, hi in ((-10.0, 10.0), (-25.0, 5.0), (0.0, 15.0)):
+        rows = [(i, float(rng.choice([rng.uniform(0, 100),
+                                      rng.randrange(0, 100)])))
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "id bigint, v double")
+        df.createOrReplaceTempView("rf_prop_t")
+        # fractional RANGE bounds need the SQL spelling (pyspark's
+        # rangeBetween only takes integral offsets)
+        start = "CURRENT ROW" if lo == 0 else f"{abs(lo)} PRECEDING"
+        want = {r.id: r.n for r in spark.sql(
+            f"SELECT id, COUNT(*) OVER (ORDER BY v RANGE BETWEEN "
+            f"{start} AND {hi} FOLLOWING) AS n FROM rf_prop_t")
+            .collect()}
+        got = {r.id: r.n_within for r in
+               with_range_frame_count(df, "v", ["id"], lo, hi,
+                                      out_col="n_within").collect()}
+        assert got == want, f"bounds ({lo}, {hi}) diverged"
+
+
+def test_cn_jaccard_and_local_cc_no_cartesian(spark, sf_dir):
+    """The r9 graph entries must keep the bounded-wedge shape: hashed
+    equi-joins only, no nested loop anywhere in either plan."""
+    from iceberg_datafusion_arrow_flight_spark.plans import REGISTRY
+    for name in ("graph_common_neighbors_jaccard",
+                 "graph_local_clustering_coefficient"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        jvm = spark._jvm
+        em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple")
+        plan = df._jdf.queryExecution().explainString(em)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
