@@ -9,9 +9,13 @@ Decode comes in three tiers:
   no image library needed.  This is the genuinely-exercised path: the
   fixture generator emits real PPM/BMP bytes and tests assert
   pixel-exact statistics.
-- **Codec formats** (png/jpeg/webp): gated on Pillow, which is NOT
-  installable here (no network — pip install attempts fail at the
-  resolver; probed 2026-08-13, see GAPS.md).  Requesting
+- **PNG (8-bit RGB, non-interlaced)**: REAL decode via the pure
+  numpy + stdlib-zlib codec below (``_decode_png``) — chunk CRCs
+  verified, all five scanline filters undone; no image library needed
+  (closed r9; pixel-oracled by ``multimodal_png_decode``).
+- **Remaining codec formats** (jpeg/webp): gated on Pillow, which is
+  NOT installable here (no network — pip install attempts fail at the
+  resolver; probed 2026-08-13..r9, see GAPS.md).  Requesting
   ``decode_mode='real'`` for these raises ``NotImplementedError``
   loudly; on a cluster with Pillow the same entry point lights up.
 - **Stub decode** (``decode_payloads`` default): byte length + md5 +
@@ -180,7 +184,107 @@ def _decode_bmp(buf: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, out
 
 
-_REAL_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp}
+# ---------------------------------------------------------------------------
+# Real PNG codec (8-bit RGB, non-interlaced) — stdlib zlib + numpy.
+# PNG needs NO image library: the container is zlib-compressed
+# scanlines with five per-row byte filters (spec §6), and zlib ships
+# with CPython.  This closes the "png decode needs Pillow" gap for the
+# baseline truecolor profile; jpeg/webp (DCT / VP8 entropy coding)
+# remain genuinely library-gated.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+    return (len(body).to_bytes(4, "big") + tag + body
+            + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def _encode_png(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Minimal truecolor PNG: 8-bit RGB, filter 0 on every scanline
+    (legal and simplest; the decoder below handles all five filters)."""
+    import zlib
+    ihdr = (width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))  # depth 8, color 2 (RGB)
+    raw = bytearray()
+    px = pixels.astype(np.uint8)
+    for y in range(height):
+        raw += b"\x00" + px[y].tobytes()   # filter type 0 per row
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse chunks, inflate IDAT, undo per-scanline filters (all five
+    types: None/Sub/Up/Average/Paeth).  8-bit RGB non-interlaced only —
+    raises loudly on anything else."""
+    import zlib
+    if not buf.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, idat = len(_PNG_SIG), bytearray()
+    width = height = None
+    while pos < len(buf):
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        tag = buf[pos + 4:pos + 8]
+        body = buf[pos + 8:pos + 8 + ln]
+        crc = int.from_bytes(buf[pos + 8 + ln:pos + 12 + ln], "big")
+        if (zlib.crc32(tag + body) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            depth, color, _comp, _filt, interlace = body[8:13]
+            if (depth, color, interlace) != (8, 2, 0):
+                raise ValueError(
+                    f"unsupported PNG profile depth={depth} "
+                    f"color={color} interlace={interlace}")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride, bpp = width * 3, 3
+    out = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, np.uint8, count=stride,
+                            offset=y * (stride + 1) + 1).astype(np.int32)
+        if ftype == 0:                       # None
+            cur = row
+        elif ftype == 2:                     # Up
+            cur = (row + prev) & 0xFF
+        else:                                # Sub / Average / Paeth:
+            cur = np.zeros(stride, np.int32)  # left-recurrent, per byte
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ftype == 1:               # Sub
+                    pred = a
+                elif ftype == 3:             # Average
+                    pred = (a + b) // 2
+                elif ftype == 4:             # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) \
+                        else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                cur[i] = (row[i] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return width, height, out.reshape(height, width, 3)
+
+
+_REAL_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp,
+                  "png": _decode_png}
 
 
 def attach_image_payload(df: DataFrame, id_col: str = "doc_id",
@@ -900,3 +1004,31 @@ def color_moments(df: DataFrame) -> DataFrame:
                                 "sum_v": sv, "sum_v2": sv2})
 
     return fan_out(df).mapInPandas(mom, schema=MOMENTS_SCHEMA)
+
+
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PNG twin of :func:`attach_image_payload`: same deterministic
+    pixel formula, container = real zlib-compressed PNG bytes — the
+    fixture for the codec-format decode path (formerly Pillow-gated;
+    the pure-numpy codec above needs only stdlib zlib)."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + (did % 8) * 4
+                h = 8 + (did % 5) * 4
+                flat = (7 * did + np.arange(w * h * 3)) % 256
+                payloads.append(_encode_png(w, h, flat.reshape(h, w, 3)))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "fmt": ["png"] * len(ws),
+                                "payload": payloads,
+                                "meta_width": ws, "meta_height": hs})
+
+    return src.mapInPandas(
+        gen, schema=("doc_id BIGINT, fmt STRING, payload BINARY, "
+                     "meta_width INT, meta_height INT"))

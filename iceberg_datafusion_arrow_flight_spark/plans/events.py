@@ -3202,3 +3202,62 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("__n"), 6).alias("share"),
                     "min_s", "max_s", "sum_s")
             .orderBy("bin"))
+
+
+@register(
+    "events_retention_day_n",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, MIN(day) AS d0 FROM activity GROUP BY user_id
+), marks AS (
+  SELECT c.user_id, c.d0,
+         MAX(CASE WHEN a.day = c.d0 + 1  THEN 1 ELSE 0 END) AS r1,
+         MAX(CASE WHEN a.day = c.d0 + 7  THEN 1 ELSE 0 END) AS r7,
+         MAX(CASE WHEN a.day = c.d0 + 14 THEN 1 ELSE 0 END) AS r14
+  FROM cohort c JOIN activity a USING (user_id)
+  GROUP BY c.user_id, c.d0
+)
+SELECT d0 AS cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(r1) AS BIGINT) AS d1_retained,
+       ROUND(SUM(r1) * 1.0 / COUNT(*), 6) AS d1_rate,
+       CAST(SUM(r7) AS BIGINT) AS d7_retained,
+       ROUND(SUM(r7) * 1.0 / COUNT(*), 6) AS d7_rate,
+       CAST(SUM(r14) AS BIGINT) AS d14_retained,
+       ROUND(SUM(r14) * 1.0 / COUNT(*), 6) AS d14_rate
+FROM marks GROUP BY d0 ORDER BY d0
+""",
+    doc="Classic Day-N retention (D1/D7/D14): per first-active-day "
+        "cohort, the share of users active EXACTLY N days later — the "
+        "daily companion of the weekly cohort matrix (events_cohort_"
+        "retention) and the headline number growth reports lead with. "
+        "Counts exact; rates integer ratios.  Scale: the distinct "
+        "(user, day) collapse bounds everything at state-space size; "
+        "one user-keyed join + two keyed aggregates. "
+        "plans/events.py:events_retention_day_n.",
+    tags=("events", "aggregate"),
+)
+def events_retention_day_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    activity = (e.select("user_id", F.col("ts").cast("date").alias("day"))
+                .distinct())
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("d0"))
+    j = cohort.join(activity, "user_id")
+    marks = (j.groupBy("user_id", "d0")
+             .agg(*[F.max(F.when(F.col("day")
+                                 == F.date_add("d0", n), 1).otherwise(0))
+                    .alias(f"r{n}") for n in (1, 7, 14)]))
+    return (marks.groupBy(F.col("d0").alias("cohort_day"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.sum("r1").cast("bigint").alias("d1_retained"),
+                 F.round(F.sum("r1") * F.lit(1.0) / F.count(F.lit(1)), 6)
+                  .alias("d1_rate"),
+                 F.sum("r7").cast("bigint").alias("d7_retained"),
+                 F.round(F.sum("r7") * F.lit(1.0) / F.count(F.lit(1)), 6)
+                  .alias("d7_rate"),
+                 F.sum("r14").cast("bigint").alias("d14_retained"),
+                 F.round(F.sum("r14") * F.lit(1.0) / F.count(F.lit(1)), 6)
+                  .alias("d14_rate"))
+            .orderBy("cohort_day"))

@@ -846,3 +846,45 @@ def multimodal_color_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(F.col("sum_v").cast("double")
                                / F.col("n_px"), 6).alias("mean_v"))
             .orderBy("doc_id", "channel"))
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8 + (doc_id % 8) * 4 AS w,
+         8 + (doc_id % 5) * 4 AS h
+  FROM documents WHERE doc_id % 7 = 0
+), px AS (
+  SELECT doc_id, CAST(k % 3 AS INT) AS channel,
+         (7 * doc_id + k) % 256 AS v
+  FROM d, range(0, 2592) t(k)          -- static bound: 3 * max(w*h)
+  WHERE k < 3 * w * h
+)
+SELECT doc_id, channel,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(v * v) AS BIGINT) AS sum_v2
+FROM px GROUP BY doc_id, channel
+ORDER BY doc_id, channel
+""",
+    doc="REAL PNG decode, pixel-oracled: payloads are genuine "
+        "zlib-compressed truecolor PNGs (chunk CRCs verified, "
+        "scanline filters undone) built and parsed by the pure "
+        "numpy+stdlib-zlib codec in operators/multimodal.py — the "
+        "'png decode needs Pillow' gap is CLOSED for the 8-bit RGB "
+        "profile (jpeg/webp stay genuinely library-gated).  The "
+        "oracle re-derives every channel moment from the pixel "
+        "generator formula, so one wrong inflate byte, filter "
+        "prediction, or CRC anywhere breaks the hash. "
+        "operators/multimodal.py:_decode_png,attach_png_payload.",
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 7 == 0).select("doc_id"))
+    per = M.color_moments(M.attach_png_payload(docs))
+    return (per.select("doc_id", "channel", "n_px", "sum_v", "sum_v2")
+            .orderBy("doc_id", "channel"))

@@ -1840,3 +1840,78 @@ def test_cn_jaccard_and_local_cc_no_cartesian(spark, sf_dir):
         plan = df._jdf.queryExecution().explainString(em)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_png_codec_roundtrip_and_filters():
+    """The pure numpy+zlib PNG codec: (a) encode->decode roundtrips
+    pixel-exactly across sizes; (b) the decoder undoes ALL five
+    scanline filter types — a hand-built PNG applies Sub/Up/Average/
+    Paeth per row (forward-filtered from known pixels) and must decode
+    back to those exact pixels; (c) corrupt CRC and unsupported
+    profiles raise loudly."""
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from iceberg_datafusion_arrow_flight_spark.operators.multimodal import (
+        _PNG_SIG, _decode_png, _encode_png, _png_chunk)
+
+    for did in (0, 3, 17, 1234):
+        w = 8 + (did % 8) * 4
+        h = 8 + (did % 5) * 4
+        px = ((7 * did + np.arange(w * h * 3)) % 256).reshape(h, w, 3)
+        gw, gh, got = _decode_png(_encode_png(w, h, px))
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(got, px.astype(np.uint8))
+
+    # forward-filter known pixels with each filter type, per the spec
+    w, h, bpp = 5, 5, 3
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    flat = px.reshape(h, w * 3).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * 3, np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        filt = np.zeros(w * 3, np.int32)
+        for i in range(w * 3):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+            filt[i] = (cur[i] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(filt.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    buf = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _png_chunk(b"IEND", b""))
+    gw, gh, got = _decode_png(buf)
+    assert np.array_equal(got, px)
+
+    # corrupt CRC raises
+    bad = bytearray(_encode_png(8, 8, np.zeros((8, 8, 3), np.uint8)))
+    bad[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(bad))
+    # unsupported profile (16-bit depth) raises
+    ihdr16 = ((8).to_bytes(4, "big") + (8).to_bytes(4, "big")
+              + bytes([16, 2, 0, 0, 0]))
+    buf16 = (_PNG_SIG + _png_chunk(b"IHDR", ihdr16)
+             + _png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="unsupported PNG profile"):
+        _decode_png(buf16)
