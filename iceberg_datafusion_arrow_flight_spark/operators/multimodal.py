@@ -1032,3 +1032,36 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return src.mapInPandas(
         gen, schema=("doc_id BIGINT, fmt STRING, payload BINARY, "
                      "meta_width INT, meta_height INT"))
+
+
+def attach_image_payload_3way(df: DataFrame, offset: int,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Three-container fixture for cross-codec dedup: container by
+    ``(doc_id // offset) % 3`` → ppm / bmp / png, same deterministic
+    pixel formula — ids differing by multiples of ``offset`` (itself a
+    multiple of 1280, the generator's pixel/size period lcm) carry
+    IDENTICAL pictures in three different encodings."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+    encoders = [("ppm", _encode_ppm), ("bmp", _encode_bmp),
+                ("png", _encode_png)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, fmts, ws, hs = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + (did % 8) * 4
+                h = 8 + (did % 5) * 4
+                flat = (7 * did + np.arange(w * h * 3)) % 256
+                fmt, enc = encoders[(did // offset) % 3]
+                fmts.append(fmt)
+                payloads.append(enc(w, h, flat.reshape(h, w, 3)))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fmt": fmts,
+                                "payload": payloads,
+                                "meta_width": ws, "meta_height": hs})
+
+    return src.mapInPandas(
+        gen, schema=("doc_id BIGINT, fmt STRING, payload BINARY, "
+                     "meta_width INT, meta_height INT"))

@@ -78,7 +78,7 @@ from . import tpch            # noqa: E402,F401
 #   pipeline_temperature_mixture, events_time_to_convert, func_bitwise,
 #   stream_join_purchase_after_signup, text_tokenizer_fertility,
 #   stream_stateful_running_totals, events_retention_day_n,
-#   multimodal_png_decode.
+#   multimodal_png_decode, multimodal_pixel_dedup_cross_codec.
 #   They lead the r10 window together with re-pins from the oldest
 #   never-re-checked block (the 23 r01 entries below, if their r9
 #   re-pin is superseded, else the r02 cedes listed in the comments).

@@ -888,3 +888,74 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = M.color_moments(M.attach_png_payload(docs))
     return (per.select("doc_id", "channel", "n_px", "sum_v", "sum_v2")
             .orderBy("doc_id", "channel"))
+
+
+@register(
+    "multimodal_pixel_dedup_cross_codec",
+    oracle="""
+WITH off AS (
+  SELECT ((MAX(doc_id) // 1280) + 1) * 1280 AS o FROM documents
+), ids AS (
+  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + (SELECT o FROM off) FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2 * (SELECT o FROM off) FROM documents
+  WHERE doc_id % 5 = 0
+), d AS (
+  SELECT doc_id,
+         8 + (doc_id % 8) * 4 AS w,
+         8 + (doc_id % 5) * 4 AS h,
+         CASE (doc_id // (SELECT o FROM off)) % 3
+              WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END AS fmt
+  FROM ids
+), sig AS (
+  SELECT doc_id, w, h, fmt,
+         md5(string_agg(CAST((7 * doc_id + k) % 256 AS VARCHAR),
+                        ',' ORDER BY k)) AS pix_sig
+  FROM d, range(0, 2592) t(k)
+  WHERE k < 3 * w * h
+  GROUP BY doc_id, w, h, fmt
+)
+SELECT pix_sig,
+       CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT fmt) AS BIGINT) AS n_fmts,
+       CAST(MIN(w) AS INT) AS width,
+       CAST(MIN(h) AS INT) AS height
+FROM sig GROUP BY pix_sig HAVING COUNT(*) > 2
+ORDER BY rep_id
+""",
+    doc="THREE-codec exact image dedup (the cross-encoding entry "
+        "extended to the PNG codec): each sampled picture exists as "
+        "PPM, BMP, and zlib-compressed PNG bytes; md5 over the DECODED "
+        "pixel stream must group all three (n_fmts = 3), which only "
+        "happens if the plain-buffer parses AND the inflate+unfilter "
+        "PNG parse reproduce byte-identical pixels.  Same id-offset "
+        "construction as multimodal_pixel_dedup (offset = smallest "
+        "1280-multiple past the max id, so copies never collide at any "
+        "SF). operators/multimodal.py:attach_image_payload_3way,"
+        "pixel_signatures.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_pixel_dedup_3way(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    offset = ((max_id // 1280) + 1) * 1280
+    base = docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    ids = (base
+           .unionAll(base.select((F.col("doc_id") + offset)
+                                 .alias("doc_id")))
+           .unionAll(base.select((F.col("doc_id") + 2 * offset)
+                                 .alias("doc_id"))))
+    sigs = M.pixel_signatures(M.attach_image_payload_3way(ids, offset))
+    return (sigs.groupBy("pix_sig")
+            .agg(F.min("doc_id").cast("bigint").alias("rep_id"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+                 F.countDistinct("fmt").cast("bigint").alias("n_fmts"),
+                 F.min("width").cast("int").alias("width"),
+                 F.min("height").cast("int").alias("height"))
+            .where(F.col("n_copies") > 2)
+            .orderBy("rep_id"))
