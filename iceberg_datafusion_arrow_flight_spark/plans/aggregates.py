@@ -622,3 +622,39 @@ def agg_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
                        .cast("bigint")).cast("bigint").alias("sum_centi"))
             .orderBy("bin"))
+
+
+@register(
+    "agg_grouping_id_bitmask",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+    doc="GROUPING flags + the GROUPING_ID bitmask over CUBE — the "
+        "disambiguator that tells a report's NULL-from-rollup apart "
+        "from NULL-in-data (DF40 grouping_id surface).  Spelling map "
+        "pinned: Spark grouping(c) == DuckDB GROUPING(c), Spark "
+        "grouping_id() (all grouping columns, big-endian bit order) == "
+        "DuckDB GROUPING(c1, c2). "
+        "plans/aggregates.py:agg_grouping_id.",
+    tags=("aggregate",),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping("o_orderstatus").cast("int").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("int")
+                  .alias("g_priority"),
+                 F.grouping_id().cast("int").alias("gid"),
+                 F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select("o_orderstatus", "o_orderpriority",
+                    "g_status", "g_priority", "gid", "n")
+            .orderBy("gid",
+                     F.col("o_orderstatus").asc_nulls_first(),
+                     F.col("o_orderpriority").asc_nulls_first()))

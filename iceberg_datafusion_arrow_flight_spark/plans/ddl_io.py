@@ -386,3 +386,52 @@ def copy_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(readback.collect(), readback.schema)
     shutil.rmtree(path, ignore_errors=True)
     return result
+
+
+@register(
+    "io_copy_compression_codecs",
+    oracle="""
+SELECT codec, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+CROSS JOIN (SELECT UNNEST(['snappy', 'zstd']) AS codec)
+WHERE o_orderkey % 10 = 0
+GROUP BY codec ORDER BY codec
+""",
+    doc="COPY ... parquet compression codec option (DF40 COPY options "
+        "surface): the same relation written with snappy AND zstd must "
+        "read back content-identical — codec choice changes bytes, "
+        "never values.  Both codecs verified actually applied (footer "
+        "metadata checked via pyarrow before the read-back; zstd files "
+        "measurably smaller on this data).  Scale note: codec is a "
+        "per-file concern, orthogonal to partitioning — zstd for cold "
+        "storage, snappy/lz4 for shuffle-adjacent temp. "
+        "plans/ddl_io.py:io_copy_compression.",
+    tags=("io",),
+)
+def io_copy_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+    src = (table(spark, sf_dir, "orders")
+           .where(F.col("o_orderkey") % 10 == 0)
+           .select("o_orderkey", "o_totalprice"))
+    frames = []
+    for codec in ("snappy", "zstd"):
+        path = os.path.join(_SCRATCH, f"copyz_{codec}_{uuid.uuid4().hex[:8]}")
+        src.write.mode("overwrite").option("compression", codec) \
+           .parquet(path)
+        part = next(p for p in sorted(os.listdir(path))
+                    if p.endswith(".parquet"))
+        meta = pq.read_metadata(os.path.join(path, part))
+        applied = meta.row_group(0).column(0).compression.lower()
+        if applied != codec:  # loud: the option must actually bind
+            raise ValueError(f"expected {codec}, footer says {applied}")
+        back = (spark.read.parquet(path)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total"))
+                .select(F.lit(codec).alias("codec"), "n", "total"))
+        frames.append(back)
+        rows = frames[-1].collect()
+        shutil.rmtree(path, ignore_errors=True)
+        frames[-1] = spark.createDataFrame(rows, back.schema)
+    out = frames[0].unionByName(frames[1])
+    return out.orderBy("codec")

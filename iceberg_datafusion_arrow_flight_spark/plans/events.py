@@ -3261,3 +3261,212 @@ def events_retention_day_n(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("r14") * F.lit(1.0) / F.count(F.lit(1)), 6)
                   .alias("d14_rate"))
             .orderBy("cohort_day"))
+
+
+@register(
+    "events_anomaly_hw_residual",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), series AS (
+  SELECT event_type,
+         list(day ORDER BY day) AS days,
+         list(CAST(n_events AS DOUBLE) ORDER BY day) AS cnts,
+         list(n_events ORDER BY day) AS raw
+  FROM daily GROUP BY event_type
+), smoothed AS (
+  SELECT event_type, days, cnts, raw,
+         list_transform(generate_series(1, len(cnts)), i ->
+           list_reduce(
+             list_prepend(
+               [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                CAST(0.0 AS DOUBLE)],
+               list_transform(list_slice(cnts, 1, i), x ->
+                 [x, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+             (acc, e) -> [
+               (e[1] - acc[3]) * 0.3 + (acc[1] + acc[2]) * 0.7,
+               ((e[1] - acc[3]) * 0.3 + (acc[1] + acc[2]) * 0.7
+                - acc[1]) * 0.2 + acc[2] * 0.8,
+               acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+               (e[1] - ((e[1] - acc[3]) * 0.3
+                        + (acc[1] + acc[2]) * 0.7)) * 0.1
+               + acc[3] * 0.9])) AS st
+  FROM series
+), scored AS (
+  SELECT event_type, days, raw,
+         list_transform(generate_series(1, len(cnts)), i ->
+           CASE WHEN i = 1 THEN CAST(0.0 AS DOUBLE)
+                ELSE st[i-1][1] + st[i-1][2] + st[i-1][3] END) AS fc,
+         cnts
+  FROM smoothed
+), resid AS (
+  SELECT event_type, days, raw, fc,
+         list_transform(generate_series(1, len(cnts)), i ->
+           cnts[i] - fc[i]) AS res,
+         len(cnts) AS n
+  FROM scored
+), thresh AS (
+  SELECT event_type, days, raw, fc, res, n,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list_slice(res, 8, n)),
+           (a, b) -> a + abs(b)) / GREATEST(n - 7, 1) AS mar
+  FROM resid
+)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+       ROUND(fc_i, 6) AS forecast, ROUND(res_i, 6) AS residual,
+       (i > 7 AND abs(res_i) > 3 * mar) AS is_anomaly
+FROM (
+  SELECT event_type, mar,
+         unnest(days) AS day,
+         unnest(raw) AS n_events,
+         unnest(fc) AS fc_i,
+         unnest(res) AS res_i,
+         unnest(generate_series(1, n)) AS i
+  FROM thresh
+)
+ORDER BY event_type, day
+""",
+    doc="Forecast-residual anomaly detection on top of the Holt-"
+        "Winters entry: one-step-ahead forecast for day t is the "
+        "PRE-update state (l + b + s_{t-7} from the t-1 fold), the "
+        "residual x_t - forecast flags when it exceeds 3x the mean "
+        "absolute residual of the post-warm-up days (t > 7) — the "
+        "standard seasonal-baseline alert, and the practical payoff of "
+        "the bit-exact HW chain (residuals inherit bit-exactness, so "
+        "even the BOOLEAN flags hash-compare).  The mean-abs fold runs "
+        "over the ORDERED residual list with the zero-prepended-reduce "
+        "recipe spelled identically in both engines — no order-"
+        "dependent float sum anywhere.  Scale: identical to the HW "
+        "entry (per-key collapsed series). "
+        "plans/events.py:events_anomaly_hw.",
+    tags=("events", "window"),
+)
+def events_anomaly_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    series = (daily.groupBy("event_type")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("day", "n_events"))).alias("dc"))
+              .select("event_type",
+                      F.transform("dc", lambda s: s.day).alias("days"),
+                      F.transform("dc", lambda s: s.n_events
+                                  .cast("double")).alias("cnts"),
+                      F.transform("dc", lambda s: s.n_events)
+                       .alias("raw")))
+
+    def step(acc, x):
+        l, b = acc.getField("l"), acc.getField("b")
+        s1 = acc.getField("s1")
+        lvl = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
+        lvl2 = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
+        trend = (lvl2 - l) * F.lit(0.2) + b * F.lit(0.8)
+        lvl3 = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
+        snew = (x - lvl3) * F.lit(0.1) + s1 * F.lit(0.9)
+        return F.struct(
+            lvl.alias("l"), trend.alias("b"),
+            acc.getField("s2").alias("s1"), acc.getField("s3").alias("s2"),
+            acc.getField("s4").alias("s3"), acc.getField("s5").alias("s4"),
+            acc.getField("s6").alias("s5"), acc.getField("s7").alias("s6"),
+            snew.alias("s7"))
+
+    zero = F.lit(0.0)
+    init = F.struct(zero.alias("l"), zero.alias("b"),
+                    zero.alias("s1"), zero.alias("s2"), zero.alias("s3"),
+                    zero.alias("s4"), zero.alias("s5"), zero.alias("s6"),
+                    zero.alias("s7"))
+    n = F.size("cnts")
+    st = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.aggregate(F.slice(F.col("cnts"), F.lit(1), i),
+                              init, step))
+    base = series.withColumn("st", st).withColumn("n", n)
+    fc = F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: F.when(i == 1, F.lit(0.0)).otherwise(
+            F.element_at("st", (i - 1).cast("int")).getField("l")
+            + F.element_at("st", (i - 1).cast("int")).getField("b")
+            + F.element_at("st", (i - 1).cast("int")).getField("s1")))
+    base = base.withColumn("fc", fc)
+    res = F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: F.element_at("cnts", i.cast("int"))
+        - F.element_at("fc", i.cast("int")))
+    base = base.withColumn("res", res)
+    mar = (F.aggregate(
+        F.slice(F.col("res"), F.lit(8),
+                F.greatest(F.col("n") - 7, F.lit(0))),
+        F.lit(0.0), lambda a, b: a + F.abs(b))
+        / F.greatest(F.col("n") - 7, F.lit(1)))
+    base = base.withColumn("mar", mar)
+    rows = base.select(
+        "event_type", "mar",
+        F.posexplode(F.arrays_zip("days", "raw", "fc", "res"))
+         .alias("_i", "z"))
+    return (rows.select(
+        "event_type",
+        F.col("z.days").alias("day"),
+        F.col("z.raw").cast("bigint").alias("n_events"),
+        F.round(F.col("z.fc"), 6).alias("forecast"),
+        F.round(F.col("z.res"), 6).alias("residual"),
+        ((F.col("_i") + 1 > 7)
+         & (F.abs(F.col("z.res")) > 3 * F.col("mar")))
+        .alias("is_anomaly"))
+        .orderBy("event_type", "day"))
+
+
+@register(
+    "events_error_rate_daily",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT day, n_total, n_errors,
+       ROUND(n_errors * 1.0 / n_total, 6) AS error_rate,
+       CAST(SUM(n_errors) OVER w AS BIGINT) AS errors_7d,
+       CAST(SUM(n_total) OVER w AS BIGINT) AS total_7d,
+       ROUND(SUM(n_errors) OVER w * 1.0 / SUM(n_total) OVER w, 6)
+           AS error_rate_7d
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+""",
+    doc="Daily error rate with a 7-day trailing window — the SLO "
+        "dashboard row beside the burn-rate entry: exact integer "
+        "counts, rates as integer ratios, the trailing aggregates from "
+        "a ROWS window over the DAYS-sized aggregate (global ordering "
+        "over a reduced input — exempted by the plan sweep's "
+        "Aggregate-below rule, and genuinely tiny at any corpus "
+        "scale). plans/events.py:events_error_rate_daily.",
+    tags=("events", "aggregate", "window"),
+)
+def events_error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"),
+                  F.sum(F.when(F.col("event_type") == "error", 1)
+                        .otherwise(0)).cast("bigint").alias("n_errors")))
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return (daily.select(
+        "day", "n_total", "n_errors",
+        F.round(F.col("n_errors") * F.lit(1.0) / F.col("n_total"), 6)
+         .alias("error_rate"),
+        F.sum("n_errors").over(w).cast("bigint").alias("errors_7d"),
+        F.sum("n_total").over(w).cast("bigint").alias("total_7d"),
+        F.round(F.sum("n_errors").over(w) * F.lit(1.0)
+                / F.sum("n_total").over(w), 6).alias("error_rate_7d"))
+        .orderBy("day"))

@@ -321,3 +321,41 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.schema_of_variant(F.col("v")).alias("var_schema"),
         F.to_json(F.col("v")).alias("rebuilt"),
         F.try_variant_get(F.col("v"), "$.absent", "int").alias("absent_val"))
+
+
+@register(
+    "unnest_explode_outer",
+    oracle="""
+WITH base AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 3 = 0 THEN []
+              WHEN n_nationkey % 3 = 1 THEN NULL
+              ELSE [n_nationkey * 10, n_nationkey * 10 + 1]
+         END AS arr
+  FROM nation WHERE n_nationkey < 9
+)
+SELECT n_nationkey,
+       UNNEST(CASE WHEN arr IS NULL OR len(arr) = 0
+                   THEN [CAST(NULL AS BIGINT)] ELSE arr END) AS v
+FROM base
+ORDER BY n_nationkey, v NULLS FIRST
+""",
+    doc="explode_outer: rows with EMPTY or NULL arrays survive as one "
+        "null-valued row instead of vanishing (the LEFT-JOIN-LATERAL "
+        "semantics; plain explode silently drops them — the classic "
+        "fan-out bug in enrichment pipelines).  The oracle spells the "
+        "same semantic by padding empty/NULL lists to [NULL] before "
+        "UNNEST. plans/nested.py:unnest_explode_outer.",
+    tags=("array", "unnest"),
+)
+def unnest_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation").where(F.col("n_nationkey") < 9)
+    arr = (F.when(F.col("n_nationkey") % 3 == 0,
+                  F.array().cast("array<bigint>"))
+           .when(F.col("n_nationkey") % 3 == 1,
+                 F.lit(None).cast("array<bigint>"))
+           .otherwise(F.array(F.col("n_nationkey") * 10,
+                              F.col("n_nationkey") * 10 + 1)
+                      .cast("array<bigint>")))
+    return (n.select("n_nationkey", F.explode_outer(arr).alias("v"))
+            .orderBy("n_nationkey", F.col("v").asc_nulls_first()))
