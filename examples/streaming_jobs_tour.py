@@ -28,6 +28,13 @@ from iceberg_datafusion_arrow_flight_spark.streaming.jobs import (
 from iceberg_datafusion_arrow_flight_spark.operators.countmin import (
     countmin_sketch)
 
+
+def _drain(query, timeout: int = 300) -> None:
+    query.awaitTermination(timeout)
+    if query.isActive:
+        query.stop()
+        raise TimeoutError("streaming query did not drain in time")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
@@ -45,8 +52,7 @@ def main() -> None:
         stream = (spark.readStream.schema(events.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
         state = os.path.join(work, "reservoir")
-        stream_reservoir_sample(stream, "event_id", state,
-                                k=50).awaitTermination(120)
+        _drain(stream_reservoir_sample(stream, "event_id", state, k=50))
         streamed = {r.id for r in spark.read.parquet(
             os.path.join(state, "reservoir")).collect()}
         batch = {r.id for r in (
@@ -66,7 +72,7 @@ def main() -> None:
         tstream = (spark.readStream.schema(toks.schema)
                    .option("maxFilesPerTrigger", 1).parquet(tsrc))
         out = os.path.join(work, "cm")
-        stream_countmin_partials(tstream, "v", out).awaitTermination(120)
+        _drain(stream_countmin_partials(tstream, "v", out))
         folded = {(r.d, r.bucket): r.c
                   for r in merged_countmin(spark, out).collect()}
         exact = {(r.d, r.bucket): r.c
@@ -76,12 +82,22 @@ def main() -> None:
               f"sketch, bit-for-bit")
 
         # 3. Dedup at ingest: kept set is pair-free at Jaccard >= 0.9.
+        # Batches pinned by doc_id residue + mtime (like the registry
+        # entry) so the kept set is deterministic run to run.
         dsrc = os.path.join(work, "docs")
-        docs.repartition(4).write.mode("overwrite").parquet(dsrc)
+        os.makedirs(dsrc)
+        for b in range(4):
+            before = set(os.listdir(dsrc))
+            (docs.where(F.col("doc_id") % 4 == b).coalesce(1)
+             .write.mode("append").parquet(dsrc))
+            for fn in set(os.listdir(dsrc)) - before:
+                if fn.endswith(".parquet"):
+                    os.utime(os.path.join(dsrc, fn),
+                             (1_700_000_000 + b, 1_700_000_000 + b))
         dstream = (spark.readStream.schema(docs.schema)
                    .option("maxFilesPerTrigger", 1).parquet(dsrc))
         dstate = os.path.join(work, "dedup")
-        stream_dedup_ingest(dstream, dstate).awaitTermination(300)
+        _drain(stream_dedup_ingest(dstream, dstate))
         kept = spark.read.parquet(os.path.join(dstate, "kept"))
         print(f"ingest dedup:  kept {kept.count()} of {docs.count()} docs "
               f"(LSH index probed per batch, work ∝ batch)")
@@ -100,7 +116,7 @@ def main() -> None:
              .outputMode("update").trigger(availableNow=True)
              .option("checkpointLocation", os.path.join(work, "ck"))
              .start())
-        q.awaitTermination(120)
+        _drain(q)
         got = {r.user_id: (r.n_events, int(r.total_value)) for r in
                spark.table("tour_totals")
                .groupBy("user_id")

@@ -113,11 +113,17 @@ def asof_join_forward(left: DataFrame, right: DataFrame, key: str,
           for c in right_cols])
     out = carried.where(F.col("__side") == l_tag).drop("__side")
     if tolerance_seconds is not None:
-        # interval arithmetic, not an epoch cast: TIMESTAMP_NTZ (what a
-        # plain driver session reads from parquet) cannot cast to long
         lts = F.col("__lrow").getField(left_ts)
-        ok = (F.col("__ats")
-              <= lts + F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS"))
+        lt_type = dict(left.dtypes)[left_ts]
+        if lt_type in ("timestamp", "timestamp_ntz", "date"):
+            # interval arithmetic, not an epoch cast: TIMESTAMP_NTZ
+            # (what a plain driver session reads from parquet) cannot
+            # cast to long
+            bound = lts + F.expr(f"INTERVAL {int(tolerance_seconds)} "
+                                 f"SECONDS")
+        else:  # numeric / epoch-second columns: plain addition
+            bound = lts + F.lit(int(tolerance_seconds))
+        ok = F.col("__ats") <= bound
         out = out.select(
             "__lrow",
             F.when(ok, F.col("__ats")).alias(f"asof_{right_ts}"),

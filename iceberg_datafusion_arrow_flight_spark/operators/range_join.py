@@ -49,7 +49,7 @@ def point_interval_range_join(points: DataFrame, intervals: DataFrame,
         F.floor(F.col(start_col) / F.lit(bin_width)).cast("bigint"),
         F.floor(F.col(end_col) / F.lit(bin_width)).cast("bigint"))
     i = intervals.withColumn("__bin", F.explode(i_bins))
-    joined = p.join(i, "__bin", how)
+    joined = p.join(i, "__bin", "inner")  # guard above is the only consumer of `how`
     return (joined
             .where((F.col(point_col) >= F.col(start_col))
                    & (F.col(point_col) <= F.col(end_col)))

@@ -2940,21 +2940,13 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cohort_week", "weeks_since"))
 
 
-@register(
-    "events_holt_winters_seasonal",
-    oracle="""
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(COUNT(*) AS BIGINT) AS n_events
-  FROM events GROUP BY event_type, CAST(ts AS DATE)
-), series AS (
-  SELECT event_type,
-         list(day ORDER BY day) AS days,
-         list(CAST(n_events AS DOUBLE) ORDER BY day) AS cnts,
-         list(n_events ORDER BY day) AS raw
-  FROM daily GROUP BY event_type
-), smoothed AS (
-  SELECT event_type, days, raw,
+
+# --- shared Holt-Winters fold (alpha/beta/gamma = 0.3/0.2/0.1,
+# period 7) — ONE spelling used by both the HW entry and the
+# residual-anomaly entry so the two can never drift (the same
+# single-source discipline as the LPA/modularity oracle CTE
+# builder).  State layout: [l, b, s_{t-7}..s_{t-1}].
+_HW_FOLD_SQL = """\
          list_transform(generate_series(1, len(cnts)), i ->
            list_reduce(
              list_prepend(
@@ -2975,7 +2967,66 @@ WITH daily AS (
                acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
                (e[1] - ((e[1] - acc[3]) * 0.3
                         + (acc[1] + acc[2]) * 0.7)) * 0.1
-               + acc[3] * 0.9])) AS st
+               + acc[3] * 0.9])) AS st"""
+
+def _hw_step(acc, x):
+    l, b = acc.getField("l"), acc.getField("b")
+    s1 = acc.getField("s1")
+    lvl = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
+    # l_t inlined again for trend/seasonal — same tree as oracle
+    lvl2 = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
+    trend = (lvl2 - l) * F.lit(0.2) + b * F.lit(0.8)
+    lvl3 = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
+    snew = (x - lvl3) * F.lit(0.1) + s1 * F.lit(0.9)
+    return F.struct(
+        lvl.alias("l"), trend.alias("b"),
+        acc.getField("s2").alias("s1"),
+        acc.getField("s3").alias("s2"),
+        acc.getField("s4").alias("s3"),
+        acc.getField("s5").alias("s4"),
+        acc.getField("s6").alias("s5"),
+        acc.getField("s7").alias("s6"),
+        snew.alias("s7"))
+
+def _hw_init():
+    zero = F.lit(0.0)
+    return F.struct(zero.alias("l"), zero.alias("b"),
+                    zero.alias("s1"), zero.alias("s2"),
+                    zero.alias("s3"), zero.alias("s4"),
+                    zero.alias("s5"), zero.alias("s6"),
+                    zero.alias("s7"))
+
+def _hw_series(e):
+    daily = (e.groupBy("event_type",
+                       F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    return (daily.groupBy("event_type")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("day", "n_events"))).alias("dc"))
+            .select("event_type",
+                    F.transform("dc", lambda s: s.day).alias("days"),
+                    F.transform("dc", lambda s: s.n_events
+                                .cast("double")).alias("cnts"),
+                    F.transform("dc", lambda s: s.n_events)
+                     .alias("raw")))
+
+
+@register(
+    "events_holt_winters_seasonal",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), series AS (
+  SELECT event_type,
+         list(day ORDER BY day) AS days,
+         list(CAST(n_events AS DOUBLE) ORDER BY day) AS cnts,
+         list(n_events ORDER BY day) AS raw
+  FROM daily GROUP BY event_type
+), smoothed AS (
+  SELECT event_type, days, raw,
+{_HW_FOLD_SQL}
   FROM series
 )
 SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
@@ -3012,42 +3063,9 @@ ORDER BY event_type, day
 )
 def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
-             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
-    series = (daily.groupBy("event_type")
-              .agg(F.array_sort(F.collect_list(
-                  F.struct("day", "n_events"))).alias("dc"))
-              .select("event_type",
-                      F.transform("dc", lambda s: s.day).alias("days"),
-                      F.transform("dc", lambda s: s.n_events
-                                  .cast("double")).alias("cnts"),
-                      F.transform("dc", lambda s: s.n_events)
-                       .alias("raw")))
+    series = _hw_series(e)
 
-    def step(acc, x):
-        l, b = acc.getField("l"), acc.getField("b")
-        s1 = acc.getField("s1")
-        lvl = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
-        # l_t inlined again for the trend term — same tree as oracle
-        lvl2 = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
-        trend = (lvl2 - l) * F.lit(0.2) + b * F.lit(0.8)
-        lvl3 = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
-        snew = (x - lvl3) * F.lit(0.1) + s1 * F.lit(0.9)
-        return F.struct(
-            lvl.alias("l"), trend.alias("b"),
-            acc.getField("s2").alias("s1"),
-            acc.getField("s3").alias("s2"),
-            acc.getField("s4").alias("s3"),
-            acc.getField("s5").alias("s4"),
-            acc.getField("s6").alias("s5"),
-            acc.getField("s7").alias("s6"),
-            snew.alias("s7"))
-
-    zero = F.lit(0.0)
-    init = F.struct(zero.alias("l"), zero.alias("b"),
-                    zero.alias("s1"), zero.alias("s2"), zero.alias("s3"),
-                    zero.alias("s4"), zero.alias("s5"), zero.alias("s6"),
-                    zero.alias("s7"))
+    step, init = _hw_step, _hw_init()
     st = F.transform(
         F.sequence(F.lit(1), F.size("cnts")),
         lambda i: F.aggregate(F.slice(F.col("cnts"), F.lit(1), i),
@@ -3265,7 +3283,7 @@ def events_retention_day_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_anomaly_hw_residual",
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(COUNT(*) AS BIGINT) AS n_events
@@ -3278,27 +3296,7 @@ WITH daily AS (
   FROM daily GROUP BY event_type
 ), smoothed AS (
   SELECT event_type, days, cnts, raw,
-         list_transform(generate_series(1, len(cnts)), i ->
-           list_reduce(
-             list_prepend(
-               [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
-                CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
-                CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
-                CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
-                CAST(0.0 AS DOUBLE)],
-               list_transform(list_slice(cnts, 1, i), x ->
-                 [x, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
-                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
-                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
-                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])),
-             (acc, e) -> [
-               (e[1] - acc[3]) * 0.3 + (acc[1] + acc[2]) * 0.7,
-               ((e[1] - acc[3]) * 0.3 + (acc[1] + acc[2]) * 0.7
-                - acc[1]) * 0.2 + acc[2] * 0.8,
-               acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
-               (e[1] - ((e[1] - acc[3]) * 0.3
-                        + (acc[1] + acc[2]) * 0.7)) * 0.1
-               + acc[3] * 0.9])) AS st
+{_HW_FOLD_SQL}
   FROM series
 ), scored AS (
   SELECT event_type, days, raw,
@@ -3352,38 +3350,9 @@ ORDER BY event_type, day
 )
 def events_anomaly_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
-             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
-    series = (daily.groupBy("event_type")
-              .agg(F.array_sort(F.collect_list(
-                  F.struct("day", "n_events"))).alias("dc"))
-              .select("event_type",
-                      F.transform("dc", lambda s: s.day).alias("days"),
-                      F.transform("dc", lambda s: s.n_events
-                                  .cast("double")).alias("cnts"),
-                      F.transform("dc", lambda s: s.n_events)
-                       .alias("raw")))
+    series = _hw_series(e)
 
-    def step(acc, x):
-        l, b = acc.getField("l"), acc.getField("b")
-        s1 = acc.getField("s1")
-        lvl = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
-        lvl2 = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
-        trend = (lvl2 - l) * F.lit(0.2) + b * F.lit(0.8)
-        lvl3 = (x - s1) * F.lit(0.3) + (l + b) * F.lit(0.7)
-        snew = (x - lvl3) * F.lit(0.1) + s1 * F.lit(0.9)
-        return F.struct(
-            lvl.alias("l"), trend.alias("b"),
-            acc.getField("s2").alias("s1"), acc.getField("s3").alias("s2"),
-            acc.getField("s4").alias("s3"), acc.getField("s5").alias("s4"),
-            acc.getField("s6").alias("s5"), acc.getField("s7").alias("s6"),
-            snew.alias("s7"))
-
-    zero = F.lit(0.0)
-    init = F.struct(zero.alias("l"), zero.alias("b"),
-                    zero.alias("s1"), zero.alias("s2"), zero.alias("s3"),
-                    zero.alias("s4"), zero.alias("s5"), zero.alias("s6"),
-                    zero.alias("s7"))
+    step, init = _hw_step, _hw_init()
     n = F.size("cnts")
     st = F.transform(
         F.sequence(F.lit(1), n),

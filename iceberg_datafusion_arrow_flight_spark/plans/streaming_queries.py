@@ -40,6 +40,21 @@ def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
     return spark.createDataFrame(rows, df.schema)
 
 
+def _write_batch(src: str, df: DataFrame, t: int) -> None:
+    """Append ``df`` as one parquet file under ``src`` stamped with an
+    explicit mtime: the file source replays new files in modification-
+    time order, so strictly-increasing stamps pin the micro-batch
+    replay order deterministically (uuid part names carry no order).
+    Shared by every mtime-pinned fixture below — fix ordering logic
+    HERE, not per entry."""
+    before = set(os.listdir(src))
+    df.coalesce(1).write.mode("append").parquet(src)
+    for f in set(os.listdir(src)) - before:
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(src, f), (t, t))
+
+
+
 @register(
     "stream_reservoir_vs_batch_topk",
     oracle="""
@@ -216,19 +231,10 @@ def stream_cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(work, "src")
         os.makedirs(src)
 
-        # The file source orders new files by modification time; stamp
-        # each change batch's files with an explicit strictly-increasing
-        # mtime so the batches replay in feed order deterministically
-        # (uuid part-file names carry no order).
-        def _write_batch(df: DataFrame, t: int) -> None:
-            before = set(os.listdir(src))
-            df.coalesce(1).write.mode("append").parquet(src)
-            for f in set(os.listdir(src)) - before:
-                if f.endswith(".parquet"):
-                    os.utime(os.path.join(src, f), (t, t))
-
-        _write_batch(b1, 1_700_000_000)
-        _write_batch(b2_up.unionByName(b2_del), 1_700_000_100)
+        # strictly-increasing mtimes: the change batches replay in feed
+        # order (see module-level _write_batch)
+        _write_batch(src, b1, 1_700_000_000)
+        _write_batch(src, b2_up.unionByName(b2_del), 1_700_000_100)
         cat = SqliteCatalog(os.path.join(work, "cat.db"),
                             warehouse=os.path.join(work, "wh"))
         mirror = cat.create_table(
@@ -289,26 +295,17 @@ def stream_tumbling_finalized(spark: SparkSession,
         src = os.path.join(work, "src")
         os.makedirs(src)
 
-        # Micro-batches split by TIME and replayed in order (explicit
-        # mtimes — the file source orders by modification time): with
-        # arbitrary splits the watermark lags the final batch and the
-        # end-of-backlog flush is split-dependent (measured: 3 random
-        # splits emitted 3,018 of 3,370 finalized windows); with
-        # chronological batches the final no-data flush sees the global
-        # watermark and the emitted set is the complete, deterministic
-        # finalized set — which is also how event time actually arrives.
-        def _write_batch(df: DataFrame, t: int) -> None:
-            before = set(os.listdir(src))
-            df.coalesce(1).write.mode("append").parquet(src)
-            for f in set(os.listdir(src)) - before:
-                if f.endswith(".parquet"):
-                    os.utime(os.path.join(src, f), (t, t))
-
+        # micro-batches split by TIME and replayed chronologically:
+        # with arbitrary splits the watermark lags the final batch and
+        # the end-of-backlog flush is split-dependent (measured: 3
+        # random splits emitted 3,018 of 3,370 finalized windows);
+        # chronological batches make the final no-data flush see the
+        # global watermark — and it is how event time actually arrives
         for i, (lo, hi) in enumerate((("2024-01-01", "2024-01-11"),
                                       ("2024-01-11", "2024-01-21"),
                                       ("2024-01-21", "2024-02-01"))):
-            _write_batch(events.where((F.col("ts") >= lo)
-                                      & (F.col("ts") < hi)),
+            _write_batch(src, events.where((F.col("ts") >= lo)
+                                           & (F.col("ts") < hi)),
                          1_700_000_000 + i)
         stream = (spark.readStream.schema(events.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src)
@@ -481,17 +478,9 @@ def stream_dedup_ingest_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(work, "src")
         os.makedirs(src)
 
-        # One file per doc_id-residue bucket, mtime-stamped so the file
-        # source replays the batches in bucket order deterministically.
-        def _write_batch(df: DataFrame, t: int) -> None:
-            before = set(os.listdir(src))
-            df.coalesce(1).write.mode("append").parquet(src)
-            for f in set(os.listdir(src)) - before:
-                if f.endswith(".parquet"):
-                    os.utime(os.path.join(src, f), (t, t))
-
+        # one file per doc_id-residue bucket, replayed in bucket order
         for b in range(4):
-            _write_batch(docs.where(F.col("doc_id") % 4 == b),
+            _write_batch(src, docs.where(F.col("doc_id") % 4 == b),
                          1_700_000_000 + b)
         stream = (spark.readStream.schema(docs.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
@@ -543,18 +532,11 @@ def stream_join_pas(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(work, "src")
         os.makedirs(src)
 
-        def _write_batch(df: DataFrame, t: int) -> None:
-            before = set(os.listdir(src))
-            df.coalesce(1).write.mode("append").parquet(src)
-            for f in set(os.listdir(src)) - before:
-                if f.endswith(".parquet"):
-                    os.utime(os.path.join(src, f), (t, t))
-
         for i, (lo, hi) in enumerate((("2024-01-01", "2024-01-11"),
                                       ("2024-01-11", "2024-01-21"),
                                       ("2024-01-21", "2024-02-01"))):
-            _write_batch(events.where((F.col("ts") >= lo)
-                                      & (F.col("ts") < hi)),
+            _write_batch(src, events.where((F.col("ts") >= lo)
+                                           & (F.col("ts") < hi)),
                          1_700_000_000 + i)
         stream = (spark.readStream.schema(events.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src)
