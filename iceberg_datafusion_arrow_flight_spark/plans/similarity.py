@@ -2053,3 +2053,62 @@ def sim_ann_recall_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
                   / (F.lit(10.0) * F.count(F.lit(1)))).alias("recall"))
             .orderBy("label"))
+
+
+@register(
+    "sim_cosine_distance_histogram",
+    oracle=f"""
+WITH emb AS ({_EMB}),
+a AS (SELECT vec_id, v FROM emb WHERE vec_id % 20 = 0),
+b AS (SELECT vec_id, v FROM emb WHERE vec_id % 20 = 10),
+sims AS (
+  SELECT ROUND({_COS.format(a='a.v', b='b.v')}, 6) AS sim
+  FROM a JOIN b ON a.vec_id < b.vec_id
+), binned AS (
+  SELECT CAST(FLOOR((sim + 1.0) * 10) AS INT) AS bin FROM sims
+)
+SELECT bin,
+       ROUND(bin / 10.0 - 1.0, 1) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM binned), 6) AS share
+FROM binned GROUP BY bin ORDER BY bin
+""",
+    doc="Pairwise cosine distance histogram over a deterministic "
+        "cross-stratum sample (vec_id % 20 buckets 0 x 10): the "
+        "calibration readout similarity thresholds come FROM — the "
+        "0.35 near-dup cutoff and the LSH banding were both chosen "
+        "against exactly this distribution, and this entry puts that "
+        "evidence in the registry.  Cosines use the shared fold "
+        "recipe (zero-prepended list_reduce / F.aggregate, identical "
+        "spelling), ROUND(6) before binning so bin edges are "
+        "bit-stable; fixed-width 0.1 bins over [-1, 1].  Scale: the "
+        "sample join is |a| x |b| with both strata 5%% of the corpus "
+        "— a bounded calibration probe, never all-pairs. "
+        "plans/similarity.py:sim_cos_histogram.",
+    tags=("similarity", "diagnostics"),
+)
+def sim_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _as_double, cosine
+    emb = table(spark, sf_dir, "embeddings")
+    a = (emb.where(F.col("vec_id") % 20 == 0)
+         .select(F.col("vec_id").alias("ida"),
+                 _as_double(F.col("embedding")).alias("va")))
+    b = (emb.where(F.col("vec_id") % 20 == 10)
+         .select(F.col("vec_id").alias("idb"),
+                 _as_double(F.col("embedding")).alias("vb")))
+    sims = (a.join(b, F.col("ida") < F.col("idb"))
+            .select(F.round(cosine(F.col("va"), F.col("vb")), 6)
+                    .alias("sim")))
+    binned = (sims.select(F.floor((F.col("sim") + 1.0) * 10)
+                          .cast("int").alias("bin"))
+              .localCheckpoint(eager=True))
+    total = binned.agg(F.count(F.lit(1)).alias("__n"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+            .crossJoin(F.broadcast(total))
+            .select("bin",
+                    F.round(F.col("bin") / 10.0 - 1.0, 1).alias("bin_lo"),
+                    "n_pairs",
+                    F.round(F.col("n_pairs") * F.lit(1.0)
+                            / F.col("__n"), 6).alias("share"))
+            .orderBy("bin"))

@@ -1399,3 +1399,45 @@ def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.greatest(F.sum("n_words"), F.lit(1)), 6)
                   .alias("fertility"))
             .orderBy("lang"))
+
+
+@register(
+    "text_hapax_ratio_by_source",
+    oracle=r"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents
+), tf AS (
+  SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+           AS hapax_ratio
+FROM tf GROUP BY source ORDER BY source
+""",
+    doc="Hapax legomena ratio per source: the share of a feed's "
+        "vocabulary that occurs exactly once — the lexical-diversity "
+        "screen that separates organic text (high hapax mass, Zipf "
+        "tail intact) from template/boilerplate feeds (tiny hapax "
+        "share), read next to the Zipf and vocab-stats entries.  "
+        "Exact counts, one ratio; two keyed partial-agg shuffles "
+        "((source, term) then source), constant-width keys. "
+        "plans/text.py:text_hapax_ratio.",
+    tags=("text", "pipeline", "diagnostics"),
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tf = (d.select("source",
+                   F.explode(T.ws_tokens(F.col("text"))).alias("t"))
+          .groupBy("source", "t")
+          .agg(F.count(F.lit(1)).alias("c")))
+    return (tf.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                  .cast("bigint").alias("n_hapax"),
+                 F.round(F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                         * F.lit(1.0) / F.count(F.lit(1)), 6)
+                  .alias("hapax_ratio"))
+            .orderBy("source"))
