@@ -2112,3 +2112,93 @@ def sim_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_pairs") * F.lit(1.0)
                             / F.col("__n"), 6).alias("share"))
             .orderBy("bin"))
+
+
+@register(
+    "sim_ann_recall_at_k_sweep",
+    oracle=f"""
+WITH emb AS ({_EMB}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+cent AS (
+  SELECT vec_id AS cell, v AS cv
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 32)
+), q_cells AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS.format(a='c.cv', b='q.qv')} DESC,
+                                       c.cell) AS r
+    FROM q CROSS JOIN cent c)
+  WHERE r <= 4
+), c_cells AS (
+  SELECT corpus_id, cvv, cell FROM (
+    SELECT e.vec_id AS corpus_id, e.v AS cvv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS.format(a='c.cv', b='e.v')} DESC,
+                                       c.cell) AS r
+    FROM emb e CROSS JOIN cent c)
+  WHERE r = 1
+), ann AS (
+  SELECT query_id, corpus_id, rnk FROM (
+    SELECT qc.query_id, cc.corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY qc.query_id
+                              ORDER BY ROUND({_COS.format(a='qc.qv', b='cc.cvv')}, 6) DESC,
+                                       cc.corpus_id) AS rnk
+    FROM q_cells qc JOIN c_cells cc USING (cell)
+    WHERE qc.query_id != cc.corpus_id)
+  WHERE rnk <= 10
+), exact AS (
+  SELECT query_id, corpus_id, rnk FROM (
+    SELECT q.query_id, e.vec_id AS corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND({_COS.format(a='q.qv', b='e.v')}, 6) DESC,
+                                       e.vec_id) AS rnk
+    FROM q JOIN emb e ON e.vec_id != q.query_id)
+  WHERE rnk <= 10
+), matched AS (
+  SELECT a.rnk AS ar, x.rnk AS xr
+  FROM ann a JOIN exact x USING (query_id, corpus_id)
+), nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q)
+SELECT k.k, nq.n AS n_queries,
+       CAST(SUM(CASE WHEN m.ar <= k.k AND m.xr <= k.k
+                     THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       ROUND(SUM(CASE WHEN m.ar <= k.k AND m.xr <= k.k
+                      THEN 1 ELSE 0 END) * 1.0 / (nq.n * k.k), 6)
+           AS recall_at_k
+FROM (SELECT UNNEST([1, 5, 10]) AS k) k
+CROSS JOIN matched m CROSS JOIN nq
+GROUP BY k.k, nq.n ORDER BY k.k
+""",
+    doc="ANN recall@k sweep (k = 1/5/10) for the deterministic IVF "
+        "witness: one ann-vs-exact rank join evaluated at three "
+        "cutoffs — recall@1 (the 'is the top hit right' bar serving "
+        "decides on) alongside the recall@10 the single-k witness "
+        "pins; the classic k-sensitivity table an ANN deployment is "
+        "tuned from, joining the nprobe and table-count sweeps.  Same "
+        "deterministic quantizer as sim_ann_recall_report; exact "
+        "integer hits, ratios of integers. "
+        "plans/similarity.py:sim_recall_at_k.",
+    tags=("similarity", "approx", "diagnostics"),
+)
+def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    ann = S.ann_ivf_topk(queries, emb, k=10).select(
+        "query_id", "corpus_id", F.col("rank").alias("ar"))
+    exact = S.topk_cosine(queries, emb, k=10).select(
+        "query_id", "corpus_id", F.col("rank").alias("xr"))
+    matched = ann.join(exact, ["query_id", "corpus_id"])
+    nq = queries.count()
+    ks = spark.createDataFrame([(1,), (5,), (10,)], "k int")
+    hit = (F.when((F.col("ar") <= F.col("k"))
+                  & (F.col("xr") <= F.col("k")), 1).otherwise(0))
+    return (F.broadcast(ks).crossJoin(matched)
+            .groupBy("k")
+            .agg(F.sum(hit).cast("bigint").alias("hits"))
+            .select("k", F.lit(nq).cast("bigint").alias("n_queries"),
+                    "hits",
+                    F.round(F.col("hits") * F.lit(1.0)
+                            / (F.lit(nq) * F.col("k")), 6)
+                     .alias("recall_at_k"))
+            .select("k", "n_queries", "hits", "recall_at_k")
+            .orderBy("k"))

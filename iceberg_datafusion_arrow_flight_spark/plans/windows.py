@@ -508,3 +508,53 @@ def window_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("pct_rank"),
                         F.round(F.cume_dist().over(w), 6).alias("cume"))
             .orderBy("o_custkey", "o_orderkey"))
+
+
+@register(
+    "window_value_ignore_nulls",
+    oracle="""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber % 2 = 0 THEN l_quantity END AS q
+  FROM lineitem WHERE l_orderkey <= 400
+)
+SELECT l_orderkey, l_linenumber, q,
+       LAST_VALUE(q IGNORE NULLS) OVER w AS carry_fwd,
+       FIRST_VALUE(q IGNORE NULLS)
+         OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS first_obs
+FROM base
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY l_orderkey, l_linenumber
+""",
+    doc="IGNORE NULLS window navigation: LAST_VALUE(... IGNORE NULLS) "
+        "over a running frame is the gap-fill / last-observation-"
+        "carried-forward primitive (the sparse-sensor pattern every "
+        "time-series backfill needs — and exactly how the as-of join "
+        "operator carries its payloads internally); FIRST_VALUE "
+        "IGNORE NULLS over the full partition gives the first "
+        "observation.  NULLs injected on odd line numbers so the "
+        "skipping is genuinely exercised.  Spark spelling: "
+        "F.last/F.first(col, ignorenulls=True). "
+        "plans/windows.py:window_ignore_nulls.",
+    tags=("window",),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (table(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey") <= 400)
+          .select("l_orderkey", "l_linenumber",
+                  F.when(F.col("l_linenumber") % 2 == 0,
+                         F.col("l_quantity")).alias("q")))
+    run = (Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    full = (Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    return (li.select("l_orderkey", "l_linenumber", "q",
+                      F.last("q", ignorenulls=True).over(run)
+                       .alias("carry_fwd"),
+                      F.first("q", ignorenulls=True).over(full)
+                       .alias("first_obs"))
+            .orderBy("l_orderkey", "l_linenumber"))
