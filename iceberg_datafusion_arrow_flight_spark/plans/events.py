@@ -3439,3 +3439,96 @@ def events_error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_errors").over(w) * F.lit(1.0)
                 / F.sum("n_total").over(w), 6).alias("error_rate_7d"))
         .orderBy("day"))
+
+
+@register(
+    "events_growth_accounting_weekly",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), firsts AS (
+  SELECT user_id, MIN(wk) AS first_wk FROM activity GROUP BY user_id
+), weeks AS (
+  SELECT DISTINCT wk FROM activity
+), states AS (
+  SELECT w.wk, a.user_id,
+         CASE WHEN f.first_wk = w.wk THEN 'new'
+              WHEN EXISTS (SELECT 1 FROM activity p
+                           WHERE p.user_id = a.user_id
+                             AND p.wk = w.wk - INTERVAL 7 DAY)
+                   THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM weeks w
+  JOIN activity a ON a.wk = w.wk
+  JOIN firsts f ON f.user_id = a.user_id
+), churned AS (
+  SELECT w.wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM weeks w
+  JOIN activity p ON p.wk = w.wk - INTERVAL 7 DAY
+  WHERE NOT EXISTS (SELECT 1 FROM activity c
+                    WHERE c.user_id = p.user_id AND c.wk = w.wk)
+  GROUP BY w.wk
+)
+SELECT CAST(s.wk AS TIMESTAMP) AS week,
+       CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained,
+       CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(MAX(c.n_churned), 0) AS BIGINT) AS n_churned
+FROM states s LEFT JOIN churned c ON c.wk = s.wk
+GROUP BY s.wk ORDER BY week
+""",
+    doc="Weekly growth accounting (the Amplitude/Social-Capital "
+        "framework): every active user classified new / retained / "
+        "resurrected per week, plus the churned count (active last "
+        "week, absent this week) — the decomposition that tells a "
+        "growth team WHERE a WAU change came from, one level deeper "
+        "than the DAU/WAU/MAU row.  All exact integer counts from the "
+        "state-space-sized distinct (user, week) table: one distinct "
+        "collapse, one per-user min, self-joins keyed on "
+        "(user, adjacent-week).  plans/events.py:events_growth_acct.",
+    tags=("events", "aggregate"),
+)
+def events_growth_acct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    activity = (e.select("user_id",
+                         F.date_trunc("week", "ts").alias("wk"))
+                .distinct().localCheckpoint(eager=True))
+    firsts = activity.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    prev = activity.select(F.col("user_id").alias("p_user"),
+                           (F.col("wk")
+                            + F.expr("INTERVAL 7 DAYS")).alias("p_next"))
+    cur = activity.join(firsts, "user_id")
+    state = (cur.join(prev, (prev["p_user"] == cur["user_id"])
+                      & (prev["p_next"] == cur["wk"]), "left")
+             .select("wk", "user_id",
+                     F.when(F.col("first_wk") == F.col("wk"), "new")
+                      .when(F.col("p_user").isNotNull(), "retained")
+                      .otherwise("resurrected").alias("state")))
+    per_wk = (state.groupBy("wk")
+              .agg(F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+                    .cast("bigint").alias("n_new"),
+                   F.sum(F.when(F.col("state") == "retained", 1)
+                         .otherwise(0)).cast("bigint").alias("n_retained"),
+                   F.sum(F.when(F.col("state") == "resurrected", 1)
+                         .otherwise(0)).cast("bigint")
+                    .alias("n_resurrected")))
+    # churned at week w: active at w-1, absent at w (only weeks that
+    # exist in the spine, matching the oracle's weeks CTE)
+    weeks = activity.select("wk").distinct()
+    prev_act = activity.select(F.col("user_id").alias("c_user"),
+                               (F.col("wk") + F.expr("INTERVAL 7 DAYS"))
+                               .alias("wk"))
+    still = activity.select(F.col("user_id").alias("c_user"), "wk")
+    churn = (weeks.join(prev_act, "wk")
+             .join(still, ["wk", "c_user"], "left_anti")
+             .groupBy("wk")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned")))
+    return (per_wk.join(churn, "wk", "left")
+            .select(F.col("wk").cast("timestamp_ntz").alias("week"),
+                    "n_new", "n_retained", "n_resurrected",
+                    F.coalesce(F.col("n_churned"), F.lit(0))
+                     .cast("bigint").alias("n_churned"))
+            .orderBy("week"))
