@@ -892,3 +892,100 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return D.winnowing_pairs(docs, "doc_id", "text",
                              k=8, w=4, max_df=20, min_shared=5)
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=r"""
+WITH RECURSIVE corpus AS (
+  -- histogram over a 1-in-3 stratum: the recursive-closure oracle is
+  -- quadratic per component and the FULL pair graph at sf0.1 (~1M
+  -- edges) never finishes; the stratum keeps the oracle tractable
+  -- while the banding logic under test is unchanged (the full-corpus
+  -- component machinery is already oracled by dedup_cluster_components)
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+), sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           range(1, len(string_split_regex(text, '\s+')) - 1),
+           i -> array_to_string(string_split_regex(text, '\s+')[i:i+2], ' ')))) AS s
+  FROM corpus
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE 10 * len(list_intersect(a.s, b.s))
+        >= 8 * len(list_distinct(list_concat(a.s, b.s)))
+), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+), comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS rep FROM reach GROUP BY a
+), sizes AS (
+  SELECT rep, COUNT(*) AS sz FROM comp GROUP BY rep
+), n_docs AS (
+  SELECT COUNT(*) AS n FROM corpus
+), singletons AS (
+  SELECT (SELECT n FROM n_docs)
+         - (SELECT COUNT(*) FROM comp) AS n_single
+), banded AS (
+  SELECT CASE WHEN sz = 2 THEN '1_pair'
+              WHEN sz <= 5 THEN '2_small_3_5'
+              WHEN sz <= 20 THEN '3_medium_6_20'
+              ELSE '4_large_over_20' END AS band,
+         sz
+  FROM sizes
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs_in_band,
+       CAST(MAX(sz) AS BIGINT) AS max_cluster
+FROM banded GROUP BY band
+UNION ALL
+SELECT '0_singleton', CAST(n_single AS BIGINT),
+       CAST(n_single AS BIGINT), CAST(1 AS BIGINT)
+FROM singletons
+ORDER BY band
+""",
+    doc="Duplicate-cluster size distribution: the connected-component "
+        "clusters (dedup_cluster_components' machinery verbatim) "
+        "banded by size, with singletons (docs in no near-dup pair) as "
+        "their own band — the readout that tells a curation run "
+        "whether duplication is a few mirror FARMS (mass in the large "
+        "band, cheap to kill) or diffuse near-dup smear (mass in "
+        "pairs, needs the full LSH pass); also the denominator "
+        "evidence for the keep-one-per-cluster yield estimate.  All "
+        "exact integer counts.  Scale: the component labels are the "
+        "O(diameter)-round propagation; everything after is "
+        "cluster-count-sized. plans/dedup.py:dedup_cluster_sizes.",
+    tags=("dedup", "graph", "diagnostics"),
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 3 == 0))
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                  threshold_num=8, threshold_den=10)
+    comp = D.connected_components(pairs)
+    sizes = (comp.groupBy("label")
+             .agg(F.count(F.lit(1)).alias("sz"))
+             .localCheckpoint(eager=True))
+    n_docs = docs.count()
+    n_clustered = sizes.agg(F.sum("sz")).first()[0] or 0
+    band = (F.when(F.col("sz") == 2, "1_pair")
+            .when(F.col("sz") <= 5, "2_small_3_5")
+            .when(F.col("sz") <= 20, "3_medium_6_20")
+            .otherwise("4_large_over_20"))
+    banded = (sizes.select(band.alias("band"), "sz")
+              .groupBy("band")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+                   F.sum("sz").cast("bigint").alias("n_docs_in_band"),
+                   F.max("sz").cast("bigint").alias("max_cluster")))
+    single = spark.createDataFrame(
+        [("0_singleton", int(n_docs - n_clustered),
+          int(n_docs - n_clustered), 1)],
+        "band string, n_clusters bigint, n_docs_in_band bigint, "
+        "max_cluster bigint")
+    return banded.unionByName(single).orderBy("band")
