@@ -84,7 +84,8 @@ from . import tpch            # noqa: E402,F401
 #   events_error_rate_daily, sim_cosine_distance_histogram,
 #   text_hapax_ratio_by_source, window_value_ignore_nulls,
 #   sim_ann_recall_at_k_sweep, events_growth_accounting_weekly,
-#   dedup_cluster_size_histogram  (21-entry r10 pool).
+#   dedup_cluster_size_histogram, events_hourly_profile,
+#   pipeline_length_percentiles_by_lang  (23-entry r10 pool).
 #   They lead the r10 window together with re-pins from the oldest
 #   never-re-checked block (the 23 r01 entries below, if their r9
 #   re-pin is superseded, else the r02 cedes listed in the comments).

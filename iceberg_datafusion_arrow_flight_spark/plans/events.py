@@ -3532,3 +3532,48 @@ def events_growth_acct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("n_churned"), F.lit(0))
                      .cast("bigint").alias("n_churned"))
             .orderBy("week"))
+
+
+@register(
+    "events_hourly_profile",
+    oracle="""
+WITH cells AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, EXTRACT(hour FROM ts)
+), totals AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+         CAST(MAX(n) AS BIGINT) AS peak_n
+  FROM cells GROUP BY event_type
+)
+SELECT c.event_type, c.hr, c.n,
+       ROUND(24.0 * c.n / t.total, 6) AS hourly_index,
+       (c.n = t.peak_n) AS is_peak
+FROM cells c JOIN totals t USING (event_type)
+ORDER BY c.event_type, c.hr
+""",
+    doc="Hour-of-day activity profile per event type: 24 cells with "
+        "the hourly index 24n/total (1.0 = flat) and a peak-hour flag "
+        "— the diurnal half of the seasonality pair (the dow entry is "
+        "the weekly half); capacity planning and anomaly baselines "
+        "both start here.  Counts exact, index one integer ratio, the "
+        "peak flag an integer comparison (ties flag every maximal "
+        "hour — deterministic).  One (type, hour) partial-agg "
+        "shuffle, 24x|types| cells out. "
+        "plans/events.py:events_hourly_profile.",
+    tags=("events", "aggregate"),
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cells = (e.select("event_type", F.hour("ts").cast("int").alias("hr"))
+             .groupBy("event_type", "hr")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    totals = (cells.groupBy("event_type")
+              .agg(F.sum("n").cast("bigint").alias("total"),
+                   F.max("n").cast("bigint").alias("peak_n")))
+    return (cells.join(totals, "event_type")
+            .select("event_type", "hr", "n",
+                    F.round(F.lit(24.0) * F.col("n") / F.col("total"), 6)
+                     .alias("hourly_index"),
+                    (F.col("n") == F.col("peak_n")).alias("is_peak"))
+            .orderBy("event_type", "hr"))

@@ -1543,3 +1543,44 @@ def pipeline_temperature_mixture(spark: SparkSession,
                             / F.greatest(F.col("n"), F.lit(1)), 6)
                      .alias("epochs"))
             .orderBy("source"))
+
+
+@register(
+    "pipeline_length_percentiles_by_lang",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       ROUND(QUANTILE_CONT(n_chars, 0.10), 4) AS p10,
+       ROUND(QUANTILE_CONT(n_chars, 0.50), 4) AS p50,
+       ROUND(QUANTILE_CONT(n_chars, 0.90), 4) AS p90,
+       ROUND(QUANTILE_CONT(n_chars, 0.99), 4) AS p99,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    doc="Document-length percentile profile per language (p10/p50/p90/"
+        "p99 exact continuous quantiles + min/max) — the calibration "
+        "table length-based quality filters (Gopher's min/max-chars "
+        "rules, the C4 short-doc drop) are tuned from, per language "
+        "because length distributions differ by script.  Same exact-"
+        "percentile spelling as agg_median_percentile (Spark "
+        "percentile() == DuckDB QUANTILE_CONT).  Scale: exact "
+        "percentiles group-shuffle (lang, n_chars) pairs — bounded by "
+        "the distinct-length domain per group; for truly hot groups "
+        "the HDR-sketch entry is the approximate path. "
+        "plans/pipeline_queries.py:pipeline_length_percentiles.",
+    tags=("pipeline", "stats", "diagnostics"),
+)
+def pipeline_length_percentiles(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    c = F.col("n_chars")
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.min(c).cast("bigint").alias("min_chars"),
+                 F.round(F.percentile(c, 0.10), 4).alias("p10"),
+                 F.round(F.percentile(c, 0.50), 4).alias("p50"),
+                 F.round(F.percentile(c, 0.90), 4).alias("p90"),
+                 F.round(F.percentile(c, 0.99), 4).alias("p99"),
+                 F.max(c).cast("bigint").alias("max_chars"))
+            .orderBy("lang"))
