@@ -89,52 +89,57 @@ from . import tpch            # noqa: E402,F401
 #   They lead the r10 window together with re-pins from the oldest
 #   never-re-checked block (the 23 r01 entries below, if their r9
 #   re-pin is superseded, else the r02 cedes listed in the comments).
+#   State at r09 close: registry 391; CORRECTNESS_r01-r09 union = 368
+#   ever-checked (360 full-green, 8 rows-only by design with oracled
+#   witnesses, 0 red).  The 23 never-checked entries (all added late
+#   r9, each two-scale local-gated on arrival) form the r10 pool below.
+#
+#   r10 window (below) = that 23-entry pool + 27 re-pins drawn from the
+#   OLDEST never-re-checked driver-green block: the 36 last-checked-r02
+#   entries, oldest-first in registration order (the 9 r02 entries that
+#   do not fit — text_token_counts, sketch_bloom_membership,
+#   join_asof_events, ddl_ctas_insert_select, io_copy_to_roundtrip,
+#   catalog_information_schema_tables, iceberg_time_travel,
+#   pipeline_train_test_split, tpch_q12_priority_shipping — lead the
+#   r11 re-pin queue).  Entries NEW in r10 cede re-pin slots from the
+#   list TAIL (youngest-staleness-first), exactly the r08/r09 policy.
 _PRIORITY: list[str] = [
-    # --- the 15-entry r09 never-checked pool (retires cumulative
-    # driver coverage back to all-checked 357/357):
-    "events_benford_deviation", "events_ab_srm_check",
-    "multimodal_phash_near_dup_pairs", "agg_equi_depth_histogram",
-    "stream_tumbling_finalized_vs_batch", "graph_harmonic_centrality",
-    "text_term_burstiness", "iceberg_rest_rollback",
-    "events_attribution_linear", "graph_rich_club",
-    "pipeline_decontaminate_bloom", "sim_ann_recall_by_label",
-    "agg_cube_empty", "events_bounce_rate_daily", "events_dau_wau_mau",
-    # --- re-pins: the 23 last-checked-r01 entries (oldest first in
-    # registration order):
-    "cte_multi", "setop_intersect_all", "setop_except_all",
-    "sort_nulls_ordering", "distinct_on", "values_inline",
-    "filter_ilike_null_safe", "filter_is_true_unknown",
-    "join_range_binned", "project_star_except",
-    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
-    "tpch_q10_returned_items", "tpch_q14_promo_effect",
-    "tpch_q19_discounted_revenue", "tpch_q18_large_volume_customer",
-    "tpch_q8_national_market_share", "tpch_q4_order_priority",
-    "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
-    "tpch_q22_global_sales_opportunity",
-    # --- re-pins: the oldest r02 block (cede candidates for entries
-    # NEW in r09, tail-first — ceded so far: window_sales_running,
-    # window_value_functions, window_offset_lag_lead, window_ranking,
-    # agg_weighted_percentile, agg_median_percentile, agg_string_agg.
-    # window_range_frame is NOT cedeable this round: its implementation
-    # was REWRITTEN r9 (distributed CDF replacement for the single-
-    # partition RANGE window) and needs the driver re-pin.  Further
-    # cedes for the second r09 batch: agg_variance_stddev,
-    # agg_corr_covar_regr, agg_min_max_by, then
-    # agg_having_filter_distinct for the Holt-Winters flagship:
-    "window_range_frame",
-    # --- NEW in r09 (two-scale local-gated on arrival):
-    "stream_countmin_partials_merge",
-    "stream_dedup_ingest_kept_set",
-    "graph_common_neighbors_jaccard",
-    "window_cume_dist_percent_rank",
-    "sketch_countmin_heavy_hitters",
-    "events_seasonality_dow_profile",
-    "pipeline_dedup_rate_by_source",
-    "multimodal_color_moments",
-    "graph_local_clustering_coefficient",
-    "events_cohort_ltv_curve",
-    "events_holt_winters_seasonal",
+    # --- the 23-entry r09 never-checked pool (retires cumulative
+    # driver coverage back to all-checked 391/391):
+    "agg_grouping_id_bitmask", "window_value_ignore_nulls",
+    "func_bitwise", "unnest_explode_outer",
+    "dedup_cluster_size_histogram", "sim_cosine_distance_histogram",
+    "sim_ann_recall_at_k_sweep", "text_tokenizer_fertility",
+    "text_hapax_ratio_by_source", "multimodal_png_decode",
+    "multimodal_pixel_dedup_cross_codec", "join_asof_forward_tolerance",
+    "events_time_to_convert", "events_retention_day_n",
+    "events_anomaly_hw_residual", "events_error_rate_daily",
+    "events_growth_accounting_weekly", "events_hourly_profile",
+    "io_copy_compression_codecs", "pipeline_temperature_mixture",
+    "pipeline_length_percentiles_by_lang",
+    "stream_join_purchase_after_signup", "stream_stateful_running_totals",
+    # --- rewrite re-pins (NOT cedeable this round): the LSH candidate-
+    # dedup shuffle rewrite (VERDICT r9 "What's wrong" #1) touches
+    # sim_ann_lsh_topk and sim_cross_corpus_decontaminate, and
+    # sim_ann_recall_report is a reproduced r9 regression under
+    # re-measurement — all three need a fresh driver pin, exactly the
+    # window_range_frame precedent from r09:
+    "sim_ann_lsh_topk", "sim_cross_corpus_decontaminate",
+    "sim_ann_recall_report",
+    # --- re-pins: first 24 of the 36 last-checked-r02 entries
+    # (oldest-first in registration order); cede candidates for entries
+    # NEW in r10, tail-first (each ceded name re-queues at the head of
+    # the r11 re-pin queue):
+    "agg_having_filter_distinct", "agg_variance_stddev",
+    "agg_corr_covar_regr", "agg_min_max_by", "agg_string_agg",
+    "agg_median_percentile", "agg_weighted_percentile",
+    "window_ranking", "window_offset_lag_lead",
+    "window_value_functions", "window_sales_running",
+    "window_agg_mixed_with_groupby", "window_groups_frame",
+    "func_string_basic", "func_string_search", "func_regex",
+    "func_crypto_encoding", "func_trig", "func_datetime",
+    "func_conditional", "func_cast_trycast",
+    "unnest_explode", "json_access", "table_func_generate_series",
 ]
 
 

@@ -67,17 +67,18 @@ def test_every_family_has_a_priority_row():
                  if not any(n in _PRIORITY for n in names)
                  # Families with a cumulative driver-green row need no slot
                  # in the CURRENT window (every family below has 100%
-                 # driver coverage through r08 — CORRECTNESS_r01-r08 union
-                 # 342 ever-checked, 0 red; the r09 window spends its
-                 # re-pin slots on the OLDEST entries — the r01
-                 # relational/TPC-H block + the oldest r02 agg/window
-                 # rows — so the recently-checked (r07/r08-green)
-                 # dedup/sketch/subquery families and the extension
-                 # families sit out this rotation):
-                 and fam not in ("map", "json", "table_function", "ddl",
-                                 "catalog", "function", "struct",
-                                 "multimodal", "array", "graph",
-                                 "io", "dialect", "service",
-                                 "similarity", "text",
-                                 "dedup", "sketch", "subquery")]
+                 # driver coverage through r09 — CORRECTNESS_r01-r09 union
+                 # 368 ever-checked, 0 red; the r10 window spends its
+                 # re-pin slots on the OLDEST never-re-checked entries —
+                 # the r02 agg/window/func block — plus the three
+                 # LSH-rewrite re-pins, so the r09-green relational/TPC-H
+                 # block and the recently-checked extension families sit
+                 # out this rotation):
+                 and fam not in ("map", "json", "ddl",
+                                 "catalog", "struct",
+                                 "graph", "dialect", "service",
+                                 "sketch", "subquery",
+                                 "cte", "setop", "sort", "distinct",
+                                 "values", "filter", "projection",
+                                 "tpch", "iceberg")]
     assert not uncovered, uncovered
