@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .partitioning import checkpoint_partitioned, fan_out, fits_broadcast
+from .materialize import materialize, materialize_lazy
 
 
 def normalize_text(col: Column) -> Column:
@@ -142,7 +143,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # checkpoint's blocks are ContextCleaner-reclaimed once the caller
     # drops the result (see operators/similarity.py:semantic_dedup).
     sigs = minhash_signature(fan_out(df), id_col, text_col,
-                             n_hashes).localCheckpoint(eager=True)
+                             n_hashes).transform(materialize)
     band_entries = sigs.select(
         "__id",
         F.explode(F.array(*[
@@ -220,8 +221,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("need n_chunks > max_hamming for exact recall")
     # localCheckpoint, not cache() — lazily-returned intermediate; see
     # minhash_lsh_pairs for the unpersist-discipline rationale.
-    sigs = simhash(fan_out(df), id_col, text_col, bits).localCheckpoint(
-        eager=True)
+    sigs = simhash(fan_out(df), id_col, text_col, bits).transform(materialize)
     width = bits // n_chunks
     mask = (1 << width) - 1
     chunks = sigs.select(
@@ -292,7 +292,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   + 1).cast("int")
     base = (df.select(F.col(id_col).alias("__id"), sh.alias("__sh"),
                       F.slice(sh, 1, prefix_len).alias("__prefix"))
-            .localCheckpoint(eager=True))
+            .transform(materialize))
     entries = base.select("__id", F.explode("__prefix").alias("__p"))
     cand = (entries.alias("l")
             .join(entries.alias("r"),
@@ -414,7 +414,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # pair-mining pipeline twice in the one materialization job.
     e = (edges.select(F.col(src).cast("long").alias("a"),
                       F.col(dst).cast("long").alias("b"))
-         .localCheckpoint(eager=True))
+         .transform(materialize))
     # Two round regimes, decided once by whether the O(nodes) label
     # state fits the broadcast threshold (see operators/graph.py for
     # the twin decision in pagerank):
@@ -452,7 +452,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                           F.least(F.col("label"),
                                   F.coalesce(F.col("__nl"), F.col("label")))
                           .alias("label")))
-        labels = (labels.localCheckpoint(eager=True) if broadcast_state
+        labels = (labels.transform(materialize) if broadcast_state
                   else checkpoint_partitioned(labels, "node"))
         s = labels.agg(F.sum("label")).first()[0]
         if s == prev_sum:
@@ -495,8 +495,8 @@ def minhash_lsh_pairs_cross(left: DataFrame, right: DataFrame,
 
     # localCheckpoint, not cache() — lazily-returned intermediates; see
     # minhash_lsh_pairs for the unpersist-discipline rationale.
-    lb = _bands(fan_out(left), "l").localCheckpoint(eager=True)
-    rb = _bands(fan_out(right), "r").localCheckpoint(eager=True)
+    lb = _bands(fan_out(left), "l").transform(materialize)
+    rb = _bands(fan_out(right), "r").transform(materialize)
     cand = (lb.join(rb, ["band", "bh"])
             .select("l_id", "r_id", "l_tokens", "r_tokens")
             .dropDuplicates(["l_id", "r_id"]))
@@ -606,7 +606,7 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
             .select(F.col(id_col).alias("__id"),
                     F.lower(F.col(text_col)).alias("__s"))
             .where(F.length("__s") >= nseg)
-            .localCheckpoint(eager=False))
+            .transform(materialize_lazy))
     L = F.length("__s")
 
     def seg_len(l: Column, i: Column) -> Column:
@@ -723,7 +723,7 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     base = (df.select(F.col(id_col).alias("__id"), sh.alias("__sh"),
                       F.slice(sh, 1, prefix_len).alias("__prefix"))
             .where(F.size("__sh") > 0)
-            .localCheckpoint(eager=True))
+            .transform(materialize))
     # The lossless size filter (|B| >= t*|A|) rides INSIDE the
     # candidate join as two int columns, not after it: on a shared-
     # template corpus the posting join emits ~40% of all ordered pairs,

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .partitioning import checkpoint_partitioned, fits_broadcast
+from .materialize import materialize
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -75,7 +76,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     e = (edges.select(F.col(src).cast("long").alias("a"),
                       F.col(dst).cast("long").alias("b"))
-         .localCheckpoint(eager=True))
+         .transform(materialize))
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
     nodes = (e.select(F.col("a").alias("node"))
              .union(e.select(F.col("b").alias("node"))).distinct())
@@ -83,7 +84,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # empty for symmetrized graphs, where the per-round redistribution
     # job is skipped outright.
     dangling = (nodes.join(deg, nodes["node"] == deg["a"], "left_anti")
-                .localCheckpoint(eager=True))
+                .transform(materialize))
     has_dangling = not dangling.isEmpty()
     if reset is None:
         ntot = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
@@ -98,7 +99,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         seeds = (reset.select(F.col(seed_col).cast("long")
                               .alias("__seed")).distinct()
                  .join(nodes, F.col("__seed") == nodes["node"], "left_semi")
-                 .localCheckpoint(eager=True))
+                 .transform(materialize))
         if seeds.isEmpty():
             raise ValueError(
                 "personalized pagerank: no seed appears in the graph — "
@@ -113,7 +114,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                                        F.lit(1.0) / F.col("__s"))
                                 .otherwise(F.lit(0.0)),
                                 round_digits).alias("__reset")))
-    base = base.localCheckpoint(eager=True)
+    base = base.transform(materialize)
     # Two per-round regimes, decided once by whether the O(nodes) rank
     # state fits the session broadcast threshold (overridable):
     #
@@ -165,7 +166,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                          F.round(F.lit(1.0 - damping) * F.col("__reset")
                                  + F.lit(damping) * incoming,
                                  round_digits).alias("rank")))
-        ranks = (ranks.localCheckpoint(eager=True) if broadcast_state
+        ranks = (ranks.transform(materialize) if broadcast_state
                  else checkpoint_partitioned(ranks, "node"))
     return ranks
 
@@ -193,7 +194,7 @@ def degree_orient(und: DataFrame) -> DataFrame:
     cluster persist(MEMORY_AND_DISK) is the lineage-keeping drop-in) —
     the same materialize-before-reuse discipline as ann_lsh_topk's
     bucket table; without it the upstream edge build re-runs per leg."""
-    und = und.localCheckpoint(eager=True)
+    und = und.transform(materialize)
     deg = (und.select(F.col("u").alias("node"))
            .unionAll(und.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count("*").alias("deg")))
@@ -232,7 +233,7 @@ def triangles(oriented: DataFrame) -> DataFrame:
     it is materialized once (localCheckpoint; persist(MEMORY_AND_DISK)
     is the multi-executor drop-in).  shuffle_hash hints: the adjacency
     table is the build side and sorting either side buys nothing."""
-    oriented = oriented.localCheckpoint(eager=True)
+    oriented = oriented.transform(materialize)
     adj = oriented.groupBy("s").agg(F.collect_list("d").alias("nb"))
     a_adj = adj.select(F.col("s").alias("a"), F.col("nb").alias("nb_a"))
     b_adj = adj.select(F.col("s").alias("b"), F.col("nb").alias("nb_b"))
@@ -268,18 +269,18 @@ def bfs_layers(und: DataFrame, seeds: DataFrame,
     sym = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
            .unionByName(und.select(F.col("v").alias("a"),
                                    F.col("u").alias("b")))
-           .localCheckpoint(eager=True))
+           .transform(materialize))
     nodes = sym.select(F.col("a").alias("node")).distinct()
     visited = (seeds.select("node").distinct()
                .withColumn("depth", F.lit(0))
-               .localCheckpoint(eager=True))
+               .transform(materialize))
     frontier = visited.select("node")
     for d in range(1, max_depth + 1):
         nbrs = (frontier.join(sym, frontier["node"] == sym["a"])
                 .select(F.col("b").alias("node")).distinct())
         new = (nbrs.join(visited.select("node"), "node", "left_anti")
                .withColumn("depth", F.lit(d))
-               .localCheckpoint(eager=True))
+               .transform(materialize))
         # Frontier exhausted ⇒ every later layer is empty by
         # definition: stop expanding (the depth spine below still
         # emits the zero rows).  The check is free — `new` was just
@@ -333,10 +334,10 @@ def kcore_peel(und: DataFrame, k: int, rounds: int = 8) -> DataFrame:
     never node² — with the node set checkpointed per round (flat
     lineage; persist(MEMORY_AND_DISK) is the multi-executor drop-in)."""
     spark = und.sparkSession
-    edges = und.select("u", "v").localCheckpoint(eager=True)
+    edges = und.select("u", "v").transform(materialize)
     nodes = (edges.select(F.col("u").alias("n"))
              .unionByName(edges.select(F.col("v").alias("n")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct().transform(materialize))
     n_prev = nodes.count()
     ledger = [(0, 0, n_prev)]
     converged_at = None
@@ -350,7 +351,7 @@ def kcore_peel(und: DataFrame, k: int, rounds: int = 8) -> DataFrame:
                .unionByName(live.select(F.col("v").alias("n")))
                .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
         nodes = (deg.where(F.col("d") >= k).select("n")
-                 .localCheckpoint(eager=True))
+                 .transform(materialize))
         n_now = nodes.count()
         ledger.append((r, n_prev - n_now, n_now))
         if n_now == n_prev:
@@ -384,10 +385,10 @@ def label_propagation(und: DataFrame, rounds: int = 3) -> DataFrame:
     sym = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
            .unionByName(und.select(F.col("v").alias("a"),
                                    F.col("u").alias("b")))
-           .localCheckpoint(eager=True))
+           .transform(materialize))
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .select("node", F.col("node").alias("label"))
-              .localCheckpoint(eager=True))
+              .transform(materialize))
     for _ in range(rounds):
         votes = (sym.join(labels.withColumnRenamed("node", "b"), "b")
                  .select(F.col("a").alias("node"), "label"))
@@ -399,7 +400,7 @@ def label_propagation(und: DataFrame, rounds: int = 3) -> DataFrame:
                                    (-F.col("label")).alias("neg")))
                     .alias("m"))
                .select("node", (-F.col("m.neg")).alias("label")))
-        labels = new.localCheckpoint(eager=True)
+        labels = new.transform(materialize)
     return labels
 
 
@@ -419,10 +420,10 @@ def multi_seed_bfs_distances(und: DataFrame, seeds: DataFrame,
     sym = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
            .unionByName(und.select(F.col("v").alias("a"),
                                    F.col("u").alias("b")))
-           .localCheckpoint(eager=True))
+           .transform(materialize))
     visited = (seeds.select(F.col("seed"), F.col("seed").alias("node"))
                .withColumn("depth", F.lit(0))
-               .localCheckpoint(eager=True))
+               .transform(materialize))
     frontier = visited.select("seed", "node")
     for d in range(1, max_depth + 1):
         nbrs = (frontier.join(sym, frontier["node"] == sym["a"])
@@ -430,9 +431,9 @@ def multi_seed_bfs_distances(und: DataFrame, seeds: DataFrame,
         new = (nbrs.join(visited.select("seed", "node"),
                          ["seed", "node"], "left_anti")
                .withColumn("depth", F.lit(d))
-               .localCheckpoint(eager=True))
+               .transform(materialize))
         if new.isEmpty():
             break
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        visited = visited.unionByName(new).transform(materialize)
         frontier = new.select("seed", "node")
     return visited

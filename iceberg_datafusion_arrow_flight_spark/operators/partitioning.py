@@ -22,6 +22,7 @@ from __future__ import annotations
 import threading
 
 from pyspark.sql import DataFrame
+from .materialize import materialize
 
 # Serializes the AQE conf flip in :func:`checkpoint_partitioned`.  Two
 # concurrent callers could otherwise interleave save/flip/restore so one
@@ -108,7 +109,6 @@ def checkpoint_partitioned(df: DataFrame, *keys: str) -> DataFrame:
         prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            return df.repartition(*[df[k] for k in keys]).localCheckpoint(
-                eager=True)
+            return df.repartition(*[df[k] for k in keys]).transform(materialize)
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from .materialize import materialize
 
 
 def with_global_rank(df: DataFrame, order_cols: list[Column],
@@ -37,7 +38,7 @@ def with_global_rank(df: DataFrame, order_cols: list[Column],
                   or spark.sparkContext.defaultParallelism)
     ranged = (df.repartitionByRange(n_parts, *order_cols)
               .withColumn("__pid", F.spark_partition_id())
-              .localCheckpoint(eager=True))  # pin the pid assignment
+              .transform(materialize))  # pin the pid assignment
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     local = ranged.withColumn("__lrank", F.row_number().over(w))
     sizes = (ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
@@ -107,7 +108,7 @@ def with_range_frame_count(df: DataFrame, value_col: str, id_cols: list[str],
     spark = df.sparkSession
     n_parts = int(num_partitions or spark.sparkContext.defaultParallelism)
     v = F.col(value_col).cast("double")
-    base = df.select(*id_cols, v.alias("__v")).localCheckpoint(eager=True)
+    base = df.select(*id_cols, v.alias("__v")).transform(materialize)
     data = base.select(
         *[F.lit(None).cast(base.schema[c].dataType).alias(c)
           for c in id_cols],
@@ -119,7 +120,7 @@ def with_range_frame_count(df: DataFrame, value_col: str, id_cols: list[str],
     merged = (data.unionByName(q_lt).unionByName(q_le)
               .repartitionByRange(n_parts, F.col("__v"), F.col("__tb"))
               .withColumn("__pid", F.spark_partition_id())
-              .localCheckpoint(eager=True))  # pin the pid assignment
+              .transform(materialize))  # pin the pid assignment
     w = (Window.partitionBy("__pid").orderBy("__v", "__tb")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = merged.withColumn("__csum", F.sum("__w").over(w))

@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from .materialize import materialize
 
 
 def iterate_fixpoint(seed: DataFrame,
@@ -34,14 +35,14 @@ def iterate_fixpoint(seed: DataFrame,
     ``step`` receives the previous FRONTIER only (semi-naïve);
     ``distinct_frontier=True`` additionally dedups each frontier —
     UNION (not ALL) semantics against cycles."""
-    frontier = seed.localCheckpoint(eager=True)
+    frontier = seed.transform(materialize)
     acc = frontier
     for i in range(max_iterations):
         nxt = step(frontier)
         if distinct_frontier:
             nxt = nxt.distinct()
         if i % checkpoint_every == checkpoint_every - 1:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.transform(materialize)
         if nxt.isEmpty():
             return acc
         frontier = nxt

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from .partitioning import checkpoint_partitioned, fan_out
 from pyspark.sql.window import Window
+from .materialize import materialize
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -187,7 +188,7 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     cb = c.select(
         "corpus_id", "cv",
         *[lsh_bucket(F.col("cv"), n_planes, dims, t).alias(f"__b{t}")
-          for t in range(n_tables)]).localCheckpoint(eager=True)
+          for t in range(n_tables)]).transform(materialize)
     cands = None
     for t in range(n_tables):
         cand = (qb.join(cb, qb[f"__b{t}"] == cb[f"__b{t}"])
@@ -595,8 +596,7 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     # ContextCleaner once the caller drops the result — the release
     # discipline available for lazily-returned intermediates (the gate
     # harness asserts the CacheManager stays empty after every entry).
-    assigned = ivf_assign(base, cdf, "__v", nprobe=1).localCheckpoint(
-        eager=True)
+    assigned = ivf_assign(base, cdf, "__v", nprobe=1).transform(materialize)
     a = assigned.select(F.col("__cell").alias("cell"),
                         F.col("__id").alias("id_a"),
                         F.col("__v").alias("va"))
@@ -748,11 +748,11 @@ def cross_corpus_decontaminate(corpus: DataFrame, other: DataFrame,
     cb = c.select(
         "corpus_id", "cv",
         *[lsh_bucket(F.col("cv"), n_planes, dims, t).alias(f"__b{t}")
-          for t in range(n_tables)]).localCheckpoint(eager=True)
+          for t in range(n_tables)]).transform(materialize)
     ob = o.select(
         "match_id", "ov",
         *[lsh_bucket(F.col("ov"), n_planes, dims, t).alias(f"__b{t}")
-          for t in range(n_tables)]).localCheckpoint(eager=True)
+          for t in range(n_tables)]).transform(materialize)
     cands = None
     for t in range(n_tables):
         cand = (cb.join(ob, cb[f"__b{t}"] == ob[f"__b{t}"])
@@ -897,7 +897,7 @@ def mmr_diverse_topk(corpus: DataFrame, query_id_val: int = 0,
                     F.round(cosine(F.col("v"), qlit), 9).alias("rel"))
             .orderBy(F.col("rel").desc(), "cid").limit(pool_size)
             .withColumn("maxsim", F.lit(0.0))
-            .localCheckpoint(eager=True))
+            .transform(materialize))
     ledger: list[tuple[int, int, float, float, float]] = []
     for rnd in range(1, k + 1):
         score = F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim")
@@ -920,7 +920,7 @@ def mmr_diverse_topk(corpus: DataFrame, query_id_val: int = 0,
                             "maxsim",
                             F.round(cosine(F.col("v"), slit), 9))
                         .alias("maxsim"))
-                .localCheckpoint(eager=True))
+                .transform(materialize))
     return spark.createDataFrame(
         ledger, "round INT, vec_id BIGINT, relevance DOUBLE, "
                 "max_sim_selected DOUBLE, mmr_score DOUBLE")
@@ -958,7 +958,7 @@ def kcenter_coreset(corpus: DataFrame, k: int = 5,
              .select("cid", "v",
                      F.round(F.lit(1.0) - cosine(F.col("v"), slit), 9)
                       .alias("mind"))
-             .localCheckpoint(eager=True))
+             .transform(materialize))
     for rnd in range(2, k + 1):
         best = (state.orderBy(F.col("mind").desc(), "cid")
                 .limit(1).collect())
@@ -973,6 +973,6 @@ def kcenter_coreset(corpus: DataFrame, k: int = 5,
                              "mind",
                              F.round(F.lit(1.0) - cosine(F.col("v"), clit),
                                      9)).alias("mind"))
-                 .localCheckpoint(eager=True))
+                 .transform(materialize))
     return spark.createDataFrame(
         ledger, "round INT, vec_id BIGINT, coverage_radius DOUBLE")

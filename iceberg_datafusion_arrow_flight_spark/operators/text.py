@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from .partitioning import fan_out
 
 from .dedup import hash_expr, normalize_text
+from .materialize import materialize
 
 # Tiny in-expression stopword lists per language (n-gram/stopword-hit
 # heuristic — the classic cheap language-ID signal).
@@ -227,7 +228,7 @@ def bpe_merge_table(df: DataFrame, text_col: str = "text",
     state = (words.select(
         F.concat(F.concat_ws(" ", F.regexp_extract_all(
             "w", F.lit("[a-z]"), 0)), F.lit(" </w>")).alias("s"),
-        "freq").localCheckpoint(eager=True))
+        "freq").transform(materialize))
     ledger: list[tuple[int, str, str, int]] = []
     for rnd in range(1, n_merges + 1):
         arr = F.split("s", " ")
@@ -256,7 +257,7 @@ def bpe_merge_table(df: DataFrame, text_col: str = "text",
                 F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
                 F.lit(f" {best['pair']} "),
                 F.lit(f" {merged} "))).alias("s"),
-            "freq").localCheckpoint(eager=True))
+            "freq").transform(materialize))
     ledger_df = spark.createDataFrame(
         ledger, "round INT, pair STRING, merged STRING, freq BIGINT")
     return (ledger_df, state) if return_state else ledger_df

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .base import register, table
 from ..operators import dedup as D
+from ..operators.materialize import materialize
 
 _TOKS = r"""
   SELECT doc_id,
@@ -609,15 +610,15 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.array_sort(toks), " ").cast("binary"))
          .alias("k2"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")
-              .cast("binary")).alias("k3")).localCheckpoint(eager=True)
+              .cast("binary")).alias("k3")).transform(materialize)
 
     def survivors(df, key):
         w = Window.partitionBy(key).orderBy("doc_id")
         return (df.withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1).drop("__rn"))
 
-    s1 = survivors(keys, "k1").localCheckpoint(eager=True)
-    s2 = survivors(s1, "k2").localCheckpoint(eager=True)
+    s1 = survivors(keys, "k1").transform(materialize)
+    s2 = survivors(s1, "k2").transform(materialize)
     s3 = survivors(s2, "k3")
     counts = [keys.count(), s1.count(), s2.count(), s3.count()]
     rows = [(i + 1, name, counts[i], counts[i + 1])
@@ -695,7 +696,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = (docs.where(F.col("doc_id") % 10 == 0)
               .select("doc_id", tokens(F.col("text")).alias("ts"))
               .select("doc_id", "ts", sig.alias("sig"))
-              .localCheckpoint(eager=True))
+              .transform(materialize))
     a = sample.select(F.col("doc_id").alias("ida"),
                       F.col("ts").alias("ta"), F.col("sig").alias("sa"))
     b = sample.select(F.col("doc_id").alias("idb"),
@@ -971,7 +972,7 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = D.connected_components(pairs)
     sizes = (comp.groupBy("label")
              .agg(F.count(F.lit(1)).alias("sz"))
-             .localCheckpoint(eager=True))
+             .transform(materialize))
     n_docs = docs.count()
     n_clustered = sizes.agg(F.sum("sz")).first()[0] or 0
     band = (F.when(F.col("sz") == 2, "1_pair")

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import register, table
+from ..operators.materialize import materialize
 
 
 @register(
@@ -1229,7 +1230,7 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed exact global rank (operators/ranking.py) — the
     # window form would single-partition the converted-user table
     from ..operators.ranking import with_global_rank
-    conv = conv.localCheckpoint(eager=True)   # rank + count, one compute
+    conv = conv.transform(materialize)   # rank + count, one compute
     n_conv = conv.count()
     ranked = (with_global_rank(conv, [F.col("lat_s"), F.col("user_id")],
                                "rn")
@@ -1827,7 +1828,7 @@ def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                .when(F.col("gap_s") < 14400, "04_1h_4h")
                .when(F.col("gap_s") < 86400, "05_4h_1d")
                .otherwise("06_over_1d"))
-    binned = gaps.select(bin_col.alias("bin")).localCheckpoint(eager=True)
+    binned = gaps.select(bin_col.alias("bin")).transform(materialize)
     total = binned.agg(F.count(F.lit(1)).alias("__n"))
     return (binned.groupBy("bin")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
@@ -1945,7 +1946,7 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.max("ts").alias("last_ts"),
                      F.count(F.lit(1)).cast("bigint").alias("freq"),
                      F.sum(xi).cast("bigint").alias("monetary_centi"))
-                .localCheckpoint(eager=True))  # feeds three rankings
+                .transform(materialize))  # feeds three rankings
     # Three DISTRIBUTED exact NTILEs (operators/ranking.py): a global
     # window would single-partition the user table; the range-partition
     # + offset form keeps every sort parallel and is bit-identical.
@@ -2797,7 +2798,7 @@ ORDER BY s.day
 def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     ud = (e.select("user_id", F.col("ts").cast("date").alias("day"))
-          .distinct().localCheckpoint(eager=True))
+          .distinct().transform(materialize))
     spine = ud.select("day").distinct()
     # Fan each (user, active-day) pair onto the 30 consecutive spine
     # days whose trailing-30 window contains it: spine_day in
@@ -3207,7 +3208,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                .when(F.col("lat_s") < 86400, "03_4h_1d")
                .otherwise("04_over_1d"))
     binned = (lat.select(bin_col.alias("bin"), "lat_s")
-              .localCheckpoint(eager=True))
+              .transform(materialize))
     total = binned.agg(F.count(F.lit(1)).alias("__n"))
     return (binned.groupBy("bin")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
@@ -3495,7 +3496,7 @@ def events_growth_acct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     activity = (e.select("user_id",
                          F.date_trunc("week", "ts").alias("wk"))
-                .distinct().localCheckpoint(eager=True))
+                .distinct().transform(materialize))
     firsts = activity.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
     prev = activity.select(F.col("user_id").alias("p_user"),
                            (F.col("wk")

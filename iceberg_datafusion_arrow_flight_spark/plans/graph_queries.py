@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from .base import register, table
 from ..operators import graph as G
+from ..operators.materialize import materialize
 
 _DAMP = 0.85
 _ITERS = 5
@@ -264,7 +265,7 @@ ORDER BY degree
 )
 def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both degree legs scan the edge list — materialize it once
-    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = _copurchase_edges(spark, sf_dir).transform(materialize)
     deg = (und.select(F.col("u").alias("node"))
            .unionAll(und.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count("*").alias("deg")))
@@ -326,7 +327,7 @@ FROM ranked WHERE r <= 20 ORDER BY rank
 )
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
-    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = _copurchase_edges(spark, sf_dir).transform(materialize)
     und2 = (und.select("u", "v")
             .unionAll(und.select(F.col("v").alias("u"),
                                  F.col("u").alias("v"))))
@@ -595,7 +596,7 @@ LIMIT 20
     tags=("graph", "iterative"),
 )
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = _copurchase_edges(spark, sf_dir).transform(materialize)
     labels = G.label_propagation(und, rounds=2)
     m = und.count()
     la = labels.select(F.col("node").alias("u"), F.col("label").alias("la"))
@@ -688,7 +689,7 @@ ORDER BY seed
     tags=("graph", "iterative"),
 )
 def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = _copurchase_edges(spark, sf_dir).transform(materialize)
     deg_nodes = (und.select(F.col("u").alias("node"))
                  .unionAll(und.select(F.col("v").alias("node")))
                  .distinct())
@@ -743,7 +744,7 @@ FROM sums
     tags=("graph",),
 )
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = _copurchase_edges(spark, sf_dir).transform(materialize)
     sym = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
            .unionByName(und.select(F.col("v").alias("a"),
                                    F.col("u").alias("b"))))
@@ -802,7 +803,7 @@ ORDER BY seed
     tags=("graph", "iterative"),
 )
 def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = _copurchase_edges(spark, sf_dir).transform(materialize)
     deg_nodes = (und.select(F.col("u").alias("node"))
                  .unionAll(und.select(F.col("v").alias("node")))
                  .distinct())
@@ -861,11 +862,11 @@ ORDER BY k
     tags=("graph",),
 )
 def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = _copurchase_edges(spark, sf_dir).transform(materialize)
     deg = (und.select(F.col("u").alias("node"))
            .unionAll(und.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))
-           .localCheckpoint(eager=True))
+           .transform(materialize))
     bands = spark.createDataFrame([(k,) for k in (40, 80, 120, 160)],
                                   "k int")
     rc_nodes = (bands.join(deg, deg["deg"] > bands["k"])
@@ -942,7 +943,7 @@ FROM ranked WHERE r <= 20 ORDER BY rank
 )
 def graph_cn_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
-    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = _copurchase_edges(spark, sf_dir).transform(materialize)
     und2 = (und.select("u", "v")
             .unionAll(und.select(F.col("v").alias("u"),
                                  F.col("u").alias("v"))))
@@ -1022,7 +1023,7 @@ ORDER BY s.node
     tags=("graph",),
 )
 def graph_local_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = _copurchase_edges(spark, sf_dir).transform(materialize)
     und2 = (und.select("u", "v")
             .unionAll(und.select(F.col("v").alias("u"),
                                  F.col("u").alias("v"))))

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..sources.iceberg_lite import SqliteCatalog
 from .base import register, table
+from ..operators.materialize import materialize
 
 
 def _fresh_catalog() -> SqliteCatalog:
@@ -172,7 +173,7 @@ def iceberg_rest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("o_orderstatus"))
         # materialize the plan's file list while the server is up; the
         # read itself scans parquet directly (catalog no longer needed)
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(materialize)
     return out
 
 
@@ -719,7 +720,7 @@ def iceberg_rest_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("o_orderstatus"))
         # materialize while the server is up (the read plans file lists
         # through the catalog; the scan itself is plain parquet)
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(materialize)
     return out
 
 
@@ -772,7 +773,7 @@ def iceberg_rest_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = (t.read(spark)
                .groupBy("o_orderstatus").agg(*_agg_cols())
                .orderBy("o_orderstatus"))
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(materialize)
     return out
 
 
@@ -961,7 +962,7 @@ def iceberg_rest_snapshot_expire(spark: SparkSession,
                .withColumn("snapshots_left", F.lit(1).cast("bigint"))
                .withColumn("expired_travel_fails", F.lit(True))
                .orderBy("o_orderstatus"))
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(materialize)
     return out
 
 
@@ -1248,5 +1249,5 @@ def iceberg_rest_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
                .withColumn("snapshots_kept", F.lit(2).cast("bigint"))
                .withColumn("forward_travel_works", F.lit(True))
                .orderBy("o_orderstatus"))
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(materialize)
     return out

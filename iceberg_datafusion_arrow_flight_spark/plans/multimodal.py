@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .base import register, table
 from ..operators import multimodal as M
+from ..operators.materialize import materialize
 
 
 @register(
@@ -776,7 +777,7 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (table(spark, sf_dir, "documents")
             .where(F.col("doc_id") % 5 == 0).select("doc_id"))
     ph = (M.image_phash(M.attach_image_payload(docs))
-          .localCheckpoint(eager=True))
+          .transform(materialize))
     # 6 pigeonhole bands over the 63 bits: 5 x 11 bits + 1 x 8 bits
     bands = F.array(*[
         F.struct(F.lit(i).alias("band"),

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from .base import register, table
 from ..operators import pipeline as P
+from ..operators.materialize import materialize
 
 # Shared oracle fragments (must mirror operators/text.py exactly —
 # the same spellings the text_* oracles already pin).
@@ -990,7 +991,7 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((f1 & f2 & f3 & f4).cast("int")).cast("bigint").alias("n4"))
     # one row feeds every funnel level — materialize so the union's
     # branches don't each re-run the corpus scan
-    agg = agg.localCheckpoint(eager=True)
+    agg = agg.transform(materialize)
     stages = [(1, "char_band", "n0", "n1"), (2, "min_tokens", "n1", "n2"),
               (3, "quality_score", "n2", "n3"),
               (4, "token_len_band", "n3", "n4")]
@@ -1391,7 +1392,7 @@ def pipeline_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (docs.where(F.col("source") == "src0")
              .select(F.explode(g).alias("g")).distinct())
     bloom = CM.bloom_build(bench, "g", k=4, m=65536) \
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     corpus = (fan_out(docs.where(F.col("source") != "src0"))
               .select("doc_id", F.explode(g).alias("g")).distinct())
     probes = corpus.select(

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from .base import register, table
 from ..operators import similarity as S
+from ..operators.materialize import materialize
 
 # Shared SQL fragments: embeddings as double lists, explicit fold cosine.
 _EMB = """
@@ -1170,7 +1171,7 @@ def sim_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     sample = (emb.where(F.col("vec_id") % 10 == 0)
               .select("vec_id", _as_double(F.col("embedding")).alias("v"))
-              .localCheckpoint(eager=True))
+              .transform(materialize))
     a = sample.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
     b = sample.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
     sims = (a.join(b, F.col("ida") < F.col("idb"))
@@ -1599,7 +1600,7 @@ def sim_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = (emb.where(F.col("vec_id") % 10 == 0)
               .select("vec_id", _as_double(F.col("embedding")).alias("v"))
               .select("vec_id", "v", F.array(*projs).alias("w"))
-              .localCheckpoint(eager=True))
+              .transform(materialize))
     a = sample.select(F.col("vec_id").alias("ida"),
                       F.col("v").alias("va"), F.col("w").alias("wa"))
     b = sample.select(F.col("vec_id").alias("idb"),
@@ -1706,7 +1707,7 @@ def sim_ivf_nprobe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     exact = (S.topk_cosine(queries, emb, k=10)
-             .select("query_id", "corpus_id").localCheckpoint(eager=True))
+             .select("query_id", "corpus_id").transform(materialize))
     nq = queries.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
     out = None
     for p in (1, 2, 4, 8):
@@ -1820,17 +1821,17 @@ def sim_lsh_tables_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
               "query_id", "qv",
               *[lsh_bucket(F.col("qv"), _LSH_WIT_PLANES, _EMB_DIMS, t)
                 .alias(f"__b{t}") for t in range(max_t)])
-          .localCheckpoint(eager=True))
+          .transform(materialize))
     cb = (emb.select(F.col("vec_id").alias("corpus_id"),
                      _as_double(F.col("embedding")).alias("cv"))
           .select("corpus_id", "cv",
                   *[lsh_bucket(F.col("cv"), _LSH_WIT_PLANES, _EMB_DIMS, t)
                     .alias(f"__b{t}") for t in range(max_t)])
-          .localCheckpoint(eager=True))
+          .transform(materialize))
     exact = (S.topk_cosine(q.select(F.col("query_id").alias("vec_id"),
                                     F.col("qv").alias("embedding")), emb,
                            k=10)
-             .select("query_id", "corpus_id").localCheckpoint(eager=True))
+             .select("query_id", "corpus_id").transform(materialize))
     nq = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
     out = None
     for T in sweep:
@@ -1941,7 +1942,7 @@ def sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(F.col("rank") <= k)
                 .select("query_id", "corpus_id"))
 
-    exact = topk(q, emb, F.col("v"), F.col("v")).localCheckpoint(eager=True)
+    exact = topk(q, emb, F.col("v"), F.col("v")).transform(materialize)
     out = None
     for p in (8, 16, 32):
         ann = topk(q, emb, F.slice(F.col("v"), 1, p),
@@ -2101,7 +2102,7 @@ def sim_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("sim")))
     binned = (sims.select(F.floor((F.col("sim") + 1.0) * 10)
                           .cast("int").alias("bin"))
-              .localCheckpoint(eager=True))
+              .transform(materialize))
     total = binned.agg(F.count(F.lit(1)).alias("__n"))
     return (binned.groupBy("bin")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
