@@ -170,12 +170,6 @@ def main() -> None:
 
     sys.excepthook = _crash_hook
     load_start = os.getloadavg()
-    spark = get_spark(app_name="bench")
-    # Warm the JVM/scheduler AND the vectorized parquet-read + codegen
-    # paths so the first measured query isn't charged for session
-    # start-up (the reference's engine warm-up is its process start,
-    # outside its per-query path too).
-    spark.range(1000).selectExpr("sum(id)").collect()
 
     names = [n for n in HEADLINE if n in REGISTRY]
     # Test hook: run a subset so the contract smoke test can execute the
@@ -184,6 +178,21 @@ def main() -> None:
     if only:
         keep = {s.strip() for s in only.split(",") if s.strip()}
         names = [n for n in names if n in keep]
+        if not names:
+            # A typo'd/renamed filter would otherwise print a valid
+            # contract line that measured NOTHING (ADVICE r9).  Checked
+            # BEFORE session startup so the failure is immediate.
+            os.dup2(orig_fd, 2)
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY={only!r} matches no HEADLINE "
+                f"query — valid names: {', '.join(sorted(HEADLINE))}")
+
+    spark = get_spark(app_name="bench")
+    # Warm the JVM/scheduler AND the vectorized parquet-read + codegen
+    # paths so the first measured query isn't charged for session
+    # start-up (the reference's engine warm-up is its process start,
+    # outside its per-query path too).
+    spark.range(1000).selectExpr("sum(id)").collect()
 
     # Warm-up, measured empirically (PERFORMANCE.md r2): the dominant
     # first-run charge for the SHORT queries is whole-stage-codegen

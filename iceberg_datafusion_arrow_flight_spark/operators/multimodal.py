@@ -227,20 +227,35 @@ def _decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
     pos, idat = len(_PNG_SIG), bytearray()
     width = height = None
     while pos < len(buf):
+        # Chunk lengths are untrusted input: validate against the
+        # buffer before slicing so a malformed/truncated payload raises
+        # the codec's loud ValueError, not an opaque zlib/numpy error
+        # downstream (ADVICE r9).
+        if pos + 8 > len(buf):
+            raise ValueError("truncated PNG chunk header")
         ln = int.from_bytes(buf[pos:pos + 4], "big")
+        if ln > 0x7FFFFFFF or pos + 12 + ln > len(buf):
+            raise ValueError(
+                f"PNG chunk length {ln} overruns buffer "
+                f"({len(buf)} bytes, chunk at offset {pos})")
         tag = buf[pos + 4:pos + 8]
         body = buf[pos + 8:pos + 8 + ln]
         crc = int.from_bytes(buf[pos + 8 + ln:pos + 12 + ln], "big")
         if (zlib.crc32(tag + body) & 0xFFFFFFFF) != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if ln != 13:
+                raise ValueError(f"PNG IHDR length {ln} != 13")
             width = int.from_bytes(body[0:4], "big")
             height = int.from_bytes(body[4:8], "big")
-            depth, color, _comp, _filt, interlace = body[8:13]
-            if (depth, color, interlace) != (8, 2, 0):
+            depth, color, comp, filt, interlace = body[8:13]
+            # comp/filt: the spec defines only method 0 for both — a
+            # nonzero value is a different (undecodable-here) stream.
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
                 raise ValueError(
                     f"unsupported PNG profile depth={depth} "
-                    f"color={color} interlace={interlace}")
+                    f"color={color} compression={comp} filter={filt} "
+                    f"interlace={interlace}")
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -250,6 +265,10 @@ def _decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(bytes(idat))
     stride, bpp = width * 3, 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG inflated size {len(raw)} != expected "
+            f"{height * (stride + 1)} for {width}x{height} RGB8")
     out = np.empty((height, stride), np.uint8)
     prev = np.zeros(stride, np.int32)
     for y in range(height):

@@ -174,9 +174,9 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     shingle table).  At sf0.1 the scan is cheap so the measured gain is
     modest (min-of-3-cold 5.77 → 5.38 s on the 8-table default); the
     point is the shape — 1 corpus scan instead of ``n_tables`` — which
-    is what survives when the corpus is the expensive side.  On a
-    multi-executor cluster ``persist(MEMORY_AND_DISK)`` is the drop-in
-    equivalent that keeps lineage."""
+    is what survives when the corpus is the expensive side.  (Cluster
+    deployments switch the materialization strategy process-wide via
+    ``operators.materialize``.)"""
     q = queries.select(F.col(query_id).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
     c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
@@ -189,15 +189,23 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
         "corpus_id", "cv",
         *[lsh_bucket(F.col("cv"), n_planes, dims, t).alias(f"__b{t}")
           for t in range(n_tables)]).transform(materialize)
+    # The exact cosine is computed INSIDE each table's join so the
+    # candidate union carries (query_id, corpus_id, sim) — ~24-byte
+    # rows — into the dedup exchange instead of two dims-sized double
+    # arrays (~1 KB/row ×n_tables pre-dedup multiplicity; at corpus
+    # scale that shuffle dominated the whole query).  A pair surfacing
+    # in several tables recomputes one cheap map-side dot product and
+    # dedups to an identical row: `sim` is a deterministic function of
+    # the pair, so dropDuplicates on the ids alone is value-safe.
     cands = None
     for t in range(n_tables):
         cand = (qb.join(cb, qb[f"__b{t}"] == cb[f"__b{t}"])
                 .where(F.col("query_id") != F.col("corpus_id"))
-                .select("query_id", "corpus_id", "qv", "cv"))
+                .select("query_id", "corpus_id",
+                        F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                         .alias("sim")))
         cands = cand if cands is None else cands.unionAll(cand)
-    cands = cands.dropDuplicates(["query_id", "corpus_id"])
-    sims = cands.select("query_id", "corpus_id",
-                        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))
+    sims = cands.dropDuplicates(["query_id", "corpus_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("corpus_id"))
     return (sims.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -753,21 +761,27 @@ def cross_corpus_decontaminate(corpus: DataFrame, other: DataFrame,
         "match_id", "ov",
         *[lsh_bucket(F.col("ov"), n_planes, dims, t).alias(f"__b{t}")
           for t in range(n_tables)]).transform(materialize)
+    # Cosine + threshold ride INSIDE each table's join (same rewrite as
+    # ann_lsh_topk): the union dedups 24-byte (corpus_id, match_id, sim)
+    # rows instead of pairs of 64-dim double arrays, and the threshold
+    # filter prunes candidates BEFORE the dedup exchange — both safe
+    # because sim is a deterministic function of the pair, so every
+    # table emits an identical row for a duplicate candidate.
     cands = None
     for t in range(n_tables):
         cand = (cb.join(ob, cb[f"__b{t}"] == ob[f"__b{t}"])
-                .select("corpus_id", "match_id", "cv", "ov"))
+                .select("corpus_id", "match_id",
+                        F.round(cosine(F.col("cv"), F.col("ov")), 6)
+                         .alias("sim"))
+                .where(F.col("sim") >= F.lit(threshold)))
         cands = cand if cands is None else cands.unionAll(cand)
-    cands = cands.dropDuplicates(["corpus_id", "match_id"])
-    sims = (cands.select("corpus_id", "match_id",
-                         F.round(cosine(F.col("cv"), F.col("ov")), 6)
-                          .alias("sim"))
-            .where(F.col("sim") >= F.lit(threshold)))
+    sims = cands.dropDuplicates(["corpus_id", "match_id"])
     w = Window.partitionBy("corpus_id").orderBy(
         F.col("sim").desc(), F.col("match_id"))
-    # NOTE: cb/ob are localCheckpoints the returned plan still reads
-    # (unpersisting here would drop blocks the lazy result needs); the
-    # ContextCleaner reclaims them on GC, as in ann_lsh_topk.
+    # NOTE: cb/ob are materialized intermediates the returned plan still
+    # reads (unpersisting here would drop blocks the lazy result needs);
+    # under the default strategy the ContextCleaner reclaims them on GC,
+    # as in ann_lsh_topk.
     return (sims.withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") == 1)
             .select("corpus_id", "match_id", "sim"))

@@ -419,12 +419,24 @@ def io_copy_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(_SCRATCH, f"copyz_{codec}_{uuid.uuid4().hex[:8]}")
         src.write.mode("overwrite").option("compression", codec) \
            .parquet(path)
-        part = next(p for p in sorted(os.listdir(path))
-                    if p.endswith(".parquet"))
-        meta = pq.read_metadata(os.path.join(path, part))
-        applied = meta.row_group(0).column(0).compression.lower()
-        if applied != codec:  # loud: the option must actually bind
-            raise ValueError(f"expected {codec}, footer says {applied}")
+        # Every part file, every row group, every column chunk must
+        # carry the requested codec (ADVICE r9: checking only
+        # row_group(0).column(0) of the first part would miss a writer
+        # falling back elsewhere).  Cheap at this size.
+        parts = [p for p in sorted(os.listdir(path))
+                 if p.endswith(".parquet")]
+        if not parts:
+            raise ValueError(f"no part files written under {path}")
+        for part in parts:
+            meta = pq.read_metadata(os.path.join(path, part))
+            for rg in range(meta.num_row_groups):
+                for ci in range(meta.num_columns):
+                    applied = meta.row_group(rg).column(ci) \
+                                  .compression.lower()
+                    if applied != codec:  # loud: the option must bind
+                        raise ValueError(
+                            f"expected {codec}, {part} row_group={rg} "
+                            f"column={ci} footer says {applied}")
         back = (spark.read.parquet(path)
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                      F.round(F.sum("o_totalprice"), 2).alias("total"))

@@ -354,9 +354,16 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.greatest(agg["seed_id"], agg["cand_id"])
     scored = agg.join(und, (und["u"] == lo) & (und["v"] == hi),
                       "left_anti")
-    w = Window.orderBy(F.col("score_micro").desc(), "seed_id", "cand_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 20)
+    # Global top-20: orderBy+limit plans a distributed
+    # TakeOrderedAndProject (per-partition heaps, driver merge of 20-row
+    # tails); the rank window then runs over the 20-row GlobalLimit —
+    # never a one-task sort of the full candidate table (the r9
+    # row_number-then-filter spelling was exactly that).
+    order = [F.col("score_micro").desc(), F.col("seed_id"),
+             F.col("cand_id")]
+    top = scored.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("seed_id", "cand_id",
                     F.round(F.col("score_micro") / 1000000.0, 4)
                      .alias("aa_score"),
@@ -973,10 +980,14 @@ def graph_cn_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.greatest(scored["seed_id"], scored["cand_id"])
     new_only = scored.join(und, (und["u"] == lo) & (und["v"] == hi),
                            "left_anti")
-    key = F.expr("(1000000000 * n_common) div __union")
-    w = Window.orderBy(key.desc(), "seed_id", "cand_id")
-    return (new_only.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 20)
+    # Same top-20 shape as graph_adamic_adar: distributed
+    # TakeOrderedAndProject first, rank window over the 20-row limit.
+    new_only = new_only.withColumn(
+        "__key", F.expr("(1000000000 * n_common) div __union"))
+    order = [F.col("__key").desc(), F.col("seed_id"), F.col("cand_id")]
+    top = new_only.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("seed_id", "cand_id", "n_common",
                     F.round(F.col("n_common").cast("double")
                             / F.col("__union"), 6).alias("jaccard"),

@@ -131,3 +131,21 @@ def test_bench_main_runs_end_to_end(tmp_path):
     dobj = json.loads(raw)
     assert list(dobj["queries"]) == ["tpch_q6_forecast_revenue",
                                      "dialect_distinct_on"]
+
+def test_bench_empty_filter_exits_nonzero(tmp_path):
+    """A typo'd SPARK_GRAFT_BENCH_ONLY must exit nonzero BEFORE any
+    measurement instead of printing a valid contract line with value 0
+    (ADVICE r9); the check runs pre-session, so this is fast."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY="no_such_query_after_rename",
+        SPARK_GRAFT_BENCH_LOG=str(tmp_path / "stderr.log"),
+    )
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    r = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
+                       capture_output=True, text=True, env=env,
+                       timeout=120)
+    assert r.returncode != 0
+    assert "matches no HEADLINE" in (r.stderr + r.stdout)
+    assert "headline_query_wall_clock_total" not in r.stdout

@@ -1915,3 +1915,31 @@ def test_png_codec_roundtrip_and_filters():
              + _png_chunk(b"IEND", b""))
     with _pytest.raises(ValueError, match="unsupported PNG profile"):
         _decode_png(buf16)
+    # nonzero IHDR compression-method / filter-method bytes raise the
+    # codec's loud error, not an opaque zlib one (ADVICE r9)
+    for pos, label in ((11, "compression"), (12, "filter")):
+        hdr = bytearray(bytes([8, 2, 0, 0, 0]))
+        hdr[pos - 8] = 1
+        bufm = (_PNG_SIG
+                + _png_chunk(b"IHDR", (8).to_bytes(4, "big")
+                             + (8).to_bytes(4, "big") + bytes(hdr))
+                + _png_chunk(b"IEND", b""))
+        with _pytest.raises(ValueError, match="unsupported PNG profile"):
+            _decode_png(bufm)
+    # chunk length overrunning the buffer raises loudly, not IndexError
+    good = _encode_png(8, 8, np.zeros((8, 8, 3), np.uint8))
+    overrun = bytearray(good)
+    overrun[8:12] = (10 ** 6).to_bytes(4, "big")  # IHDR length lies
+    with _pytest.raises(ValueError, match="overruns buffer"):
+        _decode_png(bytes(overrun))
+    # truncated mid-chunk-header raises loudly
+    with _pytest.raises(ValueError, match="truncated PNG chunk"):
+        _decode_png(good[:len(_PNG_SIG) + 4])
+    # inflated payload shorter than height*(stride+1) raises loudly
+    short = (_PNG_SIG
+             + _png_chunk(b"IHDR", (8).to_bytes(4, "big")
+                          + (8).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0]))
+             + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+             + _png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="inflated size"):
+        _decode_png(short)

@@ -743,16 +743,32 @@ def _iter_logical_nodes(node):
         yield from _iter_logical_nodes(node.children().apply(i))
 
 
+_REDUCING_NODES = ("Aggregate", "GlobalLimit", "Deduplicate")
+# Leaves that are inherently tiny: literal relations, not table scans.
+_LITERAL_LEAVES = ("LocalRelation", "OneRowRelation", "Range")
+
+
+def _subtree_is_reduced(node) -> bool:
+    """True when every path from ``node`` down to a leaf passes through
+    a cardinality-collapsing node (or ends at a literal relation).  The
+    r9 any-descendant version exempted a window over ``big_table JOIN
+    (aggregated dim)`` because the far side of the join had an
+    Aggregate (ADVICE r9) — domination closes that: a join is reduced
+    only if EVERY child subtree is."""
+    if node.getClass().getSimpleName() in _REDUCING_NODES:
+        return True
+    n = node.children().size()
+    if n == 0:
+        return node.getClass().getSimpleName() in _LITERAL_LEAVES
+    return all(_subtree_is_reduced(node.children().apply(i))
+               for i in range(n))
+
+
 def _window_input_is_reduced(w) -> bool:
-    """True when the global window's input subtree contains a node that
-    collapses cardinality (Aggregate / GlobalLimit / Deduplicate) — the
-    documented tiny-intermediate exemption."""
-    for i in range(w.children().size()):
-        for c in _iter_logical_nodes(w.children().apply(i)):
-            if c.getClass().getSimpleName() in (
-                    "Aggregate", "GlobalLimit", "Deduplicate"):
-                return True
-    return False
+    """True when the global window's input is DOMINATED by reducing
+    nodes — the documented tiny-intermediate exemption."""
+    return all(_subtree_is_reduced(w.children().apply(i))
+               for i in range(w.children().size()))
 
 
 # Entries whose empty-partition window is documented-tiny for a reason
