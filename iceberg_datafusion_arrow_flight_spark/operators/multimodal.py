@@ -302,8 +302,433 @@ def _decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, out.reshape(height, width, 3)
 
 
+# ---------------------------------------------------------------------------
+# Real baseline JPEG codec (SOF0 sequential, Huffman entropy coding,
+# 4:4:4 / 4:2:0 / grayscale) — pure numpy + stdlib.  This closes the
+# "jpeg decode needs Pillow" gap the way PNG fell in r9: the container
+# is markers + Huffman-coded quantized DCT blocks, all of which are
+# hand-rollable.  Progressive (SOF2), arithmetic coding, restart
+# intervals, and 12-bit precision raise loudly — webp (VP8) remains
+# genuinely library-gated.
+#
+# The color transforms are DEFINED as exact fixed-point integer
+# approximations of JFIF (scale 256, floor rounding) so that a SQL
+# oracle can replicate the decoded pixels of analytically-tractable
+# images (constant 16x16 tiles: every AC coefficient quantizes to 0
+# and the DC path is exact end-to-end — see attach_jpeg_payload).
+# ---------------------------------------------------------------------------
+
+def _jpeg_zigzag() -> np.ndarray:
+    """Scan-position → raster-index map, derived (not transcribed):
+    anti-diagonals d = row+col, even d walked bottom-up."""
+    out = []
+    for d in range(15):
+        lo, hi = max(0, d - 7), min(d, 7)
+        rows = range(hi, lo - 1, -1) if d % 2 == 0 else range(lo, hi + 1)
+        out.extend(r * 8 + (d - r) for r in rows)
+    return np.array(out, np.int64)
+
+
+_JZZ = _jpeg_zigzag()
+
+# Quant tables (quality fixed): DC step 8 makes the constant-tile DC
+# path exact (|8*(v-128)| / 8 re-scales losslessly); AC step 16.
+_JQ_LUMA = np.full(64, 16, np.int32)
+_JQ_LUMA[0] = 8
+_JQ_CHROMA = _JQ_LUMA.copy()
+
+# Custom canonical Huffman tables (embedded in DHT, so the decoder
+# reads them from the FILE — nothing depends on Annex K transcription):
+# DC: 12 size categories, all 4-bit codes; AC: the 162 baseline symbols
+# (EOB, ZRL, run 0-15 x size 1-10), all 8-bit codes.  Both satisfy
+# Kraft with the all-ones code unused.
+_JDC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JDC_VALS = list(range(12))
+_JAC_VALS = sorted([0x00, 0xF0] + [(r << 4) | s
+                                   for r in range(16)
+                                   for s in range(1, 11)])
+_JAC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JAC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _huff_encode_map(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman: {symbol: (code, length)}."""
+    out, code = {}, 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_basis() -> np.ndarray:
+    import math
+    m = np.empty((8, 8))
+    for u in range(8):
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+_JDCT = _jpeg_dct_basis()          # block_dct = M @ block @ M.T
+_JY_W = (77, 150, 29)              # fixed-point JFIF forward (scale 256)
+_JCB_W = (-43, -85, 128)
+_JCR_W = (128, -107, -21)
+
+
+def _jpeg_rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r = px[..., 0].astype(np.int64)
+    g = px[..., 1].astype(np.int64)
+    b = px[..., 2].astype(np.int64)
+    y = (77 * r + 150 * g + 29 * b + 128) >> 8
+    cb = 128 + ((-43 * r - 85 * g + 128 * b + 128) >> 8)
+    cr = 128 + ((128 * r - 107 * g - 21 * b + 128) >> 8)
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _jpeg_ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray,
+                       cr: np.ndarray) -> np.ndarray:
+    y = y.astype(np.int64)
+    cbd = cb.astype(np.int64) - 128
+    crd = cr.astype(np.int64) - 128
+    r = y + ((359 * crd + 128) >> 8)
+    g = y - ((88 * cbd + 183 * crd + 128) >> 8)
+    b = y + ((454 * cbd + 128) >> 8)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+class _JBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:           # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 8 - self.n)   # pad with 1s
+        return bytes(self.buf)
+
+
+def _jpeg_size_cat(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _jpeg_encode_block(wr: _JBitWriter, block: np.ndarray, quant: np.ndarray,
+                       dc_pred: int, dc_map: dict, ac_map: dict) -> int:
+    coef = _JDCT @ (block.astype(np.float64) - 128.0) @ _JDCT.T
+    q = np.round(coef.reshape(-1)[_JZZ] / quant).astype(np.int64)
+    dc, diff = int(q[0]), int(q[0]) - dc_pred
+    size = _jpeg_size_cat(diff)
+    code, ln = dc_map[size]
+    wr.put(code, ln)
+    if size:
+        wr.put(diff if diff > 0 else diff - 1 + (1 << size), size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(q)[0])) if np.any(q[1:]) else 0
+    for i in range(1, last_nz + 1):
+        v = int(q[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, l = ac_map[0xF0]
+            wr.put(c, l)
+            run -= 16
+        size = _jpeg_size_cat(v)
+        if size > 10:
+            raise ValueError(f"AC coefficient {v} out of baseline range")
+        c, l = ac_map[(run << 4) | size]
+        wr.put(c, l)
+        wr.put(v if v > 0 else v - 1 + (1 << size), size)
+        run = 0
+    if last_nz < 63:
+        c, l = ac_map[0x00]            # EOB
+        wr.put(c, l)
+    return dc
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _encode_jpeg(width: int, height: int, pixels: np.ndarray,
+                 subsample: str = "444") -> bytes:
+    """Baseline sequential JFIF: 3-component YCbCr, 4:4:4 or 4:2:0,
+    fixed quant tables (_JQ_*), custom canonical Huffman tables written
+    to DHT.  Edge padding replicates the last row/column."""
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsample}")
+    ycc = _jpeg_rgb_to_ycbcr(pixels.astype(np.uint8))
+    mcu = 8 if subsample == "444" else 16
+    pw = (width + mcu - 1) // mcu * mcu
+    ph = (height + mcu - 1) // mcu * mcu
+    planes = []
+    for ci in range(3):
+        p = ycc[..., ci]
+        p = np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+        if subsample == "420" and ci > 0:
+            p = (p[0::2, 0::2] + p[0::2, 1::2]
+                 + p[1::2, 0::2] + p[1::2, 1::2] + 2) >> 2
+        planes.append(p.astype(np.int64))
+    dc_l = _huff_encode_map(_JDC_BITS, _JDC_VALS)
+    ac_l = _huff_encode_map(_JAC_BITS, _JAC_VALS)
+    wr = _JBitWriter()
+    preds = [0, 0, 0]
+    n_mx, n_my = pw // mcu, ph // mcu
+    for my in range(n_my):
+        for mx in range(n_mx):
+            if subsample == "444":
+                comps = [(0, planes[0], mx, my, _JQ_LUMA),
+                         (1, planes[1], mx, my, _JQ_CHROMA),
+                         (2, planes[2], mx, my, _JQ_CHROMA)]
+                for ci, plane, bx, by, q in comps:
+                    blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    preds[ci] = _jpeg_encode_block(wr, blk, q, preds[ci],
+                                                   dc_l, ac_l)
+            else:
+                for sy in range(2):
+                    for sx in range(2):
+                        blk = planes[0][my * 16 + sy * 8:
+                                        my * 16 + sy * 8 + 8,
+                                        mx * 16 + sx * 8:
+                                        mx * 16 + sx * 8 + 8]
+                        preds[0] = _jpeg_encode_block(
+                            wr, blk, _JQ_LUMA, preds[0], dc_l, ac_l)
+                for ci in (1, 2):
+                    blk = planes[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                    preds[ci] = _jpeg_encode_block(
+                        wr, blk, _JQ_CHROMA, preds[ci], dc_l, ac_l)
+    dqt = (_jpeg_seg(0xDB, bytes([0])
+                     + bytes(int(v) for v in _JQ_LUMA))
+           + _jpeg_seg(0xDB, bytes([1])
+                       + bytes(int(v) for v in _JQ_CHROMA)))
+    sf = (0x11, 0x11, 0x11) if subsample == "444" else (0x22, 0x11, 0x11)
+    sof = _jpeg_seg(0xC0, bytes([8])
+                    + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+                    + bytes([3,
+                             1, sf[0], 0,
+                             2, sf[1], 1,
+                             3, sf[2], 1]))
+    dht = (_jpeg_seg(0xC4, bytes([0x00]) + bytes(_JDC_BITS)
+                     + bytes(_JDC_VALS))
+           + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JAC_BITS)
+                       + bytes(_JAC_VALS))
+           + _jpeg_seg(0xC4, bytes([0x01]) + bytes(_JDC_BITS)
+                       + bytes(_JDC_VALS))
+           + _jpeg_seg(0xC4, bytes([0x11]) + bytes(_JAC_BITS)
+                       + bytes(_JAC_VALS)))
+    sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (b"\xFF\xD8" + dqt + sof + dht + sos + wr.flush()
+            + b"\xFF\xD9")
+
+
+class _JBitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; any other
+    marker inside the scan raises loudly (no restart-interval support,
+    documented)."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf, self.pos = buf, pos
+        self.acc, self.n = 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.buf[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.buf):
+                    raise ValueError("JPEG entropy stream truncated at FF")
+                nxt = self.buf[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                elif nxt == 0xD9:      # EOI reached while padding
+                    byte = 0xFF
+                else:
+                    raise ValueError(
+                        f"unsupported marker FF{nxt:02X} in scan "
+                        f"(restart intervals not supported)")
+            self.acc, self.n = byte, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline sequential decoder: DQT/SOF0/DHT/SOS markers, Huffman
+    entropy decode, dequantize, IDCT, chroma upsample (replication),
+    fixed-point YCbCr→RGB.  Raises loudly on progressive/arithmetic/
+    12-bit/restart-interval/unknown-subsampling streams."""
+    if buf[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int, int]] = []
+    width = height = None
+    scan_comps = None
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("JPEG EOI before SOS")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC0, 0xC4):
+            # SOF1/2/3/5..15 (progressive, lossless, arithmetic), DAC,
+            # and the reserved JPG marker are all out of baseline scope.
+            raise ValueError(
+                f"unsupported JPEG marker FF{marker:02X} "
+                f"(baseline sequential SOF0 + Huffman only)")
+        ln = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        body = buf[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("JPEG segment overruns buffer")
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0xF
+                if prec:
+                    raise ValueError("16-bit quant tables unsupported")
+                quant[tid] = np.frombuffer(
+                    body[b + 1:b + 65], np.uint8).astype(np.int64)
+                b += 65
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise ValueError(f"unsupported JPEG precision {body[0]}")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            comps = [(body[6 + 3 * i], body[7 + 3 * i] >> 4,
+                      body[7 + 3 * i] & 0xF, body[8 + 3 * i])
+                     for i in range(nc)]
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1:b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17:b + 17 + nv])
+                enc = _huff_encode_map(bits, vals)
+                huff[(cls, tid)] = {(l, c): s for s, (c, l) in enc.items()}
+                b += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) not supported")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
+                           body[2 + 2 * i] & 0xF) for i in range(ns)]
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if width is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    hs = [c[1] for c in comps]
+    vs = [c[2] for c in comps]
+    hmax, vmax = max(hs), max(vs)
+    if len(comps) == 3 and (hs, vs) not in (([1, 1, 1], [1, 1, 1]),
+                                            ([2, 1, 1], [2, 1, 1])):
+        raise ValueError(
+            f"unsupported subsampling h={hs} v={vs} (4:4:4 / 4:2:0 only)")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    n_mx = (width + mcu_w - 1) // mcu_w
+    n_my = (height + mcu_h - 1) // mcu_h
+    planes = [np.zeros((n_my * vs[i] * 8, n_mx * hs[i] * 8), np.int64)
+              for i in range(len(comps))]
+    rd = _JBitReader(buf, pos)
+    preds = [0] * len(comps)
+    idct_t = _JDCT.T
+    for my in range(n_my):
+        for mx in range(n_mx):
+            for ci, (cid, ch, cv, qid) in enumerate(comps):
+                sc = next(s for s in scan_comps if s[0] == cid)
+                dct_tab = huff[(0, sc[1])]
+                act_tab = huff[(1, sc[2])]
+                q = quant[qid]
+                for sy in range(cv):
+                    for sx in range(ch):
+                        zz = np.zeros(64, np.int64)
+                        size = rd.huff(dct_tab)
+                        diff = _jpeg_extend(rd.bits(size), size) \
+                            if size else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = rd.huff(act_tab)
+                            if sym == 0x00:
+                                break
+                            run, sz = sym >> 4, sym & 0xF
+                            if sz == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        f"bad AC symbol {sym:02X}")
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            zz[k] = _jpeg_extend(rd.bits(sz), sz)
+                            k += 1
+                        coef = np.zeros(64, np.float64)
+                        coef[_JZZ] = (zz * q).astype(np.float64)
+                        blk = idct_t @ coef.reshape(8, 8) @ _JDCT
+                        out = np.clip(np.round(blk) + 128, 0, 255)
+                        py = (my * cv + sy) * 8
+                        px_ = (mx * ch + sx) * 8
+                        planes[ci][py:py + 8, px_:px_ + 8] = \
+                            out.astype(np.int64)
+    if len(comps) == 1:
+        y = planes[0][:height, :width]
+        gray = np.clip(y, 0, 255).astype(np.uint8)
+        return width, height, np.stack([gray] * 3, axis=-1)
+    full = []
+    for i in range(3):
+        p = planes[i]
+        if hs[i] < hmax or vs[i] < vmax:
+            p = np.repeat(np.repeat(p, vmax // vs[i], axis=0),
+                          hmax // hs[i], axis=1)
+        full.append(p[:height, :width])
+    return width, height, _jpeg_ycbcr_to_rgb(full[0], full[1], full[2])
+
+
 _REAL_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp,
-                  "png": _decode_png}
+                  "png": _decode_png, "jpeg": _decode_jpeg}
 
 
 def attach_image_payload(df: DataFrame, id_col: str = "doc_id",
@@ -1045,6 +1470,58 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 hs.append(h)
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "fmt": ["png"] * len(ws),
+                                "payload": payloads,
+                                "meta_width": ws, "meta_height": hs})
+
+    return src.mapInPandas(
+        gen, schema=("doc_id BIGINT, fmt STRING, payload BINARY, "
+                     "meta_width INT, meta_height INT"))
+
+
+def _jpeg_tile_image(did: int) -> tuple[int, int, np.ndarray]:
+    """Deterministic 16x16-tile-constant image — the analytically
+    tractable class for the lossy JPEG codec: constant tiles make every
+    AC coefficient quantize to zero and the DC path exact (DC quant
+    step 8 divides the 8·(v-128) DC scale), and tiles span whole MCUs
+    in BOTH 4:4:4 and 4:2:0, so the decoded pixels equal the integer
+    fixed-point YCbCr round-trip of the generator colors — which a SQL
+    oracle replicates term for term."""
+    w = 16 * (1 + did % 3)
+    h = 16 * (1 + did % 2)
+    tw = w // 16
+    t = (np.arange(h)[:, None] // 16) * tw + (np.arange(w)[None, :] // 16)
+    r = (11 * did + 7 * t) % 256
+    g = (23 * did + 13 * t) % 256
+    b = (5 * did + 29 * t) % 256
+    return w, h, np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
+                        both_subsamplings: bool = False) -> DataFrame:
+    """JPEG fixture: payload = REAL baseline JFIF bytes (markers,
+    Huffman entropy stream, quantized DCT blocks) of the tile-constant
+    image for the id, built executor-side.  Default: even ids encode
+    4:2:0, odd ids 4:4:4 — both decoder paths exercised across any
+    sample.  ``both_subsamplings=True`` emits BOTH encodings per id
+    (the cross-subsampling dedup fixture: different bytes, identical
+    decoded pixels)."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, ws, hs = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, px = _jpeg_tile_image(did)
+                subs = (("420", "444") if both_subsamplings
+                        else (("420",) if did % 2 == 0 else ("444",)))
+                for sub in subs:
+                    ids.append(did)
+                    payloads.append(_encode_jpeg(w, h, px, sub))
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame({"doc_id": ids,
+                                "fmt": ["jpeg"] * len(ids),
                                 "payload": payloads,
                                 "meta_width": ws, "meta_height": hs})
 

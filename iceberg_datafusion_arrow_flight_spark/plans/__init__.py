@@ -126,10 +126,11 @@ _PRIORITY: list[str] = [
     # window_range_frame precedent from r09:
     "sim_ann_lsh_topk", "sim_cross_corpus_decontaminate",
     "sim_ann_recall_report",
-    # --- re-pins: first 24 of the 36 last-checked-r02 entries
-    # (oldest-first in registration order); cede candidates for entries
-    # NEW in r10, tail-first (each ceded name re-queues at the head of
-    # the r11 re-pin queue):
+    # --- re-pins: the oldest last-checked-r02 entries (oldest-first in
+    # registration order); cede candidates for entries NEW in r10,
+    # tail-first (each ceded name re-queues at the head of the r11
+    # re-pin queue).  Ceded so far: table_func_generate_series,
+    # json_access (for the two JPEG entries):
     "agg_having_filter_distinct", "agg_variance_stddev",
     "agg_corr_covar_regr", "agg_min_max_by", "agg_string_agg",
     "agg_median_percentile", "agg_weighted_percentile",
@@ -139,7 +140,9 @@ _PRIORITY: list[str] = [
     "func_string_basic", "func_string_search", "func_regex",
     "func_crypto_encoding", "func_trig", "func_datetime",
     "func_conditional", "func_cast_trycast",
-    "unnest_explode", "json_access", "table_func_generate_series",
+    "unnest_explode",
+    # --- NEW in r10 (two-scale local-gated on arrival):
+    "multimodal_jpeg_decode", "multimodal_jpeg_subsampling_dedup",
 ]
 
 

@@ -960,3 +960,165 @@ def multimodal_pixel_dedup_3way(spark: SparkSession,
                  F.min("height").cast("int").alias("height"))
             .where(F.col("n_copies") > 2)
             .orderBy("rep_id"))
+
+
+@register(
+    "multimodal_jpeg_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         16 * (1 + doc_id % 3) AS w,
+         16 * (1 + doc_id % 2) AS h
+  FROM documents WHERE doc_id % 5 = 0
+), tile AS (
+  SELECT doc_id, w, h,
+         (11 * doc_id + 7 * k) % 256 AS r,
+         (23 * doc_id + 13 * k) % 256 AS g,
+         (5 * doc_id + 29 * k) % 256 AS b
+  FROM d, range(0, 6) t(k)            -- static bound: (48/16)*(32/16)
+  WHERE k < (w // 16) * (h // 16)
+), ycc AS (
+  SELECT doc_id,
+         CAST(FLOOR((77*r + 150*g + 29*b + 128) / 256.0) AS BIGINT)
+           AS y,
+         128 + CAST(FLOOR((-43*r - 85*g + 128*b + 128) / 256.0)
+                    AS BIGINT) AS cb,
+         128 + CAST(FLOOR((128*r - 107*g - 21*b + 128) / 256.0)
+                    AS BIGINT) AS cr
+  FROM tile
+), rgb AS (
+  SELECT doc_id,
+         GREATEST(0, LEAST(255, y + CAST(FLOOR((359*(cr-128) + 128)
+                                               / 256.0) AS BIGINT)))
+           AS r2,
+         GREATEST(0, LEAST(255, y - CAST(FLOOR((88*(cb-128)
+                                                + 183*(cr-128) + 128)
+                                               / 256.0) AS BIGINT)))
+           AS g2,
+         GREATEST(0, LEAST(255, y + CAST(FLOOR((454*(cb-128) + 128)
+                                               / 256.0) AS BIGINT)))
+           AS b2
+  FROM ycc
+)
+SELECT doc_id, ch.channel,
+       CAST(SUM(256) AS BIGINT) AS n_px,
+       CAST(SUM(256 * CASE ch.channel WHEN 0 THEN r2
+                                      WHEN 1 THEN g2 ELSE b2 END)
+            AS BIGINT) AS sum_v,
+       CAST(SUM(256 * (CASE ch.channel WHEN 0 THEN r2
+                                       WHEN 1 THEN g2 ELSE b2 END)
+                    * (CASE ch.channel WHEN 0 THEN r2
+                                       WHEN 1 THEN g2 ELSE b2 END))
+            AS BIGINT) AS sum_v2
+FROM rgb CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS channel) ch
+GROUP BY doc_id, ch.channel
+ORDER BY doc_id, channel
+""",
+    doc="REAL baseline JPEG decode, pixel-oracled: payloads are genuine "
+        "JFIF bytes (SOF0 markers, DHT-embedded canonical Huffman "
+        "tables, byte-stuffed entropy stream, quantized DCT blocks) "
+        "built AND parsed by the pure-numpy codec in "
+        "operators/multimodal.py — the 'jpeg decode needs Pillow' gap "
+        "is CLOSED for the baseline sequential profile (even ids "
+        "encode 4:2:0, odd 4:4:4, so BOTH subsampling paths are "
+        "exercised; progressive/arithmetic/restart streams raise "
+        "loudly; webp/VP8 stays library-gated).  The fixture class is "
+        "16x16-constant tiles, where the lossy pipeline is exactly "
+        "invertible (AC quantizes to 0, DC step divides the DC scale), "
+        "so the oracle replicates the decoded pixels analytically "
+        "through the codec's DEFINED fixed-point YCbCr round-trip — "
+        "one wrong Huffman bit, dequant step, IDCT term, upsample, or "
+        "color coefficient anywhere breaks the hash.  Random-image "
+        "tolerance + exactness pytests cover the AC path. "
+        "operators/multimodal.py:_decode_jpeg,attach_jpeg_payload.",
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 5 == 0).select("doc_id"))
+    per = M.color_moments(M.attach_jpeg_payload(docs))
+    return (per.select("doc_id", "channel", "n_px", "sum_v", "sum_v2")
+            .orderBy("doc_id", "channel"))
+
+
+@register(
+    "multimodal_jpeg_subsampling_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         16 * (1 + doc_id % 3) AS w,
+         16 * (1 + doc_id % 2) AS h
+  FROM documents WHERE doc_id % 11 = 0
+), px AS (
+  SELECT doc_id, w, h, k,
+         ((k // 3) // w // 16) * (w // 16) + ((k // 3) % w) // 16 AS t,
+         k % 3 AS ch
+  FROM d, range(0, 4608) s(k)         -- static bound: 3 * 48 * 32
+  WHERE k < 3 * w * h
+), tile AS (
+  SELECT doc_id, w, h, k, ch,
+         (11 * doc_id + 7 * t) % 256 AS r,
+         (23 * doc_id + 13 * t) % 256 AS g,
+         (5 * doc_id + 29 * t) % 256 AS b
+  FROM px
+), ycc AS (
+  SELECT doc_id, w, h, k, ch,
+         CAST(FLOOR((77*r + 150*g + 29*b + 128) / 256.0) AS BIGINT)
+           AS y,
+         128 + CAST(FLOOR((-43*r - 85*g + 128*b + 128) / 256.0)
+                    AS BIGINT) AS cb,
+         128 + CAST(FLOOR((128*r - 107*g - 21*b + 128) / 256.0)
+                    AS BIGINT) AS cr
+  FROM tile
+), v AS (
+  SELECT doc_id, w, h, k,
+         CASE ch
+           WHEN 0 THEN GREATEST(0, LEAST(255,
+             y + CAST(FLOOR((359*(cr-128) + 128) / 256.0) AS BIGINT)))
+           WHEN 1 THEN GREATEST(0, LEAST(255,
+             y - CAST(FLOOR((88*(cb-128) + 183*(cr-128) + 128) / 256.0)
+                      AS BIGINT)))
+           ELSE GREATEST(0, LEAST(255,
+             y + CAST(FLOOR((454*(cb-128) + 128) / 256.0) AS BIGINT)))
+         END AS val
+  FROM ycc
+), sig AS (
+  SELECT doc_id, w, h,
+         md5(string_agg(CAST(val AS VARCHAR), ',' ORDER BY k))
+           AS pix_sig
+  FROM v GROUP BY doc_id, w, h
+)
+SELECT pix_sig,
+       CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+       CAST(2 * COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(w) AS INT) AS width,
+       CAST(MIN(h) AS INT) AS height
+FROM sig GROUP BY pix_sig
+ORDER BY rep_id
+""",
+    doc="Cross-SUBSAMPLING exact image dedup: every sampled picture is "
+        "encoded twice — 4:2:0 and 4:4:4 baseline JPEG, different "
+        "bytes — and md5 over the DECODED pixel stream must group the "
+        "pair (n_copies = 2 per id; ids 768 apart share tile colors "
+        "and merge further, which the oracle reproduces since it "
+        "groups by the same signature).  Passing requires BOTH "
+        "entropy-decode paths (interleaved 2x2-Y MCUs with chroma "
+        "upsample vs per-block 4:4:4) to reproduce byte-identical "
+        "pixels.  operators/multimodal.py:attach_jpeg_payload,"
+        "pixel_signatures.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_jpeg_subsampling_dedup(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 11 == 0).select("doc_id"))
+    sigs = M.pixel_signatures(
+        M.attach_jpeg_payload(docs, both_subsamplings=True))
+    return (sigs.groupBy("pix_sig")
+            .agg(F.min("doc_id").cast("bigint").alias("rep_id"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+                 F.min("width").cast("int").alias("width"),
+                 F.min("height").cast("int").alias("height"))
+            .orderBy("rep_id"))

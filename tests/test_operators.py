@@ -1943,3 +1943,60 @@ def test_png_codec_roundtrip_and_filters():
              + _png_chunk(b"IEND", b""))
     with _pytest.raises(ValueError, match="inflated size"):
         _decode_png(short)
+
+
+def test_jpeg_codec_tile_exact_and_roundtrip():
+    """Baseline JPEG codec (operators/multimodal.py): the 16x16-tile
+    fixture class decodes EXACTLY (DC-only path, both subsamplings);
+    random full-color images roundtrip within the quantization bound
+    on the 4:4:4 path (the AC Huffman path); malformed/unsupported
+    streams raise the codec's loud ValueError."""
+    import numpy as np
+    import pytest as _pytest
+    from iceberg_datafusion_arrow_flight_spark.operators.multimodal import (
+        _decode_jpeg, _encode_jpeg, _jpeg_rgb_to_ycbcr,
+        _jpeg_tile_image, _jpeg_ycbcr_to_rgb)
+
+    # 1. tile-constant exactness — every (w, h, subsampling) combo
+    for did in range(12):
+        w, h, px = _jpeg_tile_image(did)
+        ycc = _jpeg_rgb_to_ycbcr(px)
+        expect = _jpeg_ycbcr_to_rgb(ycc[..., 0], ycc[..., 1], ycc[..., 2])
+        for sub in ("420", "444"):
+            dw, dh, out = _decode_jpeg(_encode_jpeg(w, h, px, sub))
+            assert (dw, dh) == (w, h)
+            assert np.array_equal(out, expect), (did, sub)
+
+    # 2. random images exercise the AC run-length/Huffman path; with
+    #    AC quant step 16 the 4:4:4 reconstruction error is bounded
+    #    (observed max 31; assert a safe ceiling), including an image
+    #    needing edge padding (non-multiple-of-8 size)
+    rng = np.random.RandomState(7)
+    for (w, h) in ((32, 16), (17, 13)):
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        dw, dh, out = _decode_jpeg(_encode_jpeg(w, h, px, "444"))
+        assert (dw, dh) == (w, h)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 48
+
+    # 3. smooth image under 4:2:0: subsampling loss small (the noise
+    #    case is dominated by chroma decimation, not codec error)
+    xx, yy = np.meshgrid(np.arange(48), np.arange(32))
+    smooth = np.stack([(xx * 3) % 256, (yy * 5) % 256,
+                       ((xx + yy) * 2) % 256], axis=-1).astype(np.uint8)
+    _, _, out = _decode_jpeg(_encode_jpeg(48, 32, smooth, "420"))
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 16
+
+    # 4. loud failures
+    good = _encode_jpeg(16, 16, np.zeros((16, 16, 3), np.uint8))
+    with _pytest.raises(ValueError, match="missing SOI"):
+        _decode_jpeg(b"\x00" + good)
+    prog = bytearray(good)
+    sof = prog.find(b"\xFF\xC0")
+    prog[sof + 1] = 0xC2             # rewrite SOF0 -> SOF2 progressive
+    with _pytest.raises(ValueError, match="baseline sequential"):
+        _decode_jpeg(bytes(prog))
+    with _pytest.raises(ValueError, match="truncated"):
+        _decode_jpeg(good[:-20])
+    dri = good[:2] + b"\xFF\xDD\x00\x04\x00\x08" + good[2:]
+    with _pytest.raises(ValueError, match="restart intervals"):
+        _decode_jpeg(dri)

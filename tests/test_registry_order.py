@@ -80,5 +80,8 @@ def test_every_family_has_a_priority_row():
                                  "sketch", "subquery",
                                  "cte", "setop", "sort", "distinct",
                                  "values", "filter", "projection",
-                                 "tpch", "iceberg")]
+                                 "tpch", "iceberg",
+                                 # ceded mid-r10 to the JPEG entries;
+                                 # both families r2-r8 driver-green
+                                 "table_function")]
     assert not uncovered, uncovered
