@@ -140,9 +140,10 @@ _PRIORITY: list[str] = [
     "func_string_basic", "func_string_search", "func_regex",
     "func_crypto_encoding", "func_trig", "func_datetime",
     "func_conditional", "func_cast_trycast",
-    "unnest_explode",
-    # --- NEW in r10 (two-scale local-gated on arrival):
+    # --- NEW in r10 (two-scale local-gated on arrival); ceded:
+    # table_func_generate_series, json_access, unnest_explode:
     "multimodal_jpeg_decode", "multimodal_jpeg_subsampling_dedup",
+    "events_dau_wau_mau_kmv",
 ]
 
 

@@ -2825,6 +2825,117 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_dau_wau_mau_kmv",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         CAST(concat('0x', substr(md5('kmv|' || CAST(user_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS h
+  FROM events
+), sk AS (
+  SELECT day, h FROM (
+    SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM ud) t WHERE rn <= 256
+), spine AS (
+  SELECT DISTINCT day FROM ud
+), fan7 AS (
+  SELECT DISTINCT s.day AS day, k.h
+  FROM sk k JOIN spine s ON s.day >= k.day AND s.day <= k.day + 6
+), fan30 AS (
+  SELECT DISTINCT s.day AS day, k.h
+  FROM sk k JOIN spine s ON s.day >= k.day AND s.day <= k.day + 29
+), est1 AS (
+  SELECT day, CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+       ELSE ROUND(255.0 * (1152921504606846976.0 / MAX(h)))
+       END AS BIGINT) AS dau_kmv
+  FROM (SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h)
+               AS rn FROM sk) t
+  WHERE rn <= 256 GROUP BY day
+), est7 AS (
+  SELECT day, CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+       ELSE ROUND(255.0 * (1152921504606846976.0 / MAX(h)))
+       END AS BIGINT) AS wau_kmv
+  FROM (SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h)
+               AS rn FROM fan7) t
+  WHERE rn <= 256 GROUP BY day
+), est30 AS (
+  SELECT day, CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+       ELSE ROUND(255.0 * (1152921504606846976.0 / MAX(h)))
+       END AS BIGINT) AS mau_kmv
+  FROM (SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h)
+               AS rn FROM fan30) t
+  WHERE rn <= 256 GROUP BY day
+)
+SELECT day, dau_kmv, wau_kmv, mau_kmv
+FROM est1 JOIN est7 USING (day) JOIN est30 USING (day)
+ORDER BY day
+""",
+    doc="The SKETCH twin of events_dau_wau_mau (VERDICT r9 ask #6) — "
+        "the shape the 100 TB dashboard actually runs: per-day KMV "
+        "sketches (k=256 smallest md5-derived hash priorities of the "
+        "day's distinct users — the mergeable state a nightly job "
+        "stores, k longs per day) are MERGED over the trailing 7- and "
+        "30-day windows by fanning each day's sketch rows onto the "
+        "spine days they contribute to (explode(sequence) → broadcast "
+        "equi-join, the no-BNLJ discipline of the exact twin) and "
+        "re-taking the k smallest per target day — correct because the "
+        "k smallest of a union are a subset of the union of per-day k "
+        "smallests.  Work per day is k·window rows (vs the exact "
+        "twin's pairs·30), independent of user count: at corpus scale "
+        "the pair table is the bottleneck and this replaces it with "
+        "30·k longs per dashboard row.  Below k distinct actives the "
+        "estimate is EXACT; above, (k-1)·2^60/h_k — deterministic "
+        "integer/double arithmetic both engines spell identically, so "
+        "the ESTIMATE hash-checks bit-for-bit (the "
+        "sketch_kmv_distinct_users convention).  k=256 (std ≈ 1/√255 ≈ "
+        "6%): the fixture's user population is one FIXED ~1.5k-id set, "
+        "so every window shares the same order statistics and the "
+        "estimator error is correlated across days, not averaged away "
+        "— k=64 drew a 3σ population (40% high on every row), measured "
+        "and rejected; k=256 lands at 8.8% on MAU at sf0.1.  "
+        "operators/countmin.py:kmv_hash; plans/events.py:"
+        "events_dau_wau_mau_kmv.",
+    tags=("events", "sketch", "aggregate"),
+)
+def events_dau_wau_mau_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..operators.countmin import kmv_hash
+    k = 256
+    e = table(spark, sf_dir, "events")
+    ud = (e.select(F.col("ts").cast("date").alias("day"),
+                   kmv_hash(F.col("user_id")).alias("h"))
+          .distinct().transform(materialize))
+    w = Window.partitionBy("day").orderBy("h")
+    sk = (ud.withColumn("__rn", F.row_number().over(w))
+          .where(F.col("__rn") <= k).drop("__rn")
+          .transform(materialize))          # the stored per-day sketches
+    spine = ud.select("day").distinct()
+
+    def window_estimate(days: int, out: str) -> DataFrame:
+        fan = (sk.select(
+                   F.explode(F.sequence(F.col("day"),
+                                        F.date_add(F.col("day"),
+                                                   days - 1))).alias("day"),
+                   "h")
+               .join(F.broadcast(spine), "day")
+               .dropDuplicates(["day", "h"]))
+        topk = (fan.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= k))
+        kk = (topk.groupBy("day")
+              .agg(F.max("h").alias("hk"),
+                   F.count(F.lit(1)).cast("bigint").alias("n")))
+        est = F.when(F.col("n") < k, F.col("n")).otherwise(
+            F.round(F.lit(float(k - 1))
+                    * (F.lit(1152921504606846976.0) / F.col("hk"))))
+        return kk.select("day", est.cast("bigint").alias(out))
+
+    return (window_estimate(1, "dau_kmv")
+            .join(window_estimate(7, "wau_kmv"), "day")
+            .join(window_estimate(30, "mau_kmv"), "day")
+            .orderBy("day"))
+
+
+@register(
     "events_seasonality_dow_profile",
     oracle="""
 WITH base AS (
