@@ -727,8 +727,78 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, _jpeg_ycbcr_to_rgb(full[0], full[1], full[2])
 
 
+def _jpeg_header(buf: bytes) -> dict:
+    """Metadata-only JPEG parse: walk the marker segments up to SOS and
+    return dimensions / subsampling / quant DC steps WITHOUT entropy
+    decoding — the header-gate a curation pass runs before paying for
+    a full decode (at 100 TB, rejecting by dimensions or chroma mode
+    reads a few hundred bytes per object instead of megapixels)."""
+    if buf[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    out: dict = {}
+    quant: dict[int, int] = {}
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = buf[pos + 1]
+        ln = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        body = buf[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("JPEG segment overruns buffer")
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                quant[body[b] & 0xF] = body[b + 1]   # DC step (zigzag 0)
+                b += 65 if (body[b] >> 4) == 0 else 129
+        elif marker == 0xC0:
+            out["height"] = int.from_bytes(body[1:3], "big")
+            out["width"] = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            sf = [(body[7 + 3 * i] >> 4, body[7 + 3 * i] & 0xF)
+                  for i in range(nc)]
+            out["n_components"] = nc
+            out["subsampling"] = (
+                "gray" if nc == 1
+                else "420" if sf[0] == (2, 2) else "444")
+            out["__luma_qid"] = body[8]    # DQT may follow SOF: resolve last
+        elif marker == 0xDA:
+            break
+        pos += 2 + ln
+    if "width" not in out:
+        raise ValueError("JPEG missing SOF0 header")
+    out["dc_step_luma"] = quant.get(out.pop("__luma_qid"), 0)
+    return out
+
+
 _REAL_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp,
                   "png": _decode_png, "jpeg": _decode_jpeg}
+
+
+JPEG_HEADER_SCHEMA = ("doc_id BIGINT, width INT, height INT, "
+                      "n_components INT, subsampling STRING, "
+                      "dc_step_luma INT")
+
+
+def jpeg_header_scan(df: DataFrame) -> DataFrame:
+    """Header-only scan over JPEG payloads (see :func:`_jpeg_header`):
+    emits metadata rows; payload pixel bytes are never entropy-decoded
+    and never shuffle."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "n_components", "subsampling",
+                                    "dc_step_luma")}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h = _jpeg_header(bytes(payload))
+                rows["doc_id"].append(did)
+                for k in ("width", "height", "n_components",
+                          "subsampling", "dc_step_luma"):
+                    rows[k].append(h[k])
+            yield pd.DataFrame(rows)
+
+    return fan_out(df).mapInPandas(scan, schema=JPEG_HEADER_SCHEMA)
 
 
 def attach_image_payload(df: DataFrame, id_col: str = "doc_id",

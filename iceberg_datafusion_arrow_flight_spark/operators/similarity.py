@@ -212,6 +212,62 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .select("query_id", "corpus_id", "sim", F.col("rank").cast("int").alias("rank")))
 
 
+def ann_lsh_multiprobe_topk(queries: DataFrame, corpus: DataFrame,
+                            k: int = 10, n_planes: int = 4, dims: int = 64,
+                            n_tables: int = 4,
+                            query_id: str = "vec_id",
+                            corpus_id: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Multiprobe LSH top-k (Lv et al., VLDB 2007): each query probes
+    its own bucket PLUS every 1-bit-flip neighbor bucket in every
+    table — (n_planes+1)·n_tables probes — so a near neighbor that
+    landed just across one hyperplane is still found.  The classic
+    recall-per-memory trade: multiprobe reaches a given recall with
+    FEWER tables (index replicas) than single-probe, at the cost of
+    more bucket lookups per query.
+
+    Scale shape is single-probe's exactly: the probe fan-out explodes
+    only the QUERY side ((n_planes+1)× query rows — queries are the
+    small side by construction), candidates come from bucket
+    equi-joins against the same corpus bucket table, the exact cosine
+    rides inside each table's join, and the dedup exchange carries
+    24-byte id rows (the r10 shuffle discipline).  Deterministic
+    md5-derived hyperplanes shared with :func:`ann_lsh_topk`, so a SQL
+    oracle replicates every probe bucket bit-for-bit."""
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
+                               _as_double(F.col(vec_col)).alias("cv"))
+    qb = q.select(
+        "query_id", "qv",
+        *[lsh_bucket(F.col("qv"), n_planes, dims, t).alias(f"__b{t}")
+          for t in range(n_tables)])
+    cb = c.select(
+        "corpus_id", "cv",
+        *[lsh_bucket(F.col("cv"), n_planes, dims, t).alias(f"__b{t}")
+          for t in range(n_tables)]).transform(materialize)
+    cands = None
+    for t in range(n_tables):
+        probes = F.array(F.col(f"__b{t}"),
+                         *[F.col(f"__b{t}").bitwiseXOR(F.lit(1 << p))
+                           for p in range(n_planes)])
+        probed = qb.select("query_id", "qv",
+                           F.explode(probes).alias("__pb"))
+        cand = (probed.join(cb, probed["__pb"] == cb[f"__b{t}"])
+                .where(F.col("query_id") != F.col("corpus_id"))
+                .select("query_id", "corpus_id",
+                        F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                         .alias("sim")))
+        cands = cand if cands is None else cands.unionAll(cand)
+    sims = cands.dropDuplicates(["query_id", "corpus_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("corpus_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "sim",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str,
                nprobe: int = 1) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (cosine).

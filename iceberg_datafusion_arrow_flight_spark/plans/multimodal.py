@@ -1122,3 +1122,37 @@ def multimodal_jpeg_subsampling_dedup(spark: SparkSession,
                  F.min("width").cast("int").alias("width"),
                  F.min("height").cast("int").alias("height"))
             .orderBy("rep_id"))
+
+
+@register(
+    "multimodal_jpeg_header_scan",
+    oracle="""
+SELECT doc_id,
+       CAST(16 * (1 + doc_id % 3) AS INT) AS width,
+       CAST(16 * (1 + doc_id % 2) AS INT) AS height,
+       CAST(3 AS INT) AS n_components,
+       CASE WHEN doc_id % 2 = 0 THEN '420' ELSE '444' END AS subsampling,
+       CAST(8 AS INT) AS dc_step_luma
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY doc_id
+""",
+    doc="Header-ONLY JPEG metadata scan: walk the marker segments "
+        "(SOI/DQT/SOF0) and emit dimensions, component count, chroma "
+        "subsampling mode, and the luma DC quant step WITHOUT entropy-"
+        "decoding a single block — the gate a 100 TB vision-curation "
+        "pass runs first, because rejecting by dimensions/subsampling/"
+        "quality proxy reads a few hundred header bytes per object "
+        "instead of megapixels (the quant step IS the standard quality "
+        "proxy: bigger steps = lower quality).  The oracle re-derives "
+        "every field from the fixture formulas, so a mis-parsed "
+        "length, sampling nibble, or table id breaks the hash. "
+        "operators/multimodal.py:_jpeg_header,jpeg_header_scan.",
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_jpeg_header_scan(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 5 == 0).select("doc_id"))
+    return (M.jpeg_header_scan(M.attach_jpeg_payload(docs))
+            .orderBy("doc_id"))

