@@ -106,6 +106,12 @@ HEADLINE = [
     "graph_common_neighbors_jaccard",
     "window_range_frame",
     "events_dau_wau_mau",
+    # r10 additions (solo seeds in PERFORMANCE.md r10): real baseline
+    # JPEG decode over both subsampling paths, the multiprobe-LSH
+    # recall witness, and the KMV sliding-distinct dashboard twin.
+    "multimodal_jpeg_decode",
+    "sim_ann_lsh_multiprobe_recall",
+    "events_dau_wau_mau_kmv",
 ]
 
 
