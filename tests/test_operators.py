@@ -2000,3 +2000,39 @@ def test_jpeg_codec_tile_exact_and_roundtrip():
     dri = good[:2] + b"\xFF\xDD\x00\x04\x00\x08" + good[2:]
     with _pytest.raises(ValueError, match="restart intervals"):
         _decode_jpeg(dri)
+
+
+def test_jpeg_header_scan_fields_and_guards():
+    """_jpeg_header reads dims/subsampling/quant step from the marker
+    stream without entropy decode, resolves DQT placed after SOF, and
+    raises loudly on junk."""
+    import numpy as np
+    import pytest as _pytest
+    from iceberg_datafusion_arrow_flight_spark.operators.multimodal import (
+        _encode_jpeg, _jpeg_header, _jpeg_tile_image)
+
+    for did in (0, 1, 5):
+        w, h, px = _jpeg_tile_image(did)
+        sub = "420" if did % 2 == 0 else "444"
+        hd = _jpeg_header(_encode_jpeg(w, h, px, sub))
+        assert (hd["width"], hd["height"]) == (w, h)
+        assert hd["n_components"] == 3
+        assert hd["subsampling"] == sub
+        assert hd["dc_step_luma"] == 8
+
+    # DQT after SOF still resolves (re-order the segments)
+    buf = _encode_jpeg(16, 16, np.zeros((16, 16, 3), np.uint8))
+    def seg_at(b, marker):
+        i = b.find(bytes([0xFF, marker]))
+        ln = int.from_bytes(b[i + 2:i + 4], "big")
+        return i, b[i:i + 2 + ln]
+    i_dqt, dqt1 = seg_at(buf, 0xDB)
+    rest = buf[:i_dqt] + buf[i_dqt + len(dqt1):]
+    i_sof, sof = seg_at(rest, 0xC0)
+    reordered = (rest[:i_sof + len(sof)] + dqt1 + rest[i_sof + len(sof):])
+    assert _jpeg_header(reordered)["dc_step_luma"] == 8
+
+    with _pytest.raises(ValueError, match="missing SOI"):
+        _jpeg_header(b"nope")
+    with _pytest.raises(ValueError, match="missing SOF0"):
+        _jpeg_header(b"\xFF\xD8\xFF\xDA\x00\x02")

@@ -806,3 +806,15 @@ def test_registry_has_no_global_window_over_unreduced_input(spark, sf_dir):
     assert not offenders, (
         f"global (empty-partition) windows over table-sized input: "
         f"{offenders}")
+
+
+def test_multiprobe_lsh_no_cartesian_and_query_side_fanout(spark, sf_dir):
+    """Multiprobe candidates must come from bucket EQUI-joins; the
+    probe explode multiplies only the query side (generate over the
+    small relation), never the corpus."""
+    df = REGISTRY["sim_ann_lsh_multiprobe_recall"].build(spark, sf_dir)
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+    assert "explode" in plan.lower() or "Generate" in plan
