@@ -811,10 +811,13 @@ def test_registry_has_no_global_window_over_unreduced_input(spark, sf_dir):
 def test_multiprobe_lsh_no_cartesian_and_query_side_fanout(spark, sf_dir):
     """Multiprobe candidates must come from bucket EQUI-joins; the
     probe explode multiplies only the query side (generate over the
-    small relation), never the corpus."""
+    small relation), never the corpus.  The witness plan contains
+    exactly ONE nested-loop join — the brute-force exact-top-k
+    baseline it reports recall against (broadcast queries × corpus,
+    the documented baseline shape) — and none on the candidate side."""
     df = REGISTRY["sim_ann_lsh_multiprobe_recall"].build(spark, sf_dir)
     plan = _explain(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "HashJoin" in plan
-    assert "explode" in plan.lower() or "Generate" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the exact side
+    assert "BroadcastHashJoin" in plan                 # bucket equi-joins
+    assert "Generate" in plan or "explode" in plan.lower()
