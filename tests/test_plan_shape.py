@@ -816,7 +816,7 @@ def test_multiprobe_lsh_no_cartesian_and_query_side_fanout(spark, sf_dir):
     baseline it reports recall against (broadcast queries × corpus,
     the documented baseline shape) — and none on the candidate side."""
     df = REGISTRY["sim_ann_lsh_multiprobe_recall"].build(spark, sf_dir)
-    plan = _explain(df)
+    plan = _explain(df, "simple")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the exact side
     assert "BroadcastHashJoin" in plan                 # bucket equi-joins
