@@ -1441,3 +1441,73 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * F.lit(1.0) / F.count(F.lit(1)), 6)
                   .alias("hapax_ratio"))
             .orderBy("source"))
+
+
+@register(
+    "text_ngram_novelty_by_batch",
+    oracle=r"""
+WITH m AS (
+  SELECT MAX(doc_id) + 1 AS mx1 FROM documents
+), d AS (
+  SELECT CAST((doc_id * 10) // mx1 AS INT) AS batch,
+         string_split_regex(text, '\s+') AS t
+  FROM documents, m
+), bg AS (
+  SELECT DISTINCT batch, g
+  FROM d, UNNEST(CASE WHEN len(t) >= 3 THEN
+      list_distinct(list_transform(range(1, len(t) - 1),
+        i -> array_to_string(t[i:i+2], ' ')))
+      ELSE CAST([] AS VARCHAR[]) END) u(g)
+), fb AS (
+  SELECT g, MIN(batch) AS first_batch FROM bg GROUP BY g
+)
+SELECT bg.batch,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN fb.first_batch = bg.batch
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       ROUND(SUM(CASE WHEN fb.first_batch = bg.batch
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS novelty_rate
+FROM bg JOIN fb USING (g)
+GROUP BY bg.batch ORDER BY bg.batch
+""",
+    doc="Content-novelty decay across ingestion batches: the corpus is "
+        "split into 10 arrival batches (doc_id deciles — the synthetic "
+        "arrival axis), every 3-gram shingle gets a first-seen batch "
+        "(one min-agg), and each batch reports how many of its distinct "
+        "shingles are NEW vs recycled — the crawl-saturation curve a "
+        "data-acquisition team watches: when novelty_rate flattens, "
+        "another crawl of the same sources buys nothing.  Shape: one "
+        "scan → (batch, shingle) distinct → min-agg + keyed join, all "
+        "partial-aggregable; shingles stay strings here for the "
+        "cross-engine oracle (scale swap: xxhash64 longs, the "
+        "dedup-module convention).  Exact integer counts. "
+        "plans/text.py:text_ngram_novelty_by_batch.",
+    tags=("text", "pipeline"),
+)
+def text_ngram_novelty_by_batch(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..operators.materialize import materialize
+    docs = table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    toks = F.split(F.col("text"), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - 3)
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 3),
+                                                " ")))
+    grams = F.when(F.size(toks) >= 3, grams) \
+             .otherwise(F.array().cast("array<string>"))
+    bg = (docs.select(
+              F.expr(f"CAST((doc_id * 10) div {max_id + 1} AS INT)")
+               .alias("batch"),
+              F.explode(grams).alias("g"))
+          .distinct().transform(materialize))
+    fb = bg.groupBy("g").agg(F.min("batch").alias("first_batch"))
+    new = F.sum(F.when(F.col("first_batch") == F.col("batch"), 1)
+                .otherwise(0))
+    return (bg.join(fb, "g")
+            .groupBy("batch")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                 new.cast("bigint").alias("n_new"),
+                 F.round(new / F.count(F.lit(1)), 6).alias("novelty_rate"))
+            .orderBy("batch"))
