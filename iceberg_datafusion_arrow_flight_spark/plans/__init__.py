@@ -94,15 +94,26 @@ from . import tpch            # noqa: E402,F401
 #   witnesses, 0 red).  The 23 never-checked entries (all added late
 #   r9, each two-scale local-gated on arrival) form the r10 pool below.
 #
-#   r10 window (below) = that 23-entry pool + 27 re-pins drawn from the
+#   r10 window (below) = that 23-entry pool + re-pins drawn from the
 #   OLDEST never-re-checked driver-green block: the 36 last-checked-r02
-#   entries, oldest-first in registration order (the 9 r02 entries that
-#   do not fit — text_token_counts, sketch_bloom_membership,
-#   join_asof_events, ddl_ctas_insert_select, io_copy_to_roundtrip,
+#   entries, oldest-first in registration order.  Entries NEW in r10
+#   cede re-pin slots from the list TAIL (youngest-staleness-first),
+#   exactly the r08/r09 policy.
+#
+#   Staleness ledger projected at r10 close (latest driver check per
+#   entry, assuming this window lands): r10=50, r9=50, r8=50, r7=50,
+#   r6=48, r5=43, r4=45, r3=43, r2=19 — total 398.  The r11 re-pin
+#   QUEUE is the 62 entries still at r02/r03, in this order: the 7
+#   r02 cedes from this round (func_trig, func_datetime,
+#   func_conditional, func_cast_trycast, unnest_explode, json_access,
+#   table_func_generate_series), then the 12 remaining r02 entries
+#   (dedup_exact, dedup_ngram_jaccard, sim_embedding_near_dup,
+#   text_token_counts, sketch_bloom_membership, join_asof_events,
+#   ddl_ctas_insert_select, io_copy_to_roundtrip,
 #   catalog_information_schema_tables, iceberg_time_travel,
-#   pipeline_train_test_split, tpch_q12_priority_shipping — lead the
-#   r11 re-pin queue).  Entries NEW in r10 cede re-pin slots from the
-#   list TAIL (youngest-staleness-first), exactly the r08/r09 policy.
+#   pipeline_train_test_split, tpch_q12_priority_shipping), then the
+#   43 r03 block in registration order (agg_array_collect first).
+#   Full re-coverage of the r02-r04 tail needs ~3 more windows.
 _PRIORITY: list[str] = [
     # --- the 23-entry r09 never-checked pool (retires cumulative
     # driver coverage back to all-checked 391/391):
