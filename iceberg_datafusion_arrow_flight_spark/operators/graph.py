@@ -437,3 +437,42 @@ def multi_seed_bfs_distances(und: DataFrame, seeds: DataFrame,
         visited = visited.unionByName(new).transform(materialize)
         frontier = new.select("seed", "node")
     return visited
+
+
+def hits(edges: DataFrame, iterations: int = 4,
+         round_digits: int = 10) -> tuple[DataFrame, DataFrame]:
+    """Kleinberg HITS (JACM 1999) over DIRECTED edges (src → dst):
+    alternating hub/authority updates — a(p) = Σ h(s) over in-edges,
+    h(s) = Σ a(p) over out-edges — sum-normalized and rounded to
+    ``round_digits`` EVERY round (the pagerank float re-sync recipe:
+    both engines round the same values, so summation-order noise
+    never compounds).  Returns (hubs, authorities) as (node, score)
+    frames over the nodes with out-/in-edges respectively.
+
+    Scale: each half-round is one keyed join + partial-agg sum (work ∝
+    edges), one 1-row total collect, state ∝ nodes — the same driver-
+    loop shape as :func:`pagerank`."""
+    edges = edges.select("src", "dst").distinct().transform(materialize)
+    hubs = (edges.select(F.col("src").alias("node")).distinct()
+            .select("node", F.lit(1.0).alias("h")))
+    auths = None
+    for _ in range(iterations):
+        ra = (edges.join(hubs.select(F.col("node").alias("src"), "h"),
+                         "src")
+              .groupBy("dst")
+              .agg(F.round(F.sum("h"), round_digits).alias("ra")))
+        tot_a = ra.agg(F.sum("ra")).first()[0]
+        auths = (ra.select(F.col("dst").alias("node"),
+                           F.round(F.col("ra") / tot_a, round_digits)
+                            .alias("a"))
+                 .transform(materialize))
+        rh = (edges.join(auths.select(F.col("node").alias("dst"), "a"),
+                         "dst")
+              .groupBy("src")
+              .agg(F.round(F.sum("a"), round_digits).alias("rh")))
+        tot_h = rh.agg(F.sum("rh")).first()[0]
+        hubs = (rh.select(F.col("src").alias("node"),
+                          F.round(F.col("rh") / tot_h, round_digits)
+                           .alias("h"))
+                .transform(materialize))
+    return hubs, auths

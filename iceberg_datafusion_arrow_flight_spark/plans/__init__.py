@@ -103,10 +103,11 @@ from . import tpch            # noqa: E402,F401
 #   Staleness ledger projected at r10 close (latest driver check per
 #   entry, assuming this window lands): r10=50, r9=50, r8=50, r7=50,
 #   r6=48, r5=43, r4=45, r3=43, r2=19 — total 398.  The r11 re-pin
-#   QUEUE is the 62 entries still at r02/r03, in this order: the 7
-#   r02 cedes from this round (func_trig, func_datetime,
-#   func_conditional, func_cast_trycast, unnest_explode, json_access,
-#   table_func_generate_series), then the 12 remaining r02 entries
+#   QUEUE is the entries still at r02/r03, in this order: the 9
+#   r02 cedes from this round (func_regex, func_crypto_encoding,
+#   func_trig, func_datetime, func_conditional, func_cast_trycast,
+#   unnest_explode, json_access, table_func_generate_series), then
+#   the 12 remaining r02 entries
 #   (dedup_exact, dedup_ngram_jaccard, sim_embedding_near_dup,
 #   text_token_counts, sketch_bloom_membership, join_asof_events,
 #   ddl_ctas_insert_select, io_copy_to_roundtrip,
@@ -148,16 +149,16 @@ _PRIORITY: list[str] = [
     "window_ranking", "window_offset_lag_lead",
     "window_value_functions", "window_sales_running",
     "window_agg_mixed_with_groupby", "window_groups_frame",
-    "func_string_basic", "func_string_search", "func_regex",
-    "func_crypto_encoding",
+    "func_string_basic", "func_string_search",
     # --- NEW in r10 (two-scale local-gated on arrival); ceded
     # tail-first: table_func_generate_series, json_access,
     # unnest_explode, func_cast_trycast, func_conditional,
-    # func_datetime, func_trig:
+    # func_datetime, func_trig, func_crypto_encoding, func_regex:
     "multimodal_jpeg_decode", "multimodal_jpeg_subsampling_dedup",
     "events_dau_wau_mau_kmv", "multimodal_jpeg_header_scan",
     "sim_ann_lsh_multiprobe_recall", "stream_session_finalized_vs_batch",
-    "text_ngram_novelty_by_batch",
+    "text_ngram_novelty_by_batch", "dedup_minhash_bbit",
+    "graph_hits_hubs_authorities",
 ]
 
 

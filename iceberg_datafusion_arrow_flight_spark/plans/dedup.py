@@ -990,3 +990,116 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band string, n_clusters bigint, n_docs_in_band bigint, "
         "max_cluster bigint")
     return banded.unionByName(single).orderBy("band")
+
+
+def _bbit_minhash_oracle(k: int = 32, seed0: int = 9000) -> str:
+    """Mirror of the b-bit minwise estimator: same portable-md5 minima
+    as the calibration entry (seed family 9000), low-b-bit slot matches,
+    Li-Konig collision correction (m*2^b - k) / (k*(2^b - 1)), floored
+    at 0 — spelled identically on both engines."""
+    per_b = []
+    for b in (1, 2, 4, 8):
+        mask, denom = (1 << b) - 1, k * ((1 << b) - 1)
+        per_b.append(f"""
+  SELECT {b} AS b, {k * b} AS bits_per_sig,
+         GREATEST(0.0,
+           (len(list_filter(list_zip(a.sig, b2.sig),
+                p -> xor(p[1] & {mask}, p[2] & {mask}) = 0)) * {1 << b}
+            - {k}) / {denom}.0) AS est,
+         len(list_intersect(a.ts, b2.ts)) * 1.0
+           / len(list_distinct(list_concat(a.ts, b2.ts))) AS j
+  FROM sigs a JOIN sigs b2 ON a.doc_id < b2.doc_id""")
+    union = "\n  UNION ALL".join(per_b)
+    return f"""
+WITH toks AS ({_TOKS}),
+sample AS (SELECT doc_id, ts FROM toks WHERE doc_id % 10 = 0),
+sigs AS (
+  SELECT doc_id, ts,
+         list_transform(generate_series(0, {k - 1}), i ->
+           list_min(list_transform(ts, t ->
+             CAST(concat('0x', substr(md5('s' || ({seed0} + i) || '|' || t),
+                                      1, 15)) AS BIGINT)))) AS sig
+  FROM sample
+), pairs AS ({union}
+)
+SELECT b, CAST(bits_per_sig AS INT) AS bits_per_sig,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(FLOOR(ABS(est - j) * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_abs_err_micro,
+       SUM(CAST(FLOOR(ABS(est - j) * 1e6 + 0.5) AS BIGINT))
+         / (COUNT(*) * 1.0) AS mean_abs_err_micro
+FROM pairs
+GROUP BY b, bits_per_sig
+ORDER BY b
+"""
+
+
+@register(
+    "dedup_minhash_bbit",
+    oracle=_bbit_minhash_oracle(),
+    doc="b-bit minwise hashing (Li & Konig, WWW 2010): store only the "
+        "low b bits of each of k=32 portable-md5 minima and estimate "
+        "Jaccard from the slot-match rate with the collision "
+        "correction (m*2^b - k)/(k*(2^b - 1)), floored at 0 — the "
+        "storage knob that turns a 64-bit-per-slot MinHash sketch "
+        "into 1/2/4/8 bits per slot (8-64x smaller signature "
+        "shuffles, THE lever when the sketch table itself is the "
+        "shuffle at 100 TB).  One row per b with exact integer "
+        "micro-unit error sums over the reproducible 10% sample's "
+        "pairs — the same discipline as "
+        "dedup_minhash_estimator_calibration, so the accuracy/bits "
+        "trade reads directly off the result.  Per-pair errors fold "
+        "to integers BEFORE summation (no order-dependent float "
+        "accumulation); the estimator arithmetic is exact-int-ratio "
+        "division both engines spell identically. "
+        "plans/dedup.py:dedup_minhash_bbit.",
+    tags=("dedup", "diagnostics", "sketch"),
+)
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hash_expr, tokens
+    k, seed0 = 32, 9000
+    docs = table(spark, sf_dir, "documents")
+
+    def _h(i):
+        return lambda t: hash_expr(t, seed0 + i)
+
+    sig = F.array(*[F.array_min(F.transform(F.col("ts"), _h(i)))
+                    for i in range(k)])
+    sample = (docs.where(F.col("doc_id") % 10 == 0)
+              .select("doc_id", tokens(F.col("text")).alias("ts"))
+              .select("doc_id", "ts", sig.alias("sig"))
+              .transform(materialize))
+    a = sample.select(F.col("doc_id").alias("ida"),
+                      F.col("ts").alias("ta"), F.col("sig").alias("sa"))
+    b_ = sample.select(F.col("doc_id").alias("idb"),
+                       F.col("ts").alias("tb"), F.col("sig").alias("sb"))
+    j = (F.size(F.array_intersect("ta", "tb")) * F.lit(1.0)
+         / F.size(F.array_union("ta", "tb")))
+    pairs = (a.join(b_, F.col("ida") < F.col("idb"))
+             .select("sa", "sb", j.alias("j"))
+             .transform(materialize))
+    frames = []
+    for b in (1, 2, 4, 8):
+        mask, denom = (1 << b) - 1, k * ((1 << b) - 1)
+        m = F.aggregate(
+            F.zip_with("sa", "sb",
+                       lambda x, y: (x.bitwiseAND(F.lit(mask))
+                                     == y.bitwiseAND(F.lit(mask)))
+                       .cast("int")),
+            F.lit(0), lambda acc, x: acc + x)
+        est = F.greatest(F.lit(0.0),
+                         (m * (1 << b) - k) / F.lit(float(denom)))
+        absd = F.floor(F.abs(est - F.col("j")) * 1e6 + 0.5).cast("bigint")
+        frames.append(pairs.select(
+            F.lit(b).alias("b"),
+            F.lit(k * b).cast("int").alias("bits_per_sig"),
+            absd.alias("absd")))
+    allb = frames[0]
+    for fr in frames[1:]:
+        allb = allb.unionAll(fr)
+    return (allb.groupBy("b", "bits_per_sig")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.sum("absd").cast("bigint").alias("sum_abs_err_micro"),
+                 (F.sum("absd") / F.count(F.lit(1)))
+                 .alias("mean_abs_err_micro"))
+            .orderBy("b"))

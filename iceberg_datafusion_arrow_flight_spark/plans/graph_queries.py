@@ -1065,3 +1065,94 @@ def graph_local_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("deg") * (F.col("deg") - 1)), 6)
                      .alias("clustering"))
             .orderBy("node"))
+
+
+def _hits_oracle(iterations: int = 4, rd: int = 10) -> str:
+    """Unrolled HITS rounds as chained CTEs — every sum/normalize
+    rounded to the same digits as the Spark driver loop.  The ra/rh
+    CTEs are referenced twice (projection + total subquery) and DuckDB
+    inlines CTEs by default, so they are AS MATERIALIZED (the pinned
+    re-execution hazard)."""
+    parts = ["""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+  FROM lineitem
+), h0 AS (
+  SELECT DISTINCT src AS node, 1.0 AS h FROM edges
+)"""]
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+ra{i} AS MATERIALIZED (
+  SELECT dst, ROUND(SUM(h), {rd}) AS ra
+  FROM edges JOIN {prev_h} ON edges.src = {prev_h}.node
+  GROUP BY dst
+), a{i} AS (
+  SELECT dst AS node,
+         ROUND(ra / (SELECT SUM(ra) FROM ra{i}), {rd}) AS a
+  FROM ra{i}
+), rh{i} AS MATERIALIZED (
+  SELECT src, ROUND(SUM(a), {rd}) AS rh
+  FROM edges JOIN a{i} ON edges.dst = a{i}.node
+  GROUP BY src
+), h{i} AS (
+  SELECT src AS node,
+         ROUND(rh / (SELECT SUM(rh) FROM rh{i}), {rd}) AS h
+  FROM rh{i}
+)""")
+        prev_h = f"h{i}"
+    parts.append(f""",
+top_a AS (
+  SELECT 'authority' AS role, node, ROUND(a, 8) AS score,
+         CAST(ROW_NUMBER() OVER (ORDER BY a DESC, node) AS INT) AS pos
+  FROM a{iterations} QUALIFY pos <= 10
+), top_h AS (
+  SELECT 'hub' AS role, node, ROUND(h, 8) AS score,
+         CAST(ROW_NUMBER() OVER (ORDER BY h DESC, node) AS INT) AS pos
+  FROM h{iterations} QUALIFY pos <= 10
+)
+SELECT role, node, score, pos FROM top_a
+UNION ALL
+SELECT role, node, score, pos FROM top_h
+ORDER BY role, pos""")
+    return "".join(parts)
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    oracle=_hits_oracle(),
+    doc="Kleinberg HITS (JACM 1999) over the DIRECTED supplier→part "
+        "bipartite graph from lineitem: suppliers are hubs (good "
+        "suppliers stock authoritative parts), parts are authorities "
+        "(good parts are stocked by hub suppliers) — the "
+        "mutually-recursive centrality pair PageRank's single score "
+        "cannot express, and the classic second algorithm of the "
+        "link-analysis family.  4 alternating rounds of keyed join + "
+        "partial-agg sum (work ∝ edges, state ∝ nodes), sum-normalized "
+        "and rounded to 10 decimals every half-round on BOTH engines "
+        "(the pagerank float re-sync recipe); the oracle unrolls the "
+        "same rounds as chained CTEs with the doubly-referenced sums "
+        "AS MATERIALIZED (the pinned DuckDB CTE-inlining hazard).  "
+        "Top-10 authorities + top-10 hubs via distributed TakeOrdered "
+        "+ 10-row rank windows. operators/graph.py:hits.",
+    tags=("graph",),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits
+    from ..operators.ranking import topk_with_rank
+    li = table(spark, sf_dir, "lineitem")
+    edges = (li.select((F.col("l_suppkey") * 2).alias("src"),
+                       (F.col("l_partkey") * 2 + 1).alias("dst"))
+             .distinct())
+    hubs, auths = hits(edges, iterations=4, round_digits=10)
+    top_a = topk_with_rank(
+        auths.select("node", F.round(F.col("a"), 8).alias("score")),
+        [F.col("score").desc(), F.col("node")], 10, "pos")
+    top_h = topk_with_rank(
+        hubs.select("node", F.round(F.col("h"), 8).alias("score")),
+        [F.col("score").desc(), F.col("node")], 10, "pos")
+    return (top_a.select(F.lit("authority").alias("role"), "node",
+                         "score", "pos")
+            .unionAll(top_h.select(F.lit("hub").alias("role"), "node",
+                                   "score", "pos"))
+            .orderBy("role", "pos"))
