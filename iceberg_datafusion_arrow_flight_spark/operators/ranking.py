@@ -156,3 +156,36 @@ def topk_with_rank(df: DataFrame, order_cols: list[Column], k: int,
     w = Window.orderBy(*order_cols)
     return top.withColumn(rank_col,
                           F.row_number().over(w).cast("int"))
+
+
+def with_global_cumsum(df: DataFrame, order_cols: list[Column],
+                       value_col: str, out_col: str = "__cum",
+                       num_partitions: int | None = None) -> DataFrame:
+    """Exact global running sum of ``value_col`` by ``order_cols``
+    (a total order) without a single-partition window — the cumsum
+    sibling of :func:`with_global_rank`: range-repartition, partition-
+    local cumulative window, per-partition totals lifted to offsets by
+    one bounded collect (partition-count rows, never data)."""
+    spark = df.sparkSession
+    n_parts = int(num_partitions
+                  or spark.sparkContext.defaultParallelism)
+    ranged = (df.repartitionByRange(n_parts, *order_cols)
+              .withColumn("__pid", F.spark_partition_id())
+              .transform(materialize))  # pin the pid assignment
+    w = (Window.partitionBy("__pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    local = ranged.withColumn("__lc", F.sum(value_col).over(w))
+    sizes = (ranged.groupBy("__pid")
+             .agg(F.sum(value_col).alias("__s"))
+             .orderBy("__pid").collect())
+    offset, offsets = 0, {}
+    for r in sizes:
+        offsets[r["__pid"]] = offset
+        offset += r["__s"]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "__pid int, __off bigint")
+    return (local.join(F.broadcast(off_df), "__pid")
+            .withColumn(out_col,
+                        (F.col("__off") + F.col("__lc")).cast("bigint"))
+            .drop("__pid", "__lc", "__off"))

@@ -1585,3 +1585,92 @@ def pipeline_length_percentiles(spark: SparkSession,
                  F.round(F.percentile(c, 0.99), 4).alias("p99"),
                  F.max(c).cast("bigint").alias("max_chars"))
             .orderBy("lang"))
+
+
+@register(
+    "pipeline_systematic_resample",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+), tot AS (
+  SELECT CAST(SUM(n_chars) AS BIGINT) AS W,
+         CAST((COUNT(*) + 9) // 10 AS BIGINT) AS n
+  FROM documents
+), cnts AS (
+  SELECT doc_id, source, n_chars,
+         LEAST(t.n, GREATEST(0,
+           (2 * cum * t.n - t.W + 2 * t.W - 1) // (2 * t.W)))
+         - LEAST(t.n, GREATEST(0,
+           (2 * (cum - n_chars) * t.n - t.W + 2 * t.W - 1) // (2 * t.W)))
+           AS k
+  FROM w CROSS JOIN tot t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS sampled_docs,
+       CAST(SUM(k) AS BIGINT) AS sampled_multiplicity,
+       CAST(SUM(n_chars) AS BIGINT) AS weight,
+       ROUND(SUM(k) * 1.0 / (SELECT MAX(n) FROM tot), 6)
+         AS share_of_sample,
+       ROUND(SUM(n_chars) * 1.0 / (SELECT MAX(W) FROM tot), 6)
+         AS share_of_weight
+FROM cnts GROUP BY source ORDER BY source
+""",
+    doc="Deterministic SYSTEMATIC resampling proportional to length "
+        "(the DSIR-style importance-resampling primitive with weight = "
+        "n_chars ~ token budget): n = ceil(docs/10) evenly-spaced "
+        "positions (j+0.5)·W/n walk the doc_id-ordered cumulative-"
+        "weight line; each doc's multiplicity is the EXACT integer "
+        "count of positions inside its interval — spelled as "
+        "ceil-divisions over 64-bit integers on both engines, so the "
+        "sample is bit-reproducible (no RNG, no floats: the property "
+        "that makes a 100 TB sampling job re-runnable and auditable).  "
+        "Any CONTIGUOUS doc_id range receives its weight share to "
+        "within 1 position by construction (the systematic-sampling "
+        "guarantee); the per-source report exposes how far the "
+        "INTERLEAVED strata deviate (sources scatter into many "
+        "sub-spacing intervals, so their shares track weight only in "
+        "expectation — measured ±40% relative at sf0.1 — which is "
+        "exactly why a stratum-exact budget needs "
+        "pipeline_stratified_allocation/pipeline_temperature_mixture "
+        "instead; total multiplicity == n EXACTLY, asserted at both "
+        "SFs).  The cumulative line is a DISTRIBUTED prefix "
+        "sum (range-repartition + local window + offset lift, "
+        "operators/ranking.py:with_global_cumsum — never a one-task "
+        "sort).  plans/pipeline_queries.py:pipeline_systematic_resample.",
+    tags=("pipeline", "aggregate"),
+)
+def pipeline_systematic_resample(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..operators.ranking import with_global_cumsum
+    docs = table(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "n_chars")
+    tot = docs.agg(F.sum("n_chars").cast("bigint").alias("W"),
+                   F.count(F.lit(1)).cast("bigint").alias("c")).first()
+    W, n = int(tot["W"]), (int(tot["c"]) + 9) // 10
+    cum = with_global_cumsum(docs, [F.col("doc_id")], "n_chars", "cum")
+
+    def cnt(c):  # positions strictly below c: ceil((2cn - W) / (2W))
+        return F.least(
+            F.lit(n).cast("bigint"),
+            F.greatest(F.lit(0).cast("bigint"),
+                       F.expr(f"(2 * {c} * {n} - {W} + {2 * W} - 1) "
+                              f"div {2 * W}")))
+
+    k = (cnt("cum") - cnt("(cum - n_chars)")).alias("k")
+    cnts = cum.select("doc_id", "source", "n_chars", k)
+    return (cnts.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum((F.col("k") > 0).cast("int")).cast("bigint")
+                  .alias("sampled_docs"),
+                 F.sum("k").cast("bigint").alias("sampled_multiplicity"),
+                 F.sum("n_chars").cast("bigint").alias("weight"),
+                 F.round(F.sum("k") / F.lit(float(n)), 6)
+                  .alias("share_of_sample"),
+                 F.round(F.sum("n_chars") / F.lit(float(W)), 6)
+                  .alias("share_of_weight"))
+            .orderBy("source"))

@@ -2036,3 +2036,21 @@ def test_jpeg_header_scan_fields_and_guards():
         _jpeg_header(b"nope")
     with _pytest.raises(ValueError, match="missing SOF0"):
         _jpeg_header(b"\xFF\xD8\xFF\xDA\x00\x02")
+
+
+def test_with_global_cumsum_matches_single_window(spark):
+    """Distributed prefix sum == the single-partition window form for
+    any total order, at any partition count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from iceberg_datafusion_arrow_flight_spark.operators.ranking import (
+        with_global_cumsum)
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 7 % 13 + 1).alias("w"))
+    got = {r["id"]: r["c"] for r in
+           with_global_cumsum(df, [F.col("id")], "w", "c",
+                              num_partitions=7).collect()}
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["id"]: r["c"] for r in
+            df.withColumn("c", F.sum("w").over(w)).collect()}
+    assert got == want
