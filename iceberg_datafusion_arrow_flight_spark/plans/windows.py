@@ -558,3 +558,111 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.first("q", ignorenulls=True).over(full)
                        .alias("first_obs"))
             .orderBy("l_orderkey", "l_linenumber"))
+
+
+@register(
+    "window_match_recognize_vshape",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS centi
+  FROM events
+), stepped AS (
+  SELECT user_id, ts, event_id, centi,
+         CASE WHEN centi > lag_c THEN 1
+              WHEN centi < lag_c THEN -1 ELSE 0 END AS s
+  FROM (SELECT *, LAG(centi) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS lag_c
+        FROM e)
+  WHERE lag_c IS NOT NULL
+), runs_marked AS (
+  SELECT user_id, ts, event_id, centi, s,
+         SUM(CASE WHEN s IS DISTINCT FROM lag_s THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM (SELECT *, LAG(s) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS lag_s
+        FROM stepped)
+), runs AS (
+  SELECT user_id, run_id, MIN(s) AS s,
+         CAST(COUNT(*) AS BIGINT) AS len,
+         MIN(centi) AS lo, MAX(centi) AS hi
+  FROM runs_marked GROUP BY user_id, run_id
+), vs AS (
+  SELECT d.user_id,
+         d.hi - d.lo AS depth_centi,
+         u.hi - u.lo AS recovery_centi
+  FROM runs d JOIN runs u
+    ON u.user_id = d.user_id AND u.run_id = d.run_id + 1
+  WHERE d.s = -1 AND u.s = 1 AND d.len >= 2 AND u.len >= 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vshapes,
+       CAST(MAX(depth_centi) AS BIGINT) AS max_depth_centi,
+       CAST(MAX(recovery_centi) AS BIGINT) AS max_recovery_centi
+FROM vs
+GROUP BY user_id
+HAVING COUNT(*) >= 3
+ORDER BY user_id
+""",
+    doc="MATCH_RECOGNIZE emulation (row-pattern recognition, SQL:2016 "
+        "— absent from BOTH Spark and DF40): detect the canonical "
+        "V-shape pattern A DOWN{2,} UP{2,} over each user's "
+        "event-value series with pure window algebra — per-partition "
+        "LAG sign, run-length islands (the gaps-and-islands cumsum), "
+        "one self-join of ADJACENT runs (equi on user + run_id+1), "
+        "strict-monotone runs make depth/recovery exact endpoint "
+        "differences.  Values fold to integer centi-units so every "
+        "metric is exact.  Scale: all windows are PARTITIONed by "
+        "user_id (shuffle on the natural key, parallel per-user "
+        "sorts); the run table is runs-sized, the adjacency join "
+        "keyed.  Per-user V counts + deepest drawdown/recovery, "
+        "frequent-pattern users only (>= 3). "
+        "plans/windows.py:window_match_recognize_vshape.",
+    tags=("window", "events"),
+)
+def window_match_recognize_vshape(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = (table(spark, sf_dir, "events")
+         .select("user_id", "ts", "event_id",
+                 F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                  .alias("centi")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = (e.withColumn("lag_c", F.lag("centi").over(w))
+               .where(F.col("lag_c").isNotNull())
+               .withColumn("s",
+                           F.when(F.col("centi") > F.col("lag_c"), 1)
+                            .when(F.col("centi") < F.col("lag_c"), -1)
+                            .otherwise(0)))
+    marked = (stepped.withColumn("lag_s", F.lag("s").over(w))
+              .withColumn("run_id",
+                          F.sum((~F.col("s").eqNullSafe(F.col("lag_s")))
+                                .cast("int"))
+                           .over(w.rowsBetween(Window.unboundedPreceding,
+                                               0))))
+    runs = (marked.groupBy("user_id", "run_id")
+            .agg(F.min("s").alias("s"),
+                 F.count(F.lit(1)).cast("bigint").alias("len"),
+                 F.min("centi").alias("lo"), F.max("centi").alias("hi")))
+    d = runs.select(F.col("user_id").alias("u"),
+                    F.col("run_id").alias("rid"),
+                    F.col("s").alias("ds"), F.col("len").alias("dl"),
+                    (F.col("hi") - F.col("lo")).alias("depth_centi"))
+    u_ = runs.select(F.col("user_id").alias("u"),
+                     F.col("run_id").alias("rid2"),
+                     F.col("s").alias("us"), F.col("len").alias("ul"),
+                     (F.col("hi") - F.col("lo")).alias("recovery_centi"))
+    vs = (d.join(u_, (d["u"] == u_["u"]) & (u_["rid2"] == d["rid"] + 1))
+          .where((F.col("ds") == -1) & (F.col("us") == 1)
+                 & (F.col("dl") >= 2) & (F.col("ul") >= 2))
+          .select(d["u"].alias("user_id"), "depth_centi",
+                  "recovery_centi"))
+    return (vs.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vshapes"),
+                 F.max("depth_centi").cast("bigint")
+                  .alias("max_depth_centi"),
+                 F.max("recovery_centi").cast("bigint")
+                  .alias("max_recovery_centi"))
+            .where(F.col("n_vshapes") >= 3)
+            .orderBy("user_id"))
