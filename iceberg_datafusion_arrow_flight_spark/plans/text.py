@@ -1511,3 +1511,68 @@ def text_ngram_novelty_by_batch(spark: SparkSession,
                  new.cast("bigint").alias("n_new"),
                  F.round(new / F.count(F.lit(1)), 6).alias("novelty_rate"))
             .orderBy("batch"))
+
+
+@register(
+    "text_mattr_lexical_diversity",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(text, '\s+') AS t
+  FROM documents
+), wins AS (
+  SELECT doc_id, source,
+         list_transform(range(1, len(t) - 50 + 2, 25),
+                        i -> len(list_distinct(t[i:i+49]))) AS d
+  FROM toks WHERE len(t) >= 50
+), per_doc AS (
+  SELECT source,
+         CAST(len(d) AS BIGINT) AS n_windows,
+         CAST(list_reduce(list_prepend(0, d), (a, x) -> a + x)
+              AS BIGINT) AS sum_distinct
+  FROM wins
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_windows) AS BIGINT) AS n_windows,
+       CAST(SUM(sum_distinct) AS BIGINT) AS sum_distinct,
+       ROUND(SUM(sum_distinct) * 1.0 / (SUM(n_windows) * 50), 6)
+         AS mattr
+FROM per_doc GROUP BY source ORDER BY source
+""",
+    doc="MATTR lexical diversity (Covington & McFall 2010: moving-"
+        "average type-token ratio — the length-INVARIANT diversity "
+        "measure; plain TTR collapses as documents grow, which is why "
+        "corpus-quality dashboards use windowed variants): distinct-"
+        "type counts over 50-token windows strided by 25, per source.  "
+        "Everything stays integer until ONE final ratio (sum of "
+        "distinct counts / windows*50), so the report hash-checks "
+        "exactly; the window transform is a pure codegen array "
+        "expression — zero explode, zero shuffle before the per-source "
+        "partial agg.  Complements text_hapax_ratio_by_source (rare-"
+        "type mass) and text_char_ngram_entropy (character diversity). "
+        "plans/text.py:text_mattr_lexical_diversity.",
+    tags=("text", "pipeline"),
+)
+def text_mattr_lexical_diversity(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    W, S = 50, 25
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), r"\s+")
+    starts = F.sequence(F.lit(0), F.size(t) - W, F.lit(S))
+    d = F.transform(starts,
+                    lambda i: F.size(F.array_distinct(
+                        F.slice(t, i + 1, W))))
+    per = (docs.where(F.size(t) >= W)
+           .select("source",
+                   F.size(d).cast("bigint").alias("n_windows"),
+                   F.aggregate(d, F.lit(0),
+                               lambda a, x: a + x).cast("bigint")
+                    .alias("sum_distinct")))
+    return (per.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_windows").cast("bigint").alias("n_windows"),
+                 F.sum("sum_distinct").cast("bigint")
+                  .alias("sum_distinct"),
+                 F.round(F.sum("sum_distinct")
+                         / (F.sum("n_windows") * W), 6).alias("mattr"))
+            .orderBy("source"))
