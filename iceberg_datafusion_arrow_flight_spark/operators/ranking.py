@@ -165,7 +165,19 @@ def with_global_cumsum(df: DataFrame, order_cols: list[Column],
     (a total order) without a single-partition window — the cumsum
     sibling of :func:`with_global_rank`: range-repartition, partition-
     local cumulative window, per-partition totals lifted to offsets by
-    one bounded collect (partition-count rows, never data)."""
+    one bounded collect (partition-count rows, never data).
+
+    ``value_col`` must be INTEGRAL: the lifted offsets go through
+    ``int()`` and the output is cast to bigint, so fractional weights
+    would be silently floored — raise instead."""
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType)
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, (ByteType, ShortType, IntegerType,
+                              LongType)):
+        raise TypeError(
+            f"with_global_cumsum needs an integral value column; "
+            f"{value_col} is {vtype.simpleString()}")
     spark = df.sparkSession
     n_parts = int(num_partitions
                   or spark.sparkContext.defaultParallelism)

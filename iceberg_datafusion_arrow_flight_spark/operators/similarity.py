@@ -269,21 +269,21 @@ def ann_lsh_multiprobe_topk(queries: DataFrame, corpus: DataFrame,
 
 
 def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str,
-               nprobe: int = 1, keep_centroid: bool = False) -> DataFrame:
+               nprobe: int = 1) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (cosine).
 
     Broadcast the centroid table (tiny by construction) and rank per
-    vector — one map-side pass, no shuffle of the vector table.
-    ``keep_centroid=True`` retains the matched ``__cent_vec`` column
-    (residual encoders subtract it)."""
+    vector — one map-side pass, no shuffle of the vector table.  Any
+    EXTRA column on the centroid table (beyond ``__cell`` /
+    ``__cent_vec``) rides through to the output — residual encoders
+    pass the normalized centroid this way instead of re-joining."""
     sims = (df.crossJoin(F.broadcast(centroids))
             .withColumn("__csim", cosine(F.col(vec_col), F.col("__cent_vec"))))
     w = Window.partitionBy(*df.columns).orderBy(
         F.col("__csim").desc(), F.col("__cell"))
-    out = (sims.withColumn("__cr", F.row_number().over(w))
-           .where(F.col("__cr") <= nprobe)
-           .drop("__csim", "__cr"))
-    return out if keep_centroid else out.drop("__cent_vec")
+    return (sims.withColumn("__cr", F.row_number().over(w))
+            .where(F.col("__cr") <= nprobe)
+            .drop("__csim", "__cr", "__cent_vec"))
 
 
 def kmeans_centroids(df: DataFrame, id_col: str, vec_col: str,
@@ -964,14 +964,11 @@ def ann_ivfpq_residual_topk(queries: DataFrame, corpus: DataFrame,
                      nv.alias("__cent_nv"))
              .orderBy("__cell").limit(n_centroids)
              .transform(materialize))
-    cass = cents.select("__cell", "__cent_vec")
-    cnorm = cents.select("__cell", "__cent_nv")
 
     c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
                                _as_double(F.col(vec_col)).alias("cv"),
                                nv.alias("cnv"))
-    c_cells = (ivf_assign(c, cass, "cv", nprobe=1)
-               .join(F.broadcast(cnorm), "__cell")
+    c_cells = (ivf_assign(c, cents, "cv", nprobe=1)
                .withColumn("rnv", F.zip_with("cnv", "__cent_nv",
                                              lambda x, y: x - y))
                .drop("__cent_nv", "cnv")
@@ -998,8 +995,7 @@ def ann_ivfpq_residual_topk(queries: DataFrame, corpus: DataFrame,
     q = queries.select(F.col(query_id).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"),
                        nv.alias("qnv"))
-    q_cells = (ivf_assign(q, cass, "qv", nprobe=nprobe)
-               .join(F.broadcast(cnorm), "__cell")
+    q_cells = (ivf_assign(q, cents, "qv", nprobe=nprobe)
                .withColumn("qrv", F.zip_with("qnv", "__cent_nv",
                                              lambda x, y: x - y))
                .drop("__cent_nv", "qnv"))

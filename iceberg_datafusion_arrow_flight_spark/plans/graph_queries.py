@@ -1104,11 +1104,13 @@ ra{i} AS MATERIALIZED (
     parts.append(f""",
 top_a AS (
   SELECT 'authority' AS role, node, ROUND(a, 8) AS score,
-         CAST(ROW_NUMBER() OVER (ORDER BY a DESC, node) AS INT) AS pos
+         CAST(ROW_NUMBER() OVER (ORDER BY ROUND(a, 8) DESC, node)
+              AS INT) AS pos
   FROM a{iterations} QUALIFY pos <= 10
 ), top_h AS (
   SELECT 'hub' AS role, node, ROUND(h, 8) AS score,
-         CAST(ROW_NUMBER() OVER (ORDER BY h DESC, node) AS INT) AS pos
+         CAST(ROW_NUMBER() OVER (ORDER BY ROUND(h, 8) DESC, node)
+              AS INT) AS pos
   FROM h{iterations} QUALIFY pos <= 10
 )
 SELECT role, node, score, pos FROM top_a
