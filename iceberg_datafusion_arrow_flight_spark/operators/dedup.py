@@ -707,7 +707,28 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     shingles keep postings near-unique, which is what bounds the
     candidate join at corpus scale.  A lossless size filter
     (``|B| >= t*|A|``, integer form) drops candidates before the
-    O(|A|+|B|) intersect verify."""
+    O(|A|+|B|) intersect verify.
+
+    PPJoin+-style POSITIONAL filter (Xiao, Wang, Lin & Yu, WWW'08
+    §3.2, adapted to containment): both explodes carry the shingle's
+    1-based POSITION in its document's sorted order; a posting match
+    at positions (i in A, j in B) bounds the total overlap by
+    ``1 + min(|A|-i, |B|-j)`` — everything common beyond this token
+    lies in both suffixes.  LOSSLESS at pair granularity even though
+    the bound is applied per posting row: a qualifying pair's FIRST
+    shared token (in the global order) has no common token before it
+    on either side, so its row's bound >= the true overlap >= the
+    threshold and survives into the ``distinct``; rows for later
+    shared tokens may be pruned, which is exactly the saving.
+    MEASURED at sf0.1 (template-heavy fixture): pre-distinct posting
+    matches 10.62 M -> 9.23 M (0.87x), distinct candidate pairs
+    7.11 M -> 6.46 M (0.91x), output identical at both scales — far
+    below the paper's 2-5x because the in-join size filter above
+    already removes most of what position would catch when the probe
+    is a SHORT doc (small na => loose bound), and near-unique bigram
+    postings mean few multi-token candidates to begin with.  Kept
+    because the two int columns are ~free on the exchange and the
+    bound only tightens on corpora with longer prefixes (lower t)."""
     df = fan_out(df)
     toks = F.split(F.col(text_col), r"\s+")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
@@ -733,15 +754,24 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     # both scales).
     probe = base.select(F.col("__id").alias("contained_id"),
                         F.size("__sh").alias("__na"),
-                        F.explode("__prefix").alias("__p"))
+                        F.posexplode("__prefix").alias("__ia", "__p")) \
+                .withColumn("__ia", F.col("__ia") + 1)
     index = base.select(F.col("__id").alias("container_id"),
                         F.size("__sh").alias("__nb"),
-                        F.explode("__sh").alias("__p"))
+                        F.posexplode("__sh").alias("__jb", "__p")) \
+                .withColumn("__jb", F.col("__jb") + 1)
+    # positional upper bound, integer form: den*(1 + min(na-i, nb-j))
+    # >= num*na  <=>  1 + min(...) >= ceil(t*na)
+    pos_ok = (threshold_den
+              * (1 + F.least(F.col("__na") - F.col("__ia"),
+                             F.col("__nb") - F.col("__jb")))
+              >= threshold_num * F.col("__na"))
     cand = (probe.join(index,
                        (probe["__p"] == index["__p"])
                        & (F.col("contained_id") != F.col("container_id"))
                        & (threshold_den * F.col("__nb")
-                          >= threshold_num * F.col("__na")))
+                          >= threshold_num * F.col("__na"))
+                       & pos_ok)
             .select("contained_id", "container_id").distinct())
     a = base.select(F.col("__id").alias("contained_id"),
                     F.col("__sh").alias("sh_a"))

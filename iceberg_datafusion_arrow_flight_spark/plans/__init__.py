@@ -116,54 +116,51 @@ from . import tpch            # noqa: E402,F401
 #   43 r03 block in registration order (agg_array_collect first).
 #   Full re-coverage of the r02-r04 tail needs ~3 more windows.
 _PRIORITY: list[str] = [
-    # --- the 23-entry r09 never-checked pool (retires cumulative
-    # driver coverage back to all-checked 391/391):
-    "agg_grouping_id_bitmask", "window_value_ignore_nulls",
-    "func_bitwise", "unnest_explode_outer",
-    "dedup_cluster_size_histogram", "sim_cosine_distance_histogram",
-    "sim_ann_recall_at_k_sweep", "text_tokenizer_fertility",
-    "text_hapax_ratio_by_source", "multimodal_png_decode",
-    "multimodal_pixel_dedup_cross_codec", "join_asof_forward_tolerance",
-    "events_time_to_convert", "events_retention_day_n",
-    "events_anomaly_hw_residual", "events_error_rate_daily",
-    "events_growth_accounting_weekly", "events_hourly_profile",
-    "io_copy_compression_codecs", "pipeline_temperature_mixture",
-    "pipeline_length_percentiles_by_lang",
-    "stream_join_purchase_after_signup", "stream_stateful_running_totals",
-    # --- rewrite re-pins (NOT cedeable this round): the LSH candidate-
-    # dedup shuffle rewrite (VERDICT r9 "What's wrong" #1) touches
-    # sim_ann_lsh_topk and sim_cross_corpus_decontaminate, and
-    # sim_ann_recall_report is a reproduced r9 regression under
-    # re-measurement — all three need a fresh driver pin, exactly the
-    # window_range_frame precedent from r09:
-    "sim_ann_lsh_topk", "sim_cross_corpus_decontaminate",
-    "sim_ann_recall_report",
-    # --- re-pins: the oldest last-checked-r02 entries (oldest-first in
-    # registration order); cede candidates for entries NEW in r10,
-    # tail-first (each ceded name re-queues at the head of the r11
-    # re-pin queue).  Ceded so far: table_func_generate_series,
-    # json_access (for the two JPEG entries):
-    "agg_having_filter_distinct", "agg_variance_stddev",
-    "agg_corr_covar_regr", "agg_min_max_by", "agg_string_agg",
-    "agg_median_percentile", "agg_weighted_percentile",
-    "window_ranking", "window_offset_lag_lead",
-    "window_value_functions", "window_sales_running",
-    # --- NEW in r10 (two-scale local-gated on arrival); ceded
-    # tail-first: table_func_generate_series, json_access,
-    # unnest_explode, func_cast_trycast, func_conditional,
-    # func_datetime, func_trig, func_crypto_encoding, func_regex,
-    # func_string_search, func_string_basic, window_groups_frame,
-    # window_agg_mixed_with_groupby (the
-    # ceded func/window r02 re-pins queue for r11; the function FAMILY
-    # stays window-covered via the pool's func_bitwise, the window
-    # family via window_value_ignore_nulls + the vshape entry):
-    "multimodal_jpeg_decode", "multimodal_jpeg_subsampling_dedup",
-    "events_dau_wau_mau_kmv", "multimodal_jpeg_header_scan",
-    "sim_ann_lsh_multiprobe_recall", "stream_session_finalized_vs_batch",
-    "text_ngram_novelty_by_batch", "dedup_minhash_bbit",
-    "graph_hits_hubs_authorities", "pipeline_systematic_resample",
-    "window_match_recognize_vshape", "text_mattr_lexical_diversity",
-    "sim_ann_ivfpq_residual_recall",
+    # ---- r11 window ----
+    # All 404 entries are driver-checked (r10 closed the cumulative
+    # pool at 404/404), so the r11 window is a pure staleness drain
+    # plus rewrite re-pins.  Composition:
+    #
+    # --- rewrite re-pins (NOT cedeable): entries whose oracle or plan
+    # changed this round and need a fresh driver pin (the r10
+    # sim_ann_lsh_topk precedent): graph_hits_hubs_authorities (oracle
+    # tie-break now ranks on the rounded key), sim_ann_ivfpq_residual_recall
+    # (ivf_assign column pass-through replaced the two broadcast
+    # re-joins), dedup_containment (PPJoin+ positional filter, VERDICT
+    # r10 ask #3):
+    "graph_hits_hubs_authorities", "sim_ann_ivfpq_residual_recall",
+    "dedup_containment",
+    # --- re-pins: the full 25-entry last-checked-r02 tail (oldest
+    # staleness in the registry), in registration order:
+    "window_agg_mixed_with_groupby", "window_groups_frame",
+    "func_string_basic", "func_string_search", "func_regex",
+    "func_crypto_encoding", "func_trig", "func_datetime",
+    "func_conditional", "func_cast_trycast", "unnest_explode",
+    "json_access", "table_func_generate_series",
+    "dedup_exact", "dedup_ngram_jaccard", "sim_embedding_near_dup",
+    "text_token_counts", "sketch_bloom_membership", "join_asof_events",
+    "ddl_ctas_insert_select", "io_copy_to_roundtrip",
+    "catalog_information_schema_tables", "iceberg_time_travel",
+    "pipeline_train_test_split", "tpch_q12_priority_shipping",
+    # --- re-pins: head of the 43-entry last-checked-r03 block in
+    # registration order; entries NEW in r11 cede slots from THIS
+    # list's TAIL (youngest-staleness-first, the r08-r10 policy).
+    # Ceded so far (tail-first): none yet — each entry NEW in r11 is
+    # appended to the NEW section below when it registers and the r03
+    # tail name above it is removed, keeping the window at exactly 50:
+    "agg_array_collect", "agg_bool_bit", "agg_exact_distinct",
+    "agg_hdr_quantile_sketch", "agg_pivot_lang_by_source",
+    "agg_equi_width_histogram", "window_named_clause", "func_math",
+    "array_construct_access", "array_higher_order", "struct_access",
+    "dedup_exact_token_set", "dedup_simhash",
+    "dedup_token_jaccard_ppjoin", "dedup_substring_overlap",
+    "dedup_prune_corpus", "dedup_cluster_components",
+    "dedup_cross_corpus", "sim_label_centroid_distance",
+    "sim_semantic_dedup", "sim_knn_confusion",
+    # pulled forward from the r03 block (out of registration order) so
+    # the multimodal family keeps a window row (family-coverage guard):
+    "multimodal_resize_real",
+    # --- NEW in r11 (two-scale local-gated on arrival):
 ]
 
 

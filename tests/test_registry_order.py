@@ -67,13 +67,11 @@ def test_every_family_has_a_priority_row():
                  if not any(n in _PRIORITY for n in names)
                  # Families with a cumulative driver-green row need no slot
                  # in the CURRENT window (every family below has 100%
-                 # driver coverage through r09 — CORRECTNESS_r01-r09 union
-                 # 368 ever-checked, 0 red; the r10 window spends its
-                 # re-pin slots on the OLDEST never-re-checked entries —
-                 # the r02 agg/window/func block — plus the three
-                 # LSH-rewrite re-pins, so the r09-green relational/TPC-H
-                 # block and the recently-checked extension families sit
-                 # out this rotation):
+                 # driver coverage through r10 — CORRECTNESS_r01-r10 union
+                 # = all 404 entries, 0 red; the r11 window is a pure
+                 # staleness drain (the r02/r03 tail) plus three rewrite
+                 # re-pins, so every family whose oldest entry is
+                 # fresher than the r03 block sits out this rotation):
                  and fam not in ("map", "json", "ddl",
                                  "catalog", "struct",
                                  "graph", "dialect", "service",
@@ -81,7 +79,9 @@ def test_every_family_has_a_priority_row():
                                  "cte", "setop", "sort", "distinct",
                                  "values", "filter", "projection",
                                  "tpch", "iceberg",
-                                 # ceded mid-r10 to the JPEG entries;
-                                 # both families r2-r8 driver-green
-                                 "table_function")]
+                                 "table_function",
+                                 # join_asof_forward_tolerance and the
+                                 # three stream_* rows are pass-r10 —
+                                 # youngest coverage in the registry
+                                 "join", "streaming")]
     assert not uncovered, uncovered
