@@ -145,9 +145,9 @@ _PRIORITY: list[str] = [
     # --- re-pins: head of the 43-entry last-checked-r03 block in
     # registration order; entries NEW in r11 cede slots from THIS
     # list's TAIL (youngest-staleness-first, the r08-r10 policy).
-    # Ceded so far (tail-first): none yet — each entry NEW in r11 is
-    # appended to the NEW section below when it registers and the r03
-    # tail name above it is removed, keeping the window at exactly 50:
+    # Ceded so far (tail-first): sim_knn_confusion, sim_semantic_dedup
+    # (for the two GIF entries below); each ceded name re-queues at the
+    # head of the r12 re-pin queue:
     "agg_array_collect", "agg_bool_bit", "agg_exact_distinct",
     "agg_hdr_quantile_sketch", "agg_pivot_lang_by_source",
     "agg_equi_width_histogram", "window_named_clause", "func_math",
@@ -156,11 +156,11 @@ _PRIORITY: list[str] = [
     "dedup_token_jaccard_ppjoin", "dedup_substring_overlap",
     "dedup_prune_corpus", "dedup_cluster_components",
     "dedup_cross_corpus", "sim_label_centroid_distance",
-    "sim_semantic_dedup", "sim_knn_confusion",
     # pulled forward from the r03 block (out of registration order) so
     # the multimodal family keeps a window row (family-coverage guard):
     "multimodal_resize_real",
     # --- NEW in r11 (two-scale local-gated on arrival):
+    "multimodal_gif_decode", "multimodal_gif_animation_dedup",
 ]
 
 

@@ -1156,3 +1156,100 @@ def multimodal_jpeg_header_scan(spark: SparkSession,
             .where(F.col("doc_id") % 5 == 0).select("doc_id"))
     return (M.jpeg_header_scan(M.attach_jpeg_payload(docs))
             .orderBy("doc_id"))
+
+
+@register(
+    "multimodal_gif_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8 + (doc_id % 8) * 4 AS w,
+         8 + (doc_id % 5) * 4 AS h
+  FROM documents WHERE doc_id % 9 = 0
+), px AS (
+  SELECT doc_id, c.c AS channel,
+         CASE c.c WHEN 0 THEN (7 * doc_id + k) % 256
+                  WHEN 1 THEN (2 * ((7 * doc_id + k) % 256)) % 256
+                  ELSE (3 * ((7 * doc_id + k) % 256)) % 256 END AS v
+  FROM d, range(0, 864) t(k), (SELECT unnest([0, 1, 2]) AS c) c
+  WHERE k < w * h
+)
+SELECT doc_id, CAST(channel AS INT) AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(v * v) AS BIGINT) AS sum_v2
+FROM px GROUP BY doc_id, channel
+ORDER BY doc_id, channel
+""",
+    doc="REAL GIF decode, pixel-oracled: payloads are genuine GIF89a "
+        "bytes — 256-entry global color table + variable-width LZW "
+        "(LSB-first packing, CLEAR/EOI, 12-bit cap with reset) — "
+        "built and parsed by the pure stdlib+numpy codec in "
+        "operators/multimodal.py, closing the last feasible codec gap "
+        "after PNG (r9) and JPEG (r10); webp (VP8 entropy coding) "
+        "stays honestly library-gated.  The LZW decoder is cross-"
+        "validated against the published 10x10 GIF sample stream "
+        "(tests/test_operators.py::test_gif_lzw_spec_vector), not "
+        "just self-roundtripped.  The affine fixture palette (i, 2i, "
+        "3i mod 256) lets the oracle derive every channel moment from "
+        "the index formula, so one wrong LZW code width, sub-block "
+        "seam, or palette lookup anywhere breaks the hash. "
+        "operators/multimodal.py:_decode_gif,attach_gif_payload.",
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 9 == 0).select("doc_id"))
+    per = M.color_moments(M.attach_gif_payload(docs))
+    return (per.select("doc_id", "channel", "n_px", "sum_v", "sum_v2")
+            .orderBy("doc_id", "channel"))
+
+
+@register(
+    "multimodal_gif_animation_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8 + (doc_id % 8) * 4 AS w,
+         8 + (doc_id % 5) * 4 AS h
+  FROM documents WHERE doc_id % 15 = 0
+), fr AS (
+  SELECT doc_id, w, h, f.f AS frame_idx,
+         CASE f.f WHEN 0 THEN 0 WHEN 1 THEN 0
+                  WHEN 2 THEN 11 ELSE 29 END AS off
+  FROM d, (SELECT unnest([0, 1, 2, 3]) AS f) f
+), sums AS (
+  SELECT doc_id, frame_idx, w, h,
+         CAST(SUM((7 * doc_id + k + off) % 256) AS BIGINT) AS idx_sum
+  FROM fr, range(0, 864) t(k)
+  WHERE k < w * h
+  GROUP BY doc_id, frame_idx, w, h
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(10 AS INT) AS delay_cs, idx_sum,
+       frame_idx = 1 AS is_dup_of_prev
+FROM sums
+ORDER BY doc_id, frame_idx
+""",
+    doc="Animated-GIF frame-level dedup over REAL multi-frame decode: "
+        "each payload is a genuine 4-frame GIF89a animation (Graphic "
+        "Control Extension per frame, delay 10 cs) whose frames 0 and "
+        "1 are exact duplicates — the looping-still pattern a video/"
+        "animation curation pass drops before feature extraction.  "
+        "Every frame is fully LZW-decoded; the dup flag is whole-"
+        "index-stream equality and the exact per-frame index sum pins "
+        "all four decodes, GCE delay parse included.  Per-group state "
+        "is one payload's frames; only (id, frame, ints) rows leave "
+        "the executor — payload bytes never shuffle. "
+        "operators/multimodal.py:gif_frame_dedup,attach_gif_payload.",
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_gif_animation_dedup(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 15 == 0).select("doc_id"))
+    return (M.gif_frame_dedup(M.attach_gif_payload(docs, n_frames=4))
+            .orderBy("doc_id", "frame_idx"))
