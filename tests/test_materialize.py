@@ -74,3 +74,39 @@ def test_materialize_truncates_lineage_under_default(spark, monkeypatch):
         or "LogicalRDD" in out._jdf.queryExecution().toString()
     lazy = materialize_lazy(spark.range(50))
     assert lazy.count() == 50
+
+
+def test_materialize_scope_releases_persist_pins(spark, monkeypatch):
+    """The persist-strategy lifecycle hook (VERDICT r10 ask #7): a
+    long-running service wraps each query in materialize_scope() and
+    the SQL CacheManager returns to empty once the scope closes — even
+    though the operators inside pinned intermediates they never
+    unpersist themselves."""
+    from iceberg_datafusion_arrow_flight_spark.operators.materialize import (
+        materialize_scope)
+
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    monkeypatch.setenv(STRATEGY_ENV, "persist")
+    df = spark.range(100).withColumnRenamed("id", "v")
+    assert jcm.isEmpty()
+    with materialize_scope() as pins:
+        a = materialize(df.selectExpr("v * 2 AS w"))
+        b = materialize_lazy(a.selectExpr("w + 1 AS x"))
+        assert b.count() == 100
+        assert len(pins) == 2
+        assert not jcm.isEmpty()
+        # nested scope: inner pins release with the inner scope only
+        with materialize_scope() as inner:
+            c = materialize(df.selectExpr("v + 5 AS y"))
+            assert c.count() == 100
+            assert len(inner) == 1
+        assert len(pins) == 2          # outer untouched by inner exit
+        assert not jcm.isEmpty()       # outer pins still live
+    assert jcm.isEmpty()
+
+    # no-op under the default strategy: nothing registered, still empty
+    monkeypatch.setenv(STRATEGY_ENV, "local_checkpoint")
+    with materialize_scope() as pins:
+        materialize(df.selectExpr("v * 3 AS z")).count()
+        assert pins == []
+    assert jcm.isEmpty()
