@@ -112,6 +112,12 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "sim_ann_lsh_multiprobe_recall",
     "events_dau_wau_mau_kmv",
+    # r11 additions (solo seeds in PERFORMANCE.md r11): real GIF89a
+    # LZW decode, the animated-GIF frame-dedup row, and the finalized
+    # OUTER stream-stream conversion join.
+    "multimodal_gif_decode",
+    "multimodal_gif_animation_dedup",
+    "stream_outer_join_finalized",
 ]
 
 

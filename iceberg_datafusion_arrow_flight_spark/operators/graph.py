@@ -476,3 +476,46 @@ def hits(edges: DataFrame, iterations: int = 4,
                            .alias("h"))
                 .transform(materialize))
     return hubs, auths
+
+
+def katz_centrality(edges: DataFrame, iterations: int = 4,
+                    alpha: float = 0.05, beta: float = 1.0,
+                    round_digits: int = 10) -> DataFrame:
+    """Katz (Psychometrika 1953) centrality over a DIRECTED edge list:
+
+        x_{k+1}(v) = beta + alpha * Σ_{u→v} x_k(u),   x_0(v) = beta
+
+    — the attenuated-path-count centrality (node v's score sums every
+    walk INTO v, a walk of length L weighted alpha^L), the classic
+    member of the family PageRank normalizes and HITS splits; unlike
+    PageRank it needs no out-degree division, so sinks and sources
+    need no special casing.  ``alpha`` must be below 1/λ_max of the
+    adjacency matrix for the infinite series to converge; the fixed-
+    iteration form here is the truncated series both engines can
+    replicate exactly.
+
+    Plan shape per round: edges ⋈ state on src (keyed hash join) →
+    dst-keyed partial-agg sum → node left-join (zero-indegree nodes
+    keep the bare beta term).  Work ∝ edges per round, state ∝ nodes,
+    both engines ROUND every round's scores to ``round_digits`` (the
+    pagerank float re-sync recipe) so summation-order noise never
+    compounds.  Edge list and per-round state are materialized
+    (flat lineage across rounds).  Returns (node, x)."""
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionAll(edges.select(F.col("dst").alias("node")))
+             .distinct().transform(materialize))
+    e = edges.transform(materialize)
+    x = nodes.withColumn("x", F.lit(float(beta)))
+    for _ in range(iterations):
+        s = (e.join(x.select(F.col("node").alias("src"), "x"), "src")
+             .groupBy("dst")
+             .agg(F.round(F.sum("x"), round_digits).alias("s")))
+        x = (nodes.join(s.select(F.col("dst").alias("node"), "s"),
+                        "node", "left")
+             .select("node",
+                     F.round(F.lit(float(beta))
+                             + F.lit(float(alpha))
+                             * F.coalesce("s", F.lit(0.0)),
+                             round_digits).alias("x"))
+             .transform(materialize))
+    return x

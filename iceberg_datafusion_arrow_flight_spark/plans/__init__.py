@@ -146,21 +146,24 @@ _PRIORITY: list[str] = [
     # registration order; entries NEW in r11 cede slots from THIS
     # list's TAIL (youngest-staleness-first, the r08-r10 policy).
     # Ceded so far (tail-first): sim_knn_confusion, sim_semantic_dedup
-    # (for the two GIF entries below); each ceded name re-queues at the
-    # head of the r12 re-pin queue:
+    # (for the two GIF entries), dedup_cross_corpus (for the finalized
+    # outer stream join), dedup_prune_corpus, dedup_cluster_components,
+    # sim_label_centroid_distance (for Katz / CDC chunking / Simpson
+    # diversity); each ceded name re-queues at the head of the r12
+    # re-pin queue:
     "agg_array_collect", "agg_bool_bit", "agg_exact_distinct",
     "agg_hdr_quantile_sketch", "agg_pivot_lang_by_source",
     "agg_equi_width_histogram", "window_named_clause", "func_math",
     "array_construct_access", "array_higher_order", "struct_access",
     "dedup_exact_token_set", "dedup_simhash",
     "dedup_token_jaccard_ppjoin", "dedup_substring_overlap",
-    "dedup_prune_corpus", "dedup_cluster_components",
-    "dedup_cross_corpus", "sim_label_centroid_distance",
     # pulled forward from the r03 block (out of registration order) so
     # the multimodal family keeps a window row (family-coverage guard):
     "multimodal_resize_real",
     # --- NEW in r11 (two-scale local-gated on arrival):
     "multimodal_gif_decode", "multimodal_gif_animation_dedup",
+    "stream_outer_join_finalized", "graph_katz_centrality",
+    "dedup_cdc_chunking", "text_simpsons_diversity",
 ]
 
 

@@ -1103,3 +1103,111 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum("absd") / F.count(F.lit(1)))
                  .alias("mean_abs_err_micro"))
             .orderBy("b"))
+
+
+@register(
+    "dedup_cdc_chunking",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, text AS t, length(text) AS n,
+         list_transform(range(1, length(text) + 1),
+                        j -> CAST(unicode(substr(t, CAST(j AS INT), 1))
+                                  AS BIGINT)) AS cps
+  FROM documents
+), cand AS (
+  SELECT doc_id, source, t, n, cps,
+         list_reduce(
+           list_concat([[CAST(0 AS BIGINT)]],
+                       list_transform(range(1, CAST(n AS BIGINT)),
+                                      k -> [k])),
+           (a, b) -> CASE WHEN b[1] >= 16
+                           AND ((2 * a[1]
+                                 + (cps[CAST(b[1] AS INT)] * 2654435761)
+                                   % 1048576) % 1048576) % 64 = 0
+                     THEN list_concat(list_concat(
+                            [(2 * a[1]
+                              + (cps[CAST(b[1] AS INT)] * 2654435761)
+                                % 1048576) % 1048576], a[2:]), [b[1]])
+                     ELSE list_concat(
+                            [(2 * a[1]
+                              + (cps[CAST(b[1] AS INT)] * 2654435761)
+                                % 1048576) % 1048576], a[2:])
+                     END)[2:] AS cand
+  FROM d
+), cuts AS (
+  -- the lambda must return a FRESH list on EVERY branch: DuckDB
+  -- 1.0.0's list_reduce corrupts the fold when a branch returns the
+  -- accumulator unchanged (ELSE a ==> [80] instead of [0,46,80]),
+  -- so the branch moves INSIDE list_concat's second argument
+  SELECT doc_id, source, t, n,
+         list_reduce(
+           list_concat([[CAST(0 AS BIGINT)]],
+                       list_transform(cand, k -> [k])),
+           (a, b) -> list_concat(a,
+                       CASE WHEN b[-1] - a[-1] >= 16
+                            THEN b ELSE []::BIGINT[] END)) AS cuts
+  FROM cand
+), chunks AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(cuts) + 1), i ->
+           substr(t, CAST(cuts[CAST(i AS INT)] + 1 AS INT),
+                  CAST(list_concat(cuts, [CAST(n AS BIGINT)])
+                         [CAST(i + 1 AS INT)]
+                       - cuts[CAST(i AS INT)] AS INT)))) AS chunk
+  FROM cuts
+), per AS (
+  SELECT source, chunk, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(length(chunk) AS BIGINT) AS len
+  FROM chunks GROUP BY source, chunk
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(cnt * len) AS BIGINT) AS chars_total,
+       CAST(SUM(len) AS BIGINT) AS chars_distinct,
+       ROUND(CAST(1.0 AS DOUBLE)
+             - CAST(SUM(len) AS DOUBLE) / CAST(SUM(cnt * len) AS DOUBLE),
+             6) AS dedup_ratio
+FROM per GROUP BY source ORDER BY source
+""",
+    doc="Content-defined chunking dedup scorecard (FastCDC/LBFS family "
+        "— Muthitacharoen et al. SOSP'01, Xia et al. ATC'16): each doc "
+        "splits at rolling-hash boundaries (gear g(c) = c*2654435761 "
+        "mod 2^20, window 20, cut mask %64, min chunk 16) so chunk "
+        "boundaries follow CONTENT — a one-word prefix insert shifts "
+        "every fixed-size block but CDC re-synchronizes after one "
+        "window and the tail chunks dedup again; per source: chunk "
+        "count, distinct chunks, exact char totals, and the "
+        "storage-dedup ratio.  The mod-2^20 shift-by-1 rolling hash "
+        "depends on only the last 20 code points (weight 2^20 ≡ 0 "
+        "drops older terms), and both engines COMPUTE it as the same "
+        "single O(n) left fold per document — h ← (2h + g(cp)) mod "
+        "2^20 with an [h, cand...] bigint-list accumulator (Spark "
+        "aggregate / DuckDB zero-prepended list_reduce, spelled "
+        "identically); the min-gap rule is a tiny second fold over "
+        "the ~n/64 candidates; ALL arithmetic is integer (< 2^41), "
+        "so the entry has no float-order hazard at all.  Scale: "
+        "per-row codegen up to the explode; only (source, chunk) "
+        "rows shuffle into the two-level aggregate. "
+        "operators/dedup.py:cdc_chunks.",
+    tags=("dedup", "pipeline"),
+)
+def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = D.cdc_chunks(table(spark, sf_dir, "documents"),
+                          "doc_id", "text", keep_cols=("source",))
+    per = (chunks.groupBy("source", "chunk")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.first("chunk_len").alias("len")))
+    return (per.groupBy("source")
+            .agg(F.sum("cnt").cast("bigint").alias("n_chunks"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                 F.sum(F.col("cnt") * F.col("len")).cast("bigint")
+                  .alias("chars_total"),
+                 F.sum("len").cast("bigint").alias("chars_distinct"))
+            .select("source", "n_chunks", "n_distinct", "chars_total",
+                    "chars_distinct",
+                    F.round(F.lit(1.0)
+                            - F.col("chars_distinct").cast("double")
+                            / F.col("chars_total").cast("double"), 6)
+                     .alias("dedup_ratio"))
+            .orderBy("source"))

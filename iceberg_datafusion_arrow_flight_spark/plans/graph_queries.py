@@ -1158,3 +1158,73 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(top_h.select(F.lit("hub").alias("role"), "node",
                                    "score", "pos"))
             .orderBy("role", "pos"))
+
+
+def _katz_oracle(iterations: int = 4, rd: int = 10) -> str:
+    parts = [_COPURCHASE_CTE + """, edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL
+  SELECT v AS src, u AS dst FROM und
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), x0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) AS x FROM nodes
+)"""]
+    prev = "x0"
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT dst, ROUND(SUM(x), {rd}) AS s
+  FROM edges JOIN {prev} ON edges.src = {prev}.node
+  GROUP BY dst
+), x{i} AS (
+  SELECT node,
+         ROUND(CAST(1.0 AS DOUBLE)
+               + CAST(0.05 AS DOUBLE)
+                 * COALESCE(s, CAST(0.0 AS DOUBLE)), {rd}) AS x
+  FROM nodes LEFT JOIN s{i} ON s{i}.dst = nodes.node
+)""")
+        prev = f"x{i}"
+    parts.append(f"""
+SELECT node, ROUND(x, 8) AS katz,
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(x, 8) DESC, node)
+            AS INT) AS pos
+FROM {prev} QUALIFY pos <= 20
+ORDER BY pos""")
+    return "".join(parts)
+
+
+@register(
+    "graph_katz_centrality",
+    oracle=_katz_oracle(),
+    doc="Katz centrality (Psychometrika 1953) over the symmetrized "
+        "part co-purchase graph: x = Σ_L α^L·(walks of length L into "
+        "v), truncated at 4 rounds of x ← β + α·A·x with α=0.05, β=1 "
+        "— the attenuated-path-count member of the centrality family "
+        "(PageRank normalizes it by out-degree, HITS splits it into "
+        "two mutually-recursive scores; this entry completes the "
+        "trio).  Spark side is 4 keyed join + partial-agg rounds with "
+        "a node LEFT join so zero-indegree nodes keep the bare β term "
+        "(no out-degree division — Katz needs no dangling handling); "
+        "per-round ROUND to 10 digits on BOTH engines (the pagerank "
+        "float re-sync recipe), oracle unrolls the same rounds as "
+        "chained CTEs with the doubly-referenced sums AS MATERIALIZED "
+        "(the pinned DuckDB CTE-inlining hazard).  Top-20 via "
+        "distributed TakeOrdered + 20-row rank window, both engines "
+        "ranking on the identical ROUND(x, 8) key. "
+        "operators/graph.py:katz_centrality.",
+    tags=("graph",),
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import katz_centrality
+    from ..operators.ranking import topk_with_rank
+    und = _copurchase_edges(spark, sf_dir)
+    edges = (und.select("u", "v")
+             .unionAll(und.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+             .select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    x = katz_centrality(edges, iterations=4, alpha=0.05, beta=1.0,
+                        round_digits=10)
+    return topk_with_rank(
+        x.select("node", F.round(F.col("x"), 8).alias("katz")),
+        [F.col("katz").desc(), F.col("node")], 20, "pos")

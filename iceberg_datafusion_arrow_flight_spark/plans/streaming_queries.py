@@ -714,3 +714,90 @@ def stream_session_finalized(spark: SparkSession,
         if name in [t.name for t in spark.catalog.listTables()]:
             spark.catalog.dropTempView(name)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_outer_join_finalized",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts AS signup_ts FROM events
+  WHERE event_type = 'signup'
+), p AS (
+  SELECT user_id AS p_user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), w AS (
+  SELECT least((SELECT max(signup_ts) FROM s),
+               (SELECT max(purchase_ts) FROM p))
+         - INTERVAL 2 HOUR AS wm
+)
+SELECT s.user_id, s.signup_ts, p.purchase_ts, p.purchase_value
+FROM s
+LEFT JOIN p
+  ON p.p_user_id = s.user_id
+ AND p.purchase_ts > s.signup_ts
+ AND p.purchase_ts <= s.signup_ts + INTERVAL 1 HOUR, w
+WHERE s.signup_ts <= w.wm - INTERVAL 1 HOUR - INTERVAL 1 MINUTE
+ORDER BY s.user_id, s.signup_ts, p.purchase_ts
+""",
+    doc="LEFT OUTER stream-stream join, FINALIZED subset == the batch "
+        "left join, as a driver-oracled row — the conversion funnel's "
+        "missing half (VERDICT r10 ask #5; the inner matched set "
+        "gained its row in r10).  The outer join's null-padded rows "
+        "are watermark-DEPENDENT in general, but become deterministic "
+        "on the finalized prefix: with chronological micro-batches "
+        "drained to completion, the final global watermark is "
+        "W = min(max signup_ts, max purchase_ts) - 2 h (Spark's "
+        "default min multipleWatermarkPolicy over the two 2 h side "
+        "watermarks), and every signup with signup_ts + horizon "
+        "provably behind W has either emitted its matches (batch-"
+        "boundary-invariant, the r10 inner argument) or been evicted "
+        "WITH its null-padded row by the post-data no-data batch "
+        "(SPARK-24156).  Both engines restrict to signups a 1-minute "
+        "guard strictly inside that frontier — the boundary row's "
+        "eviction strictness is the one engine-private bit, so it is "
+        "excluded symmetrically rather than assumed.  State at scale "
+        "is the in-horizon window per side, identical to the inner "
+        "entry. streaming/jobs.py:purchase_after_signup_outer.",
+    tags=("streaming", "join", "events"),
+)
+def stream_outer_join_finalized(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import purchase_after_signup_outer
+
+    events = (table(spark, sf_dir, "events")
+              .select("event_id", "ts", "user_id", "event_type", "value"))
+    cut = (events.agg(
+        (F.least(
+            F.max(F.when(F.col("event_type") == "signup", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))))
+         - F.expr("INTERVAL 3 HOURS 1 MINUTE")).alias("c")).first()["c"])
+    work = tempfile.mkdtemp(prefix="stream_ojoin_")
+    name = "oj_" + os.path.basename(work)[-8:]
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        for i, (lo, hi) in enumerate((("2024-01-01", "2024-01-11"),
+                                      ("2024-01-11", "2024-01-21"),
+                                      ("2024-01-21", "2024-02-01"))):
+            _write_batch(src, events.where((F.col("ts") >= lo)
+                                           & (F.col("ts") < hi)),
+                         1_700_000_000 + i)
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        joined = purchase_after_signup_outer(stream, horizon="1 hour")
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .start())
+        _drain(q)
+        final = (spark.table(name)
+                 .where(F.col("signup_ts") <= F.lit(cut))
+                 .select("user_id",
+                         F.col("signup_ts").cast("timestamp_ntz"),
+                         F.col("purchase_ts").cast("timestamp_ntz"),
+                         "purchase_value")
+                 .orderBy("user_id", "signup_ts", "purchase_ts"))
+        return _materialize(spark, final)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1576,3 +1576,65 @@ def text_mattr_lexical_diversity(spark: SparkSession,
                  F.round(F.sum("sum_distinct")
                          / (F.sum("n_windows") * W), 6).alias("mattr"))
             .orderBy("source"))
+
+
+@register(
+    "text_simpsons_diversity",
+    oracle=r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+  FROM documents
+), per AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY source, tok
+), agg AS (
+  SELECT source,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS pair_hits
+  FROM per GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       ROUND(CAST(pair_hits AS DOUBLE)
+             / CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 6)
+         AS simpson_lambda,
+       ROUND(CAST(1.0 AS DOUBLE)
+             - CAST(pair_hits AS DOUBLE)
+               / CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 6)
+         AS gini_simpson
+FROM agg ORDER BY source
+""",
+    doc="Simpson's diversity index per source (Simpson, Nature 1948): "
+        "λ = Σ_w n_w(n_w−1) / N(N−1) is the probability two tokens "
+        "drawn WITHOUT replacement are the same type; 1−λ "
+        "(Gini-Simpson) is the de-facto corpus-concentration gauge — "
+        "the dominance-weighted complement of MATTR/hapax richness "
+        "(a source can have high type count yet tiny diversity when "
+        "one template token dominates; λ catches exactly that).  "
+        "Numerator and denominator stay exact integers through the "
+        "two-level aggregate (token counts < 2^26 at any SF here, so "
+        "n_w(n_w−1) sums stay < 2^53); ONE float division at the end, "
+        "rounded identically on both engines.  Scale: explode + two "
+        "keyed partial-aggregates — shuffle rows ≈ distinct (source, "
+        "token) pairs, never positions.",
+    tags=("text",),
+)
+def text_simpsons_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.select("source",
+                        F.explode(F.split(F.col("text"), r"\s+"))
+                         .alias("tok"))
+            .where(F.col("tok") != ""))
+    per = (toks.groupBy("source", "tok")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    agg = (per.groupBy("source")
+           .agg(F.sum("cnt").cast("bigint").alias("n_tokens"),
+                F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                F.sum(F.col("cnt") * (F.col("cnt") - 1)).cast("bigint")
+                 .alias("pair_hits")))
+    lam = (F.col("pair_hits").cast("double")
+           / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double"))
+    return (agg.select("source", "n_tokens", "n_types",
+                       F.round(lam, 6).alias("simpson_lambda"),
+                       F.round(F.lit(1.0) - lam, 6).alias("gini_simpson"))
+            .orderBy("source"))

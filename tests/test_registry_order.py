@@ -80,8 +80,9 @@ def test_every_family_has_a_priority_row():
                                  "values", "filter", "projection",
                                  "tpch", "iceberg",
                                  "table_function",
-                                 # join_asof_forward_tolerance and the
-                                 # three stream_* rows are pass-r10 —
-                                 # youngest coverage in the registry
-                                 "join", "streaming")]
+                                 # join_asof_forward_tolerance is
+                                 # pass-r10 — youngest coverage in the
+                                 # registry (streaming regained a row
+                                 # via stream_outer_join_finalized)
+                                 "join")]
     assert not uncovered, uncovered
