@@ -40,6 +40,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
 LADDER = os.path.join(ROOT, ".scratch", "ladder")
 SEED = 7          # NOT the driver's 42
 BASE_DOCS = 5_000
@@ -52,7 +54,7 @@ HEAVIES = [
     "dedup_edit_distance",
     "graph_label_propagation",
     "graph_common_neighbors_jaccard",
-    "graph_pagerank",
+    "graph_pagerank_supply_chain",
     "dedup_minhash_lsh",
     "multimodal_scene_cuts",
 ]
