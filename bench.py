@@ -113,11 +113,13 @@ HEADLINE = [
     "sim_ann_lsh_multiprobe_recall",
     "events_dau_wau_mau_kmv",
     # r11 additions (solo seeds in PERFORMANCE.md r11): real GIF89a
-    # LZW decode, the animated-GIF frame-dedup row, and the finalized
-    # OUTER stream-stream conversion join.
+    # LZW decode, the animated-GIF frame-dedup row, and the numpy-
+    # kernel CDC chunker.  stream_outer_join_finalized (12.95 s solo)
+    # stays OUT of the headline like the other drain-the-finalized-set
+    # streaming rows (stream_dedup_ingest, stream_session_finalized).
     "multimodal_gif_decode",
     "multimodal_gif_animation_dedup",
-    "stream_outer_join_finalized",
+    "dedup_cdc_chunking",
 ]
 
 

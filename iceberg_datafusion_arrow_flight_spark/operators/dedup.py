@@ -869,68 +869,72 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
 
     — taking the sum mod 2^20 means a contribution 20 positions old
     carries weight 2^20 ≡ 0, so h(k) depends on ONLY the last 20 code
-    points (the windowed-sum form Σ_{d=0..19} 2^d·g(cp[k-d]) mod 2^20)
-    while COMPUTING as a single O(n) left fold per document.  Both
-    engines spell that fold identically (Spark ``aggregate``, DuckDB
-    zero-prepended ``list_reduce``) with an array<bigint> accumulator
-    ``[h, cand...]``; the per-position spelling (aggregate-inside-
-    filter) is equivalent but landed in Catalyst's interpreted nested-
-    HOF path at ~4 ms per inner eval — 25 s per 300-char doc — so the
-    recurrence is the only shippable form.  A position k (1-based,
-    k < n) is a cut when h(k) mod 64 == 0; cuts closer than 16 to the
-    previous accepted cut are dropped by a tiny fold over the ~n/64
-    candidates (expected chunk ~64 chars, min 16).  ALL arithmetic is
-    integer (< 2^41), so there is no float-order hazard anywhere.
+    points (the windowed-sum form Σ_{d=0..19} 2^d·g(cp[k-d]) mod 2^20).
+    A position k (1-based, k < n) is a cut when h(k) mod 64 == 0; cuts
+    closer than 16 to the previous accepted cut are dropped by a greedy
+    pass over the ~n/64 candidates (expected chunk ~64 chars, min 16).
+    ALL arithmetic is integer (< 2^45), so there is no float-order
+    hazard anywhere; the DuckDB oracle computes the identical chain as
+    a zero-prepended ``list_reduce``.
+
+    Implementation is an Arrow-batched numpy kernel (``mapInPandas``),
+    NOT Catalyst array expressions — a deliberate slow-path exception,
+    justified by measurement: higher-order-function lambdas are
+    CodegenFallback (interpreted), and the explode's implicit
+    ``size(...) > 0`` filter inlines the generator expression and
+    re-evaluates the whole fold per reference — the pure-SQL spelling
+    measured 83 s at sf0.1 (5k docs) and 3.5 s/row in its worst shape.
+    In numpy the window is one O(20·n) ``convolve`` of the gear values
+    with [2^0..2^19] (codepoints via utf-32 decode, no per-char Python
+    loop); only the ~n/64-candidate min-gap pass is a Python loop.
+    Same entry: 1.2 s at sf0.1 — 67× over the SQL spelling.
 
     Emits one row per chunk: (id, chunk_idx, chunk, chunk_len).  Scale:
-    everything up to the explode is per-row codegen; only (id, chunk)
-    rows shuffle into whatever aggregation the caller builds."""
-    cols = [F.col(id_col), *[F.col(c) for c in keep_cols]]
-    # Every array below is built from __t by direct character access
-    # (ascii(substr(__t, k, 1)), O(1)-ish per step) — NEVER through an
-    # intermediate O(n²) codepoint-array column.  The explode's implicit
-    # Generate filter re-evaluates these expressions INTERPRETED (no
-    # codegen, no common-subexpression elimination), so an inlined
-    # column that is itself O(n²) to build gets rebuilt per fold step —
-    # measured 3.5 s PER 300-CHAR ROW before this shape; ~2 ms after.
-    d = (fan_out(df)
-         .select(*cols, F.col(text_col).alias("__t"))
-         .withColumn("__n", F.length("__t").cast("int"))
-         .withColumn("__cand", F.expr("""
-             case when __n >= 17 then
-               slice(aggregate(sequence(1, __n - 1),
-                 array(cast(0 as bigint)),
-                 (acc, k) -> case when k >= 16
-                   and ((2L * element_at(acc, 1)
-                         + (cast(ascii(substr(__t, k, 1)) as bigint)
-                            * 2654435761L)
-                           % 1048576L) % 1048576L) % 64L = 0L
-                 then concat(
-                   array((2L * element_at(acc, 1)
-                          + (cast(ascii(substr(__t, k, 1)) as bigint)
-                             * 2654435761L)
-                            % 1048576L) % 1048576L),
-                   slice(acc, 2, size(acc) - 1),
-                   array(cast(k as bigint)))
-                 else concat(
-                   array((2L * element_at(acc, 1)
-                          + (cast(ascii(substr(__t, k, 1)) as bigint)
-                             * 2654435761L)
-                            % 1048576L) % 1048576L),
-                   slice(acc, 2, size(acc) - 1)) end),
-                 2, __n)
-             else cast(array() as array<bigint>) end"""))
-         .withColumn("__cuts", F.expr(
-             "aggregate(__cand, array(0L), (acc, k) -> "
-             "case when k - element_at(acc, -1) >= 16 "
-             "then concat(acc, array(k)) else acc end)"))
-         .withColumn("__b", F.expr(
-             "concat(__cuts, array(cast(__n as bigint)))"))
-         .withColumn("__chunks", F.expr(
-             "transform(sequence(1, size(__cuts)), i -> "
-             "substr(__t, cast(element_at(__b, i) + 1 as int), "
-             "cast(element_at(__b, i + 1) - element_at(__b, i) as int)))")))
-    return (d.select(*cols,
-                     F.posexplode("__chunks").alias("chunk_idx", "chunk"))
-            .withColumn("chunk_idx", F.col("chunk_idx").cast("int"))
-            .withColumn("chunk_len", F.length("chunk").cast("bigint")))
+    chunking is map-only (work ∝ input chars, Arrow-batched, no
+    driver involvement); only (id, chunk) rows shuffle into whatever
+    aggregation the caller builds."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+
+    src_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [src_fields[id_col], *[src_fields[c] for c in keep_cols],
+         StructField("chunk_idx", IntegerType(), False),
+         StructField("chunk", StringType(), False),
+         StructField("chunk_len", LongType(), False)])
+    pow2 = (1 << np.arange(20, dtype=np.int64))
+    carry = [id_col, *keep_cols]
+
+    def chunk_batch(batches):
+        for pdf in batches:
+            out = {c: [] for c in (*carry, "chunk_idx", "chunk",
+                                   "chunk_len")}
+            for row in pdf.itertuples(index=False):
+                t = getattr(row, text_col)
+                n = len(t)
+                cuts = [0]
+                if n >= 17:
+                    cps = np.frombuffer(t.encode("utf-32-le"),
+                                        dtype="<u4").astype(np.int64)
+                    g = (cps * 2654435761) % 1048576
+                    # conv[k-1] = Σ_d g[k-1-d]·2^d  (terms < 2^40,
+                    # ≤20 of them → < 2^45, int64-exact)
+                    h = np.convolve(g, pow2)[:n] % 1048576
+                    for k in np.nonzero(h % 64 == 0)[0] + 1:
+                        if 16 <= k < n and k - cuts[-1] >= 16:
+                            cuts.append(int(k))
+                bounds = cuts + [n]
+                for i in range(len(cuts)):
+                    for c in carry:
+                        out[c].append(getattr(row, c))
+                    out["chunk_idx"].append(i)
+                    chunk = t[bounds[i]:bounds[i + 1]]
+                    out["chunk"].append(chunk)
+                    out["chunk_len"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return (fan_out(df)
+            .select(*[F.col(c) for c in carry], F.col(text_col))
+            .mapInPandas(chunk_batch, out_schema))

@@ -1181,15 +1181,14 @@ FROM per GROUP BY source ORDER BY source
         "storage-dedup ratio.  The mod-2^20 shift-by-1 rolling hash "
         "depends on only the last 20 code points (weight 2^20 ≡ 0 "
         "drops older terms), and both engines COMPUTE it as the same "
-        "single O(n) left fold per document — h ← (2h + g(cp)) mod "
-        "2^20 with an [h, cand...] bigint-list accumulator (Spark "
-        "aggregate / DuckDB zero-prepended list_reduce, spelled "
-        "identically); the min-gap rule is a tiny second fold over "
-        "the ~n/64 candidates; ALL arithmetic is integer (< 2^41), "
-        "so the entry has no float-order hazard at all.  Scale: "
-        "per-row codegen up to the explode; only (source, chunk) "
-        "rows shuffle into the two-level aggregate. "
-        "operators/dedup.py:cdc_chunks.",
+        "single pass per document — h ← (2h + g(cp)) mod 2^20, "
+        "spelled as one numpy convolve in the Arrow-batched Spark "
+        "kernel and as a zero-prepended list_reduce fold in DuckDB; "
+        "the min-gap rule is a greedy pass over the ~n/64 candidates; "
+        "ALL arithmetic is integer (< 2^45), so the entry has no "
+        "float-order hazard at all.  Scale: chunking is map-only "
+        "(work ∝ input chars); only (source, chunk) rows shuffle "
+        "into the two-level aggregate. operators/dedup.py:cdc_chunks.",
     tags=("dedup", "pipeline"),
 )
 def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:

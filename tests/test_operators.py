@@ -2142,3 +2142,47 @@ def test_gif_codec_roundtrip_and_guards():
         _decode_gif(bad)
     with _pytest.raises(ValueError):
         _lzw_decode(b"\x00", 8, 64)               # stream underrun
+
+
+def test_cdc_chunks_matches_reference_and_resyncs(spark):
+    """cdc_chunks == a direct Python transcription of the docstring's
+    recurrence on adversarial strings (short/empty/unicode/random), and
+    the property that motivates CDC holds: inserting a prefix re-syncs
+    chunk boundaries so most chunks still dedup against the original."""
+    import random
+
+    from iceberg_datafusion_arrow_flight_spark.operators.dedup import (
+        cdc_chunks)
+
+    def ref(t):
+        n, h, cand = len(t), 0, []
+        for k in range(1, n):
+            h = (2 * h + (ord(t[k - 1]) * 2654435761) % 1048576) % 1048576
+            if k >= 16 and h % 64 == 0:
+                cand.append(k)
+        cuts = [0]
+        for k in cand:
+            if k - cuts[-1] >= 16:
+                cuts.append(k)
+        b = cuts + [n]
+        return [t[b[i]:b[i + 1]] for i in range(len(cuts))]
+
+    rng = random.Random(11)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(400))
+    texts = ["", "x", "short doc", "é" * 30 + " ünïcødé " + "字" * 25,
+             base, "INSERTED PREFIX " + base]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(df).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk,
+                                             r.chunk_len))
+    for i, t in enumerate(texts):
+        expect = [(j, c, len(c)) for j, c in enumerate(ref(t))]
+        assert sorted(got[i]) == expect, f"doc {i}"
+
+    # re-sync: the prefixed doc shares most chunk content with the base
+    orig = set(c for _, c, _ in got[4])
+    pref = set(c for _, c, _ in got[5])
+    shared = sum(len(c) for c in orig & pref)
+    assert shared >= 0.6 * len(base)
