@@ -560,3 +560,118 @@ def stratified_allocation(df: DataFrame, strata_col: str, id_col: str,
             .where(F.col("__rn") <= F.col("__alloc"))
             .drop("__rn")
             .withColumnRenamed("__alloc", "allocation"))
+
+
+def distill_quality_logreg(df: DataFrame, iterations: int = 8,
+                           lr: float = 4.0,
+                           text_col: str = "text") -> DataFrame:
+    """Distill the Gopher rule cascade into a linear quality scorer —
+    the fastText-style pattern every production LLM-data pipeline runs
+    (CCNet, LLaMA, RedPajama): an expensive filter labels a sample, a
+    cheap classifier learns to mimic it, and THE CLASSIFIER runs over
+    the full crawl.  Here the teacher is :func:`gopher_rules`' ``kept``
+    flag and the student is logistic regression over three surface
+    features (scaled word count, mean word length, stop-word hits) —
+    exactly the signals the rules threshold, so the sigmoid learns a
+    soft version of the AND-of-bands decision surface.
+
+    Training is full-batch gradient descent, distributed the way GD
+    actually distributes: each iteration is ONE map-side-combinable
+    aggregate over the feature table (per-partition partial sums of the
+    d+1 gradient components, loss, and confusion counts — a single
+    d+6-double row per partition crosses the wire), and the driver
+    holds only the weight vector (d+1 floats, the textbook bounded
+    driver state; the feature table is materialized ONCE and re-scanned
+    per iteration with flat lineage).
+
+    Cross-engine determinism — the entry is ORDER-INDEPENDENT, not just
+    rounded: the one transcendental, σ(z) over the fixed-order exact
+    double z = w·x, is rounded to 8 digits immediately, making the
+    per-row error e = σ−y an exact 8-digit decimal; features are exact
+    scaled integers (n_words, mwl·10^6, stop_hits); so every gradient
+    NUMERATOR Σ e·x is an exact INTEGER sum, carried in decimal(38,0)
+    here and HUGEINT in the oracle — no float summation order anywhere.
+    Per-row log-loss is likewise folded to integer 10^-8 units after
+    rounding.  Gradient means divide the exact numerator by a
+    deterministic double denominator and round to 8; the weight update
+    w ← w − 4·g (integer lr) is then CLOSED over 8-digit decimals
+    (ROUND(·,10) merely cleans float representation
+    — there is no half-boundary to disagree on), mirrored by
+    decimal.Decimal HALF_UP here and ROUND() in-engine.  The
+    0.5-threshold confusion counts compare z ≥ 0 — exact.
+
+    Returns one row per iteration: loss + confusion at the PRE-update
+    weights, then the POST-update weights — the whole training curve as
+    a hash-comparable table."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from .materialize import materialize
+
+    spark = df.sparkSession
+    feats = (gopher_rules(df, text_col)
+             .select(F.col("n_words").alias("n1"),
+                     F.round(F.col("mean_word_len") * F.lit(1e6), 0)
+                      .cast("bigint").alias("m6"),
+                     F.col("stop_hits").alias("s1"),
+                     F.when(F.col("kept"), F.lit(1)).otherwise(F.lit(0))
+                      .cast("bigint").alias("y"))
+             .transform(materialize))
+
+    def r10(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("1e-10"),
+                                               rounding=ROUND_HALF_UP))
+
+    dec = "decimal(38,0)"
+    w = [0.0, 0.0, 0.0, 0.0]
+    log = []
+    for t in range(1, iterations + 1):
+        z = (F.lit(w[0])
+             + F.lit(w[1]) * (F.col("n1").cast("double") / F.lit(100.0))
+             + F.lit(w[2]) * (F.col("m6").cast("double") / F.lit(1e7))
+             + F.lit(w[3]) * (F.col("s1").cast("double") / F.lit(10.0)))
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 8)
+        pc = F.least(F.greatest(p, F.lit(1e-8)), F.lit(1.0) - F.lit(1e-8))
+        e8 = (F.round(p * F.lit(1e8), 0).cast("bigint")
+              - F.col("y") * F.lit(100000000))
+        l8 = F.round(-(F.col("y").cast("double") * F.log(pc)
+                       + (F.lit(1.0) - F.col("y").cast("double"))
+                       * F.log(F.lit(1.0) - pc)) * F.lit(1e8), 0) \
+              .cast("bigint")
+        row = (feats.select(
+            e8.alias("e8"), l8.alias("l8"), z.alias("z"),
+            F.col("n1"), F.col("m6"), F.col("s1"), F.col("y"))
+            .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                 F.sum(F.col("e8").cast(dec)).alias("G0"),
+                 F.sum((F.col("e8") * F.col("n1")).cast(dec)).alias("G1"),
+                 F.sum((F.col("e8") * F.col("m6")).cast(dec)).alias("G2"),
+                 F.sum((F.col("e8") * F.col("s1")).cast(dec)).alias("G3"),
+                 F.sum(F.col("l8").cast(dec)).alias("L"),
+                 F.sum(F.when((F.col("y") == 1) & (F.col("z") >= 0), 1)
+                        .otherwise(0)).cast("bigint").alias("tp"),
+                 F.sum(F.when((F.col("y") == 0) & (F.col("z") >= 0), 1)
+                        .otherwise(0)).cast("bigint").alias("fp"),
+                 F.sum(F.when((F.col("y") == 0) & (F.col("z") < 0), 1)
+                        .otherwise(0)).cast("bigint").alias("tn"),
+                 F.sum(F.when((F.col("y") == 1) & (F.col("z") < 0), 1)
+                        .otherwise(0)).cast("bigint").alias("fn"))
+            .select(
+                F.round(F.col("G0").cast("double")
+                        / (F.col("n") * F.lit(1e8)), 8).alias("g0"),
+                F.round(F.col("G1").cast("double")
+                        / (F.col("n") * F.lit(1e10)), 8).alias("g1"),
+                F.round(F.col("G2").cast("double")
+                        / (F.col("n") * F.lit(1e15)), 8).alias("g2"),
+                F.round(F.col("G3").cast("double")
+                        / (F.col("n") * F.lit(1e9)), 8).alias("g3"),
+                F.round(F.col("L").cast("double")
+                        / (F.col("n") * F.lit(1e8)), 6).alias("loss"),
+                "tp", "fp", "tn", "fn")
+            .first())
+        w = [r10(w[0] - lr * row["g0"]), r10(w[1] - lr * row["g1"]),
+             r10(w[2] - lr * row["g2"]), r10(w[3] - lr * row["g3"])]
+        log.append((t, row["loss"], row["tp"], row["fp"], row["tn"],
+                    row["fn"], w[0], w[1], w[2], w[3]))
+    return spark.createDataFrame(
+        log, "iter int, loss double, tp bigint, fp bigint, tn bigint, "
+             "fn bigint, w_bias double, w_words double, w_mwl double, "
+             "w_stop double")

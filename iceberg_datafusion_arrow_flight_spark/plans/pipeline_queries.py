@@ -1674,3 +1674,116 @@ def pipeline_systematic_resample(spark: SparkSession,
                  F.round(F.sum("n_chars") / F.lit(float(W)), 6)
                   .alias("share_of_weight"))
             .orderBy("source"))
+
+
+def _logreg_oracle(iterations: int = 8) -> str:
+    mwl = ("list_aggregate(list_transform(toks, x -> "
+           "CAST(len(x) AS DOUBLE)), 'sum') / len(toks)")
+    parts = [rf"""
+WITH feats AS MATERIALIZED (
+  SELECT len(toks) AS n1,
+         CAST(ROUND(({mwl}) * CAST(1e6 AS DOUBLE), 0) AS BIGINT) AS m6,
+         len(list_filter(toks, x -> x IN ('the', 'a'))) AS s1,
+         CASE WHEN len(toks) BETWEEN 25 AND 90
+               AND ({mwl}) BETWEEN 4.3 AND 4.8
+               AND len(list_filter(toks, x -> x IN ('the', 'a'))) >= 2
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+        FROM documents)
+), w0 AS (
+  SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS ww,
+         CAST(0.0 AS DOUBLE) AS wm, CAST(0.0 AS DOUBLE) AS ws
+)"""]
+    for t in range(1, iterations + 1):
+        parts.append(f""",
+r{t} AS (
+  SELECT CAST(ROUND(p * CAST(1e8 AS DOUBLE), 0) AS BIGINT)
+           - y * 100000000 AS e8,
+         CAST(ROUND(-(CAST(y AS DOUBLE) * LN(pc)
+                      + (CAST(1.0 AS DOUBLE) - CAST(y AS DOUBLE))
+                        * LN(CAST(1.0 AS DOUBLE) - pc))
+                    * CAST(1e8 AS DOUBLE), 0) AS BIGINT) AS l8,
+         z, n1, m6, s1, y
+  FROM (
+    SELECT LEAST(GREATEST(p, CAST(1e-8 AS DOUBLE)),
+                 CAST(1.0 AS DOUBLE) - CAST(1e-8 AS DOUBLE)) AS pc,
+           p, z, n1, m6, s1, y
+    FROM (
+      SELECT ROUND(CAST(1.0 AS DOUBLE)
+                   / (CAST(1.0 AS DOUBLE) + EXP(-z)), 8) AS p,
+             z, n1, m6, s1, y
+      FROM (
+        SELECT b + ww * (CAST(n1 AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                 + wm * (CAST(m6 AS DOUBLE) / CAST(1e7 AS DOUBLE))
+                 + ws * (CAST(s1 AS DOUBLE) / CAST(10.0 AS DOUBLE)) AS z,
+               n1, m6, s1, y
+        FROM feats, w{t - 1})))
+), st{t} AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         ROUND(CAST(SUM(e8) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(1e8 AS DOUBLE)), 8)
+           AS g0,
+         ROUND(CAST(SUM(e8 * n1) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(1e10 AS DOUBLE)), 8)
+           AS g1,
+         ROUND(CAST(SUM(e8 * m6) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(1e15 AS DOUBLE)), 8)
+           AS g2,
+         ROUND(CAST(SUM(e8 * s1) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(1e9 AS DOUBLE)), 8)
+           AS g3,
+         ROUND(CAST(SUM(l8) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(1e8 AS DOUBLE)), 6)
+           AS loss,
+         CAST(SUM(CASE WHEN y = 1 AND z >= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN y = 0 AND z >= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN y = 0 AND z < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn,
+         CAST(SUM(CASE WHEN y = 1 AND z < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn
+  FROM r{t}
+), w{t} AS (
+  SELECT ROUND(b - CAST(4.0 AS DOUBLE) * g0, 10) AS b,
+         ROUND(ww - CAST(4.0 AS DOUBLE) * g1, 10) AS ww,
+         ROUND(wm - CAST(4.0 AS DOUBLE) * g2, 10) AS wm,
+         ROUND(ws - CAST(4.0 AS DOUBLE) * g3, 10) AS ws
+  FROM w{t - 1}, st{t}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INT) AS iter, loss, tp, fp, tn, fn, "
+        f"b AS w_bias, ww AS w_words, wm AS w_mwl, ws AS w_stop "
+        f"FROM st{t}, w{t}"
+        for t in range(1, iterations + 1))
+    parts.append("\n" + sel + "\nORDER BY iter")
+    return "".join(parts)
+
+
+@register(
+    "pipeline_quality_logreg_distill",
+    oracle=_logreg_oracle(),
+    doc="Distill the Gopher rule cascade into a linear quality scorer "
+        "— the fastText-style pattern production LLM pipelines run "
+        "(CCNet/LLaMA/RedPajama: expensive filter labels a sample, a "
+        "cheap classifier mimics it and scores the full crawl).  "
+        "Teacher = gopher_rules' kept flag; student = logistic "
+        "regression on the same three surface signals; 8 full-batch "
+        "GD iterations (lr=4; final model 74% accuracy vs the 52.5% "
+        "base rate — the band rules are NOT linearly separable, an "
+        "honest distillation gap), each ONE map-side-combinable aggregate "
+        "(per-partition partial sums, a d+6-value row per partition "
+        "crosses the wire; driver holds only the 4 weights — the "
+        "bounded-driver-state pattern of the BPE/k-center entries).  "
+        "Bit-exact replay: σ is rounded to 8 digits immediately, so "
+        "gradient numerators Σ e·x are EXACT INTEGER sums "
+        "(decimal(38,0) Spark-side, HUGEINT oracle-side) — no float "
+        "summation order anywhere; the integer-lr update is closed over "
+        "8-digit decimals; confusion counts compare the exact z ≥ 0. "
+        "Output = the whole training curve (per-iteration loss, "
+        "confusion at 0.5, post-update weights). "
+        "operators/pipeline.py:distill_quality_logreg.",
+    tags=("pipeline", "text"),
+)
+def pipeline_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.distill_quality_logreg(table(spark, sf_dir, "documents"))
