@@ -1092,9 +1092,200 @@ def gif_frame_dedup(df: DataFrame) -> DataFrame:
     return fan_out(df).mapInPandas(per, schema=GIF_FRAME_SCHEMA)
 
 
+# --- TIFF (spec 6.0 baseline RGB: strips, none/PackBits, II+MM) ---------
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9 / Apple spec): runs of >= 3 identical
+    bytes become (257-n, byte) with n <= 128; everything else batches
+    into literal groups of <= 128.  Real RLE — the fixture formula has
+    24-byte runs precisely so this path compresses and a decoder bug
+    cannot hide behind literal-only streams."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and data[i + nxt] == data[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def _packbits_decode(buf: bytes, expected: int) -> bytes:
+    """Inverse of :func:`_packbits_encode`; loud on truncation or
+    over-run (a wrong StripByteCount shows up HERE, not as garbage
+    pixels downstream)."""
+    out = bytearray()
+    i, n = 0, len(buf)
+    while i < n and len(out) < expected:
+        c = buf[i]
+        i += 1
+        if c < 128:                      # c+1 literal bytes
+            if i + c + 1 > n:
+                raise ValueError("PackBits literal overruns strip")
+            out += buf[i:i + c + 1]
+            i += c + 1
+        elif c > 128:                    # 257-c copies of next byte
+            if i >= n:
+                raise ValueError("PackBits run missing repeat byte")
+            out += bytes([buf[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits decoded {len(out)} bytes, expected {expected}")
+    return bytes(out)
+
+
+def _encode_tiff(width: int, height: int, pixels: np.ndarray,
+                 compression: int = 1, rows_per_strip: int = 4,
+                 big_endian: bool = False) -> bytes:
+    """Minimal-but-real baseline TIFF writer: II or MM byte order,
+    8-bit RGB, multiple strips (RowsPerStrip deliberately small so the
+    reader's strip assembly is actually exercised), Compression 1
+    (none) or 32773 (PackBits)."""
+    import struct
+    bo = ">" if big_endian else "<"
+    px = pixels.astype(np.uint8).reshape(height, width, 3)
+    strips = []
+    for r0 in range(0, height, rows_per_strip):
+        raw = px[r0:r0 + rows_per_strip].tobytes()
+        strips.append(_packbits_encode(raw) if compression == 32773
+                      else raw)
+    header_len = 8
+    data_off = header_len
+    offsets, counts = [], []
+    for s in strips:
+        offsets.append(data_off)
+        counts.append(len(s))
+        data_off += len(s)
+    bps_off = data_off                   # 3 SHORTs = 6 bytes
+    n_str = len(strips)
+    arr_off = bps_off + 6
+    so_off, sc_off = arr_off, arr_off + 4 * n_str
+    ifd_off = sc_off + 4 * n_str
+
+    def entry(tag, typ, cnt, val, inline_short=False):
+        if inline_short:
+            return struct.pack(bo + "HHI", tag, typ, cnt) + \
+                struct.pack(bo + "HH", val, 0)
+        return struct.pack(bo + "HHII", tag, typ, cnt, val)
+
+    entries = [
+        entry(256, 3, 1, width, inline_short=True),
+        entry(257, 3, 1, height, inline_short=True),
+        entry(258, 3, 3, bps_off),
+        entry(259, 3, 1, compression, inline_short=True),
+        entry(262, 3, 1, 2, inline_short=True),
+        entry(273, 4, n_str,
+              offsets[0] if n_str == 1 else so_off),
+        entry(277, 3, 1, 3, inline_short=True),
+        entry(278, 3, 1, rows_per_strip, inline_short=True),
+        entry(279, 4, n_str,
+              counts[0] if n_str == 1 else sc_off),
+    ]
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(bo + "H", 42)
+    out += struct.pack(bo + "I", ifd_off)
+    for s in strips:
+        out += s
+    out += struct.pack(bo + "HHH", 8, 8, 8)
+    out += b"".join(struct.pack(bo + "I", o) for o in offsets)
+    out += b"".join(struct.pack(bo + "I", c) for c in counts)
+    out += struct.pack(bo + "H", len(entries)) + b"".join(entries)
+    out += struct.pack(bo + "I", 0)
+    return bytes(out)
+
+
+def _decode_tiff(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL baseline TIFF decode, pure numpy+struct: both byte orders,
+    IFD walk, strip assembly, Compression 1 + 32773 (PackBits).
+    Everything this reader does not implement raises LOUDLY (tiles,
+    planar=2, LZW/Deflate/JPEG-in-TIFF, bit depths other than 8,
+    non-RGB photometric, multi-IFD) — the honest-gap contract of the
+    other codecs.  Format: TIFF 6.0 spec (Adobe, 1992), public."""
+    import struct
+    if len(buf) < 8:
+        raise ValueError("truncated TIFF header")
+    if buf[:2] == b"II":
+        bo = "<"
+    elif buf[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic, ifd_off = struct.unpack_from(bo + "HI", buf, 2)
+    if magic != 42:
+        raise ValueError(f"not a TIFF: magic {magic} != 42")
+    n_ent, = struct.unpack_from(bo + "H", buf, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_ent):
+        tag, typ, cnt, raw = struct.unpack_from(
+            bo + "HHII", buf, ifd_off + 2 + 12 * i)
+        tags[tag] = (typ, cnt, ifd_off + 2 + 12 * i + 8, raw)
+    next_ifd, = struct.unpack_from(bo + "I", buf,
+                                   ifd_off + 2 + 12 * n_ent)
+    if next_ifd != 0:
+        raise ValueError("multi-IFD TIFF not supported")
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF not supported")
+
+    def values(tag, default=None):
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"required TIFF tag {tag} missing")
+            return default
+        typ, cnt, vpos, raw = tags[tag]
+        size = {3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise ValueError(f"TIFF tag {tag}: unsupported type {typ}")
+        fmt = "H" if typ == 3 else "I"
+        pos = vpos if size * cnt <= 4 else raw
+        return [struct.unpack_from(bo + fmt, buf, pos + size * j)[0]
+                for j in range(cnt)]
+
+    w, h = values(256)[0], values(257)[0]
+    comp = values(259, [1])[0]
+    if values(262)[0] != 2:
+        raise ValueError("only RGB photometric supported")
+    if values(277, [3])[0] != 3 or values(258, [8, 8, 8]) != [8, 8, 8]:
+        raise ValueError("only 8-bit 3-sample TIFF supported")
+    if values(284, [1])[0] != 1:
+        raise ValueError("planar configuration 2 not supported")
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    rps = values(278, [h])[0]
+    offs, cnts = values(273), values(279)
+    if len(offs) != len(cnts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    raw = bytearray()
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        rows = min(rps, h - i * rps)
+        strip = buf[o:o + c]
+        if len(strip) != c:
+            raise ValueError("strip overruns file")
+        raw += (strip if comp == 1
+                else _packbits_decode(strip, rows * w * 3))
+    if len(raw) != w * h * 3:
+        raise ValueError(
+            f"strip data {len(raw)} bytes != {w * h * 3}")
+    return w, h, np.frombuffer(bytes(raw),
+                               dtype=np.uint8).reshape(h, w, 3)
+
+
 _REAL_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp,
                   "png": _decode_png, "jpeg": _decode_jpeg,
-                  "gif": _decode_gif_rgb}
+                  "gif": _decode_gif_rgb, "tiff": _decode_tiff}
 
 
 JPEG_HEADER_SCHEMA = ("doc_id BIGINT, width INT, height INT, "
@@ -1947,6 +2138,38 @@ def attach_image_payload_3way(df: DataFrame, offset: int,
                 ws.append(w)
                 hs.append(h)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "fmt": fmts,
+                                "payload": payloads,
+                                "meta_width": ws, "meta_height": hs})
+
+    return src.mapInPandas(
+        gen, schema=("doc_id BIGINT, fmt STRING, payload BINARY, "
+                     "meta_width INT, meta_height INT"))
+
+
+def attach_tiff_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """TIFF twin of :func:`attach_png_payload` with a RUN-BEARING pixel
+    formula — flat[k] = (5·id + k div 24) mod 256 holds each value for
+    24 consecutive bytes, so the PackBits strips actually compress
+    (literal-only streams would let an RLE bug pass).  Compression
+    alternates by id parity (even → none, odd → PackBits), so one
+    entry pins both paths; RowsPerStrip=4 exercises strip assembly."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + (did % 8) * 4
+                h = 8 + (did % 5) * 4
+                flat = (5 * did + np.arange(w * h * 3) // 24) % 256
+                payloads.append(_encode_tiff(
+                    w, h, flat.reshape(h, w, 3).astype(np.uint8),
+                    compression=1 if did % 2 == 0 else 32773))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "fmt": ["tiff"] * len(ws),
                                 "payload": payloads,
                                 "meta_width": ws, "meta_height": hs})
 

@@ -1253,3 +1253,56 @@ def multimodal_gif_animation_dedup(spark: SparkSession,
             .where(F.col("doc_id") % 15 == 0).select("doc_id"))
     return (M.gif_frame_dedup(M.attach_gif_payload(docs, n_frames=4))
             .orderBy("doc_id", "frame_idx"))
+
+
+@register(
+    "multimodal_tiff_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8 + (doc_id % 8) * 4 AS w,
+         8 + (doc_id % 5) * 4 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 'none' ELSE 'packbits' END
+           AS compression
+  FROM documents WHERE doc_id % 7 = 1
+), px AS (
+  SELECT doc_id, compression, CAST(k % 3 AS INT) AS channel,
+         (5 * doc_id + k // 24) % 256 AS v
+  FROM d, range(0, 2592) t(k)          -- static bound: 3 * max(w*h)
+  WHERE k < 3 * w * h
+)
+SELECT doc_id, compression, channel,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(v * v) AS BIGINT) AS sum_v2
+FROM px GROUP BY doc_id, compression, channel
+ORDER BY doc_id, channel
+""",
+    doc="REAL baseline-TIFF decode, pixel-oracled: payloads are "
+        "genuine TIFF 6.0 files (IFD walk, multi-strip assembly with "
+        "RowsPerStrip=4, Compression 1 AND 32773/PackBits alternating "
+        "by id parity, both II and MM readable) built and parsed by "
+        "the pure numpy+struct codec; the pixel formula holds each "
+        "byte for 24 positions so the PackBits strips actually carry "
+        "RLE runs — a run-decode bug cannot hide behind literal-only "
+        "streams, and the PackBits decoder is additionally pinned to "
+        "the TIFF 6.0 spec's published example vector in pytest.  The "
+        "oracle re-derives every channel moment from the generator "
+        "formula, so one wrong strip offset, byte-count, or RLE copy "
+        "breaks the hash.  Tiles/planar-2/LZW/other depths raise "
+        "loudly (GAPS.md codec row). "
+        "operators/multimodal.py:_decode_tiff,attach_tiff_payload.",
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 7 == 1).select("doc_id"))
+    per = M.color_moments(M.attach_tiff_payload(docs))
+    return (per.withColumn(
+                "compression",
+                F.when(F.col("doc_id") % 2 == 0, "none")
+                 .otherwise("packbits"))
+            .select("doc_id", "compression", "channel", "n_px",
+                    "sum_v", "sum_v2")
+            .orderBy("doc_id", "channel"))

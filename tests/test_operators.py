@@ -2186,3 +2186,48 @@ def test_cdc_chunks_matches_reference_and_resyncs(spark):
     pref = set(c for _, c, _ in got[5])
     shared = sum(len(c) for c in orig & pref)
     assert shared >= 0.6 * len(base)
+
+
+def test_tiff_codec_spec_vector_roundtrip_and_guards():
+    """PackBits pinned to the TIFF 6.0 spec's published example (a
+    third-party byte vector, not a self-roundtrip), random roundtrips
+    across both compressions and byte orders, and loud failures."""
+    import numpy as np
+    import pytest as _pytest
+
+    from iceberg_datafusion_arrow_flight_spark.operators.multimodal import (
+        _decode_tiff, _encode_tiff, _packbits_decode, _packbits_encode)
+
+    unpacked = bytes.fromhex(
+        "AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA")
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    assert _packbits_decode(packed, len(unpacked)) == unpacked
+    assert _packbits_decode(_packbits_encode(unpacked),
+                            len(unpacked)) == unpacked
+
+    rng = np.random.default_rng(3)
+    for trial in range(12):
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 30))
+        if trial % 3 == 0:
+            px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        else:  # row-constant: PackBits strips carry real runs
+            px = (rng.integers(0, 256, (h, 1, 3))
+                  * np.ones((1, w, 1), int) % 256).astype(np.uint8)
+        for comp in (1, 32773):
+            for be in (False, True):
+                w2, h2, px2 = _decode_tiff(_encode_tiff(
+                    w, h, px, comp,
+                    rows_per_strip=int(rng.integers(1, 8)),
+                    big_endian=be))
+                assert (w2, h2) == (w, h) and np.array_equal(px, px2)
+
+    with _pytest.raises(ValueError, match="byte-order"):
+        _decode_tiff(b"XX" + b"\0" * 20)
+    buf = bytearray(_encode_tiff(8, 8, np.zeros((8, 8, 3), np.uint8)))
+    bad = bytes(buf).replace(b"II*\x00", b"II+\x00", 1)
+    with _pytest.raises(ValueError, match="magic"):
+        _decode_tiff(bad)
+    with _pytest.raises(ValueError):
+        _packbits_decode(b"\x05AA", 6)        # literal overrun
+    with _pytest.raises(ValueError):
+        _packbits_decode(b"\xfe", 3)          # run missing repeat byte
