@@ -2176,3 +2176,68 @@ def attach_tiff_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return src.mapInPandas(
         gen, schema=("doc_id BIGINT, fmt STRING, payload BINARY, "
                      "meta_width INT, meta_height INT"))
+
+
+MULAW_SCHEMA = ("doc_id BIGINT, n_samples BIGINT, n_codes BIGINT, "
+                "sum_code BIGINT, sum_abs_err BIGINT, max_abs_err BIGINT, "
+                "n_clipped BIGINT")
+
+
+def audio_mulaw_stats(df: DataFrame) -> DataFrame:
+    """G.711 μ-law companding round-trip over REAL WAV payloads — the
+    telephony codec (ITU-T G.711, 1972; public spec) every speech-data
+    pipeline meets when ingesting call-center/telephone corpora.  Per
+    clip: parse the WAV container, scale the 12-bit fixture samples to
+    full 16-bit range (<<4, so the ±32635 clip path is exercised by the
+    −32768 extreme), μ-law ENCODE to 8-bit codes, DECODE back, and
+    report exact integer stats: code-stream sum + distinct-code count
+    (the compressed side), absolute quantization-error sum/max (the
+    fidelity side), clipped-sample count.
+
+    Encoder and decoder are the Sun/CCITT reference algorithm (the
+    G.711 implementation every toolchain descends from): arithmetic
+    >>2 to 14 bits (floors negatives — the detail naive ports get
+    wrong), clip 8159, bias 33, segment = #thresholds-passed among
+    [63,127,...,8191], mantissa = (p >> (seg+1)) & 15, code =
+    (16·seg + mantissa) XOR (0x7F if negative else 0xFF); decode is
+    t = ((u&15)·8 + 132) << seg with ±(t−132).  Verified EQUAL to
+    stdlib audioop's lin2ulaw/ulaw2lin over the full 16-bit range and
+    all 256 codes (a third-party reference, pinned in pytest while
+    the module exists); the SQL oracle re-derives the identical
+    closed form from the waveform formula, so a wrong shift, bias,
+    or clamp anywhere breaks the hash.  Scale: map-only; one 7-int
+    row per clip leaves the executor."""
+    th14 = np.array([63, 127, 255, 511, 1023, 2047, 4095, 8191],
+                    dtype=np.int64)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_samples", "n_codes",
+                                   "sum_code", "sum_abs_err",
+                                   "max_abs_err", "n_clipped")}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, s12 = _decode_wav(bytes(payload))
+                s = s12.astype(np.int64) * 16
+                p = s >> 2                    # arithmetic: floors negatives
+                mask = np.where(p < 0, 0x7F, 0xFF)
+                pa = np.abs(p)
+                pb = np.minimum(pa, 8159) + 33
+                seg = (pb[:, None] > th14[None, :]).sum(axis=1)
+                uval = np.where(seg >= 8, 0x7F,
+                                (seg << 4) | ((pb >> (seg + 1)) & 0xF))
+                code = uval ^ mask
+                u = (~code) & 0xFF
+                t = (((u & 15) << 3) + 132) << ((u >> 4) & 7)
+                dec = np.where(u & 0x80, 132 - t, t - 132)
+                err = np.abs(s - dec)
+                mraw = pa
+                out["doc_id"].append(int(did))
+                out["n_samples"].append(int(s.size))
+                out["n_codes"].append(int(np.unique(code).size))
+                out["sum_code"].append(int(code.sum()))
+                out["sum_abs_err"].append(int(err.sum()))
+                out["max_abs_err"].append(int(err.max()))
+                out["n_clipped"].append(int((mraw > 8159).sum()))
+            yield pd.DataFrame(out)
+
+    return fan_out(df).mapInPandas(stats, schema=MULAW_SCHEMA)

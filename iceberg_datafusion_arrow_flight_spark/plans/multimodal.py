@@ -1306,3 +1306,83 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "compression", "channel", "n_px",
                     "sum_v", "sum_v2")
             .orderBy("doc_id", "channel"))
+
+
+@register(
+    "multimodal_audio_mulaw_roundtrip",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 800 + (doc_id % 5) * 160 AS n
+  FROM documents WHERE doc_id % 6 = 1
+), s AS (
+  SELECT doc_id, (((31 * doc_id + 7 * i) % 4096) - 2048) * 16 AS v
+  FROM d, range(0, 1440) t(i) WHERE i < n
+), e AS (
+  SELECT doc_id, v, v >> 2 AS p FROM s
+), x AS (
+  SELECT doc_id, v,
+         CASE WHEN p < 0 THEN 127 ELSE 255 END AS mask,
+         LEAST(ABS(p), 8159) + 33 AS pb,
+         CASE WHEN ABS(p) > 8159 THEN 1 ELSE 0 END AS clipped
+  FROM e
+), g AS (
+  SELECT doc_id, v, mask, pb, clipped,
+         (CASE WHEN pb > 63 THEN 1 ELSE 0 END)
+         + (CASE WHEN pb > 127 THEN 1 ELSE 0 END)
+         + (CASE WHEN pb > 255 THEN 1 ELSE 0 END)
+         + (CASE WHEN pb > 511 THEN 1 ELSE 0 END)
+         + (CASE WHEN pb > 1023 THEN 1 ELSE 0 END)
+         + (CASE WHEN pb > 2047 THEN 1 ELSE 0 END)
+         + (CASE WHEN pb > 4095 THEN 1 ELSE 0 END)
+         + (CASE WHEN pb > 8191 THEN 1 ELSE 0 END) AS seg
+  FROM x
+), c AS (
+  SELECT doc_id, v, clipped,
+         mask - (CASE WHEN seg >= 8 THEN 127
+                      ELSE seg * 16 + ((pb >> (seg + 1)) & 15) END) AS code
+  FROM g
+), u AS (
+  SELECT doc_id, v, clipped, code, 255 - code AS uc FROM c
+), dec AS (
+  SELECT doc_id, v, clipped, code,
+         CASE WHEN uc >= 128
+              THEN 132 - (((uc % 16) * 8 + 132)
+                          * ([1,2,4,8,16,32,64,128])[((uc // 16) % 8) + 1])
+              ELSE (((uc % 16) * 8 + 132)
+                    * ([1,2,4,8,16,32,64,128])[((uc // 16) % 8) + 1]) - 132
+         END AS w
+  FROM u
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes,
+       CAST(SUM(code) AS BIGINT) AS sum_code,
+       CAST(SUM(ABS(v - w)) AS BIGINT) AS sum_abs_err,
+       CAST(MAX(ABS(v - w)) AS BIGINT) AS max_abs_err,
+       CAST(SUM(clipped) AS BIGINT) AS n_clipped
+FROM dec GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="G.711 μ-law companding round-trip (ITU-T G.711, the telephony "
+        "codec speech-data ingestion meets first), pixel-oracle style: "
+        "the Spark side parses REAL WAV containers, scales the 12-bit "
+        "fixture waveform to 16-bit (so the −32768 extreme exercises "
+        "the 14-bit ±8159 clip), μ-law encodes with the Sun/CCITT "
+        "reference algorithm — arithmetic >>2 to 14 bits (FLOORS "
+        "negatives, the detail naive ports get wrong; verified equal "
+        "to stdlib audioop over the full 16-bit range, pinned in "
+        "pytest), clip 8159 + bias 33, threshold-count segment, "
+        "XOR-complemented code — decodes back, and reports "
+        "exact integer stats per clip (code-stream sum + distinct "
+        "codes, quantization-error sum/max, clipped count); the "
+        "oracle re-derives the identical closed form from the "
+        "waveform formula — a wrong shift, bias, or clamp anywhere "
+        "breaks the hash.  All-integer end to end; map-only, one "
+        "7-int row per clip. operators/multimodal.py:audio_mulaw_stats.",
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 6 == 1).select("doc_id"))
+    return (M.audio_mulaw_stats(M.attach_audio_payload(docs))
+            .orderBy("doc_id"))

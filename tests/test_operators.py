@@ -2231,3 +2231,36 @@ def test_tiff_codec_spec_vector_roundtrip_and_guards():
         _packbits_decode(b"\x05AA", 6)        # literal overrun
     with _pytest.raises(ValueError):
         _packbits_decode(b"\xfe", 3)          # run missing repeat byte
+
+
+def test_mulaw_matches_audioop_reference():
+    """The μ-law encoder/decoder must equal CPython's audioop (the
+    Sun/CCITT reference implementation) over the FULL 16-bit input
+    range and all 256 codes — a third-party vector, not a
+    self-roundtrip.  audioop is deprecated (removal in 3.13); skip
+    gracefully when absent, the closed-form oracle still pins the
+    algorithm cross-engine."""
+    import numpy as np
+    import pytest as _pytest
+
+    audioop = _pytest.importorskip("audioop")
+    th14 = np.array([63, 127, 255, 511, 1023, 2047, 4095, 8191],
+                    dtype=np.int64)
+    s = np.arange(-32768, 32768, dtype=np.int64)
+    p = s >> 2
+    mask = np.where(p < 0, 0x7F, 0xFF)
+    pb = np.minimum(np.abs(p), 8159) + 33
+    seg = (pb[:, None] > th14[None, :]).sum(axis=1)
+    uval = np.where(seg >= 8, 0x7F, (seg << 4) | ((pb >> (seg + 1)) & 0xF))
+    code = uval ^ mask
+    ref = np.frombuffer(audioop.lin2ulaw(s.astype("<i2").tobytes(), 2),
+                        dtype=np.uint8).astype(np.int64)
+    assert (code == ref).all()
+
+    c = np.arange(256, dtype=np.int64)
+    u = (~c) & 0xFF
+    t = (((u & 15) << 3) + 132) << ((u >> 4) & 7)
+    dec = np.where(u & 0x80, 132 - t, t - 132)
+    refd = np.frombuffer(audioop.ulaw2lin(c.astype(np.uint8).tobytes(), 2),
+                         dtype="<i2").astype(np.int64)
+    assert (dec == refd).all()
