@@ -335,3 +335,80 @@ def rake_keywords(df: DataFrame, text_col: str = "text",
                     "n_words", "n_occurrences",
                     F.col("rank").cast("int").alias("rank"))
             .orderBy("rank"))
+
+
+def cross_source_bleu(df: DataFrame, text_col: str = "text",
+                      source_col: str = "source") -> DataFrame:
+    """Corpus-level cross-source BLEU-2 (Papineni et al. ACL'02,
+    corpus form): every ordered source pair (a = candidate corpus,
+    b = reference corpus) gets modified 1/2-gram precisions — clipped
+    counts Σ_g min(count_a(g), count_b(g)) over a's totals — plus the
+    brevity penalty and the 2-gram geometric-mean BLEU.  The
+    training-data read: a high cross-source BLEU means two crawl
+    sources share templated text wholesale (boilerplate families,
+    mirrored sites) — the corpus-pair screen run before mixture
+    weighting, complementing the doc-level MinHash families.
+
+    Determinism: clipped counts and totals are EXACT INTEGERS from
+    keyed joins of per-source gram-count tables; precisions are one
+    integer-ratio division; BP and BLEU apply exp/ln to those
+    identical doubles and round to 6 (the established transcendental
+    corner).  Scale: two shuffles keyed by gram (per-source partial
+    counts), then per-gram work ∝ (#sources containing the gram)² —
+    bounded by the source count squared, NOT corpus size; the pair
+    matrix itself is #sources² rows."""
+    toks = (fan_out(df)
+            .select(F.col(source_col).alias("src"),
+                    F.explode(ws_tokens(F.col(text_col))).alias("g"))
+            .where(F.col("g") != ""))
+    bis = (fan_out(df)
+           .select(F.col(source_col).alias("src"),
+                   F.explode(token_ngrams(F.col(text_col), 2)).alias("g")))
+
+    def clip_and_tot(grams):
+        cnt = grams.groupBy("src", "g").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"))
+        tot = cnt.groupBy("src").agg(F.sum("c").cast("bigint").alias("t"))
+        a = cnt.select(F.col("src").alias("src_a"), "g",
+                       F.col("c").alias("ca"))
+        b = cnt.select(F.col("src").alias("src_b"), F.col("g").alias("gb"),
+                       F.col("c").alias("cb"))
+        clip = (a.join(b, (a["g"] == b["gb"])
+                       & (F.col("src_a") != F.col("src_b")))
+                .groupBy("src_a", "src_b")
+                .agg(F.sum(F.least("ca", "cb")).cast("bigint")
+                     .alias("clip")))
+        return clip, tot
+
+    uni_clip, uni_tot = clip_and_tot(toks)
+    bi_clip, bi_tot = clip_and_tot(bis)
+    srcs = df.select(F.col(source_col).alias("src")).distinct()
+    pairs = (srcs.select(F.col("src").alias("src_a"))
+             .crossJoin(srcs.select(F.col("src").alias("src_b")))
+             .where(F.col("src_a") != F.col("src_b")))
+    out = (pairs
+           .join(uni_clip, ["src_a", "src_b"], "left")
+           .withColumnRenamed("clip", "uni_clip")
+           .join(bi_clip, ["src_a", "src_b"], "left")
+           .withColumnRenamed("clip", "bi_clip")
+           .join(uni_tot.select(F.col("src").alias("src_a"),
+                                F.col("t").alias("uni_total")), "src_a")
+           .join(bi_tot.select(F.col("src").alias("src_a"),
+                               F.col("t").alias("bi_total")), "src_a")
+           .join(uni_tot.select(F.col("src").alias("src_b"),
+                                F.col("t").alias("ref_len")), "src_b")
+           .na.fill({"uni_clip": 0, "bi_clip": 0}))
+    p1 = F.col("uni_clip").cast("double") / F.col("uni_total").cast("double")
+    p2 = F.col("bi_clip").cast("double") / F.col("bi_total").cast("double")
+    bp = F.when(F.col("uni_total") > F.col("ref_len"), F.lit(1.0)) \
+          .otherwise(F.exp(F.lit(1.0) - F.col("ref_len").cast("double")
+                           / F.col("uni_total").cast("double")))
+    bleu = F.when((F.col("uni_clip") == 0) | (F.col("bi_clip") == 0),
+                  F.lit(0.0)) \
+            .otherwise(bp * F.exp(F.lit(0.5) * (F.log(p1) + F.log(p2))))
+    return (out.select(
+        "src_a", "src_b", "uni_clip", "uni_total", "bi_clip", "bi_total",
+        "ref_len",
+        F.round(p1, 6).alias("p1"), F.round(p2, 6).alias("p2"),
+        F.round(bp, 6).alias("bp"), F.round(bleu, 6).alias("bleu2"))
+        .orderBy("src_a", "src_b"))

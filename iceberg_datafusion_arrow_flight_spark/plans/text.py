@@ -1638,3 +1638,97 @@ def text_simpsons_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(lam, 6).alias("simpson_lambda"),
                        F.round(F.lit(1.0) - lam, 6).alias("gini_simpson"))
             .orderBy("source"))
+
+
+@register(
+    "text_cross_source_bleu",
+    oracle=r"""
+WITH toks AS (
+  SELECT source AS src, unnest(string_split_regex(trim(text), '\s+')) AS g
+  FROM documents
+), uni AS (
+  SELECT src, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE g <> '' GROUP BY src, g
+), bi_raw AS (
+  SELECT src,
+         unnest(CASE WHEN len(t) >= 2 THEN
+           list_transform(range(1, len(t)),
+                          i -> array_to_string(t[i:i+1], ' '))
+         ELSE [] END) AS g
+  FROM (SELECT source AS src, string_split_regex(trim(text), '\s+') AS t
+        FROM documents)
+), bi AS (
+  SELECT src, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bi_raw GROUP BY src, g
+), uni_tot AS (
+  SELECT src, CAST(SUM(c) AS BIGINT) AS t FROM uni GROUP BY src
+), bi_tot AS (
+  SELECT src, CAST(SUM(c) AS BIGINT) AS t FROM bi GROUP BY src
+), uni_clip AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip
+  FROM uni a JOIN uni b ON a.g = b.g AND a.src <> b.src
+  GROUP BY a.src, b.src
+), bi_clip AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip
+  FROM bi a JOIN bi b ON a.g = b.g AND a.src <> b.src
+  GROUP BY a.src, b.src
+), pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b
+  FROM (SELECT DISTINCT src FROM uni) a,
+       (SELECT DISTINCT src FROM uni) b
+  WHERE a.src <> b.src
+), j AS (
+  SELECT p.src_a, p.src_b,
+         COALESCE(u.clip, 0) AS uni_clip,
+         ta.t AS uni_total,
+         COALESCE(bc.clip, 0) AS bi_clip,
+         tb.t AS bi_total,
+         tr.t AS ref_len
+  FROM pairs p
+  LEFT JOIN uni_clip u ON u.src_a = p.src_a AND u.src_b = p.src_b
+  LEFT JOIN bi_clip bc ON bc.src_a = p.src_a AND bc.src_b = p.src_b
+  JOIN uni_tot ta ON ta.src = p.src_a
+  JOIN bi_tot tb ON tb.src = p.src_a
+  JOIN uni_tot tr ON tr.src = p.src_b
+)
+SELECT src_a, src_b, uni_clip, uni_total, bi_clip, bi_total, ref_len,
+  ROUND(CAST(uni_clip AS DOUBLE) / CAST(uni_total AS DOUBLE), 6) AS p1,
+  ROUND(CAST(bi_clip AS DOUBLE) / CAST(bi_total AS DOUBLE), 6) AS p2,
+  ROUND(CASE WHEN uni_total > ref_len THEN CAST(1.0 AS DOUBLE)
+             ELSE EXP(CAST(1.0 AS DOUBLE)
+                      - CAST(ref_len AS DOUBLE)
+                        / CAST(uni_total AS DOUBLE)) END, 6) AS bp,
+  ROUND(CASE WHEN uni_clip = 0 OR bi_clip = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE (CASE WHEN uni_total > ref_len THEN CAST(1.0 AS DOUBLE)
+                        ELSE EXP(CAST(1.0 AS DOUBLE)
+                                 - CAST(ref_len AS DOUBLE)
+                                   / CAST(uni_total AS DOUBLE)) END)
+                  * EXP(CAST(0.5 AS DOUBLE)
+                        * (LN(CAST(uni_clip AS DOUBLE)
+                              / CAST(uni_total AS DOUBLE))
+                           + LN(CAST(bi_clip AS DOUBLE)
+                                / CAST(bi_total AS DOUBLE)))) END, 6)
+    AS bleu2
+FROM j ORDER BY src_a, src_b
+""",
+    doc="Corpus-level cross-source BLEU-2 (Papineni et al. ACL'02): "
+        "every ordered source pair gets clipped 1/2-gram precisions "
+        "(exact integers from keyed joins of per-source gram counts), "
+        "brevity penalty, and the geometric-mean BLEU — the "
+        "corpus-pair template/mirror screen run before mixture "
+        "weighting, complementing doc-level MinHash (two sources can "
+        "share template text wholesale without any single doc pair "
+        "crossing a near-dup threshold).  Integer clips/totals hash "
+        "exactly; BP/BLEU apply exp/ln to identical integer-ratio "
+        "doubles and round to 6 (the established transcendental "
+        "corner).  Scale: two gram-keyed partial-count shuffles; "
+        "per-gram pair work ∝ (#sources containing it)² — bounded by "
+        "source count, not corpus size. "
+        "operators/text.py:cross_source_bleu.",
+    tags=("text", "pipeline"),
+)
+def text_cross_source_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import cross_source_bleu
+    return cross_source_bleu(table(spark, sf_dir, "documents"))
