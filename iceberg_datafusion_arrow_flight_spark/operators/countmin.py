@@ -219,3 +219,64 @@ def kmv_intersect_pairs(df: DataFrame, value_col: str, set_col: str,
                               / F.col("th")))
                     .cast("bigint").alias("kmv_inter_estimate")))
     return est
+
+
+def ams_f2_report(df: DataFrame, key_col: str = "user_id",
+                  k: int = 64, groups: int = 8) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy
+    STOC'96 — the Gödel-prize result that started streaming sketches)
+    with its exact twin in ONE plan: F2 = Σ_x f_x² is the self-join
+    size, THE statistic a query planner wants before picking a join
+    strategy on a skewed key (F2/N² is also a Simpson-style
+    concentration gauge).  Estimator j is Z_j = Σ_x s_j(x)·f_x with
+    md5-derived ±1 signs; E[Z_j²] = F2.  The report compares the
+    plain mean of k=64 estimators against the textbook median-of-8-
+    means (robust to the heavy right tail of Z²) and the exact twin.
+
+    Everything is INTEGER until the final ratios: Z_j are exact signed
+    integer sums, Z_j² and the group sums exact bigints, the median of
+    an even count is carried as the 2× numerator (middle-pair sum) —
+    both engines hash-agree bit-for-bit.  Scale: ONE partial-agg pass
+    over the (key, f) table computes all 64 signed sums + the exact
+    twin map-side; the sketch state is k integers — mergeable across
+    partitions/streams by addition, which is the whole point.
+    """
+    per = k // groups
+    freq = (df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("f")))
+    key_s = F.col(key_col).cast("string")
+
+    def sign(j: int) -> Column:
+        d = F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"ams{j}|"), key_s).cast("binary")),
+            1, 1), 16, 10).cast("int")
+        return F.when(d % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+    aggs = [F.sum(sign(j) * F.col("f")).cast("bigint").alias(f"z{j}")
+            for j in range(k)]
+    aggs += [F.sum(F.col("f") * F.col("f")).cast("bigint")
+             .alias("exact_f2"),
+             F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+             F.sum("f").cast("bigint").alias("n_rows")]
+    row = freq.agg(*aggs)
+    gsums = [sum((F.col(f"z{g * per + i}") * F.col(f"z{g * per + i}")
+                  for i in range(per)),
+                 F.lit(0).cast("bigint")).alias(f"g{g}")
+             for g in range(groups)]
+    row = row.select("exact_f2", "n_keys", "n_rows", *gsums)
+    garr = F.array_sort(F.array(*[F.col(f"g{g}") for g in range(groups)]))
+    med2 = (F.element_at(garr, groups // 2)
+            + F.element_at(garr, groups // 2 + 1)).alias("med2_gsum")
+    total = sum((F.col(f"g{g}") for g in range(groups)),
+                F.lit(0).cast("bigint")).alias("z2_total")
+    out = row.select("exact_f2", "n_keys", "n_rows", total, med2)
+    est_mean = F.col("z2_total").cast("double") / F.lit(float(k))
+    est_mom = F.col("med2_gsum").cast("double") / F.lit(2.0 * per)
+    return out.select(
+        "exact_f2", "n_keys", "n_rows", "z2_total", "med2_gsum",
+        F.round(est_mean).cast("bigint").alias("est_mean"),
+        F.round(est_mom).cast("bigint").alias("est_median_of_means"),
+        F.round(F.abs(est_mean - F.col("exact_f2").cast("double"))
+                / F.col("exact_f2").cast("double"), 6).alias("rel_err_mean"),
+        F.round(F.abs(est_mom - F.col("exact_f2").cast("double"))
+                / F.col("exact_f2").cast("double"), 6).alias("rel_err_mom"))

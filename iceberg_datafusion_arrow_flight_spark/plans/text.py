@@ -1732,3 +1732,132 @@ FROM j ORDER BY src_a, src_b
 def text_cross_source_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import cross_source_bleu
     return cross_source_bleu(table(spark, sf_dir, "documents"))
+
+
+_AMS_ORACLE = """
+WITH freq AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f
+  FROM events GROUP BY user_id
+), z AS (
+  SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(f) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams0|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z0,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams1|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z1,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams2|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z2,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams3|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z3,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams4|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z4,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams5|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z5,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams6|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z6,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams7|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z7,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams8|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z8,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams9|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z9,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams10|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z10,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams11|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z11,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams12|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z12,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams13|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z13,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams14|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z14,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams15|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z15,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams16|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z16,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams17|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z17,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams18|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z18,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams19|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z19,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams20|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z20,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams21|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z21,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams22|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z22,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams23|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z23,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams24|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z24,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams25|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z25,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams26|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z26,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams27|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z27,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams28|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z28,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams29|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z29,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams30|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z30,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams31|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z31,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams32|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z32,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams33|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z33,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams34|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z34,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams35|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z35,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams36|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z36,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams37|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z37,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams38|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z38,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams39|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z39,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams40|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z40,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams41|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z41,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams42|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z42,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams43|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z43,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams44|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z44,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams45|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z45,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams46|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z46,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams47|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z47,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams48|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z48,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams49|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z49,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams50|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z50,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams51|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z51,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams52|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z52,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams53|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z53,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams54|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z54,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams55|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z55,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams56|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z56,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams57|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z57,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams58|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z58,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams59|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z59,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams60|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z60,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams61|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z61,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams62|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z62,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('ams63|' || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS z63
+  FROM freq
+), g AS (
+  SELECT exact_f2, n_keys, n_rows,
+         CAST(z0 * z0 + z1 * z1 + z2 * z2 + z3 * z3 + z4 * z4 + z5 * z5 + z6 * z6 + z7 * z7 AS BIGINT) AS g0,
+         CAST(z8 * z8 + z9 * z9 + z10 * z10 + z11 * z11 + z12 * z12 + z13 * z13 + z14 * z14 + z15 * z15 AS BIGINT) AS g1,
+         CAST(z16 * z16 + z17 * z17 + z18 * z18 + z19 * z19 + z20 * z20 + z21 * z21 + z22 * z22 + z23 * z23 AS BIGINT) AS g2,
+         CAST(z24 * z24 + z25 * z25 + z26 * z26 + z27 * z27 + z28 * z28 + z29 * z29 + z30 * z30 + z31 * z31 AS BIGINT) AS g3,
+         CAST(z32 * z32 + z33 * z33 + z34 * z34 + z35 * z35 + z36 * z36 + z37 * z37 + z38 * z38 + z39 * z39 AS BIGINT) AS g4,
+         CAST(z40 * z40 + z41 * z41 + z42 * z42 + z43 * z43 + z44 * z44 + z45 * z45 + z46 * z46 + z47 * z47 AS BIGINT) AS g5,
+         CAST(z48 * z48 + z49 * z49 + z50 * z50 + z51 * z51 + z52 * z52 + z53 * z53 + z54 * z54 + z55 * z55 AS BIGINT) AS g6,
+         CAST(z56 * z56 + z57 * z57 + z58 * z58 + z59 * z59 + z60 * z60 + z61 * z61 + z62 * z62 + z63 * z63 AS BIGINT) AS g7
+  FROM z
+), m AS (
+  SELECT exact_f2, n_keys, n_rows,
+         CAST(g0 + g1 + g2 + g3 + g4 + g5 + g6 + g7 AS BIGINT) AS z2_total,
+         CAST(list_sort([g0,g1,g2,g3,g4,g5,g6,g7])[4]
+              + list_sort([g0,g1,g2,g3,g4,g5,g6,g7])[5] AS BIGINT) AS med2_gsum
+  FROM g
+)
+SELECT exact_f2, n_keys, n_rows, z2_total, med2_gsum,
+  CAST(ROUND(CAST(z2_total AS DOUBLE) / CAST(64.0 AS DOUBLE)) AS BIGINT)
+    AS est_mean,
+  CAST(ROUND(CAST(med2_gsum AS DOUBLE) / CAST(16.0 AS DOUBLE)) AS BIGINT)
+    AS est_median_of_means,
+  ROUND(ABS(CAST(z2_total AS DOUBLE) / CAST(64.0 AS DOUBLE)
+            - CAST(exact_f2 AS DOUBLE)) / CAST(exact_f2 AS DOUBLE), 6)
+    AS rel_err_mean,
+  ROUND(ABS(CAST(med2_gsum AS DOUBLE) / CAST(16.0 AS DOUBLE)
+            - CAST(exact_f2 AS DOUBLE)) / CAST(exact_f2 AS DOUBLE), 6)
+    AS rel_err_mom
+FROM m
+"""
+
+
+@register(
+    "sketch_ams_f2_calibration",
+    oracle=_AMS_ORACLE,
+    doc="AMS second-frequency-moment sketch (Alon, Matias & Szegedy "
+        "STOC'96) with its exact twin in one plan: F2 = Σ f_x² over "
+        "user_id — the self-join size / skew statistic a planner "
+        "wants before choosing a join strategy.  64 estimators "
+        "Z_j = Σ ±f_x with md5-derived signs; the report compares the "
+        "plain 64-mean against the textbook median-of-8-means "
+        "(robust to Z²'s heavy right tail) and the exact F2, with "
+        "relative errors.  Z_j, Z_j², group sums, and the 2×median "
+        "numerator are ALL exact integers — both engines hash-agree "
+        "bit-for-bit; the sketch state is 64 integers, mergeable by "
+        "addition (the streaming/partial-agg property that makes AMS "
+        "usable at 100 TB: one map-side pass over the (key, f) "
+        "table). operators/countmin.py:ams_f2_report.",
+    tags=("sketch", "events"),
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.countmin import ams_f2_report
+    return ams_f2_report(table(spark, sf_dir, "events"), "user_id")
