@@ -412,3 +412,79 @@ def cross_source_bleu(df: DataFrame, text_col: str = "text",
         F.round(p1, 6).alias("p1"), F.round(p2, 6).alias("p2"),
         F.round(bp, 6).alias("bp"), F.round(bleu, 6).alias("bleu2"))
         .orderBy("src_a", "src_b"))
+
+
+def burrows_delta(df: DataFrame, text_col: str = "text",
+                  source_col: str = "source", top_n: int = 30) -> DataFrame:
+    """Burrows' Delta (Burrows, LLC 2002; Argamon's probabilistic
+    reading, LLC 2008) between source pairs — THE classic stylometric
+    attribution distance: over the corpus's ``top_n`` most frequent
+    words (function words dominate, which is the point — style, not
+    topic), each source's relative frequency is z-scored against the
+    across-source distribution, and Delta(a,b) is the mean |z_a − z_b|.
+    The training-data read: two crawl sources with near-zero Delta are
+    the same underlying generator (mirror, template farm, same
+    pipeline) even when their CONTENT n-grams differ — the stylistic
+    complement of the cross-source BLEU screen.
+
+    Determinism: word selection ranks on exact integer corpus counts
+    (count DESC, word ASC); relative frequencies are single
+    integer-ratio divisions; the across-source mean/stddev (population
+    form, n = #sources) are computed from those identical doubles and
+    ROUNDED to 8 before z-scoring; z rounds to 6; Delta averages 30
+    rounded values and rounds to 6 — every float step is either an
+    identical-input division or post-rounded (the established
+    recipe).  Scale: one (source, word) count shuffle; everything
+    after operates on a #sources × top_n matrix — constant-size
+    regardless of corpus bytes."""
+    from pyspark.sql import Window
+
+    toks = (fan_out(df)
+            .select(F.col(source_col).alias("src"),
+                    F.explode(ws_tokens(F.col(text_col))).alias("w"))
+            .where(F.col("w") != ""))
+    cnt = toks.groupBy("src", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").cast("bigint").alias("t"))
+    top = (cnt.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
+           .withColumn("__rk", F.row_number().over(
+               Window.orderBy(F.col("cw").desc(), F.col("w"))))
+           .where(F.col("__rk") <= top_n).select("w"))
+    f = (top.crossJoin(tot)                  # DENSE #sources × top_n
+         .join(cnt, ["w", "src"], "left")    # matrix: absent word → 0
+         .select("w", "src",
+                 (F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                  / F.col("t").cast("double")).alias("f")))
+    stats = (f.groupBy("w")
+             .agg(F.round(F.avg("f"), 8).alias("m"),
+                  # population sd; GREATEST guards the E[x²]−E[x]²
+                  # form against float-negative variance → sqrt(NaN)
+                  F.round(F.sqrt(F.greatest(
+                      F.avg(F.col("f") * F.col("f"))
+                      - F.avg("f") * F.avg("f"), F.lit(0.0))), 8)
+                   .alias("sd")))
+    # z in exact integer MICRO-units: the mean of 6-decimal z values
+    # over 30 words is a denominator-3e7 rational that lands on EXACT
+    # round-half ties (measured: 1.1977215 → engines split 21/22);
+    # summing integers and rounding ONE identical quotient double
+    # removes the tie class entirely.
+    z = (f.join(stats, "w")
+         .where(F.col("sd") > 0)       # zero-variance words carry no
+         .select("w", "src",           # stylistic signal; drop them
+                 F.round((F.col("f") - F.col("m")) / F.col("sd")
+                         * F.lit(1e6), 0).cast("bigint").alias("z6")))
+    za = z.select(F.col("w").alias("wa"), F.col("src").alias("src_a"),
+                  F.col("z6").alias("z_a"))
+    zb = z.select(F.col("w").alias("wb"), F.col("src").alias("src_b"),
+                  F.col("z6").alias("z_b"))
+    return (za.join(zb, (za["wa"] == zb["wb"])
+                    & (F.col("src_a") < F.col("src_b")))
+            .groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.sum(F.abs(F.col("z_a") - F.col("z_b")))
+                  .cast("bigint").alias("s6"))
+            .select("src_a", "src_b", "n_words",
+                    F.round(F.col("s6").cast("double")
+                            / (F.col("n_words").cast("double")
+                               * F.lit(1e6)), 6).alias("delta"))
+            .orderBy("src_a", "src_b"))

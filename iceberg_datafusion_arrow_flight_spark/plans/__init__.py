@@ -152,12 +152,13 @@ _PRIORITY: list[str] = [
     # diversity), dedup_substring_overlap (for the logreg distiller),
     # dedup_token_jaccard_ppjoin (for the TIFF decode), dedup_simhash
     # (for the μ-law round-trip), dedup_exact_token_set (for the
-    # cross-source BLEU), struct_access (for the AMS F2 sketch);
+    # cross-source BLEU), struct_access (for the AMS F2 sketch),
+    # array_higher_order (for Burrows' Delta);
     # each ceded name re-queues at the head of the r12 re-pin queue:
     "agg_array_collect", "agg_bool_bit", "agg_exact_distinct",
     "agg_hdr_quantile_sketch", "agg_pivot_lang_by_source",
     "agg_equi_width_histogram", "window_named_clause", "func_math",
-    "array_construct_access", "array_higher_order",
+    "array_construct_access",
     # pulled forward from the r03 block (out of registration order) so
     # the multimodal family keeps a window row (family-coverage guard):
     "multimodal_resize_real",
@@ -167,7 +168,7 @@ _PRIORITY: list[str] = [
     "dedup_cdc_chunking", "text_simpsons_diversity",
     "pipeline_quality_logreg_distill", "multimodal_tiff_decode",
     "multimodal_audio_mulaw_roundtrip", "text_cross_source_bleu",
-    "sketch_ams_f2_calibration",
+    "sketch_ams_f2_calibration", "text_burrows_delta",
 ]
 
 

@@ -1861,3 +1861,73 @@ FROM m
 def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.countmin import ams_f2_report
     return ams_f2_report(table(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "text_burrows_delta",
+    oracle=r"""
+WITH toks AS (
+  SELECT source AS src, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT src, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE w <> '' GROUP BY src, w
+), tot AS (
+  SELECT src, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY src
+), top AS (
+  SELECT w FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, w) AS rk
+    FROM cnt GROUP BY w) WHERE rk <= 30
+), f AS (
+  SELECT top.w, tot.src,
+         CAST(COALESCE(cnt.c, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE) AS f
+  FROM top CROSS JOIN tot
+  LEFT JOIN cnt ON cnt.w = top.w AND cnt.src = tot.src
+), stats AS (
+  SELECT w, ROUND(AVG(f), 8) AS m,
+         ROUND(SQRT(GREATEST(AVG(f * f) - AVG(f) * AVG(f),
+                             CAST(0.0 AS DOUBLE))), 8) AS sd
+  FROM f GROUP BY w
+), z AS (
+  SELECT f.w, f.src,
+         CAST(ROUND((f.f - s.m) / s.sd * CAST(1e6 AS DOUBLE), 0)
+              AS BIGINT) AS z6
+  FROM f JOIN stats s ON s.w = f.w
+  WHERE s.sd > 0
+), p AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(ABS(a.z6 - b.z6)) AS BIGINT) AS s6
+  FROM z a JOIN z b ON a.w = b.w AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT src_a, src_b, n_words,
+       ROUND(CAST(s6 AS DOUBLE)
+             / (CAST(n_words AS DOUBLE) * CAST(1e6 AS DOUBLE)), 6)
+         AS delta
+FROM p ORDER BY src_a, src_b
+""",
+    doc="Burrows' Delta stylometric distance between source pairs "
+        "(Burrows LLC 2002 / Argamon LLC 2008): z-scored relative "
+        "frequencies of the corpus's 30 most frequent words (function "
+        "words — style, not topic), Delta = mean |z_a − z_b| over "
+        "unordered pairs.  Two crawl sources with near-zero Delta are "
+        "the same underlying GENERATOR (mirror, template farm, shared "
+        "pipeline) even when their content n-grams differ — the "
+        "stylistic complement of text_cross_source_bleu.  Word "
+        "selection ranks exact integer counts; frequencies are "
+        "integer-ratio divisions; across-source mean/sd round to 8 "
+        "before z-scoring (GREATEST guards E[x²]−E[x]² against "
+        "float-negative variance); z is carried as exact integer "
+        "micro-units because the 30-word mean of 6-decimal values is "
+        "a denominator-3e7 rational that lands on EXACT round-half "
+        "ties (measured 1.1977215 splitting the engines) — Delta is "
+        "one ROUND of an identical integer-ratio double.  Scale: one (source, word) "
+        "count shuffle; everything after runs on a #sources × 30 "
+        "matrix, constant-size regardless of corpus bytes. "
+        "operators/text.py:burrows_delta.",
+    tags=("text", "pipeline"),
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import burrows_delta
+    return burrows_delta(table(spark, sf_dir, "documents"))
