@@ -365,7 +365,8 @@ def kcore_peel(und: DataFrame, k: int, rounds: int = 8) -> DataFrame:
         ledger, "round int, n_removed bigint, n_remaining bigint")
 
 
-def label_propagation(und: DataFrame, rounds: int = 3) -> DataFrame:
+def label_propagation(und: DataFrame, rounds: int = 3,
+                      broadcast_state: bool | None = None) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) made fully
     deterministic: every node starts as its own label; per round, each
     node adopts the label most frequent among its NEIGHBORS, ties
@@ -381,16 +382,36 @@ def label_propagation(und: DataFrame, rounds: int = 3) -> DataFrame:
     multi-executor drop-in).  Scale: identical shape to one PageRank
     round; label skew (a giant community's label on many keys) sits in
     the (node,label) count whose key includes the node — never a
-    single hot key."""
+    single hot key.
+
+    Dual per-round regimes, the :func:`pagerank` recipe (r11
+    optimization): when the O(nodes) label state fits the session
+    broadcast threshold, the per-round join BROADCASTS the state
+    (explicit hint — above the auto threshold the planner would fall
+    back to SMJ and re-shuffle the edge table every round), so the
+    O(edges) side is never exchanged after its one up-front
+    materialization; otherwise the edge table is checkpointed
+    hash-partitioned on the vote key and each round's labels on the
+    node id, making the contribution join co-partitioned — the only
+    per-round O(edges) exchange left is the (node, label) vote count's
+    partial-agg output, the floor for message passing by key.
+    Strategy choice never changes values — join strategy only."""
     sym = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
            .unionByName(und.select(F.col("v").alias("a"),
-                                   F.col("u").alias("b")))
-           .transform(materialize))
+                                   F.col("u").alias("b"))))
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .select("node", F.col("node").alias("label"))
               .transform(materialize))
+    if broadcast_state is None:
+        broadcast_state = fits_broadcast(labels, labels.count())
+    sym = (sym.transform(materialize) if broadcast_state
+           else checkpoint_partitioned(sym, "b"))
+    if not broadcast_state:
+        labels = checkpoint_partitioned(labels, "node")
     for _ in range(rounds):
-        votes = (sym.join(labels.withColumnRenamed("node", "b"), "b")
+        state = labels.withColumnRenamed("node", "b")
+        votes = (sym.join(F.broadcast(state) if broadcast_state else state,
+                          "b")
                  .select(F.col("a").alias("node"), "label"))
         counts = (votes.groupBy("node", "label")
                   .agg(F.count(F.lit(1)).alias("cnt")))
@@ -400,7 +421,8 @@ def label_propagation(und: DataFrame, rounds: int = 3) -> DataFrame:
                                    (-F.col("label")).alias("neg")))
                     .alias("m"))
                .select("node", (-F.col("m.neg")).alias("label")))
-        labels = new.transform(materialize)
+        labels = (new.transform(materialize) if broadcast_state
+                  else checkpoint_partitioned(new, "node"))
     return labels
 
 

@@ -155,6 +155,110 @@ def lsh_bucket(vec: Column, n_planes: int, dims: int, table_seed: int = 0) -> Co
     return bucket
 
 
+def _plane_weights(n_planes: int, dims: int, table_seed: int) -> "np.ndarray":
+    """The md5-derived hyperplane matrix of :func:`lsh_bucket` as a
+    numpy (n_planes, dims) array — same formula, same constants."""
+    import hashlib
+    return np.array(
+        [[int(hashlib.md5(f"plane{table_seed * 101 + p}|d{i}".encode())
+              .hexdigest()[:6], 16) / float(1 << 23) - 1.0
+          for i in range(dims)]
+         for p in range(n_planes)], dtype=np.float64)
+
+
+def lsh_bucket_columns(df: DataFrame, vec_col: str, n_planes: int,
+                       dims: int, n_tables: int,
+                       prefix: str = "__b") -> DataFrame:
+    """Append ``{prefix}0..{prefix}{n_tables-1}`` INT bucket columns —
+    the Arrow-batched numpy twin of ``n_tables`` :func:`lsh_bucket`
+    projections (r11 optimization, guide §4.2).
+
+    Why: the Catalyst spelling builds planes×dims×tables literal
+    nodes inside HOF folds (2,048 for the 4×64×8 witness corner);
+    ANALYSIS + CODEGEN of that expression forest costs seconds per
+    query BEFORE the first row — measured 3.2 s warm / 7.7 s cold for
+    1,000 rows vs 0.8 s for this kernel, values identical.  The per-row
+    arithmetic is trivial either way; the win is moving the constants
+    out of the plan.
+
+    BIT-IDENTICAL to :func:`lsh_bucket` by construction:
+
+    - same md5-derived plane constants (:func:`_plane_weights`);
+    - per plane, the dot is accumulated in the SAME sequential
+      left-fold order (s = 0.0; s += v[i]·w[i] in index order) —
+      IEEE double ops are deterministic, so the sum is the fold's sum
+      bit-for-bit, and the DuckDB oracle's ``list_reduce`` spelling
+      stays in lockstep;
+    - the sign rule replicates Spark's total-order quirk
+      (``NaN >= 0`` is TRUE in Spark SQL and DuckDB): ``(s >= 0) |
+      isnan(s)``;
+    - the fold's null semantics: a NULL vector, any NULL element, or
+      length != dims makes every plane's fold NULL in Catalyst, so the
+      ``otherwise(0)`` branch yields bucket 0 — the slow path below
+      reproduces exactly that.
+    """
+    import pyarrow as pa
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    weights = [_plane_weights(n_planes, dims, t) for t in range(n_tables)]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"{prefix}{t}", IntegerType(), False)
+           for t in range(n_tables)])
+    vec_idx = df.columns.index(vec_col)
+    names = df.columns + [f"{prefix}{t}" for t in range(n_tables)]
+
+    def _bucket_row(v) -> list[int]:
+        # Catalyst-fold null semantics: anything irregular ⇒ bucket 0.
+        if v is None or len(v) != dims or any(x is None for x in v):
+            return [0] * n_tables
+        out = []
+        for t in range(n_tables):
+            b = 0
+            for p in range(n_planes):
+                s = 0.0
+                w = weights[t][p]
+                for i in range(dims):
+                    s += v[i] * w[i]
+                if s >= 0 or s != s:          # NaN >= 0 is true in Spark
+                    b += 1 << p
+            out.append(b)
+        return out
+
+    def kernel(batches):
+        for batch in batches:
+            n = batch.num_rows
+            arr = batch.column(vec_idx)
+            lengths = pa.compute.list_value_length(arr)
+            flat = arr.flatten()
+            fast = (n > 0 and arr.null_count == 0 and flat.null_count == 0
+                    and pa.compute.min_max(lengths)["min"].as_py() == dims
+                    and pa.compute.min_max(lengths)["max"].as_py() == dims)
+            buckets = np.zeros((n_tables, n), dtype=np.int32)
+            if fast:
+                m = flat.to_numpy(zero_copy_only=False).reshape(n, dims)
+                for t in range(n_tables):
+                    b = np.zeros(n, dtype=np.int32)
+                    for p in range(n_planes):
+                        s = np.zeros(n, dtype=np.float64)
+                        w = weights[t][p]
+                        for i in range(dims):
+                            s += m[:, i] * w[i]
+                        b += np.where((s >= 0) | np.isnan(s),
+                                      np.int32(1 << p), np.int32(0))
+                    buckets[t] = b
+            elif n > 0:
+                rows = arr.to_pylist()
+                for r, v in enumerate(rows):
+                    for t, bv in enumerate(_bucket_row(v)):
+                        buckets[t][r] = bv
+            cols = [batch.column(i) for i in range(batch.num_columns)]
+            cols += [pa.array(buckets[t]) for t in range(n_tables)]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return df.mapInArrow(kernel, schema=out_schema)
+
+
 def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                  n_planes: int = 8, dims: int = 64, n_tables: int = 4,
                  query_id: str = "vec_id", corpus_id: str = "vec_id",
@@ -181,14 +285,9 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                        _as_double(F.col(vec_col)).alias("qv"))
     c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
                                _as_double(F.col(vec_col)).alias("cv"))
-    qb = q.select(
-        "query_id", "qv",
-        *[lsh_bucket(F.col("qv"), n_planes, dims, t).alias(f"__b{t}")
-          for t in range(n_tables)])
-    cb = c.select(
-        "corpus_id", "cv",
-        *[lsh_bucket(F.col("cv"), n_planes, dims, t).alias(f"__b{t}")
-          for t in range(n_tables)]).transform(materialize)
+    qb = lsh_bucket_columns(q, "qv", n_planes, dims, n_tables)
+    cb = lsh_bucket_columns(c, "cv", n_planes, dims,
+                            n_tables).transform(materialize)
     # The exact cosine is computed INSIDE each table's join so the
     # candidate union carries (query_id, corpus_id, sim) — ~24-byte
     # rows — into the dedup exchange instead of two dims-sized double
@@ -238,14 +337,9 @@ def ann_lsh_multiprobe_topk(queries: DataFrame, corpus: DataFrame,
                        _as_double(F.col(vec_col)).alias("qv"))
     c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
                                _as_double(F.col(vec_col)).alias("cv"))
-    qb = q.select(
-        "query_id", "qv",
-        *[lsh_bucket(F.col("qv"), n_planes, dims, t).alias(f"__b{t}")
-          for t in range(n_tables)])
-    cb = c.select(
-        "corpus_id", "cv",
-        *[lsh_bucket(F.col("cv"), n_planes, dims, t).alias(f"__b{t}")
-          for t in range(n_tables)]).transform(materialize)
+    qb = lsh_bucket_columns(q, "qv", n_planes, dims, n_tables)
+    cb = lsh_bucket_columns(c, "cv", n_planes, dims,
+                            n_tables).transform(materialize)
     cands = None
     for t in range(n_tables):
         probes = F.array(F.col(f"__b{t}"),
@@ -411,9 +505,15 @@ def near_dup_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
     exact operator, like :func:`ann_lsh_topk`."""
     v = fan_out(df).select(F.col(id_col).alias("__vid"),
                            _as_double(F.col(vec_col)).alias("__v"))
+    # All n_tables bucket ids in ONE Arrow-batched kernel pass,
+    # materialized once — the per-table withColumn spelling re-derived
+    # the cast/fan-out projection and a planes×dims expression forest
+    # n_tables times (see lsh_bucket_columns).
+    vb = lsh_bucket_columns(v, "__v", n_planes, dims,
+                            n_tables).transform(materialize)
     cands = None
     for t in range(n_tables):
-        b = v.withColumn("__b", lsh_bucket(F.col("__v"), n_planes, dims, t))
+        b = vb.select("__vid", F.col(f"__b{t}").alias("__b"))
         l, r = b.alias("l"), b.alias("r")
         c = (l.join(r, (F.col("l.__b") == F.col("r.__b"))
                     & (F.col("l.__vid") < F.col("r.__vid")))
@@ -812,14 +912,10 @@ def cross_corpus_decontaminate(corpus: DataFrame, other: DataFrame,
                                _as_double(F.col(vec_col)).alias("cv"))
     o = fan_out(other).select(F.col(other_id).alias("match_id"),
                               _as_double(F.col(vec_col)).alias("ov"))
-    cb = c.select(
-        "corpus_id", "cv",
-        *[lsh_bucket(F.col("cv"), n_planes, dims, t).alias(f"__b{t}")
-          for t in range(n_tables)]).transform(materialize)
-    ob = o.select(
-        "match_id", "ov",
-        *[lsh_bucket(F.col("ov"), n_planes, dims, t).alias(f"__b{t}")
-          for t in range(n_tables)]).transform(materialize)
+    cb = lsh_bucket_columns(c, "cv", n_planes, dims,
+                            n_tables).transform(materialize)
+    ob = lsh_bucket_columns(o, "ov", n_planes, dims,
+                            n_tables).transform(materialize)
     # Cosine + threshold ride INSIDE each table's join (same rewrite as
     # ann_lsh_topk): the union dedups 24-byte (corpus_id, match_id, sim)
     # rows instead of pairs of 64-dim double arrays, and the threshold

@@ -1803,7 +1803,7 @@ SELECT CAST({T} AS INT) AS n_tables,
 )
 def sim_lsh_tables_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
-    from ..operators.similarity import _as_double, cosine, lsh_bucket
+    from ..operators.similarity import _as_double, cosine, lsh_bucket_columns
 
     emb = table(spark, sf_dir, "embeddings")
     sweep = (2, 4, 8)
@@ -1813,20 +1813,17 @@ def sim_lsh_tables_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2- and 4-table candidate sets derive from the same checkpointed
     # bucket table — one corpus scan instead of one per sweep point
     # (solo 11.0 -> ~7 s; the shape is what matters when the corpus is
-    # the expensive side).
+    # the expensive side).  Buckets come from the Arrow-batched numpy
+    # kernel (bit-identical; see lsh_bucket_columns).
     q = (emb.where(F.col("vec_id") % 100 == 0)
          .select(F.col("vec_id").alias("query_id"),
                  _as_double(F.col("embedding")).alias("qv")))
-    qb = (q.select(
-              "query_id", "qv",
-              *[lsh_bucket(F.col("qv"), _LSH_WIT_PLANES, _EMB_DIMS, t)
-                .alias(f"__b{t}") for t in range(max_t)])
+    qb = (lsh_bucket_columns(q, "qv", _LSH_WIT_PLANES, _EMB_DIMS, max_t)
           .transform(materialize))
-    cb = (emb.select(F.col("vec_id").alias("corpus_id"),
-                     _as_double(F.col("embedding")).alias("cv"))
-          .select("corpus_id", "cv",
-                  *[lsh_bucket(F.col("cv"), _LSH_WIT_PLANES, _EMB_DIMS, t)
-                    .alias(f"__b{t}") for t in range(max_t)])
+    cb = (lsh_bucket_columns(
+              emb.select(F.col("vec_id").alias("corpus_id"),
+                         _as_double(F.col("embedding")).alias("cv")),
+              "cv", _LSH_WIT_PLANES, _EMB_DIMS, max_t)
           .transform(materialize))
     exact = (S.topk_cosine(q.select(F.col("query_id").alias("vec_id"),
                                     F.col("qv").alias("embedding")), emb,
