@@ -1687,14 +1687,19 @@ def scene_cut_sad(frames: DataFrame, threshold: float = 8.0) -> DataFrame:
         out = {k: [] for k in ("doc_id", "frame_idx", "sad",
                                "mean_abs_diff", "is_cut")}
         prev = None
-        for _, row in pdf.iterrows():
-            w, h, px = _decode_ppm(bytes(row["payload"]))
+        # zip over columns, not iterrows(): iterrows materializes a
+        # pandas Series per row (~10x the per-row cost) and every group
+        # here is a single clip's handful of frames, so row overhead is
+        # the whole stage (r11 optimization; same integer math).
+        for did, fi, payload in zip(pdf["doc_id"], pdf["frame_idx"],
+                                    pdf["payload"]):
+            w, h, px = _decode_ppm(bytes(payload))
             cur = px.astype(np.int64)
             if prev is not None:
                 sad = int(np.abs(cur - prev).sum())
                 mad = sad / float(w * h * 3)
-                out["doc_id"].append(int(row["doc_id"]))
-                out["frame_idx"].append(int(row["frame_idx"]))
+                out["doc_id"].append(int(did))
+                out["frame_idx"].append(int(fi))
                 out["sad"].append(sad)
                 out["mean_abs_diff"].append(mad)
                 out["is_cut"].append(mad > threshold)

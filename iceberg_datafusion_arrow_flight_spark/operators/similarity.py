@@ -582,6 +582,136 @@ def _argmin_code(dists: list[Column]) -> Column:
         for j, d in enumerate(dists)]))["c"]
 
 
+def _pq_kernel_columns(df: DataFrame, vec_col: str,
+                       books: list[list[tuple[int, list[float]]]],
+                       want: str, prefix: str) -> DataFrame:
+    """Shared Arrow-batched numpy twin of the PQ expression forests
+    (r11 optimization — the same planning-cost cure as
+    :func:`lsh_bucket_columns`; the m·k ``_sq_l2_sql`` folds plus
+    argmin/array assembly put ~2k literal nodes in the plan, re-analyzed
+    on every query invocation).
+
+    ``want='code'`` appends ``{prefix}{s}`` INT columns — the 1-based
+    argmin code per subspace, ties to the lowest code.
+    ``want='lut'`` appends ``{prefix}{s}`` ARRAY<DOUBLE> columns — the
+    per-code squared-L2 lookup table.
+
+    BIT-IDENTICAL to the `_sq_l2_sql`/`_argmin_code_sql` spelling:
+    (a-b)·(a-b) products accumulated in the same sequential left-fold
+    order; np.argmin's first-minimum = the struct array_min's
+    lowest-code tie-break; Catalyst's irregular-input semantics
+    replicated in a slow path (a subspace whose slice is incomplete or
+    contains a NULL folds to NULL — struct ordering puts NULL first, so
+    the code degenerates to 1 and the LUT entry to NULL; NaN distances
+    order LARGEST, Spark's total order).  Rows with NaN distances are
+    routed to the slow path so numpy's NaN-propagating argmin is never
+    trusted."""
+    import pyarrow as pa
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    m = len(books)
+    k = len(books[0])
+    d = len(books[0][0][1])
+    dims = m * d
+    cents = np.array([[list(cent) for _c, cent in book] for book in books],
+                     dtype=np.float64)            # (m, k, d)
+    out_type = (IntegerType() if want == "code"
+                else ArrayType(DoubleType(), True))
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"{prefix}{s}", out_type, want != "code")
+           for s in range(m)])
+    vec_idx = df.columns.index(vec_col)
+    names = df.columns + [f"{prefix}{s}" for s in range(m)]
+
+    def _row_subspace(v, s):
+        """Slow path: d2 per code for one row/subspace, or None when the
+        Catalyst fold would be NULL (short slice / NULL element)."""
+        if v is None:
+            return None
+        seg = v[s * d:(s + 1) * d]
+        if len(seg) < d or any(x is None for x in seg):
+            return None
+        out = []
+        for j in range(k):
+            acc = 0.0
+            cj = cents[s][j]
+            for i in range(d):
+                diff = seg[i] - cj[i]
+                acc += diff * diff
+            out.append(acc)
+        return out
+
+    def _slow(v, s):
+        d2 = _row_subspace(v, s)
+        if want == "lut":
+            return d2 if d2 is not None else [None] * k
+        if d2 is None:
+            return 1
+        # Spark struct ordering: NaN sorts largest, ties -> lowest code.
+        return min(range(k),
+                   key=lambda j: (d2[j] != d2[j], 0.0 if d2[j] != d2[j]
+                                  else d2[j], j)) + 1
+
+    def kernel(batches):
+        for batch in batches:
+            n = batch.num_rows
+            arr = batch.column(vec_idx)
+            lengths = pa.compute.list_value_length(arr)
+            flat = arr.flatten()
+            fast = (n > 0 and arr.null_count == 0 and flat.null_count == 0
+                    and pa.compute.min_max(lengths)["min"].as_py() == dims
+                    and pa.compute.min_max(lengths)["max"].as_py() == dims)
+            cols = [batch.column(i) for i in range(batch.num_columns)]
+            if fast:
+                mat = flat.to_numpy(zero_copy_only=False).reshape(n, dims)
+                d2 = np.empty((m, k, n), dtype=np.float64)
+                for s in range(m):
+                    sub = mat[:, s * d:(s + 1) * d]
+                    for j in range(k):
+                        acc = np.zeros(n, dtype=np.float64)
+                        cj = cents[s][j]
+                        for i in range(d):
+                            diff = sub[:, i] - cj[i]
+                            acc += diff * diff
+                        d2[s, j] = acc
+                if want == "code" and np.isnan(d2).any():
+                    fast = False          # NaN ordering → slow path
+                elif want == "code":
+                    for s in range(m):
+                        cols.append(pa.array(
+                            (np.argmin(d2[s], axis=0) + 1).astype(np.int32)))
+                else:
+                    for s in range(m):
+                        cols.append(pa.array(
+                            list(d2[s].T), type=pa.list_(pa.float64())))
+            if not fast:
+                rows = arr.to_pylist() if n else []
+                for s in range(m):
+                    vals = [_slow(v, s) for v in rows]
+                    cols.append(pa.array(
+                        vals, type=(pa.int32() if want == "code"
+                                    else pa.list_(pa.float64()))))
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return df.mapInArrow(kernel, schema=out_schema)
+
+
+def pq_code_columns(df: DataFrame, vec_col: str, books,
+                    prefix: str = "__code") -> DataFrame:
+    """Append one INT code column per subspace — numpy twin of the
+    ``_argmin_code_sql(_sq_l2_sql(...))`` projection."""
+    return _pq_kernel_columns(df, vec_col, books, "code", prefix)
+
+
+def pq_lut_columns(df: DataFrame, vec_col: str, books,
+                   prefix: str = "__lut") -> DataFrame:
+    """Append one ARRAY<DOUBLE> LUT column per subspace — numpy twin of
+    the ``array(_sq_l2_sql(...), ...)`` projection."""
+    return _pq_kernel_columns(df, vec_col, books, "lut", prefix)
+
+
 def pq_codebooks(corpus: DataFrame, corpus_id: str, vec_col: str,
                  m: int = 8, k: int = 16, iters: int = 2,
                  ) -> list[list[tuple[int, list[float]]]]:
@@ -688,23 +818,16 @@ def ann_pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
                                _as_double(F.col(vec_col)).alias("cv"),
                                nv.alias("cnv"))
-    code_cols = []
-    for s, book in enumerate(books):
-        sub_sql = f"slice(cnv,{s * d + 1},{d})"
-        dists = [_sq_l2_sql(sub_sql, cent) for _c, cent in book]
-        code_cols.append(F.expr(_argmin_code_sql(dists)).alias(f"__code{s}"))
-    c = c.select("corpus_id", "cv", *code_cols)  # one projection, one analysis pass
+    # Codes/LUTs via the Arrow-batched numpy kernels (bit-identical to
+    # the _sq_l2_sql forests — see _pq_kernel_columns); normalization
+    # stays an in-plan Catalyst fold, so cnv/qnv are byte-identical to
+    # the expression spelling's inputs.
+    c = pq_code_columns(c, "cnv", books).drop("cnv")
 
     q = queries.select(F.col(query_id).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"),
                        nv.alias("qnv"))
-    lut_cols = []
-    for s, book in enumerate(books):
-        sub_sql = f"slice(qnv,{s * d + 1},{d})"
-        lut_cols.append(F.expr(
-            "array(" + ",".join(_sq_l2_sql(sub_sql, cent)
-                                for _c, cent in book) + ")").alias(f"__lut{s}"))
-    q = q.select("query_id", "qv", *lut_cols)
+    q = pq_lut_columns(q, "qnv", books).drop("qnv")
 
     approx = sum(F.element_at(F.col(f"__lut{s}"), F.col(f"__code{s}"))
                  for s in range(len(books)))
@@ -976,12 +1099,8 @@ def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
                                _as_double(F.col(vec_col)).alias("cv"),
                                nv.alias("cnv"))
-    code_cols = []
-    for s, book in enumerate(books):
-        sub_sql = f"slice(cnv,{s * d + 1},{d})"
-        dists = [_sq_l2_sql(sub_sql, cent) for _c, cent in book]
-        code_cols.append(F.expr(_argmin_code_sql(dists)).alias(f"__code{s}"))
-    c = c.select("corpus_id", "cv", *code_cols)
+    # numpy kernel codes/LUTs (bit-identical; see _pq_kernel_columns).
+    c = pq_code_columns(c, "cnv", books).drop("cnv")
 
     if train_iters > 0:
         trained = kmeans_centroids(corpus, corpus_id, vec_col,
@@ -998,13 +1117,7 @@ def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     q = queries.select(F.col(query_id).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"),
                        nv.alias("qnv"))
-    lut_cols = []
-    for s, book in enumerate(books):
-        sub_sql = f"slice(qnv,{s * d + 1},{d})"
-        lut_cols.append(F.expr(
-            "array(" + ",".join(_sq_l2_sql(sub_sql, cent)
-                                for _c, cent in book) + ")").alias(f"__lut{s}"))
-    q = q.select("query_id", "qv", *lut_cols)
+    q = pq_lut_columns(q, "qnv", books).drop("qnv")
     q_cells = ivf_assign(q, cents, "qv", nprobe=nprobe)
 
     approx = sum(F.element_at(F.col(f"__lut{s}"), F.col(f"__code{s}"))
@@ -1080,13 +1193,13 @@ def ann_ivfpq_residual_topk(queries: DataFrame, corpus: DataFrame,
     books = [[(j + 1, [float(v) for v in row["rnv"][s * d:(s + 1) * d]])
               for j, row in enumerate(init)]
              for s in range(m)]
-    code_cols = []
-    for s, book in enumerate(books):
-        sub_sql = f"slice(rnv,{s * d + 1},{d})"
-        dists = [_sq_l2_sql(sub_sql, cent) for _c, cent in book]
-        code_cols.append(F.expr(_argmin_code_sql(dists))
-                         .alias(f"__code{s}"))
-    c_enc = c_cells.select("corpus_id", "cv", "__cell", *code_cols)
+    # Residual codes via the numpy kernel (bit-identical; the residual
+    # subtraction itself stays an in-plan zip_with, so rnv is
+    # byte-identical to the expression spelling's input).
+    c_enc = (pq_code_columns(
+                 c_cells.select("corpus_id", "cv", "__cell", "rnv"),
+                 "rnv", books)
+             .drop("rnv"))
 
     q = queries.select(F.col(query_id).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"),
@@ -1095,14 +1208,10 @@ def ann_ivfpq_residual_topk(queries: DataFrame, corpus: DataFrame,
                .withColumn("qrv", F.zip_with("qnv", "__cent_nv",
                                              lambda x, y: x - y))
                .drop("__cent_nv", "qnv"))
-    lut_cols = []
-    for s, book in enumerate(books):
-        sub_sql = f"slice(qrv,{s * d + 1},{d})"
-        lut_cols.append(F.expr(
-            "array(" + ",".join(_sq_l2_sql(sub_sql, cent)
-                                for _c, cent in book) + ")")
-            .alias(f"__lut{s}"))
-    q_enc = q_cells.select("query_id", "qv", "__cell", *lut_cols)
+    q_enc = (pq_lut_columns(
+                 q_cells.select("query_id", "qv", "__cell", "qrv"),
+                 "qrv", books)
+             .drop("qrv"))
 
     approx = sum(F.element_at(F.col(f"__lut{s}"), F.col(f"__code{s}"))
                  for s in range(m))

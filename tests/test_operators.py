@@ -2264,3 +2264,70 @@ def test_mulaw_matches_audioop_reference():
     refd = np.frombuffer(audioop.ulaw2lin(c.astype(np.uint8).tobytes(), 2),
                          dtype="<i2").astype(np.int64)
     assert (dec == refd).all()
+
+
+def test_lsh_bucket_kernel_matches_expression_forest(spark):
+    """r11 optimization guard: the Arrow-batched numpy bucket kernel
+    must reproduce the Catalyst lsh_bucket() expression bit-for-bit —
+    including Catalyst's irregular-input semantics (NULL vector, NULL
+    element, wrong length ⇒ every plane's fold is NULL ⇒ bucket 0)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_datafusion_arrow_flight_spark.operators.similarity import (
+        lsh_bucket, lsh_bucket_columns)
+
+    dims, n_planes, n_tables = 8, 3, 4
+    rows = [(i, [((i * 31 + j * 7) % 97) / 13.0 - 3.0 for j in range(dims)])
+            for i in range(50)]
+    rows += [(100, None),                              # NULL vector
+             (101, [1.0] * (dims - 1)),                # short
+             (102, [1.0] * (dims + 2)),                # long
+             (103, [1.0] * 4 + [None] + [1.0] * 3)]    # NULL element
+    df = spark.createDataFrame(rows, "id BIGINT, v ARRAY<DOUBLE>")
+    expr_df = df.select(
+        "id", *[lsh_bucket(F.col("v"), n_planes, dims, t).alias(f"__b{t}")
+                for t in range(n_tables)])
+    kern_df = lsh_bucket_columns(df, "v", n_planes, dims,
+                                 n_tables).drop("v")
+    a = sorted(map(tuple, expr_df.collect()))
+    b = sorted(map(tuple, kern_df.collect()))
+    assert a == b
+
+
+def test_pq_kernels_match_expression_forest(spark):
+    """r11 optimization guard: pq_code_columns / pq_lut_columns must
+    reproduce the _sq_l2_sql/_argmin_code_sql projections bit-for-bit,
+    including the irregular-input degenerations (incomplete or
+    NULL-carrying subspace slice ⇒ NULL fold ⇒ code 1 / NULL LUT
+    entry)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_datafusion_arrow_flight_spark.operators.similarity import (
+        _argmin_code_sql, _sq_l2_sql, pq_code_columns, pq_lut_columns)
+
+    m, k, d = 2, 3, 4
+    books = [[(j + 1, [((s * 13 + j * 7 + i) % 11) / 7.0 for i in range(d)])
+              for j in range(k)] for s in range(m)]
+    rows = [(i, [((i * 17 + j * 5) % 23) / 9.0 for j in range(m * d)])
+            for i in range(40)]
+    rows += [(100, None),                                    # NULL vector
+             (101, [1.0] * (m * d - 2)),                     # short (2nd subspace incomplete)
+             (102, [1.0] * 3 + [None] + [1.0] * 4)]          # NULL in 1st subspace
+    df = spark.createDataFrame(rows, "id BIGINT, v ARRAY<DOUBLE>")
+
+    code_exprs = []
+    lut_exprs = []
+    for s, book in enumerate(books):
+        sub = f"slice(v,{s * d + 1},{d})"
+        dists = [_sq_l2_sql(sub, cent) for _c, cent in book]
+        code_exprs.append(F.expr(_argmin_code_sql(dists)).alias(f"__code{s}"))
+        lut_exprs.append(F.expr("array(" + ",".join(dists) + ")")
+                         .alias(f"__lut{s}"))
+    want_codes = sorted(map(tuple, df.select("id", *code_exprs).collect()))
+    got_codes = sorted(map(tuple,
+                           pq_code_columns(df, "v", books).drop("v").collect()))
+    assert want_codes == got_codes
+    want_luts = sorted(map(tuple, df.select("id", *lut_exprs).collect()))
+    got_luts = sorted(map(tuple,
+                          pq_lut_columns(df, "v", books).drop("v").collect()))
+    assert want_luts == got_luts
