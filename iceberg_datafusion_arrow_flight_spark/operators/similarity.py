@@ -812,7 +812,6 @@ def ann_pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     brute force, like IVF/LSH."""
     books = pq_codebooks(corpus, corpus_id, vec_col,
                          m=m, k=n_codes, iters=train_iters)
-    d = len(books[0][0][1])  # subspace width = D / m
     nv = _normed(_as_double(F.col(vec_col)))
 
     c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
@@ -1093,7 +1092,6 @@ def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     shape; train on a sample at scale)."""
     books = pq_codebooks(corpus, corpus_id, vec_col,
                          m=m, k=n_codes, iters=train_iters)
-    d = len(books[0][0][1])
     nv = _normed(_as_double(F.col(vec_col)))
 
     c = fan_out(corpus).select(F.col(corpus_id).alias("corpus_id"),
