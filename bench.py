@@ -337,29 +337,35 @@ def main() -> None:
     payload = detail + "\n"
     with open(detail_path, "w") as f:
         f.write(payload)
-    # Per-query seconds ride the line as CENTISECOND ints in `names`
-    # order — the same order as the detail file's `queries` map, whose
-    # keys are the authoritative name list.  At the r12-projected
-    # headline size (~56 entries) the old name->2dp map breaches the
-    # 1,900-byte ceiling; the int array keeps per-query visibility in
-    # the parsed artifact at ~7 bytes/entry (>=30% slack pinned by
-    # tests/test_bench_contract.py).
+    # Per-query times ride the line as the ORIGINAL name->seconds map
+    # (2 dp; the 4-dp truth stays in the detail file).  The r8-r11
+    # centisecond-array spelling (`q_cs` + a "detail:queries" pointer)
+    # was a measurement-REPORTING bug: the driver's comparator joins on
+    # the inline `queries` map and does not follow pointers, so
+    # PERF_r10/r11 both degenerated to `per_query: {}` and two rounds of
+    # optimization credit were unadjudicable (VERDICT r11 ask #1).  The
+    # map fits the ceiling at the current 54-entry size (pinned with
+    # realistic worst-case values in tests/test_bench_contract.py); if
+    # it ever outgrows it, the ladder below degrades to the compact
+    # q_cs array, then to detail-only — never a truncated line.
     line_obj = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
         "unit": "sec",
-        "n_queries": len(names),
-        "q_cs": [int(round(times[n] * 100)) for n in names],
-        "q_names": "detail:queries (same order)",
+        "queries": {n: round(times[n], 2) for n in names},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "load1": [round(load_start[0], 2), round(load_end[0], 2)],
-        "errs": [stderr_classes.get("benign_accumulator_races", 0),
-                 len(stderr_classes.get("other_errors", []))],
         "detail": os.path.basename(detail_path),
         "detail_sha256": hashlib.sha256(payload.encode()).hexdigest()[:12],
     }
     line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > LINE_BYTE_CEILING:  # degrade, never truncate mid-JSON
+        line_obj.pop("queries")
+        line_obj["n_queries"] = len(names)
+        line_obj["q_cs"] = [int(round(times[n] * 100)) for n in names]
+        line_obj["q_names"] = "detail:queries (same order)"
+        line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > LINE_BYTE_CEILING:
         line_obj.pop("q_cs")
         line_obj["queries_in_detail"] = True
         line = json.dumps(line_obj, separators=(",", ":"))
