@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .partitioning import checkpoint_partitioned, fan_out
+from .partitioning import fan_out
 from pyspark.sql.window import Window
 from .materialize import materialize
 
@@ -124,9 +124,19 @@ def near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
             .where(F.col("sim") >= threshold))
 
 
-def _plane_component(plane: int, dim: int) -> Column:
+def _plane_value(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
-    md5-derived 24-bit value scaled.
+    md5-derived 24-bit value scaled.  The ONE source of the formula —
+    the Catalyst spelling (:func:`_plane_component`) and the numpy
+    kernel (:func:`_plane_weights`) both call it, so the two can never
+    silently diverge (ADVICE r11)."""
+    import hashlib
+    h = int(hashlib.md5(f"plane{plane}|d{dim}".encode()).hexdigest()[:6], 16)
+    return h / float(1 << 23) - 1.0
+
+
+def _plane_component(plane: int, dim: int) -> Column:
+    """:func:`_plane_value` as a plan literal.
 
     Computed DRIVER-side (hashlib) and embedded as a literal — the
     original in-plan ``F.md5`` spelling was semantically identical but
@@ -134,9 +144,7 @@ def _plane_component(plane: int, dim: int) -> Column:
     (3,072 for the near-dup defaults); Catalyst analysis+codegen over
     that expression forest cost ~30 s per query before the first row.
     Same value either way; constants belong in the plan as constants."""
-    import hashlib
-    h = int(hashlib.md5(f"plane{plane}|d{dim}".encode()).hexdigest()[:6], 16)
-    return F.lit(h / float(1 << 23) - 1.0)
+    return F.lit(_plane_value(plane, dim))
 
 
 def lsh_bucket(vec: Column, n_planes: int, dims: int, table_seed: int = 0) -> Column:
@@ -157,12 +165,10 @@ def lsh_bucket(vec: Column, n_planes: int, dims: int, table_seed: int = 0) -> Co
 
 def _plane_weights(n_planes: int, dims: int, table_seed: int) -> "np.ndarray":
     """The md5-derived hyperplane matrix of :func:`lsh_bucket` as a
-    numpy (n_planes, dims) array — same formula, same constants."""
-    import hashlib
+    numpy (n_planes, dims) array — the same :func:`_plane_value`
+    constants the Catalyst spelling embeds."""
     return np.array(
-        [[int(hashlib.md5(f"plane{table_seed * 101 + p}|d{i}".encode())
-              .hexdigest()[:6], 16) / float(1 << 23) - 1.0
-          for i in range(dims)]
+        [[_plane_value(table_seed * 101 + p, i) for i in range(dims)]
          for p in range(n_planes)], dtype=np.float64)
 
 
@@ -193,13 +199,21 @@ def lsh_bucket_columns(df: DataFrame, vec_col: str, n_planes: int,
       (``NaN >= 0`` is TRUE in Spark SQL and DuckDB): ``(s >= 0) |
       isnan(s)``;
     - the fold's null semantics: a NULL vector, any NULL element, or
-      length != dims makes every plane's fold NULL in Catalyst, so the
-      ``otherwise(0)`` branch yields bucket 0 — the slow path below
-      reproduces exactly that.
+      length != dims makes every plane's fold NULL in Catalyst, so an
+      irregular row's buckets are 0 for every table — in a MIXED batch
+      the regular rows still run the vectorized path and only the
+      irregular indices keep their zeros (r12, ADVICE r11: one dirty
+      row must not drop the whole Arrow batch to per-row Python).
     """
     import pyarrow as pa
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    # Buckets accumulate in int32 (IntegerType output, matching the
+    # Catalyst lsh_bucket's int literals); 1 << p needs p < 31.
+    assert n_planes <= 31, (
+        f"n_planes={n_planes}: bucket ids are 32-bit signed ints "
+        f"(IntegerType, np.int32) — wider plane counts would overflow "
+        f"where the Catalyst spelling promotes to long")
     weights = [_plane_weights(n_planes, dims, t) for t in range(n_tables)]
     out_schema = StructType(
         list(df.schema.fields)
@@ -208,50 +222,43 @@ def lsh_bucket_columns(df: DataFrame, vec_col: str, n_planes: int,
     vec_idx = df.columns.index(vec_col)
     names = df.columns + [f"{prefix}{t}" for t in range(n_tables)]
 
-    def _bucket_row(v) -> list[int]:
-        # Catalyst-fold null semantics: anything irregular ⇒ bucket 0.
-        if v is None or len(v) != dims or any(x is None for x in v):
-            return [0] * n_tables
-        out = []
-        for t in range(n_tables):
-            b = 0
-            for p in range(n_planes):
-                s = 0.0
-                w = weights[t][p]
-                for i in range(dims):
-                    s += v[i] * w[i]
-                if s >= 0 or s != s:          # NaN >= 0 is true in Spark
-                    b += 1 << p
-            out.append(b)
-        return out
-
     def kernel(batches):
         for batch in batches:
             n = batch.num_rows
             arr = batch.column(vec_idx)
-            lengths = pa.compute.list_value_length(arr)
-            flat = arr.flatten()
-            fast = (n > 0 and arr.null_count == 0 and flat.null_count == 0
-                    and pa.compute.min_max(lengths)["min"].as_py() == dims
-                    and pa.compute.min_max(lengths)["max"].as_py() == dims)
             buckets = np.zeros((n_tables, n), dtype=np.int32)
-            if fast:
-                m = flat.to_numpy(zero_copy_only=False).reshape(n, dims)
+            reg = None                      # None ⇒ every row is regular
+            mat = np.empty((0, dims))
+            if n > 0:
+                lengths = pa.compute.list_value_length(arr)
+                flat = arr.flatten()
+                if (arr.null_count == 0 and flat.null_count == 0
+                        and pa.compute.min_max(lengths)["min"].as_py() == dims
+                        and pa.compute.min_max(lengths)["max"].as_py() == dims):
+                    mat = flat.to_numpy(zero_copy_only=False).reshape(n, dims)
+                else:
+                    # Mixed batch: vectorize the regular rows, leave the
+                    # Catalyst-null bucket 0 on the irregular indices.
+                    rows = arr.to_pylist()
+                    reg = [r for r, v in enumerate(rows)
+                           if v is not None and len(v) == dims
+                           and not any(x is None for x in v)]
+                    mat = np.array([rows[r] for r in reg],
+                                   dtype=np.float64).reshape(len(reg), dims)
+            if mat.shape[0]:
                 for t in range(n_tables):
-                    b = np.zeros(n, dtype=np.int32)
+                    b = np.zeros(mat.shape[0], dtype=np.int32)
                     for p in range(n_planes):
-                        s = np.zeros(n, dtype=np.float64)
+                        s = np.zeros(mat.shape[0], dtype=np.float64)
                         w = weights[t][p]
                         for i in range(dims):
-                            s += m[:, i] * w[i]
+                            s += mat[:, i] * w[i]
                         b += np.where((s >= 0) | np.isnan(s),
                                       np.int32(1 << p), np.int32(0))
-                    buckets[t] = b
-            elif n > 0:
-                rows = arr.to_pylist()
-                for r, v in enumerate(rows):
-                    for t, bv in enumerate(_bucket_row(v)):
-                        buckets[t][r] = bv
+                    if reg is None:
+                        buckets[t] = b
+                    else:
+                        buckets[t][reg] = b
             cols = [batch.column(i) for i in range(batch.num_columns)]
             cols += [pa.array(buckets[t]) for t in range(n_tables)]
             yield pa.RecordBatch.from_arrays(cols, names=names)
@@ -600,12 +607,14 @@ def _pq_kernel_columns(df: DataFrame, vec_col: str,
     (a-b)·(a-b) products accumulated in the same sequential left-fold
     order; np.argmin's first-minimum = the struct array_min's
     lowest-code tie-break; Catalyst's irregular-input semantics
-    replicated in a slow path (a subspace whose slice is incomplete or
-    contains a NULL folds to NULL — struct ordering puts NULL first, so
-    the code degenerates to 1 and the LUT entry to NULL; NaN distances
-    order LARGEST, Spark's total order).  Rows with NaN distances are
-    routed to the slow path so numpy's NaN-propagating argmin is never
-    trusted."""
+    replicated in a per-row slow path (a subspace whose slice is
+    incomplete or contains a NULL folds to NULL — struct ordering puts
+    NULL first, so the code degenerates to 1 and the LUT entry to NULL;
+    NaN distances order LARGEST, Spark's total order).  In a MIXED
+    batch only the irregular row indices take the slow path and only
+    NaN-distance columns take the explicit Spark-order tie-break — the
+    regular rows stay vectorized (r12, ADVICE r11: one dirty row must
+    not drop the whole Arrow batch to per-row Python)."""
     import pyarrow as pa
     from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
                                    StructField, StructType)
@@ -654,45 +663,82 @@ def _pq_kernel_columns(df: DataFrame, vec_col: str,
                    key=lambda j: (d2[j] != d2[j], 0.0 if d2[j] != d2[j]
                                   else d2[j], j)) + 1
 
+    def _spark_argmin(vals) -> int:
+        # Spark struct ordering over (distance, code): NaN sorts
+        # LARGEST, ties break to the lowest code (1-based).
+        return min(range(k),
+                   key=lambda j: (vals[j] != vals[j],
+                                  0.0 if vals[j] != vals[j] else vals[j],
+                                  j)) + 1
+
     def kernel(batches):
         for batch in batches:
             n = batch.num_rows
             arr = batch.column(vec_idx)
-            lengths = pa.compute.list_value_length(arr)
-            flat = arr.flatten()
-            fast = (n > 0 and arr.null_count == 0 and flat.null_count == 0
-                    and pa.compute.min_max(lengths)["min"].as_py() == dims
-                    and pa.compute.min_max(lengths)["max"].as_py() == dims)
             cols = [batch.column(i) for i in range(batch.num_columns)]
-            if fast:
-                mat = flat.to_numpy(zero_copy_only=False).reshape(n, dims)
-                d2 = np.empty((m, k, n), dtype=np.float64)
-                for s in range(m):
-                    sub = mat[:, s * d:(s + 1) * d]
-                    for j in range(k):
-                        acc = np.zeros(n, dtype=np.float64)
-                        cj = cents[s][j]
-                        for i in range(d):
-                            diff = sub[:, i] - cj[i]
-                            acc += diff * diff
-                        d2[s, j] = acc
-                if want == "code" and np.isnan(d2).any():
-                    fast = False          # NaN ordering → slow path
-                elif want == "code":
-                    for s in range(m):
-                        cols.append(pa.array(
-                            (np.argmin(d2[s], axis=0) + 1).astype(np.int32)))
+            reg = None                      # None ⇒ every row is regular
+            rows = None
+            mat = np.empty((0, dims))
+            if n > 0:
+                lengths = pa.compute.list_value_length(arr)
+                flat = arr.flatten()
+                if (arr.null_count == 0 and flat.null_count == 0
+                        and pa.compute.min_max(lengths)["min"].as_py() == dims
+                        and pa.compute.min_max(lengths)["max"].as_py() == dims):
+                    mat = flat.to_numpy(zero_copy_only=False).reshape(n, dims)
                 else:
-                    for s in range(m):
-                        cols.append(pa.array(
-                            list(d2[s].T), type=pa.list_(pa.float64())))
-            if not fast:
-                rows = arr.to_pylist() if n else []
-                for s in range(m):
-                    vals = [_slow(v, s) for v in rows]
-                    cols.append(pa.array(
-                        vals, type=(pa.int32() if want == "code"
-                                    else pa.list_(pa.float64()))))
+                    # Mixed batch: vectorize the regular rows; only the
+                    # irregular indices go through the per-row slow path
+                    # (which also honors per-subspace completeness on
+                    # short vectors).
+                    rows = arr.to_pylist()
+                    reg = [r for r, v in enumerate(rows)
+                           if v is not None and len(v) == dims
+                           and not any(x is None for x in v)]
+                    mat = np.array([rows[r] for r in reg],
+                                   dtype=np.float64).reshape(len(reg), dims)
+            nreg = mat.shape[0]
+            d2 = np.empty((m, k, nreg), dtype=np.float64)
+            for s in range(m):
+                sub = mat[:, s * d:(s + 1) * d]
+                for j in range(k):
+                    acc = np.zeros(nreg, dtype=np.float64)
+                    cj = cents[s][j]
+                    for i in range(d):
+                        diff = sub[:, i] - cj[i]
+                        acc += diff * diff
+                    d2[s, j] = acc
+            for s in range(m):
+                if want == "code":
+                    codes_reg = (np.argmin(d2[s], axis=0) + 1
+                                 if nreg else np.empty(0, dtype=np.int64))
+                    # numpy's argmin propagates NaN; re-decide exactly
+                    # the NaN-carrying columns with the Spark rule.
+                    for r in np.nonzero(np.isnan(d2[s]).any(axis=0))[0]:
+                        codes_reg[r] = _spark_argmin(d2[s][:, r])
+                    if reg is None:
+                        out = codes_reg.astype(np.int32)
+                    else:
+                        out = np.empty(n, dtype=np.int32)
+                        reg_set = set(reg)
+                        for r, v in enumerate(rows):
+                            if r not in reg_set:
+                                out[r] = _slow(v, s)
+                        out[reg] = codes_reg.astype(np.int32)
+                    cols.append(pa.array(out))
+                else:
+                    luts_reg = list(d2[s].T)
+                    if reg is None:
+                        vals = luts_reg
+                    else:
+                        vals = [None] * n
+                        reg_set = set(reg)
+                        for r, v in enumerate(rows):
+                            if r not in reg_set:
+                                vals[r] = _slow(v, s)
+                        for i, r in enumerate(reg):
+                            vals[r] = luts_reg[i]
+                    cols.append(pa.array(vals, type=pa.list_(pa.float64())))
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return df.mapInArrow(kernel, schema=out_schema)
@@ -729,16 +775,21 @@ def pq_codebooks(corpus: DataFrame, corpus_id: str, vec_col: str,
     100 TB: train on a sample (PQ codebooks need ~100k vectors, not the
     corpus); encoding in :func:`ann_pq_topk` is the full-corpus pass.
 
-    The Lloyd assignment joins a BROADCAST (s, code, centroid) table
-    against the exploded (id, s, subvector) rows instead of embedding
-    the m·k centroids as plan literals: the literal spelling rebuilt an
-    ~m·k·(D/m)-node expression forest every iteration and spent ~7 s of
-    driver-side Catalyst analysis per pass before any row moved (the
-    planning-overhead disease VERDICT r2 flagged); the join keeps the
-    plan a constant handful of expressions regardless of m/k, moves the
-    same arithmetic into one whole-stage-codegen'd fold, and scales the
-    k-way compare as DATA (m·k rows broadcast) rather than as plan."""
-    spark = corpus.sparkSession
+    The Lloyd assignment runs through :func:`pq_code_columns` — the same
+    Arrow-batched numpy argmin kernel the encoder uses (r12; bit-equal
+    to the broadcast-join + ``min_by(struct(__d2, code))`` spelling it
+    replaces, pinned by ``test_pq_kernel_matches_lloyd_assignment``).
+    The joined spelling re-derived every assignment as DATA — a
+    broadcast build plus an n·m·k-row join fan-out and an n·m-group
+    ``min_by`` hash aggregate per iteration, preceded by a one-off
+    checkpoint that wrote the n·m exploded subvectors to disk.  The
+    kernel computes all m argmins in one projection pass over the
+    cached corpus, so each iteration is a single job whose only
+    exchange is the (s, code) mean's partial-agg output (m·k groups,
+    ∝ codebook size, not rows) — guide §2.4 (remove shuffles outright)
+    + §4.2 (the heavy compare runs vectorized in numpy).  The update
+    agg keeps the exact per-(s, code) mean the old spelling computed:
+    same slices, same ``avg`` aggregate, same group keys."""
     base = fan_out(corpus).select(F.col(corpus_id).alias("__id"),
                                   _normed(_as_double(F.col(vec_col))).alias("__nv"))
     base = base.cache()
@@ -747,44 +798,19 @@ def pq_codebooks(corpus: DataFrame, corpus_id: str, vec_col: str,
     d = dims // m
     books = [[(j + 1, list(r["__nv"][s * d:(s + 1) * d]))
               for j, r in enumerate(init)] for s in range(m)]
-    if iters > 0:
-        # explode once, checkpoint flat AND pre-partitioned on the
-        # argmin group key: every iteration re-reads the (id, s, sub)
-        # rows instead of re-slicing the corpus, and because the
-        # codebook join broadcasts, the per-iteration
-        # groupBy(__id, s) min_by — whose exchange would carry the
-        # full n·m exploded subvector volume — plans exchange-free
-        # (see partitioning.checkpoint_partitioned)
-        subs = checkpoint_partitioned(
-            base.select(
-                "__id",
-                F.explode(F.array(*[
-                    F.struct(F.lit(s).cast("int").alias("s"),
-                             F.slice("__nv", s * d + 1, d).alias("sub"))
-                    for s in range(m)])).alias("e"))
-            .select("__id", "e.s", "e.sub"),
-            "__id", "s")
-        d2 = F.aggregate(F.zip_with("sub", "cent", lambda a, b: (a - b) * (a - b)),
-                         F.lit(0.0), lambda acc, x: acc + x)
-        for _ in range(iters):
-            cents = spark.createDataFrame(
-                [(s, c, [float(x) for x in cent])
-                 for s in range(m) for c, cent in books[s]],
-                "s int, code int, cent array<double>")
-            best = (subs.join(F.broadcast(cents), "s")
-                    .withColumn("__d2", d2)
-                    .groupBy("__id", "s")
-                    # min over (distance, code) structs: smallest distance,
-                    # ties to the lowest code — same rule as _argmin_code
-                    .agg(F.min_by(F.struct(F.col("code"), F.col("sub")),
-                                  F.struct(F.col("__d2"), F.col("code")))
-                         .alias("b")))
-            new = (best.groupBy(F.col("s"), F.col("b.code").alias("code"))
-                   .agg(F.array(*[F.avg(F.col("b.sub")[i]) for i in range(d)])
-                        .alias("__mean"))
-                   .collect())
-            for r in new:  # empty cells keep their previous centroid
-                books[r["s"]][r["code"] - 1] = (r["code"], list(r["__mean"]))
+    for _ in range(iters):
+        assigned = pq_code_columns(base, "__nv", books)
+        rows = assigned.select(F.explode(F.array(*[
+            F.struct(F.lit(s).cast("int").alias("s"),
+                     F.col(f"__code{s}").alias("code"),
+                     F.slice("__nv", s * d + 1, d).alias("sub"))
+            for s in range(m)])).alias("e")).select("e.s", "e.code", "e.sub")
+        new = (rows.groupBy("s", "code")
+               .agg(F.array(*[F.avg(F.col("sub")[i]) for i in range(d)])
+                    .alias("__mean"))
+               .collect())
+        for r in new:  # empty cells keep their previous centroid
+            books[r["s"]][r["code"] - 1] = (r["code"], list(r["__mean"]))
     base.unpersist()
     return books
 

@@ -2282,7 +2282,8 @@ def test_lsh_bucket_kernel_matches_expression_forest(spark):
     rows += [(100, None),                              # NULL vector
              (101, [1.0] * (dims - 1)),                # short
              (102, [1.0] * (dims + 2)),                # long
-             (103, [1.0] * 4 + [None] + [1.0] * 3)]    # NULL element
+             (103, [1.0] * 4 + [None] + [1.0] * 3),    # NULL element
+             (104, [float("nan")] + [1.0] * (dims - 1))]  # NaN fold
     df = spark.createDataFrame(rows, "id BIGINT, v ARRAY<DOUBLE>")
     expr_df = df.select(
         "id", *[lsh_bucket(F.col("v"), n_planes, dims, t).alias(f"__b{t}")
@@ -2312,7 +2313,8 @@ def test_pq_kernels_match_expression_forest(spark):
             for i in range(40)]
     rows += [(100, None),                                    # NULL vector
              (101, [1.0] * (m * d - 2)),                     # short (2nd subspace incomplete)
-             (102, [1.0] * 3 + [None] + [1.0] * 4)]          # NULL in 1st subspace
+             (102, [1.0] * 3 + [None] + [1.0] * 4),          # NULL in 1st subspace
+             (103, [float("nan")] + [1.0] * (m * d - 1))]    # NaN distances (1st subspace)
     df = spark.createDataFrame(rows, "id BIGINT, v ARRAY<DOUBLE>")
 
     code_exprs = []
@@ -2327,7 +2329,109 @@ def test_pq_kernels_match_expression_forest(spark):
     got_codes = sorted(map(tuple,
                            pq_code_columns(df, "v", books).drop("v").collect()))
     assert want_codes == got_codes
-    want_luts = sorted(map(tuple, df.select("id", *lut_exprs).collect()))
-    got_luts = sorted(map(tuple,
-                          pq_lut_columns(df, "v", books).drop("v").collect()))
+
+    def canon(rows):
+        # NaN != NaN breaks raw tuple equality; compare NaNs positionally
+        # (both engines produce NaN from the same NaN input — the values
+        # themselves are still asserted equal elsewhere in the row).
+        import math
+
+        def c(v):
+            if isinstance(v, list):
+                return tuple(c(x) for x in v)
+            if isinstance(v, float) and math.isnan(v):
+                return "NaN"
+            return v
+        return sorted(tuple(c(x) for x in r) for r in rows)
+
+    want_luts = canon(df.select("id", *lut_exprs).collect())
+    got_luts = canon(pq_lut_columns(df, "v", books).drop("v").collect())
     assert want_luts == got_luts
+
+
+def test_pq_lloyd_kernel_assignment_matches_join_minby(spark):
+    """r12 optimization guard: pq_codebooks' Lloyd loop now assigns
+    subvectors to codes through the pq_code_columns numpy kernel instead
+    of the r11 broadcast-join + min_by(struct(__d2, code)) aggregate.
+    The assignment (which subvector lands in which (s, code) mean group)
+    must be IDENTICAL under both spellings for every iteration's books —
+    that is the semantic content of a Lloyd pass.  The recomputed means
+    are the same avg() aggregate over the same groups; their partial-sum
+    grouping differs (base partitions vs the old (id, s)-hash
+    partitions), so they are compared to 1e-12 — the r12 round notes
+    record row-exact end-to-end ann_pq_topk equality at all three SFs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from iceberg_datafusion_arrow_flight_spark.operators.similarity import (
+        pq_code_columns, pq_codebooks)
+
+    m, k, d = 2, 3, 4
+    rows = [(i, [((i * 17 + j * 5) % 23) / 9.0 - 1.2 for j in range(m * d)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    # New spelling end-to-end.
+    books_new = pq_codebooks(df, "vec_id", "embedding", m=m, k=k, iters=2)
+
+    # Old spelling, reconstructed verbatim (r11 tree), sharing the same
+    # deterministic init.
+    from iceberg_datafusion_arrow_flight_spark.operators.partitioning import (
+        checkpoint_partitioned, fan_out)
+    from iceberg_datafusion_arrow_flight_spark.operators.similarity import (
+        _as_double, _normed)
+    base = fan_out(df).select(F.col("vec_id").alias("__id"),
+                              _normed(_as_double(F.col("embedding")))
+                              .alias("__nv")).cache()
+    init = base.orderBy("__id").limit(k).collect()
+    books_old = [[(j + 1, list(r["__nv"][s * d:(s + 1) * d]))
+                  for j, r in enumerate(init)] for s in range(m)]
+    subs = checkpoint_partitioned(
+        base.select("__id", F.explode(F.array(*[
+            F.struct(F.lit(s).cast("int").alias("s"),
+                     F.slice("__nv", s * d + 1, d).alias("sub"))
+            for s in range(m)])).alias("e")).select("__id", "e.s", "e.sub"),
+        "__id", "s")
+    d2 = F.aggregate(F.zip_with("sub", "cent", lambda a, b: (a - b) * (a - b)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    for _ in range(2):
+        cents = spark.createDataFrame(
+            [(s, c, [float(x) for x in cent])
+             for s in range(m) for c, cent in books_old[s]],
+            "s int, code int, cent array<double>")
+        # The assignment the old spelling derives from the current books
+        # must equal the kernel's (bit-exact: same fold, same tie-break).
+        join_assign = (subs.join(F.broadcast(cents), "s")
+                       .withColumn("__d2", d2)
+                       .groupBy("__id", "s")
+                       .agg(F.min_by("code", F.struct(F.col("__d2"),
+                                                      F.col("code")))
+                            .alias("code")))
+        kern_assign = (pq_code_columns(base, "__nv", books_old)
+                       .select("__id", F.explode(F.array(*[
+                           F.struct(F.lit(s).cast("int").alias("s"),
+                                    F.col(f"__code{s}").alias("code"))
+                           for s in range(m)])).alias("e"))
+                       .select("__id", "e.s", "e.code"))
+        assert (sorted(map(tuple, join_assign.collect()))
+                == sorted(map(tuple, kern_assign.collect())))
+        best = (subs.join(F.broadcast(cents), "s")
+                .withColumn("__d2", d2)
+                .groupBy("__id", "s")
+                .agg(F.min_by(F.struct(F.col("code"), F.col("sub")),
+                              F.struct(F.col("__d2"), F.col("code")))
+                     .alias("b")))
+        new = (best.groupBy(F.col("s"), F.col("b.code").alias("code"))
+               .agg(F.array(*[F.avg(F.col("b.sub")[i]) for i in range(d)])
+                    .alias("__mean"))
+               .collect())
+        for r in new:
+            books_old[r["s"]][r["code"] - 1] = (r["code"], list(r["__mean"]))
+    base.unpersist()
+
+    for s in range(m):
+        for j in range(k):
+            assert books_old[s][j][0] == books_new[s][j][0]
+            a = np.array(books_old[s][j][1])
+            b = np.array(books_new[s][j][1])
+            assert np.allclose(a, b, rtol=0.0, atol=1e-12), (s, j, a, b)
