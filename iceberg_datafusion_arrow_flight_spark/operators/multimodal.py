@@ -1674,25 +1674,36 @@ def scene_cut_sad(frames: DataFrame, threshold: float = 8.0) -> DataFrame:
     ``threshold``.  The video-segmentation primitive (shot boundaries
     for frame-dedup / caption alignment).
 
-    Implemented with ``applyInPandas`` grouped BY DOC — the per-group
-    batch form this repo's other multimodal stages don't need (they are
-    1→1 or 1→N row-local; frame DIFFERENCES need the whole sequence in
-    one place).  Scale: state per group is one doc's frames (bounded by
-    clip length), groups hash-partition freely; SAD is exact integer
-    math, so the DuckDB oracle recomputes it from the generator
-    formula."""
+    Implemented with ``applyInPandas`` grouped by a HASH BUCKET of the
+    doc id, not by doc (r12, guide §4.5-amortization): the per-group
+    Python call overhead (one pandas frame build + one function call
+    per group) was the whole stage at clip lengths of 4-6 frames —
+    5,000 single-clip groups cost ~25× the arithmetic inside them.
+    Bucketing ``pmod(xxhash64(doc_id), 4·parallelism)`` keeps the
+    shuffle identical in volume, preserves the all-frames-of-a-doc-
+    together invariant (a doc's frames hash to ONE bucket), and lets
+    one call iterate ~40 clips — the kernel sorts by (doc, frame) and
+    resets the differ at each doc boundary, so per-doc results are
+    independent of bucketing by construction.  Bucket count derives
+    from the session's parallelism (scale-adaptive, not a local[32]
+    constant).  Scale: state per task is one bucket's clips (bounded by
+    docs/bucket × clip length); SAD is exact integer math, so the
+    DuckDB oracle recomputes it from the generator formula."""
 
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("frame_idx")
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "frame_idx"])
         out = {k: [] for k in ("doc_id", "frame_idx", "sad",
                                "mean_abs_diff", "is_cut")}
         prev = None
+        prev_doc = None
         # zip over columns, not iterrows(): iterrows materializes a
-        # pandas Series per row (~10x the per-row cost) and every group
-        # here is a single clip's handful of frames, so row overhead is
-        # the whole stage (r11 optimization; same integer math).
+        # pandas Series per row (~10x the per-row cost; r11
+        # optimization, same integer math).
         for did, fi, payload in zip(pdf["doc_id"], pdf["frame_idx"],
                                     pdf["payload"]):
+            if did != prev_doc:
+                prev = None
+                prev_doc = did
             w, h, px = _decode_ppm(bytes(payload))
             cur = px.astype(np.int64)
             if prev is not None:
@@ -1706,8 +1717,12 @@ def scene_cut_sad(frames: DataFrame, threshold: float = 8.0) -> DataFrame:
             prev = cur
         return pd.DataFrame(out)
 
-    return (fan_out(frames).groupBy("doc_id")
-            .applyInPandas(per_doc, schema=SCENE_CUT_SCHEMA))
+    spark = frames.sparkSession
+    n_buckets = 4 * spark.sparkContext.defaultParallelism
+    bucketed = fan_out(frames).withColumn(
+        "__sc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)))
+    return (bucketed.groupBy("__sc_bucket")
+            .applyInPandas(per_bucket, schema=SCENE_CUT_SCHEMA))
 
 
 AHASH_SCHEMA = ("doc_id BIGINT, width INT, height INT, "

@@ -341,9 +341,12 @@ ORDER BY p.doc_id, frame_idx
         "segmentation primitive (shot boundaries for frame dedup / "
         "caption alignment).  Executors build each doc's frame sequence "
         "as actual PPM payloads with a hard content jump at the "
-        "midpoint; applyInPandas groups BY DOC (the per-group batch "
-        "form frame DIFFERENCES need — the repo's other multimodal "
-        "stages are row-local), decodes every pixel buffer, and emits "
+        "midpoint; applyInPandas groups by a doc-HASH BUCKET (r12: one "
+        "Python call iterates ~40 clips, amortizing the per-group call "
+        "overhead that dominated at 4-6 frames/clip; a doc's frames "
+        "land in one bucket, and the kernel resets its differ at each "
+        "doc boundary, so results are bucket-independent), decodes "
+        "every pixel buffer, and emits "
         "exact integer SAD vs the previous frame.  The oracle "
         "recomputes each SAD from the generator's modular-arithmetic "
         "formula — only the midpoint pair is nonzero, and its value is "
