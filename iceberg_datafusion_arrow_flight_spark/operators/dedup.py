@@ -679,11 +679,17 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
 
     a = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
     b = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    # BANDED verify (r12, guide §1.2 per-task work): levenshtein with the
+    # threshold argument runs the O(len·k) banded algorithm instead of
+    # the O(len²) full matrix and returns -1 past the bound — for
+    # distances <= k the value is the exact distance, so
+    # ``banded >= 0`` keeps exactly the rows ``full <= k`` kept (paired
+    # A/B at sf0.1: 7.4 -> 4.9 s min-of-3, 255 rows identical).
     return (cand.join(a, "id_a").join(b, "id_b")
             .where(F.abs(F.length("__sa") - F.length("__sb")) <= k)
             .withColumn("edit_distance",
-                        F.levenshtein("__sa", "__sb").cast("int"))
-            .where(F.col("edit_distance") <= k)
+                        F.levenshtein("__sa", "__sb", k).cast("int"))
+            .where(F.col("edit_distance") >= 0)
             .select("id_a", "id_b", "edit_distance"))
 
 
