@@ -57,6 +57,12 @@ HEAVIES = [
     "graph_pagerank_supply_chain",
     "dedup_minhash_lsh",
     "multimodal_scene_cuts",
+    # r12 (VERDICT r11 ask #7): the packed-adjacency edge-iterator's
+    # exponent was never measured — on the ladder's bounded-degree
+    # co-purchase graph the oriented out-degree bound should keep it
+    # sub-linear; a >1 exponent here means degree-threshold splitting.
+    "graph_triangle_count",
+    "sim_ann_pq_topk",
 ]
 
 
@@ -168,6 +174,27 @@ def gen_embeddings(out_dir: str, scale: int) -> None:
     pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
 
 
+def gen_part(out_dir: str, scale: int) -> None:
+    # Same key universe as gen_lineitem's partkey draw (20k*scale) so
+    # the triangle entry's brand join keeps constant selectivity.
+    n = 20_000 * scale
+    rng = np.random.default_rng(SEED + 3)
+    keys = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "p_partkey": pa.array(keys),
+        "p_name": pa.array([f"part {i}" for i in keys], type=pa.string()),
+        "p_brand": pa.array([f"Brand#{1 + int(b)}"
+                             for b in rng.integers(0, 25, size=n)],
+                            type=pa.string()),
+        "p_type": pa.array(np.array(["ECONOMY", "STANDARD", "PROMO"])
+                           [rng.integers(0, 3, size=n)], type=pa.string()),
+        "p_size": pa.array(rng.integers(1, 51, size=n).astype(np.int32)),
+        "p_retailprice": pa.array(np.round(
+            rng.uniform(900.0, 2100.0, size=n), 2)),
+    })
+    pq.write_table(tbl, os.path.join(out_dir, "part.parquet"))
+
+
 def gen(scales: list[int]) -> None:
     for s in scales:
         d = os.path.join(LADDER, f"x{s}")
@@ -175,6 +202,7 @@ def gen(scales: list[int]) -> None:
         t0 = time.time()
         gen_documents(d, s)
         gen_lineitem(d, s)
+        gen_part(d, s)
         gen_embeddings(d, s)
         print(f"x{s}: generated in {time.time() - t0:.1f}s -> {d}",
               flush=True)
@@ -182,7 +210,8 @@ def gen(scales: list[int]) -> None:
 
 # ---------------------------------------------------------------- run
 
-def run(scales: list[int], samples: int = 2) -> None:
+def run(scales: list[int], samples: int = 2,
+        queries: list[str] | None = None) -> None:
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master(
                  f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -195,7 +224,7 @@ def run(scales: list[int], samples: int = 2) -> None:
 
     out: dict = {"seed": SEED, "samples": samples,
                  "load1_start": os.getloadavg()[0], "queries": {}}
-    for name in HEAVIES:
+    for name in (queries or HEAVIES):
         out["queries"][name] = {}
         for s in scales:
             d = os.path.join(LADDER, f"x{s}")
@@ -228,9 +257,12 @@ if __name__ == "__main__":
     ap.add_argument("cmd", choices=["gen", "run"])
     ap.add_argument("--scales", default="x1,x10")
     ap.add_argument("--samples", type=int, default=2)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated registry names (default HEAVIES)")
     a = ap.parse_args()
     scales = [int(x.lstrip("x")) for x in a.scales.split(",")]
     if a.cmd == "gen":
         gen(scales)
     else:
-        run(scales, a.samples)
+        run(scales, a.samples,
+            a.queries.split(",") if a.queries else None)
