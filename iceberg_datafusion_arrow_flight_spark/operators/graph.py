@@ -180,6 +180,24 @@ def undirected_distinct(df: DataFrame, a: str, b: str) -> DataFrame:
             .distinct())
 
 
+def symmetrize(und: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Both directions of an undirected ``(u, v)`` edge list in ONE
+    pass: each row explodes map-side into (u,v) and (v,u) inside the
+    same stage.  The union-of-two-selects spelling re-executes the
+    whole upstream edge build once per branch — Spark's exchange reuse
+    does not fire across the branches' differing projections, so e.g.
+    the co-purchase build's groupBy+distinct ran twice per
+    symmetrization (r12 plan audit, guide §2.4: remove duplicate
+    subtrees before removing shuffles).  Same row SET either way;
+    row/partition order differs, which only float consumers could see —
+    the one float consumer (pagerank) re-syncs with per-round rounding
+    and is output-verified in the r12 notes."""
+    return (und.select(F.explode(F.array(
+        F.struct(F.col("u").alias(a), F.col("v").alias(b)),
+        F.struct(F.col("v").alias(a), F.col("u").alias(b)))).alias("e"))
+            .select(f"e.{a}", f"e.{b}"))
+
+
 def degree_orient(und: DataFrame) -> DataFrame:
     """Orient each undirected edge from its lower-(degree, id) endpoint
     to the higher one — the classic triangle-counting orientation: the
@@ -266,10 +284,7 @@ def bfs_layers(und: DataFrame, seeds: DataFrame,
     # round plus the node universe, and without the cut each round
     # would re-run the whole upstream edge build (measured 11.6 s →
     # 5.0 s at sf0.1 on the co-purchase graph).
-    sym = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-           .unionByName(und.select(F.col("v").alias("a"),
-                                   F.col("u").alias("b")))
-           .transform(materialize))
+    sym = symmetrize(und).transform(materialize)
     nodes = sym.select(F.col("a").alias("node")).distinct()
     visited = (seeds.select("node").distinct()
                .withColumn("depth", F.lit(0))
@@ -396,9 +411,7 @@ def label_propagation(und: DataFrame, rounds: int = 3,
     per-round O(edges) exchange left is the (node, label) vote count's
     partial-agg output, the floor for message passing by key.
     Strategy choice never changes values — join strategy only."""
-    sym = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-           .unionByName(und.select(F.col("v").alias("a"),
-                                   F.col("u").alias("b"))))
+    sym = symmetrize(und)
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .select("node", F.col("node").alias("label"))
               .transform(materialize))
@@ -439,10 +452,7 @@ def multi_seed_bfs_distances(und: DataFrame, seeds: DataFrame,
     The closeness-centrality primitive (and the landmark-distance
     sketch: at corpus scale pick O(log n) landmark seeds and
     approximate all-pairs distances through them)."""
-    sym = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-           .unionByName(und.select(F.col("v").alias("a"),
-                                   F.col("u").alias("b")))
-           .transform(materialize))
+    sym = symmetrize(und).transform(materialize)
     visited = (seeds.select(F.col("seed"), F.col("seed").alias("node"))
                .withColumn("depth", F.lit(0))
                .transform(materialize))
@@ -523,10 +533,14 @@ def katz_centrality(edges: DataFrame, iterations: int = 4,
     pagerank float re-sync recipe) so summation-order noise never
     compounds.  Edge list and per-round state are materialized
     (flat lineage across rounds).  Returns (node, x)."""
-    nodes = (edges.select(F.col("src").alias("node"))
-             .unionAll(edges.select(F.col("dst").alias("node")))
-             .distinct().transform(materialize))
+    # Materialize the edge list FIRST so the node-universe union reads
+    # the pinned blocks instead of re-running the upstream edge build
+    # once per branch (r12; same duplicate-subtree disease as the lazy
+    # symmetrize sites -- see :func:`symmetrize`).
     e = edges.transform(materialize)
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionAll(e.select(F.col("dst").alias("node")))
+             .distinct().transform(materialize))
     x = nodes.withColumn("x", F.lit(float(beta)))
     for _ in range(iterations):
         s = (e.join(x.select(F.col("node").alias("src"), "x"), "src")

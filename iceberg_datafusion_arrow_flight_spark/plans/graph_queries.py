@@ -119,9 +119,14 @@ def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (li.select((F.col("l_suppkey") * 2).alias("s"),
                        (F.col("l_partkey") * 2 + 1).alias("p"))
              .distinct())
-    return (pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
-            .unionAll(pairs.select(F.col("p").alias("src"),
-                                   F.col("s").alias("dst"))))
+    # Symmetrize by a map-side explode, not union-of-two-selects: the
+    # union spelling re-ran the whole scan+distinct once per branch
+    # (no exchange reuse across the branches' differing projections —
+    # r12 plan audit, plans/r12/graph_supply_edge_build_*.txt).
+    return (pairs.select(F.explode(F.array(
+        F.struct(F.col("s").alias("src"), F.col("p").alias("dst")),
+        F.struct(F.col("p").alias("src"), F.col("s").alias("dst"))))
+        .alias("e")).select("e.src", "e.dst"))
 
 
 def _top20(pr: DataFrame) -> DataFrame:
